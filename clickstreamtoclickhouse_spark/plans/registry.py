@@ -1,0 +1,72 @@
+"""Query registry: name -> (Spark callable, DuckDB oracle SQL).
+
+Every implemented operator from SURVEY.md §2 gets a `@query` entry;
+the driver's correctness gate runs the Spark callable and the oracle
+side-by-side (order-insensitive value-hash), so:
+
+- every computed column is aliased IDENTICALLY in both;
+- timestamps/dates are emitted as formatted strings (Spark session TZ
+  pinned to UTC; DuckDB naive) so the value hashes agree;
+- float aggregates are rounded in both to dodge summation-order ULP
+  drift between engines.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLE: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None):
+    """Register a query; `oracle` is DuckDB-runnable ANSI SQL over the
+    pre-registered testdata views, or None for non-SQL-expressible ops
+    (driver then records a rows-only check)."""
+
+    def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLE[name] = oracle
+        return fn
+
+    return deco
+
+
+_NANO_TS_COLS: dict[str, list[str]] = {}
+
+
+def _nano_ts_columns(path: str) -> list[str]:
+    """Columns stored as parquet timestamp[ns] (footer-only check,
+    cached per path). Spark has no nanosecond timestamp type; we read
+    them as long (legacy.parquet.nanosAsLong) and truncate to micros —
+    matching DuckDB, whose TIMESTAMP is microseconds."""
+    if path not in _NANO_TS_COLS:
+        try:
+            import pyarrow.parquet as pq
+
+            schema = pq.read_schema(path)
+            _NANO_TS_COLS[path] = [
+                f.name for f in schema if str(f.type) == "timestamp[ns]"
+            ]
+        except Exception:
+            _NANO_TS_COLS[path] = []
+    return _NANO_TS_COLS[path]
+
+
+def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    """Read one testdata table (columnar parquet scan; Catalyst pushes
+    filters/projections from downstream operators into this scan)."""
+    path = f"{sf_dir}/{table}.parquet"
+    nano_cols = _nano_ts_columns(path)
+    if nano_cols:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
+    for c in nano_cols:
+        # integer `div` keeps full precision (double division would lose
+        # bits at 1e18-scale nanos); truncation matches DuckDB's cast.
+        df = df.withColumn(c, F.expr(f"timestamp_micros(`{c}` div 1000)"))
+    return df
