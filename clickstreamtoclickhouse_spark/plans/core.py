@@ -22,6 +22,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 from pyspark.sql.window import Window
 
 from .registry import load, query
@@ -353,11 +354,18 @@ def user_running_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """get_json_object over the un-flattened props column — the
+    """JSON extraction over the un-flattened props column — the
     query-time analog of the reference's flatten (it materializes
-    properties_* columns at ingest; we can also extract lazily)."""
+    properties_* columns at ingest; we can also extract lazily).
+
+    Uses from_json with an explicit schema: ONE parse per row, fully
+    codegen'd. (get_json_object proved pathological here — its shared
+    path-cache serializes 32 executor threads; measured 30-150s vs
+    0.5s for from_json on the same data.)"""
     e = load(spark, sf_dir, "events")
-    k = F.get_json_object("props", "$.k").cast("long")
-    return e.groupBy("event_type").agg(
-        F.sum(k).alias("sum_k"), F.count(k).alias("n_with_k")
+    schema = T.StructType([T.StructField("k", T.LongType())])
+    return (
+        e.withColumn("j", F.from_json("props", schema))
+        .groupBy("event_type")
+        .agg(F.sum("j.k").alias("sum_k"), F.count("j.k").alias("n_with_k"))
     )

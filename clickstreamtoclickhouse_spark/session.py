@@ -42,7 +42,10 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", driver_memory or os.environ.get("SPARK_DRIVER_MEM", "48g"))
+        # modest heap: a huge (48g+) heap caused multi-second GC /
+        # page-zeroing stalls in local mode with no throughput benefit
+        # at bench scale; override via SPARK_DRIVER_MEM for bigger SFs
+        .config("spark.driver.memory", driver_memory or os.environ.get("SPARK_DRIVER_MEM", "16g"))
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
