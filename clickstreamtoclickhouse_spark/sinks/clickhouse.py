@@ -1,0 +1,250 @@
+"""ClickHouse sink: DDL generation + JDBC insert (S5-S12, SURVEY §2.1).
+
+Reproduces the reference's ClickHouse provisioning contract
+(seghouse/warehouse/clickhouse.py):
+
+- CREATE DATABASE IF NOT EXISTS (:59-66)
+- CREATE TABLE ... ENGINE=ReplacingMergeTree() PARTITION BY
+  toDate(timestamp) ORDER BY (timestamp, message_id) (:69-93)
+- users: ENGINE=ReplacingMergeTree(ver) ORDER BY (user_id) (:95-123)
+- misfits: 6 string columns ORDER BY (message_id, table_name,
+  column_name) (:217-238)
+- Nullable(T) wrapping for all but the non-null set (:125-134)
+- DESCRIBE TABLE introspection with reverse type map (:137-183)
+- ALTER TABLE ... ADD COLUMN IF NOT EXISTS (:185-191)
+
+All DDL generation is pure (unit-testable without a server). Actual
+execution needs a ClickHouse JDBC driver jar on the Spark classpath —
+not present in this environment, so execution paths are gated: they
+raise a clear error unless a jdbc_url is configured AND the driver
+loads. The insert path is ``df.write.jdbc(mode="append")`` — executed
+from executors in parallel, replacing the reference's single
+driver-side INSERT (clickhouse.py:193-215).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from ..operators.normalize import booleans_to_int
+from ..tables import MISFITS_STRUCTURE, spark_schema
+from .warehouse import Warehouse
+
+# Spark type -> ClickHouse type (forward map; reference DT_TO_CH_DT,
+# clickhouse.py:15-33). Booleans are stored as UInt8 (:29).
+SPARK_TO_CH: dict[type, str] = {
+    T.StringType: "String",
+    T.LongType: "Int64",
+    T.IntegerType: "Int32",
+    T.ShortType: "Int16",
+    T.ByteType: "Int8",
+    T.DoubleType: "Float64",
+    T.FloatType: "Float32",
+    T.BooleanType: "UInt8",
+    T.TimestampType: "DateTime64(3)",
+    T.DateType: "Date",
+}
+
+# ClickHouse type -> Spark type (reverse map; substring match like the
+# reference's describe_table, clickhouse.py:146-183 — NOTE its BOOLEAN
+# branch is unreachable because UInt8 matches first; we reproduce the
+# *effective* behavior: UInt8 -> integer).
+_CH_TO_SPARK: list[tuple[str, T.DataType]] = [
+    ("UInt8", T.IntegerType()),
+    ("UInt16", T.IntegerType()),
+    ("UInt32", T.LongType()),
+    ("UInt64", T.DecimalType(20, 0)),
+    ("Int8", T.ByteType()),
+    ("Int16", T.ShortType()),
+    ("Int32", T.IntegerType()),
+    ("Int64", T.LongType()),
+    ("Float32", T.FloatType()),
+    ("Float64", T.DoubleType()),
+    ("DateTime", T.TimestampType()),
+    ("Date", T.DateType()),
+    ("String", T.StringType()),
+    ("UUID", T.StringType()),
+]
+
+
+def ch_type_to_spark(ch_type: str) -> T.DataType:
+    for needle, spark_t in _CH_TO_SPARK:
+        if needle in ch_type:
+            return spark_t
+    raise TypeError(f"unmapped ClickHouse type: {ch_type}")
+
+
+def _col_ddl(name: str, dtype: T.DataType, non_null: tuple[str, ...]) -> str:
+    ch = SPARK_TO_CH[type(dtype)]
+    # Nullable wrapping for everything outside the non-null set
+    # (clickhouse.py:125-134)
+    return f"`{name}` {ch}" if name in non_null else f"`{name}` Nullable({ch})"
+
+
+def ddl_create_database(schema: str, cluster: str | None = None) -> str:
+    on_cluster = f" ON CLUSTER {cluster}" if cluster else ""
+    return f"CREATE DATABASE IF NOT EXISTS `{schema}`{on_cluster}"
+
+
+def ddl_create_table(
+    schema: str,
+    table: str,
+    column_types: dict[str, T.DataType],
+    non_null_columns: tuple[str, ...] = ("received_at", "timestamp", "message_id"),
+) -> str:
+    """S6 (clickhouse.py:69-93)."""
+    cols = ", ".join(_col_ddl(n, t, non_null_columns) for n, t in column_types.items())
+    return (
+        f"CREATE TABLE IF NOT EXISTS `{schema}`.`{table}` ({cols}) "
+        "ENGINE = ReplacingMergeTree() PARTITION BY toDate(timestamp) "
+        "ORDER BY (timestamp, message_id)"
+    )
+
+
+def ddl_create_users_table(
+    schema: str,
+    column_types: dict[str, T.DataType],
+    non_null_columns: tuple[str, ...] = (
+        "received_at", "timestamp", "message_id", "user_id", "ver",
+    ),
+) -> str:
+    """S7 (clickhouse.py:95-123): versioned upsert table."""
+    cols = ", ".join(_col_ddl(n, t, non_null_columns) for n, t in column_types.items())
+    return (
+        f"CREATE TABLE IF NOT EXISTS `{schema}`.`users` ({cols}) "
+        "ENGINE = ReplacingMergeTree(ver) PARTITION BY toDate(timestamp) "
+        "ORDER BY (user_id)"
+    )
+
+
+def ddl_create_misfits_table(schema: str) -> str:
+    """S8 (clickhouse.py:217-238)."""
+    cols = ", ".join(
+        _col_ddl(n, T.StringType(), ("message_id", "table_name", "column_name"))
+        for n in MISFITS_STRUCTURE
+    )
+    return (
+        f"CREATE TABLE IF NOT EXISTS `{schema}`.`misfits` ({cols}) "
+        "ENGINE = MergeTree() ORDER BY (message_id, table_name, column_name)"
+    )
+
+
+def ddl_add_column(
+    schema: str, table: str, column: str, dtype: T.DataType,
+    non_null_columns: tuple[str, ...] = (),
+) -> str:
+    """S10 (clickhouse.py:185-191)."""
+    return (
+        f"ALTER TABLE `{schema}`.`{table}` ADD COLUMN IF NOT EXISTS "
+        f"{_col_ddl(column, dtype, non_null_columns)}"
+    )
+
+
+class ClickHouseWarehouse(Warehouse):
+    """JDBC-backed ClickHouse sink. DDL runs driver-side over JDBC
+    (Spark's JDBC source can't evolve schemas — SURVEY §4.2); inserts
+    run executor-side via df.write.jdbc."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        jdbc_url: str | None = None,
+        user: str = "default",
+        password: str = "",
+        driver: str = "com.clickhouse.jdbc.ClickHouseDriver",
+    ) -> None:
+        self.spark = spark
+        self.jdbc_url = jdbc_url
+        self.user = user
+        self.password = password
+        self.driver = driver
+        self._conn = None
+
+    # -- connection (S14: probe with SELECT 1, clickhouse.py:41-56) ----
+    def connect(self) -> None:
+        if self.jdbc_url is None:
+            raise RuntimeError(
+                "ClickHouseWarehouse needs jdbc_url and the ClickHouse "
+                "JDBC driver jar on the Spark classpath "
+                "(spark.jars=clickhouse-jdbc-*.jar); not available in "
+                "this environment — use the parquet warehouse instead"
+            )
+        self._execute("SELECT 1")
+
+    def close(self) -> None:
+        if self._conn is not None:
+            self._conn.close()
+            self._conn = None
+
+    def _execute(self, sql: str):
+        """Driver-side DDL over JDBC via the JVM DriverManager."""
+        jvm = self.spark._jvm
+        if self._conn is None:
+            self._conn = jvm.java.sql.DriverManager.getConnection(
+                self.jdbc_url, self.user, self.password
+            )
+        stmt = self._conn.createStatement()
+        try:
+            return stmt.execute(sql)
+        finally:
+            stmt.close()
+
+    def _query_pairs(self, sql: str) -> list[tuple[str, str]]:
+        rs = None
+        jvm = self.spark._jvm
+        if self._conn is None:
+            self._conn = jvm.java.sql.DriverManager.getConnection(
+                self.jdbc_url, self.user, self.password
+            )
+        stmt = self._conn.createStatement()
+        try:
+            rs = stmt.executeQuery(sql)
+            out = []
+            while rs.next():
+                out.append((rs.getString(1), rs.getString(2)))
+            return out
+        finally:
+            if rs is not None:
+                rs.close()
+            stmt.close()
+
+    # -- DDL surface ---------------------------------------------------
+    def create_schema(self, schema: str) -> None:
+        self._execute(ddl_create_database(schema))
+
+    def create_table(self, schema, table, column_types, non_null_columns=()) -> None:
+        if table == "users":
+            self._execute(ddl_create_users_table(schema, column_types))
+        elif table == "misfits":
+            self._execute(ddl_create_misfits_table(schema))
+        else:
+            self._execute(ddl_create_table(schema, table, column_types, non_null_columns))
+
+    def describe_table(self, schema: str, table: str) -> dict[str, T.DataType]:
+        pairs = self._query_pairs(f"DESCRIBE TABLE `{schema}`.`{table}`")
+        return {name: ch_type_to_spark(ch) for name, ch in pairs}
+
+    def add_column(self, schema, table, column, column_type) -> None:
+        self._execute(ddl_add_column(schema, table, column, column_type))
+
+    # -- data path -----------------------------------------------------
+    def insert_df(self, schema: str, table: str, df: DataFrame) -> None:
+        """S11: executor-parallel JDBC append. Pre-insert transforms
+        mirror the reference (clickhouse.py:193-204): booleans to int
+        (T9); missing columns are handled by ensure_table_structure +
+        operators.project.add_missing_columns upstream."""
+        out = booleans_to_int(df)
+        (
+            out.write.format("jdbc")
+            .option("url", self.jdbc_url)
+            .option("dbtable", f"`{schema}`.`{table}`")
+            .option("user", self.user)
+            .option("password", self.password)
+            .option("driver", self.driver)
+            .mode("append")
+            .save()
+        )
+
+
+MISFITS_SPARK_SCHEMA = spark_schema(MISFITS_STRUCTURE)

@@ -1,0 +1,84 @@
+"""Event-file sources (S1-S4 in SURVEY.md §2.1).
+
+Reference behavior (cites into /root/reference):
+- S1/S2: `aws s3 cp --recursive` to a temp dir then a sequential
+  per-file loop (seghouse/util/aws_wrapper.py:10-26,
+  seghouse/jobs/send_to_warehouse.py:104-131). Spark-native: pass the
+  directory/glob straight to ``spark.read`` — the S3A connector reads
+  s3a:// URIs directly and splits work across executors; no download
+  step, no sequential loop.
+- S3: NDJSON (.json / .json.gz) with per-line ``json.loads``
+  (send_to_warehouse.py:322-355). Spark-native: ``spark.read.json``
+  (gzip auto-decoded, distributed line parsing, union schema
+  inference — strictly stronger than the reference's
+  first-non-null-value inference, dataframe_util.py:11-40).
+- S4: parquet passthrough (send_to_warehouse.py:325-328).
+
+Malformed lines: the reference would raise on the first bad line
+(json.loads). We read PERMISSIVE with a corrupt-record column and
+expose the bad lines as a side DataFrame — same spirit as the misfits
+quarantine channel (dataframe_util.py:148-185), applied one stage
+earlier. Documented deviation: reference parity would be FAILFAST.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .flatten import flatten
+
+CORRUPT_COL = "_corrupt_record"
+
+
+@dataclass
+class RawEvents:
+    """Parsed + flattened events and the quarantined unparseable lines."""
+
+    events: DataFrame
+    corrupt: DataFrame
+
+
+def read_ndjson(
+    spark: SparkSession,
+    path: str,
+    max_array_elements: int | None = None,
+    schema=None,
+) -> RawEvents:
+    """Read Segment-Spec NDJSON(.gz) files from a path/glob and return
+    flat snake_case events.
+
+    ``path`` may be a local dir, an ``s3a://`` prefix, or a glob —
+    anything Hadoop's FileInputFormat accepts; all files are read in
+    parallel (vs the reference's sequential loop).
+    """
+    reader = spark.read.option("mode", "PERMISSIVE").option(
+        "columnNameOfCorruptRecord", CORRUPT_COL
+    )
+    if schema is not None:
+        reader = reader.schema(schema)
+    raw = reader.json(path)
+
+    if CORRUPT_COL in raw.columns:
+        # Spark disallows querying only the corrupt-record column from
+        # a raw JSON scan; cache the parsed batch (it is about to be
+        # consumed multiple times by the 6-way type split anyway)
+        raw = raw.cache()
+        corrupt = raw.filter(F.col(CORRUPT_COL).isNotNull()).select(CORRUPT_COL)
+        parsed = raw.filter(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
+    else:
+        corrupt = spark.createDataFrame([], f"{CORRUPT_COL} string")
+        parsed = raw
+    return RawEvents(
+        events=flatten(parsed, max_array_elements=max_array_elements),
+        corrupt=corrupt,
+    )
+
+
+def read_parquet_events(spark: SparkSession, path: str) -> DataFrame:
+    """Parquet event input (S4): passthrough scan, no flatten — parity
+    with the reference's pd.read_parquet branch which skips
+    flatten/decamelize (send_to_warehouse.py:325-328)."""
+    return spark.read.parquet(path)

@@ -1,0 +1,171 @@
+"""Sink semantics (Q1-Q4 on parquet), ClickHouse DDL generation, and
+the Structured Streaming ingest path."""
+
+from __future__ import annotations
+
+import json
+import time
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from clickstreamtoclickhouse_spark.pipeline import EventPipeline
+from clickstreamtoclickhouse_spark.sinks import clickhouse as ch
+from clickstreamtoclickhouse_spark.sinks.parquet_sink import ParquetWarehouse
+from clickstreamtoclickhouse_spark.streaming import ingest as st
+
+from .test_ingest import FIXTURE_LINES
+
+
+def _write_ndjson(d, name, lines):
+    with open(d / name, "w") as f:
+        for line in lines:
+            f.write(json.dumps(line) + "\n")
+
+
+@pytest.fixture()
+def landing(tmp_path):
+    _write_ndjson(tmp_path, "batch1.json", FIXTURE_LINES)
+    return tmp_path
+
+
+def test_parquet_sink_roundtrip(spark, landing, tmp_path):
+    wh = ParquetWarehouse(spark, str(tmp_path / "lake"))
+    wh.connect()
+    res = EventPipeline(spark).ingest_json_dir(str(landing))
+    wh.insert_df("ns", "tracks", res.tables["tracks"])
+    back = wh.read_table("ns", "tracks")
+    assert back.count() == res.tables["tracks"].count()
+    # Q3: partitioned by event_date
+    assert "event_date" in back.columns
+    # Q1 read view: duplicate (timestamp, message_id) collapses
+    assert wh.read_view("ns", "tracks").filter(F.col("message_id") == "m-001").count() == 1
+
+
+def test_parquet_sink_schema_evolution(spark, tmp_path):
+    wh = ParquetWarehouse(spark, str(tmp_path / "lake"))
+    df1 = spark.createDataFrame(
+        [("m1", "2026-01-01 00:00:00")], "message_id string, timestamp string"
+    ).withColumn("timestamp", F.to_timestamp("timestamp"))
+    df2 = df1.withColumn("new_col", F.lit(7))
+    wh.insert_df("ns", "t", df1)
+    wh.insert_df("ns", "t", df2)
+    merged = wh.read_table("ns", "t")
+    assert "new_col" in merged.columns  # additive evolution on read
+    assert merged.count() == 2
+    actual = wh.describe_table("ns", "t")
+    assert "new_col" in actual
+
+
+def test_parquet_users_view_and_compact(spark, landing, tmp_path):
+    wh = ParquetWarehouse(spark, str(tmp_path / "lake"))
+    res = EventPipeline(spark).ingest_json_dir(str(landing))
+    wh.insert_df("ns", "users", res.tables["users"])
+    wh.insert_df("ns", "users", res.tables["users"])  # re-ingest (at-least-once)
+    assert wh.read_table("ns", "users").count() == 4
+    view = wh.read_view("ns", "users")
+    assert view.count() == 1  # latest identify for u-1 only
+    assert view.first()["traits_plan"] == "enterprise"
+    wh.compact("ns", "users")
+    assert wh.read_table("ns", "users").count() == 1  # at-rest now deduped
+    assert wh.read_view("ns", "users").first()["traits_plan"] == "enterprise"
+
+
+def test_clickhouse_ddl_generation():
+    cols = {
+        "message_id": T.StringType(),
+        "timestamp": T.TimestampType(),
+        "n": T.LongType(),
+        "ok": T.BooleanType(),
+    }
+    sql = ch.ddl_create_table("app", "tracks", cols)
+    assert "CREATE TABLE IF NOT EXISTS `app`.`tracks`" in sql
+    assert "`message_id` String" in sql  # non-null -> bare type
+    assert "`n` Nullable(Int64)" in sql
+    assert "`ok` Nullable(UInt8)" in sql  # bools stored as UInt8
+    assert "ENGINE = ReplacingMergeTree()" in sql
+    assert "PARTITION BY toDate(timestamp)" in sql
+    assert "ORDER BY (timestamp, message_id)" in sql
+
+    usql = ch.ddl_create_users_table("app", {**cols, "user_id": T.StringType(), "ver": T.LongType()})
+    assert "ReplacingMergeTree(ver)" in usql and "ORDER BY (user_id)" in usql
+    assert "`ver` Int64" in usql  # non-null on users
+
+    msql = ch.ddl_create_misfits_table("app")
+    assert "ORDER BY (message_id, table_name, column_name)" in msql
+
+    asql = ch.ddl_add_column("app", "tracks", "traits_x", T.DoubleType())
+    assert asql == (
+        "ALTER TABLE `app`.`tracks` ADD COLUMN IF NOT EXISTS `traits_x` Nullable(Float64)"
+    )
+
+
+def test_clickhouse_reverse_type_map():
+    assert isinstance(ch.ch_type_to_spark("Nullable(String)"), T.StringType)
+    assert isinstance(ch.ch_type_to_spark("Nullable(Int64)"), T.LongType)
+    assert isinstance(ch.ch_type_to_spark("DateTime64(3)"), T.TimestampType)
+    # UInt8 maps to integer (reference's unreachable-BOOLEAN quirk,
+    # clickhouse.py:148-149 vs :174-175)
+    assert isinstance(ch.ch_type_to_spark("Nullable(UInt8)"), T.IntegerType)
+
+
+def test_clickhouse_gated_without_driver(spark):
+    wh = ch.ClickHouseWarehouse(spark)
+    with pytest.raises(RuntimeError, match="jdbc_url"):
+        wh.connect()
+
+
+def test_streaming_ingest(spark, tmp_path):
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    _write_ndjson(landing, "batch1.json", FIXTURE_LINES[:3])
+    wh = ParquetWarehouse(spark, str(tmp_path / "lake"))
+    pipe = EventPipeline(spark, per_event_tables=False)
+
+    def sink(result, batch_id):
+        for name, df in result.tables.items():
+            if df.count() > 0:
+                wh.insert_df("ns", name, df)
+
+    q = st.stream_events(
+        spark, str(landing), pipe, sink,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    try:
+        q.processAllAvailable()
+        # second micro-batch: new file appears
+        _write_ndjson(landing, "batch2.json", FIXTURE_LINES[3:5])
+        time.sleep(0.2)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    tracks = wh.read_table("ns", "tracks")
+    assert tracks.count() == 2  # m-001 x2
+    idents = wh.read_table("ns", "identities")
+    assert idents.count() == 2  # m-002 batch1 + m-007 batch2
+
+
+def test_windowed_counts_streaming(spark, tmp_path):
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    _write_ndjson(landing, "b.json", FIXTURE_LINES)
+    schema = st.infer_event_schema(spark, str(landing))
+    stream = spark.readStream.schema(schema).json(str(landing))
+    stream = stream.withColumn("timestamp", F.to_timestamp("timestamp"))
+    agg = st.windowed_counts(stream, window="1 hour", key_col="type")
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory").queryName("win_counts")
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    # append mode only emits closed windows; just assert the query ran
+    # and the schema is right
+    out = spark.sql("SELECT * FROM win_counts")
+    assert set(out.columns) == {"window_start", "window_end", "type", "n_events"}
