@@ -1,0 +1,255 @@
+"""Deduplication operators (SURVEY.md §2.11): exact, n-gram Jaccard,
+MinHash+LSH, SimHash. No reference equivalent — these are the
+training-data-pipeline extensions layered over the ingested tables.
+
+Scale design notes (100 TB stance):
+- exact dedup: hash-groupBy on a 128-bit content hash — one shuffle of
+  (hash, id), never the full text.
+- n-gram Jaccard: relational — explode shingles, self-join on shingle,
+  count per pair. The shingle join is the scalable formulation (no
+  O(n²) crossJoin); frequency-capping drops degenerate shingles that
+  would explode the join (standard trick; cap is a parameter).
+- MinHash+LSH: pyspark.ml MinHashLSH — banded hashing turns near-dup
+  search into an equi-join on band buckets.
+- SimHash: 64-bit signature via per-token xxhash64 bit votes — one
+  aggregation; candidate pairs via band equi-join on signature bytes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .text import normalized_text, words
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+def exact_dedup_groups(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Exact-duplicate groups by content hash: one row per distinct
+    text with the keeper (min id) and the duplicate count. Shuffles
+    only (hash, id)."""
+    return (
+        docs.select(F.col(id_col), F.md5(F.col(text_col)).alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(
+            F.min(id_col).alias("keeper_id"),
+            F.count("*").alias("n_docs"),
+        )
+    )
+
+
+def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Documents minus exact duplicates (keeper = min id per hash)."""
+    keepers = exact_dedup_groups(docs, id_col, text_col).select(
+        F.col("keeper_id").alias(id_col)
+    )
+    return docs.join(keepers, id_col, "left_semi")
+
+
+# ---------------------------------------------------------------------------
+# Word/shingle Jaccard (relational — fully SQL-expressible)
+# ---------------------------------------------------------------------------
+
+def _doc_shingles(docs: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    """(id, shingle) pairs; n=1 -> distinct words, n>1 -> word n-grams
+    built with window lead (order-preserving, relational)."""
+    ws = docs.select(
+        F.col(id_col).alias("did"),
+        F.posexplode(words(normalized_text(F.col(text_col)))).alias("pos", "w"),
+    )
+    if n == 1:
+        return ws.select("did", F.col("w").alias("shingle")).distinct()
+    w = Window.partitionBy("did").orderBy("pos")
+    parts = [F.col("w")] + [F.lead("w", i).over(w) for i in range(1, n)]
+    return (
+        ws.select("did", F.concat_ws(" ", *parts).alias("shingle"),
+                  *[p.alias(f"_p{i}") for i, p in enumerate(parts[1:])])
+        .filter(F.col(f"_p{n - 2}").isNotNull())  # drop ragged tail
+        .select("did", "shingle")
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    docs: DataFrame,
+    threshold: float = 0.8,
+    n: int = 1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_shingle_freq: int | None = None,
+) -> DataFrame:
+    """Near-duplicate pairs by n-gram Jaccard similarity.
+
+    Relational plan: shingle-explode -> (optional frequency cap) ->
+    self-join on shingle -> per-pair intersection counts -> join per-doc
+    set sizes -> Jaccard = |A∩B| / (|A|+|B|-|A∩B|). Output columns:
+    (doc_a, doc_b, jaccard) with doc_a < doc_b.
+
+    `max_shingle_freq` drops shingles appearing in more than that many
+    docs before the join — at 100 TB a stopword shingle would otherwise
+    create a quadratic hot key; the cap bounds each shingle's join
+    contribution. None = exact (used for oracle parity at test SF).
+    """
+    sh = _doc_shingles(docs, id_col, text_col, n)
+    if max_shingle_freq is not None:
+        freq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+        sh = sh.join(
+            freq.filter(F.col("df") <= max_shingle_freq).select("shingle"),
+            "shingle",
+            "left_semi",
+        )
+    sh = sh.cache()
+    sizes = sh.groupBy("did").agg(F.count("*").alias("sz"))
+    a = sh.select(F.col("did").alias("doc_a"), "shingle")
+    b = sh.select(F.col("did").alias("doc_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col("did").alias("doc_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("did").alias("doc_b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_common")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("n_common")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH (pyspark.ml)
+# ---------------------------------------------------------------------------
+
+def minhash_near_dup_pairs(
+    docs: DataFrame,
+    threshold: float = 0.6,
+    n: int = 3,
+    num_hash_tables: int = 8,
+    num_features: int = 1 << 18,
+    seed: int = 42,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Approximate near-dup pairs via MinHashLSH over hashed
+    shingle-set features: word n-gram shingles -> HashingTF sparse
+    vector -> minhash bands -> bucket equi-join
+    (approxSimilarityJoin). Returns (doc_a, doc_b, jaccard_distance)
+    with doc_a < doc_b. Deterministic for a fixed seed; no SQL oracle
+    (LSH internals aren't portable) — driver records the rows-only
+    check.
+
+    Shingles (n=3 default), not unigrams: word-SET similarity
+    saturates on any shared-vocabulary corpus (every doc is a
+    "near-dup" of every other), while shingle sets keep word order and
+    stay discriminative — same reason jaccard_pairs defaults to
+    n-grams."""
+    from pyspark.ml.feature import HashingTF, MinHashLSH
+
+    tokens = (
+        _doc_shingles(docs, id_col, text_col, n)
+        .groupBy("did")
+        .agg(F.collect_list("shingle").alias("tokens"))
+        .filter(F.size("tokens") > 0)
+    )
+    tf = HashingTF(inputCol="tokens", outputCol="features", numFeatures=num_features)
+    feats = tf.transform(tokens)
+    lsh = MinHashLSH(
+        inputCol="features", outputCol="hashes", numHashTables=num_hash_tables, seed=seed
+    )
+    model = lsh.fit(feats)
+    pairs = model.approxSimilarityJoin(feats, feats, 1.0 - threshold, distCol="dist")
+    return (
+        pairs.select(
+            F.col("datasetA.did").alias("doc_a"),
+            F.col("datasetB.did").alias("doc_b"),
+            F.round("dist", 6).alias("jaccard_distance"),
+        )
+        .filter(F.col("doc_a") < F.col("doc_b"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """64-bit SimHash per document: per-token xxhash64, majority vote
+    per bit. One explode + one aggregation (64 conditional sums) —
+    no UDF, scales as a single shuffle on doc id."""
+    toks = docs.select(
+        F.col(id_col),
+        F.explode(words(normalized_text(F.col(text_col)))).alias("w"),
+    ).withColumn("h", F.xxhash64("w"))
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{b}")
+        for b in range(64)
+    ]
+    agg = toks.groupBy(id_col).agg(*votes)
+    sig = F.lit(0).cast("long")
+    for b in range(64):
+        sig = sig.bitwiseOR(
+            F.when(F.col(f"b{b}") > 0, F.shiftleft(F.lit(1).cast("long"), b)).otherwise(0)
+        )
+    return agg.select(F.col(id_col), sig.alias("simhash"))
+
+
+def simhash_near_dup_pairs(
+    docs: DataFrame,
+    max_hamming: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Near-dup candidate pairs by SimHash Hamming distance ≤ k.
+
+    Banding: split the 64-bit signature into k+1 16-bit bands — any
+    pair within Hamming k must agree on ≥1 band (pigeonhole), so
+    candidates come from 4 equi-joins on (band_idx, band_value), never
+    a crossJoin. Exact Hamming then filters candidates."""
+    sigs = simhash(docs, id_col, text_col).cache()
+    bands = sigs.select(
+        F.col(id_col).alias("did"),
+        F.col("simhash"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftright(F.col("simhash"), i * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("val"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("bv"),
+    ).select("did", "simhash", "bv.band", "bv.val")
+    a = bands.select(F.col("did").alias("doc_a"), F.col("simhash").alias("sig_a"), "band", "val")
+    b = bands.select(F.col("did").alias("doc_b"), F.col("simhash").alias("sig_b"), "band", "val")
+    cand = (
+        a.join(b, ["band", "val"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sig_a", "sig_b")
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return (
+        cand.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )

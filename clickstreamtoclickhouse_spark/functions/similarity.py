@@ -1,0 +1,207 @@
+"""Vector similarity search over embedding columns (SURVEY.md §2.11).
+
+Brute-force cosine top-k as the exact baseline; LSH-bucketed
+(random-hyperplane) variant as the scale path. All dot products are
+built-in higher-order functions (zip_with + aggregate) — JVM-side,
+no UDF; doubles throughout so results are bit-comparable with the
+DuckDB oracle.
+
+Scale notes:
+- brute force is O(nq × n): fine when the query set is small
+  (broadcast the queries, stream the corpus — no shuffle of the
+  corpus); the per-query top-k window shuffles only (nq × k) rows.
+- random-hyperplane LSH buckets candidates by signature; recall is
+  tunable by bands/bits. Hyperplanes are a seeded numpy draw
+  broadcast as literals — deterministic, tiny (d × bits floats).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double")
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def cosine_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k neighbors per query by cosine similarity.
+
+    Plan: broadcast(queries) × corpus -> cosine -> per-query top-k
+    window. The formula (dot / (sqrt·sqrt), left-fold sums) is kept
+    term-identical with the DuckDB oracle so round(sim, 6) is
+    bit-comparable. Ranking pins cross-engine ties via round(sim, 9)
+    then neighbor id. Self-matches excluded."""
+    q = F.broadcast(
+        queries.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+        )
+    )
+    c = embeddings.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec")
+    )
+    sims = (
+        q.crossJoin(c)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "sim", dot(F.col("qvec"), F.col("cvec")) / (norm("qvec") * norm("cvec"))
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc(F.round("sim", 9)), F.col("neighbor_id")
+    )
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("rank").cast("int").alias("rank"),
+            F.round("sim", 6).alias("sim"),
+        )
+    )
+
+
+def cosine_near_dup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    parallelism: int = 32,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (exact, O(n²) compare —
+    the oracle-checkable baseline; use lsh_topk's bucketing for the
+    at-scale path).
+
+    The left side is repartitioned so the quadratic compare spreads
+    across all cores — a broadcast-NLJ over an unpartitioned small
+    table would otherwise run single-threaded."""
+    a = embeddings.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va")
+    ).repartition(parallelism)
+    b = F.broadcast(
+        embeddings.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    )
+    sim = dot(F.col("va"), F.col("vb")) / (norm("va") * norm("vb"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("sim", sim)
+        .filter(F.col("sim") >= threshold)
+        .select("id_a", "id_b", F.round("sim", 6).alias("sim"))
+    )
+
+
+def _hyperplanes(dim: int, bits: int, seed: int) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((bits, dim))
+
+
+def lsh_signatures(
+    embeddings: DataFrame,
+    dim: int,
+    bits: int = 4,
+    num_tables: int = 8,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Multi-table random-hyperplane signatures: per table t, bucket =
+    bits-bit sign pattern of (v · h). Emits one row per (vector,
+    table) with a (table, bucket) key — the standard AND-OR LSH
+    construction (AND within a table's bits, OR across tables), which
+    is what makes recall tunable: P[collide in ≥1 table] =
+    1-(1-p^bits)^num_tables for per-plane agreement p.
+
+    Hyperplanes are a seeded numpy draw embedded as plan literals
+    (tiny: num_tables × bits × dim floats, folded by codegen)."""
+    planes = _hyperplanes(dim, bits * num_tables, seed)
+    table_cols = []
+    for t in range(num_tables):
+        sig = F.lit(0).cast("long")
+        for i in range(bits):
+            h = F.array(*[F.lit(float(x)) for x in planes[t * bits + i]])
+            bit = (dot(F.col(vec_col), h) > 0).cast("long")
+            sig = sig.bitwiseOR(F.shiftleft(bit, i))
+        table_cols.append(F.struct(F.lit(t).alias("tbl"), sig.alias("bucket")))
+    return embeddings.select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.explode(F.array(*table_cols)).alias("tb"),
+    ).select(id_col, vec_col, "tb.tbl", "tb.bucket")
+
+
+def lsh_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 5,
+    bits: int = 4,
+    num_tables: int = 8,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: candidates = corpus vectors sharing ANY
+    (table, bucket) cell with the query; exact cosine + top-k within
+    candidates. At scale the (tbl, bucket) equi-join replaces the
+    crossJoin — corpus signatures shuffle once, queries broadcast;
+    distinct() dedups multi-table collisions before the cosine
+    kernel so each candidate is scored once."""
+    corpus_sig = lsh_signatures(embeddings, dim, bits, num_tables, seed, id_col, vec_col)
+    query_sig = F.broadcast(
+        lsh_signatures(queries, dim, bits, num_tables, seed, id_col, vec_col).select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("qvec"),
+            "tbl",
+            "bucket",
+        )
+    )
+    cand = (
+        query_sig.join(
+            corpus_sig.select(
+                F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec"),
+                "tbl", "bucket",
+            ),
+            ["tbl", "bucket"],
+        )
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "qvec", "neighbor_id", "cvec")
+        .distinct()
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc(F.round("sim", 9)), F.col("neighbor_id")
+    )
+    return (
+        cand.withColumn("sim", cosine(F.col("qvec"), F.col("cvec")))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.col("rank").cast("int").alias("rank"),
+                F.round("sim", 6).alias("sim"))
+    )

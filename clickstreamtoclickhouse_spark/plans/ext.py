@@ -1,0 +1,390 @@
+"""Extension-operator queries (SURVEY.md §2.11): text analysis,
+dedup (exact / n-gram Jaccard / MinHash / SimHash), vector similarity,
+multimodal plumbing.
+
+The testdata documents/embeddings contain no planted duplicates (500
+distinct texts; max pairwise embedding cosine ≈ 0.51), so the
+near-dup operators run over a CONSTRUCTED corpus — originals plus
+deterministic derived copies (truncated text / perturbed vectors),
+built with identical expressions in the Spark plan and the DuckDB
+oracle. That gives every dedup operator non-trivial, verifiable work.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import dedup_text, multimodal, similarity, text as tx
+from .registry import load, query
+
+EMB_DIM = 64
+
+# ---------------------------------------------------------------------------
+# Constructed corpora (Spark + SQL twins)
+# ---------------------------------------------------------------------------
+
+_COPY_OFFSET = 1_000_000
+
+
+def _dup_corpus(docs: DataFrame) -> DataFrame:
+    """documents ∪ exact copies (ids offset)."""
+    base = docs.select("doc_id", "text")
+    copies = docs.select((F.col("doc_id") + _COPY_OFFSET).alias("doc_id"), "text")
+    return base.unionByName(copies)
+
+
+_SQL_DUP_CORPUS = f"""
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {_COPY_OFFSET} AS doc_id, text FROM documents
+"""
+
+
+def _near_dup_corpus(docs: DataFrame) -> DataFrame:
+    """documents ∪ copies truncated to the first 80% of characters."""
+    base = docs.select("doc_id", "text")
+    copies = docs.select(
+        (F.col("doc_id") + _COPY_OFFSET).alias("doc_id"),
+        F.expr(
+            "substring(text, 1, cast(floor(length(text) * 0.8) as int))"
+        ).alias("text"),
+    )
+    return base.unionByName(copies)
+
+
+_SQL_NEAR_DUP_CORPUS = f"""
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {_COPY_OFFSET} AS doc_id,
+         substr(text, 1, CAST(floor(length(text) * 0.8) AS INT)) AS text
+  FROM documents
+"""
+
+
+def _perturbed_embeddings(emb: DataFrame) -> DataFrame:
+    """embeddings ∪ copies with +0.01 on every component (cosine to
+    the original stays ≈1 but < 1)."""
+    base = emb.select("vec_id", "embedding")
+    copies = emb.select(
+        (F.col("vec_id") + _COPY_OFFSET).alias("vec_id"),
+        F.transform("embedding", lambda x: x + F.lit(0.01).cast("float")).alias(
+            "embedding"
+        ),
+    )
+    return base.unionByName(copies)
+
+
+_SQL_PERTURBED_EMB = f"""
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+  UNION ALL
+  SELECT vec_id + {_COPY_OFFSET} AS vec_id,
+         list_transform(embedding, x -> (x + CAST(0.01 AS FLOAT))::DOUBLE) AS v
+  FROM embeddings
+"""
+
+# SQL twin of functions.text.normalized_text
+_SQL_NORM = "trim(regexp_replace(lower({t}), '[^a-z0-9]+', ' ', 'g'))"
+# DuckDB standard string literals keep backslashes as-is — embed the
+# regex verbatim (doubling them would turn \s into [backslash,'s'])
+_SQL_BPE_RE = tx.BPE_TOKEN_RE
+# SQL twin of functions.text.words (on already-normalized text)
+_SQL_WORDS = "regexp_split_to_array(trim({t}), '\\s+')"
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "doc_token_stats",
+    oracle=f"""
+    SELECT doc_id,
+           {tx.sql_token_count_ws('text')} AS n_tokens_ws,
+           len(regexp_extract_all(text, '{_SQL_BPE_RE}')) AS n_tokens_bpe,
+           length(text) AS n_chars_actual
+    FROM documents
+    """,
+)
+def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace + BPE-ish regex (§2.11 text row)."""
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        tx.token_count_ws(F.col("text")).alias("n_tokens_ws"),
+        tx.token_count_bpe(F.col("text")).alias("n_tokens_bpe"),
+        F.length("text").alias("n_chars_actual"),
+    )
+
+
+def _sql_lang_case() -> str:
+    scores = {l: tx.sql_lang_score("text", l) for l in tx.LANGS}
+    best = "greatest(" + ", ".join(scores.values()) + ")"
+    whens = "\n".join(
+        f"WHEN {scores[l]} = {best} AND {best} > 0 THEN '{l}'" for l in tx.LANGS
+    )
+    return f"CASE {whens} ELSE 'und' END"
+
+
+@query(
+    "lang_id_distribution",
+    oracle=f"""
+    SELECT {_sql_lang_case()} AS lang_pred,
+           count(*) AS n_docs
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def lang_id_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic (stopword n-gram scoring) distribution.
+    The prediction formula is the contract (deterministic, mirrored in
+    SQL) — the synthetic corpus shares one vocabulary across langs, so
+    accuracy vs the `lang` label is not the test."""
+    d = load(spark, sf_dir, "documents")
+    return d.select(tx.lang_id(F.col("text")).alias("lang_pred")).groupBy(
+        "lang_pred"
+    ).agg(F.count("*").alias("n_docs"))
+
+
+@query(
+    "doc_quality",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             length(text) AS n_chars,
+             {tx.sql_token_count_ws('text')} AS n_words,
+             length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS n_punct
+      FROM documents
+    )
+    SELECT doc_id,
+           n_words,
+           round(CASE WHEN n_chars = 0 THEN 0.0
+                      ELSE n_punct * 1.0 / n_chars END, 4) AS punct_ratio,
+           round(0.4 * least(n_words / 100.0, 1.0)
+               + 0.3 * (CASE WHEN n_words > 0
+                              AND n_chars * 1.0 / n_words BETWEEN 3 AND 12
+                             THEN 1.0 ELSE 0.5 END)
+               + 0.3 * (1.0 - least((CASE WHEN n_chars = 0 THEN 0.0
+                                          ELSE n_punct * 1.0 / n_chars END) * 4,
+                                    1.0)), 4) AS quality
+    FROM t
+    """,
+)
+def doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: length/word-shape/punctuation composite."""
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        tx.token_count_ws(F.col("text")).alias("n_words"),
+        F.round(tx.punct_ratio(F.col("text")), 4).alias("punct_ratio"),
+        tx.quality_score(F.col("text")).alias("quality"),
+    )
+
+
+@query(
+    "doc_fingerprints",
+    oracle=f"""
+    SELECT doc_id,
+           md5({_SQL_NORM.format(t='text')}) AS fp_md5
+    FROM documents
+    """,
+)
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: md5 over normalized text. (The
+    order-sensitive rolling-hash variant is covered rows-only by
+    doc_rolling_fingerprints — crc32 isn't portable to the oracle.)"""
+    d = load(spark, sf_dir, "documents")
+    return d.select("doc_id", tx.fingerprint_md5(F.col("text")).alias("fp_md5"))
+
+
+@query("doc_rolling_fingerprints")  # rows-only: crc32 not in DuckDB
+def doc_rolling_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-sensitive polynomial rolling-hash fingerprint."""
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", tx.fingerprint_rolling(F.col("text")).alias("fp_rolling")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Dedup family
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "exact_dedup_docs",
+    oracle=f"""
+    WITH corpus AS ({_SQL_DUP_CORPUS})
+    SELECT md5(text) AS content_hash,
+           CAST(min(doc_id) AS BIGINT) AS keeper_id,
+           count(*) AS n_docs
+    FROM corpus
+    GROUP BY md5(text)
+    """,
+)
+def exact_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup (hash-groupBy) over the duplicated corpus — every
+    group must report n_docs=2 with the original as keeper."""
+    corpus = _dup_corpus(load(spark, sf_dir, "documents"))
+    return dedup_text.exact_dedup_groups(corpus)
+
+
+@query(
+    "jaccard_near_dups",
+    oracle=f"""
+    WITH corpus AS ({_SQL_NEAR_DUP_CORPUS}),
+    normed AS (
+      SELECT doc_id, {_SQL_WORDS.format(t=_SQL_NORM.format(t='text'))} AS ws
+      FROM corpus
+    ),
+    shingled AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(
+               range(1, len(ws) - 1),
+               i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS shingle
+      FROM normed WHERE len(ws) >= 3
+    ),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM shingled GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+      FROM shingled a JOIN shingled b USING (shingle)
+      WHERE a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           round(n_common * 1.0 / (sa.sz + sb.sz - n_common), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE n_common * 1.0 / (sa.sz + sb.sz - n_common) >= 0.5
+    """,
+)
+def jaccard_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-gram shingle Jaccard near-dup pairs over the truncated-copy
+    corpus: each (original, 80%-truncation) pair lands around
+    jaccard ≈ 0.8."""
+    corpus = _near_dup_corpus(load(spark, sf_dir, "documents"))
+    return dedup_text.jaccard_pairs(corpus, threshold=0.5, n=3)
+
+
+@query("minhash_near_dups")  # rows-only: LSH internals not portable
+def minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH approximate near-dup pairs (seeded, deterministic)."""
+    corpus = _near_dup_corpus(load(spark, sf_dir, "documents"))
+    return dedup_text.minhash_near_dup_pairs(corpus, threshold=0.5)
+
+
+@query("simhash_near_dups")  # rows-only: xxhash64 not in DuckDB
+def simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (banded Hamming ≤ 3) over the
+    duplicated corpus (exact copies -> Hamming 0)."""
+    corpus = _dup_corpus(load(spark, sf_dir, "documents"))
+    return dedup_text.simhash_near_dup_pairs(corpus, max_hamming=3)
+
+
+# ---------------------------------------------------------------------------
+# Vector similarity
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "embedding_topk",
+    oracle="""
+    WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    q AS (SELECT * FROM emb WHERE vec_id < 10),
+    sims AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             list_dot_product(q.v, c.v)
+               / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v)))
+               AS sim
+      FROM q, emb c WHERE q.vec_id <> c.vec_id
+    )
+    SELECT query_id, neighbor_id,
+           CAST(rank AS INT) AS rank,
+           round(sim, 6) AS sim
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY round(sim, 9) DESC, neighbor_id) AS rank
+      FROM sims
+    ) WHERE rank <= 5
+    """,
+)
+def embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 for queries vec_id < 10 (exact ANN
+    baseline). Ranking on round(sim,9) pins cross-engine tie order."""
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    out = similarity.cosine_topk(emb, queries, k=5)
+    return out
+
+
+@query(
+    "embedding_near_dups",
+    oracle=f"""
+    WITH corpus AS ({_SQL_PERTURBED_EMB})
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_dot_product(a.v, b.v)
+             / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))),
+             6) AS sim
+    FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+    WHERE list_dot_product(a.v, b.v)
+          / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+          >= 0.999
+    """,
+)
+def embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs over the perturbed corpus —
+    each (original, +0.01 copy) pair has cosine ≈ 0.9997."""
+    corpus = _perturbed_embeddings(load(spark, sf_dir, "embeddings"))
+    return similarity.cosine_near_dup_pairs(corpus, threshold=0.999)
+
+
+@query(
+    "embedding_norm_by_label",
+    oracle="""
+    SELECT label,
+           count(*) AS n_vectors,
+           round(avg(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))), 4)
+             AS avg_norm
+    FROM embeddings
+    GROUP BY label
+    """,
+)
+def embedding_norm_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector-column aggregate: average L2 norm per label."""
+    emb = load(spark, sf_dir, "embeddings")
+    return emb.groupBy("label").agg(
+        F.count("*").alias("n_vectors"),
+        F.round(F.avg(similarity.norm(F.col("embedding"))), 4).alias("avg_norm"),
+    )
+
+
+@query("embedding_lsh_topk")  # rows-only: hyperplane draw not in SQL
+def embedding_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate top-k (random hyperplanes, seeded) —
+    the at-scale ANN path; recall measured against embedding_topk in
+    tests."""
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return similarity.lsh_topk(emb, queries, dim=EMB_DIM, k=5, bits=4, num_tables=8)
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing
+# ---------------------------------------------------------------------------
+
+
+@query("media_features")  # rows-only: mapInPandas kernel not in SQL
+def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal feature extraction: binary media column -> Arrow
+    batches -> deterministic fake decode kernel (real codecs absent
+    in this container; plumbing is the test)."""
+    media = multimodal.synth_media_from_documents(load(spark, sf_dir, "documents"))
+    feats = multimodal.extract_features(media, fake=True)
+    return feats.select(
+        "media_id",
+        "kind",
+        "n_bytes",
+        F.round(F.element_at("features", 1), 6).alias("f0"),
+    )

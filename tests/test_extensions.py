@@ -1,0 +1,117 @@
+"""Extension operators: dedup family, similarity search, text
+analysis, multimodal plumbing. Oracle-matched queries are covered by
+test_oracle_parity's parametrization; here we pin the semantics of the
+rows-only (non-SQL-expressible) operators."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from clickstreamtoclickhouse_spark import plans
+from clickstreamtoclickhouse_spark.functions import dedup_text, multimodal, similarity
+from clickstreamtoclickhouse_spark.plans.ext import _dup_corpus, _near_dup_corpus
+
+from .conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return plans.load(spark, SF_DIR, "documents").cache()
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return plans.load(spark, SF_DIR, "embeddings").cache()
+
+
+def test_minhash_finds_planted_pairs(spark, docs):
+    pairs = dedup_text.minhash_near_dup_pairs(_near_dup_corpus(docs), threshold=0.5)
+    got = {(r.doc_a, r.doc_b) for r in pairs.collect()}
+    planted = {(i, i + 1_000_000) for i in range(0, 50)}
+    hits = sum(1 for p in planted if p in got)
+    assert hits >= 45, f"minhash recall on planted near-dups too low: {hits}/50"
+
+
+def test_simhash_exact_copies_hamming_zero(spark, docs):
+    pairs = dedup_text.simhash_near_dup_pairs(_dup_corpus(docs), max_hamming=3)
+    rows = {(r.doc_a, r.doc_b): r.hamming for r in pairs.collect()}
+    for i in range(0, 30):
+        assert rows.get((i, i + 1_000_000)) == 0, f"exact copy pair {i} missing"
+
+
+def test_simhash_deterministic(spark, docs):
+    s1 = {r.doc_id: r.simhash for r in dedup_text.simhash(docs.limit(50)).collect()}
+    s2 = {r.doc_id: r.simhash for r in dedup_text.simhash(docs.limit(50)).collect()}
+    assert s1 == s2
+
+
+def test_exact_dedup_keeps_min_id(spark, docs):
+    deduped = dedup_text.exact_dedup(_dup_corpus(docs))
+    ids = [r.doc_id for r in deduped.select("doc_id").collect()]
+    assert len(ids) == docs.count()
+    assert all(i < 1_000_000 for i in ids)  # originals kept, copies dropped
+
+
+def test_lsh_topk_recall_vs_exact(spark, emb):
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = similarity.cosine_topk(emb, queries, k=5)
+    approx = similarity.lsh_topk(emb, queries, dim=64, k=5, bits=4, num_tables=8)
+    e = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    a = {(r.query_id, r.neighbor_id) for r in approx.collect()}
+    # AND-OR LSH (4 bits × 8 tables): P[collide] ≈ 0.8 for the ~0.5
+    # cosine neighborhood these embeddings have — require decent recall
+    assert len(a & e) / len(e) >= 0.5
+    # every approx result must carry the true cosine (same kernel)
+    exact_all = {
+        (r.query_id, r.neighbor_id): r.sim
+        for r in similarity.cosine_topk(emb, queries, k=1000).collect()
+    }
+    for r in approx.collect():
+        assert abs(exact_all[(r.query_id, r.neighbor_id)] - r.sim) < 1e-9
+
+
+def test_media_feature_plumbing(spark, docs):
+    media = multimodal.synth_media_from_documents(docs.limit(20))
+    feats = multimodal.extract_features(media, fake=True)
+    rows = feats.collect()
+    assert len(rows) == 20
+    for r in rows:
+        assert len(r.features) == multimodal.FEATURE_DIM
+        assert r.n_bytes > 0
+    # deterministic: same input -> same features
+    again = {r.media_id: r.features for r in multimodal.extract_features(media, fake=True).collect()}
+    for r in rows:
+        assert again[r.media_id] == r.features
+
+
+def test_media_decode_stub_raises_without_libs(spark, docs):
+    media = multimodal.synth_media_from_documents(docs.limit(1))
+    try:
+        import PIL  # noqa: F401
+        pytest.skip("PIL present; stub path not applicable")
+    except ImportError:
+        pass
+    with pytest.raises(Exception):
+        multimodal.extract_features(media, fake=False).collect()
+
+
+def test_frame_sample(spark, docs):
+    media = multimodal.synth_media_from_documents(docs.limit(3), kind="video")
+    frames = multimodal.frame_sample(media, every_n_bytes=100)
+    rows = frames.collect()
+    assert len(rows) > 3  # multiple frames per doc (texts are >100 bytes)
+    n0 = docs.limit(3).select(F.length("text")).first()[0]
+    per_doc = [r for r in rows if r.media_id == docs.limit(3).first()["doc_id"]]
+    assert len(per_doc) == -(-n0 // 100)  # ceil division
+
+
+def test_jaccard_shingle_cap(spark, docs):
+    # frequency cap drops ubiquitous shingles; with a tiny cap almost
+    # everything is dropped -> far fewer pairs than uncapped
+    corpus = _near_dup_corpus(docs.limit(50))
+    uncapped = dedup_text.jaccard_pairs(corpus, threshold=0.5, n=3).count()
+    capped = dedup_text.jaccard_pairs(
+        corpus, threshold=0.5, n=3, max_shingle_freq=1
+    ).count()
+    assert capped == 0 and uncapped > 0
