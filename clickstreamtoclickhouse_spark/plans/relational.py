@@ -1,0 +1,342 @@
+"""Second wave of the analytical layer (SURVEY.md §2.5-2.7 breadth +
+query-shaped probes of the ingest operators §2.3-2.4).
+
+Covers: rollup/grouping sets, exact percentiles, pivot, set ops
+(intersect/except), semi join, ranked windows (dense_rank/top-k per
+group), a scalable as-of join, timezone/epoch transforms as queries,
+and a try_cast misfit-quarantine probe — each with a DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.window import Window
+
+from ..operators import coerce
+from .registry import load, query
+
+# ---------------------------------------------------------------------------
+# Aggregation breadth
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "rollup_order_stats",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS revenue
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+)
+def rollup_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy totals (status, priority) -> (status) -> ().
+    Spark expands grouping sets in one pass (Expand operator), partial
+    aggs map-side — no per-level rescan."""
+    o = load(spark, sf_dir, "orders")
+    return o.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+    )
+
+
+@query(
+    "value_percentiles",
+    oracle="""
+    SELECT event_type,
+           round(quantile_cont(value, 0.5), 4) AS p50,
+           round(quantile_cont(value, 0.9), 4) AS p90,
+           round(quantile_cont(value, 0.99), 4) AS p99
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (Spark `percentile` ==
+    DuckDB `quantile_cont`). At 100 TB swap to percentile_approx
+    (t-digest) — kept exact here for oracle comparability."""
+    e = load(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.round(F.percentile("value", F.lit(0.5)), 4).alias("p50"),
+        F.round(F.percentile("value", F.lit(0.9)), 4).alias("p90"),
+        F.round(F.percentile("value", F.lit(0.99)), 4).alias("p99"),
+    )
+
+
+@query("approx_distinct_users")  # rows-only: HLL sketch != DuckDB's
+def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HyperLogLog++) — the at-scale
+    count-distinct. Sketch estimates aren't portable across engines,
+    so this is a rows-only entry; the exact variant is oracle-checked
+    in daily_events."""
+    e = load(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users")
+    )
+
+
+_EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+@query(
+    "event_type_pivot",
+    oracle=f"""
+    SELECT strftime(ts, '%Y-%m-%d') AS event_date,
+           {", ".join(f"count(*) FILTER (WHERE event_type = '{t}') AS {t}" for t in _EVENT_TYPES)}
+    FROM events
+    GROUP BY 1
+    """,
+)
+def event_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: one column per event type (explicit value list — never
+    let pivot scan for distinct values at scale), counts filled 0."""
+    e = load(spark, sf_dir, "events")
+    out = (
+        e.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("event_date"))
+        .pivot("event_type", list(_EVENT_TYPES))
+        .count()
+    )
+    return out.na.fill(0, list(_EVENT_TYPES))
+
+
+# ---------------------------------------------------------------------------
+# Set operations & semi join
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "purchaser_clicker_sets",
+    oracle="""
+    SELECT 'both' AS segment, count(*) AS n_users FROM (
+      SELECT user_id FROM events WHERE event_type = 'purchase'
+      INTERSECT
+      SELECT user_id FROM events WHERE event_type = 'click')
+    UNION ALL
+    SELECT 'click_only', count(*) FROM (
+      SELECT user_id FROM events WHERE event_type = 'click'
+      EXCEPT
+      SELECT user_id FROM events WHERE event_type = 'purchase')
+    """,
+)
+def purchaser_clicker_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """intersect / exceptAll-distinct set ops (SURVEY §2.6)."""
+    e = load(spark, sf_dir, "events")
+    clickers = e.filter(F.col("event_type") == "click").select("user_id")
+    purchasers = e.filter(F.col("event_type") == "purchase").select("user_id")
+    both = clickers.intersect(purchasers).agg(F.count("*").alias("n_users")).select(
+        F.lit("both").alias("segment"), "n_users"
+    )
+    # subtract = SQL EXCEPT (set difference); exceptAll would keep
+    # leftover multiplicities and overcount
+    click_only = clickers.subtract(purchasers).agg(
+        F.count("*").alias("n_users")
+    ).select(F.lit("click_only").alias("segment"), "n_users")
+    return both.unionByName(click_only)
+
+
+@query(
+    "customers_with_urgent_orders",
+    oracle="""
+    SELECT count(*) AS n_customers,
+           round(sum(c_acctbal), 2) AS total_acctbal
+    FROM customer
+    WHERE c_custkey IN (
+      SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+    """,
+)
+def customers_with_urgent_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join (EXISTS): urgent-order keys reduced to distinct
+    before the shuffle."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_acctbal"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Ranked windows
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "top_parts_per_brand",
+    oracle="""
+    SELECT p_brand, p_partkey, p_name, round(p_retailprice, 2) AS price
+    FROM part
+    QUALIFY row_number() OVER (
+      PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey) <= 2
+    """,
+)
+def top_parts_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k per group: single window shuffle on the group key."""
+    p = load(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand").orderBy(F.desc("p_retailprice"), "p_partkey")
+    return (
+        p.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 2)
+        .select("p_brand", "p_partkey", "p_name", F.round("p_retailprice", 2).alias("price"))
+    )
+
+
+@query(
+    "segment_revenue_rank",
+    oracle="""
+    WITH cust_rev AS (
+      SELECT c.c_mktsegment, c.c_custkey,
+             round(sum(o.o_totalprice), 2) AS revenue
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY 1, 2
+    )
+    SELECT c_mktsegment, c_custkey, revenue,
+           CAST(dense_rank() OVER (
+             PARTITION BY c_mktsegment ORDER BY revenue DESC, c_custkey) AS INT
+           ) AS seg_rank
+    FROM cust_rev
+    QUALIFY seg_rank <= 3
+    """,
+)
+def segment_revenue_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dense_rank within group over a pre-aggregated join — the agg
+    happens BEFORE the window so the window input is one row per
+    customer, not per order."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    rev = (
+        o.groupBy("o_custkey")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+        .join(c, F.col("o_custkey") == c.c_custkey)
+        .select("c_mktsegment", "c_custkey", "revenue")
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy(F.desc("revenue"), "c_custkey")
+    return (
+        rev.withColumn("seg_rank", F.dense_rank().over(w).cast("int"))
+        .filter(F.col("seg_rank") <= 3)
+    )
+
+
+# ---------------------------------------------------------------------------
+# As-of join (Spark has no native one — SURVEY §2.11 / guide pattern)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "asof_event_order",
+    oracle="""
+    SELECT event_id,
+           user_id,
+           o.o_orderkey AS asof_orderkey
+    FROM events e
+    LEFT JOIN orders o
+      ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+    QUALIFY row_number() OVER (
+      PARTITION BY event_id ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) = 1
+    """,
+)
+def asof_event_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: for each event, the user's most recent order at or
+    before the event time.
+
+    Scalable formulation — NOT the naive range join (whose candidate
+    set is |events| × |orders-per-user|): tag orders and events, union
+    on (user, time), and carry the last-seen order forward with a
+    running window. ONE shuffle + sort on (user_id), linear in
+    |events| + |orders|; this is the standard merge-asof expressed
+    relationally. The oracle states the naive definition; results are
+    identical."""
+    e = load(spark, sf_dir, "events").select(
+        "event_id", F.col("user_id").alias("uid"), F.col("ts"),
+        F.lit(None).cast("long").alias("o_orderkey"),
+        F.lit(1).alias("is_event"),
+    )
+    o = load(spark, sf_dir, "orders").select(
+        F.lit(None).cast("long").alias("event_id"),
+        F.col("o_custkey").alias("uid"), F.col("o_orderdate").alias("ts"),
+        "o_orderkey",
+        F.lit(0).alias("is_event"),
+    )
+    merged = e.unionByName(o)
+    # order: time, orders-before-events at equal ts (is_event asc),
+    # then orderkey so "latest order" ties break to the max key
+    w = (
+        Window.partitionBy("uid")
+        .orderBy("ts", "is_event", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        merged.withColumn("asof_orderkey", F.last("o_orderkey", ignorenulls=True).over(w))
+        .filter(F.col("is_event") == 1)
+        .select("event_id", F.col("uid").alias("user_id"), "asof_orderkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Transform probes (T7/T8 as queries) + cast quarantine (C2-C5)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_hourly_ist",
+    oracle="""
+    SELECT CAST(extract(hour FROM ts + INTERVAL 330 MINUTE) AS INT) AS ist_hour,
+           count(*) AS n_events
+    FROM events
+    GROUP BY 1
+    """,
+)
+def events_hourly_ist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T7 as a query: wall-clock hour in Asia/Kolkata (UTC+5:30 —
+    fixed offset, so the oracle can state it as an interval)."""
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.hour(F.from_utc_timestamp("ts", "Asia/Kolkata")).cast("int").alias("ist_hour")
+        ).agg(F.count("*").alias("n_events"))
+    )
+
+
+@query(
+    "event_millis",
+    oracle="""
+    SELECT event_id, epoch_us(ts) // 1000 AS unix_millis
+    FROM events WHERE event_id < 1000
+    """,
+)
+def event_millis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T8 as a query: true-Int64 epoch millis from the event time."""
+    e = load(spark, sf_dir, "events").filter(F.col("event_id") < 1000)
+    return e.select(
+        "event_id",
+        (F.unix_micros(F.col("ts")) / F.lit(1000)).cast("long").alias("unix_millis"),
+    )
+
+
+@query(
+    "cast_quarantine",
+    oracle="""
+    SELECT 'textual' AS column_name, count(*) AS n_misfits
+    FROM documents
+    WHERE text IS NOT NULL AND TRY_CAST(text AS DOUBLE) IS NULL
+    """,
+)
+def cast_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C2-C5 probe through the real reconcile_types operator: a frame
+    with one uncastable string column (text -> DOUBLE always fails)
+    and one castable (stringified n_chars -> BIGINT never fails);
+    misfit counts per column must match TRY_CAST semantics. Exercises
+    the same single-pass misfit projection the ingest sink uses."""
+    d = load(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("message_id"),
+        F.col("text").alias("textual"),
+        F.col("n_chars").cast("string").alias("numeric_str"),
+    )
+    expected = {"textual": T.DoubleType(), "numeric_str": T.LongType()}
+    _, misfits = coerce.reconcile_types(d, expected, "probe")
+    return misfits.groupBy("column_name").agg(F.count("*").alias("n_misfits"))
