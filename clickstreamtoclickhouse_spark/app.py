@@ -1,0 +1,106 @@
+"""CLI entry point — Spark-native equivalent of the reference's
+`seghouse send` command (seghouse/app.py:16-44).
+
+    python -m clickstreamtoclickhouse_spark send \
+        --config-file conf.yml --source-dir /data/events --namespace myApp
+
+Differences from the reference, by design:
+- --source-dir takes any Spark-readable path (local dir, glob, or
+  s3a:// prefix) — no aws-cli download step (aws_wrapper.py is
+  replaced by the Hadoop S3A connector reading in place);
+- --streaming keeps the job running as a Structured Streaming query
+  over the landing directory (SURVEY §2.8 capability addition).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+from . import config as config_mod
+from .naming import decamelize
+from .pipeline import EventPipeline, IngestResult
+from .session import get_spark
+from .sinks.warehouse import Warehouse, get_warehouse
+
+
+def _build_warehouses(spark, conf: config_mod.AppConf, default_root: str) -> list[Warehouse]:
+    if not conf.warehouses:
+        return [get_warehouse("parquet", spark=spark, root=default_root)]
+    out = []
+    for w in conf.warehouses:
+        out.append(get_warehouse(w.kind, spark=spark, **w.options))
+    return out
+
+
+def store_result(
+    result: IngestResult, warehouses: list[Warehouse], namespace: str
+) -> None:
+    """S13 multiplex: every table goes to every configured warehouse
+    (send_to_warehouse.py:98-100,158-159). Store order mirrors the
+    reference (identities first — users derive from them; :133-139)."""
+    ordered = ["identities", "users", "tracks", "screens", "pages", "groups", "aliases"]
+    tables = result.all_tables()
+    names = ordered + [n for n in tables if n not in ordered]
+    for wh in warehouses:
+        for name in names:
+            df = tables.get(name)
+            if df is not None and not df.isEmpty():
+                wh.insert_df(namespace, name, df)
+
+
+def main(argv: list[str] | None = None) -> int:
+    parser = argparse.ArgumentParser(prog="clickstreamtoclickhouse-spark")
+    sub = parser.add_subparsers(dest="command", required=True)
+    send = sub.add_parser("send", help="ingest a directory of Segment NDJSON events")
+    send.add_argument("--config-file", default=None)
+    send.add_argument("--source-dir", required=True)
+    send.add_argument("--namespace", required=True)
+    send.add_argument("--warehouse-root", default="./lake")
+    send.add_argument("--streaming", action="store_true")
+    send.add_argument("--checkpoint-dir", default=None)
+    args = parser.parse_args(argv)
+
+    conf = (
+        config_mod.from_yaml(args.config_file)
+        if args.config_file
+        else config_mod.AppConf()
+    )
+    spark = get_spark(app_name=f"send-{args.namespace}")
+    namespace = decamelize(args.namespace)
+    pipe = EventPipeline(
+        spark,
+        namespace=namespace,
+        skip_fields=conf.skip_fields,
+        extra_timestamps=conf.extra_timestamps,
+    )
+    warehouses = _build_warehouses(spark, conf, args.warehouse_root)
+    for wh in warehouses:
+        wh.connect()
+
+    if args.streaming:
+        from .streaming.ingest import stream_events
+
+        query = stream_events(
+            spark,
+            args.source_dir,
+            pipe,
+            lambda result, _batch_id: store_result(result, warehouses, namespace),
+            checkpoint_dir=args.checkpoint_dir,
+        )
+        query.awaitTermination()
+    else:
+        result = pipe.ingest_json_dir(args.source_dir)
+        store_result(result, warehouses, namespace)
+        if result.corrupt is not None and not result.corrupt.isEmpty():
+            print(
+                f"warning: {result.corrupt.count()} unparseable lines quarantined",
+                file=sys.stderr,
+            )
+    for wh in warehouses:
+        wh.close()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

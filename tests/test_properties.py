@@ -1,0 +1,179 @@
+"""Property tests (SURVEY.md §5.3): roundtrip/idempotency invariants.
+
+Hypothesis drives the pure-Python naming functions; the Spark-path
+invariants (flatten stability, dedup idempotency, schema-evolution
+monotonicity, try_cast semantics) run one seeded randomized batch per
+test — one Spark job instead of a job per hypothesis example.
+"""
+
+from __future__ import annotations
+
+import json
+import random
+import string
+
+import pytest
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from clickstreamtoclickhouse_spark.naming import clean_key, decamelize, normalize_key
+from clickstreamtoclickhouse_spark.operators import coerce, dedup
+from clickstreamtoclickhouse_spark.pipeline import EventPipeline
+from clickstreamtoclickhouse_spark.sinks.parquet_sink import ParquetWarehouse
+from clickstreamtoclickhouse_spark.sources.flatten import flatten
+
+ident = st.text(
+    alphabet=string.ascii_letters + string.digits, min_size=1, max_size=20
+).filter(lambda s: s[0].isalpha())
+
+
+@given(ident)
+@settings(max_examples=200, deadline=None)
+def test_decamelize_idempotent_and_lower(name):
+    once = decamelize(name)
+    assert decamelize(once) == once
+    assert once == once.lower()
+
+
+@given(st.text(min_size=0, max_size=30))
+@settings(max_examples=200, deadline=None)
+def test_clean_key_removes_separators(name):
+    out = clean_key(name)
+    assert " " not in out and ":" not in out and "-" not in out
+
+
+@given(ident)
+@settings(max_examples=100, deadline=None)
+def test_normalize_key_stable(name):
+    once = normalize_key(name)
+    assert normalize_key(once) == once
+
+
+def _random_nested(rng: random.Random, depth: int = 0) -> dict:
+    out = {}
+    for _ in range(rng.randint(1, 4)):
+        key = "".join(rng.choices(string.ascii_letters, k=rng.randint(3, 8)))
+        roll = rng.random()
+        if roll < 0.3 and depth < 2:
+            out[key] = _random_nested(rng, depth + 1)
+        elif roll < 0.45 and depth < 2:
+            out[key] = [rng.randint(0, 9) for _ in range(rng.randint(0, 3))]
+        elif roll < 0.6:
+            out[key] = rng.random()
+        elif roll < 0.8:
+            out[key] = "".join(rng.choices(string.ascii_lowercase, k=5))
+        else:
+            out[key] = rng.random() < 0.5
+    return out
+
+
+def test_flatten_idempotent_and_scalar(spark, tmp_path):
+    rng = random.Random(7)
+    path = tmp_path / "nested.json"
+    with open(path, "w") as f:
+        for _ in range(60):
+            f.write(json.dumps(_random_nested(rng)) + "\n")
+    df = spark.read.json(str(path))
+    flat = flatten(df)
+    # scalar-only schema
+    for field in flat.schema.fields:
+        assert not isinstance(field.dataType, (T.StructType, T.ArrayType)), field
+    # snake_case names, unique
+    assert len(set(flat.columns)) == len(flat.columns)
+    for c in flat.columns:
+        assert c == normalize_key(c)
+    # idempotent
+    again = flatten(flat)
+    assert again.columns == flat.columns
+    assert again.count() == flat.count()
+
+
+def test_dedup_idempotency_double_ingest(spark, tmp_path):
+    """ingest(f); ingest(f) then Q1 view ≡ single ingest (reference's
+    at-least-once + eventual-dedup contract)."""
+    from .test_ingest import FIXTURE_LINES
+
+    src = tmp_path / "src"
+    src.mkdir()
+    with open(src / "e.json", "w") as f:
+        for line in FIXTURE_LINES:
+            f.write(json.dumps(line) + "\n")
+    wh = ParquetWarehouse(spark, str(tmp_path / "lake"))
+    res = EventPipeline(spark).ingest_json_dir(str(src))
+    wh.insert_df("ns", "identities", res.tables["identities"])
+    once = wh.read_view("ns", "identities")
+    once_rows = sorted(r["message_id"] for r in once.select("message_id").collect())
+    wh.insert_df("ns", "identities", res.tables["identities"])
+    twice = wh.read_view("ns", "identities")
+    twice_rows = sorted(r["message_id"] for r in twice.select("message_id").collect())
+    assert once_rows == twice_rows
+
+
+def test_schema_evolution_monotone(spark, tmp_path):
+    """Column set only ever grows across appends."""
+    wh = ParquetWarehouse(spark, str(tmp_path / "lake"))
+    rng = random.Random(13)
+    cols_seen: set[str] = set()
+    base_cols = ["message_id", "timestamp"]
+    for batch in range(4):
+        extra = {f"col_{rng.randint(0, 5)}": rng.random() for _ in range(2)}
+        df = spark.createDataFrame(
+            [(f"m{batch}", "2026-01-01 00:00:00", *extra.values())],
+            ", ".join(
+                [f"{c} string" for c in base_cols] + [f"{c} double" for c in extra]
+            ),
+        ).withColumn("timestamp", F.to_timestamp("timestamp"))
+        wh.insert_df("ns", "t", df)
+        now = set(wh.describe_table("ns", "t"))
+        assert cols_seen <= now, f"columns shrank: {cols_seen - now}"
+        cols_seen = now
+
+
+# try_cast semantics pinned against Python int()/float() behavior
+# (SURVEY §7.2 phase-3 risk). Each case: (string, python_int_ok,
+# python_float_ok) — observed agreement with Spark try_cast.
+_CAST_CASES = [
+    ("42", True, True),
+    ("-7", True, True),
+    ("+5", True, True),
+    (" 13 ", True, True),    # both trim
+    ("3.5", False, True),    # int('3.5') raises; try_cast long -> null
+    ("1e3", False, True),
+    ("abc", False, False),
+    ("", False, False),
+    ("0x1f", False, False),  # Python int('0x1f') raises without base
+    ("nan", False, True),
+    ("inf", False, True),
+]
+
+
+def test_try_cast_matches_python_semantics(spark):
+    df = spark.createDataFrame(
+        [(s,) for s, _, _ in _CAST_CASES], "s string"
+    ).withColumns(
+        {
+            "as_long": F.col("s").try_cast("long"),
+            "as_double": F.col("s").try_cast("double"),
+        }
+    )
+    got = {r["s"]: (r["as_long"] is not None, r["as_double"] is not None) for r in df.collect()}
+    for s, int_ok, float_ok in _CAST_CASES:
+        assert got[s] == (int_ok, float_ok), f"{s!r}: {got[s]} != {(int_ok, float_ok)}"
+
+
+def test_misfits_never_lose_rows(spark):
+    """reconcile_types: clean rows == input rows regardless of misfit
+    count (misfits are a side channel, not a filter)."""
+    rng = random.Random(99)
+    vals = [
+        ("".join(rng.choices("0123456789abc.", k=rng.randint(1, 6))),)
+        for _ in range(200)
+    ]
+    df = spark.createDataFrame(vals, "v string").withColumn(
+        "message_id", F.monotonically_increasing_id().cast("string")
+    )
+    clean, misfits = coerce.reconcile_types(df, {"v": T.LongType()}, "t")
+    assert clean.count() == 200
+    n_null = clean.filter(F.col("v").isNull()).count()
+    assert misfits.count() == n_null  # every nulled value is reported
