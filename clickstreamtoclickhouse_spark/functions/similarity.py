@@ -60,17 +60,25 @@ def cosine_topk(
     then neighbor id. Self-matches excluded."""
     q = F.broadcast(
         queries.select(
-            F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("qvec"),
+            norm(F.col(vec_col)).alias("qnorm"),
         )
     )
+    # norms computed ONCE per vector before the pairwise join (n + nq
+    # norm folds instead of n × nq); same fold order as the oracle's
+    # per-side sqrt(list_dot_product(v,v)) → bit-identical sims
     c = embeddings.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec")
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cvec"),
+        norm(F.col(vec_col)).alias("cnorm"),
     )
     sims = (
         q.crossJoin(c)
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .withColumn(
-            "sim", dot(F.col("qvec"), F.col("cvec")) / (norm("qvec") * norm("cvec"))
+            "sim",
+            dot(F.col("qvec"), F.col("cvec")) / (F.col("qnorm") * F.col("cnorm")),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -101,14 +109,22 @@ def cosine_near_dup_pairs(
 
     The left side is repartitioned so the quadratic compare spreads
     across all cores — a broadcast-NLJ over an unpartitioned small
-    table would otherwise run single-threaded."""
+    table would otherwise run single-threaded. Norms are computed once
+    per vector before the join (matching the oracle's per-side
+    expression), so the pairwise kernel is a single dot product."""
     a = embeddings.select(
-        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va")
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("va"),
+        norm(F.col(vec_col)).alias("na"),
     ).repartition(parallelism)
     b = F.broadcast(
-        embeddings.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+        embeddings.select(
+            F.col(id_col).alias("id_b"),
+            F.col(vec_col).alias("vb"),
+            norm(F.col(vec_col)).alias("nb"),
+        )
     )
-    sim = dot(F.col("va"), F.col("vb")) / (norm("va") * norm("vb"))
+    sim = dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
     return (
         a.crossJoin(b)
         .filter(F.col("id_a") < F.col("id_b"))
@@ -198,8 +214,11 @@ def lsh_topk(
     w = Window.partitionBy("query_id").orderBy(
         F.desc(F.round("sim", 9)), F.col("neighbor_id")
     )
+    sim_expr = dot(F.col("qvec"), F.col("cvec")) / (
+        norm(F.col("qvec")) * norm(F.col("cvec"))
+    )
     return (
-        cand.withColumn("sim", cosine(F.col("qvec"), F.col("cvec")))
+        cand.withColumn("sim", sim_expr)
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", F.col("rank").cast("int").alias("rank"),

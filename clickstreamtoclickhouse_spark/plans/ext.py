@@ -291,13 +291,13 @@ def simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "embedding_topk",
     oracle="""
-    WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+                        sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+                 FROM embeddings),
     q AS (SELECT * FROM emb WHERE vec_id < 10),
     sims AS (
       SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-             list_dot_product(q.v, c.v)
-               / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v)))
-               AS sim
+             list_dot_product(q.v, c.v) / (q.nrm * c.nrm) AS sim
       FROM q, emb c WHERE q.vec_id <> c.vec_id
     )
     SELECT query_id, neighbor_id,
@@ -322,15 +322,12 @@ def embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "embedding_near_dups",
     oracle=f"""
-    WITH corpus AS ({_SQL_PERTURBED_EMB})
+    WITH corpus0 AS ({_SQL_PERTURBED_EMB}),
+    corpus AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM corpus0)
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-           round(list_dot_product(a.v, b.v)
-             / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))),
-             6) AS sim
+           round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS sim
     FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
-    WHERE list_dot_product(a.v, b.v)
-          / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
-          >= 0.999
+    WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.999
     """,
 )
 def embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
