@@ -173,6 +173,90 @@ def lsh_signatures(
     ).select(id_col, vec_col, "tb.tbl", "tb.bucket")
 
 
+def ivf_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 2,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: k-means coarse quantizer
+    partitions the corpus into cells; each query probes its n_probe
+    nearest centroids and searches only those cells.
+
+    Scale path: the corpus is assigned to cells ONCE (reused across
+    query batches in a real deployment); the search join is an
+    equi-join on cell id — the crossJoin shrinks by ~n_cells/n_probe.
+    KMeans fit is seeded for determinism; at 100 TB fit on a sample
+    (KMeans cost is per-row × iterations, the sample bounds it)."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    corpus_vec = embeddings.select(
+        F.col(id_col),
+        F.col(vec_col),
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("fvec"),
+    )
+    km = KMeans(k=n_cells, seed=seed, featuresCol="fvec", predictionCol="cell")
+    model = km.fit(corpus_vec.select("fvec"))
+    assigned = model.transform(corpus_vec).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cvec"),
+        norm(F.col(vec_col)).alias("cnorm"),
+        "cell",
+    )
+
+    # query → n_probe nearest centroids (centroids are tiny: broadcast
+    # as a literal-free small DF and crossJoin)
+    centroids = [
+        (int(i), [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
+    ]
+    cent_df = F.broadcast(
+        embeddings.sparkSession.createDataFrame(
+            centroids, "cell int, centroid array<double>"
+        )
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        norm(F.col(vec_col)).alias("qnorm"),
+    )
+    qcells = (
+        q.crossJoin(cent_df)
+        .withColumn(
+            "cdist",
+            -dot(F.col("qvec"), F.col("centroid")),  # max dot = nearest by angle
+        )
+        .withColumn(
+            "crank",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy("cdist", "cell")
+            ),
+        )
+        .filter(F.col("crank") <= n_probe)
+        .select("query_id", "qvec", "qnorm", "cell")
+    )
+
+    cand = F.broadcast(qcells).join(assigned, "cell").filter(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc(F.round("sim", 9)), F.col("neighbor_id")
+    )
+    return (
+        cand.withColumn(
+            "sim", dot(F.col("qvec"), F.col("cvec")) / (F.col("qnorm") * F.col("cnorm"))
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.col("rank").cast("int").alias("rank"),
+                F.round("sim", 6).alias("sim"))
+    )
+
+
 def lsh_topk(
     embeddings: DataFrame,
     queries: DataFrame,

@@ -357,6 +357,16 @@ def embedding_norm_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("embedding_ivf_topk")  # rows-only: kmeans quantizer not in SQL
+def embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-partitioned approximate top-k (k-means coarse quantizer,
+    n_probe cells searched) — the inverted-file ANN scale path;
+    recall measured against embedding_topk in tests."""
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return similarity.ivf_topk(emb, queries, k=5, n_cells=16, n_probe=4)
+
+
 @query("embedding_lsh_topk")  # rows-only: hyperplane draw not in SQL
 def embedding_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed approximate top-k (random hyperplanes, seeded) —
@@ -365,6 +375,63 @@ def embedding_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
     return similarity.lsh_topk(emb, queries, dim=EMB_DIM, k=5, bits=4, num_tables=8)
+
+
+@query(
+    "user_activity_similarity",
+    oracle="""
+    WITH series AS (
+      SELECT user_id, CAST(strftime(ts, '%d') AS INT) AS day, count(*) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    norms AS (
+      SELECT user_id, sqrt(sum(n * n)) AS nrm FROM series GROUP BY user_id
+    ),
+    dots AS (
+      SELECT a.user_id AS user_a, b.user_id AS user_b,
+             CAST(sum(a.n * b.n) AS BIGINT) AS dp
+      FROM series a JOIN series b ON a.day = b.day AND a.user_id < b.user_id
+      GROUP BY 1, 2
+    )
+    SELECT user_a, user_b,
+           round(dp / (na.nrm * nb.nrm), 6) AS sim
+    FROM dots
+    JOIN norms na ON na.user_id = user_a
+    JOIN norms nb ON nb.user_id = user_b
+    WHERE dp / (na.nrm * nb.nrm) >= 0.8
+    """,
+)
+def user_activity_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series similarity (SURVEY §2.11): cosine over per-user
+    daily activity vectors, computed RELATIONALLY — sparse vectors as
+    (user, day, count) rows, pairwise dot products via an equi-join on
+    the day dimension, norms joined in. No materialized dense vectors,
+    no crossJoin: the join fan-out is bounded by users-active-per-day,
+    which is how the at-scale formulation must look."""
+    e = load(spark, sf_dir, "events")
+    series = e.groupBy(
+        "user_id", F.dayofmonth("ts").cast("int").alias("day")
+    ).agg(F.count("*").alias("n"))
+    norms = series.groupBy("user_id").agg(
+        F.sqrt(F.sum(F.col("n") * F.col("n"))).alias("nrm")
+    )
+    a = series.select(F.col("user_id").alias("user_a"), "day", F.col("n").alias("na"))
+    b = series.select(F.col("user_id").alias("user_b"), "day", F.col("n").alias("nb"))
+    dots = (
+        a.join(b, "day")
+        .filter(F.col("user_a") < F.col("user_b"))
+        .groupBy("user_a", "user_b")
+        .agg(F.sum(F.col("na") * F.col("nb")).alias("dp"))
+    )
+    na = norms.select(F.col("user_id").alias("user_a"), F.col("nrm").alias("nrm_a"))
+    nb = norms.select(F.col("user_id").alias("user_b"), F.col("nrm").alias("nrm_b"))
+    sim = F.col("dp") / (F.col("nrm_a") * F.col("nrm_b"))
+    return (
+        dots.join(na, "user_a")
+        .join(nb, "user_b")
+        .filter(sim >= 0.8)
+        .select("user_a", "user_b", F.round(sim, 6).alias("sim"))
+    )
 
 
 # ---------------------------------------------------------------------------

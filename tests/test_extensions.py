@@ -71,6 +71,18 @@ def test_lsh_topk_recall_vs_exact(spark, emb):
         assert abs(exact_all[(r.query_id, r.neighbor_id)] - r.sim) < 1e-9
 
 
+def test_ivf_topk_recall_vs_exact(spark, emb):
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = similarity.cosine_topk(emb, queries, k=5)
+    approx = similarity.ivf_topk(emb, queries, k=5, n_cells=16, n_probe=4)
+    e = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    a = {(r.query_id, r.neighbor_id) for r in approx.collect()}
+    # random near-uniform embeddings are the ANN worst case; require a
+    # floor well above the 4/16-cells random baseline (25%)
+    assert len(a & e) / len(e) >= 0.4
+    assert len(a) == 50  # full k for every query (cells are dense)
+
+
 def test_media_feature_plumbing(spark, docs):
     media = multimodal.synth_media_from_documents(docs.limit(20))
     feats = multimodal.extract_features(media, fake=True)
