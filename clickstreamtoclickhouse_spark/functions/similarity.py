@@ -112,16 +112,20 @@ def cosine_near_dup_pairs(
     table would otherwise run single-threaded. Norms are computed once
     per vector before the join (matching the oracle's per-side
     expression), so the pairwise kernel is a single dot product."""
+    # cast to double ONCE per row (Catalyst then elides the per-element
+    # casts inside the pairwise dot lambda — measurably less work per
+    # pair on the interpreted higher-order-function path)
+    dvec = F.col(vec_col).cast("array<double>")
     a = embeddings.select(
         F.col(id_col).alias("id_a"),
-        F.col(vec_col).alias("va"),
-        norm(F.col(vec_col)).alias("na"),
+        dvec.alias("va"),
+        norm(dvec).alias("na"),
     ).repartition(parallelism)
     b = F.broadcast(
         embeddings.select(
             F.col(id_col).alias("id_b"),
-            F.col(vec_col).alias("vb"),
-            norm(F.col(vec_col)).alias("nb"),
+            dvec.alias("vb"),
+            norm(dvec).alias("nb"),
         )
     )
     sim = dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))

@@ -66,6 +66,54 @@ def value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "cube_order_stats",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           count(*) AS n_orders
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '2000-01-01'
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def cube_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE: all 4 grouping combinations in one Expand pass."""
+    o = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp")
+    )
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n_orders")
+    )
+
+
+@query(
+    "orders_above_avg",
+    oracle="""
+    SELECT o_orderpriority,
+           count(*) AS n_orders,
+           round(min(o_totalprice), 2) AS min_price
+    FROM orders
+    WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)
+    GROUP BY o_orderpriority
+    """,
+)
+def orders_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar subquery: filter against a global aggregate, expressed
+    as a broadcast of the 1-row aggregate — fully lazy (no driver
+    collect), and the broadcast-NLJ against one row costs nothing."""
+    o = load(spark, sf_dir, "orders")
+    avg_df = o.agg(F.avg("o_totalprice").alias("_avg_price"))
+    return (
+        o.crossJoin(F.broadcast(avg_df))
+        .filter(F.col("o_totalprice") > F.col("_avg_price"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.min("o_totalprice"), 2).alias("min_price"),
+        )
+    )
+
+
 @query("approx_distinct_users")  # rows-only: HLL sketch != DuckDB's
 def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct (HyperLogLog++) — the at-scale
