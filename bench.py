@@ -33,16 +33,26 @@ def main() -> None:
     # evicts cold JVM pages, producing multi-second refault stalls
     # unrelated to query cost. Min-of-2 measures the engine, not the
     # hypervisor.
+    # Soft wall-clock budget: the host microVM occasionally pauses the
+    # JVM for tens of seconds (memory reclaim); if the run is falling
+    # behind, drop to single-run mode so the JSON line always gets
+    # emitted instead of tripping an outer timeout.
+    deadline = time.perf_counter() + float(os.environ.get("BENCH_BUDGET_SEC", "360"))
     timings: dict[str, float] = {}
     for name in sorted(plans.QUERIES):
         fn = plans.QUERIES[name]
         best = float("inf")
-        for _ in range(2):
+        runs = 2 if time.perf_counter() < deadline else 1
+        for run in range(runs):
             t0 = time.perf_counter()
             # noop sink forces full JVM-side execution with zero
             # serialization to Python (collect would bottleneck the driver)
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
+            elapsed = time.perf_counter() - t0
+            best = min(best, elapsed)
+            print(f"# {name} run{run}: {elapsed:.2f}s", file=sys.stderr, flush=True)
+            if time.perf_counter() > deadline:
+                break
         timings[name] = round(best, 3)
     total = round(sum(timings.values()), 3)
 

@@ -138,7 +138,7 @@ def minhash_near_dup_pairs(
     docs: DataFrame,
     threshold: float = 0.6,
     n: int = 3,
-    num_hash_tables: int = 8,
+    num_hash_tables: int = 6,
     num_features: int = 1 << 18,
     seed: int = 42,
     id_col: str = "doc_id",
