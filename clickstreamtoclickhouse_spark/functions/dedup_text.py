@@ -19,7 +19,6 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 from .text import normalized_text, words
 
@@ -55,22 +54,29 @@ def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
 # ---------------------------------------------------------------------------
 
 def _doc_shingles(docs: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
-    """(id, shingle) pairs; n=1 -> distinct words, n>1 -> word n-grams
-    built with window lead (order-preserving, relational)."""
-    ws = docs.select(
-        F.col(id_col).alias("did"),
-        F.posexplode(words(normalized_text(F.col(text_col)))).alias("pos", "w"),
-    )
+    """(id, shingle) pairs; n=1 -> distinct words, n>1 -> word n-grams.
+
+    Shingle construction is a PURE PROJECTION (transform over an index
+    sequence + element_at) — no posexplode+window round trip, so the
+    only exchanges in a dedup pipeline are the ones the shingle
+    equi-join itself needs. Guard: sequence(1, 0) in Spark counts
+    DOWN, so short docs get an explicit empty array."""
+    ws_col = words(normalized_text(F.col(text_col)))
     if n == 1:
-        return ws.select("did", F.col("w").alias("shingle")).distinct()
-    w = Window.partitionBy("did").orderBy("pos")
-    parts = [F.col("w")] + [F.lead("w", i).over(w) for i in range(1, n)]
-    return (
-        ws.select("did", F.concat_ws(" ", *parts).alias("shingle"),
-                  *[p.alias(f"_p{i}") for i, p in enumerate(parts[1:])])
-        .filter(F.col(f"_p{n - 2}").isNotNull())  # drop ragged tail
-        .select("did", "shingle")
-        .distinct()
+        shingles = F.array_distinct(ws_col)
+    else:
+        idx = F.sequence(F.lit(1), F.size(ws_col) - (n - 1))
+        grams = F.transform(
+            idx,
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(ws_col, i + j) for j in range(n)]
+            ),
+        )
+        shingles = F.when(F.size(ws_col) >= n, F.array_distinct(grams)).otherwise(
+            F.array().cast("array<string>")
+        )
+    return docs.select(
+        F.col(id_col).alias("did"), F.explode(shingles).alias("shingle")
     )
 
 
