@@ -331,6 +331,43 @@ def asof_event_order(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "time_bucket_rollup",
+    oracle="""
+    SELECT strftime(time_bucket(INTERVAL 15 MINUTE, ts), '%Y-%m-%d %H:%M:%S')
+             AS bucket_start,
+           event_type,
+           count(*) AS n_events,
+           round(sum(value), 2) AS sum_value
+    FROM events
+    WHERE ts < TIMESTAMP '2024-01-03'
+    GROUP BY 1, 2
+    """,
+)
+def time_bucket_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous-aggregate shape: fixed time-bucket
+    rollup (15-minute buckets) per event type. Spark's window()
+    tumbling bucket == DuckDB's time_bucket for UTC-aligned
+    intervals. The streaming twin is streaming/ingest.windowed_counts
+    — same bucket semantics with a watermark."""
+    e = load(spark, sf_dir, "events").filter(
+        F.col("ts") < F.lit("2024-01-03").cast("timestamp")
+    )
+    return (
+        e.groupBy(F.window("ts", "15 minutes").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("bucket_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@query(
     "events_hourly_ist",
     oracle="""
     SELECT CAST(extract(hour FROM ts + INTERVAL 330 MINUTE) AS INT) AS ist_hour,
