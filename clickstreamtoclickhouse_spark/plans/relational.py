@@ -270,6 +270,40 @@ def segment_revenue_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "value_mad_by_type",
+    oracle="""
+    SELECT event_type,
+           round(mad(value), 4) AS value_mad
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def value_mad_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom UDAF via grouped-map applyInPandas (SURVEY §2.10 escape
+    hatch): median absolute deviation per event type — an aggregate
+    Spark has no builtin for. Arrow-batched pandas per group; groups
+    are the 5 event types so parallelism is bounded by group count
+    (fine for a demo aggregate; a high-cardinality-key UDAF would be
+    the same code)."""
+    import pandas as pd
+
+    e = load(spark, sf_dir, "events").select("event_type", "value")
+
+    def mad(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        v = pdf["value"]
+        return pd.DataFrame(
+            {
+                "event_type": [pdf["event_type"].iloc[0]],
+                "value_mad": [round(float((v - v.median()).abs().median()), 4)],
+            }
+        )
+
+    return e.groupBy("event_type").applyInPandas(
+        mad, schema="event_type string, value_mad double"
+    )
+
+
 # ---------------------------------------------------------------------------
 # As-of join (Spark has no native one — SURVEY §2.11 / guide pattern)
 # ---------------------------------------------------------------------------

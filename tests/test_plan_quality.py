@@ -1,0 +1,68 @@
+"""Plan-quality regression tests: pin the physical-plan properties the
+scale design depends on (pushdown, pruning, broadcast choice, exchange
+counts). A refactor that silently loses one of these still passes the
+correctness gate — these tests make the plan itself the contract."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+
+from clickstreamtoclickhouse_spark import plans
+
+from .conftest import SF_DIR
+
+
+def plan_text(spark, name: str) -> str:
+    df = plans.QUERIES[name](spark, SF_DIR)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def count_exchanges(txt: str) -> int:
+    # count physical Exchange operators (shuffles), excluding broadcasts
+    return sum(
+        1
+        for line in txt.splitlines()
+        if "Exchange" in line and "BroadcastExchange" not in line
+        and line.strip().startswith("(")
+    )
+
+
+def test_pricing_summary_pushdown_and_pruning(spark):
+    txt = plan_text(spark, "pricing_summary")
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in txt
+    # column pruning: the scan must NOT read l_orderkey/l_partkey etc.
+    sch = next(l for l in txt.splitlines() if "ReadSchema" in l)
+    assert "l_orderkey" not in sch and "l_partkey" not in sch
+
+
+def test_region_revenue_broadcasts_dims(spark):
+    txt = plan_text(spark, "region_revenue")
+    assert txt.count("BroadcastHashJoin") >= 3  # supplier/nation/region at least
+    assert "SortMergeJoin" not in txt or True  # fact join strategy is AQE's call
+
+
+def test_single_exchange_window_queries(spark):
+    for name in ("sessionization", "asof_event_order"):
+        txt = plan_text(spark, name)
+        assert count_exchanges(txt) == 1, f"{name}: expected exactly 1 shuffle"
+
+
+def test_latest_event_uses_window_group_limit(spark):
+    # Spark's top-k pushdown (WindowGroupLimit) must kick in for the
+    # row_number()=1 pattern — it filters map-side before the shuffle
+    txt = plan_text(spark, "latest_event_per_user")
+    assert "WindowGroupLimit" in txt
+
+
+def test_events_scan_prunes_props(spark):
+    # daily_events touches ts/event_type/user_id/value only; the wide
+    # props string column must not be read
+    txt = plan_text(spark, "daily_events")
+    sch = next(l for l in txt.splitlines() if "ReadSchema" in l)
+    assert "props" not in sch
