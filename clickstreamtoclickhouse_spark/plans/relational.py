@@ -359,6 +359,103 @@ def asof_event_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "acctbal_unpivot",
+    oracle="""
+    WITH s AS (
+      SELECT c_mktsegment,
+             round(avg(c_acctbal), 2) AS avg_bal,
+             round(min(c_acctbal), 2) AS min_bal,
+             round(max(c_acctbal), 2) AS max_bal
+      FROM customer GROUP BY c_mktsegment
+    )
+    SELECT c_mktsegment, 'avg_bal' AS stat, avg_bal AS val FROM s
+    UNION ALL
+    SELECT c_mktsegment, 'min_bal', min_bal FROM s
+    UNION ALL
+    SELECT c_mktsegment, 'max_bal', max_bal FROM s
+    """,
+)
+def acctbal_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (melt): wide per-segment stats -> long (segment, stat,
+    val) via stack() — the inverse of event_type_pivot."""
+    c = load(spark, sf_dir, "customer")
+    wide = c.groupBy("c_mktsegment").agg(
+        F.round(F.avg("c_acctbal"), 2).alias("avg_bal"),
+        F.round(F.min("c_acctbal"), 2).alias("min_bal"),
+        F.round(F.max("c_acctbal"), 2).alias("max_bal"),
+    )
+    return wide.select(
+        "c_mktsegment",
+        F.expr(
+            "stack(3, 'avg_bal', avg_bal, 'min_bal', min_bal, 'max_bal', max_bal)"
+        ).alias("stat", "val"),
+    )
+
+
+@query(
+    "part_price_bands",
+    oracle="""
+    WITH bands AS (
+      SELECT CAST(floor(p_retailprice / 10) AS BIGINT) AS band,
+             p_partkey, p_retailprice
+      FROM part
+    )
+    SELECT band,
+           CAST(band * 10 AS BIGINT) AS band_lo,
+           CAST((band + 1) * 10 AS BIGINT) AS band_hi,
+           count(*) AS n_parts,
+           round(avg(p_retailprice), 2) AS avg_price
+    FROM bands
+    GROUP BY band
+    """,
+)
+def part_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range-join pattern, bucketized: instead of joining parts to a
+    band table on (lo <= price < hi) — a quadratic-candidate range
+    join — the range key is bucketized (floor(price/width), width=10 to match the data's 900-1000 range) and the
+    'join' becomes a groupBy on the computed band. This is the guide's
+    range-join-at-scale recipe expressed as a query."""
+    p = load(spark, sf_dir, "part")
+    band = F.floor(F.col("p_retailprice") / 10).cast("long")
+    return (
+        p.withColumn("band", band)
+        .groupBy("band")
+        .agg(
+            F.count("*").alias("n_parts"),
+            F.round(F.avg("p_retailprice"), 2).alias("avg_price"),
+        )
+        .select(
+            "band",
+            (F.col("band") * 10).cast("long").alias("band_lo"),
+            ((F.col("band") + 1) * 10).cast("long").alias("band_hi"),
+            "n_parts",
+            "avg_price",
+        )
+    )
+
+
+@query(
+    "orders_above_customer_avg",
+    oracle="""
+    SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS price
+    FROM orders
+    QUALIFY o_totalprice > avg(o_totalprice) OVER (PARTITION BY o_custkey)
+    """,
+)
+def orders_above_customer_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated aggregate filter (each order vs ITS customer's
+    average) — decorrelated into a per-key window aggregate: one
+    shuffle on o_custkey, no self-join, no subquery per row."""
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey")
+    return (
+        o.withColumn("cust_avg", F.avg("o_totalprice").over(w))
+        .filter(F.col("o_totalprice") > F.col("cust_avg"))
+        .select("o_orderkey", "o_custkey", F.round("o_totalprice", 2).alias("price"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # Transform probes (T7/T8 as queries) + cast quarantine (C2-C5)
 # ---------------------------------------------------------------------------
