@@ -14,6 +14,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..functions import dedup_text, multimodal, similarity, text as tx
 from .registry import load, query
@@ -433,6 +434,64 @@ def user_activity_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(nb, "user_b")
         .filter(sim >= 0.8)
         .select("user_a", "user_b", F.round(sim, 6).alias("sim"))
+    )
+
+
+@query(
+    "training_data_selection",
+    oracle=f"""
+    WITH corpus AS ({_SQL_DUP_CORPUS}),
+    scored AS (
+      SELECT doc_id,
+             {tx.sql_token_count_ws('text')} AS n_tokens,
+             md5(text) AS content_hash
+      FROM corpus
+    ),
+    deduped AS (
+      SELECT * FROM scored
+      QUALIFY doc_id = min(doc_id) OVER (PARTITION BY content_hash)
+    ),
+    budgeted AS (
+      SELECT doc_id, n_tokens,
+             CAST(sum(n_tokens) OVER (ORDER BY n_tokens DESC, doc_id
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+      FROM deduped
+    )
+    SELECT doc_id, n_tokens, cum_tokens
+    FROM budgeted WHERE cum_tokens <= 20000
+    """,
+)
+def training_data_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capstone composition — the selection pass of a training-data
+    pipeline: exact-dedup the corpus (hash groupBy keepers), rank by a
+    score (token count here; any quality signal plugs in), and take
+    documents until a global token budget is hit (running-sum window).
+
+    Scale note: the budget window is a GLOBAL ordered running sum —
+    a single-partition window. At 100 TB you'd bound it by first
+    cutting with an approximate quantile of the score so only the
+    borderline slice needs the exact global window; semantics here are
+    the exact reference implementation of that contract."""
+    corpus = _dup_corpus(load(spark, sf_dir, "documents"))
+    scored = corpus.select(
+        "doc_id",
+        tx.token_count_ws(F.col("text")).alias("n_tokens"),
+        F.md5("text").alias("content_hash"),
+    )
+    wk = Window.partitionBy("content_hash")
+    deduped = (
+        scored.withColumn("keeper", F.min("doc_id").over(wk))
+        .filter(F.col("doc_id") == F.col("keeper"))
+        .drop("keeper")
+    )
+    wb = (
+        Window.orderBy(F.desc("n_tokens"), "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        deduped.withColumn("cum_tokens", F.sum("n_tokens").over(wb).cast("long"))
+        .filter(F.col("cum_tokens") <= 20000)
+        .select("doc_id", "n_tokens", "cum_tokens")
     )
 
 
