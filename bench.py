@@ -3,6 +3,21 @@ $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
 local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
 
   {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Measurement strategy (round 2 — fixes the round-1 artifact):
+
+This host is a microVM with proactive memory reclaim (DAMON) that
+randomly evicts cold JVM pages, producing multi-second refault
+stalls unrelated to query cost. Round 1 ran each query back-to-back
+(min-of-2) under a soft budget that degraded the tail to single-run,
+so one stall permanently polluted that query's number.
+
+Round 2 interleaves instead: run ALL queries once (pass 1), then ALL
+again (pass 2), etc., and report the per-query MIN across passes.
+A stall lands in one pass of one query; the other pass(es) supply the
+steady-state number. The first two passes always complete regardless
+of the soft budget — every query is guaranteed min-of-2 — and a third
+pass runs if the budget allows, giving min-of-3 to the whole set.
 """
 
 from __future__ import annotations
@@ -18,6 +33,22 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 from clickstreamtoclickhouse_spark import plans  # noqa: E402
 from clickstreamtoclickhouse_spark.session import get_spark  # noqa: E402
 
+GUARANTEED_PASSES = 2  # always run, budget or not: min-of-2 floor
+MAX_PASSES = int(os.environ.get("BENCH_PASSES", "3"))
+
+
+def run_pass(spark, sf_dir: str, names: list[str], timings: dict[str, float], n: int) -> None:
+    for name in names:
+        t0 = time.perf_counter()
+        # noop sink forces full JVM-side execution with zero
+        # serialization to Python (collect would bottleneck the driver)
+        plans.QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        elapsed = time.perf_counter() - t0
+        prev = timings.get(name, float("inf"))
+        timings[name] = min(prev, elapsed)
+        print(f"# pass{n} {name}: {elapsed:.2f}s (best {timings[name]:.2f}s)",
+              file=sys.stderr, flush=True)
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -28,32 +59,15 @@ def main() -> None:
     # once per cluster, not per query)
     plans.load(spark, sf_dir, "lineitem").count()
 
-    # Two runs per query, report the min (steady state): this host is
-    # a microVM with proactive memory reclaim (DAMON) that randomly
-    # evicts cold JVM pages, producing multi-second refault stalls
-    # unrelated to query cost. Min-of-2 measures the engine, not the
-    # hypervisor.
-    # Soft wall-clock budget: the host microVM occasionally pauses the
-    # JVM for tens of seconds (memory reclaim); if the run is falling
-    # behind, drop to single-run mode so the JSON line always gets
-    # emitted instead of tripping an outer timeout.
-    deadline = time.perf_counter() + float(os.environ.get("BENCH_BUDGET_SEC", "360"))
+    deadline = time.perf_counter() + float(os.environ.get("BENCH_BUDGET_SEC", "600"))
+    names = sorted(plans.QUERIES)
     timings: dict[str, float] = {}
-    for name in sorted(plans.QUERIES):
-        fn = plans.QUERIES[name]
-        best = float("inf")
-        runs = 2 if time.perf_counter() < deadline else 1
-        for run in range(runs):
-            t0 = time.perf_counter()
-            # noop sink forces full JVM-side execution with zero
-            # serialization to Python (collect would bottleneck the driver)
-            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            elapsed = time.perf_counter() - t0
-            best = min(best, elapsed)
-            print(f"# {name} run{run}: {elapsed:.2f}s", file=sys.stderr, flush=True)
-            if time.perf_counter() > deadline:
-                break
-        timings[name] = round(best, 3)
+    for p in range(1, MAX_PASSES + 1):
+        if p > GUARANTEED_PASSES and time.perf_counter() > deadline:
+            break
+        run_pass(spark, sf_dir, names, timings, p)
+
+    timings = {k: round(v, 3) for k, v in timings.items()}
     total = round(sum(timings.values()), 3)
 
     print(

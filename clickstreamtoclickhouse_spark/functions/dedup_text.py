@@ -120,19 +120,15 @@ def jaccard_pairs(
     )
     sa = sizes.select(F.col("did").alias("doc_a"), F.col("sz").alias("sz_a"))
     sb = sizes.select(F.col("did").alias("doc_b"), F.col("sz").alias("sz_b"))
+    # filter on the UNROUNDED ratio (matching the SQL oracle); round
+    # only in the final projection — filtering on the rounded value
+    # would keep a true similarity in [threshold-5e-7, threshold)
+    jacc = F.col("n_common") / (F.col("sz_a") + F.col("sz_b") - F.col("n_common"))
     return (
         inter.join(sa, "doc_a")
         .join(sb, "doc_b")
-        .withColumn(
-            "jaccard",
-            F.round(
-                F.col("n_common")
-                / (F.col("sz_a") + F.col("sz_b") - F.col("n_common")),
-                6,
-            ),
-        )
-        .filter(F.col("jaccard") >= threshold)
-        .select("doc_a", "doc_b", "jaccard")
+        .filter(jacc >= threshold)
+        .select("doc_a", "doc_b", F.round(jacc, 6).alias("jaccard"))
     )
 
 

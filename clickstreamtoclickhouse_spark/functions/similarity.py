@@ -104,8 +104,9 @@ def cosine_near_dup_pairs(
     parallelism: int = 32,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (exact, O(n²) compare —
-    the oracle-checkable baseline; use lsh_topk's bucketing for the
-    at-scale path).
+    the oracle-checkable baseline, bounded to small corpora; the
+    at-scale entry is ``lsh_near_dup_pairs``, whose bucketed
+    self-equi-join replaces this crossJoin).
 
     The left side is repartitioned so the quadratic compare spreads
     across all cores — a broadcast-NLJ over an unpartitioned small
@@ -135,6 +136,62 @@ def cosine_near_dup_pairs(
         .withColumn("sim", sim)
         .filter(F.col("sim") >= threshold)
         .select("id_a", "id_b", F.round("sim", 6).alias("sim"))
+    )
+
+
+def sparse_cosine_pairs(
+    series: DataFrame,
+    key_col: str,
+    dim_col: str,
+    val_col: str,
+    threshold: float = 0.8,
+    max_keys_per_dim: int | None = None,
+) -> DataFrame:
+    """All-pairs cosine over SPARSE vectors stored relationally as
+    (key, dimension, value) rows: pairwise dot products via an
+    equi-join on the dimension, norms aggregated per key and joined
+    in. No materialized dense vectors, no crossJoin.
+
+    The dimension join's fan-out is O(keys-active-per-dimension²) —
+    a hot dimension (e.g. a spike day in activity data) is a skewed
+    quadratic key at scale. `max_keys_per_dim` drops dimensions shared
+    by more than that many keys BEFORE the join (the same guard as
+    ``dedup_text.jaccard_pairs.max_shingle_freq``): such dimensions
+    carry the least discriminative signal and the most join cost.
+    Norms stay exact (computed on the uncapped series), so capping
+    only ever UNDER-estimates similarity — recall loss, never false
+    positives. None = exact (oracle parity at test SF).
+
+    Returns (key_a, key_b, sim) with key_a < key_b, sim rounded to 6.
+    """
+    k, d, v = F.col(key_col), F.col(dim_col), F.col(val_col)
+    norms = series.groupBy(key_col).agg(F.sqrt(F.sum(v * v)).alias("nrm"))
+    s = series
+    if max_keys_per_dim is not None:
+        freq = series.groupBy(dim_col).agg(F.count("*").alias("df"))
+        s = s.join(
+            F.broadcast(freq.filter(F.col("df") <= max_keys_per_dim)).select(
+                dim_col
+            ),
+            dim_col,
+            "left_semi",
+        )
+    a = s.select(k.alias("key_a"), d.alias("dim"), v.alias("va"))
+    b = s.select(k.alias("key_b"), d.alias("dim"), v.alias("vb"))
+    dots = (
+        a.join(b, "dim")
+        .filter(F.col("key_a") < F.col("key_b"))
+        .groupBy("key_a", "key_b")
+        .agg(F.sum(F.col("va") * F.col("vb")).alias("dp"))
+    )
+    na = norms.select(k.alias("key_a"), F.col("nrm").alias("nrm_a"))
+    nb = norms.select(k.alias("key_b"), F.col("nrm").alias("nrm_b"))
+    sim = F.col("dp") / (F.col("nrm_a") * F.col("nrm_b"))
+    return (
+        dots.join(na, "key_a")
+        .join(nb, "key_b")
+        .filter(sim >= threshold)
+        .select("key_a", "key_b", F.round(sim, 6).alias("sim"))
     )
 
 
@@ -175,6 +232,57 @@ def lsh_signatures(
         F.col(vec_col),
         F.explode(F.array(*table_cols)).alias("tb"),
     ).select(id_col, vec_col, "tb.tbl", "tb.bucket")
+
+
+def lsh_near_dup_pairs(
+    embeddings: DataFrame,
+    dim: int,
+    threshold: float = 0.95,
+    bits: int = 8,
+    num_tables: int = 8,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate PAIRS via hyperplane LSH — the
+    at-scale replacement for ``cosine_near_dup_pairs``' exact O(n²)
+    crossJoin: candidates are pairs sharing ANY (table, bucket) cell,
+    produced by a self-equi-join on the signature key; exact cosine
+    then filters candidates, so precision is 1.0 and only recall is
+    approximate.
+
+    Near-dup thresholds make hyperplane LSH highly effective: at
+    cos θ ≥ 0.95 the per-plane agreement is p = 1 − θ/π ≈ 0.90, so a
+    true near-dup pair collides in an 8-bit table with p⁸ ≈ 0.43 and
+    in ≥1 of 8 tables with 1−(1−p⁸)⁸ ≈ 0.99. Recall is pinned by a
+    test against the exact baseline.
+
+    Norms are computed once per (vector, table) row before the join;
+    distinct() dedups multi-table collisions before the cosine kernel
+    so each candidate pair is scored once."""
+    dvec = F.col(vec_col).cast("array<double>")
+    sigs = lsh_signatures(
+        embeddings.select(F.col(id_col), dvec.alias(vec_col)),
+        dim, bits, num_tables, seed, id_col, vec_col,
+    )
+    a = sigs.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), "tbl", "bucket"
+    )
+    b = sigs.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), "tbl", "bucket"
+    )
+    cand = (
+        a.join(b, ["tbl", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "va", "id_b", "vb")
+        .distinct()
+    )
+    sim = dot(F.col("va"), F.col("vb")) / (norm(F.col("va")) * norm(F.col("vb")))
+    return (
+        cand.withColumn("sim", sim)
+        .filter(F.col("sim") >= threshold)
+        .select("id_a", "id_b", F.round("sim", 6).alias("sim"))
+    )
 
 
 def ivf_topk(

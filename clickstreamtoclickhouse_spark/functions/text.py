@@ -114,16 +114,35 @@ def fingerprint_md5(text: Column) -> Column:
     return F.md5(normalized_text(text))
 
 
-def fingerprint_rolling(text: Column, base: int = 31, mod: int = 1_000_000_007) -> Column:
+def fingerprint_rolling(
+    text: Column,
+    base: int = 31,
+    word_base: int = 131,
+    mod: int = 1_000_000_007,
+) -> Column:
     """Polynomial rolling hash over normalized words:
-    h = fold(h*base + crc32(word) mod m). Order-sensitive (unlike a
-    set hash) — catches reorderings md5-of-sorted-words would miss.
-    Expressed with F.aggregate: one pass, JVM-side."""
+    h = fold(h*base + word_hash(w)) mod m, where word_hash is itself a
+    polynomial fold over the word's codepoints. Order-sensitive
+    (unlike a set hash) — catches reorderings md5-of-sorted-words
+    would miss. Expressed with nested F.aggregate: one pass, JVM-side.
+
+    The codepoint-polynomial word hash (rather than crc32) keeps the
+    whole fingerprint portable to the DuckDB oracle (list_reduce /
+    list_transform twin in plans/ext.py), so it's value-checked
+    cross-engine, not just rows-only."""
     ws = words(normalized_text(text))
+
+    def word_hash(w: Column) -> Column:
+        return F.aggregate(
+            F.split(w, ""),
+            F.lit(0).cast("long"),
+            lambda acc, c: (acc * word_base + F.ascii(c)) % mod,
+        )
+
     return F.aggregate(
         ws,
         F.lit(0).cast("long"),
-        lambda acc, w: (acc * base + F.crc32(w.cast("binary")) % mod) % mod,
+        lambda acc, w: (acc * base + word_hash(w)) % mod,
     )
 
 

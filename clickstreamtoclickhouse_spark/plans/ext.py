@@ -201,9 +201,34 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", tx.fingerprint_md5(F.col("text")).alias("fp_md5"))
 
 
-@query("doc_rolling_fingerprints")  # rows-only: crc32 not in DuckDB
+@query(
+    "doc_rolling_fingerprints",
+    oracle=f"""
+    WITH normed AS (
+      SELECT doc_id,
+             CASE WHEN length({_SQL_NORM.format(t='text')}) = 0
+                  THEN CAST([] AS VARCHAR[])
+                  ELSE {_SQL_WORDS.format(t=_SQL_NORM.format(t='text'))}
+             END AS ws
+      FROM documents
+    )
+    SELECT doc_id,
+           list_reduce(
+             list_prepend(CAST(0 AS BIGINT),
+               list_transform(ws, w ->
+                 list_reduce(
+                   list_prepend(CAST(0 AS BIGINT),
+                     list_transform(range(1, length(w) + 1),
+                                    i -> CAST(ascii(substr(w, i, 1)) AS BIGINT))),
+                   (acc, c) -> (acc * 131 + c) % 1000000007))),
+             (acc, h) -> (acc * 31 + h) % 1000000007) AS fp_rolling
+    FROM normed
+    """,
+)
 def doc_rolling_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Order-sensitive polynomial rolling-hash fingerprint."""
+    """Order-sensitive polynomial rolling-hash fingerprint; the DuckDB
+    twin folds the identical polynomial with list_reduce (init value
+    supplied via list_prepend), so values hash-match cross-engine."""
     d = load(spark, sf_dir, "documents")
     return d.select(
         "doc_id", tx.fingerprint_rolling(F.col("text")).alias("fp_rolling")
@@ -269,6 +294,54 @@ def jaccard_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     jaccard ≈ 0.8."""
     corpus = _near_dup_corpus(load(spark, sf_dir, "documents"))
     return dedup_text.jaccard_pairs(corpus, threshold=0.5, n=3)
+
+
+@query(
+    "jaccard_near_dups_capped",
+    oracle=f"""
+    WITH corpus AS ({_SQL_NEAR_DUP_CORPUS}),
+    normed AS (
+      SELECT doc_id, {_SQL_WORDS.format(t=_SQL_NORM.format(t='text'))} AS ws
+      FROM corpus
+    ),
+    shingled AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(
+               range(1, len(ws) - 1),
+               i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS shingle
+      FROM normed WHERE len(ws) >= 3
+    ),
+    freq AS (SELECT shingle, count(*) AS df FROM shingled GROUP BY shingle),
+    capped AS (
+      SELECT s.doc_id, s.shingle
+      FROM shingled s JOIN freq USING (shingle) WHERE df <= 4
+    ),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM capped GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+      FROM capped a JOIN capped b USING (shingle)
+      WHERE a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           round(n_common * 1.0 / (sa.sz + sb.sz - n_common), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE n_common * 1.0 / (sa.sz + sb.sz - n_common) >= 0.5
+    """,
+)
+def jaccard_near_dups_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """jaccard_near_dups with the at-scale guard ACTIVE:
+    max_shingle_freq=4 drops shingles shared by more than 4 docs
+    before the self-join (at 100 TB a stopword shingle is a quadratic
+    hot key). The oracle applies the identical cap — sizes and
+    intersections both computed post-cap — so the guard itself is
+    correctness-checked, not just unit-tested."""
+    corpus = _near_dup_corpus(load(spark, sf_dir, "documents"))
+    return dedup_text.jaccard_pairs(
+        corpus, threshold=0.5, n=3, max_shingle_freq=4
+    )
 
 
 @query("minhash_near_dups")  # rows-only: LSH internals not portable
@@ -340,6 +413,19 @@ def embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.cosine_near_dup_pairs(corpus, threshold=0.995)
 
 
+@query("embedding_lsh_near_dups")  # rows-only: hyperplane draw not in SQL
+def embedding_lsh_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed embedding near-dup PAIRS — the at-scale path for
+    embedding_near_dups (which is the exact O(n²) oracle baseline,
+    sf-bounded by the 250-vector cap): candidate pairs from a
+    (table, bucket) self-equi-join, exact cosine filter on candidates.
+    Recall vs the exact baseline is pinned in test_extensions."""
+    corpus = _perturbed_embeddings(load(spark, sf_dir, "embeddings"))
+    return similarity.lsh_near_dup_pairs(
+        corpus, dim=EMB_DIM, threshold=0.995, bits=8, num_tables=8
+    )
+
+
 @query(
     "embedding_norm_by_label",
     oracle="""
@@ -406,34 +492,26 @@ def embedding_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def user_activity_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-series similarity (SURVEY §2.11): cosine over per-user
-    daily activity vectors, computed RELATIONALLY — sparse vectors as
-    (user, day, count) rows, pairwise dot products via an equi-join on
-    the day dimension, norms joined in. No materialized dense vectors,
-    no crossJoin: the join fan-out is bounded by users-active-per-day,
-    which is how the at-scale formulation must look."""
+    daily activity vectors, computed RELATIONALLY by
+    ``similarity.sparse_cosine_pairs`` — sparse vectors as (user, day,
+    count) rows, pairwise dot products via an equi-join on the day
+    dimension, norms joined in. No materialized dense vectors, no
+    crossJoin.
+
+    The day-join fan-out is O(users-active-per-day²); the operator's
+    `max_keys_per_dim` cap prunes hot days before the join (tested in
+    test_extensions). The registered query passes None — exact — for
+    oracle parity at test SF."""
     e = load(spark, sf_dir, "events")
     series = e.groupBy(
         "user_id", F.dayofmonth("ts").cast("int").alias("day")
     ).agg(F.count("*").alias("n"))
-    norms = series.groupBy("user_id").agg(
-        F.sqrt(F.sum(F.col("n") * F.col("n"))).alias("nrm")
-    )
-    a = series.select(F.col("user_id").alias("user_a"), "day", F.col("n").alias("na"))
-    b = series.select(F.col("user_id").alias("user_b"), "day", F.col("n").alias("nb"))
-    dots = (
-        a.join(b, "day")
-        .filter(F.col("user_a") < F.col("user_b"))
-        .groupBy("user_a", "user_b")
-        .agg(F.sum(F.col("na") * F.col("nb")).alias("dp"))
-    )
-    na = norms.select(F.col("user_id").alias("user_a"), F.col("nrm").alias("nrm_a"))
-    nb = norms.select(F.col("user_id").alias("user_b"), F.col("nrm").alias("nrm_b"))
-    sim = F.col("dp") / (F.col("nrm_a") * F.col("nrm_b"))
-    return (
-        dots.join(na, "user_a")
-        .join(nb, "user_b")
-        .filter(sim >= 0.8)
-        .select("user_a", "user_b", F.round(sim, 6).alias("sim"))
+    return similarity.sparse_cosine_pairs(
+        series, "user_id", "day", "n", threshold=0.8, max_keys_per_dim=None
+    ).select(
+        F.col("key_a").alias("user_a"),
+        F.col("key_b").alias("user_b"),
+        "sim",
     )
 
 
@@ -465,13 +543,27 @@ def training_data_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Capstone composition — the selection pass of a training-data
     pipeline: exact-dedup the corpus (hash groupBy keepers), rank by a
     score (token count here; any quality signal plugs in), and take
-    documents until a global token budget is hit (running-sum window).
+    documents until a global token budget is hit.
 
-    Scale note: the budget window is a GLOBAL ordered running sum —
-    a single-partition window. At 100 TB you'd bound it by first
-    cutting with an approximate quantile of the score so only the
-    borderline slice needs the exact global window; semantics here are
-    the exact reference implementation of that contract."""
+    Scale design (round 2 — replaces the round-1 global running-sum
+    window, which funneled the whole deduped corpus through ONE
+    partition): the budget cut is two-phase and fully declarative.
+
+    Phase 1 aggregates per distinct score value — a map-side-combinable
+    shuffle that collapses the corpus to one row per distinct n_tokens.
+    The exact running sum ordered by score runs over THAT tiny table
+    only (cardinality bounded by max document length, not corpus
+    size), and score groups whose preceding cumulative already exceeds
+    the budget are pruned before any per-row work.
+
+    Phase 2 broadcast-joins the surviving group offsets back and
+    computes each row's exact cumulative as
+        cum_before(group) + running-sum WITHIN its score group,
+    a window PARTITIONED by n_tokens — parallel across groups, never
+    single-partition over the corpus. Output is bit-identical to the
+    single-window formulation (same (n_tokens DESC, doc_id) order),
+    so the DuckDB oracle is unchanged."""
+    budget = 20_000
     corpus = _dup_corpus(load(spark, sf_dir, "documents"))
     scored = corpus.select(
         "doc_id",
@@ -484,13 +576,34 @@ def training_data_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("doc_id") == F.col("keeper"))
         .drop("keeper")
     )
-    wb = (
-        Window.orderBy(F.desc("n_tokens"), "doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    # Phase 1: per-score totals; the only global window is over the
+    # distinct-score table (|distinct n_tokens| rows, not |corpus|)
+    wg = Window.orderBy(F.desc("n_tokens")).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    grp = (
+        deduped.groupBy("n_tokens")
+        .agg(F.sum("n_tokens").alias("grp_tokens"))
+        .withColumn(
+            "cum_before", F.coalesce(F.sum("grp_tokens").over(wg), F.lit(0))
+        )
+        # a group whose preceding cumulative already blew the budget
+        # can never contribute a row — prune before the per-row phase
+        .filter(F.col("cum_before") <= budget)
+        .select("n_tokens", "cum_before")
+    )
+    # Phase 2: exact per-row cumulative = group offset + within-group
+    # running sum; window partitioned by score → parallel
+    w_in = Window.partitionBy("n_tokens").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
     )
     return (
-        deduped.withColumn("cum_tokens", F.sum("n_tokens").over(wb).cast("long"))
-        .filter(F.col("cum_tokens") <= 20000)
+        deduped.join(F.broadcast(grp), "n_tokens")
+        .withColumn(
+            "cum_tokens",
+            (F.col("cum_before") + F.sum("n_tokens").over(w_in)).cast("long"),
+        )
+        .filter(F.col("cum_tokens") <= budget)
         .select("doc_id", "n_tokens", "cum_tokens")
     )
 

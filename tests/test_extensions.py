@@ -127,3 +127,39 @@ def test_jaccard_shingle_cap(spark, docs):
         corpus, threshold=0.5, n=3, max_shingle_freq=1
     ).count()
     assert capped == 0 and uncapped > 0
+
+
+def test_lsh_near_dup_pairs_recall(spark, emb):
+    from clickstreamtoclickhouse_spark.plans.ext import _perturbed_embeddings
+
+    corpus = _perturbed_embeddings(emb)
+    exact = similarity.cosine_near_dup_pairs(corpus, threshold=0.995)
+    approx = similarity.lsh_near_dup_pairs(
+        corpus, dim=64, threshold=0.995, bits=8, num_tables=8
+    )
+    e = {(r.id_a, r.id_b) for r in exact.collect()}
+    a = {(r.id_a, r.id_b) for r in approx.collect()}
+    # exact-cosine filter on candidates -> precision 1.0 by construction
+    assert a <= e
+    # near-identical vectors collide in >=1 of 8 tables w.h.p.
+    assert len(a & e) / len(e) >= 0.95
+
+
+def test_sparse_cosine_pairs_dim_cap(spark):
+    # two user-pairs: (1,2) similar only via the HOT dimension shared
+    # by everyone; (10,11) similar via a private dimension. Capping
+    # max_keys_per_dim prunes the hot dimension -> only the private
+    # pair survives; uncapped finds both.
+    rows = [(u, 99, 5) for u in (1, 2, 3, 4, 5)]  # hot dim 99
+    rows += [(10, 7, 3), (11, 7, 3)]  # private dim 7
+    series = spark.createDataFrame(rows, "uid int, day int, n int")
+    uncapped = similarity.sparse_cosine_pairs(
+        series, "uid", "day", "n", threshold=0.99
+    )
+    capped = similarity.sparse_cosine_pairs(
+        series, "uid", "day", "n", threshold=0.99, max_keys_per_dim=3
+    )
+    un = {(r.key_a, r.key_b) for r in uncapped.collect()}
+    cp = {(r.key_a, r.key_b) for r in capped.collect()}
+    assert (1, 2) in un and (10, 11) in un
+    assert cp == {(10, 11)}  # hot-dim pairs pruned, private pair kept

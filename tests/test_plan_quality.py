@@ -60,6 +60,29 @@ def test_latest_event_uses_window_group_limit(spark):
     assert "WindowGroupLimit" in txt
 
 
+def test_training_selection_no_global_corpus_window(spark):
+    # round-2 fix: the token-budget running sum must NOT be a global
+    # single-partition window over the deduped corpus. Any
+    # SinglePartition exchange may only feed the tiny distinct-score
+    # aggregate (its input carries grp_tokens), and the per-row
+    # cumulative window must be PARTITIONED by n_tokens.
+    import re
+
+    txt = plan_text(spark, "training_data_selection")
+    blocks = txt.split("\n\n")
+    single = [b for b in blocks if "Arguments: SinglePartition" in b]
+    assert single, "expected the distinct-score global window's exchange"
+    for b in single:
+        assert "grp_tokens" in b, (
+            "SinglePartition exchange over something other than the "
+            f"distinct-score aggregate:\n{b}"
+        )
+    # per-row cumulative window partitioned by score
+    assert re.search(r"\], \[n_tokens#\d+\], \[doc_id#\d+L? ASC", txt), (
+        "expected a Window partitioned by n_tokens ordered by doc_id"
+    )
+
+
 def test_events_scan_prunes_props(spark):
     # daily_events touches ts/event_type/user_id/value only; the wide
     # props string column must not be read
