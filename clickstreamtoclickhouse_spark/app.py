@@ -19,9 +19,11 @@ import sys
 
 from . import config as config_mod
 from .naming import decamelize
+from .operators import coerce, project
 from .pipeline import EventPipeline, IngestResult
 from .session import get_spark
 from .sinks.warehouse import Warehouse, get_warehouse
+from .tables import NON_NULL_COLUMNS, USERS_EXTRA_NON_NULL
 
 
 def _build_warehouses(spark, conf: config_mod.AppConf, default_root: str) -> list[Warehouse]:
@@ -31,6 +33,27 @@ def _build_warehouses(spark, conf: config_mod.AppConf, default_root: str) -> lis
     for w in conf.warehouses:
         out.append(get_warehouse(w.kind, spark=spark, **w.options))
     return out
+
+
+def store_table(wh: Warehouse, namespace: str, name: str, df) -> None:
+    """Full per-table write contract (send_to_warehouse.py:298-307 +
+    clickhouse.py:193-215): ensure the table exists and additively
+    evolve it to the batch's columns (S9/S10), reconcile batch values
+    against the table's ACTUAL schema — on conflict the table wins and
+    unfixable values are nulled + quarantined (C2-C5) — add any table
+    columns the batch lacks (P6), append, and append the misfit
+    side-output to the `misfits` table (S12)."""
+    non_null = NON_NULL_COLUMNS + (USERS_EXTRA_NON_NULL if name == "users" else ())
+    inferred = {f.name: f.dataType for f in df.schema.fields}
+    actual = wh.ensure_table_structure(
+        namespace, name, inferred, tuple(c for c in non_null if c in inferred)
+    )
+    clean, misfits = coerce.reconcile_types(df, actual, table_name=name)
+    clean = project.add_missing_columns(clean, actual)
+    wh.insert_df(namespace, name, clean)
+    if not misfits.isEmpty():
+        wh.create_table(namespace, "misfits", {}, ())
+        wh.insert_df(namespace, "misfits", misfits)
 
 
 def store_result(
@@ -46,7 +69,7 @@ def store_result(
         for name in names:
             df = tables.get(name)
             if df is not None and not df.isEmpty():
-                wh.insert_df(namespace, name, df)
+                store_table(wh, namespace, name, df)
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -97,6 +120,7 @@ def main(argv: list[str] | None = None) -> int:
                 f"warning: {result.corrupt.count()} unparseable lines quarantined",
                 file=sys.stderr,
             )
+        result.unpersist()
     for wh in warehouses:
         wh.close()
     return 0

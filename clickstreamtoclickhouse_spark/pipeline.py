@@ -51,9 +51,19 @@ class IngestResult:
     tables: dict[str, DataFrame]
     event_tables: dict[str, DataFrame] = field(default_factory=dict)
     corrupt: DataFrame | None = None
+    cached: list[DataFrame] = field(default_factory=list)
 
     def all_tables(self) -> dict[str, DataFrame]:
         return {**self.tables, **self.event_tables}
+
+    def unpersist(self) -> None:
+        """Release the batch's cached scans. Call after the sink has
+        consumed every table — in the streaming foreachBatch path each
+        micro-batch would otherwise leak a cached DataFrame and churn
+        executor storage memory on long-running streams."""
+        for df in self.cached:
+            df.unpersist()
+        self.cached = []
 
 
 class EventPipeline:
@@ -83,7 +93,10 @@ class EventPipeline:
         raw = readers.read_ndjson(
             self.spark, path, max_array_elements=self.max_array_elements
         )
-        return self._process(raw.events, corrupt=raw.corrupt)
+        result = self._process(raw.events, corrupt=raw.corrupt)
+        if raw.cached is not None:
+            result.cached.append(raw.cached)
+        return result
 
     def ingest_parquet(self, path: str) -> IngestResult:
         return self._process(readers.read_parquet_events(self.spark, path))
@@ -144,7 +157,9 @@ class EventPipeline:
                 table = f"esc_{name}" if name in DEFAULT_TABLES else name
                 event_tables[table] = project.filter_event(tracks_all, name)
 
-        return IngestResult(tables=tables, event_tables=event_tables, corrupt=corrupt)
+        return IngestResult(
+            tables=tables, event_tables=event_tables, corrupt=corrupt, cached=[df]
+        )
 
 
 __all__ = ["EventPipeline", "IngestResult", "EVENT_TYPE_TO_TABLE"]

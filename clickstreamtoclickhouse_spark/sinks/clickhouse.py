@@ -109,24 +109,29 @@ def ddl_create_users_table(
         "received_at", "timestamp", "message_id", "user_id", "ver",
     ),
 ) -> str:
-    """S7 (clickhouse.py:95-123): versioned upsert table."""
+    """S7 (clickhouse.py:95-123): versioned upsert table. NO partition
+    clause (matching the reference, clickhouse.py:112-118):
+    ReplacingMergeTree only collapses duplicates within a partition, so
+    partitioning users by day would keep one row per (user, day)
+    forever instead of latest-per-user."""
     cols = ", ".join(_col_ddl(n, t, non_null_columns) for n, t in column_types.items())
     return (
         f"CREATE TABLE IF NOT EXISTS `{schema}`.`users` ({cols}) "
-        "ENGINE = ReplacingMergeTree(ver) PARTITION BY toDate(timestamp) "
-        "ORDER BY (user_id)"
+        "ENGINE = ReplacingMergeTree(ver) ORDER BY (user_id)"
     )
 
 
 def ddl_create_misfits_table(schema: str) -> str:
-    """S8 (clickhouse.py:217-238)."""
+    """S8 (clickhouse.py:217-238). ReplacingMergeTree (matching the
+    reference, clickhouse.py:231) so re-ingested batches eventually
+    collapse duplicate misfit rows instead of accumulating them."""
     cols = ", ".join(
         _col_ddl(n, T.StringType(), ("message_id", "table_name", "column_name"))
         for n in MISFITS_STRUCTURE
     )
     return (
         f"CREATE TABLE IF NOT EXISTS `{schema}`.`misfits` ({cols}) "
-        "ENGINE = MergeTree() ORDER BY (message_id, table_name, column_name)"
+        "ENGINE = ReplacingMergeTree() ORDER BY (message_id, table_name, column_name)"
     )
 
 

@@ -35,10 +35,14 @@ CORRUPT_COL = "_corrupt_record"
 
 @dataclass
 class RawEvents:
-    """Parsed + flattened events and the quarantined unparseable lines."""
+    """Parsed + flattened events and the quarantined unparseable lines.
+    ``cached`` is the underlying cached scan (if any) so the pipeline
+    can unpersist it once the batch is fully written — a long-running
+    stream would otherwise leak one cached batch per micro-batch."""
 
     events: DataFrame
     corrupt: DataFrame
+    cached: DataFrame | None = None
 
 
 def read_ndjson(
@@ -61,11 +65,12 @@ def read_ndjson(
         reader = reader.schema(schema)
     raw = reader.json(path)
 
+    cached = None
     if CORRUPT_COL in raw.columns:
         # Spark disallows querying only the corrupt-record column from
         # a raw JSON scan; cache the parsed batch (it is about to be
         # consumed multiple times by the 6-way type split anyway)
-        raw = raw.cache()
+        raw = cached = raw.cache()
         corrupt = raw.filter(F.col(CORRUPT_COL).isNotNull()).select(CORRUPT_COL)
         parsed = raw.filter(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
     else:
@@ -74,6 +79,7 @@ def read_ndjson(
     return RawEvents(
         events=flatten(parsed, max_array_elements=max_array_elements),
         corrupt=corrupt,
+        cached=cached,
     )
 
 

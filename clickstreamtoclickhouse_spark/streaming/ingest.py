@@ -67,7 +67,13 @@ def stream_events(
         from ..sources.flatten import flatten
 
         flat = flatten(batch_df, max_array_elements=pipeline.max_array_elements)
-        sink(pipeline.ingest_df(flat), batch_id)
+        result = pipeline.ingest_df(flat)
+        try:
+            sink(result, batch_id)
+        finally:
+            # each micro-batch caches its flattened scan; release it or
+            # a long-running stream accumulates dead cached batches
+            result.unpersist()
 
     writer = stream.writeStream.foreachBatch(process_batch)
     if checkpoint_dir is not None:

@@ -91,9 +91,14 @@ def test_clickhouse_ddl_generation():
     usql = ch.ddl_create_users_table("app", {**cols, "user_id": T.StringType(), "ver": T.LongType()})
     assert "ReplacingMergeTree(ver)" in usql and "ORDER BY (user_id)" in usql
     assert "`ver` Int64" in usql  # non-null on users
+    # no partition clause on users (reference clickhouse.py:112-118):
+    # RMT dedups within a partition only — day-partitioning would keep
+    # one row per (user, day) and break latest-per-user upserts
+    assert "PARTITION BY" not in usql
 
     msql = ch.ddl_create_misfits_table("app")
     assert "ORDER BY (message_id, table_name, column_name)" in msql
+    assert "ReplacingMergeTree()" in msql  # re-ingest dedup contract
 
     asql = ch.ddl_add_column("app", "tracks", "traits_x", T.DoubleType())
     assert asql == (
@@ -169,3 +174,50 @@ def test_windowed_counts_streaming(spark, tmp_path):
     # and the schema is right
     out = spark.sql("SELECT * FROM win_counts")
     assert set(out.columns) == {"window_start", "window_end", "type", "n_events"}
+
+
+def test_store_table_reconciles_and_quarantines(spark, tmp_path):
+    # the real write path (app.store_table) must evolve the table,
+    # coerce the batch to the table's ACTUAL schema, and land
+    # unfixable values in the misfits table — the C2-C5 contract
+    # wired end-to-end, not just unit-level
+    from clickstreamtoclickhouse_spark.app import store_table
+
+    wh = ParquetWarehouse(spark, str(tmp_path / "lake"))
+    wh.connect()
+    df1 = spark.createDataFrame(
+        [("m1", "2026-01-01 00:00:00", 7)],
+        "message_id string, timestamp string, n long",
+    ).withColumn("timestamp", F.to_timestamp("timestamp"))
+    store_table(wh, "ns", "t", df1)
+
+    # second batch: n arrives as junk STRING -> table wins (long),
+    # junk nulled + quarantined, valid value cast
+    df2 = spark.createDataFrame(
+        [("m2", "2026-01-02 00:00:00", "abc"), ("m3", "2026-01-02 00:00:00", "42")],
+        "message_id string, timestamp string, n string",
+    ).withColumn("timestamp", F.to_timestamp("timestamp"))
+    store_table(wh, "ns", "t", df2)
+
+    back = wh.read_table("ns", "t")
+    vals = {r.message_id: r.n for r in back.collect()}
+    assert vals == {"m1": 7, "m2": None, "m3": 42}
+    mis = wh.read_table("ns", "misfits").collect()
+    assert len(mis) == 1
+    assert mis[0].message_id == "m2" and mis[0].column_name == "n"
+    assert mis[0].table_name == "t" and mis[0].column_value == "abc"
+
+
+def test_streaming_batches_unpersist(spark, tmp_path):
+    # foreachBatch must release each micro-batch's cached scans —
+    # a long-running stream otherwise leaks storage memory
+    res = EventPipeline(spark).ingest_df(
+        spark.createDataFrame(
+            [("track", "m1", "2026-01-01T00:00:00Z")],
+            "type string, message_id string, timestamp string",
+        )
+    )
+    assert res.cached, "batch pipeline should cache the split parent"
+    assert all(df.is_cached for df in res.cached)
+    res.unpersist()
+    assert not res.cached
