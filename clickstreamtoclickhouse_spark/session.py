@@ -42,6 +42,12 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
+        # saveAsTable target for bucketed tables (sinks.bucketed);
+        # keep it out of the repo working tree
+        .config(
+            "spark.sql.warehouse.dir",
+            os.environ.get("SPARK_GRAFT_WAREHOUSE", "/tmp/spark-graft-warehouse"),
+        )
         # modest heap: a huge (48g+) heap caused multi-second GC /
         # page-zeroing stalls in local mode with no throughput benefit
         # at bench scale; override via SPARK_DRIVER_MEM for bigger SFs

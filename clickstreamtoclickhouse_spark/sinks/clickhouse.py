@@ -149,7 +149,17 @@ def ddl_add_column(
 class ClickHouseWarehouse(Warehouse):
     """JDBC-backed ClickHouse sink. DDL runs driver-side over JDBC
     (Spark's JDBC source can't evolve schemas — SURVEY §4.2); inserts
-    run executor-side via df.write.jdbc."""
+    run executor-side via df.write.jdbc.
+
+    QUOTE / PROBE_SQL are dialect hooks: the connection management and
+    executor-parallel insert machinery is generic JDBC, so a subclass
+    overriding them (plus the CH-specific DDL methods) targets any
+    JDBC database — tests/test_sinks_streaming.py drives this class
+    end-to-end against embedded Derby that way (no ClickHouse server
+    exists in this environment)."""
+
+    QUOTE = "`"
+    PROBE_SQL = "SELECT 1"
 
     def __init__(
         self,
@@ -175,7 +185,11 @@ class ClickHouseWarehouse(Warehouse):
                 "(spark.jars=clickhouse-jdbc-*.jar); not available in "
                 "this environment — use the parquet warehouse instead"
             )
-        self._execute("SELECT 1")
+        self._execute(self.PROBE_SQL)
+
+    def _qualified(self, schema: str, table: str) -> str:
+        q = self.QUOTE
+        return f"{q}{schema}{q}.{q}{table}{q}"
 
     def close(self) -> None:
         if self._conn is not None:
@@ -243,7 +257,7 @@ class ClickHouseWarehouse(Warehouse):
         (
             out.write.format("jdbc")
             .option("url", self.jdbc_url)
-            .option("dbtable", f"`{schema}`.`{table}`")
+            .option("dbtable", self._qualified(schema, table))
             .option("user", self.user)
             .option("password", self.password)
             .option("driver", self.driver)

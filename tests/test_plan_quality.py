@@ -89,3 +89,84 @@ def test_events_scan_prunes_props(spark):
     txt = plan_text(spark, "daily_events")
     sch = next(l for l in txt.splitlines() if "ReadSchema" in l)
     assert "props" not in sch
+
+
+def test_bucketed_join_is_shuffle_free(spark):
+    # the storage-layout lever: two tables bucketed on the same key
+    # with the same bucket count must join with ZERO Exchange nodes
+    # (the shuffle was paid once at write time). sortBy also persists
+    # in-bucket order, so the merge join needs no Sort either.
+    import contextlib
+    import io
+
+    from clickstreamtoclickhouse_spark.plans import load
+    from clickstreamtoclickhouse_spark.sinks import bucketed
+
+    events = load(spark, SF_DIR, "events")
+    bucketed.write_bucketed(
+        events.select("user_id", "value"), "bkt_events",
+        ["user_id"], num_buckets=8, sort_cols=["user_id"],
+    )
+    bucketed.write_bucketed(
+        events.groupBy("user_id").count(), "bkt_users",
+        ["user_id"], num_buckets=8, sort_cols=["user_id"],
+    )
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = bucketed.read_bucketed(spark, "bkt_events").join(
+            bucketed.read_bucketed(spark, "bkt_users"), "user_id"
+        )
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            joined.explain("formatted")
+        txt = buf.getvalue()
+        assert "SortMergeJoin" in txt
+        assert "Exchange" not in txt, f"bucketed join still shuffles:\n{txt}"
+        assert joined.count() == events.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS bkt_events")
+        spark.sql("DROP TABLE IF EXISTS bkt_users")
+
+
+def test_aqe_splits_skewed_join_partitions(spark):
+    # the last unpinned 100x-scale behavior: a hot join key must not
+    # serialize into one straggler task — AQE's skew-join handling
+    # (enabled in session.get_spark) splits the oversized partition.
+    # Thresholds are lowered so the synthetic hot key (80% of rows)
+    # trips the same code path a hot day/user would at production SF.
+    from pyspark.sql import functions as F
+
+    saved = {
+        k: spark.conf.get(k)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64k"
+        )
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64k")
+        left = spark.range(0, 100_000).select(
+            (F.when(F.col("id") < 80_000, 0).otherwise(F.col("id") % 97 + 1)).alias("k"),
+            F.sha2(F.col("id").cast("string"), 256).alias("pad"),
+        )
+        right = spark.range(0, 98).select(F.col("id").alias("k"), F.lit("r").alias("rv"))
+        joined = left.join(right, "k")
+        assert len(joined.collect()) == 100_000
+        # collect() executes THIS dataset's plan, so its query
+        # execution now holds the final adaptive plan
+        txt = joined._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in txt
+        assert "SortMergeJoin(skew=true)" in txt, f"skew join not split:\n{txt[:2000]}"
+        assert "skewed" in txt  # AQEShuffleRead marks the split reader
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)

@@ -221,3 +221,43 @@ def test_streaming_batches_unpersist(spark, tmp_path):
     assert all(df.is_cached for df in res.cached)
     res.unpersist()
     assert not res.cached
+
+
+def test_jdbc_write_path_against_embedded_derby(spark, tmp_path):
+    # no ClickHouse server exists in this environment, but Derby
+    # (bundled with Spark for the Hive metastore) is an embeddable
+    # JDBC target: drive the REAL machinery end-to-end — driver-side
+    # DDL via java.sql.DriverManager, executor-parallel
+    # df.write.jdbc append, and the two-column introspection query
+    # path used by describe_table
+    class DerbyWarehouse(ch.ClickHouseWarehouse):
+        QUOTE = '"'
+        PROBE_SQL = "VALUES 1"
+
+    url = f"jdbc:derby:{tmp_path}/derbydb;create=true"
+    wh = DerbyWarehouse(
+        spark, jdbc_url=url, user="app", password="",
+        driver="org.apache.derby.iapi.jdbc.AutoloadedDriver",
+    )
+    wh.connect()  # S14 probe
+    wh._execute('CREATE TABLE "APP"."t" ("message_id" VARCHAR(64), "n" BIGINT)')
+    df = spark.createDataFrame(
+        [("m1", 1), ("m2", 2), ("m3", 3)], "message_id string, n long"
+    ).repartition(2)  # >1 partition -> executor-parallel insert
+    wh.insert_df("APP", "t", df)
+
+    back = (
+        spark.read.format("jdbc")
+        .option("url", url)
+        .option("dbtable", '"APP"."t"')
+        .load()
+    )
+    assert {(r.message_id, r.n) for r in back.collect()} == {
+        ("m1", 1), ("m2", 2), ("m3", 3)
+    }
+    pairs = wh._query_pairs(
+        'SELECT "message_id", TRIM(CAST("n" AS CHAR(20))) FROM "APP"."t" '
+        'ORDER BY "message_id"'
+    )
+    assert pairs == [("m1", "1"), ("m2", "2"), ("m3", "3")]
+    wh.close()
