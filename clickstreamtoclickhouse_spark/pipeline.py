@@ -78,6 +78,7 @@ class EventPipeline:
         extra_timestamps: dict[str, str] | None = None,
         max_array_elements: int | None = None,
         per_event_tables: bool = True,
+        max_event_tables: int = 1000,
     ) -> None:
         self.spark = spark
         # namespace decamelized like the reference (send_to_warehouse.py:97)
@@ -86,6 +87,7 @@ class EventPipeline:
         self.extra_timestamps = extra_timestamps or {}
         self.max_array_elements = max_array_elements
         self.per_event_tables = per_event_tables
+        self.max_event_tables = max_event_tables
 
     # -- entry points --------------------------------------------------
 
@@ -147,11 +149,30 @@ class EventPipeline:
             # NAMES (small); each per-event table is a filter over the
             # cached batch. The write path partitions by event instead
             # when sinking to one lakehouse table (sinks.parquet_sink).
-            names = [
-                r[0]
-                for r in tracks_all.select("event").distinct().orderBy("event").collect()
-                if r[0] is not None
-            ]
+            # Cardinality guard: the collect is bounded by
+            # max_event_tables + 1, so a pathological high-cardinality
+            # `event` column (ids leaking into names) can neither OOM
+            # the driver nor fan out unbounded tables — overflow names
+            # stay in the common `tracks` table and we warn.
+            cap = self.max_event_tables
+            rows = (
+                tracks_all.select("event")
+                .distinct()
+                .orderBy("event")
+                .limit(cap + 1)
+                .collect()
+            )
+            names = [r[0] for r in rows if r[0] is not None]
+            if len(names) > cap:
+                import warnings
+
+                warnings.warn(
+                    f"more than {cap} distinct event names; creating "
+                    f"per-event tables for the first {cap} only (rest "
+                    "remain queryable in `tracks`)",
+                    stacklevel=2,
+                )
+                names = names[:cap]
             for name in names:
                 # name-collision escape prefix (send_to_warehouse.py:219-223)
                 table = f"esc_{name}" if name in DEFAULT_TABLES else name

@@ -261,3 +261,54 @@ def test_jdbc_write_path_against_embedded_derby(spark, tmp_path):
     )
     assert pairs == [("m1", "1"), ("m2", "2"), ("m3", "3")]
     wh.close()
+
+
+def test_delta_warehouse_gated_without_jars(spark):
+    # delta-spark is absent in this environment: the sink must fail
+    # fast at connect() with setup guidance, not at first write
+    from clickstreamtoclickhouse_spark.sinks.lakehouse import DeltaWarehouse
+
+    wh = DeltaWarehouse(spark)
+    with pytest.raises(RuntimeError, match="delta-spark"):
+        wh.connect()
+
+
+def test_delta_warehouse_merge_upsert_roundtrip(spark, tmp_path):
+    # live MERGE path — runs only where delta-spark + jars exist
+    pytest.importorskip("delta")
+    from clickstreamtoclickhouse_spark.sinks.lakehouse import DeltaWarehouse
+
+    wh = DeltaWarehouse(spark)
+    wh.connect()
+    wh.create_schema("ns")
+    cols = {
+        "user_id": T.StringType(), "ver": T.LongType(),
+        "message_id": T.StringType(), "plan": T.StringType(),
+    }
+    wh.create_table("ns", "users", cols, ("user_id", "ver"))
+    first = spark.createDataFrame(
+        [("u1", 1, "m1", "free")], "user_id string, ver long, message_id string, plan string"
+    )
+    newer = spark.createDataFrame(
+        [("u1", 2, "m2", "pro"), ("u2", 1, "m3", "free")],
+        "user_id string, ver long, message_id string, plan string",
+    )
+    wh.upsert_users("ns", first)
+    wh.upsert_users("ns", newer)
+    rows = {r.user_id: (r.ver, r.plan) for r in spark.table("`ns`.`users`").collect()}
+    assert rows == {"u1": (2, "pro"), "u2": (1, "free")}
+
+
+def test_event_table_cardinality_guard(spark):
+    # a pathological high-cardinality `event` column must not OOM the
+    # driver or fan out unbounded tables: the distinct collect is
+    # LIMIT-bounded and overflow stays in the common tracks table
+    rows = [("track", f"m{i}", "2026-01-01T00:00:00Z", f"evt_{i % 4}") for i in range(40)]
+    df = spark.createDataFrame(
+        rows, "type string, message_id string, timestamp string, event string"
+    )
+    pipe = EventPipeline(spark, max_event_tables=2)
+    with pytest.warns(UserWarning, match="distinct event names"):
+        res = pipe.ingest_df(df)
+    assert len(res.event_tables) == 2
+    assert res.tables["tracks"].count() == 40  # nothing lost
