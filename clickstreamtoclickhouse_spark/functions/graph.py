@@ -1,0 +1,142 @@
+"""Graph operators for dedup pipelines: connected components over
+near-duplicate PAIR edges — the pairs -> clusters step every
+large-scale dedup pipeline needs after jaccard/minhash/simhash/LSH
+emit candidate pairs (no reference equivalent; SURVEY.md §2.11
+extension tier).
+
+Algorithm: alternating large-star / small-star (Kiveris et al.,
+"Connected Components in MapReduce and Beyond", ACM SoCC 2014 — a
+public algorithm). Each round is two shuffles (one window partition
+per star) and the edge set converges to stars rooted at each
+component's minimum node id in O(log n) rounds — unlike naive label
+propagation, whose round count is the graph DIAMETER (a 1M-node
+chain would need 1M rounds).
+
+Scale design (100 TB stance):
+- No crossJoin, no driver-side graph: each star op is a
+  window-min over the neighbor list partitioned by node — a single
+  hash shuffle on node id per star.
+- Iterative DataFrame loops grow lineage exponentially;
+  ``localCheckpoint(eager=True)`` truncates it every round so round
+  N's plan does not replay rounds 1..N-1. (On a real cluster with a
+  checkpoint dir configured, ``checkpoint()`` gives the same with
+  HDFS durability; localCheckpoint keeps this container-runnable.)
+- Convergence test is an aggregate signature (count + order-
+  insensitive hash-sum of edges) — two scalars to the driver per
+  round, never the edge set.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def _symmetrize(e: DataFrame) -> DataFrame:
+    """Both orientations of each edge, self-loops dropped."""
+    return (
+        e.filter(F.col("u") != F.col("v"))
+        .union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .distinct()
+    )
+
+
+def _large_star(e_sym: DataFrame) -> DataFrame:
+    """large-star(E): for each node u with neighborhood N(u), connect
+    every LARGER neighbor to m = min(N(u) ∪ {u}). Output edges are
+    oriented (bigger -> smaller)."""
+    w = Window.partitionBy("u")
+    return (
+        e_sym.withColumn("m", F.least(F.col("u"), F.min("v").over(w)))
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .distinct()
+    )
+
+
+def _small_star(e_down: DataFrame) -> DataFrame:
+    """small-star(E): input oriented (u -> v, v < u); for each u,
+    connect every neighbor (and u itself) to m = min(N(u) ∪ {u}).
+    Output stays oriented (bigger -> smaller)."""
+    w = Window.partitionBy("u")
+    n = e_down.withColumn("m", F.least(F.col("u"), F.min("v").over(w)))
+    nbrs = n.filter(F.col("v") != F.col("m")).select(
+        F.col("v").alias("u"), F.col("m").alias("v")
+    )
+    self_edge = (
+        n.select("u", "m")
+        .distinct()
+        .filter(F.col("u") != F.col("m"))
+        .select("u", F.col("m").alias("v"))
+    )
+    return nbrs.union(self_edge).distinct()
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 25,
+) -> DataFrame:
+    """(node, component) for every node appearing in `edges`, where
+    component = the minimum node id reachable from it (undirected).
+
+    Deterministic; raises RuntimeError if not converged within
+    `max_iter` alternation rounds (each round doubles star depth, so
+    25 covers graphs astronomically larger than any real corpus)."""
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    prev_sig = None
+    for _ in range(max_iter):
+        e = _small_star(_large_star(_symmetrize(e)))
+        e = e.localCheckpoint(eager=True)  # truncate iterative lineage
+        row = e.agg(
+            F.count("*").alias("n"),
+            # decimal(38,0) sum: a long sum of 64-bit hashes would
+            # overflow under ANSI mode
+            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("h"),
+        ).first()
+        sig = (row["n"], row["h"])
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    else:
+        raise RuntimeError(f"connected_components: no convergence in {max_iter} rounds")
+    # converged edge set is a star forest: u -> component root
+    return (
+        e.select(F.col("u").alias("node"), F.col("v").alias("component"))
+        .union(e.select(F.col("v").alias("node"), F.col("v").alias("component")))
+        .groupBy("node")
+        .agg(F.min("component").alias("component"))
+    )
+
+
+def cluster_assignments(
+    items: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    pair_a: str,
+    pair_b: str,
+    max_iter: int = 25,
+) -> DataFrame:
+    """Total clustering over `items`: connected components of the
+    pair graph, items with no pairs kept as singleton clusters
+    (component = own id). Output: (id_col, component, cluster_size)."""
+    comp = connected_components(pairs, pair_a, pair_b, max_iter=max_iter)
+    assigned = (
+        items.select(id_col)
+        .join(comp.withColumnRenamed("node", id_col), id_col, "left")
+        .withColumn("component", F.coalesce("component", F.col(id_col)))
+    )
+    sizes = assigned.groupBy("component").agg(F.count("*").alias("cluster_size"))
+    return assigned.join(sizes, "component").select(
+        id_col, "component", "cluster_size"
+    )

@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..functions import dedup_text, multimodal, similarity, text as tx
+from ..functions import dedup_text, graph, multimodal, similarity, text as tx
 from .registry import load, query
 
 EMB_DIM = 64
@@ -59,6 +59,42 @@ _SQL_NEAR_DUP_CORPUS = f"""
   UNION ALL
   SELECT doc_id + {_COPY_OFFSET} AS doc_id,
          substr(text, 1, CAST(floor(length(text) * 0.8) AS INT)) AS text
+  FROM documents
+"""
+
+
+def _chain_corpus(docs: DataFrame) -> DataFrame:
+    """documents ∪ 80%-truncated copies ∪ 64%-truncated copies: each
+    doc yields a CHAIN of three near-duplicates (the 64% copy is the
+    80% copy truncated again), so clustering must follow transitive
+    links, not just direct pairs."""
+    base = docs.select("doc_id", "text")
+    c1 = docs.select(
+        (F.col("doc_id") + _COPY_OFFSET).alias("doc_id"),
+        F.expr(
+            "substring(text, 1, cast(floor(length(text) * 0.8) as int))"
+        ).alias("text"),
+    )
+    c2 = docs.select(
+        (F.col("doc_id") + 2 * _COPY_OFFSET).alias("doc_id"),
+        F.expr(
+            "substring(text, 1, cast(floor("
+            "cast(floor(length(text) * 0.8) as int) * 0.8) as int))"
+        ).alias("text"),
+    )
+    return base.unionByName(c1).unionByName(c2)
+
+
+_SQL_CHAIN_CORPUS = f"""
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {_COPY_OFFSET} AS doc_id,
+         substr(text, 1, CAST(floor(length(text) * 0.8) AS INT)) AS text
+  FROM documents
+  UNION ALL
+  SELECT doc_id + {2 * _COPY_OFFSET} AS doc_id,
+         substr(text, 1, CAST(floor(
+           CAST(floor(length(text) * 0.8) AS INT) * 0.8) AS INT)) AS text
   FROM documents
 """
 
@@ -341,6 +377,74 @@ def jaccard_near_dups_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = _near_dup_corpus(load(spark, sf_dir, "documents"))
     return dedup_text.jaccard_pairs(
         corpus, threshold=0.5, n=3, max_shingle_freq=4
+    )
+
+
+@query(
+    "dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE corpus AS ({_SQL_CHAIN_CORPUS}),
+    normed AS (
+      SELECT doc_id, {_SQL_WORDS.format(t=_SQL_NORM.format(t='text'))} AS ws
+      FROM corpus
+    ),
+    shingled AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(
+               range(1, len(ws) - 1),
+               i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS shingle
+      FROM normed WHERE len(ws) >= 3
+    ),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM shingled GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+      FROM shingled a JOIN shingled b USING (shingle)
+      WHERE a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT doc_a, doc_b
+      FROM inter
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b
+      WHERE n_common * 1.0 / (sa.sz + sb.sz - n_common) >= 0.5
+    ),
+    edges AS (
+      SELECT doc_a AS u, doc_b AS v FROM pairs
+      UNION
+      SELECT doc_b AS u, doc_a AS v FROM pairs
+    ),
+    walk(node, comp) AS (
+      SELECT doc_id, doc_id FROM corpus
+      UNION
+      SELECT e.v, w.comp FROM walk w JOIN edges e ON e.u = w.node
+    ),
+    comp AS (
+      SELECT node AS doc_id, min(comp) AS component FROM walk GROUP BY node
+    )
+    SELECT doc_id, component,
+           count(*) OVER (PARTITION BY component) AS cluster_size
+    FROM comp
+    """,
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairs -> clusters: the step after any near-dup pair operator.
+    Jaccard pairs (threshold 0.5) over the CHAIN corpus feed
+    large-star/small-star connected components
+    (functions/graph.py); docs with no near-dups stay singleton
+    clusters. Each source doc's chain {orig, 80%, 64%} must land in
+    one cluster — including via the transitive orig↔64% link when its
+    direct similarity is borderline.
+
+    The DuckDB oracle computes the identical pair set, then
+    components via a recursive reachability CTE with min-comp
+    aggregation — a different algorithm arriving at the same fixed
+    point, which is exactly what makes this a strong cross-engine
+    check."""
+    corpus = _chain_corpus(load(spark, sf_dir, "documents"))
+    pairs = dedup_text.jaccard_pairs(corpus, threshold=0.5, n=3)
+    return graph.cluster_assignments(
+        corpus, pairs, id_col="doc_id", pair_a="doc_a", pair_b="doc_b"
     )
 
 

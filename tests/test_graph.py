@@ -1,0 +1,115 @@
+"""Connected components (functions/graph.py): correctness vs a
+reference union-find, convergence on adversarial shapes, and the
+dedup_clusters query contract."""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import functions as F
+
+from clickstreamtoclickhouse_spark.functions import graph
+from tests.conftest import SF_DIR
+
+
+def _union_find(nodes, edges):
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # canonical root = min node id in the component
+    comp = {}
+    for n in nodes:
+        comp.setdefault(find(n), []).append(n)
+    return {n: min(members) for root, members in comp.items() for n in members}
+
+
+def _cc_dict(spark, edges, max_iter=25):
+    df = spark.createDataFrame(edges, "src: long, dst: long")
+    out = graph.connected_components(df, max_iter=max_iter)
+    return {r["node"]: r["component"] for r in out.collect()}
+
+
+def test_cc_matches_union_find_random_graph(spark):
+    rng = random.Random(7)
+    nodes = list(range(200))
+    edges = [
+        (rng.randrange(200), rng.randrange(200)) for _ in range(150)
+    ]
+    edges = [(a, b) for a, b in edges if a != b]
+    expected = _union_find(set([n for e in edges for n in e]), edges)
+    got = _cc_dict(spark, edges)
+    assert got == expected
+
+
+def test_cc_long_chain_converges_in_log_rounds(spark):
+    # a 64-node path: naive label propagation needs 64 rounds; the
+    # star alternation must finish well within max_iter=10 (~log2 n)
+    edges = [(i, i + 1) for i in range(63)]
+    got = _cc_dict(spark, edges, max_iter=10)
+    assert set(got.values()) == {0}
+    assert len(got) == 64
+
+
+def test_cc_multiple_components_and_orientation(spark):
+    # mixed edge orientations and duplicate/self edges must not matter
+    edges = [(5, 1), (1, 5), (2, 2), (7, 8), (9, 8), (3, 4), (4, 6)]
+    got = _cc_dict(spark, edges)
+    assert got == {1: 1, 5: 1, 7: 7, 8: 7, 9: 7, 3: 3, 4: 3, 6: 3}
+
+
+def test_cluster_assignments_keeps_singletons(spark):
+    items = spark.createDataFrame([(i,) for i in range(6)], "doc_id: long")
+    pairs = spark.createDataFrame([(0, 1), (1, 2)], "doc_a: long, doc_b: long")
+    out = graph.cluster_assignments(
+        items, pairs, id_col="doc_id", pair_a="doc_a", pair_b="doc_b"
+    )
+    rows = {r["doc_id"]: (r["component"], r["cluster_size"]) for r in out.collect()}
+    assert rows == {
+        0: (0, 3),
+        1: (0, 3),
+        2: (0, 3),
+        3: (3, 1),
+        4: (4, 1),
+        5: (5, 1),
+    }
+
+
+def test_dedup_clusters_matches_pair_graph(spark):
+    from clickstreamtoclickhouse_spark.functions import dedup_text
+    from clickstreamtoclickhouse_spark.plans.ext import _chain_corpus, dedup_clusters
+    from clickstreamtoclickhouse_spark.plans.registry import load
+
+    out = dedup_clusters(spark, SF_DIR).cache()
+    # every document appears exactly once
+    n_docs = out.count()
+    assert n_docs == 1500 == out.select("doc_id").distinct().count()
+    # the clustering must be EXACTLY the connected components of the
+    # pair graph: compare against a driver-side union-find over the
+    # same pairs (small at test SF)
+    corpus = _chain_corpus(load(spark, SF_DIR, "documents"))
+    pairs = [
+        (r["doc_a"], r["doc_b"])
+        for r in dedup_text.jaccard_pairs(corpus, threshold=0.5, n=3).collect()
+    ]
+    nodes = [r["doc_id"] for r in out.select("doc_id").collect()]
+    expected = _union_find(set(nodes), pairs)
+    got = {r["doc_id"]: r["component"] for r in out.collect()}
+    assert got == expected
+    # most chains {d, d+1M, d+2M} merge into one cluster (the odd
+    # ultra-short doc may legitimately fail to shingle)
+    trip = (
+        out.withColumn("base", F.col("doc_id") % 1_000_000)
+        .groupBy("base")
+        .agg(F.countDistinct("component").alias("n_comp"))
+    )
+    assert trip.filter(F.col("n_comp") > 1).count() <= 5
+    out.unpersist()
