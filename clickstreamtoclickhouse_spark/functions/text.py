@@ -101,6 +101,55 @@ def quality_score(text: Column) -> Column:
     return F.round(0.4 * len_term + 0.3 * wlen_term + 0.3 * punct_term, 4)
 
 
+def _ngrams(ws: Column, n: int) -> Column:
+    """Non-distinct word n-grams (space-joined); < n words -> empty.
+    Pure projection (sequence + element_at), same shape as the
+    dedup shingle builder but keeping multiplicity — repetition
+    metrics need occurrence counts, not sets."""
+    idx = F.sequence(F.lit(1), F.size(ws) - (n - 1))
+    grams = F.transform(
+        idx,
+        lambda i: F.concat_ws(" ", *[F.element_at(ws, i + j) for j in range(n)]),
+    )
+    return F.when(F.size(ws) >= n, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def mean_word_len(text: Column) -> Column:
+    """Average word length = non-whitespace chars / word count
+    (words are maximal non-space runs, so the two are equivalent —
+    and this form needs no per-word fold)."""
+    n = token_count_ws(text)
+    chars = F.length(F.regexp_replace(text, r"\s+", ""))
+    return F.when(n == 0, F.lit(0.0)).otherwise(chars.cast("double") / n)
+
+
+def top_ngram_frac(text: Column, n: int = 2) -> Column:
+    """Fraction of n-gram occurrences taken by the single most
+    frequent n-gram (Rae et al., Gopher repetition filter — public).
+    Per-doc O(distinct² ) via filter-count over the gram array: fine
+    for document-sized inputs, and entirely JVM-side."""
+    g = _ngrams(words(F.lower(text)), n)
+    cnt = F.size(g)
+    top = F.array_max(
+        F.transform(
+            F.array_distinct(g), lambda b: F.size(F.filter(g, lambda x: x == b))
+        )
+    )
+    return F.when(cnt == 0, F.lit(0.0)).otherwise(top.cast("double") / cnt)
+
+
+def dup_ngram_frac(text: Column, n: int = 3) -> Column:
+    """Fraction of n-gram occurrences that are repeats
+    (1 - distinct/total): the duplicate-n-gram Gopher signal."""
+    g = _ngrams(words(F.lower(text)), n)
+    cnt = F.size(g)
+    return F.when(cnt == 0, F.lit(0.0)).otherwise(
+        (cnt - F.size(F.array_distinct(g))).cast("double") / cnt
+    )
+
+
 def normalized_text(text: Column) -> Column:
     """Canonical form for fingerprinting: lower, strip non-alnum to
     spaces, collapse whitespace, trim."""
@@ -166,4 +215,18 @@ def sql_lang_score(t: str, lang: str) -> str:
     return (
         f"len(list_intersect(list_distinct({SQL_WORDS.format(t=f'lower({t})')}), "
         f"{sql_stopword_list(lang)}))"
+    )
+
+
+def sql_ngrams(ws: str, n: int) -> str:
+    """DuckDB twin of _ngrams over an already-built word array `ws`.
+    range(a, b) is exclusive of b, so the index set matches Spark's
+    inclusive sequence(1, size - (n-1))."""
+    joined = " || ' ' || ".join(
+        f"{ws}[i]" if j == 0 else f"{ws}[i+{j}]" for j in range(n)
+    )
+    return (
+        f"CASE WHEN len({ws}) >= {n} "
+        f"THEN list_transform(range(1, len({ws}) - {n - 2}), i -> {joined}) "
+        f"ELSE CAST([] AS VARCHAR[]) END"
     )

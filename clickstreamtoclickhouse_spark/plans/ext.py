@@ -271,6 +271,131 @@ def doc_rolling_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "gopher_quality_filters",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, text,
+             CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+                  ELSE {tx.SQL_WORDS.format(t='lower(text)')} END AS ws
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id, text, ws,
+             {tx.sql_ngrams('ws', 2)} AS bg,
+             {tx.sql_ngrams('ws', 3)} AS tg
+      FROM t
+    ),
+    m AS (
+      SELECT doc_id,
+             len(ws) AS n_words,
+             CASE WHEN len(ws) = 0 THEN 0.0
+                  ELSE length(regexp_replace(text, '\\s+', '', 'g')) * 1.0 / len(ws)
+             END AS mwl,
+             CASE WHEN len(bg) = 0 THEN 0.0
+                  ELSE list_max(list_transform(list_distinct(bg),
+                         b -> len(list_filter(bg, x -> x = b)))) * 1.0 / len(bg)
+             END AS tbf,
+             CASE WHEN len(tg) = 0 THEN 0.0
+                  ELSE (len(tg) - len(list_distinct(tg))) * 1.0 / len(tg)
+             END AS dtf,
+             len(list_intersect(list_distinct(ws),
+                                {tx.sql_stopword_list('en')})) AS n_stop
+      FROM g
+    )
+    SELECT doc_id, n_words,
+           round(mwl, 4) AS mean_word_len,
+           round(tbf, 6) AS top_bigram_frac,
+           round(dtf, 6) AS dup_trigram_frac,
+           n_stop AS n_stopword_types,
+           CAST(CASE WHEN n_words BETWEEN 10 AND 100000
+                      AND mwl BETWEEN 3 AND 10
+                      AND tbf <= 0.20 AND dtf <= 0.30 AND n_stop >= 2
+                     THEN 1 ELSE 0 END AS INT) AS passes_quality
+    FROM m
+    """,
+)
+def gopher_quality_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/C4-style repetition + shape quality filters (Rae et al.
+    2021 'Scaling Language Models' App. A; Raffel et al. 2020 C4 —
+    public heuristics), as pure Column expressions: word count,
+    mean word length, top-bigram occupancy, duplicate-trigram
+    fraction, stopword-type count, and the composite pass flag. All
+    JVM-side higher-order functions — per-row arrays never shuffle,
+    the plan is scan -> project, so it scales embarrassingly."""
+    d = load(spark, sf_dir, "documents")
+    n_words = tx.token_count_ws(F.col("text"))
+    mwl = tx.mean_word_len(F.col("text"))
+    tbf = tx.top_ngram_frac(F.col("text"), 2)
+    dtf = tx.dup_ngram_frac(F.col("text"), 3)
+    n_stop = tx.lang_score(F.col("text"), "en")
+    passes = (
+        n_words.between(10, 100000)
+        & mwl.between(3, 10)
+        & (tbf <= 0.20)
+        & (dtf <= 0.30)
+        & (n_stop >= 2)
+    )
+    return d.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        F.round(mwl, 4).alias("mean_word_len"),
+        F.round(tbf, 6).alias("top_bigram_frac"),
+        F.round(dtf, 6).alias("dup_trigram_frac"),
+        n_stop.alias("n_stopword_types"),
+        F.when(passes, 1).otherwise(0).cast("int").alias("passes_quality"),
+    )
+
+
+@query(
+    "unigram_lm_quality",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({tx.SQL_WORDS.format(t='lower(text)')}) AS w
+      FROM documents WHERE length(trim(text)) > 0
+    ),
+    cnt AS (SELECT w, count(*) AS c FROM toks GROUP BY w),
+    tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM cnt),
+    lp AS (SELECT w, ln(c * 1.0 / n) AS logp FROM cnt, tot)
+    SELECT doc_id,
+           count(*) AS n_tokens,
+           round(avg(logp), 6) AS avg_logprob
+    FROM toks JOIN lp USING (w)
+    GROUP BY doc_id
+    """,
+)
+def unigram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-proxy quality score: average unigram log-probability
+    per document, with probabilities estimated from the corpus itself
+    (the KenLM-score step of public pipelines like CCNet, Wenzek et
+    al. 2020, reduced to a self-trained unigram model).
+
+    Scale design: two shuffles total. Pass 1 builds the unigram table
+    (token explode -> map-side-combinable groupBy word; vocabulary,
+    not corpus, cardinality). The corpus total folds in via a 1-row
+    broadcast. Pass 2 joins tokens to the BROADCAST vocab table —
+    no shuffle of the token stream — and averages per doc (second
+    shuffle, keyed on doc_id). At 100 TB the vocab table is MBs;
+    broadcasting it is the whole trick."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(tx.words(F.lower(F.col("text")))).alias("w")
+    )
+    cnt = toks.groupBy("w").agg(F.count("*").alias("c"))
+    tot = cnt.agg(F.sum("c").cast("long").alias("n"))
+    lp = cnt.crossJoin(F.broadcast(tot)).select(
+        "w", F.log(F.col("c") * 1.0 / F.col("n")).alias("logp")
+    )
+    return (
+        toks.join(F.broadcast(lp), "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(F.avg("logp"), 6).alias("avg_logprob"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Dedup family
 # ---------------------------------------------------------------------------

@@ -163,3 +163,40 @@ def test_sparse_cosine_pairs_dim_cap(spark):
     cp = {(r.key_a, r.key_b) for r in capped.collect()}
     assert (1, 2) in un and (10, 11) in un
     assert cp == {(10, 11)}  # hot-dim pairs pruned, private pair kept
+
+
+def test_repetition_metrics_edge_cases(spark):
+    from clickstreamtoclickhouse_spark.functions import text as tx
+
+    rows = [
+        (1, "the cat sat on the mat"),          # no repeated bigram
+        (2, "go go go go"),                     # one bigram repeated
+        (3, ""),                                # empty
+        (4, "word"),                            # single word: no grams
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    out = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id",
+            F.round(tx.top_ngram_frac(F.col("text"), 2), 6).alias("tbf"),
+            F.round(tx.dup_ngram_frac(F.col("text"), 2), 6).alias("dbf"),
+            F.round(tx.mean_word_len(F.col("text")), 4).alias("mwl"),
+        ).collect()
+    }
+    # "the cat","cat sat","sat on","on the","the mat": top freq 1/5
+    assert out[1]["tbf"] == 0.2 and out[1]["dbf"] == 0.0
+    # "go go" x3 -> top 3/3, dup (3-1)/3
+    assert out[2]["tbf"] == 1.0 and out[2]["dbf"] == round(2 / 3, 6)
+    assert out[3]["tbf"] == 0.0 and out[3]["dbf"] == 0.0 and out[3]["mwl"] == 0.0
+    assert out[4]["tbf"] == 0.0 and out[4]["mwl"] == 4.0
+
+
+def test_unigram_lm_quality_ranks_rare_docs_lower(spark):
+    # a doc made of corpus-rare words must score lower avg logprob
+    # than one made of the corpus's most common words
+    from clickstreamtoclickhouse_spark.plans.ext import unigram_lm_quality
+
+    out = unigram_lm_quality(spark, SF_DIR)
+    assert out.count() == 500
+    assert out.filter(F.col("avg_logprob") >= 0).count() == 0  # probs < 1
