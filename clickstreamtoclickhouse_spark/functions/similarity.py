@@ -217,21 +217,35 @@ def lsh_signatures(
     1-(1-p^bits)^num_tables for per-plane agreement p.
 
     Hyperplanes are a seeded numpy draw embedded as plan literals
-    (tiny: num_tables × bits × dim floats, folded by codegen)."""
+    (tiny: num_tables × bits × dim floats, folded by codegen).
+
+    The whole signature is ONE F.expr string parsed JVM-side: building
+    it from per-literal Column objects (num_tables × bits × dim
+    F.lit calls) costs seconds of py4j round trips at plan-build time
+    — driver overhead that would dwarf execution on every query."""
     planes = _hyperplanes(dim, bits * num_tables, seed)
-    table_cols = []
+
+    def plane_gt0(plane) -> str:
+        arr = ",".join(repr(float(x)) + "D" for x in plane)
+        return (
+            f"aggregate(zip_with(__v, array({arr}), (x, y) -> x * y), "
+            f"0.0D, (acc, v) -> acc + v) > 0"
+        )
+
+    tables = []
     for t in range(num_tables):
-        sig = F.lit(0).cast("long")
-        for i in range(bits):
-            h = F.array(*[F.lit(float(x)) for x in planes[t * bits + i]])
-            bit = (dot(F.col(vec_col), h) > 0).cast("long")
-            sig = sig.bitwiseOR(F.shiftleft(bit, i))
-        table_cols.append(F.struct(F.lit(t).alias("tbl"), sig.alias("bucket")))
-    return embeddings.select(
-        F.col(id_col),
-        F.col(vec_col),
-        F.explode(F.array(*table_cols)).alias("tb"),
-    ).select(id_col, vec_col, "tb.tbl", "tb.bucket")
+        terms = " + ".join(
+            f"(CASE WHEN {plane_gt0(planes[t * bits + i])} "
+            f"THEN CAST({1 << i} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+            for i in range(bits)
+        )
+        tables.append(f"named_struct('tbl', {t}, 'bucket', ({terms}))")
+    tb = f"explode(array({', '.join(tables)}))"
+    return (
+        embeddings.withColumn("__v", F.col(vec_col).cast("array<double>"))
+        .select(F.col(id_col), F.col(vec_col), F.expr(tb).alias("tb"))
+        .select(id_col, vec_col, "tb.tbl", "tb.bucket")
+    )
 
 
 def lsh_near_dup_pairs(

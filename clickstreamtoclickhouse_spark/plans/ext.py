@@ -745,6 +745,56 @@ def user_activity_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "user_activity_similarity_capped",
+    oracle="""
+    WITH series AS (
+      SELECT user_id, CAST(strftime(ts, '%d') AS INT) AS day, count(*) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    freq AS (SELECT day, count(*) AS df FROM series GROUP BY day),
+    capped AS (
+      SELECT s.* FROM series s JOIN freq USING (day) WHERE df <= 134
+    ),
+    norms AS (
+      SELECT user_id, sqrt(sum(n * n)) AS nrm FROM series GROUP BY user_id
+    ),
+    dots AS (
+      SELECT a.user_id AS user_a, b.user_id AS user_b,
+             CAST(sum(a.n * b.n) AS BIGINT) AS dp
+      FROM capped a JOIN capped b ON a.day = b.day AND a.user_id < b.user_id
+      GROUP BY 1, 2
+    )
+    SELECT user_a, user_b,
+           round(dp / (na.nrm * nb.nrm), 6) AS sim
+    FROM dots
+    JOIN norms na ON na.user_id = user_a
+    JOIN norms nb ON nb.user_id = user_b
+    WHERE dp / (na.nrm * nb.nrm) >= 0.4
+    """,
+)
+def user_activity_similarity_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """user_activity_similarity with the hot-dimension guard ACTIVE:
+    max_keys_per_dim=134 drops days on which more than 134 users were
+    active BEFORE the day self-join (at scale a spike day is a
+    quadratic hot key). Norms stay exact, so capping only
+    under-estimates similarity — the threshold is lowered to 0.4 to
+    keep the surviving pair set non-trivial. The oracle applies the
+    identical cap, making the guard itself correctness-checked (same
+    pattern as jaccard_near_dups_capped)."""
+    e = load(spark, sf_dir, "events")
+    series = e.groupBy(
+        "user_id", F.dayofmonth("ts").cast("int").alias("day")
+    ).agg(F.count("*").alias("n"))
+    return similarity.sparse_cosine_pairs(
+        series, "user_id", "day", "n", threshold=0.4, max_keys_per_dim=134
+    ).select(
+        F.col("key_a").alias("user_a"),
+        F.col("key_b").alias("user_b"),
+        "sim",
+    )
+
+
+@query(
     "training_data_selection",
     oracle=f"""
     WITH corpus AS ({_SQL_DUP_CORPUS}),

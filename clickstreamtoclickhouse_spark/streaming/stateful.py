@@ -57,6 +57,61 @@ def session_aggregation(
     )
 
 
+def stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "timestamp",
+    interval: str = "30 minutes",
+    left_watermark: str = "1 hour",
+    right_watermark: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream INNER join on key within a time interval
+    (right event lands in [left_ts, left_ts + interval]) — e.g.
+    attribute each purchase to the click that preceded it. Both sides
+    carry watermarks and the join condition bounds event-time range,
+    so Spark can evict join state: without both, stream-stream join
+    state grows forever. Output: (key, left_ts, right_ts,
+    lag_seconds)."""
+    l = left.select(
+        F.col(key_col).alias("k"), F.col(ts_col).alias("left_ts")
+    ).withWatermark("left_ts", left_watermark)
+    r = right.select(
+        F.col(key_col).alias("k2"), F.col(ts_col).alias("right_ts")
+    ).withWatermark("right_ts", right_watermark)
+    cond = (
+        (F.col("k") == F.col("k2"))
+        & (F.col("right_ts") >= F.col("left_ts"))
+        & (F.col("right_ts") <= F.col("left_ts") + F.expr(f"INTERVAL {interval}"))
+    )
+    return (
+        l.join(r, cond, "inner")
+        .select(
+            F.col("k").alias(key_col),
+            "left_ts",
+            "right_ts",
+            (
+                F.unix_timestamp("right_ts") - F.unix_timestamp("left_ts")
+            ).alias("lag_seconds"),
+        )
+    )
+
+
+def enrich_with_dimension(
+    events: DataFrame,
+    dim: DataFrame,
+    key_col: str,
+    how: str = "left",
+) -> DataFrame:
+    """Stream-static dimension enrichment: join the unbounded stream
+    to a bounded dimension table. The static side is broadcast — each
+    micro-batch maps over executors with no shuffle of the stream, the
+    same plan shape a 1000-executor deployment wants (the dimension is
+    re-resolved per micro-batch, so slowly-changing dims pick up
+    updates on file sources)."""
+    return events.join(F.broadcast(dim), key_col, how)
+
+
 _COUNTER_OUT = T.StructType(
     [
         T.StructField("user_id", T.LongType()),

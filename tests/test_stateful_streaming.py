@@ -74,3 +74,59 @@ def test_running_user_counts(spark, landing, tmp_path):
     rows = out.collect()
     assert len(rows) > 0
     assert all(r["n_events_total"] == r["batch_events"] for r in rows)  # 1st batch
+
+
+@pytest.fixture()
+def two_streams(tmp_path):
+    import json as _json
+
+    clicks = tmp_path / "clicks"
+    purchases = tmp_path / "purchases"
+    clicks.mkdir(); purchases.mkdir()
+    click_rows = [
+        {"user": 1, "timestamp": "2026-01-01T10:00:00"},
+        {"user": 2, "timestamp": "2026-01-01T10:05:00"},
+        {"user": 3, "timestamp": "2026-01-01T10:10:00"},
+    ]
+    purchase_rows = [
+        {"user": 1, "timestamp": "2026-01-01T10:20:00"},  # within 30m of click
+        {"user": 2, "timestamp": "2026-01-01T11:30:00"},  # too late
+        {"user": 9, "timestamp": "2026-01-01T10:06:00"},  # no matching click
+    ]
+    with open(clicks / "a.json", "w") as f:
+        for r in click_rows:
+            f.write(_json.dumps(r) + "\n")
+    with open(purchases / "a.json", "w") as f:
+        for r in purchase_rows:
+            f.write(_json.dumps(r) + "\n")
+    return clicks, purchases
+
+
+def test_stream_interval_join(spark, two_streams, tmp_path):
+    clicks_dir, purchases_dir = two_streams
+    schema = "user long, timestamp string"
+    mk = lambda d: (
+        spark.readStream.schema(schema).json(str(d))
+        .withColumn("timestamp", F.to_timestamp("timestamp"))
+    )
+    joined = stateful.stream_interval_join(
+        mk(clicks_dir), mk(purchases_dir), key_col="user", interval="30 minutes"
+    )
+    out = _run(spark, joined, "sj_out", tmp_path)
+    rows = {(r["user"], r["lag_seconds"]) for r in out.collect()}
+    # only user 1's purchase falls inside the click+30m window
+    assert rows == {(1, 1200)}
+
+
+def test_enrich_with_dimension_is_broadcast(spark, landing, tmp_path):
+    dim = spark.createDataFrame(
+        [("u-1", "gold"), ("u-2", "silver")], "userId string, tier string"
+    )
+    enriched = stateful.enrich_with_dimension(
+        _stream(spark, landing), dim, key_col="userId"
+    )
+    out = _run(spark, enriched, "enrich_out", tmp_path)
+    got = {r["userId"]: r["tier"] for r in out.select("userId", "tier").collect()}
+    assert got.get("u-1") == "gold"
+    # the left join keeps every stream row, matched or not
+    assert out.count() == len(FIXTURE_LINES)
