@@ -355,7 +355,8 @@ def gopher_quality_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents WHERE length(trim(text)) > 0
     ),
     cnt AS (SELECT w, count(*) AS c FROM toks GROUP BY w),
-    tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM cnt),
+    tot AS (SELECT CAST(sum({tx.sql_token_count_ws('text')}) AS BIGINT) AS n
+            FROM documents),
     lp AS (SELECT w, ln(c * 1.0 / n) AS logp FROM cnt, tot)
     SELECT doc_id,
            count(*) AS n_tokens,
@@ -382,7 +383,9 @@ def unigram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.explode(tx.words(F.lower(F.col("text")))).alias("w")
     )
     cnt = toks.groupBy("w").agg(F.count("*").alias("c"))
-    tot = cnt.agg(F.sum("c").cast("long").alias("n"))
+    # corpus total = sum of per-doc token counts: a scan-level
+    # aggregate (no second explode+groupBy pass over the token stream)
+    tot = d.agg(F.sum(tx.token_count_ws(F.col("text"))).cast("long").alias("n"))
     lp = cnt.crossJoin(F.broadcast(tot)).select(
         "w", F.log(F.col("c") * 1.0 / F.col("n")).alias("logp")
     )
@@ -394,6 +397,130 @@ def unigram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("logp"), 6).alias("avg_logprob"),
         )
     )
+
+
+_RE_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_RE_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+
+@query(
+    "pii_scan",
+    oracle=f"""
+    WITH corpus AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 5 = 0
+                    THEN text || ' reach user' || doc_id || '@example.com now'
+                  WHEN doc_id % 7 = 0
+                    THEN text || ' from host 10.0.' || (doc_id % 256) || '.1 today'
+                  ELSE text END AS text
+      FROM documents
+    )
+    SELECT doc_id,
+           len(regexp_extract_all(text, '{_RE_EMAIL}')) AS n_emails,
+           len(regexp_extract_all(text, '{_RE_IPV4}')) AS n_ips,
+           CAST(CASE WHEN len(regexp_extract_all(text, '{_RE_EMAIL}')) > 0
+                       OR len(regexp_extract_all(text, '{_RE_IPV4}')) > 0
+                     THEN 1 ELSE 0 END AS INT) AS has_pii,
+           md5(regexp_replace(regexp_replace(text,
+                 '{_RE_EMAIL}', '<EMAIL>', 'g'),
+                 '{_RE_IPV4}', '<IP>', 'g')) AS redacted_md5
+    FROM corpus
+    """,
+)
+def pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction (standard pre-training scrub step):
+    regex counts for emails and IPv4 literals plus the md5 of the
+    redacted text, as pure Column expressions. The corpus plants
+    deterministic PII into a subset of docs (mirrored in the oracle)
+    so the detectors are exercised, not vacuously zero. Regexes are
+    restricted to the Java∩RE2 common syntax so Spark and DuckDB
+    match byte-for-byte; the redacted hash proves the replacement
+    text itself agrees cross-engine."""
+    d = load(spark, sf_dir, "documents")
+    planted = F.when(
+        F.col("doc_id") % 5 == 0,
+        F.concat(
+            F.col("text"),
+            F.lit(" reach user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com now"),
+        ),
+    ).when(
+        F.col("doc_id") % 7 == 0,
+        F.concat(
+            F.col("text"),
+            F.lit(" from host 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".1 today"),
+        ),
+    ).otherwise(F.col("text"))
+    c = d.select("doc_id", planted.alias("text"))
+    n_emails = F.size(F.regexp_extract_all("text", F.lit(_RE_EMAIL), F.lit(0)))
+    n_ips = F.size(F.regexp_extract_all("text", F.lit(_RE_IPV4), F.lit(0)))
+    redacted = F.regexp_replace(
+        F.regexp_replace("text", _RE_EMAIL, "<EMAIL>"), _RE_IPV4, "<IP>"
+    )
+    return c.select(
+        "doc_id",
+        n_emails.alias("n_emails"),
+        n_ips.alias("n_ips"),
+        F.when((n_emails > 0) | (n_ips > 0), 1).otherwise(0).cast("int").alias("has_pii"),
+        F.md5(redacted).alias("redacted_md5"),
+    )
+
+
+_MIX_RATES = {"en": "8", "de": "4", "fr": "c"}  # hex-bucket keep thresholds
+_MIX_DEFAULT_RATE = "2"
+_MIX_WEIGHTS = {"web": 1, "wiki": 3, "code": 2}  # upsample factors by source
+
+
+@query(
+    "training_mixture",
+    oracle=f"""
+    WITH kept AS (
+      SELECT doc_id, lang, source
+      FROM documents
+      WHERE substr(md5(text), 1, 1) <
+            CASE lang {' '.join(f"WHEN '{k}' THEN '{v}'" for k, v in _MIX_RATES.items())}
+                 ELSE '{_MIX_DEFAULT_RATE}' END
+    ),
+    weighted AS (
+      SELECT doc_id, lang, source,
+             CASE source {' '.join(f"WHEN '{k}' THEN {v}" for k, v in _MIX_WEIGHTS.items())}
+                  ELSE 1 END AS w
+      FROM kept
+    )
+    SELECT doc_id, lang, source,
+           CAST(unnest(generate_series(1, w)) AS INT) AS rep
+    FROM weighted
+    """,
+)
+def training_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic data mixing (the sampling step of a training-data
+    pipeline): downsample each language stratum by a CONTENT-HASH
+    bucket (keep docs whose md5 first hex digit falls under the
+    stratum's rate — reproducible across runs/engines, no RNG state),
+    then upsample by per-source repeat factors via explode(sequence).
+
+    Scale notes: the filter is a pure predicate on a scan (no
+    shuffle, no sort — unlike rand()-based sampling with a seed,
+    which changes under repartitioning); the upsample explodes rows
+    map-side. Both stages stream. This hash-bucket technique is the
+    standard way to make sampling idempotent for incremental reruns."""
+    d = load(spark, sf_dir, "documents")
+    rate = F.lit(_MIX_DEFAULT_RATE)
+    for k, v in reversed(_MIX_RATES.items()):
+        rate = F.when(F.col("lang") == k, F.lit(v)).otherwise(rate)
+    kept = d.filter(F.substring(F.md5("text"), 1, 1) < rate)
+    w = F.lit(1)
+    for k, v in reversed(_MIX_WEIGHTS.items()):
+        w = F.when(F.col("source") == k, F.lit(v)).otherwise(w)
+    return kept.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.explode(F.sequence(F.lit(1), w)).alias("rep"),
+    ).withColumn("rep", F.col("rep").cast("int"))
 
 
 # ---------------------------------------------------------------------------

@@ -170,3 +170,35 @@ def test_aqe_splits_skewed_join_partitions(spark):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_gopher_filters_are_pure_projection(spark):
+    # repetition metrics are per-row higher-order functions: the plan
+    # must be scan -> project with ZERO shuffles and a pruned scan
+    txt = plan_text(spark, "gopher_quality_filters")
+    assert count_exchanges(txt) == 0
+    assert "doc_id" in txt and "text" in txt
+    assert "n_chars" not in txt.split("ReadSchema")[-1]  # unused cols pruned
+
+
+def test_unigram_lm_broadcasts_vocab(spark):
+    # the token stream must NOT shuffle for the vocab join: the
+    # unigram table broadcasts (corpus-sized side stays map-only)
+    txt = plan_text(spark, "unigram_lm_quality")
+    assert "BroadcastHashJoin" in txt
+    # shuffles: vocab groupBy + final per-doc agg (+AQE may add none)
+    assert count_exchanges(txt) <= 3
+
+
+def test_dedup_clusters_no_cartesian(spark):
+    # pairs come from the shingle equi-join; clustering from star
+    # window ops — nothing in the pipeline may fall back to a
+    # cartesian or broadcast-nested-loop join
+    df = plans.QUERIES["dedup_clusters"](spark, SF_DIR)
+    import contextlib, io
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    txt = buf.getvalue()
+    assert "CartesianProduct" not in txt
+    assert "BroadcastNestedLoopJoin" not in txt
