@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .text import normalized_text, words
+from .text import _ngrams, normalized_text, words
 
 
 # ---------------------------------------------------------------------------
@@ -56,25 +56,14 @@ def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
 def _doc_shingles(docs: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
     """(id, shingle) pairs; n=1 -> distinct words, n>1 -> word n-grams.
 
-    Shingle construction is a PURE PROJECTION (transform over an index
-    sequence + element_at) — no posexplode+window round trip, so the
-    only exchanges in a dedup pipeline are the ones the shingle
-    equi-join itself needs. Guard: sequence(1, 0) in Spark counts
-    DOWN, so short docs get an explicit empty array."""
+    Shingle construction is a PURE PROJECTION (slice + zip_with via
+    ``text._ngrams``) — no posexplode+window round trip, so the only
+    exchanges in a dedup pipeline are the ones the shingle equi-join
+    itself needs; and no per-element re-evaluation of the word split
+    (higher-order lambdas are interpreted without CSE, so indexing an
+    outer expression inside one costs a regex split per element)."""
     ws_col = words(normalized_text(F.col(text_col)))
-    if n == 1:
-        shingles = F.array_distinct(ws_col)
-    else:
-        idx = F.sequence(F.lit(1), F.size(ws_col) - (n - 1))
-        grams = F.transform(
-            idx,
-            lambda i: F.concat_ws(
-                " ", *[F.element_at(ws_col, i + j) for j in range(n)]
-            ),
-        )
-        shingles = F.when(F.size(ws_col) >= n, F.array_distinct(grams)).otherwise(
-            F.array().cast("array<string>")
-        )
+    shingles = F.array_distinct(_ngrams(ws_col, n))
     return docs.select(
         F.col(id_col).alias("did"), F.explode(shingles).alias("shingle")
     )

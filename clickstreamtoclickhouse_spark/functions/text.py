@@ -103,17 +103,64 @@ def quality_score(text: Column) -> Column:
 
 def _ngrams(ws: Column, n: int) -> Column:
     """Non-distinct word n-grams (space-joined); < n words -> empty.
-    Pure projection (sequence + element_at), same shape as the
-    dedup shingle builder but keeping multiplicity — repetition
-    metrics need occurrence counts, not sets."""
-    idx = F.sequence(F.lit(1), F.size(ws) - (n - 1))
-    grams = F.transform(
-        idx,
-        lambda i: F.concat_ws(" ", *[F.element_at(ws, i + j) for j in range(n)]),
-    )
+
+    Built by zipping n shifted slices of the word array — NOT by
+    indexing `ws` inside a transform lambda. Higher-order functions
+    run on the INTERPRETED expression path (no codegen, no
+    common-subexpression elimination), so an outer expression
+    referenced inside a lambda is re-evaluated on every lambda call:
+    `element_at(ws, i)` per gram turns one regex split per row into
+    O(n_words) splits per row. The slice/zip form evaluates `ws`
+    a constant number of times per row."""
+    if n == 1:
+        return ws
+    length = F.size(ws) - (n - 1)
+    parts = [F.slice(ws, j + 1, length) for j in range(n)]
+    grams = parts[0]
+    for p in parts[1:]:
+        grams = F.zip_with(grams, p, lambda a, b: F.concat_ws(" ", a, b))
     return F.when(F.size(ws) >= n, grams).otherwise(
         F.array().cast("array<string>")
     )
+
+
+def _gram_stats(g: Column) -> Column:
+    """struct(maxrun, ndist) over a gram array in ONE pass: sort, then
+    fold with run-length state. Replaces the quadratic
+    distinct×filter-count formulation, which on the interpreted HOF
+    path also re-evaluates the gram array once per distinct gram."""
+    zero = F.lit(0).cast("long")
+
+    def step(acc: Column, w: Column) -> Column:
+        is_new = acc["prev"].isNull() | (acc["prev"] != w)
+        run = F.when(is_new, F.lit(1).cast("long")).otherwise(acc["run"] + 1)
+        return F.struct(
+            w.alias("prev"),
+            run.alias("run"),
+            F.greatest(acc["maxrun"], run).alias("maxrun"),
+            (acc["ndist"] + F.when(is_new, 1).otherwise(0)).cast("long").alias("ndist"),
+        )
+
+    init = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        zero.alias("run"),
+        zero.alias("maxrun"),
+        zero.alias("ndist"),
+    )
+    return F.aggregate(
+        F.array_sort(g),
+        init,
+        step,
+        lambda acc: F.struct(acc["maxrun"].alias("maxrun"), acc["ndist"].alias("ndist")),
+    )
+
+
+def _let(col: Column, fn) -> Column:
+    """Bind `col` to a lambda variable so `fn`'s body can reference it
+    many times with ONE evaluation. The interpreted HOF path has no
+    common-subexpression elimination — without the binding, every
+    reference to a subexpression re-evaluates it per row."""
+    return F.element_at(F.transform(F.array(col), fn), 1)
 
 
 def mean_word_len(text: Column) -> Column:
@@ -125,18 +172,64 @@ def mean_word_len(text: Column) -> Column:
     return F.when(n == 0, F.lit(0.0)).otherwise(chars.cast("double") / n)
 
 
+def gopher_stats(text: Column, top_n: int = 2, dup_n: int = 3) -> Column:
+    """All Gopher/C4 repetition+shape metrics as ONE struct computed
+    in a single evaluation chain: the word array, bigram array, and
+    trigram array are each let-bound, so per row there is exactly one
+    regex split and one build of each gram array, however many
+    metrics reference them. Select with
+    ``F.inline(F.array(gopher_stats(...)))`` so the struct itself is
+    also evaluated once (per-field extraction would re-run it)."""
+
+    def with_ws(ws: Column) -> Column:
+        def with_bg(bg: Column) -> Column:
+            def with_tg(tg: Column) -> Column:
+                n_words = F.size(ws)
+                cb, ct = F.size(bg), F.size(tg)
+                st = _gram_stats(bg)
+                tbf = F.when(cb == 0, F.lit(0.0)).otherwise(
+                    st["maxrun"].cast("double") / cb
+                )
+                dtf = F.when(ct == 0, F.lit(0.0)).otherwise(
+                    (ct - F.size(F.array_distinct(tg))).cast("double") / ct
+                )
+                chars = F.length(F.regexp_replace(text, r"\s+", ""))
+                mwl = F.when(n_words == 0, F.lit(0.0)).otherwise(
+                    chars.cast("double") / n_words
+                )
+                sw = F.array(*[F.lit(w) for w in STOPWORDS["en"]])
+                n_stop = F.size(F.array_intersect(ws, sw))
+                passes = (
+                    n_words.between(10, 100000)
+                    & mwl.between(3, 10)
+                    & (tbf <= 0.20)
+                    & (dtf <= 0.30)
+                    & (n_stop >= 2)
+                )
+                return F.struct(
+                    n_words.alias("n_words"),
+                    F.round(mwl, 4).alias("mean_word_len"),
+                    F.round(tbf, 6).alias("top_bigram_frac"),
+                    F.round(dtf, 6).alias("dup_trigram_frac"),
+                    n_stop.alias("n_stopword_types"),
+                    F.when(passes, 1).otherwise(0).cast("int").alias("passes_quality"),
+                )
+
+            return _let(_ngrams(ws, dup_n), with_tg)
+
+        return _let(_ngrams(ws, top_n), with_bg)
+
+    return _let(words(F.lower(text)), with_ws)
+
+
 def top_ngram_frac(text: Column, n: int = 2) -> Column:
     """Fraction of n-gram occurrences taken by the single most
     frequent n-gram (Rae et al., Gopher repetition filter — public).
-    Per-doc O(distinct² ) via filter-count over the gram array: fine
-    for document-sized inputs, and entirely JVM-side."""
+    Max frequency = longest equal-run in the sorted gram array:
+    O(n log n) per row, single evaluation of the gram array."""
     g = _ngrams(words(F.lower(text)), n)
     cnt = F.size(g)
-    top = F.array_max(
-        F.transform(
-            F.array_distinct(g), lambda b: F.size(F.filter(g, lambda x: x == b))
-        )
-    )
+    top = _gram_stats(g)["maxrun"]
     return F.when(cnt == 0, F.lit(0.0)).otherwise(top.cast("double") / cnt)
 
 

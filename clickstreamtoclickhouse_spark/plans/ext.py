@@ -324,26 +324,12 @@ def gopher_quality_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
     JVM-side higher-order functions — per-row arrays never shuffle,
     the plan is scan -> project, so it scales embarrassingly."""
     d = load(spark, sf_dir, "documents")
-    n_words = tx.token_count_ws(F.col("text"))
-    mwl = tx.mean_word_len(F.col("text"))
-    tbf = tx.top_ngram_frac(F.col("text"), 2)
-    dtf = tx.dup_ngram_frac(F.col("text"), 3)
-    n_stop = tx.lang_score(F.col("text"), "en")
-    passes = (
-        n_words.between(10, 100000)
-        & mwl.between(3, 10)
-        & (tbf <= 0.20)
-        & (dtf <= 0.30)
-        & (n_stop >= 2)
-    )
+    # inline(array(struct)) materializes every metric from ONE
+    # evaluation per row; selecting struct fields individually would
+    # re-run the whole metric chain once per output column (the
+    # interpreted HOF path has no subexpression elimination)
     return d.select(
-        "doc_id",
-        n_words.alias("n_words"),
-        F.round(mwl, 4).alias("mean_word_len"),
-        F.round(tbf, 6).alias("top_bigram_frac"),
-        F.round(dtf, 6).alias("dup_trigram_frac"),
-        n_stop.alias("n_stopword_types"),
-        F.when(passes, 1).otherwise(0).cast("int").alias("passes_quality"),
+        "doc_id", F.inline(F.array(tx.gopher_stats(F.col("text"))))
     )
 
 

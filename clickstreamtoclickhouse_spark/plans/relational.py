@@ -126,6 +126,26 @@ def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("sketch_rollup_users")  # rows-only: sketch bytes not portable
+def sketch_rollup_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch rollup (Datasketches HLL, built into Spark 4):
+    build ONE sketch per (event_type, day) — the granularity a
+    pre-aggregated rollup table would persist — then union the daily
+    sketches per event_type and estimate. This is the pattern that
+    makes 100 TB distinct-count dashboards incremental: the raw scan
+    happens once per day partition, re-aggregation touches only
+    kilobyte sketches, and unions are associative so any rollup level
+    (day->month->all) reuses the same stored state. Accuracy vs exact
+    distinct is pinned in test_extensions."""
+    e = load(spark, sf_dir, "events")
+    daily = e.groupBy("event_type", F.to_date("ts").alias("d")).agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    return daily.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_users")
+    )
+
+
 _EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
 
 

@@ -200,3 +200,24 @@ def test_unigram_lm_quality_ranks_rare_docs_lower(spark):
     out = unigram_lm_quality(spark, SF_DIR)
     assert out.count() == 500
     assert out.filter(F.col("avg_logprob") >= 0).count() == 0  # probs < 1
+
+
+def test_sketch_rollup_matches_exact_within_tolerance(spark):
+    # daily-sketch union must estimate within HLL error bounds of the
+    # exact per-type distinct (lgConfigK default 12 -> ~1.6% rse)
+    from clickstreamtoclickhouse_spark.plans.relational import sketch_rollup_users
+
+    approx = {
+        r["event_type"]: r["approx_users"]
+        for r in sketch_rollup_users(spark, SF_DIR).collect()
+    }
+    e = plans.load(spark, SF_DIR, "events")
+    exact = {
+        r["event_type"]: r["n"]
+        for r in e.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for t, n in exact.items():
+        assert abs(approx[t] - n) <= max(2, 0.05 * n), (t, approx[t], n)

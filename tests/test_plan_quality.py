@@ -174,7 +174,10 @@ def test_aqe_splits_skewed_join_partitions(spark):
 
 def test_gopher_filters_are_pure_projection(spark):
     # repetition metrics are per-row higher-order functions: the plan
-    # must be scan -> project with ZERO shuffles and a pruned scan
+    # must be scan -> project with ZERO shuffles and a pruned scan.
+    # (Other test modules cache the full documents table; Catalyst
+    # would substitute that InMemoryRelation and mask the pruning.)
+    spark.catalog.clearCache()
     txt = plan_text(spark, "gopher_quality_filters")
     assert count_exchanges(txt) == 0
     assert "doc_id" in txt and "text" in txt
