@@ -49,6 +49,42 @@ def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
     return docs.join(keepers, id_col, "left_semi")
 
 
+def incremental_exact_dedup(
+    batch: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    corpus_hash_col: str | None = None,
+) -> DataFrame:
+    """Dedup an INCOMING batch against an existing corpus and itself:
+    drop batch docs whose content hash already exists in the corpus
+    (anti-join), then keep min-id per hash within the batch. Returns
+    (id_col, content_hash) of survivors.
+
+    This is the continuous-ingestion shape: at scale the corpus side
+    is a persisted HASH INDEX (md5 column only — never re-hash or
+    re-shuffle the corpus text; bucketed storage on the hash makes the
+    anti-join shuffle-free), and each arriving batch touches
+    O(|batch|) rows regardless of corpus size. Pass `corpus_hash_col`
+    when `corpus` is already such an index."""
+    hashed = batch.select(
+        F.col(id_col), F.md5(F.col(text_col)).alias("content_hash")
+    )
+    if corpus_hash_col is None:
+        index = corpus.select(F.md5(F.col(text_col)).alias("content_hash"))
+    else:
+        index = corpus.select(F.col(corpus_hash_col).alias("content_hash"))
+    fresh = hashed.join(index, "content_hash", "left_anti")
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("content_hash")
+    return (
+        fresh.withColumn("keeper", F.min(id_col).over(w))
+        .filter(F.col(id_col) == F.col("keeper"))
+        .select(id_col, "content_hash")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Word/shingle Jaccard (relational — fully SQL-expressible)
 # ---------------------------------------------------------------------------

@@ -686,6 +686,58 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "incremental_dedup_docs",
+    oracle=f"""
+    WITH corpus AS (SELECT md5(text) AS h FROM documents),
+    batch AS (
+      SELECT doc_id + {_COPY_OFFSET} AS doc_id, text
+      FROM documents WHERE doc_id % 3 = 0
+      UNION ALL
+      SELECT doc_id + {2 * _COPY_OFFSET} AS doc_id,
+             text || ' fresh addition' AS text
+      FROM documents
+      UNION ALL
+      SELECT doc_id + {3 * _COPY_OFFSET} AS doc_id,
+             text || ' fresh addition' AS text
+      FROM documents WHERE doc_id % 4 = 0
+    ),
+    hashed AS (SELECT doc_id, md5(text) AS content_hash FROM batch),
+    fresh AS (
+      SELECT h.* FROM hashed h
+      WHERE NOT EXISTS (SELECT 1 FROM corpus c WHERE c.h = h.content_hash)
+    )
+    SELECT doc_id, content_hash
+    FROM fresh
+    QUALIFY doc_id = min(doc_id) OVER (PARTITION BY content_hash)
+    """,
+)
+def incremental_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-ingestion dedup: an incoming batch (one third exact
+    re-sends of corpus docs, plus fresh docs, a quarter of which are
+    duplicated inside the batch) deduped against the corpus hash index
+    and itself. Re-sent docs must vanish via the anti-join; in-batch
+    duplicates keep the min id; fresh singletons survive."""
+    docs = load(spark, sf_dir, "documents")
+    batch = (
+        docs.filter(F.col("doc_id") % 3 == 0)
+        .select((F.col("doc_id") + _COPY_OFFSET).alias("doc_id"), "text")
+        .unionByName(
+            docs.select(
+                (F.col("doc_id") + 2 * _COPY_OFFSET).alias("doc_id"),
+                F.concat(F.col("text"), F.lit(" fresh addition")).alias("text"),
+            )
+        )
+        .unionByName(
+            docs.filter(F.col("doc_id") % 4 == 0).select(
+                (F.col("doc_id") + 3 * _COPY_OFFSET).alias("doc_id"),
+                F.concat(F.col("text"), F.lit(" fresh addition")).alias("text"),
+            )
+        )
+    )
+    return dedup_text.incremental_exact_dedup(batch, docs)
+
+
 @query("minhash_near_dups")  # rows-only: LSH internals not portable
 def minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH approximate near-dup pairs (seeded, deterministic)."""

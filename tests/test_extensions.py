@@ -221,3 +221,13 @@ def test_sketch_rollup_matches_exact_within_tolerance(spark):
     assert set(approx) == set(exact)
     for t, n in exact.items():
         assert abs(approx[t] - n) <= max(2, 0.05 * n), (t, approx[t], n)
+
+
+def test_incremental_dedup_semantics(spark):
+    from clickstreamtoclickhouse_spark.plans.ext import incremental_dedup_docs
+
+    out = incremental_dedup_docs(spark, SF_DIR)
+    ids = sorted(r["doc_id"] for r in out.collect())
+    # corpus re-sends (1M range) all dropped; every fresh doc survives
+    # once via its min-id copy (2M range); 3M in-batch dups collapsed
+    assert ids == [2_000_000 + d for d in range(500)]
