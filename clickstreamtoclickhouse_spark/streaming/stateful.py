@@ -112,6 +112,66 @@ def enrich_with_dimension(
     return events.join(F.broadcast(dim), key_col, how)
 
 
+def streaming_corpus_dedup(
+    docs_stream: DataFrame,
+    index_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Continuous corpus construction with exact dedup: each
+    micro-batch of documents is deduped against the PERSISTED corpus
+    hash index (parquet at `index_dir`), survivors are appended to
+    `out_dir` and their hashes appended to the index — so later
+    batches (and re-delivered files) never re-admit a duplicate.
+
+    This is `dedup_text.incremental_exact_dedup` composed with
+    foreachBatch: the index read is per-batch (picks up earlier
+    batches' appends), the anti-join shuffles only (hash, id), and
+    the corpus text is written once and never reshuffled. At scale
+    the index is a bucketed table on content_hash, making the
+    anti-join co-located; at-least-once file delivery upgrades to
+    exactly-once corpus membership because re-sent content hits its
+    own hash in the index."""
+    from ..functions.dedup_text import incremental_exact_dedup
+
+    spark = docs_stream.sparkSession
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df = batch_df.cache()
+        try:
+            try:
+                index = spark.read.parquet(index_dir)
+                have_index = True
+            except Exception:  # first batch: no index yet
+                index = None
+                have_index = False
+            if have_index:
+                fresh = incremental_exact_dedup(
+                    batch_df, index, id_col, text_col, corpus_hash_col="content_hash"
+                )
+            else:  # first batch: empty corpus -> in-batch dedup only
+                fresh = incremental_exact_dedup(
+                    batch_df, batch_df.limit(0), id_col, text_col
+                )
+            fresh = fresh.cache()
+            (
+                batch_df.join(fresh.select(id_col), id_col, "left_semi")
+                .write.mode("append").parquet(out_dir)
+            )
+            fresh.select("content_hash").write.mode("append").parquet(index_dir)
+            fresh.unpersist()
+        finally:
+            batch_df.unpersist()
+
+    return (
+        docs_stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+
+
 _COUNTER_OUT = T.StructType(
     [
         T.StructField("user_id", T.LongType()),

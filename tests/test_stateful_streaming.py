@@ -130,3 +130,49 @@ def test_enrich_with_dimension_is_broadcast(spark, landing, tmp_path):
     assert got.get("u-1") == "gold"
     # the left join keeps every stream row, matched or not
     assert out.count() == len(FIXTURE_LINES)
+
+
+def test_streaming_corpus_dedup(spark, tmp_path):
+    import json as _json
+
+    landing = tmp_path / "docs"
+    landing.mkdir()
+    index_dir = str(tmp_path / "index")
+    out_dir = str(tmp_path / "corpus")
+    ckpt = str(tmp_path / "ckpt_corpus")
+
+    def write_file(name, rows):
+        with open(landing / name, "w") as f:
+            for r in rows:
+                f.write(_json.dumps(r) + "\n")
+
+    # batch 1: one in-batch duplicate pair (1,2)
+    write_file("b1.json", [
+        {"doc_id": 1, "text": "alpha beta gamma"},
+        {"doc_id": 2, "text": "alpha beta gamma"},
+        {"doc_id": 3, "text": "delta epsilon"},
+    ])
+    schema = "doc_id long, text string"
+    stream = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", 1
+    ).json(str(landing))
+    q = stateful.streaming_corpus_dedup(stream, index_dir, out_dir, ckpt)
+    try:
+        q.processAllAvailable()
+        # batch 2: re-sends of both batch-1 texts + one new doc
+        write_file("b2.json", [
+            {"doc_id": 10, "text": "alpha beta gamma"},
+            {"doc_id": 11, "text": "delta epsilon"},
+            {"doc_id": 12, "text": "zeta eta"},
+        ])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    corpus = spark.read.parquet(out_dir)
+    ids = sorted(r["doc_id"] for r in corpus.collect())
+    # batch1 keeps min-id of the dup pair + the singleton; batch2
+    # admits only the genuinely new doc
+    assert ids == [1, 3, 12]
+    index = spark.read.parquet(index_dir)
+    assert index.count() == 3 == index.distinct().count()
