@@ -108,6 +108,13 @@ def connected_components(
         if sig == prev_sig:
             break
         prev_sig = sig
+        # edge counts shrink toward star forests; size the next
+        # round's parallelism to the data (the signature gives n for
+        # free) — tens of near-empty shuffle tasks per round otherwise
+        # dominate small/late iterations. Big graphs keep full width.
+        target = max(1, min(int(row["n"] // 500_000) + 1, 200))
+        if target < e.rdd.getNumPartitions():
+            e = e.coalesce(target)
     else:
         raise RuntimeError(f"connected_components: no convergence in {max_iter} rounds")
     # converged edge set is a star forest: u -> component root

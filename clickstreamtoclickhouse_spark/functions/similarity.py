@@ -195,6 +195,39 @@ def sparse_cosine_pairs(
     )
 
 
+def quantize_int8(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Symmetric int8 scalar quantization: per-vector scale =
+    127 / max|x|, q_i = round(x_i * scale) — the standard 4× memory
+    cut for ANN candidate storage (re-rank on full precision). Pure
+    higher-order functions; the vector and the scale are let-bound so
+    each is evaluated once per row (the interpreted HOF path has no
+    CSE — an unbound `scale` inside the transform would recompute the
+    array max per element). Output: (id, scale, q array<int>)."""
+    from .text import _let as let
+
+    dvec = F.col(vec_col).cast("array<double>")
+
+    def with_v(v):
+        amax = F.array_max(F.transform(v, lambda x: F.abs(x)))
+        scale_expr = F.when(amax == F.lit(0.0), F.lit(0.0)).otherwise(
+            F.lit(127.0) / amax
+        )
+
+        def with_scale(s):
+            q = F.transform(v, lambda x: F.round(x * s, 0).cast("int"))
+            return F.struct(F.round(s, 6).alias("scale"), q.alias("q"))
+
+        return let(scale_expr, with_scale)
+
+    return embeddings.select(
+        F.col(id_col), F.inline(F.array(let(dvec, with_v)))
+    )
+
+
 def _hyperplanes(dim: int, bits: int, seed: int) -> np.ndarray:
     rng = np.random.default_rng(seed)
     return rng.standard_normal((bits, dim))

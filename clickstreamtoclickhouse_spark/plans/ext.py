@@ -840,6 +840,47 @@ def embedding_norm_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "embedding_quantized",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id,
+             embedding::DOUBLE[] AS v,
+             list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) AS amax
+      FROM embeddings
+    ),
+    s AS (
+      SELECT vec_id, v,
+             CASE WHEN amax = 0.0 THEN 0.0 ELSE 127.0 / amax END AS scale
+      FROM q
+    )
+    SELECT vec_id,
+           round(scale, 6) AS scale,
+           CAST(list_sum(list_transform(v, x -> CAST(round(x * scale, 0) AS INT)))
+                AS BIGINT) AS q_sum,
+           list_min(list_transform(v, x -> CAST(round(x * scale, 0) AS INT))) AS q_min,
+           list_max(list_transform(v, x -> CAST(round(x * scale, 0) AS INT))) AS q_max
+    FROM s
+    """,
+)
+def embedding_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 scalar quantization of the embedding column
+    (similarity.quantize_int8): per-vector scale and the quantized
+    array's sum/min/max — the summary stats make the full int8 array
+    value-checkable against DuckDB without hashing arrays."""
+    emb = load(spark, sf_dir, "embeddings")
+    q = similarity.quantize_int8(emb)
+    return q.select(
+        "vec_id",
+        "scale",
+        F.aggregate(
+            "q", F.lit(0).cast("long"), lambda acc, x: acc + x
+        ).alias("q_sum"),
+        F.array_min("q").alias("q_min"),
+        F.array_max("q").alias("q_max"),
+    )
+
+
 @query("embedding_ivf_topk")  # rows-only: kmeans quantizer not in SQL
 def embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-partitioned approximate top-k (k-means coarse quantizer,

@@ -231,3 +231,20 @@ def test_incremental_dedup_semantics(spark):
     # corpus re-sends (1M range) all dropped; every fresh doc survives
     # once via its min-id copy (2M range); 3M in-batch dups collapsed
     assert ids == [2_000_000 + d for d in range(500)]
+
+
+def test_quantization_error_within_half_step(spark, emb):
+    # |x - q/scale| <= 0.5/scale for every element (round-to-nearest)
+    q = similarity.quantize_int8(emb)
+    joined = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v")).join(
+        q.filter(F.col("scale") > 0), "vec_id"
+    )
+    max_err_vs_bound = joined.select(
+        (
+            F.array_max(
+                F.zip_with("v", "q", lambda x, qv: F.abs(x - qv / F.col("scale")))
+            )
+            * F.col("scale")
+        ).alias("scaled_err")
+    ).agg(F.max("scaled_err")).first()[0]
+    assert max_err_vs_bound <= 0.5000001

@@ -177,3 +177,42 @@ def test_misfits_never_lose_rows(spark):
     assert clean.count() == 200
     n_null = clean.filter(F.col("v").isNull()).count()
     assert misfits.count() == n_null  # every nulled value is reported
+
+
+# --- gram repetition metrics vs a pure-Python reference ---
+
+_word = st.text(alphabet="abc", min_size=1, max_size=3)
+_doc = st.lists(_word, min_size=0, max_size=12).map(" ".join)
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.lists(_doc, min_size=1, max_size=8))
+def test_gram_metrics_match_python_reference(spark, docs):
+    from collections import Counter
+
+    from clickstreamtoclickhouse_spark.functions import text as tx
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(i, d) for i, d in enumerate(docs)], "doc_id int, text string"
+    )
+    got = {
+        r["doc_id"]: (r["tbf"], r["dbf"])
+        for r in df.select(
+            "doc_id",
+            F.round(tx.top_ngram_frac(F.col("text"), 2), 6).alias("tbf"),
+            F.round(tx.dup_ngram_frac(F.col("text"), 2), 6).alias("dbf"),
+        ).collect()
+    }
+    for i, d in enumerate(docs):
+        ws = d.lower().split()
+        grams = [f"{a} {b}" for a, b in zip(ws, ws[1:])]
+        if not grams:
+            exp = (0.0, 0.0)
+        else:
+            c = Counter(grams)
+            exp = (
+                round(max(c.values()) / len(grams), 6),
+                round((len(grams) - len(c)) / len(grams), 6),
+            )
+        assert got[i] == exp, (d, got[i], exp)
