@@ -519,6 +519,88 @@ def time_bucket_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "time_gap_fill",
+    oracle="""
+    WITH e AS (SELECT * FROM events WHERE ts < TIMESTAMP '2024-01-03'),
+    b AS (
+      SELECT event_type, date_trunc('hour', ts) AS bucket,
+             count(*) AS n, sum(value) AS av
+      FROM e GROUP BY 1, 2
+    ),
+    bounds AS (
+      SELECT min(date_trunc('hour', ts)) AS mn,
+             max(date_trunc('hour', ts)) AS mx
+      FROM e
+    ),
+    types AS (SELECT DISTINCT event_type FROM e),
+    spine AS (
+      SELECT event_type,
+             unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS bucket
+      FROM types, bounds
+    ),
+    j AS (
+      SELECT s.event_type, s.bucket,
+             CAST(coalesce(b.n, 0) AS BIGINT) AS n_events, b.av
+      FROM spine s LEFT JOIN b USING (event_type, bucket)
+    )
+    SELECT event_type,
+           strftime(bucket, '%Y-%m-%d %H:%M:%S') AS bucket,
+           n_events,
+           round(coalesce(
+             last_value(av IGNORE NULLS) OVER (
+               PARTITION BY event_type ORDER BY bucket
+               ROWS UNBOUNDED PRECEDING), 0.0), 2) AS sum_value_ffill
+    FROM j
+    """,
+)
+def time_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable resample: gap-fill + forward-fill. A dense
+    (event_type × hour) spine is generated from the observed bounds
+    (1-row aggregate broadcast + sequence explode — the spine is
+    never shuffled at data scale), observed buckets left-join onto
+    it, missing counts become 0, and the forward-fill is
+    last(ignorenulls) over a per-type time window — the standard
+    TimescaleDB locf/gapfill semantics expressed as DataFrame ops.
+    The carried metric is the hourly SUM: the testdata values are
+    cent-quantized, so sums stay off the half-cent rounding ties
+    where Spark's shortest-decimal HALF_UP and DuckDB's
+    binary-value rounding of an avg legitimately disagree."""
+    e = load(spark, sf_dir, "events").filter(
+        F.col("ts") < F.lit("2024-01-03").cast("timestamp")
+    )
+    b = e.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("bucket")
+    ).agg(F.count("*").alias("n"), F.sum("value").alias("av"))
+    bounds = e.agg(
+        F.min(F.date_trunc("hour", F.col("ts"))).alias("mn"),
+        F.max(F.date_trunc("hour", F.col("ts"))).alias("mx"),
+    )
+    spine = (
+        e.select("event_type")
+        .distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "event_type",
+            F.explode(F.expr("sequence(mn, mx, interval 1 hour)")).alias("bucket"),
+        )
+    )
+    j = spine.join(b, ["event_type", "bucket"], "left")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return j.select(
+        "event_type",
+        F.date_format("bucket", "yyyy-MM-dd HH:mm:ss").alias("bucket"),
+        F.coalesce("n", F.lit(0)).alias("n_events"),
+        F.round(
+            F.coalesce(F.last("av", ignorenulls=True).over(w), F.lit(0.0)), 2
+        ).alias("sum_value_ffill"),
+    )
+
+
+@query(
     "events_hourly_ist",
     oracle="""
     SELECT CAST(extract(hour FROM ts + INTERVAL 330 MINUTE) AS INT) AS ist_hour,
