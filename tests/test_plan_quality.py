@@ -205,3 +205,39 @@ def test_dedup_clusters_no_cartesian(spark):
     txt = buf.getvalue()
     assert "CartesianProduct" not in txt
     assert "BroadcastNestedLoopJoin" not in txt
+
+
+def test_zorder_tightens_rowgroup_stats_on_both_dims(spark, tmp_path):
+    # z-ordered layout must give BOTH dimensions tighter per-row-group
+    # min/max ranges than the natural order; a single-column sort only
+    # helps its leading column
+    import pyarrow.parquet as pq
+
+    from clickstreamtoclickhouse_spark.sinks.layout import write_zordered
+
+    li = plans.load(spark, SF_DIR, "lineitem").select("l_orderkey", "l_partkey")
+    zdir = str(tmp_path / "zorder")
+    ndir = str(tmp_path / "natural")
+    # 16 Z-range files over 2 dims -> each dim's per-file range
+    # shrinks ~sqrt(16)=4x; a 4-file split would only give ~2x
+    write_zordered(li, zdir, ["l_orderkey", "l_partkey"], n_files=16)
+    li.repartition(16).write.mode("overwrite").parquet(ndir)
+
+    def avg_range(path, col):
+        import glob
+
+        widths, total = [], 0
+        for f in glob.glob(f"{path}/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            for rg in range(md.num_row_groups):
+                g = md.row_group(rg)
+                for ci in range(g.num_columns):
+                    c = g.column(ci)
+                    if c.path_in_schema == col and c.statistics is not None:
+                        widths.append(c.statistics.max - c.statistics.min)
+                        total += 1
+        return sum(widths) / max(total, 1)
+
+    for col in ("l_orderkey", "l_partkey"):
+        z, n = avg_range(zdir, col), avg_range(ndir, col)
+        assert z < n * 0.6, (col, z, n)
