@@ -114,14 +114,20 @@ def _ngrams(ws: Column, n: int) -> Column:
     a constant number of times per row."""
     if n == 1:
         return ws
-    length = F.size(ws) - (n - 1)
-    parts = [F.slice(ws, j + 1, length) for j in range(n)]
-    grams = parts[0]
-    for p in parts[1:]:
-        grams = F.zip_with(grams, p, lambda a, b: F.concat_ws(" ", a, b))
-    return F.when(F.size(ws) >= n, grams).otherwise(
-        F.array().cast("array<string>")
-    )
+
+    def build(w: Column) -> Column:
+        length = F.size(w) - (n - 1)
+        parts = [F.slice(w, j + 1, length) for j in range(n)]
+        grams = parts[0]
+        for p in parts[1:]:
+            grams = F.zip_with(grams, p, lambda a, b: F.concat_ws(" ", a, b))
+        return F.when(F.size(w) >= n, grams).otherwise(
+            F.array().cast("array<string>")
+        )
+
+    # bind ws so the slices/sizes/guard all read ONE evaluation —
+    # callers routinely pass a regex-split expression here
+    return _let(ws, build)
 
 
 def _gram_stats(g: Column) -> Column:

@@ -176,3 +176,49 @@ def test_streaming_corpus_dedup(spark, tmp_path):
     assert ids == [1, 3, 12]
     index = spark.read.parquet(index_dir)
     assert index.count() == 3 == index.distinct().count()
+
+
+def test_streaming_corpus_dedup_survives_restart(spark, tmp_path):
+    # checkpoint recovery: a NEW query instance over the same
+    # checkpoint must not re-admit already-processed content, and
+    # re-delivered duplicates after restart still dedup against the
+    # persisted index
+    import json as _json
+
+    landing = tmp_path / "docs"
+    landing.mkdir()
+    index_dir = str(tmp_path / "index")
+    out_dir = str(tmp_path / "corpus")
+    ckpt = str(tmp_path / "ckpt")
+
+    def write_file(name, rows):
+        with open(landing / name, "w") as f:
+            for r in rows:
+                f.write(_json.dumps(r) + "\n")
+
+    schema = "doc_id long, text string"
+
+    def start():
+        stream = spark.readStream.schema(schema).json(str(landing))
+        return stateful.streaming_corpus_dedup(stream, index_dir, out_dir, ckpt)
+
+    write_file("b1.json", [{"doc_id": 1, "text": "alpha beta"}])
+    q = start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    # restart from the checkpoint; deliver a re-send + a new doc
+    write_file("b2.json", [
+        {"doc_id": 5, "text": "alpha beta"},
+        {"doc_id": 6, "text": "gamma delta"},
+    ])
+    q = start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    ids = sorted(r["doc_id"] for r in spark.read.parquet(out_dir).collect())
+    assert ids == [1, 6]
