@@ -195,6 +195,52 @@ def sparse_cosine_pairs(
     )
 
 
+def hashed_bow_embeddings(
+    docs: DataFrame,
+    n_dims: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Hashing-trick bag-of-words document embeddings (Weinberger et
+    al. 2009 'Feature Hashing' — public): token -> dimension by a
+    word hash mod n_dims, cell value = token count, assembled into a
+    dense array<double> column. The bridge from the documents table
+    into every vector operator here (quantize / LSH / IVF / cosine).
+
+    Fully relational: explode -> two map-side-combinable groupBys ->
+    per-doc map -> one projection assembling the dense vector. The
+    word hash is conv(md5[:4], 16, 10) — portable to the DuckDB
+    oracle (('0x' || substr(md5, 1, 4))::INT), unlike xxhash64.
+    Docs with zero tokens produce no row (consistent with the token
+    explode)."""
+    from .text import _let, words
+
+    toks = docs.select(
+        F.col(id_col), F.explode(words(F.lower(F.col(text_col)))).alias("w")
+    )
+    dim = (
+        F.conv(F.substring(F.md5("w"), 1, 4), 16, 10).cast("long") % n_dims
+    ).cast("int")
+    cells = (
+        toks.select(id_col, dim.alias("dim"))
+        .groupBy(id_col, "dim")
+        .agg(F.count("*").cast("double").alias("c"))
+    )
+    assembled = cells.groupBy(id_col).agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("dim", "c"))
+        ).alias("m")
+    )
+    vec = _let(
+        F.col("m"),
+        lambda m: F.transform(
+            F.sequence(F.lit(0), F.lit(n_dims - 1)),
+            lambda i: F.coalesce(F.element_at(m, i.cast("int")), F.lit(0.0)),
+        ),
+    )
+    return assembled.select(F.col(id_col), vec.alias("embedding"))
+
+
 def quantize_int8(
     embeddings: DataFrame,
     id_col: str = "vec_id",

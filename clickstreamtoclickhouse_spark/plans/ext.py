@@ -841,6 +841,53 @@ def embedding_norm_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "doc_bow_embeddings",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS w
+      FROM documents WHERE length(trim(text)) > 0
+    ),
+    cells AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(w), 1, 4))::INT % 64 AS dim,
+             count(*) AS c
+      FROM toks GROUP BY 1, 2
+    )
+    SELECT doc_id,
+           count(*) AS nnz,
+           CAST(sum(c) AS BIGINT) AS n_tokens,
+           round(sqrt(sum(c * c * 1.0)), 4) AS l2_norm
+    FROM cells GROUP BY doc_id
+    """,
+)
+def doc_bow_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding GENERATION: hashed bag-of-words vectors from the
+    documents table (similarity.hashed_bow_embeddings), summarized to
+    oracle-checkable per-doc stats (nnz / total count / L2 norm)
+    computed FROM the assembled dense vector — so the hash-mod
+    bucketing, map assembly, and densification are all on the checked
+    path. The dense output feeds quantize_int8 / lsh_topk / ivf_topk
+    directly (pinned in test_extensions)."""
+    d = load(spark, sf_dir, "documents")
+    emb = similarity.hashed_bow_embeddings(d, n_dims=64)
+
+    def stats(v):
+        nnz = F.size(F.filter(v, lambda x: x > 0))
+        total = F.aggregate(v, F.lit(0.0), lambda a, x: a + x)
+        l2 = F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x))
+        return F.struct(
+            nnz.alias("nnz"),
+            total.cast("long").alias("n_tokens"),
+            F.round(l2, 4).alias("l2_norm"),
+        )
+
+    from ..functions.text import _let
+
+    return emb.select("doc_id", F.inline(F.array(_let(F.col("embedding"), stats))))
+
+
+@query(
     "embedding_quantized",
     oracle="""
     WITH q AS (

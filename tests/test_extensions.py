@@ -248,3 +248,17 @@ def test_quantization_error_within_half_step(spark, emb):
         ).alias("scaled_err")
     ).agg(F.max("scaled_err")).first()[0]
     assert max_err_vs_bound <= 0.5000001
+
+
+def test_hashed_bow_feeds_vector_ops(spark, docs):
+    # the generated embeddings must compose with the vector operators
+    emb = similarity.hashed_bow_embeddings(docs, n_dims=64).cache()
+    row = emb.first()
+    assert len(row["embedding"]) == 64
+    q = similarity.quantize_int8(emb, id_col="doc_id")
+    assert q.count() == emb.count()
+    topk = similarity.cosine_topk(
+        emb.limit(50), emb.limit(5), k=3, id_col="doc_id"
+    )
+    assert topk.groupBy("query_id").count().collect()[0]["count"] == 3
+    emb.unpersist()
