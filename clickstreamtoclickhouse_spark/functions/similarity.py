@@ -274,6 +274,86 @@ def quantize_int8(
     )
 
 
+def quantized_rerank_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    shortlist: int = 20,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Two-stage ANN: score the corpus against each query on INT8
+    reconstructions (4× smaller scan), keep a per-query shortlist,
+    then re-rank only the shortlist on the full-precision vectors —
+    the standard production pattern (quantized prefilter + exact
+    re-rank). Recall vs the exact baseline is pinned in tests;
+    output schema matches cosine_topk."""
+    from .text import _let
+
+    def recon(df):  # id, reconstructed vector, its norm
+        q = quantize_int8(df, id_col=id_col, vec_col=vec_col)
+        rv = _let(
+            F.col("q"),
+            lambda qq: F.when(
+                F.col("scale") > 0,
+                F.transform(qq, lambda x: x / F.col("scale")),
+            ).otherwise(F.transform(qq, lambda x: x * F.lit(0.0))),
+        )
+        return q.select(F.col(id_col), rv.alias("rv")).withColumn(
+            "rn", norm(F.col("rv"))
+        )
+
+    cq = recon(embeddings).select(
+        F.col(id_col).alias("neighbor_id"), F.col("rv").alias("cv"), F.col("rn").alias("cn")
+    )
+    qq = F.broadcast(
+        recon(queries).select(
+            F.col(id_col).alias("query_id"), F.col("rv").alias("qv"), F.col("rn").alias("qn")
+        )
+    )
+    approx = (
+        qq.crossJoin(cq)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("asim", dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")))
+    )
+    w1 = Window.partitionBy("query_id").orderBy(
+        F.desc(F.round("asim", 9)), F.col("neighbor_id")
+    )
+    short = (
+        approx.withColumn("ark", F.row_number().over(w1))
+        .filter(F.col("ark") <= shortlist)
+        .select("query_id", "neighbor_id")
+    )
+    # stage 2: exact cosine on the shortlist only, from full vectors
+    full_c = embeddings.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("cvec"),
+    ).withColumn("cnorm", norm(F.col("cvec")))
+    full_q = F.broadcast(
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).cast("array<double>").alias("qvec"),
+        ).withColumn("qnorm", norm(F.col("qvec")))
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.desc(F.round("sim", 9)), F.col("neighbor_id")
+    )
+    return (
+        short.join(full_c, "neighbor_id")
+        .join(full_q, "query_id")
+        .withColumn(
+            "sim", dot(F.col("qvec"), F.col("cvec")) / (F.col("qnorm") * F.col("cnorm"))
+        )
+        .withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", "neighbor_id",
+            F.col("rank").cast("int").alias("rank"),
+            F.round("sim", 6).alias("sim"),
+        )
+    )
+
+
 def _hyperplanes(dim: int, bits: int, seed: int) -> np.ndarray:
     rng = np.random.default_rng(seed)
     return rng.standard_normal((bits, dim))

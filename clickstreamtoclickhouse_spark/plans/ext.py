@@ -888,6 +888,69 @@ def doc_bow_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "doc_tfidf_top_terms",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({tx.SQL_WORDS.format(t='lower(text)')}) AS w
+      FROM documents WHERE length(trim(text)) > 0
+    ),
+    tf AS (SELECT doc_id, w, count(*) AS tf FROM toks GROUP BY 1, 2),
+    df AS (SELECT w, count(DISTINCT doc_id) AS df FROM tf GROUP BY w),
+    n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM tf),
+    weighted AS (
+      SELECT tf.doc_id, tf.w,
+             tf.tf * ln((n_docs + 1.0) / (df + 1.0)) AS weight
+      FROM tf JOIN df USING (w), n
+    )
+    SELECT doc_id,
+           w AS top_term,
+           round(weight, 6) AS tfidf
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY doc_id ORDER BY round(weight, 9) DESC, w) AS rk
+      FROM weighted
+    ) WHERE rk = 1
+    """,
+)
+def doc_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF term weighting (smoothed idf = ln((N+1)/(df+1))) with
+    the most distinctive term per document. Corpus statistics follow
+    the same scale shape as unigram_lm_quality: term frequencies are
+    a map-side-combinable groupBy, document frequencies and the doc
+    count are vocabulary-sized tables BROADCAST back onto the term
+    stream, and the final top-term pick is a per-doc window (one
+    shuffle on doc_id) with WindowGroupLimit pushdown. Ties pinned
+    cross-engine by (round(weight, 9) desc, term)."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(tx.words(F.lower(F.col("text")))).alias("w")
+    )
+    tf = toks.groupBy("doc_id", "w").agg(F.count("*").alias("tf"))
+    df_t = tf.groupBy("w").agg(F.countDistinct("doc_id").alias("df"))
+    n = tf.agg(F.countDistinct("doc_id").alias("n_docs"))
+    weighted = (
+        tf.join(F.broadcast(df_t), "w")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "weight",
+            F.col("tf") * F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)),
+        )
+    )
+    wdw = Window.partitionBy("doc_id").orderBy(
+        F.desc(F.round("weight", 9)), F.col("w")
+    )
+    return (
+        weighted.withColumn("rk", F.row_number().over(wdw))
+        .filter(F.col("rk") == 1)
+        .select(
+            "doc_id",
+            F.col("w").alias("top_term"),
+            F.round("weight", 6).alias("tfidf"),
+        )
+    )
+
+
+@query(
     "embedding_quantized",
     oracle="""
     WITH q AS (
@@ -926,6 +989,15 @@ def embedding_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_min("q").alias("q_min"),
         F.array_max("q").alias("q_max"),
     )
+
+
+@query("embedding_rerank_topk")  # rows-only: int8 prefilter not in SQL
+def embedding_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage ANN (quantized prefilter -> exact re-rank on the
+    shortlist); recall vs embedding_topk pinned in tests."""
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return similarity.quantized_rerank_topk(emb, queries, k=5, shortlist=20)
 
 
 @query("embedding_ivf_topk")  # rows-only: kmeans quantizer not in SQL

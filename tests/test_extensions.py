@@ -262,3 +262,15 @@ def test_hashed_bow_feeds_vector_ops(spark, docs):
     )
     assert topk.groupBy("query_id").count().collect()[0]["count"] == 3
     emb.unpersist()
+
+
+def test_rerank_topk_recall_vs_exact(spark, emb):
+    exact = similarity.cosine_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
+    rer = similarity.quantized_rerank_topk(
+        emb, emb.filter(F.col("vec_id") < 10), k=5, shortlist=20
+    )
+    ex = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    got = {(r["query_id"], r["neighbor_id"]) for r in rer.collect()}
+    assert len(got) == 50
+    recall = len(ex & got) / len(ex)
+    assert recall >= 0.9, recall
