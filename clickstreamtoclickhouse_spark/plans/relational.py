@@ -601,6 +601,75 @@ def time_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "conversion_funnel",
+    oracle="""
+    WITH s1 AS (
+      SELECT user_id, min(ts) AS t1 FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    s2 AS (
+      SELECT e.user_id, min(ts) AS t2 FROM events e JOIN s1 USING (user_id)
+      WHERE event_type = 'click' AND ts > t1 GROUP BY e.user_id
+    ),
+    s3 AS (
+      SELECT e.user_id, min(ts) AS t3 FROM events e JOIN s2 USING (user_id)
+      WHERE event_type = 'purchase' AND ts > t2 GROUP BY e.user_id
+    )
+    SELECT 'view' AS step, count(*) AS n_users,
+           CAST(0 AS BIGINT) AS total_latency_us
+    FROM s1
+    UNION ALL
+    SELECT 'click', count(*),
+           CAST(sum(epoch_us(t2) - epoch_us(t1)) AS BIGINT)
+    FROM s2 JOIN s1 USING (user_id)
+    UNION ALL
+    SELECT 'purchase', count(*),
+           CAST(sum(epoch_us(t3) - epoch_us(t2)) AS BIGINT)
+    FROM s3 JOIN s2 USING (user_id)
+    """,
+)
+def conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential conversion funnel (view -> click -> purchase, each
+    step strictly AFTER the previous step's first occurrence) — the
+    classic clickstream analysis the reference's warehouse exists to
+    serve. Sequential mins can't be one aggregation (step N's filter
+    depends on step N-1's result), so each step is a filtered
+    min-aggregate semi-joined to the previous step's per-user
+    timestamps: three shuffles on user_id, each strictly shrinking.
+    Latency totals are exact integer-microsecond sums (BIGINT both
+    engines — no float rounding surface)."""
+    e = load(spark, sf_dir, "events")
+
+    def step(prev: DataFrame | None, etype: str, out_ts: str) -> DataFrame:
+        s = e.filter(F.col("event_type") == etype)
+        if prev is not None:
+            prev_ts = prev.columns[1]
+            s = s.join(prev, "user_id").filter(F.col("ts") > F.col(prev_ts))
+        return s.groupBy("user_id").agg(F.min("ts").alias(out_ts))
+
+    s1 = step(None, "view", "t1")
+    s2 = step(s1, "click", "t2")
+    s3 = step(s2, "purchase", "t3")
+    # exact integer microseconds both engines (unix_timestamp would
+    # floor each side to seconds; DuckDB's epoch() keeps fractions)
+    lat = lambda a, b: F.sum(F.unix_micros(b) - F.unix_micros(a)).cast("long")
+    r1 = s1.agg(
+        F.count("*").alias("n_users"), F.lit(0).cast("long").alias("total_latency_us")
+    ).select(F.lit("view").alias("step"), "n_users", "total_latency_us")
+    r2 = (
+        s2.join(s1, "user_id")
+        .agg(F.count("*").alias("n_users"), lat("t1", "t2").alias("total_latency_us"))
+        .select(F.lit("click").alias("step"), "n_users", "total_latency_us")
+    )
+    r3 = (
+        s3.join(s2, "user_id")
+        .agg(F.count("*").alias("n_users"), lat("t2", "t3").alias("total_latency_us"))
+        .select(F.lit("purchase").alias("step"), "n_users", "total_latency_us")
+    )
+    return r1.unionByName(r2).unionByName(r3)
+
+
+@query(
     "events_hourly_ist",
     oracle="""
     SELECT CAST(extract(hour FROM ts + INTERVAL 330 MINUTE) AS INT) AS ist_hour,
