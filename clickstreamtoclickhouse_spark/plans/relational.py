@@ -670,6 +670,92 @@ def conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "cohort_retention",
+    oracle="""
+    WITH first_seen AS (
+      SELECT user_id, min(date_trunc('day', ts)) AS cohort_day
+      FROM events GROUP BY user_id
+    ),
+    activity AS (
+      SELECT DISTINCT user_id, date_trunc('day', ts) AS d FROM events
+    )
+    SELECT strftime(cohort_day, '%Y-%m-%d') AS cohort_day,
+           CAST(floor(date_diff('day', cohort_day, d) / 7.0) AS INT) AS week_n,
+           count(DISTINCT a.user_id) AS n_active
+    FROM activity a JOIN first_seen USING (user_id)
+    GROUP BY 1, 2
+    """,
+)
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by first-seen day, counted
+    distinct in each subsequent activity week. Two map-side-combined
+    aggregations (first-seen per user, distinct active days) joined
+    on user_id — at scale both sides co-partition on the join key, so
+    the only real shuffle is the final cohort-week rollup."""
+    e = load(spark, sf_dir, "events")
+    first_seen = e.groupBy("user_id").agg(
+        F.min(F.date_trunc("day", F.col("ts"))).alias("cohort_day")
+    )
+    activity = e.select(
+        "user_id", F.date_trunc("day", F.col("ts")).alias("d")
+    ).distinct()
+    return (
+        activity.join(first_seen, "user_id")
+        .groupBy(
+            F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort_day"),
+            F.floor(F.datediff("d", "cohort_day") / 7.0).cast("int").alias("week_n"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_active"))
+    )
+
+
+@query(
+    "hourly_anomalies",
+    oracle="""
+    WITH h AS (
+      SELECT event_type, date_trunc('hour', ts) AS b, count(*) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    s AS (
+      SELECT event_type, avg(n) AS mu, stddev_samp(n) AS sd
+      FROM h GROUP BY event_type
+    )
+    SELECT event_type,
+           strftime(b, '%Y-%m-%d %H:%M:%S') AS bucket,
+           CAST(n AS BIGINT) AS n_events,
+           round((n - mu) / sd, 4) AS zscore
+    FROM h JOIN s USING (event_type)
+    WHERE abs((n - mu) / sd) > 2
+    """,
+)
+def hourly_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series anomaly flags: hourly per-type counts more than
+    2 sample-stddevs from that type's mean. The stats side collapses
+    to one row per event type and broadcasts back onto the hourly
+    series — the z-score pass never reshuffles the series, so the
+    pattern holds when 'hourly per type' becomes 'per minute per
+    metric per tenant' at production scale."""
+    e = load(spark, sf_dir, "events")
+    h = e.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("b")
+    ).agg(F.count("*").alias("n"))
+    s = h.groupBy("event_type").agg(
+        F.avg("n").alias("mu"), F.stddev_samp("n").alias("sd")
+    )
+    z = (F.col("n") - F.col("mu")) / F.col("sd")
+    return (
+        h.join(F.broadcast(s), "event_type")
+        .filter(F.abs(z) > 2)
+        .select(
+            "event_type",
+            F.date_format("b", "yyyy-MM-dd HH:mm:ss").alias("bucket"),
+            F.col("n").alias("n_events"),
+            F.round(z, 4).alias("zscore"),
+        )
+    )
+
+
+@query(
     "events_hourly_ist",
     oracle="""
     SELECT CAST(extract(hour FROM ts + INTERVAL 330 MINUTE) AS INT) AS ist_hour,
