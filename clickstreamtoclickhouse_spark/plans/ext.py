@@ -455,6 +455,55 @@ def pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "weighted_sample_docs",
+    oracle="""
+    WITH u AS (
+      SELECT doc_id,
+             length(text) AS weight,
+             (('0x' || substr(md5(text), 1, 8))::BIGINT + 1.0)
+               / 4294967297.0 AS uu
+      FROM documents
+    ),
+    keyed AS (
+      SELECT doc_id, weight, pow(uu, 1.0 / weight) AS skey FROM u
+    )
+    SELECT doc_id, weight, round(skey, 6) AS skey
+    FROM keyed
+    QUALIFY row_number() OVER (
+      ORDER BY round(skey, 9) DESC, doc_id) <= 50
+    """,
+)
+def weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement via priority keys
+    (Efraimidis & Spirakis 2006 A-Res — public): key = u^(1/w),
+    take the top-k keys; inclusion probability is proportional to
+    weight (doc length here; any quality score plugs in). The uniform
+    u comes from the document's own content hash, not an RNG — the
+    sample is REPRODUCIBLE across runs, engines, and repartitioning,
+    which is what an incremental pipeline needs (same property as
+    training_mixture's bucket filter, upgraded to weighted-k).
+
+    One scan + a map-side-pruned global top-k (Catalyst plants
+    TakeOrderedAndProject: each partition keeps its local top-k and
+    the driver merges — no global sort, no single-partition window);
+    cross-engine tie order pinned by (round(key, 9) desc, doc_id)."""
+    d = load(spark, sf_dir, "documents")
+    w = F.length("text")
+    u = (
+        F.conv(F.substring(F.md5("text"), 1, 8), 16, 10).cast("long") + 1.0
+    ) / 4294967297.0
+    keyed = d.select(
+        "doc_id", w.alias("weight"), F.pow(u, 1.0 / w).alias("skey")
+    )
+    win = Window.orderBy(F.desc(F.round("skey", 9)), F.col("doc_id"))
+    return (
+        keyed.withColumn("rk", F.row_number().over(win))
+        .filter(F.col("rk") <= 50)
+        .select("doc_id", "weight", F.round("skey", 6).alias("skey"))
+    )
+
+
 _MIX_RATES = {"en": "8", "de": "4", "fr": "c"}  # hex-bucket keep thresholds
 _MIX_DEFAULT_RATE = "2"
 _MIX_WEIGHTS = {"web": 1, "wiki": 3, "code": 2}  # upsample factors by source

@@ -241,3 +241,13 @@ def test_zorder_tightens_rowgroup_stats_on_both_dims(spark, tmp_path):
     for col in ("l_orderkey", "l_partkey"):
         z, n = avg_range(zdir, col), avg_range(ndir, col)
         assert z < n * 0.6, (col, z, n)
+
+
+def test_weighted_sample_topk_prunes_mapside(spark):
+    # global top-k via row_number over an unpartitioned window is only
+    # scale-safe when pruned map-side: Catalyst plants
+    # TakeOrderedAndProject (per-partition top-k, merged) or at least
+    # WindowGroupLimit — never a full global sort
+    txt = plan_text(spark, "weighted_sample_docs")
+    assert "TakeOrderedAndProject" in txt or "WindowGroupLimit" in txt
+    assert "Exchange rangepartitioning" not in txt
