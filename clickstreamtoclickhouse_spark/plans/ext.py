@@ -558,6 +558,97 @@ def training_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn("rep", F.col("rep").cast("int"))
 
 
+@query(
+    "bigram_lm_quality",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {tx.SQL_WORDS.format(t='lower(text)')} AS ws
+      FROM documents WHERE length(trim(text)) > 0
+    ),
+    bg AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(ws)),
+                                   i -> ws[i] || ' ' || ws[i+1])) AS b,
+             unnest(list_transform(range(1, len(ws)), i -> ws[i])) AS w1
+      FROM toks WHERE len(ws) >= 2
+    ),
+    bc AS (SELECT b, count(*) AS cb FROM bg GROUP BY b),
+    uc AS (SELECT w1, count(*) AS cu FROM bg GROUP BY w1),
+    vocab AS (SELECT count(DISTINCT w1) AS v FROM bg),
+    scored AS (
+      SELECT g.doc_id,
+             ln((bc.cb + 1.0) / (uc.cu + v)) AS logp
+      FROM bg g JOIN bc ON g.b = bc.b JOIN uc ON g.w1 = uc.w1, vocab
+    )
+    SELECT doc_id,
+           count(*) AS n_bigrams,
+           round(avg(logp), 6) AS avg_bigram_logprob
+    FROM scored GROUP BY doc_id
+    """,
+)
+def bigram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram language-model scoring with add-one smoothing:
+    p(w2|w1) = (c(w1 w2)+1) / (c(w1 as history)+V) — one step closer
+    to the KenLM scoring of CCNet-style pipelines than the unigram
+    proxy. Same scale shape: bigram and history counts are
+    vocabulary²-bounded tables BROADCAST onto the bigram stream
+    (which itself is a pure projection via the let-bound n-gram
+    builder), then one per-doc aggregation."""
+    d = load(spark, sf_dir, "documents")
+    ws = tx.words(F.lower(F.col("text")))
+    pairs = d.select(
+        "doc_id",
+        F.explode(
+            F.zip_with(
+                tx._ngrams(ws, 2),
+                F.slice(ws, 1, F.greatest(F.size(ws) - 1, F.lit(0))),
+                lambda b, w1: F.struct(b.alias("b"), w1.alias("w1")),
+            )
+        ).alias("p"),
+    ).select("doc_id", "p.b", "p.w1")
+    bc = pairs.groupBy("b").agg(F.count("*").alias("cb"))
+    uc = pairs.groupBy("w1").agg(F.count("*").alias("cu"))
+    vocab = pairs.agg(F.countDistinct("w1").alias("v"))
+    scored = (
+        pairs.join(F.broadcast(bc), "b")
+        .join(F.broadcast(uc), "w1")
+        .crossJoin(F.broadcast(vocab))
+        .withColumn(
+            "logp",
+            F.log((F.col("cb") + 1.0) / (F.col("cu") + F.col("v"))),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_bigrams"),
+        F.round(F.avg("logp"), 6).alias("avg_bigram_logprob"),
+    )
+
+
+@query("doc_topic_clusters")  # rows-only: kmeans not in SQL
+def doc_topic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end document clustering: hashed-BoW embeddings
+    (similarity.hashed_bow_embeddings) -> seeded k-means -> cluster
+    cardinalities. The full documents->vectors->clusters composition
+    a topic-bucketing or mixture-balancing pipeline runs; stability
+    pinned by the fixed seed (deterministic row counts)."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    d = load(spark, sf_dir, "documents")
+    emb = similarity.hashed_bow_embeddings(d, n_dims=64)
+    vec = emb.select(
+        "doc_id", array_to_vector(F.col("embedding")).alias("fvec")
+    )
+    km = KMeans(k=8, seed=7, featuresCol="fvec", predictionCol="cluster")
+    model = km.fit(vec.select("fvec"))
+    return (
+        model.transform(vec)
+        .groupBy("cluster")
+        .agg(F.count("*").alias("n_docs"))
+        .select(F.col("cluster").cast("int").alias("cluster"), "n_docs")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Dedup family
 # ---------------------------------------------------------------------------
