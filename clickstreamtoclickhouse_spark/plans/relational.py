@@ -756,6 +756,128 @@ def hourly_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "value_winsorized",
+    oracle="""
+    WITH b AS (
+      SELECT event_type,
+             quantile_cont(value, 0.05) AS lo,
+             quantile_cont(value, 0.95) AS hi
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_type,
+           count(*) AS n,
+           round(sum(e.value), 2) AS sum_raw,
+           round(sum(least(greatest(e.value, b.lo), b.hi)), 2) AS sum_winsorized
+    FROM events e JOIN b USING (event_type)
+    GROUP BY e.event_type
+    """,
+)
+def value_winsorized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outlier clipping (winsorization at p05/p95 per type) — the
+    numeric-cleaning analog of the text quality filters. Per-type
+    bounds collapse to a broadcast table; the clip is a pure
+    least/greatest projection, so the data pass stays map-only."""
+    e = load(spark, sf_dir, "events")
+    b = e.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.05)).alias("lo"),
+        F.percentile("value", F.lit(0.95)).alias("hi"),
+    )
+    return (
+        e.join(F.broadcast(b), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 2).alias("sum_raw"),
+            F.round(
+                F.sum(F.least(F.greatest(F.col("value"), F.col("lo")), F.col("hi"))),
+                2,
+            ).alias("sum_winsorized"),
+        )
+    )
+
+
+@query(
+    "value_histogram",
+    oracle="""
+    SELECT event_type,
+           CAST(CASE WHEN value < 0 THEN 0
+                     WHEN value >= 100 THEN 21
+                     ELSE floor(value / 5.0) + 1 END AS INT) AS bucket,
+           count(*) AS n
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-bin histogram (20 bins over [0,100), overflow buckets 0
+    and 21) with the bucket arithmetic spelled out identically in
+    both engines — width_bucket isn't in DuckDB, and an explicit
+    floor(value/width) keeps bin-edge floating-point behavior
+    bit-identical. One map-side-combinable aggregation."""
+    e = load(spark, sf_dir, "events")
+    bucket = (
+        F.when(F.col("value") < 0, F.lit(0))
+        .when(F.col("value") >= 100, F.lit(21))
+        .otherwise(F.floor(F.col("value") / 5.0) + 1)
+    ).cast("int")
+    return e.groupBy("event_type", bucket.alias("bucket")).agg(
+        F.count("*").alias("n")
+    )
+
+
+@query(
+    "lineitem_correlations",
+    oracle="""
+    SELECT l_returnflag,
+           count(*) AS n,
+           round(corr(l_extendedprice, l_quantity), 4) AS price_qty_corr,
+           round(covar_samp(l_extendedprice, l_discount), 4) AS price_disc_cov
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def lineitem_correlations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bivariate statistics (Pearson corr, sample covariance) as
+    grouped aggregates — single-pass map-side-combinable moments."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.round(F.corr("l_extendedprice", "l_quantity"), 4).alias("price_qty_corr"),
+        F.round(F.covar_samp("l_extendedprice", "l_discount"), 4).alias(
+            "price_disc_cov"
+        ),
+    )
+
+
+@query(
+    "order_grouping_sets",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(grouping(o_orderstatus) * 2 + grouping(o_orderpriority) AS INT)
+             AS gid,
+           count(*) AS n_orders
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+)
+def order_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (neither rollup nor cube) with
+    grouping_id disambiguation — the remaining member of the
+    multi-level aggregation family, one Expand pass."""
+    o = load(spark, sf_dir, "orders")
+    return o.groupingSets(
+        [["o_orderstatus"], ["o_orderpriority"], []],
+        "o_orderstatus",
+        "o_orderpriority",
+    ).agg(
+        (F.grouping("o_orderstatus") * 2 + F.grouping("o_orderpriority"))
+        .cast("int")
+        .alias("gid"),
+        F.count("*").alias("n_orders"),
+    )
+
+
+@query(
     "events_hourly_ist",
     oracle="""
     SELECT CAST(extract(hour FROM ts + INTERVAL 330 MINUTE) AS INT) AS ist_hour,
