@@ -34,12 +34,14 @@ from pyspark.sql.window import Window
 
 
 def _symmetrize(e: DataFrame) -> DataFrame:
-    """Both orientations of each edge, self-loops dropped."""
-    return (
-        e.filter(F.col("u") != F.col("v"))
-        .union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
-        .distinct()
-    )
+    """Both orientations of each edge, self-loops dropped. No
+    distinct(): the loop feeds this an already-distinct oriented edge
+    set (small-star ends with one), u != v rows can't collide with
+    their own flips, and the window-min each star takes is duplicate-
+    insensitive — a distinct here would be one extra full shuffle per
+    round for nothing."""
+    e = e.filter(F.col("u") != F.col("v"))
+    return e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
 
 
 def _large_star(e_sym: DataFrame) -> DataFrame:
