@@ -878,6 +878,98 @@ def order_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "session_stats",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                       > 1800 * 1000000
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    labeled AS (
+      SELECT *, CAST(sum(new_sess) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_n
+      FROM s
+    )
+    SELECT user_id, session_n,
+           count(*) AS n_events,
+           CAST(epoch_us(max(ts)) - epoch_us(min(ts)) AS BIGINT) AS duration_us,
+           CAST(CASE WHEN count(*) = 1 THEN 1 ELSE 0 END AS INT) AS bounce,
+           CAST(max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                AS INT) AS converted
+    FROM labeled
+    GROUP BY user_id, session_n
+    """,
+)
+def session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-SESSION statistics (duration, bounce, in-session
+    conversion) on top of the 30-minute-gap sessionization: the lag
+    flag, the cumulative session number, and the final per-session
+    aggregate all partition on user_id, so one exchange serves the
+    entire pipeline (same reuse property as `sessionization`,
+    extended to session grain)."""
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    is_new = F.when(
+        F.lag("ts").over(w).isNull() | (gap_us > 1800 * 1_000_000), 1
+    ).otherwise(0)
+    cum = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        e.withColumn("session_n", F.sum(is_new).over(cum).cast("long"))
+        .groupBy("user_id", "session_n")
+        .agg(
+            F.count("*").alias("n_events"),
+            (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts")))
+            .cast("long")
+            .alias("duration_us"),
+            F.when(F.count("*") == 1, 1).otherwise(0).cast("int").alias("bounce"),
+            F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+            .cast("int")
+            .alias("converted"),
+        )
+    )
+
+
+@query(
+    "event_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      FROM events
+    )
+    SELECT prev AS from_type, event_type AS to_type, count(*) AS n
+    FROM seq WHERE prev IS NOT NULL
+    GROUP BY 1, 2
+    """,
+)
+def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order behavioral transition matrix (Markov chain counts
+    over consecutive events per user): one lag window on user_id, one
+    25-cell aggregate — the input to path analysis / next-event
+    prediction features."""
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        e.withColumn("prev", F.lag("event_type").over(w))
+        .filter(F.col("prev").isNotNull())
+        .groupBy(
+            F.col("prev").alias("from_type"),
+            F.col("event_type").alias("to_type"),
+        )
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@query(
     "events_hourly_ist",
     oracle="""
     SELECT CAST(extract(hour FROM ts + INTERVAL 330 MINUTE) AS INT) AS ist_hour,
