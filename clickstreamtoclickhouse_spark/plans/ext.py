@@ -1260,6 +1260,57 @@ def user_activity_similarity_capped(spark: SparkSession, sf_dir: str) -> DataFra
 
 
 @query(
+    "sequence_packing",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id,
+             {tx.sql_token_count_ws('text')} AS n_tokens,
+             CAST(doc_id % 16 AS INT) AS shard
+      FROM documents
+    ),
+    packed AS (
+      SELECT doc_id, shard, n_tokens,
+             CAST(sum(n_tokens) OVER (
+               PARTITION BY shard ORDER BY doc_id
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+      FROM scored
+    )
+    SELECT doc_id, shard, n_tokens, cum_tokens,
+           CAST(floor((cum_tokens - n_tokens) / 2048.0) AS INT) AS bin
+    FROM packed
+    """,
+)
+def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for LLM training: assign documents to
+    ~2048-token training bins. Docs are sharded by id hash so the
+    running token sum is a window PARTITIONED BY SHARD — every shard
+    packs independently in parallel (the same
+    no-global-single-partition-window principle as
+    training_data_selection), and bin ids are local to a shard. A
+    doc's bin is determined by the tokens BEFORE it, i.e. greedy
+    append in shard order; boundary-straddling docs spill into the
+    next bin (packing with document truncation/splitting is a
+    tokenizer-side concern — the distribution step is what belongs
+    in the engine)."""
+    d = load(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id",
+        tx.token_count_ws(F.col("text")).alias("n_tokens"),
+        (F.col("doc_id") % 16).cast("int").alias("shard"),
+    )
+    w = Window.partitionBy("shard").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        scored.withColumn("cum_tokens", F.sum("n_tokens").over(w).cast("long"))
+        .withColumn(
+            "bin",
+            F.floor((F.col("cum_tokens") - F.col("n_tokens")) / 2048.0).cast("int"),
+        )
+    )
+
+
+@query(
     "training_data_selection",
     oracle=f"""
     WITH corpus AS ({_SQL_DUP_CORPUS}),

@@ -251,3 +251,17 @@ def test_weighted_sample_topk_prunes_mapside(spark):
     txt = plan_text(spark, "weighted_sample_docs")
     assert "TakeOrderedAndProject" in txt or "WindowGroupLimit" in txt
     assert "Exchange rangepartitioning" not in txt
+
+
+def test_session_stats_single_exchange(spark):
+    # lag flag, cumulative session number, and per-session aggregate
+    # must all reuse ONE user_id exchange
+    txt = plan_text(spark, "session_stats")
+    assert count_exchanges(txt) == 1, txt.split("\n\n")[0]
+
+
+def test_sequence_packing_window_is_sharded(spark):
+    # the running token sum must partition by shard — never a global
+    # single-partition window over the corpus
+    txt = plan_text(spark, "sequence_packing")
+    assert "Arguments: SinglePartition" not in txt
