@@ -133,7 +133,14 @@ def streaming_corpus_dedup(
     the index is a bucketed table on content_hash, making the
     anti-join co-located; at-least-once file delivery upgrades to
     exactly-once corpus membership because re-sent content hits its
-    own hash in the index."""
+    own hash in the index.
+
+    Caveat: corpus and index are two non-atomic parquet appends — a
+    crash BETWEEN them (after corpus, before index) lets a re-send of
+    that batch's docs back in. The transactional Delta mapping
+    (sinks/lakehouse.py) closes that window; with plain parquet the
+    window is one micro-batch wide and the at-rest Q1 dedup view
+    still masks the duplicate at read time."""
     from ..functions.dedup_text import incremental_exact_dedup
 
     spark = docs_stream.sparkSession
