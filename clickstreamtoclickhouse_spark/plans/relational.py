@@ -1110,6 +1110,95 @@ def scd2_user_type_history(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "event_debounce",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, event_type, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                       > 300 * 1000000
+                  THEN 1 ELSE 0 END AS new_burst
+      FROM events
+      WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id)
+    ),
+    bursts AS (
+      SELECT *, CAST(sum(new_burst) OVER (
+               PARTITION BY user_id, event_type ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS burst_n
+      FROM s
+    )
+    SELECT user_id, event_type, burst_n,
+           count(*) AS n_collapsed,
+           CAST(min(event_id) AS BIGINT) AS kept_event_id
+    FROM bursts
+    GROUP BY user_id, event_type, burst_n
+    """,
+)
+def event_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Debounce/throttle semantics: collapse bursts of the same
+    (user, event_type) separated by < 5 minutes into one kept event —
+    duplicate-click suppression, the event-level cousin of document
+    dedup. Burst boundaries are the same gap-flag + cumulative-sum
+    construction as sessionization (true debounce is sequentially
+    dependent; gap-bursting is the standard relational equivalent),
+    all on one (user_id, event_type) exchange."""
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    new_burst = F.when(
+        F.lag("ts").over(w).isNull() | (gap_us > 300 * 1_000_000), 1
+    ).otherwise(0)
+    cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        e.withColumn("burst_n", F.sum(new_burst).over(cum).cast("long"))
+        .groupBy("user_id", "event_type", "burst_n")
+        .agg(
+            F.count("*").alias("n_collapsed"),
+            F.min("event_id").cast("long").alias("kept_event_id"),
+        )
+    )
+
+
+@query(
+    "segment_revenue_share",
+    oracle="""
+    WITH seg AS (
+      SELECT c.c_mktsegment AS mktsegment,
+             sum(o.o_totalprice) AS revenue
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+      GROUP BY 1
+    )
+    SELECT mktsegment,
+           round(revenue, 2) AS revenue,
+           round(revenue / sum(revenue) OVER (), 6) AS revenue_share,
+           round(revenue / max(revenue) OVER (), 6) AS vs_best
+    FROM seg
+    """,
+)
+def segment_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ratio-to-report: each segment's share of total and of the best
+    segment via empty-frame windows OVER () — computed on the
+    5-row aggregate, so the 'global' window is over segment
+    cardinality, never the fact table."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    seg = (
+        o.join(F.broadcast(c.select("c_custkey", "c_mktsegment")), o["o_custkey"] == c["c_custkey"])
+        .groupBy(F.col("c_mktsegment").alias("mktsegment"))
+        .agg(F.sum("o_totalprice").alias("revenue"))
+    )
+    w = Window.partitionBy()
+    return seg.select(
+        "mktsegment",
+        F.round("revenue", 2).alias("revenue"),
+        F.round(F.col("revenue") / F.sum("revenue").over(w), 6).alias(
+            "revenue_share"
+        ),
+        F.round(F.col("revenue") / F.max("revenue").over(w), 6).alias("vs_best"),
+    )
+
+
+@query(
     "events_hourly_ist",
     oracle="""
     SELECT CAST(extract(hour FROM ts + INTERVAL 330 MINUTE) AS INT) AS ist_hour,
