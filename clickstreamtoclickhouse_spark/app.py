@@ -22,6 +22,7 @@ from .naming import decamelize
 from .operators import coerce, project
 from .pipeline import EventPipeline, IngestResult
 from .session import get_spark
+from .sinks.clickhouse import MISFITS_SPARK_SCHEMA
 from .sinks.warehouse import Warehouse, get_warehouse
 from .tables import NON_NULL_COLUMNS, USERS_EXTRA_NON_NULL
 
@@ -52,7 +53,11 @@ def store_table(wh: Warehouse, namespace: str, name: str, df) -> None:
     clean = project.add_missing_columns(clean, actual)
     wh.insert_df(namespace, name, clean)
     if not misfits.isEmpty():
-        wh.create_table(namespace, "misfits", {}, ())
+        # Real column types, not {}: ClickHouseWarehouse special-cases
+        # the misfits DDL, but generic sinks (Delta) render CREATE
+        # TABLE from this dict and an empty dict is a parse error.
+        misfit_types = {f.name: f.dataType for f in MISFITS_SPARK_SCHEMA.fields}
+        wh.create_table(namespace, "misfits", misfit_types, ())
         wh.insert_df(namespace, "misfits", misfits)
 
 

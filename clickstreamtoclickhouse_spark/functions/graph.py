@@ -75,6 +75,18 @@ def _small_star(e_down: DataFrame) -> DataFrame:
     return nbrs.union(self_edge).distinct()
 
 
+def _unpersist_checkpoint(df: DataFrame) -> None:
+    """Free a localCheckpoint's persisted RDD. ``Dataset.unpersist``
+    only consults the cacheManager (a no-op for checkpoints), so reach
+    through the LogicalRDD to the materialized RDD. Best-effort: if
+    the plan shape ever changes, the ContextCleaner still reclaims the
+    blocks once the JVM-side reference is garbage-collected."""
+    try:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:
+        pass
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "src",
@@ -98,8 +110,13 @@ def connected_components(
     )
     prev_sig = None
     for _ in range(max_iter):
+        prev = e
         e = _small_star(_large_star(_symmetrize(e)))
         e = e.localCheckpoint(eager=True)  # truncate iterative lineage
+        # The new round's edges are materialized; the previous round's
+        # checkpoint blocks are dead weight in executor storage now —
+        # drop them instead of accumulating O(log n) edge sets.
+        _unpersist_checkpoint(prev)
         row = e.agg(
             F.count("*").alias("n"),
             # decimal(38,0) sum: a long sum of 64-bit hashes would

@@ -32,6 +32,7 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from .naming import decamelize
 from .operators import normalize, project
@@ -155,14 +156,18 @@ class EventPipeline:
             # the driver nor fan out unbounded tables — overflow names
             # stay in the common `tracks` table and we warn.
             cap = self.max_event_tables
+            # NULL names are excluded *before* the limit probe so a
+            # NULL can't consume one of the cap+1 slots and mask the
+            # overflow warning (rows with NULL event stay in `tracks`).
             rows = (
                 tracks_all.select("event")
+                .filter(F.col("event").isNotNull())
                 .distinct()
                 .orderBy("event")
                 .limit(cap + 1)
                 .collect()
             )
-            names = [r[0] for r in rows if r[0] is not None]
+            names = [r[0] for r in rows]
             if len(names) > cap:
                 import warnings
 

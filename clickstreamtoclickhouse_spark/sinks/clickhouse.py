@@ -241,7 +241,9 @@ class ClickHouseWarehouse(Warehouse):
             self._execute(ddl_create_table(schema, table, column_types, non_null_columns))
 
     def describe_table(self, schema: str, table: str) -> dict[str, T.DataType]:
-        pairs = self._query_pairs(f"DESCRIBE TABLE `{schema}`.`{table}`")
+        pairs = self._query_pairs(
+            f"DESCRIBE TABLE {self._qualified(schema, table)}"
+        )
         return {name: ch_type_to_spark(ch) for name, ch in pairs}
 
     def add_column(self, schema, table, column, column_type) -> None:
