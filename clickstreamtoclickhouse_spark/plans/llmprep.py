@@ -1,0 +1,233 @@
+"""Training-data preparation operators, round 3: chunking,
+benchmark decontamination, and duplicated-span coverage.
+
+These extend the LLM-pipeline family (SURVEY.md §2.11 extension
+tier) with three ops every large-scale corpus pipeline runs between
+raw ingest and tokenization:
+
+- token-window chunking (RAG / context-window packing input),
+- test-set decontamination by n-gram overlap (public method: GPT-3
+  App. C, Brown et al. 2020; PaLM §C; The Pile),
+- duplicated-span coverage — the per-document signal behind
+  ExactSubstr dedup (Lee et al. 2022, "Deduplicating Training Data
+  Makes Language Models Better"), approximated at k-gram granularity
+  so it stays a pure shuffle-on-gram aggregate instead of a
+  suffix-array build.
+
+All three are expressed as scan -> project(HOF) -> [explode ->
+keyed agg/join], so they inherit Spark's partition parallelism; no
+driver-side loops, no Python UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import text as tx
+from .registry import load, query
+
+CHUNK_SIZE = 64
+CHUNK_STRIDE = 32
+CONTAM_N = 5
+DUPSPAN_N = 8
+
+_SQL_WS = tx.SQL_WORDS.format(t="text")
+
+
+@query(
+    "doc_chunking",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_SQL_WS} AS ws
+      FROM documents WHERE length(trim(text)) > 0
+    ),
+    st AS (
+      SELECT doc_id, ws, unnest(range(0, len(ws), {CHUNK_STRIDE})) AS start
+      FROM toks
+    )
+    SELECT doc_id,
+           CAST(start AS BIGINT) AS chunk_start,
+           CAST(least({CHUNK_SIZE}, len(ws) - start) AS BIGINT)
+             AS n_chunk_tokens,
+           array_to_string(ws[CAST(start + 1 AS BIGINT)
+                             : CAST(start + {CHUNK_SIZE} AS BIGINT)], ' ')
+             AS chunk_text
+    FROM st
+    """,
+)
+def doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunks (size 64, stride 32): the
+    standard RAG / long-doc preprocessing step. One row per window;
+    the window start set is sequence(0, n_tokens-1, stride), so the
+    final (possibly short) tail window is kept.
+
+    Scale: scan -> project -> explode, zero shuffles; output rows ~=
+    2x token count / chunk size. The word split is evaluated once per
+    row (bound via select), not per window."""
+    d = load(spark, sf_dir, "documents").filter(
+        F.length(F.trim(F.col("text"))) > 0
+    )
+    t = d.select("doc_id", tx.words(F.col("text")).alias("ws"))
+    t = t.select(
+        "doc_id",
+        "ws",
+        F.explode(
+            F.sequence(F.lit(0), F.size("ws") - 1, F.lit(CHUNK_STRIDE))
+        ).alias("start"),
+    )
+    return t.select(
+        "doc_id",
+        F.col("start").cast("bigint").alias("chunk_start"),
+        F.least(F.lit(CHUNK_SIZE), F.size("ws") - F.col("start"))
+        .cast("bigint")
+        .alias("n_chunk_tokens"),
+        F.array_join(
+            F.slice("ws", F.col("start") + 1, F.lit(CHUNK_SIZE)), " "
+        ).alias("chunk_text"),
+    )
+
+
+_CONTAM_GRAMS = tx.sql_ngrams("ws", CONTAM_N)
+
+
+@query(
+    "benchmark_contamination",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {tx.SQL_WORDS.format(t='lower(text)')} AS ws
+      FROM documents WHERE length(trim(text)) > 0
+    ),
+    grams AS (
+      SELECT doc_id, unnest(list_distinct({_CONTAM_GRAMS})) AS gram
+      FROM toks
+    ),
+    bench AS (
+      SELECT DISTINCT gram FROM grams WHERE doc_id % 25 = 0
+    ),
+    corpus AS (SELECT doc_id, gram FROM grams WHERE doc_id % 25 <> 0),
+    hits AS (
+      SELECT c.doc_id, count(*) AS n_hit_grams
+      FROM corpus c JOIN bench b ON c.gram = b.gram
+      GROUP BY c.doc_id
+    )
+    SELECT t.doc_id,
+           CAST(coalesce(h.n_hit_grams, 0) AS BIGINT) AS n_hit_grams,
+           CAST(CASE WHEN coalesce(h.n_hit_grams, 0) > 0
+                     THEN 1 ELSE 0 END AS BIGINT) AS contaminated
+    FROM toks t LEFT JOIN hits h ON t.doc_id = h.doc_id
+    WHERE t.doc_id % 25 <> 0
+    """,
+)
+def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Test-set decontamination: flag corpus documents sharing any
+    {CONTAM_N}-gram with the benchmark split (here: doc_id % 25 = 0
+    stands in for the held-out eval set). The GPT-3/PaLM/Pile
+    method — n-gram collision against the eval set — as a broadcast
+    semi-join.
+
+    Scale: the benchmark gram set is eval-set-sized (small by
+    construction), so it broadcasts; the corpus side is one explode +
+    one broadcast-join + one keyed agg — the corpus is never
+    shuffled on the gram, only on doc_id. At extreme benchmark sizes,
+    swap the broadcast for a shuffle join on xxhash64(gram)."""
+    d = load(spark, sf_dir, "documents").filter(
+        F.length(F.trim(F.col("text"))) > 0
+    )
+    grams = d.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                tx._ngrams(tx.words(F.lower(F.col("text"))), CONTAM_N)
+            )
+        ).alias("gram"),
+    )
+    bench = (
+        grams.filter(F.col("doc_id") % 25 == 0).select("gram").distinct()
+    )
+    corpus = grams.filter(F.col("doc_id") % 25 != 0)
+    hits = (
+        corpus.join(F.broadcast(bench), "gram")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("_hits"))
+    )
+    return (
+        d.filter(F.col("doc_id") % 25 != 0)
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("_hits"), F.lit(0))
+            .cast("bigint")
+            .alias("n_hit_grams"),
+            (F.coalesce(F.col("_hits"), F.lit(0)) > 0)
+            .cast("bigint")
+            .alias("contaminated"),
+        )
+    )
+
+
+_DUPSPAN_GRAMS = tx.sql_ngrams("ws", DUPSPAN_N)
+
+
+@query(
+    "substring_dup_spans",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {tx.SQL_WORDS.format(t='lower(text)')} AS ws
+      FROM documents WHERE length(trim(text)) > 0
+    ),
+    grams AS (
+      SELECT doc_id, unnest(list_distinct({_DUPSPAN_GRAMS})) AS gram
+      FROM toks
+    ),
+    gc AS (
+      SELECT gram, count(*) AS n_docs FROM grams GROUP BY gram
+    )
+    SELECT g.doc_id,
+           count(*) AS n_grams,
+           CAST(sum(CASE WHEN gc.n_docs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_grams,
+           round(sum(CASE WHEN gc.n_docs > 1 THEN 1 ELSE 0 END)
+                 / CAST(count(*) AS DOUBLE), 4) AS dup_fraction
+    FROM grams g JOIN gc ON g.gram = gc.gram
+    GROUP BY g.doc_id
+    """,
+)
+def substring_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicated-span coverage: per document, the fraction of its
+    distinct {DUPSPAN_N}-grams that occur in at least one OTHER
+    document — the selection signal of ExactSubstr dedup (Lee et al.
+    2022) at fixed k-gram granularity. Documents over a dup_fraction
+    threshold are the ones suffix-array dedup would cut.
+
+    Scale: explode -> groupBy(gram) -> join-back -> groupBy(doc) —
+    two keyed shuffles, both on uniformly-hashed keys. A stopword-ish
+    hot gram can't explode the plan: gram frequency is aggregated,
+    never self-joined (contrast jaccard_pairs, which joins doc pairs
+    and therefore needs its frequency cap). At 100 TB, shuffle
+    xxhash64(gram) instead of the gram string to cut shuffle bytes
+    ~10x; the string form is kept here for oracle parity."""
+    d = load(spark, sf_dir, "documents").filter(
+        F.length(F.trim(F.col("text"))) > 0
+    )
+    grams = d.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                tx._ngrams(tx.words(F.lower(F.col("text"))), DUPSPAN_N)
+            )
+        ).alias("gram"),
+    )
+    gc = grams.groupBy("gram").agg(F.count("*").alias("n_docs"))
+    dup = (F.col("n_docs") > 1).cast("long")
+    return (
+        grams.join(gc, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum(dup).alias("n_dup_grams"),
+            F.round(
+                F.sum(dup) / F.count("*").cast("double"), 4
+            ).alias("dup_fraction"),
+        )
+    )
