@@ -265,3 +265,55 @@ def test_sequence_packing_window_is_sharded(spark):
     # single-partition window over the corpus
     txt = plan_text(spark, "sequence_packing")
     assert "Arguments: SinglePartition" not in txt
+
+
+def test_shipping_priority_topk_and_pushdown(spark):
+    # TPC-H Q3: both date filters and the segment filter must reach
+    # the scans, and the top-10 must be TakeOrderedAndProject (per-
+    # partition heap), never a global sort
+    txt = plan_text(spark, "shipping_priority_top10")
+    assert "TakeOrderedAndProject" in txt
+    assert "EqualTo(c_mktsegment,BUILDING)" in txt
+    assert "LessThan(o_orderdate" in txt
+    assert "GreaterThan(l_shipdate" in txt
+    assert "Exchange rangepartitioning" not in txt
+
+
+def test_disjunctive_predicates_push_to_both_scans(spark):
+    # TPC-H Q19: Catalyst must extract the single-table residuals of
+    # the OR-of-ANDs and push them below the join on BOTH sides
+    txt = plan_text(spark, "disjunctive_part_revenue")
+    li_scan = next(
+        l for l in txt.splitlines()
+        if "PushedFilters" in l and "l_quantity" in l
+    )
+    p_scan = next(
+        l for l in txt.splitlines()
+        if "PushedFilters" in l and "p_brand" in l
+    )
+    assert "Or(" in li_scan and "Or(" in p_scan
+
+
+def test_contamination_broadcasts_benchmark_grams(spark):
+    # the eval-set gram list is small by construction: the corpus-side
+    # probe must be a broadcast join, never a corpus shuffle on gram
+    txt = plan_text(spark, "benchmark_contamination")
+    assert "BroadcastHashJoin" in txt
+    assert "SortMergeJoin" not in txt
+
+
+def test_substring_dup_spans_two_keyed_shuffles(spark):
+    # gram-frequency agg + doc agg: the gram string is shuffled at
+    # most twice and there is no pair fan-out (no cross/NLJ)
+    txt = plan_text(spark, "substring_dup_spans")
+    assert count_exchanges(txt) <= 3
+    assert "CartesianProduct" not in txt
+    assert "BroadcastNestedLoopJoin" not in txt
+
+
+def test_waiting_supplier_decorrelated(spark):
+    # TPC-H Q21 rewrite: no correlated semi/anti joins against
+    # lineitem — the flags pipeline is keyed aggregates only
+    txt = plan_text(spark, "waiting_supplier_rank")
+    assert "CartesianProduct" not in txt
+    assert "BroadcastNestedLoopJoin" not in txt
