@@ -1256,3 +1256,76 @@ def cast_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
     expected = {"textual": T.DoubleType(), "numeric_str": T.LongType()}
     _, misfits = coerce.reconcile_types(d, expected, "probe")
     return misfits.groupBy("column_name").agg(F.count("*").alias("n_misfits"))
+
+
+# ---------------------------------------------------------------------------
+# Range join (bucketed) — SURVEY.md §2.6 extension tier
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "click_attribution",
+    oracle="""
+    WITH purchases AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+    ),
+    clicks AS (
+      SELECT user_id, ts FROM events WHERE event_type = 'click'
+    ),
+    hits AS (
+      SELECT p.event_id, count(*) AS n_clicks_30m
+      FROM purchases p
+      JOIN clicks c ON c.user_id = p.user_id
+        AND c.ts >= p.ts - INTERVAL 30 MINUTE
+        AND c.ts < p.ts
+      GROUP BY p.event_id
+    )
+    SELECT p.event_id, p.user_id,
+           strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+           CAST(coalesce(h.n_clicks_30m, 0) AS BIGINT) AS n_clicks_30m
+    FROM purchases p LEFT JOIN hits h ON p.event_id = h.event_id
+    """,
+)
+def click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Attribution-window join: for every purchase, how many clicks
+    the same user made in the 30 minutes before it (half-open
+    [t-30m, t)). The oracle states it as the natural inequality
+    join — which Spark would plan as a nested-loop scale-killer —
+    while the Spark plan uses `rangejoin.point_in_interval_join`:
+    intervals explode into 30-minute-bucket copies, the join is an
+    equi-join on (user_id, bucket), and the exact range predicate
+    filters post-join. Zero-click purchases are restored with a
+    left join on the purchase key."""
+    from ..functions import rangejoin
+
+    e = load(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id",
+        "user_id",
+        F.col("ts").alias("w_end"),
+        (F.col("ts") - F.expr("INTERVAL 30 MINUTES")).alias("w_start"),
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("c_ts")
+    )
+    pairs = rangejoin.point_in_interval_join(
+        clicks,
+        purchases,
+        point_ts="c_ts",
+        start="w_start",
+        end="w_end",
+        keys=("user_id",),
+        bucket_seconds=1800,
+    )
+    hits = pairs.groupBy("event_id").agg(F.count("*").alias("_hits"))
+    return (
+        purchases.join(hits, "event_id", "left")
+        .select(
+            "event_id",
+            "user_id",
+            F.date_format("w_end", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
+            F.coalesce(F.col("_hits"), F.lit(0))
+            .cast("bigint")
+            .alias("n_clicks_30m"),
+        )
+    )

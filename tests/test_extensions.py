@@ -274,3 +274,56 @@ def test_rerank_topk_recall_vs_exact(spark, emb):
     assert len(got) == 50
     recall = len(ex & got) / len(ex)
     assert recall >= 0.9, recall
+
+
+def test_point_in_interval_join_semantics(spark):
+    from datetime import datetime
+
+    from clickstreamtoclickhouse_spark.functions import rangejoin
+
+    ts = lambda s: datetime.fromisoformat(s)  # noqa: E731
+    points = spark.createDataFrame(
+        [
+            (1, "k", ts("2024-01-01 10:00:00")),  # == start: included
+            (2, "k", ts("2024-01-01 10:59:59")),  # inside
+            (3, "k", ts("2024-01-01 11:00:00")),  # == end: excluded
+            (4, "k", ts("2024-01-01 09:59:59")),  # before
+            (5, "other", ts("2024-01-01 10:30:00")),  # wrong key
+        ],
+        "pid INT, key STRING, p_ts TIMESTAMP",
+    )
+    intervals = spark.createDataFrame(
+        [
+            (100, "k", ts("2024-01-01 10:00:00"), ts("2024-01-01 11:00:00")),
+            # multi-bucket span (> bucket_seconds wide)
+            (200, "k", ts("2024-01-01 09:00:00"), ts("2024-01-01 12:00:00")),
+            # inverted interval: must match nothing, not explode backward
+            (300, "k", ts("2024-01-01 12:00:00"), ts("2024-01-01 09:00:00")),
+        ],
+        "iid INT, key STRING, w_start TIMESTAMP, w_end TIMESTAMP",
+    )
+    got = rangejoin.point_in_interval_join(
+        points,
+        intervals,
+        point_ts="p_ts",
+        start="w_start",
+        end="w_end",
+        keys=("key",),
+        bucket_seconds=600,
+    )
+    pairs = sorted((r["iid"], r["pid"]) for r in got.collect())
+    # half-open: pid 3 (== end) excluded from 100 but inside 200;
+    # each match appears exactly once despite multi-bucket explode
+    assert pairs == [(100, 1), (100, 2), (200, 1), (200, 2), (200, 3), (200, 4)]
+
+
+def test_click_attribution_no_nested_loop(spark):
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        plans.QUERIES["click_attribution"](spark, SF_DIR).explain("formatted")
+    txt = buf.getvalue()
+    assert "BroadcastNestedLoopJoin" not in txt
+    assert "CartesianProduct" not in txt
