@@ -827,6 +827,103 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_cluster_representatives",
+    oracle=f"""
+    WITH RECURSIVE corpus AS ({_SQL_CHAIN_CORPUS}),
+    normed AS (
+      SELECT doc_id, {_SQL_WORDS.format(t=_SQL_NORM.format(t='text'))} AS ws
+      FROM corpus
+    ),
+    shingled AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(
+               range(1, len(ws) - 1),
+               i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS shingle
+      FROM normed WHERE len(ws) >= 3
+    ),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM shingled GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+      FROM shingled a JOIN shingled b USING (shingle)
+      WHERE a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT doc_a, doc_b
+      FROM inter
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b
+      WHERE n_common * 1.0 / (sa.sz + sb.sz - n_common) >= 0.5
+    ),
+    edges AS (
+      SELECT doc_a AS u, doc_b AS v FROM pairs
+      UNION
+      SELECT doc_b AS u, doc_a AS v FROM pairs
+    ),
+    walk(node, comp) AS (
+      SELECT doc_id, doc_id FROM corpus
+      UNION
+      SELECT e.v, w.comp FROM walk w JOIN edges e ON e.u = w.node
+    ),
+    comp AS (
+      SELECT node AS doc_id, min(comp) AS component FROM walk GROUP BY node
+    ),
+    sized AS (
+      SELECT doc_id, component,
+             count(*) OVER (PARTITION BY component) AS cluster_size
+      FROM comp
+    ),
+    tok AS (
+      SELECT doc_id,
+             CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE len({_SQL_WORDS.format(t='text')}) END AS BIGINT)
+               AS n_tokens
+      FROM corpus
+    )
+    SELECT component, doc_id AS rep_doc_id, cluster_size, n_tokens
+    FROM sized JOIN tok USING (doc_id)
+    QUALIFY row_number()
+        OVER (PARTITION BY component ORDER BY n_tokens DESC, doc_id) = 1
+    """,
+)
+def dedup_cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-best selection after clustering: one representative per
+    near-dup cluster, chosen by token count (desc) with doc_id as the
+    deterministic tie-break — the step that turns cluster assignments
+    into the actual deduped corpus. On the chain corpus the original
+    (longest) document must win over its 80% and 64% truncations.
+
+    Scale: cluster assignment is the CC fixed point (O(log n)
+    rounds); the argmax is one row_number window partitioned by
+    component — pruned map-side by WindowGroupLimit, never a global
+    sort."""
+    from pyspark.sql.window import Window as W
+
+    corpus = _chain_corpus(load(spark, sf_dir, "documents"))
+    pairs = dedup_text.jaccard_pairs(corpus, threshold=0.5, n=3)
+    assign = graph.cluster_assignments(
+        corpus, pairs, id_col="doc_id", pair_a="doc_a", pair_b="doc_b"
+    )
+    toks = corpus.select(
+        "doc_id", tx.token_count_ws(F.col("text")).cast("bigint").alias("n_tokens")
+    )
+    win = W.partitionBy("component").orderBy(
+        F.desc("n_tokens"), F.asc("doc_id")
+    )
+    return (
+        assign.join(toks, "doc_id")
+        .withColumn("_rn", F.row_number().over(win))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "component",
+            F.col("doc_id").alias("rep_doc_id"),
+            "cluster_size",
+            "n_tokens",
+        )
+    )
+
+
+@query(
     "incremental_dedup_docs",
     oracle=f"""
     WITH corpus AS (SELECT md5(text) AS h FROM documents),

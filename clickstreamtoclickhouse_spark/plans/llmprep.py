@@ -231,3 +231,42 @@ def substring_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("dup_fraction"),
         )
     )
+
+
+@query(
+    "dataset_split",
+    oracle="""
+    SELECT doc_id,
+           CASE WHEN b < 80 THEN 'train'
+                WHEN b < 90 THEN 'val'
+                ELSE 'test' END AS split
+    FROM (
+      SELECT doc_id,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+               % 100 AS b
+      FROM documents
+    ) h
+    """,
+)
+def dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test assignment by content-
+    independent id hash (conv(md5(id)) — portable across engines and
+    runs, unlike randomSplit, which reshuffles whenever partitioning
+    changes). Membership is a pure projection: reproducible on any
+    cluster size, joinable from any table, no stored split table
+    needed.
+
+    Scale: scan -> project, zero shuffles. The same expression works
+    as a filter pushed into any downstream read of the corpus."""
+    d = load(spark, sf_dir, "documents")
+    b = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 100
+    )
+    return d.select(
+        "doc_id",
+        F.when(b < 80, "train").when(b < 90, "val").otherwise("test").alias(
+            "split"
+        ),
+    )
