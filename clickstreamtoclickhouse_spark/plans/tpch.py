@@ -648,3 +648,287 @@ def dormant_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             _money_sum(F.col("c_acctbal"), "totacctbal"),
         )
     )
+
+
+@query(
+    "forecast_revenue_change",
+    oracle="""
+    SELECT CAST(round(sum(CAST(l_extendedprice * l_discount
+                         AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def forecast_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 verbatim (every referenced column exists): revenue
+    delta if low-quantity discounts were dropped. Pure scan+filter+
+    single-row agg: all three predicates push to the parquet scan
+    (shipdate range prunes row groups via min/max stats), projection
+    needs only 4 columns, and the aggregate is map-side partial +
+    1-row merge -- the plan a 100 TB scan wants (no shuffle of data,
+    only of per-partition partials)."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            _money_sum(
+                F.col("l_extendedprice") * F.col("l_discount"), "revenue"
+            )
+        )
+    )
+
+
+@query(
+    "large_volume_customers",
+    oracle="""
+    WITH big AS (
+      SELECT l_orderkey, sum(l_quantity) AS sum_qty
+      FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 250
+    )
+    SELECT c_name, c_custkey, o_orderkey,
+           strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+           o_totalprice, sum_qty
+    FROM big
+    JOIN orders ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 100
+    """,
+)
+def large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 (threshold 250 fits the testdata qty distribution;
+    sums cap around 460). The IN-subquery is written as aggregate-
+    then-join: lineitem aggregates FIRST (map-side partials on
+    l_orderkey), and only the surviving ~0.3% of orders join against
+    orders/customer -- at 100 TB the filter cuts the join input by
+    300x before any wide row is shuffled. Top-N is
+    TakeOrderedAndProject (per-partition heap, driver merges 100
+    rows), never a global sort. sum(l_quantity) is exact: integral
+    doubles well under 2^53."""
+    li = load(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+        .filter(F.col("sum_qty") > 250)
+    )
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    return (
+        big.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(c, F.col("c_custkey") == F.col("o_custkey"))
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+            "o_totalprice",
+            "sum_qty",
+        )
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(100)
+    )
+
+
+@query(
+    "min_cost_supplier",
+    oracle="""
+    WITH cost AS (
+      SELECT l_partkey, l_suppkey,
+             min(l_extendedprice / l_quantity) AS unit_cost
+      FROM lineitem GROUP BY l_partkey, l_suppkey
+    ), ranked AS (
+      SELECT l_partkey, l_suppkey, unit_cost,
+             row_number() OVER (PARTITION BY l_partkey
+                                ORDER BY unit_cost, l_suppkey) AS rn
+      FROM cost
+    )
+    SELECT p_partkey, p_name, s_name, n_name, s_acctbal, unit_cost
+    FROM ranked
+    JOIN part ON p_partkey = l_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation ON n_nationkey = s_nationkey
+    WHERE rn = 1 AND p_size <= 10 AND p_type = 'SMALL'
+    """,
+)
+def min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 adapted: no partsupp table, so ps_supplycost is
+    approximated by the observed min unit price (l_extendedprice /
+    l_quantity) per (part, supplier), and the region filter by the
+    part filter alone. The correlated min-cost subquery is
+    decorrelated into one aggregate + row_number() -- two shuffles on
+    l_partkey total, no per-part lookups. The part filter is applied
+    via an inner join AFTER ranking (ranking cost is dominated by the
+    lineitem agg either way at this selectivity, and the rank is
+    part-local so filtering does not change winners); ties on
+    unit_cost break deterministically by suppkey. nation broadcasts
+    (constant-size)."""
+    from pyspark.sql import Window
+
+    li = load(spark, sf_dir, "lineitem")
+    cost = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias(
+            "unit_cost"
+        )
+    )
+    w = Window.partitionBy("l_partkey").orderBy("unit_cost", "l_suppkey")
+    ranked = cost.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") == 1
+    )
+    p = load(spark, sf_dir, "part").filter(
+        (F.col("p_size") <= 10) & (F.col("p_type") == "SMALL")
+    )
+    s = load(spark, sf_dir, "supplier")
+    n = F.broadcast(load(spark, sf_dir, "nation"))
+    return (
+        ranked.join(p, F.col("p_partkey") == F.col("l_partkey"))
+        .join(s, F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(n, F.col("n_nationkey") == F.col("s_nationkey"))
+        .select(
+            "p_partkey", "p_name", "s_name", "n_name", "s_acctbal",
+            "unit_cost",
+        )
+    )
+
+
+@query(
+    "important_part_value",
+    oracle="""
+    WITH v AS (
+      SELECT l_partkey,
+             sum(CAST(l_extendedprice * (1 - l_discount)
+                 AS DECIMAL(18,4))) AS val
+      FROM lineitem JOIN supplier ON s_suppkey = l_suppkey
+      WHERE s_nationkey = 7
+      GROUP BY l_partkey
+    ), t AS (SELECT sum(val) AS tot, count(*) AS cnt FROM v)
+    SELECT l_partkey AS partkey,
+           CAST(round(val, 2) AS DOUBLE) AS part_value
+    FROM v, t
+    WHERE CAST(val AS DOUBLE) > 2.5 * (CAST(tot AS DOUBLE) / cnt)
+    """,
+)
+def important_part_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 adapted: no partsupp, so 'stock value' is the traded
+    value sum(l_extendedprice*(1-l_discount)) per part restricted to
+    one nation's suppliers, and the SF-dependent fraction threshold
+    becomes the scale-free 'val > 2.5 x mean val'. The scalar
+    (total, count) is a 1-row broadcast crossJoin. Determinism note:
+    both engines build `val`/`tot` by EXACT decimal sums (order-
+    independent), so the double threshold comparison sees bit-
+    identical operands on both sides -- no float-accumulation-order
+    flicker at the cut boundary."""
+    li = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier").filter(F.col("s_nationkey") == 7)
+    v = (
+        li.join(s, F.col("s_suppkey") == F.col("l_suppkey"))
+        .groupBy("l_partkey")
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(18,4)"
+                )
+            ).alias("val")
+        )
+    )
+    t = v.agg(F.sum("val").alias("tot"), F.count("*").alias("cnt"))
+    return (
+        v.crossJoin(F.broadcast(t))
+        .filter(
+            F.col("val").cast("double")
+            > 2.5 * (F.col("tot").cast("double") / F.col("cnt"))
+        )
+        .select(
+            F.col("l_partkey").alias("partkey"),
+            F.round("val", 2).cast("double").alias("part_value"),
+        )
+    )
+
+
+@query(
+    "supplier_cnt_by_parttype",
+    oracle="""
+    SELECT p_brand, p_type, p_size,
+           count(DISTINCT l_suppkey) AS supplier_cnt
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#45' AND p_size IN (1, 5, 9, 14, 22, 28, 35, 40)
+    GROUP BY p_brand, p_type, p_size
+    """,
+)
+def supplier_cnt_by_parttype(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 adapted: supplier-per-part relationships come from
+    lineitem (no partsupp; the comment-based supplier exclusion has
+    no comment column to apply to). The part filter is applied BEFORE
+    the join, so brand/size predicates push to the part scan and the
+    join probe side shrinks ~6x; count(DISTINCT) expands into Spark's
+    two-phase distinct aggregate (partial dedup map-side, exact
+    merge) -- no driver-side set."""
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#45")
+        & F.col("p_size").isin(1, 5, 9, 14, 22, 28, 35, 40)
+    )
+    return (
+        li.join(p, F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@query(
+    "dominant_part_suppliers",
+    oracle="""
+    WITH yr AS (
+      SELECT l_partkey, l_suppkey, l_quantity FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        AND l_shipdate < TIMESTAMP '1998-01-01'
+    ), per AS (
+      SELECT l_partkey, l_suppkey, sum(l_quantity) AS q
+      FROM yr GROUP BY l_partkey, l_suppkey
+    ), tot AS (
+      SELECT l_partkey, sum(q) AS t FROM per GROUP BY l_partkey
+    )
+    SELECT s_name, n_name, count(*) AS dominated_parts
+    FROM per
+    JOIN tot USING (l_partkey)
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation ON n_nationkey = s_nationkey
+    WHERE 2 * q > t
+    GROUP BY s_name, n_name
+    """,
+)
+def dominant_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 adapted: 'availqty > half of shipped' (needs
+    partsupp) becomes 'supplier shipped more than half of a part's
+    1997 volume' -- same shape: per-(part,supplier) agg vs per-part
+    total, filter, resolve supplier names. The per-part total is
+    derived from the per-(part,supplier) partials (re-aggregating the
+    smaller relation, not rescanning lineitem); `2*q > t` stays in
+    exact integral-double domain. The year filter pushes to the scan;
+    nation broadcasts."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    per = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum("l_quantity").alias("q")
+    )
+    tot = per.groupBy("l_partkey").agg(F.sum("q").alias("t"))
+    s = load(spark, sf_dir, "supplier")
+    n = F.broadcast(load(spark, sf_dir, "nation"))
+    return (
+        per.join(tot, "l_partkey")
+        .filter(2 * F.col("q") > F.col("t"))
+        .join(s, F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(n, F.col("n_nationkey") == F.col("s_nationkey"))
+        .groupBy("s_name", "n_name")
+        .agg(F.count("*").alias("dominated_parts"))
+    )
