@@ -9,8 +9,8 @@ Scale design notes (100 TB stance):
   count per pair. The shingle join is the scalable formulation (no
   O(n²) crossJoin); frequency-capping drops degenerate shingles that
   would explode the join (standard trick; cap is a parameter).
-- MinHash+LSH: pyspark.ml MinHashLSH — banded hashing turns near-dup
-  search into an equi-join on band buckets.
+- MinHash+LSH: pure Column-expression k-min signatures + banded
+  hashing — near-dup search becomes an equi-join on band buckets.
 - SimHash: 64-bit signature via per-token xxhash64 bit votes — one
   aggregation; candidate pairs via band equi-join on signature bytes.
 """
@@ -158,54 +158,110 @@ def jaccard_pairs(
 
 
 # ---------------------------------------------------------------------------
-# MinHash + LSH (pyspark.ml)
+# MinHash + LSH (pure Column expressions — no MLlib fit step)
 # ---------------------------------------------------------------------------
+
+def minhash_signatures(
+    docs: DataFrame,
+    n: int = 3,
+    num_hashes: int = 48,
+    seed: int = 42,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document MinHash signature as `num_hashes` long columns
+    ``mh0..mh{k-1}`` plus the id as ``did``.
+
+    Each shingle is hashed ONCE to a 64-bit base (`xxhash64`), then
+    the k-th permutation hash re-mixes (base, k, seed) — two-long
+    xxhash64, whole-stage codegen. The signature is one hash-partition
+    aggregate of k `min()`s: a single shuffle of (did, k longs),
+    never the shingle text. No model fit, no driver round trip —
+    unlike MLlib's MinHashLSH this is a stateless projection, so it
+    runs identically in batch and foreachBatch streaming."""
+    sh = _doc_shingles(docs, id_col, text_col, n).withColumn(
+        "h", F.xxhash64("shingle")
+    )
+    mins = [
+        F.min(F.xxhash64("h", F.lit(k), F.lit(seed))).alias(f"mh{k}")
+        for k in range(num_hashes)
+    ]
+    return sh.groupBy("did").agg(*mins)
+
 
 def minhash_near_dup_pairs(
     docs: DataFrame,
     threshold: float = 0.6,
     n: int = 3,
-    num_hash_tables: int = 6,
-    num_features: int = 1 << 18,
+    num_hashes: int = 48,
+    num_bands: int = 12,
     seed: int = 42,
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
-    """Approximate near-dup pairs via MinHashLSH over hashed
-    shingle-set features: word n-gram shingles -> HashingTF sparse
-    vector -> minhash bands -> bucket equi-join
-    (approxSimilarityJoin). Returns (doc_a, doc_b, jaccard_distance)
-    with doc_a < doc_b. Deterministic for a fixed seed; no SQL oracle
-    (LSH internals aren't portable) — driver records the rows-only
+    """Approximate near-dup pairs via banded MinHash LSH, entirely in
+    Column expressions: word n-gram shingles -> k min-hashes -> b
+    bands of r=k/b rows -> candidate pairs by (band, band_hash)
+    equi-join -> estimated Jaccard = matching-component fraction.
+    Returns (doc_a, doc_b, jaccard_distance) with doc_a < doc_b,
+    distance = 1 - estimate. Deterministic for a fixed seed; no SQL
+    oracle (xxhash64 isn't portable) — driver records the rows-only
     check.
+
+    Scale shape: one shuffle for signatures, one explode to b rows
+    per doc, one equi-join on (band, band_hash) — a pair collides iff
+    some band matches exactly (P = 1-(1-s^r)^b; r=4, b=12 puts the
+    S-curve knee near s≈0.55). No crossJoin, no per-row Python, no
+    MLlib fit. Band hash includes the band index, so one partitioned
+    table on band_hash still separates bands.
 
     Shingles (n=3 default), not unigrams: word-SET similarity
     saturates on any shared-vocabulary corpus (every doc is a
     "near-dup" of every other), while shingle sets keep word order and
     stay discriminative — same reason jaccard_pairs defaults to
     n-grams."""
-    from pyspark.ml.feature import HashingTF, MinHashLSH
+    if num_hashes % num_bands:
+        raise ValueError("num_hashes must be divisible by num_bands")
+    rows_per_band = num_hashes // num_bands
+    sig = minhash_signatures(docs, n, num_hashes, seed, id_col, text_col)
 
-    tokens = (
-        _doc_shingles(docs, id_col, text_col, n)
-        .groupBy("did")
-        .agg(F.collect_list("shingle").alias("tokens"))
-        .filter(F.size("tokens") > 0)
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(
+                    *[F.col(f"mh{b * rows_per_band + j}") for j in range(rows_per_band)]
+                ).alias("bh"),
+            )
+            for b in range(num_bands)
+        ]
     )
-    tf = HashingTF(inputCol="tokens", outputCol="features", numFeatures=num_features)
-    feats = tf.transform(tokens)
-    lsh = MinHashLSH(
-        inputCol="features", outputCol="hashes", numHashTables=num_hash_tables, seed=seed
+    sig = sig.withColumn("sig", F.array(*[f"mh{k}" for k in range(num_hashes)]))
+    banded = sig.select("did", "sig", F.explode(bands).alias("b")).select(
+        "did", "sig", F.col("b.band").alias("band"), F.col("b.bh").alias("bh")
     )
-    model = lsh.fit(feats)
-    pairs = model.approxSimilarityJoin(feats, feats, 1.0 - threshold, distCol="dist")
-    return (
-        pairs.select(
-            F.col("datasetA.did").alias("doc_a"),
-            F.col("datasetB.did").alias("doc_b"),
-            F.round("dist", 6).alias("jaccard_distance"),
-        )
+    a = banded.select(
+        F.col("did").alias("doc_a"), F.col("sig").alias("sig_a"), "band", "bh"
+    )
+    b = banded.select(
+        F.col("did").alias("doc_b"), F.col("sig").alias("sig_b"), "band", "bh"
+    )
+    cand = (
+        a.join(b, ["band", "bh"])
         .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sig_a", "sig_b")
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    matches = sum(
+        (F.element_at("sig_a", k + 1) == F.element_at("sig_b", k + 1)).cast("int")
+        for k in range(num_hashes)
+    )
+    est = matches / F.lit(float(num_hashes))
+    return (
+        cand.filter(est >= threshold)
+        .select(
+            "doc_a", "doc_b", F.round(1.0 - est, 6).alias("jaccard_distance")
+        )
     )
 
 
