@@ -69,4 +69,13 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
         # integer `div` keeps full precision (double division would lose
         # bits at 1e18-scale nanos); truncation matches DuckDB's cast.
         df = df.withColumn(c, F.expr(f"timestamp_micros(`{c}` div 1000)"))
+    # Parquet timestamp[us] WITHOUT timezone infers as TIMESTAMP_NTZ on
+    # sessions with spark.sql.parquet.inferTimestampNTZ.enabled (the
+    # Spark 3.4+ default, and the driver owns its own session so we
+    # can't rely on our factory's override). Chrono functions like
+    # unix_micros() reject NTZ; with the session TZ pinned to UTC the
+    # cast is value-identical to the naive-UTC reading the oracle uses.
+    ntz = [f.name for f in df.schema.fields if f.dataType.typeName() == "timestamp_ntz"]
+    for c in ntz:
+        df = df.withColumn(c, F.col(c).cast("timestamp"))
     return df

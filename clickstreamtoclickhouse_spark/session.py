@@ -40,6 +40,10 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # testdata parquet stores naive-UTC timestamp[us]; read it as
+        # TIMESTAMP (session tz UTC ⇒ same instant) rather than NTZ so
+        # chrono functions (unix_micros & co.) stay applicable
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
         # saveAsTable target for bucketed tables (sinks.bucketed);
