@@ -1518,3 +1518,212 @@ def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_bytes",
         F.round(F.element_at("features", 1), 6).alias("f0"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 4: line-level boilerplate dedup + nearest-centroid assignment
+# ---------------------------------------------------------------------------
+
+# The testdata documents are single-line word streams, so the line
+# operator runs over a LINED corpus built identically in Spark and the
+# oracle: a per-source header line + body lines of 8 words + a global
+# footer line. Headers repeat across every doc of a source (25 docs at
+# sf0.01) and the footer across all docs, so both cross the removal
+# threshold; body lines are (mostly) unique and survive.
+_LINE_WORDS = 8
+_LINE_DF_MAX = 2  # a line kept only if it appears in <= 2 distinct docs
+
+_SQL_LINED_CORPUS = f"""
+  SELECT doc_id,
+         ['__header_' || source || '__'] ||
+         list_transform(range(0, (len(ws) + {_LINE_WORDS - 1}) // {_LINE_WORDS}),
+           i -> array_to_string(
+                  list_slice(ws, i*{_LINE_WORDS}+1, i*{_LINE_WORDS}+{_LINE_WORDS}),
+                  ' ')) ||
+         ['__footer_subscribe_now__'] AS lines
+  FROM (
+    SELECT doc_id, source, regexp_split_to_array(trim(text), '\\s+') AS ws
+    FROM documents WHERE length(trim(text)) > 0
+  )
+"""
+
+
+def _lined_corpus(docs: DataFrame) -> DataFrame:
+    """(doc_id, lines array<string>): header + 8-word body lines + footer."""
+    t = docs.filter(F.length(F.trim(F.col("text"))) > 0).select(
+        "doc_id", "source", tx.words(F.col("text")).alias("ws")
+    )
+    return t.select(
+        "doc_id",
+        F.concat(
+            F.array(F.concat(F.lit("__header_"), F.col("source"), F.lit("__"))),
+            F.expr(
+                f"transform(sequence(0, (size(ws)-1) div {_LINE_WORDS}), "
+                f"i -> array_join(slice(ws, i*{_LINE_WORDS}+1, {_LINE_WORDS}), ' '))"
+            ),
+            F.array(F.lit("__footer_subscribe_now__")),
+        ).alias("lines"),
+    )
+
+
+@query(
+    "line_dedup_docs",
+    oracle=f"""
+    WITH lined AS ({_SQL_LINED_CORPUS}),
+    ln AS (
+      SELECT doc_id, unnest(lines) AS line,
+             unnest(range(1, len(lines)+1)) AS pos
+      FROM lined
+    ),
+    freq AS (
+      SELECT line, count(DISTINCT doc_id) AS df FROM ln GROUP BY line
+    ),
+    kept AS (
+      SELECT ln.* FROM ln JOIN freq USING (line) WHERE df <= {_LINE_DF_MAX}
+    ),
+    totals AS (
+      SELECT doc_id, CAST(len(lines) AS BIGINT) AS n_lines FROM lined
+    ),
+    kept_agg AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+             string_agg(line, chr(10) ORDER BY pos) AS kept_text
+      FROM kept GROUP BY doc_id
+    )
+    SELECT t.doc_id, t.n_lines,
+           coalesce(k.n_kept, 0) AS n_kept,
+           coalesce(k.kept_text, '') AS kept_text
+    FROM totals t LEFT JOIN kept_agg k USING (doc_id)
+    """,
+)
+def line_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4/RefinedWeb-style line-level boilerplate removal (public
+    method: Raffel et al. 2020 §2.2; Penedo et al. 2023 §3): drop
+    every line that occurs in more than _LINE_DF_MAX=2 distinct
+    documents corpus-wide, reassemble the survivors in document
+    order. The step that strips nav bars / cookie banners / footers
+    before any document-level dedup.
+
+    Scale (100 TB stance): one explode -> distinct -> groupBy to get
+    per-line document frequency (shuffle keyed on the line; a
+    pre-projection to (doc_id, line) distinct makes the countDistinct
+    a plain count), then a LEFT ANTI join of the exploded lines
+    against the boilerplate set. Both shuffles are on the line value
+    — for very long lines, substitute xxhash64(line) as the join key
+    (identical topology). Reassembly is a per-doc sort of an
+    already-small collected list, never a global sort."""
+    lined = _lined_corpus(load(spark, sf_dir, "documents"))
+    ln = lined.select(
+        "doc_id", F.posexplode("lines").alias("pos", "line")
+    )
+    freq = (
+        ln.select("doc_id", "line")
+        .distinct()
+        .groupBy("line")
+        .agg(F.count("*").alias("df"))
+    )
+    boiler = freq.filter(F.col("df") > _LINE_DF_MAX).select("line")
+    kept = ln.join(boiler, "line", "left_anti")
+    totals = lined.select(
+        "doc_id", F.size("lines").cast("bigint").alias("n_lines")
+    )
+    kept_agg = kept.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s["line"],
+            ),
+            "\n",
+        ).alias("kept_text"),
+    )
+    return totals.join(kept_agg, "doc_id", "left").select(
+        "doc_id",
+        "n_lines",
+        F.coalesce("n_kept", F.lit(0).cast("bigint")).alias("n_kept"),
+        F.coalesce("kept_text", F.lit("")).alias("kept_text"),
+    )
+
+
+@query(
+    "embedding_centroid_assign",
+    oracle="""
+    WITH rel AS (
+      SELECT vec_id, label,
+             unnest(embedding)::DOUBLE AS x,
+             unnest(range(1, len(embedding)+1)) AS pos
+      FROM embeddings
+    ),
+    cent AS (SELECT label AS clabel, pos, avg(x) AS c FROM rel GROUP BY 1, 2),
+    vnorm AS (SELECT vec_id, sqrt(sum(x*x)) AS vn FROM rel GROUP BY 1),
+    cnorm AS (SELECT clabel, sqrt(sum(c*c)) AS cn FROM cent GROUP BY 1),
+    dots AS (
+      SELECT r.vec_id, c.clabel, sum(r.x * c.c) AS dp
+      FROM rel r JOIN cent c USING (pos) GROUP BY 1, 2
+    ),
+    sims AS (
+      SELECT d.vec_id, d.clabel, round(dp / (vn * cn), 6) AS sim
+      FROM dots d JOIN vnorm USING (vec_id) JOIN cnorm USING (clabel)
+    ),
+    pred AS (
+      SELECT vec_id, clabel AS pred_label
+      FROM sims
+      QUALIFY row_number()
+          OVER (PARTITION BY vec_id ORDER BY sim DESC, clabel) = 1
+    )
+    SELECT e.label, p.pred_label, count(*) AS n_vecs
+    FROM embeddings e JOIN pred p USING (vec_id)
+    GROUP BY 1, 2
+    """,
+)
+def embedding_centroid_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-centroid assignment (Rocchio classification / the
+    k-means assignment step): per-label mean vectors, every embedding
+    assigned to its max-cosine centroid, confusion counts out. The
+    building block behind cluster-balanced sampling and weak-label
+    quality audits of an embedded corpus.
+
+    Scale: centroids are a (label x dim) aggregate — tiny — and the
+    assignment is a BROADCAST join of that aggregate onto the
+    relational (vec, pos, x) stream followed by a (vec, label) keyed
+    sum: O(n_vecs x dims x n_labels) multiply-adds distributed by
+    vector, no crossJoin of vectors against vectors. Similarity is
+    rounded to 6 dp before the argmax so the float summation-order
+    ULP gap between engines cannot flip a ranking; remaining ties
+    break on label id."""
+    emb = load(spark, sf_dir, "embeddings")
+    rel = emb.select(
+        "vec_id",
+        "label",
+        F.posexplode("embedding").alias("pos", "xf"),
+    ).select("vec_id", "label", "pos", F.col("xf").cast("double").alias("x"))
+    cent = rel.groupBy(F.col("label").alias("clabel"), "pos").agg(
+        F.avg("x").alias("c")
+    )
+    vnorm = rel.groupBy("vec_id").agg(F.sqrt(F.sum(F.col("x") * F.col("x"))).alias("vn"))
+    cnorm = cent.groupBy("clabel").agg(F.sqrt(F.sum(F.col("c") * F.col("c"))).alias("cn"))
+    dots = (
+        rel.join(F.broadcast(cent), "pos")
+        .groupBy("vec_id", "clabel")
+        .agg(F.sum(F.col("x") * F.col("c")).alias("dp"))
+    )
+    sims = (
+        dots.join(vnorm, "vec_id")
+        .join(F.broadcast(cnorm), "clabel")
+        .select(
+            "vec_id",
+            "clabel",
+            F.round(F.col("dp") / (F.col("vn") * F.col("cn")), 6).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("clabel"))
+    pred = (
+        sims.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("vec_id", F.col("clabel").alias("pred_label"))
+    )
+    return (
+        emb.select("vec_id", "label")
+        .join(pred, "vec_id")
+        .groupBy("label", "pred_label")
+        .agg(F.count("*").alias("n_vecs"))
+    )

@@ -1329,3 +1329,84 @@ def click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_clicks_30m"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 4: time-range rolling windows + sketch heavy hitters
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "rolling_7d_user_value",
+    oracle="""
+    SELECT event_id, user_id,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts,
+           round(sum(value) OVER w, 2) AS rolling_value,
+           CAST(count(*) OVER w AS BIGINT) AS rolling_n
+    FROM events
+    WINDOW w AS (
+      PARTITION BY user_id ORDER BY ts
+      RANGE BETWEEN INTERVAL 7 DAY PRECEDING AND CURRENT ROW
+    )
+    """,
+)
+def rolling_7d_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day rolling aggregate per user: a RANGE-framed
+    window over event time (frame = all rows within the preceding
+    interval, NOT the preceding N rows — gaps and bursts are handled
+    by value, which a ROWS frame gets wrong). The standard trailing
+    MAU/spend/velocity feature in clickstream feature engineering.
+
+    Scale: one hash shuffle on user_id; within a partition Spark
+    evaluates the range frame with a sliding two-pointer pass over
+    the sorted rows, O(n) per user, state bounded by the widest
+    7-day burst. Frame bounds are inclusive on both engines (peers
+    at the boundary instant are in-frame), so results match DuckDB's
+    INTERVAL RANGE exactly; micros-precision ordering keeps ties
+    identical."""
+    e = load(spark, sf_dir, "events").withColumn(
+        "_us", F.unix_micros(F.col("ts"))
+    )
+    seven_days_us = 7 * 86_400 * 1_000_000
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("_us")
+        .rangeBetween(-seven_days_us, 0)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
+        F.round(F.sum("value").over(w), 2).alias("rolling_value"),
+        F.count("*").over(w).cast("bigint").alias("rolling_n"),
+    )
+
+
+@query(
+    "heavy_hitter_events",
+    oracle="""
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n_events
+    FROM events GROUP BY event_type
+    """,
+)
+def heavy_hitter_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters via the approx_top_k sketch (Spark 4's
+    space-bounded frequent-items aggregate): the streaming-safe way
+    to ask "which values dominate this column" without a full
+    groupBy when the domain is huge (URLs, user agents, query
+    strings). Sketches combine associatively map-side, so the
+    shuffle moves one bounded sketch per partition — not one row per
+    distinct value.
+
+    The oracle is the EXACT group-count: with k (10) at least the
+    column's distinct cardinality the sketch provably degenerates to
+    exact counts, which turns an approximate operator into a
+    hash-checkable query at test SF while keeping the at-scale
+    operator shape. (For domains wider than k the driver-side check
+    would be rows-only, like the HLL entries.)"""
+    e = load(spark, sf_dir, "events")
+    sk = e.agg(F.expr("approx_top_k(event_type, 10)").alias("tk"))
+    return sk.select(F.explode("tk").alias("s")).select(
+        F.col("s.item").alias("event_type"),
+        F.col("s.count").cast("bigint").alias("n_events"),
+    )
