@@ -336,3 +336,112 @@ def simhash_near_dup_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
     )
+
+
+# ---------------------------------------------------------------------------
+# Portable MinHash (oracle-checkable arithmetic — no engine-native hash)
+# ---------------------------------------------------------------------------
+
+# Fixed universal-hash permutations h_j(x) = (a_j*x + b_j) mod PRIME.
+# Literal constants (seeded once, frozen) so the Spark plan and the
+# DuckDB oracle twin share them verbatim. a_j,h < PRIME ~ 1e9 keeps
+# a_j*h < ~1e18, inside signed-64 range on both engines.
+MH_PRIME = 1_000_000_007
+MH_AB: tuple[tuple[int, int], ...] = (
+    (199401392, 298493741),
+    (573612697, 958392527),
+    (739673739, 486173716),
+    (58225162, 145609950),
+    (215489561, 117017237),
+    (703471044, 880590497),
+    (633842771, 462017658),
+    (586349398, 201319702),
+    (678835136, 677911909),
+    (334462875, 126328944),
+    (588912590, 214015920),
+    (848272349, 115448326),
+    (397332018, 879404500),
+    (740016488, 429239619),
+    (263703426, 53291262),
+    (951695955, 43983197),
+)
+
+
+def _portable_hash(s: Column, base: int = 131, mod: int = MH_PRIME) -> Column:
+    """Polynomial codepoint fold — the same portable construction as
+    ``text.fingerprint_rolling``'s word hash, over the whole string
+    (spaces included). Pure arithmetic: identical in any engine."""
+    return F.aggregate(
+        F.split(s, ""),
+        F.lit(0).cast("long"),
+        lambda acc, c: (acc * base + F.ascii(c)) % mod,
+    )
+
+
+def minhash_portable_pairs(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    n: int = 3,
+    num_bands: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Banded MinHash LSH with PORTABLE hashing: shingles -> polynomial
+    base hash -> 16 (a*x+b) mod p permutation minima -> `num_bands`
+    bands -> candidate pairs by band-key equi-join -> estimated
+    Jaccard = matching-signature fraction, thresholded.
+
+    Same plan topology as ``minhash_near_dup_pairs`` (one signature
+    shuffle, band explode, equi-join — no crossJoin), but every hash
+    is engine-neutral arithmetic, so the whole pipeline — candidate
+    generation INCLUDED — is value-checkable against a SQL oracle
+    rather than rows-only. Returns (doc_a, doc_b, est_jaccard),
+    doc_a < doc_b."""
+    k = len(MH_AB)
+    if k % num_bands:
+        raise ValueError("len(MH_AB) must be divisible by num_bands")
+    r = k // num_bands
+    sh = _doc_shingles(docs, id_col, text_col, n).withColumn(
+        "h", _portable_hash(F.col("shingle"))
+    )
+    sig = sh.groupBy("did").agg(
+        *[
+            F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(MH_PRIME)).alias(f"m{j}")
+            for j, (a, b) in enumerate(MH_AB)
+        ]
+    )
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat_ws(
+                    "-", *[F.col(f"m{b * r + j}") for j in range(r)]
+                ).alias("bk"),
+            )
+            for b in range(num_bands)
+        ]
+    )
+    sig = sig.withColumn("sig", F.array(*[f"m{j}" for j in range(k)]))
+    banded = sig.select("did", "sig", F.explode(bands).alias("b")).select(
+        "did", "sig", F.col("b.band").alias("band"), F.col("b.bk").alias("bk")
+    )
+    a = banded.select(
+        F.col("did").alias("doc_a"), F.col("sig").alias("sig_a"), "band", "bk"
+    )
+    b = banded.select(
+        F.col("did").alias("doc_b"), F.col("sig").alias("sig_b"), "band", "bk"
+    )
+    cand = (
+        a.join(b, ["band", "bk"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sig_a", "sig_b")
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    matches = sum(
+        (F.element_at("sig_a", j + 1) == F.element_at("sig_b", j + 1)).cast("int")
+        for j in range(k)
+    )
+    est = matches / F.lit(float(k))
+    return cand.filter(est >= threshold).select(
+        "doc_a", "doc_b", F.round(est, 6).alias("est_jaccard")
+    )

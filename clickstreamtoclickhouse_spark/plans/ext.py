@@ -1727,3 +1727,103 @@ def embedding_centroid_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("label", "pred_label")
         .agg(F.count("*").alias("n_vecs"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 4: portable MinHash — LSH candidate generation under oracle check
+# ---------------------------------------------------------------------------
+
+_MH_P = dedup_text.MH_PRIME
+_MH_K = len(dedup_text.MH_AB)
+_MH_BANDS = 4
+_MH_R = _MH_K // _MH_BANDS
+
+_SQL_SHINGLE_HASH = """
+  list_reduce(
+    list_prepend(CAST(0 AS BIGINT),
+      list_transform(range(1, length(shingle) + 1),
+                     i -> CAST(ascii(substr(shingle, i, 1)) AS BIGINT))),
+    (acc, c) -> (acc * 131 + c) % {p})
+""".format(p=_MH_P)
+
+_SQL_MH_MINS = ",\n             ".join(
+    f"min(({a} * h + {b}) % {_MH_P}) AS m{j}"
+    for j, (a, b) in enumerate(dedup_text.MH_AB)
+)
+
+_SQL_MH_BANDS = "\n      UNION ALL\n".join(
+    "      SELECT doc_id, {band} AS band, {key} AS bk FROM sig".format(
+        band=b,
+        key=" || '-' || ".join(
+            f"CAST(m{b * _MH_R + j} AS VARCHAR)" for j in range(_MH_R)
+        ),
+    )
+    for b in range(_MH_BANDS)
+)
+
+_SQL_MH_MATCHES = " + ".join(
+    f"CAST(sa.m{j} = sb.m{j} AS INT)" for j in range(_MH_K)
+)
+
+
+@query(
+    "minhash_portable_near_dups",
+    oracle=f"""
+    WITH corpus AS ({_SQL_NEAR_DUP_CORPUS}),
+    normed AS (
+      SELECT doc_id, {_SQL_WORDS.format(t=_SQL_NORM.format(t='text'))} AS ws
+      FROM corpus
+    ),
+    shingled AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(
+               range(1, len(ws) - 1),
+               i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS shingle
+      FROM normed WHERE len(ws) >= 3
+    ),
+    hashed AS (
+      SELECT doc_id, {_SQL_SHINGLE_HASH} AS h FROM shingled
+    ),
+    sig AS (
+      SELECT doc_id,
+             {_SQL_MH_MINS}
+      FROM hashed GROUP BY doc_id
+    ),
+    banded AS (
+{_SQL_MH_BANDS}
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM banded a
+      JOIN banded b ON a.band = b.band AND a.bk = b.bk
+                    AND a.doc_id < b.doc_id
+    ),
+    est AS (
+      SELECT doc_a, doc_b,
+             ({_SQL_MH_MATCHES}) / {float(_MH_K)} AS est
+      FROM cand
+      JOIN sig sa ON sa.doc_id = doc_a
+      JOIN sig sb ON sb.doc_id = doc_b
+    )
+    SELECT doc_a, doc_b, round(est, 6) AS est_jaccard
+    FROM est WHERE est >= 0.5
+    """,
+)
+def minhash_portable_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH with the FULL pipeline under oracle check —
+    candidate generation included. The xxhash64 variant
+    (`minhash_near_dups`) is rows-only because engine-native hashes
+    don't port; here the base hash is a polynomial codepoint fold and
+    the permutations are fixed (a*x+b) mod p literals shared verbatim
+    with the DuckDB twin, so banding, collision sets, and signature-
+    match estimates agree value-for-value cross-engine.
+
+    Identical scale shape to the xxhash64 variant (signature shuffle,
+    band explode, (band, key) equi-join; never all-pairs); the
+    portable fold costs one extra pass over shingle characters —
+    the price of end-to-end checkability, worth paying in any engine
+    migration scenario (it pins recall behavior, not just survivors)."""
+    corpus = _near_dup_corpus(load(spark, sf_dir, "documents"))
+    return dedup_text.minhash_portable_pairs(
+        corpus, threshold=0.5, n=3, num_bands=_MH_BANDS
+    )

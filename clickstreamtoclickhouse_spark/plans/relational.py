@@ -1410,3 +1410,175 @@ def heavy_hitter_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s.item").alias("event_type"),
         F.col("s.count").cast("bigint").alias("n_events"),
     )
+
+
+@query(
+    "time_linear_interpolate",
+    oracle="""
+    WITH e AS (SELECT * FROM events WHERE ts < TIMESTAMP '2024-01-03'),
+    b AS (
+      SELECT event_type, date_trunc('hour', ts) AS bucket,
+             count(*) AS n,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS av
+      FROM e GROUP BY 1, 2
+    ),
+    bounds AS (
+      SELECT min(date_trunc('hour', ts)) AS mn,
+             max(date_trunc('hour', ts)) AS mx
+      FROM e
+    ),
+    types AS (SELECT DISTINCT event_type FROM e),
+    spine AS (
+      SELECT event_type,
+             unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS bucket
+      FROM types, bounds
+    ),
+    j AS (
+      SELECT s.event_type, s.bucket,
+             CAST(epoch(s.bucket) AS BIGINT) AS u,
+             CAST(coalesce(b.n, 0) AS BIGINT) AS n_events, b.av
+      FROM spine s LEFT JOIN b USING (event_type, bucket)
+    ),
+    anchored AS (
+      SELECT *,
+             last_value(CASE WHEN av IS NOT NULL
+                             THEN struct_pack(u := u, v := av) END IGNORE NULLS)
+               OVER (PARTITION BY event_type ORDER BY bucket
+                     ROWS UNBOUNDED PRECEDING) AS prev,
+             first_value(CASE WHEN av IS NOT NULL
+                              THEN struct_pack(u := u, v := av) END IGNORE NULLS)
+               OVER (PARTITION BY event_type ORDER BY bucket
+                     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nxt
+      FROM j
+    )
+    SELECT event_type,
+           strftime(bucket, '%Y-%m-%d %H:%M:%S') AS bucket,
+           n_events,
+           round(CASE
+             WHEN av IS NOT NULL THEN av
+             WHEN prev IS NULL OR nxt IS NULL THEN NULL
+             ELSE (prev).v + ((nxt).v - (prev).v)
+                  * ((u - (prev).u) / ((nxt).u - (prev).u))
+           END / 100.0, 2) AS sum_value_interp
+    FROM anchored
+    """,
+)
+def time_linear_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable resample with LINEAR interpolation (TimescaleDB
+    `interpolate()` semantics, the companion to time_gap_fill's
+    locf): missing interior buckets get the time-weighted mix of the
+    surrounding observed values; leading/trailing gaps (no anchor on
+    one side) stay NULL.
+
+    Same spine/join shape as time_gap_fill (1-row bounds broadcast +
+    sequence explode, per-type left join); the anchors are one
+    backward last(ignorenulls) and one forward first(ignorenulls)
+    window over the SAME per-type ordering — Spark plans both over a
+    single hash exchange. Anchors are EXACT cent sums (BIGINT), so
+    the mix arithmetic starts from identical values in both engines
+    and — with identical parenthesization — produces bit-equal
+    doubles; a float sum's order-dependent ULPs would otherwise flip
+    round(2) on boundary values."""
+    e = load(spark, sf_dir, "events").filter(
+        F.col("ts") < F.lit("2024-01-03").cast("timestamp")
+    )
+    cents = F.round(F.col("value") * 100, 0).cast("bigint")
+    b = e.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("bucket")
+    ).agg(F.count("*").alias("n"), F.sum(cents).cast("long").alias("av"))
+    bounds = e.agg(
+        F.min(F.date_trunc("hour", F.col("ts"))).alias("mn"),
+        F.max(F.date_trunc("hour", F.col("ts"))).alias("mx"),
+    )
+    spine = (
+        e.select("event_type")
+        .distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "event_type",
+            F.explode(F.expr("sequence(mn, mx, interval 1 hour)")).alias("bucket"),
+        )
+    )
+    j = spine.join(b, ["event_type", "bucket"], "left").withColumn(
+        "u", (F.unix_micros(F.col("bucket")) / F.lit(1_000_000)).cast("bigint")
+    )
+    wb = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    anchor = F.when(
+        F.col("av").isNotNull(), F.struct(F.col("u"), F.col("av").alias("v"))
+    )
+    a = (
+        j.withColumn("prev", F.last(anchor, ignorenulls=True).over(wb))
+        .withColumn("nxt", F.first(anchor, ignorenulls=True).over(wf))
+    )
+    interp = F.when(F.col("av").isNotNull(), F.col("av")).otherwise(
+        F.when(
+            F.col("prev").isNotNull() & F.col("nxt").isNotNull(),
+            F.col("prev.v")
+            + (F.col("nxt.v") - F.col("prev.v"))
+            * (
+                (F.col("u") - F.col("prev.u"))
+                / (F.col("nxt.u") - F.col("prev.u"))
+            ),
+        )
+    )
+    return a.select(
+        "event_type",
+        F.date_format("bucket", "yyyy-MM-dd HH:mm:ss").alias("bucket"),
+        F.coalesce("n", F.lit(0)).cast("bigint").alias("n_events"),
+        F.round(interp / 100.0, 2).alias("sum_value_interp"),
+    )
+
+
+@query(
+    "value_deciles",
+    oracle="""
+    WITH d AS (
+      SELECT event_type, value,
+             ntile(10) OVER (PARTITION BY event_type
+                             ORDER BY value, event_id) AS decile,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events
+    )
+    SELECT event_type, decile,
+           CAST(count(*) AS BIGINT) AS n,
+           round(min(value), 2) AS min_value,
+           round(max(value), 2) AS max_value,
+           round(CAST(sum(cents) AS BIGINT) / 100.0, 2) AS sum_value
+    FROM d GROUP BY 1, 2
+    """,
+)
+def value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth discretization: per-type value deciles via ntile
+    over a deterministic total order (value, event_id), with count /
+    min / max / exact cent-sum per bucket — the binning step behind
+    quantile features and monotonic score calibration.
+
+    The per-type sort window is the EXACT-oracle baseline (bounded by
+    the largest single type's rows, fine at test SF); the at-scale
+    path is approxQuantile cut points broadcast onto the stream — the
+    same two-phase trade training_data_selection already
+    demonstrates. Sums are computed on round(value*100) cents as
+    BIGINT so engine summation order cannot move the rounded total."""
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    d = e.select(
+        "event_type",
+        "value",
+        F.ntile(10).over(w).alias("decile"),
+        F.round(F.col("value") * 100, 0).cast("bigint").alias("cents"),
+    )
+    return d.groupBy("event_type", "decile").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.round(F.min("value"), 2).alias("min_value"),
+        F.round(F.max("value"), 2).alias("max_value"),
+        F.round(F.sum("cents") / 100.0, 2).alias("sum_value"),
+    )

@@ -317,3 +317,46 @@ def test_waiting_supplier_decorrelated(spark):
     txt = plan_text(spark, "waiting_supplier_rank")
     assert "CartesianProduct" not in txt
     assert "BroadcastNestedLoopJoin" not in txt
+
+
+def test_salted_join_matches_plain_join_and_partitions_on_salt(spark):
+    # the manual hot-key lever (functions/skew.py): result must equal
+    # the unsalted join, and the shuffle must partition on (key, salt)
+    # so one hot key spreads across num_salts reducers.
+    from pyspark.sql import functions as F
+
+    from clickstreamtoclickhouse_spark.functions import skew
+    from clickstreamtoclickhouse_spark.plans import load
+
+    events = load(spark, SF_DIR, "events").select("event_id", "user_id", "value")
+    # skew it: collapse 90% of rows onto one hot user
+    large = events.withColumn(
+        "user_id",
+        F.when(F.col("event_id") % 10 < 9, F.lit(1)).otherwise(F.col("user_id")),
+    )
+    dim = (
+        events.select("user_id").distinct().withColumn("seg", F.col("user_id") % 5)
+    )
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # force a shuffled join so the salt actually governs partitioning
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        salted = skew.salted_join(large, dim, ["user_id"], num_salts=8)
+        plain = large.join(dim, "user_id")
+        assert salted.count() == plain.count()
+        # cent-exact sum: float sum order differs between the two plans
+        cents = F.round(F.col("value") * 100, 0).cast("bigint")
+        got = salted.groupBy("seg").agg(
+            F.count("*").alias("n"), F.sum(cents).alias("v")
+        )
+        want = plain.groupBy("seg").agg(
+            F.count("*").alias("n"), F.sum(cents).alias("v")
+        )
+        assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            salted.explain("formatted")
+        txt = buf.getvalue()
+        assert "_salt" in txt and "hashpartitioning" in txt.lower()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
