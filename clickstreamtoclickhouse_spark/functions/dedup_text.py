@@ -445,3 +445,132 @@ def minhash_portable_pairs(
     return cand.filter(est >= threshold).select(
         "doc_a", "doc_b", F.round(est, 6).alias("est_jaccard")
     )
+
+
+# ---------------------------------------------------------------------------
+# Portable SimHash (oracle-checkable — random-parity projections)
+# ---------------------------------------------------------------------------
+
+# 32 fixed universal hashes; bit i of a shingle's projection is the
+# parity of (a_i*h + b_i) mod PRIME — an engine-neutral stand-in for
+# "bit i of a 64-bit native hash". Frozen literals, shared with the
+# DuckDB oracle twin.
+SH_AB: tuple[tuple[int, int], ...] = (
+    (785529273, 365246975),
+    (830029370, 646853777),
+    (561380868, 789741456),
+    (36386284, 388159641),
+    (904901290, 544200132),
+    (858092631, 927393745),
+    (688290101, 616131058),
+    (63046564, 859174502),
+    (627577040, 464732996),
+    (747581128, 555199688),
+    (126690169, 111989978),
+    (165742055, 277054080),
+    (42220329, 215283303),
+    (143864128, 731819781),
+    (963209802, 17125301),
+    (246170042, 188557469),
+    (685140264, 743419650),
+    (699444122, 539188400),
+    (231003432, 494024569),
+    (413883451, 653754702),
+    (552840405, 657447050),
+    (54514408, 746255234),
+    (874338784, 545532383),
+    (395673620, 291810918),
+    (633627808, 144301858),
+    (73463470, 380607367),
+    (461519278, 837107855),
+    (929308256, 96880807),
+    (402038399, 59680730),
+    (49407459, 133413027),
+    (122709673, 600626165),
+    (929896608, 103017954),
+)
+
+SH_BITS = len(SH_AB)  # 32-bit fingerprint
+SH_BAND_BITS = 8      # 4 bands of 8 bits -> pigeonhole covers hamming <= 3
+
+
+def simhash_portable(
+    docs: DataFrame,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """32-bit SimHash per document over word n-gram shingles, with
+    PORTABLE arithmetic: shingle -> polynomial base hash -> bit i =
+    majority vote of parity((a_i*h + b_i) mod p). Same one-explode +
+    one-aggregation shape as ``simhash`` (32 conditional sums on one
+    doc-id shuffle); no engine-native hash anywhere, so the
+    fingerprints value-match a SQL twin."""
+    sh = _doc_shingles(docs, id_col, text_col, n).withColumn(
+        "h", _portable_hash(F.col("shingle"))
+    )
+    votes = [
+        F.sum(
+            F.when(
+                ((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(MH_PRIME)) % 2 == 1, 1
+            ).otherwise(-1)
+        ).alias(f"b{i}")
+        for i, (a, b) in enumerate(SH_AB)
+    ]
+    agg = sh.groupBy(F.col("did")).agg(*votes)
+    sig = F.lit(0).cast("long")
+    for i in range(SH_BITS):
+        sig = sig.bitwiseOR(
+            F.when(
+                F.col(f"b{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)
+            ).otherwise(0)
+        )
+    return agg.select(F.col("did"), sig.alias("simhash"))
+
+
+def simhash_portable_near_dup_pairs(
+    docs: DataFrame,
+    max_hamming: int = 3,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Near-dup pairs by portable SimHash: banded pigeonhole
+    candidate join (4 x 8-bit bands — any pair within hamming 3
+    shares at least one intact band, so recall at the threshold is
+    EXACT, not probabilistic), then bit_count(xor) verification.
+    Returns (doc_a, doc_b, hamming), doc_a < doc_b. Same plan shape
+    as ``simhash_near_dup_pairs``; every value checkable in SQL."""
+    sig = simhash_portable(docs, n, id_col, text_col)
+    n_bands = SH_BITS // SH_BAND_BITS
+    mask = (1 << SH_BAND_BITS) - 1
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftright(F.col("simhash"), b * SH_BAND_BITS)
+                .bitwiseAND(F.lit(mask))
+                .alias("bv"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    banded = sig.select("did", "simhash", F.explode(bands).alias("b")).select(
+        "did", "simhash", F.col("b.band").alias("band"), F.col("b.bv").alias("bv")
+    )
+    a = banded.select(
+        F.col("did").alias("doc_a"), F.col("simhash").alias("sh_a"), "band", "bv"
+    )
+    b = banded.select(
+        F.col("did").alias("doc_b"), F.col("simhash").alias("sh_b"), "band", "bv"
+    )
+    cand = (
+        a.join(b, ["band", "bv"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sh_a", "sh_b")
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return cand.filter(hamming <= max_hamming).select(
+        "doc_a", "doc_b", hamming.cast("int").alias("hamming")
+    )

@@ -1827,3 +1827,87 @@ def minhash_portable_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_text.minhash_portable_pairs(
         corpus, threshold=0.5, n=3, num_bands=_MH_BANDS
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 4: portable SimHash — banded Hamming near-dups under oracle check
+# ---------------------------------------------------------------------------
+
+_SH_BITS = dedup_text.SH_BITS
+_SH_BB = dedup_text.SH_BAND_BITS
+_SH_NB = _SH_BITS // _SH_BB
+_SH_MASK = (1 << _SH_BB) - 1
+
+_SQL_SH_VOTES = ",\n             ".join(
+    f"sum(CASE WHEN (({a} * h + {b}) % {_MH_P}) % 2 = 1 "
+    f"THEN 1 ELSE -1 END) AS b{i}"
+    for i, (a, b) in enumerate(dedup_text.SH_AB)
+)
+
+_SQL_SH_FP = " + ".join(
+    f"CASE WHEN b{i} > 0 THEN (CAST(1 AS BIGINT) << {i}) ELSE 0 END"
+    for i in range(_SH_BITS)
+)
+
+_SQL_SH_BANDS = "\n      UNION ALL\n".join(
+    f"      SELECT doc_id, {b} AS band, (fp >> {b * _SH_BB}) & {_SH_MASK} AS bv"
+    " FROM sig"
+    for b in range(_SH_NB)
+)
+
+
+@query(
+    "simhash_portable_near_dups",
+    oracle=f"""
+    WITH corpus AS ({_SQL_NEAR_DUP_CORPUS}),
+    normed AS (
+      SELECT doc_id, {_SQL_WORDS.format(t=_SQL_NORM.format(t='text'))} AS ws
+      FROM corpus
+    ),
+    shingled AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(
+               range(1, len(ws) - 1),
+               i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS shingle
+      FROM normed WHERE len(ws) >= 3
+    ),
+    hashed AS (
+      SELECT doc_id, {_SQL_SHINGLE_HASH} AS h FROM shingled
+    ),
+    votes AS (
+      SELECT doc_id,
+             {_SQL_SH_VOTES}
+      FROM hashed GROUP BY doc_id
+    ),
+    sig AS (
+      SELECT doc_id, {_SQL_SH_FP} AS fp FROM votes
+    ),
+    banded AS (
+{_SQL_SH_BANDS}
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM banded a
+      JOIN banded b ON a.band = b.band AND a.bv = b.bv
+                    AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           CAST(bit_count(xor(sa.fp, sb.fp)) AS INT) AS hamming
+    FROM cand
+    JOIN sig sa ON sa.doc_id = doc_a
+    JOIN sig sb ON sb.doc_id = doc_b
+    WHERE bit_count(xor(sa.fp, sb.fp)) <= 3
+    """,
+)
+def simhash_portable_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dups with the FULL pipeline under oracle check
+    (companion to minhash_portable_near_dups): 32 random-parity
+    projections of the portable shingle hash, majority vote per bit,
+    4 x 8-bit pigeonhole bands, bit_count(xor) verification at
+    hamming <= 3. The xxhash64 simhash (`simhash_near_dups`) stays as
+    the rows-only engine-native path; this twin pins fingerprints,
+    banding, and the recall guarantee value-for-value cross-engine."""
+    corpus = _near_dup_corpus(load(spark, sf_dir, "documents"))
+    return dedup_text.simhash_portable_near_dup_pairs(
+        corpus, max_hamming=3, n=3
+    )

@@ -327,3 +327,67 @@ def test_click_attribution_no_nested_loop(spark):
     txt = buf.getvalue()
     assert "BroadcastNestedLoopJoin" not in txt
     assert "CartesianProduct" not in txt
+
+
+def test_merge_upsert_semantics_and_idempotency(spark):
+    from clickstreamtoclickhouse_spark.operators.merge import merge_upsert
+
+    base = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30)], "id INT, name STRING, v INT"
+    )
+    updates = spark.createDataFrame(
+        [
+            (2, "b2", 21, 5, False),   # update (latest of two versions)
+            (2, "b1", 19, 4, False),   # stale version, must lose
+            (3, None, 0, 9, True),     # tombstone -> delete id 3
+            (4, "d", 40, 1, False),    # insert
+        ],
+        "id INT, name STRING, v INT, ver INT, deleted BOOLEAN",
+    )
+    out = merge_upsert(
+        base, updates, keys=["id"], version_col="ver", delete_col="deleted"
+    )
+    got = sorted((r["id"], r["name"], r["v"]) for r in out.collect())
+    assert got == [(1, "a", 10), (2, "b2", 21), (4, "d", 40)]
+    # idempotent: applying the same batch to the merged result is a no-op
+    again = merge_upsert(
+        out, updates, keys=["id"], version_col="ver", delete_col="deleted"
+    )
+    assert sorted((r["id"], r["name"], r["v"]) for r in again.collect()) == got
+
+
+def test_portable_minhash_recall_vs_exact_jaccard(spark):
+    # LSH candidates are a SUBSET of all pairs; every surviving pair
+    # with high estimated similarity must be a true near-dup pair, and
+    # recall on the planted 80%-truncation pairs should be substantial
+    # (P[catch] = 1-(1-s^4)^4 ~ 0.88 at s=0.8).
+    from clickstreamtoclickhouse_spark.functions import dedup_text
+    from clickstreamtoclickhouse_spark.plans import load
+    from clickstreamtoclickhouse_spark.plans.ext import _near_dup_corpus
+
+    corpus = _near_dup_corpus(load(spark, SF_DIR, "documents"))
+    got = dedup_text.minhash_portable_pairs(corpus, threshold=0.5)
+    exact = dedup_text.jaccard_pairs(corpus, threshold=0.5, n=3)
+    got_pairs = {(r["doc_a"], r["doc_b"]) for r in got.collect()}
+    exact_pairs = {(r["doc_a"], r["doc_b"]) for r in exact.collect()}
+    assert exact_pairs, "planted corpus must produce exact pairs"
+    recall = len(got_pairs & exact_pairs) / len(exact_pairs)
+    assert recall > 0.6, f"minhash recall {recall:.2f} too low"
+
+
+def test_portable_simhash_identical_docs_hamming_zero(spark):
+    from clickstreamtoclickhouse_spark.functions import dedup_text
+    from clickstreamtoclickhouse_spark.plans import load
+    from clickstreamtoclickhouse_spark.plans.ext import _dup_corpus
+
+    corpus = _dup_corpus(load(spark, SF_DIR, "documents"))
+    pairs = dedup_text.simhash_portable_near_dup_pairs(corpus, max_hamming=0)
+    rows = pairs.collect()
+    assert rows, "exact copies must collide at hamming 0"
+    assert all(r["hamming"] == 0 for r in rows)
+    # every planted (orig, orig+offset) copy pair must be found:
+    # identical text -> identical fingerprint -> identical bands
+    found = {(r["doc_a"], r["doc_b"]) for r in rows}
+    n_docs = load(spark, SF_DIR, "documents").count()
+    planted = sum(1 for a, b in found if b - a == 1_000_000)
+    assert planted == n_docs
