@@ -485,7 +485,9 @@ def ivf_topk(
         F.col(vec_col),
         array_to_vector(F.col(vec_col).cast("array<double>")).alias("fvec"),
     )
-    km = KMeans(k=n_cells, seed=seed, featuresCol="fvec", predictionCol="cell")
+    km = KMeans(
+        k=n_cells, seed=seed, maxIter=8, featuresCol="fvec", predictionCol="cell"
+    )  # coarse IVF cells need few Lloyd rounds; recall pinned by test
     model = km.fit(corpus_vec.select("fvec"))
     assigned = model.transform(corpus_vec).select(
         F.col(id_col).alias("neighbor_id"),

@@ -639,7 +639,9 @@ def doc_topic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     vec = emb.select(
         "doc_id", array_to_vector(F.col("embedding")).alias("fvec")
     )
-    km = KMeans(k=8, seed=7, featuresCol="fvec", predictionCol="cluster")
+    km = KMeans(
+        k=8, seed=7, maxIter=8, featuresCol="fvec", predictionCol="cluster"
+    )  # 8 Lloyd rounds: cluster-size output is stable well before default 20
     model = km.fit(vec.select("fvec"))
     return (
         model.transform(vec)

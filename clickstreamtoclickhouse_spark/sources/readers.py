@@ -88,3 +88,42 @@ def read_parquet_events(spark: SparkSession, path: str) -> DataFrame:
     with the reference's pd.read_parquet branch which skips
     flatten/decamelize (send_to_warehouse.py:325-328)."""
     return spark.read.parquet(path)
+
+
+def read_csv_events(
+    spark: SparkSession,
+    path: str,
+    schema=None,
+    delimiter: str = ",",
+) -> RawEvents:
+    """CSV event input (source-format widening beyond the reference's
+    NDJSON/parquet pair — S3-family analog for the flat-file exports
+    warehouses emit). Header row expected; with no explicit schema the
+    types are inferred from a sampling pass, mirroring the NDJSON
+    union-inference story. Malformed rows go to the same
+    corrupt-record quarantine channel as read_ndjson — PERMISSIVE
+    parse, bad lines surfaced as a side DataFrame, never a job abort.
+
+    CSV columns are already flat, so no flatten pass; names still
+    normalize downstream via the shared naming rules."""
+    reader = (
+        spark.read.option("header", "true")
+        .option("sep", delimiter)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", CORRUPT_COL)
+    )
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.option("inferSchema", "true")
+    raw = reader.csv(path)
+
+    cached = None
+    if CORRUPT_COL in raw.columns:
+        raw = cached = raw.cache()
+        corrupt = raw.filter(F.col(CORRUPT_COL).isNotNull()).select(CORRUPT_COL)
+        parsed = raw.filter(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
+    else:
+        corrupt = spark.createDataFrame([], f"{CORRUPT_COL} string")
+        parsed = raw
+    return RawEvents(events=parsed, corrupt=corrupt, cached=cached)

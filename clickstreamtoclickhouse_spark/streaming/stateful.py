@@ -223,3 +223,68 @@ def running_user_counts(
             timeoutConf="NoTimeout",
         )
     )
+
+
+def stream_merge_upsert(
+    updates_stream: DataFrame,
+    table_dir: str,
+    checkpoint_dir: str,
+    keys: tuple[str, ...],
+    version_col: str | None = None,
+    delete_col: str | None = None,
+):
+    """Continuously maintained upsert table: every micro-batch of
+    change rows is MERGEd (operators/merge.py semantics — latest
+    version wins, tombstones delete) into the parquet table at
+    `table_dir`, full-snapshot rewrite per batch.
+
+    This is the streaming CDC-apply shape. Plain parquet has no
+    transactional MERGE, so the apply is read-merge-overwrite —
+    correct (the read happens before the overwrite truncates) and
+    exactly what Delta/Iceberg `MERGE INTO` would replace with a
+    commit-log rewrite of only the touched files; swap the body for
+    `DeltaTable.merge` when the jars exist. Idempotent under
+    at-least-once replay: merging a batch twice is a no-op
+    (operators/merge.py pins that), so a crash between write and
+    checkpoint just re-applies harmlessly."""
+    from ..operators.merge import merge_upsert
+
+    spark = updates_stream.sparkSession
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        try:
+            base = spark.read.parquet(table_dir)
+            have = True
+        except Exception:  # first batch: table doesn't exist yet
+            have = False
+        if have:
+            merged = merge_upsert(
+                base, batch_df, keys=list(keys),
+                version_col=version_col, delete_col=delete_col,
+            )
+        else:
+            empty_cols = [c for c in batch_df.columns]
+            base = batch_df.limit(0)
+            if delete_col is not None:
+                base = base.drop(delete_col)
+            merged = merge_upsert(
+                base, batch_df, keys=list(keys),
+                version_col=version_col, delete_col=delete_col,
+            )
+        # materialize BEFORE overwrite (executor-side, not a driver
+        # collect): the merged plan reads the same files the overwrite
+        # is about to truncate, so the lineage must be cut first
+        merged = merged.localCheckpoint(eager=True)
+        try:
+            merged.write.mode("overwrite").parquet(table_dir)
+        finally:
+            try:
+                merged._jdf.queryExecution().analyzed().rdd().unpersist(False)
+            except Exception:
+                pass
+
+    return (
+        updates_stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )

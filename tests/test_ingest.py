@@ -256,3 +256,35 @@ def test_s3a_read_path_classpath_story(spark):
     # jar present (cluster run): the URI must at least resolve the
     # filesystem class; a real read still needs credentials/network
     spark._jvm.org.apache.hadoop.fs.s3a.S3AFileSystem
+
+
+def test_read_csv_events_with_quarantine(spark, tmp_path):
+    from clickstreamtoclickhouse_spark.sources.readers import read_csv_events
+
+    p = tmp_path / "events.csv"
+    p.write_text(
+        "user_id,event,n\n"
+        "1,click,10\n"
+        "2,view,20\n"
+        "not-an-int,purchase,not-an-int-either,extra-field\n"
+        "3,click,30\n"
+    )
+    from pyspark.sql.types import (
+        IntegerType, StringType, StructField, StructType,
+    )
+
+    schema = StructType(
+        [
+            StructField("user_id", IntegerType()),
+            StructField("event", StringType()),
+            StructField("n", IntegerType()),
+            StructField("_corrupt_record", StringType()),
+        ]
+    )
+    raw = read_csv_events(spark, str(p), schema=schema)
+    good = raw.events.collect()
+    assert sorted(r["user_id"] for r in good) == [1, 2, 3]
+    bad = raw.corrupt.collect()
+    assert len(bad) == 1 and "purchase" in bad[0][0]
+    if raw.cached is not None:
+        raw.cached.unpersist()

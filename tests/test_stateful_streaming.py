@@ -222,3 +222,51 @@ def test_streaming_corpus_dedup_survives_restart(spark, tmp_path):
 
     ids = sorted(r["doc_id"] for r in spark.read.parquet(out_dir).collect())
     assert ids == [1, 6]
+
+
+def test_stream_merge_upsert(spark, tmp_path):
+    import json as _json
+
+    src = tmp_path / "cdc"
+    src.mkdir()
+    table_dir = str(tmp_path / "table")
+    ckpt = str(tmp_path / "ckpt_merge")
+
+    def write_batch(name, rows):
+        p = src / name
+        p.write_text("\n".join(_json.dumps(r) for r in rows) + "\n")
+
+    write_batch(
+        "b1.json",
+        [
+            {"id": 1, "name": "a", "ver": 1, "deleted": False},
+            {"id": 2, "name": "b", "ver": 1, "deleted": False},
+        ],
+    )
+    schema = "id BIGINT, name STRING, ver BIGINT, deleted BOOLEAN"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .json(str(src))
+    )
+    q = stateful.stream_merge_upsert(
+        stream, table_dir, ckpt, keys=("id",),
+        version_col="ver", delete_col="deleted",
+    )
+    try:
+        q.processAllAvailable()
+        write_batch(
+            "b2.json",
+            [
+                {"id": 2, "name": "b2", "ver": 2, "deleted": False},  # update
+                {"id": 3, "name": "c", "ver": 1, "deleted": False},   # insert
+                {"id": 1, "name": None, "ver": 2, "deleted": True},   # delete
+            ],
+        )
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = sorted(
+        (r["id"], r["name"]) for r in spark.read.parquet(table_dir).collect()
+    )
+    assert got == [(2, "b2"), (3, "c")]
