@@ -135,8 +135,17 @@ def jaccard_pairs(
         )
     sh = sh.cache()
     sizes = sh.groupBy("did").agg(F.count("*").alias("sz"))
-    a = sh.select(F.col("did").alias("doc_a"), "shingle")
-    b = sh.select(F.col("did").alias("doc_b"), "shingle")
+    # expansion join (see similarity.sparse_cosine_pairs): the shuffle
+    # input is one row per (doc, shingle) but the output multiplies by
+    # docs-per-shingle; explicit numPartitions exempts the exchange
+    # from AQE input-size coalescing so the fan-out stays parallel
+    nparts = int(sh.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    a = sh.select(F.col("did").alias("doc_a"), "shingle").repartition(
+        nparts, "shingle"
+    )
+    b = sh.select(F.col("did").alias("doc_b"), "shingle").repartition(
+        nparts, "shingle"
+    )
     inter = (
         a.join(b, "shingle")
         .filter(F.col("doc_a") < F.col("doc_b"))

@@ -176,8 +176,19 @@ def sparse_cosine_pairs(
             dim_col,
             "left_semi",
         )
-    a = s.select(k.alias("key_a"), d.alias("dim"), v.alias("va"))
-    b = s.select(k.alias("key_b"), d.alias("dim"), v.alias("vb"))
+    # EXPANSION join: the shuffle INPUT is tiny (one row per active
+    # (key, dim)) but the join OUTPUT is quadratic per dimension. AQE
+    # sizes post-shuffle partitions from the input and would coalesce
+    # this join to ~1 task, serializing the fan-out; an explicit
+    # numPartitions repartition is exempt from AQE coalescing and
+    # keeps the expansion spread across the cluster.
+    nparts = int(s.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    a = s.select(k.alias("key_a"), d.alias("dim"), v.alias("va")).repartition(
+        nparts, "dim"
+    )
+    b = s.select(k.alias("key_b"), d.alias("dim"), v.alias("vb")).repartition(
+        nparts, "dim"
+    )
     dots = (
         a.join(b, "dim")
         .filter(F.col("key_a") < F.col("key_b"))
