@@ -1913,3 +1913,62 @@ def simhash_portable_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_text.simhash_portable_near_dup_pairs(
         corpus, max_hamming=3, n=3
     )
+
+
+@query(
+    "vocab_induction",
+    oracle=f"""
+    WITH normed AS (
+      SELECT doc_id,
+             CASE WHEN length({_SQL_NORM.format(t='text')}) = 0
+                  THEN CAST([] AS VARCHAR[])
+                  ELSE {_SQL_WORDS.format(t=_SQL_NORM.format(t='text'))}
+             END AS ws
+      FROM documents
+    ),
+    tok AS (SELECT unnest(ws) AS word FROM normed),
+    counts AS (SELECT word, count(*) AS n_occurrences FROM tok GROUP BY 1),
+    total AS (SELECT CAST(sum(n_occurrences) AS BIGINT) AS t FROM counts),
+    ranked AS (
+      SELECT word, n_occurrences,
+             CAST(row_number() OVER (ORDER BY n_occurrences DESC, word)
+                  AS BIGINT) AS rank,
+             CAST(sum(n_occurrences) OVER (ORDER BY n_occurrences DESC, word
+                                           ROWS UNBOUNDED PRECEDING)
+                  AS BIGINT) AS cum
+      FROM counts
+    )
+    SELECT word, rank, n_occurrences,
+           round(cum * 1.0 / t, 6) AS cum_coverage
+    FROM ranked, total
+    WHERE rank <= 100
+    """,
+)
+def vocab_induction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary induction: the top-100 corpus words by frequency
+    with cumulative token coverage — the initialization step of any
+    BPE/WordPiece tokenizer build and the coverage curve that decides
+    vocab size. One explode + one word-keyed count; the ranking and
+    running-coverage windows run over WORD-cardinality aggregate
+    output (bounded), not the token stream, and share one global sort
+    — same aggregate-input window shape as segment_revenue_share."""
+    d = load(spark, sf_dir, "documents")
+    tok = d.select(
+        F.explode(tx.words(tx.normalized_text(F.col("text")))).alias("word")
+    )
+    counts = tok.groupBy("word").agg(F.count("*").alias("n_occurrences"))
+    total = counts.agg(F.sum("n_occurrences").cast("bigint").alias("t"))
+    wr = Window.orderBy(F.desc("n_occurrences"), F.asc("word"))
+    wcum = wr.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        counts.withColumn("rank", F.row_number().over(wr).cast("bigint"))
+        .withColumn("cum", F.sum("n_occurrences").over(wcum).cast("bigint"))
+        .filter(F.col("rank") <= 100)
+        .crossJoin(F.broadcast(total))
+        .select(
+            "word",
+            "rank",
+            "n_occurrences",
+            F.round(F.col("cum") * 1.0 / F.col("t"), 6).alias("cum_coverage"),
+        )
+    )

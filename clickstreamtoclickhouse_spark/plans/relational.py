@@ -1582,3 +1582,77 @@ def value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.max("value"), 2).alias("max_value"),
         F.round(F.sum("cents") / 100.0, 2).alias("sum_value"),
     )
+
+
+@query(
+    "session_paths",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, event_id, event_type, ts,
+             CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+                  OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+      SELECT user_id, event_id, event_type, ts,
+             sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS sid
+      FROM flagged
+    ),
+    paths AS (
+      SELECT user_id, sid,
+             string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+      FROM sess GROUP BY 1, 2
+    ),
+    counts AS (SELECT path, count(*) AS n_sessions FROM paths GROUP BY 1)
+    SELECT path, n_sessions, CAST(rank AS BIGINT) AS rank
+    FROM (
+      SELECT path, n_sessions,
+             row_number() OVER (ORDER BY n_sessions DESC, path) AS rank
+      FROM counts
+    )
+    WHERE rank <= 10
+    """,
+)
+def session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Path analysis: the top-10 most common event-sequence paths per
+    session (the 'view>click>purchase' journeys product analytics
+    tools surface). Sessionize (lag + 30-min-gap cumulative flag, the
+    same contract as `sessionization`), concatenate each session's
+    ordered event types, count identical paths, rank.
+
+    Scale: sessionize and the per-session path build share ONE
+    user_id exchange (window then groupBy on its prefix); the path
+    concat is a sort_array over an already-grouped list, never a
+    global sort. The final ranking window is global but its input is
+    path-cardinality (aggregate counts), the same bounded shape as
+    the ratio-to-report queries."""
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    is_new = F.when(
+        F.lag("ts").over(w).isNull() | (gap_us > 1800 * 1_000_000), 1
+    ).otherwise(0)
+    wc = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    sess = e.withColumn("sid", F.sum(is_new).over(wc))
+    paths = sess.groupBy("user_id", "sid").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("ts", "event_id", "event_type"))
+                ),
+                lambda s: s["event_type"],
+            ),
+            ">",
+        ).alias("path")
+    )
+    counts = paths.groupBy("path").agg(F.count("*").alias("n_sessions"))
+    wr = Window.orderBy(F.desc("n_sessions"), F.asc("path"))
+    return (
+        counts.withColumn("rank", F.row_number().over(wr).cast("bigint"))
+        .filter(F.col("rank") <= 10)
+        .select("path", "n_sessions", "rank")
+    )
