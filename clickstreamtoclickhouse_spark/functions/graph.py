@@ -108,6 +108,14 @@ def connected_components(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    # size ROUND 1's parallelism to the edge count too (rounds 2+
+    # already adapt via the signature) — the checkpoint is materialized,
+    # so this count is a cheap cached-scan action, and it saves a full
+    # round of near-empty wide shuffles on small/medium graphs
+    n0 = e.count()
+    t0 = max(1, min(n0 // 500_000 + 1, 200))
+    if t0 < e.rdd.getNumPartitions():
+        e = e.coalesce(t0)
     prev_sig = None
     for _ in range(max_iter):
         prev = e

