@@ -1972,3 +1972,59 @@ def vocab_induction(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("cum") * 1.0 / F.col("t"), 6).alias("cum_coverage"),
         )
     )
+
+
+@query(
+    "embedding_dedup_reps",
+    oracle=f"""
+    WITH RECURSIVE corpus0 AS ({_SQL_PERTURBED_EMB}),
+    corpus AS (
+      SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM corpus0
+    ),
+    pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+      WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.995
+    ),
+    edges AS (
+      SELECT id_a AS u, id_b AS v FROM pairs
+      UNION
+      SELECT id_b AS u, id_a AS v FROM pairs
+    ),
+    walk(node, comp) AS (
+      SELECT vec_id, vec_id FROM corpus
+      UNION
+      SELECT e.v, w.comp FROM walk w JOIN edges e ON e.u = w.node
+    ),
+    comp AS (
+      SELECT node AS vec_id, min(comp) AS component FROM walk GROUP BY node
+    )
+    SELECT component,
+           CAST(min(vec_id) AS BIGINT) AS rep_vec_id,
+           count(*) AS cluster_size
+    FROM comp GROUP BY component
+    """,
+)
+def embedding_dedup_reps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end EMBEDDING dedup (the semantic-dedup pipeline:
+    SemDeDup-style): exact cosine pairs at 0.995 over the perturbed
+    corpus -> connected components -> min-id representative per
+    cluster. Each (original, +0.01 copy) pair must collapse into one
+    2-vector cluster keeping the original; untouched vectors stay
+    singletons.
+
+    The pair stage here is the sf-bounded exact baseline so the WHOLE
+    composition is oracle-checked (pairs, transitive clustering, and
+    representative choice); at scale the drop-in pair source is
+    `similarity.lsh_near_dup_pairs` (bucketed equi-join) feeding the
+    same components + argmin — identical plan shape from pairs on."""
+    corpus = _perturbed_embeddings(load(spark, sf_dir, "embeddings"))
+    pairs = similarity.cosine_near_dup_pairs(corpus, threshold=0.995)
+    assign = graph.cluster_assignments(
+        corpus.select("vec_id"), pairs, id_col="vec_id",
+        pair_a="id_a", pair_b="id_b",
+    )
+    return assign.groupBy("component").agg(
+        F.min("vec_id").cast("bigint").alias("rep_vec_id"),
+        F.count("*").alias("cluster_size"),
+    )

@@ -360,3 +360,35 @@ def test_salted_join_matches_plain_join_and_partitions_on_salt(spark):
         assert "_salt" in txt and "hashpartitioning" in txt.lower()
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_rolling_7d_single_exchange(spark):
+    # interval-RANGE rolling window: one user_id shuffle, nothing else
+    txt = plan_text(spark, "rolling_7d_user_value")
+    assert count_exchanges(txt) == 1, txt.split("\n\n")[0]
+    assert "WindowExec" not in txt or "No Partition Defined" not in txt
+
+
+def test_heavy_hitter_sketch_is_partial_aggregated(spark):
+    # approx_top_k must combine map-side: the only exchange moves one
+    # sketch per partition (SinglePartition), never raw rows
+    txt = plan_text(spark, "heavy_hitter_events")
+    assert count_exchanges(txt) == 1
+    assert "SinglePartition" in txt
+    assert "partial_approx_top_k" in txt.lower() or "ObjectHashAggregate" in txt
+
+
+def test_line_dedup_no_cartesian(spark):
+    txt = plan_text(spark, "line_dedup_docs")
+    assert "CartesianProduct" not in txt
+    assert "BroadcastNestedLoopJoin" not in txt
+
+
+def test_expansion_joins_not_coalesced_to_one_partition(spark):
+    # the AQE-exemption repartition (functions/dedup_text.jaccard_pairs,
+    # functions/similarity.sparse_cosine_pairs): the join-key exchange
+    # must be a user-specified REPARTITION_BY_COL, which AQE will not
+    # coalesce below the requested width
+    for name in ("jaccard_near_dups", "user_activity_similarity"):
+        txt = plan_text(spark, name)
+        assert "REPARTITION_BY_COL" in txt or "RoundRobinPartitioning" not in txt, name
