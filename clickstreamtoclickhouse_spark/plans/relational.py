@@ -1656,3 +1656,156 @@ def session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 10)
         .select("path", "n_sessions", "rank")
     )
+
+
+@query(
+    "attribution_linear",
+    oracle="""
+    WITH purchases AS (
+      SELECT event_id, user_id, ts,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events WHERE event_type = 'purchase'
+    ),
+    clicks AS (
+      SELECT user_id, ts AS c_ts FROM events WHERE event_type = 'click'
+    ),
+    pairs AS (
+      SELECT p.event_id, p.cents, c.c_ts
+      FROM purchases p
+      JOIN clicks c ON c.user_id = p.user_id
+        AND c.c_ts >= p.ts - INTERVAL 30 MINUTE
+        AND c.c_ts < p.ts
+    ),
+    weighted AS (
+      SELECT c_ts,
+             CAST(round(cents * 1000.0
+                        / count(*) OVER (PARTITION BY event_id))
+                  AS BIGINT) AS milli
+      FROM pairs
+    )
+    SELECT CAST(hour(c_ts) AS INT) AS click_hour,
+           count(*) AS n_attributions,
+           round(CAST(sum(milli) AS BIGINT) / 100000.0, 4) AS attributed_value
+    FROM weighted
+    GROUP BY 1
+    """,
+)
+def attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear (equal-split) attribution: every purchase's value is
+    divided equally among the user's clicks in the preceding 30
+    minutes, then attributed to the CLICK's hour-of-day — "which
+    hours drive revenue". Companion to `click_attribution`
+    (last-touch count) completing the attribution-model family.
+
+    The pair source is the same bucketed point-in-interval equi-join
+    (the oracle states the naive inequality join). Per-pair shares
+    are rounded to integer MILLI-CENTS before the final sum, so the
+    aggregate is an integer sum — engine summation order cannot move
+    the result."""
+    from ..functions import rangejoin
+
+    e = load(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id",
+        "user_id",
+        F.col("ts").alias("w_end"),
+        (F.col("ts") - F.expr("INTERVAL 30 MINUTES")).alias("w_start"),
+        F.round(F.col("value") * 100, 0).cast("bigint").alias("cents"),
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("c_ts")
+    )
+    pairs = rangejoin.point_in_interval_join(
+        clicks, purchases,
+        point_ts="c_ts", start="w_start", end="w_end",
+        keys=("user_id",), bucket_seconds=1800,
+    )
+    wn = Window.partitionBy("event_id")
+    weighted = pairs.withColumn(
+        "milli",
+        F.round(F.col("cents") * 1000.0 / F.count("*").over(wn), 0).cast("bigint"),
+    )
+    return weighted.groupBy(
+        F.hour("c_ts").cast("int").alias("click_hour")
+    ).agg(
+        F.count("*").alias("n_attributions"),
+        F.round(F.sum("milli").cast("bigint") / 100000.0, 4).alias(
+            "attributed_value"
+        ),
+    )
+
+
+@query(
+    "rfm_segments",
+    oracle="""
+    WITH anchor AS (SELECT max(ts) AS mx FROM events),
+    per_user AS (
+      SELECT user_id,
+             date_diff('day', max(ts), (SELECT mx FROM anchor)) AS r_days,
+             count(*) AS freq,
+             CAST(sum(CASE WHEN event_type = 'purchase'
+                           THEN CAST(round(value * 100) AS BIGINT)
+                           ELSE 0 END) AS BIGINT) AS m_cents
+      FROM events GROUP BY user_id
+    ),
+    scored AS (
+      SELECT user_id, m_cents,
+             ntile(5) OVER (ORDER BY r_days ASC, user_id) AS r_score,
+             ntile(5) OVER (ORDER BY freq DESC, user_id) AS f_score,
+             ntile(5) OVER (ORDER BY m_cents DESC, user_id) AS m_score
+      FROM per_user
+    )
+    SELECT r_score, f_score, m_score,
+           count(*) AS n_users,
+           round(CAST(sum(m_cents) AS BIGINT) / 100.0, 2) AS total_monetary
+    FROM scored
+    GROUP BY 1, 2, 3
+    """,
+)
+def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: per-user Recency / Frequency / Monetary
+    quintiles (score 1 = best: most recent, most frequent, highest
+    spend) and the user count + exact spend per (R,F,M) cell — the
+    classic CRM segmentation matrix.
+
+    Scale: one user-keyed aggregate builds the per-user triple; the
+    three ntile windows run over USER-cardinality aggregate output
+    (not events) with deterministic user_id tie-breaks — the same
+    bounded-input global-window shape as vocab_induction; at extreme
+    user counts the swap-in is approxQuantile cut points. Monetary
+    sums are integer cents end-to-end."""
+    e = load(spark, sf_dir, "events")
+    anchor = e.agg(F.max("ts").alias("mx"))
+    per_user = (
+        e.groupBy("user_id")
+        .agg(
+            F.max("ts").alias("u_mx"),
+            F.count("*").alias("freq"),
+            F.sum(
+                F.when(
+                    F.col("event_type") == "purchase",
+                    F.round(F.col("value") * 100, 0).cast("bigint"),
+                ).otherwise(0)
+            ).cast("bigint").alias("m_cents"),
+        )
+        .crossJoin(F.broadcast(anchor))
+        .select(
+            "user_id",
+            "freq",
+            "m_cents",
+            F.datediff(F.col("mx"), F.col("u_mx")).alias("r_days"),
+        )
+    )
+    scored = per_user.select(
+        "user_id",
+        "m_cents",
+        F.ntile(5).over(Window.orderBy(F.asc("r_days"), F.asc("user_id"))).alias("r_score"),
+        F.ntile(5).over(Window.orderBy(F.desc("freq"), F.asc("user_id"))).alias("f_score"),
+        F.ntile(5).over(Window.orderBy(F.desc("m_cents"), F.asc("user_id"))).alias("m_score"),
+    )
+    return scored.groupBy("r_score", "f_score", "m_score").agg(
+        F.count("*").alias("n_users"),
+        F.round(F.sum("m_cents").cast("bigint") / 100.0, 2).alias(
+            "total_monetary"
+        ),
+    )
