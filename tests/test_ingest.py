@@ -288,3 +288,38 @@ def test_read_csv_events_with_quarantine(spark, tmp_path):
     assert len(bad) == 1 and "purchase" in bad[0][0]
     if raw.cached is not None:
         raw.cached.unpersist()
+
+
+def test_eventgen_python_datasource(spark):
+    from pyspark.sql import functions as F
+
+    from clickstreamtoclickhouse_spark.sources import generator
+
+    generator.register(spark)
+    df = (
+        spark.read.format("eventgen")
+        .option("rows", "1000")
+        .option("partitions", "4")
+        .option("users", "50")
+        .load()
+    )
+    assert df.rdd.getNumPartitions() == 4  # executor-parallel scan
+    assert df.count() == 1000
+    # deterministic: a second read produces identical data
+    df2 = (
+        spark.read.format("eventgen")
+        .option("rows", "1000")
+        .option("partitions", "4")
+        .option("users", "50")
+        .load()
+    )
+    a = df.agg(F.sum(F.xxhash64(*df.columns).cast("decimal(38,0)"))).first()[0]
+    b = df2.agg(F.sum(F.xxhash64(*df2.columns).cast("decimal(38,0)"))).first()[0]
+    assert a == b
+    # composes with ordinary operators
+    by_type = dict(
+        (r["event_type"], r["n"])
+        for r in df.groupBy("event_type").agg(F.count("*").alias("n")).collect()
+    )
+    assert sum(by_type.values()) == 1000 and len(by_type) == 5
+    assert df.filter((F.col("user_id") < 0) | (F.col("user_id") >= 50)).count() == 0

@@ -270,3 +270,72 @@ def test_stream_merge_upsert(spark, tmp_path):
         (r["id"], r["name"]) for r in spark.read.parquet(table_dir).collect()
     )
     assert got == [(2, "b2"), (3, "c")]
+
+
+def test_user_running_totals_transform_with_state(spark, tmp_path):
+    # transformWithStateInPandas talks to the state server over
+    # protobuf; the wheel isn't in this container (no pip), so the
+    # operator is env-gated exactly like the multimodal codecs
+    pytest.importorskip("google.protobuf")
+    import json as _json
+
+    src = tmp_path / "tws_src"
+    src.mkdir()
+    out: list = []
+    ckpt = str(tmp_path / "ckpt_tws")
+
+    (src / "b1.json").write_text(
+        "\n".join(
+            _json.dumps(r)
+            for r in [
+                {"user_id": 1, "value": 1.50},
+                {"user_id": 1, "value": 2.25},
+                {"user_id": 2, "value": 10.00},
+            ]
+        )
+    )
+    stream = (
+        spark.readStream.schema("user_id BIGINT, value DOUBLE")
+        .option("maxFilesPerTrigger", "1")
+        .json(str(src))
+    )
+    prev = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass", None
+    )
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        totals = stateful.user_running_totals_tws(stream)
+        q = (
+            totals.writeStream.outputMode("update")
+            .format("memory")
+            .queryName("tws_totals")
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            (src / "b2.json").write_text(
+                _json.dumps({"user_id": 1, "value": 0.25})
+            )
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        rows = spark.sql(
+            "SELECT * FROM tws_totals"
+        ).collect()
+        # last emission per user must carry the cross-batch total
+        latest = {}
+        for r in rows:
+            latest[r["user_id"]] = (r["n_events_total"], r["value_cents_total"])
+        assert latest[1] == (3, 400)   # 1.50 + 2.25 + 0.25
+        assert latest[2] == (1, 1000)
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev
+            )
