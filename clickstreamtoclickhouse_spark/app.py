@@ -87,7 +87,38 @@ def main(argv: list[str] | None = None) -> int:
     send.add_argument("--warehouse-root", default="./lake")
     send.add_argument("--streaming", action="store_true")
     send.add_argument("--checkpoint-dir", default=None)
+    sub.add_parser("list-queries", help="list every registered analytics query")
+    explain = sub.add_parser(
+        "explain",
+        help="print the physical plan of a registered query "
+        "(plan inspection is how the scale contract is audited)",
+    )
+    explain.add_argument("query", help="query name (see list-queries)")
+    explain.add_argument("--sf-dir", default=None, help="testdata dir")
+    explain.add_argument(
+        "--mode", default="formatted",
+        choices=["simple", "extended", "codegen", "cost", "formatted"],
+    )
     args = parser.parse_args(argv)
+
+    if args.command == "list-queries":
+        from . import plans
+
+        for name in sorted(plans.QUERIES):
+            marker = "O" if name in plans.ORACLE else "R"
+            print(f"{marker} {name}")
+        return 0
+    if args.command == "explain":
+        from . import plans
+        from .session import DEFAULT_SF_DIR
+
+        if args.query not in plans.QUERIES:
+            print(f"unknown query: {args.query}", file=sys.stderr)
+            return 2
+        spark = get_spark(app_name=f"explain-{args.query}")
+        df = plans.QUERIES[args.query](spark, args.sf_dir or DEFAULT_SF_DIR)
+        df.explain(args.mode)
+        return 0
 
     conf = (
         config_mod.from_yaml(args.config_file)

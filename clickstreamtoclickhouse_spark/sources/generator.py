@@ -24,7 +24,12 @@ from __future__ import annotations
 import hashlib
 from datetime import datetime, timedelta, timezone
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 from pyspark.sql.types import StructType
 
 SCHEMA_DDL = (
@@ -75,6 +80,39 @@ class EventGenReader(DataSourceReader):
             )
 
 
+class EventGenStreamReader(SimpleDataSourceStreamReader):
+    """Unbounded variant: offsets are plain row counters, so every
+    micro-batch is the deterministic row range [start, start+batch) —
+    replaying a batch (failure recovery reads readBetweenOffsets)
+    regenerates byte-identical rows, which is exactly the replayable-
+    source contract Structured Streaming's exactly-once model
+    assumes."""
+
+    def __init__(self, options: dict):
+        self.batch_rows = int(options.get("rowsPerBatch", 100))
+        self.n_users = int(options.get("users", 100))
+        self.seed = int(options.get("seed", 42))
+
+    def initialOffset(self) -> dict:
+        return {"next": 0}
+
+    def _gen(self, start: int, end: int):
+        r = EventGenReader(
+            {"rows": end, "partitions": 1, "users": self.n_users, "seed": self.seed}
+        )
+        # materialized list, not a generator: the simple-reader wrapper
+        # pickles the batch for prefetch/replay, and generators don't
+        # pickle
+        return list(r.read(_Range(start, end)))
+
+    def read(self, start: dict):
+        s = int(start["next"])
+        return self._gen(s, s + self.batch_rows), {"next": s + self.batch_rows}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return self._gen(int(start["next"]), int(end["next"]))
+
+
 class EventGenDataSource(DataSource):
     @classmethod
     def name(cls) -> str:
@@ -85,6 +123,9 @@ class EventGenDataSource(DataSource):
 
     def reader(self, schema: StructType) -> EventGenReader:
         return EventGenReader(self.options)
+
+    def simpleStreamReader(self, schema: StructType) -> EventGenStreamReader:
+        return EventGenStreamReader(self.options)
 
 
 def register(spark) -> None:

@@ -8,6 +8,7 @@ import sys
 
 from clickstreamtoclickhouse_spark import config as config_mod
 
+from .conftest import SF_DIR
 from .test_ingest import FIXTURE_LINES
 
 
@@ -67,3 +68,17 @@ def test_cli_send_end_to_end(tmp_path):
     assert (lake / "my_app" / "users").exists()
     assert (lake / "my_app" / "product_viewed").exists()
     assert "1 unparseable" not in proc.stderr  # no corrupt lines here
+
+
+def test_cli_list_queries_and_explain(spark, capsys):
+    from clickstreamtoclickhouse_spark.app import main
+
+    assert main(["list-queries"]) == 0
+    out = capsys.readouterr().out
+    assert "O daily_events" in out and "R minhash_near_dups" in out
+
+    assert main(["explain", "daily_events", "--sf-dir", SF_DIR]) == 0
+    out = capsys.readouterr().out
+    assert "Physical Plan" in out and "Scan parquet" in out
+
+    assert main(["explain", "not_a_query"]) == 2

@@ -323,3 +323,48 @@ def test_eventgen_python_datasource(spark):
     )
     assert sum(by_type.values()) == 1000 and len(by_type) == 5
     assert df.filter((F.col("user_id") < 0) | (F.col("user_id") >= 50)).count() == 0
+
+
+def test_eventgen_streaming_source(spark, tmp_path):
+    import time
+
+    from clickstreamtoclickhouse_spark.sources import generator
+
+    generator.register(spark)
+    stream = (
+        spark.readStream.format("eventgen")
+        .option("rowsPerBatch", "50")
+        .option("users", "10")
+        .load()
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("gen_stream")
+        .option("checkpointLocation", str(tmp_path / "ckpt_gen"))
+        .start()
+    )
+    try:
+        deadline = time.time() + 60
+        n = 0
+        while time.time() < deadline:
+            n = spark.sql("SELECT count(*) c FROM gen_stream").first()["c"]
+            if n >= 100:
+                break
+            time.sleep(0.5)
+        assert n >= 100, f"only {n} rows after 60s"
+    finally:
+        q.stop()
+    # offset-range determinism: the first 50 streamed rows equal the
+    # batch source's first 50 rows
+    got = sorted(
+        map(tuple, spark.sql(
+            "SELECT event_id, user_id, event_type FROM gen_stream "
+            "WHERE event_id < 50"
+        ).distinct().collect())
+    )
+    want = sorted(
+        map(tuple, spark.read.format("eventgen").option("rows", "50")
+            .option("users", "10").load()
+            .select("event_id", "user_id", "event_type").collect())
+    )
+    assert got == want
