@@ -606,3 +606,103 @@ def lsh_topk(
         .select("query_id", "neighbor_id", F.col("rank").cast("int").alias("rank"),
                 F.round("sim", 6).alias("sim"))
     )
+
+
+def lsh_portable_near_dup_pairs(
+    emb: DataFrame,
+    dim: int,
+    threshold: float = 0.995,
+    num_tables: int = 6,
+    bits: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Hyperplane-LSH near-dup pairs with PORTABLE plane generation —
+    the oracle-checkable twin of ``lsh_near_dup_pairs`` (whose seeded
+    engine-side hyperplane draw can't be reproduced in SQL). Plane
+    component p(t,b,d) = md5("pl:t:b:d") first-8-hex as uint32,
+    affinely mapped to [-1,1) — pure arithmetic any engine
+    reproduces bit-for-bit. Bucket(vec, table) packs the 'bits' sign
+    projections into an integer; candidates share (table, bucket);
+    survivors pass the exact cosine threshold.
+
+    Projections are rounded to 6 dp before the sign test so the
+    engines' summation-order ULPs cannot flip a bucket bit.
+
+    Scale shape: planes are a (T x bits x dim) literal-derived table
+    broadcast onto the relational (vec, d, x) stream — two keyed
+    aggregates to buckets, one (table, bucket) self-equi-join, exact
+    verify on candidates only. Never all-pairs."""
+    spark = emb.sparkSession
+    t_ = spark.range(num_tables).select(F.col("id").alias("t"))
+    b_ = spark.range(bits).select(F.col("id").alias("b"))
+    d_ = spark.range(dim).select(F.col("id").alias("d"))
+    planes = (
+        t_.crossJoin(b_)
+        .crossJoin(d_)
+        .withColumn(
+            "p",
+            F.conv(
+                F.substring(
+                    F.md5(F.concat_ws(":", F.lit("pl"), "t", "b", "d")), 1, 8
+                ),
+                16,
+                10,
+            ).cast("double")
+            / F.lit(2147483648.0)
+            - 1.0,
+        )
+    )
+    rel = emb.select(
+        F.col(id_col), F.posexplode(vec_col).alias("d", "xf")
+    ).select(id_col, "d", F.col("xf").cast("double").alias("x"))
+    proj = (
+        rel.join(F.broadcast(planes), "d")
+        .groupBy(id_col, "t", "b")
+        .agg(F.round(F.sum(F.col("x") * F.col("p")), 6).alias("s"))
+    )
+    buckets = proj.groupBy(id_col, "t").agg(
+        F.sum(
+            F.when(
+                F.col("s") > 0,
+                F.expr("shiftleft(CAST(1 AS BIGINT), CAST(b AS INT))"),
+            ).otherwise(F.lit(0).cast("long"))
+        ).cast("long").alias("bucket")
+    )
+    a = buckets.select(F.col(id_col).alias("id_a"), "t", "bucket")
+    b = buckets.select(F.col(id_col).alias("id_b"), "t", "bucket")
+    cand = (
+        a.join(b, ["t", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    vecs = emb.select(
+        F.col(id_col),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    ).withColumn(
+        "nrm",
+        F.sqrt(
+            F.aggregate(
+                F.zip_with("v", "v", lambda x, y: x * y),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        ),
+    )
+    va = vecs.select(
+        F.col(id_col).alias("id_a"), F.col("v").alias("va"), F.col("nrm").alias("na")
+    )
+    vb = vecs.select(
+        F.col(id_col).alias("id_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb")
+    )
+    dot = F.aggregate(
+        F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    sim = dot / (F.col("na") * F.col("nb"))
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .filter(sim >= threshold)
+        .select("id_a", "id_b", F.round(sim, 6).alias("sim"))
+    )

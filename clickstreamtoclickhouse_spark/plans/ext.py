@@ -2028,3 +2028,68 @@ def embedding_dedup_reps(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("vec_id").cast("bigint").alias("rep_vec_id"),
         F.count("*").alias("cluster_size"),
     )
+
+
+_LSHP_T = 6   # hyperplane tables
+_LSHP_B = 8   # bits per table
+
+
+@query(
+    "embedding_lsh_portable_near_dups",
+    oracle=f"""
+    WITH corpus0 AS ({_SQL_PERTURBED_EMB}),
+    corpus AS (
+      SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM corpus0
+    ),
+    planes AS (
+      SELECT t, b, d,
+             ('0x' || substr(md5('pl:' || t || ':' || b || ':' || d), 1, 8))::BIGINT
+               / 2147483648.0 - 1.0 AS p
+      FROM range({_LSHP_T}) r1(t), range({_LSHP_B}) r2(b), range({EMB_DIM}) r3(d)
+    ),
+    rel AS (
+      SELECT vec_id,
+             unnest(range(0, {EMB_DIM})) AS d,
+             unnest(v) AS x
+      FROM corpus
+    ),
+    proj AS (
+      SELECT vec_id, t, b, round(sum(x * p), 6) AS s
+      FROM rel JOIN planes USING (d)
+      GROUP BY 1, 2, 3
+    ),
+    buckets AS (
+      SELECT vec_id, t,
+             CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b)
+                           ELSE 0 END) AS BIGINT) AS bucket
+      FROM proj GROUP BY 1, 2
+    ),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM buckets a
+      JOIN buckets b ON a.t = b.t AND a.bucket = b.bucket
+                     AND a.vec_id < b.vec_id
+    )
+    SELECT id_a, id_b,
+           round(list_dot_product(ca.v, cb.v) / (ca.nrm * cb.nrm), 6) AS sim
+    FROM cand
+    JOIN corpus ca ON ca.vec_id = id_a
+    JOIN corpus cb ON cb.vec_id = id_b
+    WHERE list_dot_product(ca.v, cb.v) / (ca.nrm * cb.nrm) >= 0.995
+    """,
+)
+def embedding_lsh_portable_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH embedding near-dups with the CANDIDATE
+    GENERATION under oracle check — completing the portable family
+    (MinHash, SimHash, and now vector LSH): plane components are
+    md5-derived uniforms both engines compute bit-identically, so
+    buckets, collision sets, and survivors all hash-match. The
+    seeded-numpy variant (`embedding_lsh_near_dups`) stays as the
+    engine-native rows-only path; recall pinned by the same planted
+    (original, +0.01 copy) pairs — cosine ≈ 0.9968, per-table bucket
+    match P ≈ 0.81, miss probability across 6 tables ≈ 4e-5."""
+    corpus = _perturbed_embeddings(load(spark, sf_dir, "embeddings"))
+    return similarity.lsh_portable_near_dup_pairs(
+        corpus, dim=EMB_DIM, threshold=0.995,
+        num_tables=_LSHP_T, bits=_LSHP_B,
+    )

@@ -471,3 +471,26 @@ def test_incremental_rollup_processes_only_new_partitions(spark, tmp_path):
         )
     )
     assert got2 == want
+
+
+def test_portable_hyperplane_lsh_recall(spark):
+    # every planted (original, +0.01 copy) pair (cosine ~0.9968) must
+    # survive: per-table bucket-match P ~ 0.81, miss across 6 tables
+    # ~ 4e-5 — a miss at n=50 pairs indicates a broken plane/bucket
+    from clickstreamtoclickhouse_spark.functions import similarity
+    from clickstreamtoclickhouse_spark.plans.ext import (
+        EMB_DIM, _perturbed_embeddings,
+    )
+    from clickstreamtoclickhouse_spark.plans import load
+
+    corpus = _perturbed_embeddings(load(spark, SF_DIR, "embeddings"))
+    pairs = similarity.lsh_portable_near_dup_pairs(
+        corpus, dim=EMB_DIM, threshold=0.995, num_tables=6, bits=8
+    )
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    n_base = corpus.filter("vec_id < 1000000").count()
+    planted = {(i, i + 1_000_000) for r in [] for i in []} or {
+        r["vec_id"] for r in corpus.filter("vec_id < 1000000").select("vec_id").collect()
+    }
+    found = sum(1 for i in planted if (i, i + 1_000_000) in got)
+    assert found == n_base, f"recall {found}/{n_base}"
