@@ -488,9 +488,9 @@ def test_portable_hyperplane_lsh_recall(spark):
         corpus, dim=EMB_DIM, threshold=0.995, num_tables=6, bits=8
     )
     got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
-    n_base = corpus.filter("vec_id < 1000000").count()
-    planted = {(i, i + 1_000_000) for r in [] for i in []} or {
-        r["vec_id"] for r in corpus.filter("vec_id < 1000000").select("vec_id").collect()
-    }
-    found = sum(1 for i in planted if (i, i + 1_000_000) in got)
-    assert found == n_base, f"recall {found}/{n_base}"
+    base_ids = [
+        r["vec_id"]
+        for r in corpus.filter("vec_id < 1000000").select("vec_id").collect()
+    ]
+    found = sum(1 for i in base_ids if (i, i + 1_000_000) in got)
+    assert found == len(base_ids), f"recall {found}/{len(base_ids)}"
