@@ -1809,3 +1809,53 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_monetary"
         ),
     )
+
+
+@query(
+    "recency_weighted_user_value",
+    oracle="""
+    WITH anchor AS (SELECT max(ts) AS mx FROM events),
+    w AS (
+      SELECT user_id,
+             CAST(round(
+               value * 100.0
+               / (1 + date_diff('day', ts, (SELECT mx FROM anchor)))
+             ) AS BIGINT) AS wcents
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT user_id,
+           count(*) AS n_purchases,
+           round(CAST(sum(wcents) AS BIGINT) / 100.0, 2)
+             AS recency_weighted_value
+    FROM w GROUP BY user_id
+    """,
+)
+def recency_weighted_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recency-weighted spend per user: each purchase contributes
+    value/(1 + age_days) relative to the corpus max timestamp — the
+    time-decay feature behind churn/LTV models. The decay is RATIONAL
+    (1/(1+days)), not exp(-λt): division of identical doubles is
+    bit-deterministic across engines, where libm/JVM exp() disagree
+    in the last ulp and can flip a rounded cent. Per-row weights are
+    rounded to integer cents before the sum, so the aggregate is an
+    order-independent integer sum.
+
+    Scale: one broadcast 1-row anchor + one user-keyed aggregate —
+    the same shape as any per-entity feature; decay needs no window."""
+    all_events = load(spark, sf_dir, "events")
+    e = all_events.filter(F.col("event_type") == "purchase")
+    anchor = all_events.agg(F.max("ts").alias("mx"))
+    w = e.crossJoin(F.broadcast(anchor)).select(
+        "user_id",
+        F.round(
+            F.col("value") * 100.0
+            / (1 + F.datediff(F.col("mx"), F.col("ts"))),
+            0,
+        ).cast("bigint").alias("wcents"),
+    )
+    return w.groupBy("user_id").agg(
+        F.count("*").alias("n_purchases"),
+        F.round(F.sum("wcents").cast("bigint") / 100.0, 2).alias(
+            "recency_weighted_value"
+        ),
+    )
