@@ -369,3 +369,36 @@ def props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(F.sum("j.k").alias("sum_k"), F.count("j.k").alias("n_with_k"))
     )
+
+
+@query(
+    "props_variant_extract",
+    oracle="""
+    SELECT CAST(CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS BIGINT)
+             AS k_bucket,
+           count(*) AS n,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+             AS sum_k
+    FROM events
+    WHERE json_extract_string(props, '$.k') IS NOT NULL
+    GROUP BY 1
+    """,
+)
+def props_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction via Spark 4's VARIANT type:
+    parse_json once into the binary variant encoding, then typed
+    variant_get path access — the schema-on-read path for ragged JSON
+    where from_json's fixed schema (props_extract) doesn't fit.
+    VARIANT keeps the parsed tree in a compact binary form, so
+    repeated path accesses don't re-parse the string (the reason it
+    replaces get_json_object-style per-path parsing at scale)."""
+    e = load(spark, sf_dir, "events")
+    v = e.select(F.variant_get(F.parse_json("props"), "$.k", "bigint").alias("k"))
+    return (
+        v.filter(F.col("k").isNotNull())
+        .groupBy((F.col("k") % 10).cast("bigint").alias("k_bucket"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("k").cast("bigint").alias("sum_k"),
+        )
+    )

@@ -494,3 +494,18 @@ def test_portable_hyperplane_lsh_recall(spark):
     ]
     found = sum(1 for i in base_ids if (i, i + 1_000_000) in got)
     assert found == len(base_ids), f"recall {found}/{len(base_ids)}"
+
+
+def test_observation_metrics_single_pass(spark):
+    from clickstreamtoclickhouse_spark.operators.observe import (
+        with_ingest_metrics,
+    )
+    from clickstreamtoclickhouse_spark.plans import load
+
+    e = load(spark, SF_DIR, "events").select("event_id", "user_id", "value")
+    observed, obs = with_ingest_metrics(e, value_col="value")
+    observed.write.format("noop").mode("overwrite").save()
+    m = obs.get
+    assert m["n_rows"] == e.count()
+    assert m["nulls_event_id"] == 0
+    assert abs(m["sum_value"] - e.agg({"value": "sum"}).first()[0]) < 1e-6
