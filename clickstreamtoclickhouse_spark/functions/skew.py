@@ -43,10 +43,23 @@ def salted_join(
     when a lost task is re-executed). Identical rows share a salt;
     that only matters if one exact row repeats at hot-key scale.
     Result equals the unsalted join exactly (salt matches are a
-    partition of each key's matches).
+    partition of each key's matches). That equivalence holds only for
+    join types where unmatched SMALL-side rows are never emitted: the
+    small side is replicated num_salts times, so a right/full outer
+    join would emit each unmatched small-side row once per salt.
+    `how` is therefore validated against the safe set.
     """
     if not on:
         raise ValueError("salted_join needs at least one join key")
+    safe = {"inner", "left", "leftouter", "left_outer", "semi", "left_semi",
+            "leftsemi", "anti", "left_anti", "leftanti"}
+    if how.lower().replace(" ", "") not in safe:
+        raise ValueError(
+            f"salted_join: how={how!r} is not replication-safe; the small side "
+            f"is replicated {num_salts}x, so join types that emit unmatched "
+            "small-side rows (right/full outer, cross) would duplicate them. "
+            f"Use one of {sorted(safe)}."
+        )
     salt = F.pmod(F.xxhash64(*[F.col(c) for c in large.columns]), F.lit(num_salts))
     l_ = large.withColumn("_salt", salt.cast("int"))
     s_ = small.withColumn(

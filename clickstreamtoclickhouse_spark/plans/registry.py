@@ -63,7 +63,14 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     path = f"{sf_dir}/{table}.parquet"
     nano_cols = _nano_ts_columns(path)
     if nano_cols:
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Session-wide invariant (see session.get_spark, which sets it
+        # at construction): nanosAsLong is ALWAYS true in this engine —
+        # nano-ts columns read as long and are truncated to micros
+        # below. For foreign sessions (the driver owns its own) we
+        # establish the invariant once, idempotently; it is never unset,
+        # so concurrent plans observe one consistent behavior.
+        if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true":
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(path)
     for c in nano_cols:
         # integer `div` keeps full precision (double division would lose
@@ -73,9 +80,20 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     # sessions with spark.sql.parquet.inferTimestampNTZ.enabled (the
     # Spark 3.4+ default, and the driver owns its own session so we
     # can't rely on our factory's override). Chrono functions like
-    # unix_micros() reject NTZ; with the session TZ pinned to UTC the
-    # cast is value-identical to the naive-UTC reading the oracle uses.
+    # unix_micros() reject NTZ, so convert to TIMESTAMP — TZ-explicitly:
+    # the naive wall clock is UTC. cast(NTZ→TIMESTAMP) interprets the
+    # wall clock in the SESSION TZ (instant = w - tzOffset);
+    # from_utc_timestamp(t, tz) applies the exact inverse shift
+    # (t + tzOffset), so the composition yields instant == w-as-UTC on
+    # ANY session TZ (verified vs DuckDB under America/New_York, winter
+    # and summer offsets). Under a UTC session both steps are the
+    # identity. (to_utc_timestamp would double-shift: cast and it move
+    # in the same direction.)
     ntz = [f.name for f in df.schema.fields if f.dataType.typeName() == "timestamp_ntz"]
-    for c in ntz:
-        df = df.withColumn(c, F.col(c).cast("timestamp"))
+    if ntz:
+        session_tz = spark.conf.get("spark.sql.session.timeZone")
+        for c in ntz:
+            df = df.withColumn(
+                c, F.from_utc_timestamp(F.col(c).cast("timestamp"), session_tz)
+            )
     return df

@@ -44,6 +44,12 @@ def get_spark(
         # TIMESTAMP (session tz UTC ⇒ same instant) rather than NTZ so
         # chrono functions (unix_micros & co.) stay applicable
         .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+        # session-wide invariant: parquet timestamp[ns] columns (events
+        # testdata) read as LongType; plans.registry.load() truncates
+        # them to micros. Set once here so no plan mutates session conf
+        # mid-flight (registry.load documents the same invariant for
+        # foreign sessions).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
         # saveAsTable target for bucketed tables (sinks.bucketed);

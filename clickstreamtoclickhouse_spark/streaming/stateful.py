@@ -278,6 +278,14 @@ def stream_merge_upsert(
         try:
             merged.write.mode("overwrite").parquet(table_dir)
         finally:
+            # reclaim the checkpoint's cached blocks NOW rather than
+            # waiting on GC/ContextCleaner — in a long-running stream
+            # un-freed blocks accumulate across micro-batches. The
+            # analyzed plan of a localCheckpoint'd Dataset is a
+            # LogicalRDD whose rdd() IS the cached checkpoint RDD;
+            # unpersisting it empties getRDDStorageInfo (verified
+            # empirically — toRdd() by contrast returns a DERIVED rdd
+            # whose unpersist is a no-op on the cached blocks).
             try:
                 merged._jdf.queryExecution().analyzed().rdd().unpersist(False)
             except Exception:

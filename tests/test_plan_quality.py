@@ -362,6 +362,61 @@ def test_salted_join_matches_plain_join_and_partitions_on_salt(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
 
 
+def test_registry_load_timestamps_tz_independent(spark):
+    # plans.registry.load must yield the same INSTANTS regardless of
+    # the session timezone (the driver owns its session; a non-UTC TZ
+    # must not shift naive-UTC parquet timestamps). Pins the
+    # from_utc_timestamp(cast(ntz)) round-trip — to_utc_timestamp
+    # would double-shift (+10h under America/New_York).
+    from pyspark.sql import functions as F
+
+    from clickstreamtoclickhouse_spark.plans import registry
+
+    tz_prev = spark.conf.get("spark.sql.session.timeZone")
+    ntz_prev = spark.conf.get("spark.sql.parquet.inferTimestampNTZ.enabled")
+    try:
+        spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "true")
+
+        def minmax():
+            df = registry.load(spark, SF_DIR, "events")
+            ts = next(
+                f.name for f in df.schema.fields
+                if f.dataType.typeName() == "timestamp"
+            )
+            r = df.agg(
+                F.min(F.unix_micros(ts)).alias("lo"),
+                F.max(F.unix_micros(ts)).alias("hi"),
+            ).collect()[0]
+            return r["lo"], r["hi"]
+
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        utc = minmax()
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        ny = minmax()
+        assert utc == ny
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", tz_prev)
+        spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", ntz_prev)
+
+
+def test_salted_join_rejects_replication_unsafe_how(spark):
+    # the small side is replicated num_salts×, so join types that emit
+    # unmatched small-side rows would duplicate them — must raise.
+    import pytest
+
+    from clickstreamtoclickhouse_spark.functions import skew
+    from clickstreamtoclickhouse_spark.plans import load
+
+    events = load(spark, SF_DIR, "events").select("event_id", "user_id")
+    dim = events.select("user_id").distinct()
+    for bad in ("right", "full", "full_outer", "outer", "cross"):
+        with pytest.raises(ValueError, match="replication-safe"):
+            skew.salted_join(events, dim, ["user_id"], num_salts=4, how=bad)
+    # safe types construct fine (laziness: no execution needed)
+    for ok in ("inner", "left", "left_semi", "left_anti"):
+        skew.salted_join(events, dim, ["user_id"], num_salts=4, how=ok)
+
+
 def test_rolling_7d_single_exchange(spark):
     # interval-RANGE rolling window: one user_id shuffle, nothing else
     txt = plan_text(spark, "rolling_7d_user_value")
