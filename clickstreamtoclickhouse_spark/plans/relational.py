@@ -9,7 +9,7 @@ and a try_cast misfit-quarantine probe — each with a DuckDB oracle.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.window import Window
@@ -1584,6 +1584,155 @@ def value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Deterministic-sample quantile machinery (the at-scale path for
+# value_deciles / rfm_segments): instead of ntile over an unbounded
+# sort — whose input cardinality grows with the data and funnels
+# through one task per partition-key — take a FIXED-SIZE deterministic
+# sample (bottom-k by the portable md5 id hash, the dataset_split
+# construction), read exact quantile cut points off the bounded
+# sample, broadcast the ≤9 (resp. ≤4) cut pairs, and assign buckets by
+# lexicographic comparison. Every step is exactly replicable in the
+# DuckDB oracle (same hash, same ranks, same tie-breaks), so unlike a
+# percentile_approx sketch the approximate path itself is
+# hash-checked. Spark shape: WindowGroupLimit (per-group bottom-k) or
+# TakeOrderedAndProject (global bottom-k) for the sample, windows only
+# over ≤k sampled rows, then scan→broadcast-join→project for the
+# assignment — no unbounded sort anywhere (pinned in
+# test_plan_quality).
+
+_DECILE_SAMPLE_K = 500  # per event_type; cut-point error ~ O(1/sqrt(k))
+
+
+def _portable_id_hash(id_col: str) -> Column:
+    """First 8 md5 hex digits of the id as a bigint — identical in
+    Spark (conv) and DuckDB ('0x' || ...)::BIGINT; see dataset_split."""
+    return F.conv(
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10
+    ).cast("bigint")
+
+
+@query(
+    "value_deciles_approx",
+    oracle=f"""
+    WITH e AS (SELECT event_type, event_id, value FROM events),
+    hh AS (
+      SELECT event_type, event_id, value,
+             ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8))::BIGINT AS h
+      FROM e
+    ),
+    samp AS (
+      SELECT event_type, event_id, value FROM (
+        SELECT *, row_number() OVER (PARTITION BY event_type
+                                     ORDER BY h, event_id) AS rn
+        FROM hh
+      ) WHERE rn <= {_DECILE_SAMPLE_K}
+    ),
+    sr AS (
+      SELECT event_type, event_id, value,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY value, event_id) AS srn
+      FROM samp
+    ),
+    sc AS (SELECT event_type, count(*) AS s FROM samp GROUP BY 1),
+    cuts AS (
+      SELECT sr.event_type, js.j, sr.value AS cv, sr.event_id AS cid
+      FROM sc
+      CROSS JOIN (SELECT unnest(generate_series(1, 9)) AS j) js
+      JOIN sr ON sr.event_type = sc.event_type
+             AND sr.srn = (js.j * sc.s + 9) // 10
+    ),
+    assigned AS (
+      SELECT e.event_type, e.value,
+             CAST(round(e.value * 100) AS BIGINT) AS cents,
+             1 + (SELECT count(*) FROM cuts c
+                  WHERE c.event_type = e.event_type
+                    AND (e.value > c.cv
+                         OR (e.value = c.cv AND e.event_id > c.cid))) AS decile
+      FROM e
+    )
+    SELECT event_type, CAST(decile AS INT) AS decile,
+           CAST(count(*) AS BIGINT) AS n,
+           round(min(value), 2) AS min_value,
+           round(max(value), 2) AS max_value,
+           round(CAST(sum(cents) AS BIGINT) / 100.0, 2) AS sum_value
+    FROM assigned GROUP BY 1, 2
+    """,
+)
+def value_deciles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """value_deciles' at-scale twin: equi-depth decile binning from
+    cut points of a deterministic bottom-k sample instead of an ntile
+    sort over every row of each type.
+
+    Why this survives 100×: the exact twin's per-type window sorts a
+    type's ENTIRE row set in one task (events-per-type grows with the
+    data); here the only per-row work after the sample is a broadcast
+    join against ≤9 cut pairs per type and a 9-element array filter —
+    scan-shaped. The sample itself is WindowGroupLimit-pruned: each
+    map partition keeps ≤k rows per type before the shuffle, so the
+    sample sort touches O(k · partitions), not O(rows). Cut-point
+    quantile error is the classic order-statistic bound ~1.29/sqrt(k)
+    (k=500 → ~6% of a decile width); the bucket RULE is exact and the
+    oracle applies the identical sample, cuts, and tie-breaks."""
+    e = load(spark, sf_dir, "events").select("event_type", "event_id", "value")
+    ws = Window.partitionBy("event_type").orderBy("h", "event_id")
+    samp = (
+        e.withColumn("h", _portable_id_hash("event_id"))
+        .withColumn("rn", F.row_number().over(ws))
+        .filter(F.col("rn") <= _DECILE_SAMPLE_K)
+        .drop("rn", "h")
+    )
+    # cut j (j=1..9) = the ceil(j*s/10)-th order statistic of the
+    # sample under (value, event_id) — one collect_list aggregate per
+    # type (≤k elements, bounded), sorted and indexed array-side; no
+    # extra window or join for the extraction.
+    cut_arr = (
+        samp.groupBy("event_type")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("value").alias("cv"), F.col("event_id").alias("cid")))
+            ).alias("a"),
+            F.count("*").alias("s"),
+        )
+        .select(
+            "event_type",
+            F.transform(
+                F.sequence(F.lit(1), F.lit(9)),
+                lambda j: F.element_at(
+                    "a",
+                    F.floor((j * F.col("s") + 9) / 10).cast("int"),
+                ),
+            ).alias("cuts"),
+        )
+    )
+    assigned = (
+        e.join(F.broadcast(cut_arr), "event_type")
+        .select(
+            "event_type",
+            "value",
+            F.round(F.col("value") * 100, 0).cast("bigint").alias("cents"),
+            (
+                F.lit(1)
+                + F.size(
+                    F.filter(
+                        F.col("cuts"),
+                        lambda c: (F.col("value") > c["cv"])
+                        | (
+                            (F.col("value") == c["cv"])
+                            & (F.col("event_id") > c["cid"])
+                        ),
+                    )
+                )
+            ).alias("decile"),
+        )
+    )
+    return assigned.groupBy("event_type", "decile").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.round(F.min("value"), 2).alias("min_value"),
+        F.round(F.max("value"), 2).alias("max_value"),
+        F.round(F.sum("cents") / 100.0, 2).alias("sum_value"),
+    )
+
+
 @query(
     "session_paths",
     oracle="""
@@ -1735,6 +1884,34 @@ def attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _rfm_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user (r_days, freq, m_cents) triple — shared by the exact
+    and sampled RFM queries. One user-keyed aggregate + a broadcast
+    1-row anchor."""
+    e = load(spark, sf_dir, "events")
+    anchor = e.agg(F.max("ts").alias("mx"))
+    return (
+        e.groupBy("user_id")
+        .agg(
+            F.max("ts").alias("u_mx"),
+            F.count("*").alias("freq"),
+            F.sum(
+                F.when(
+                    F.col("event_type") == "purchase",
+                    F.round(F.col("value") * 100, 0).cast("bigint"),
+                ).otherwise(0)
+            ).cast("bigint").alias("m_cents"),
+        )
+        .crossJoin(F.broadcast(anchor))
+        .select(
+            "user_id",
+            "freq",
+            "m_cents",
+            F.datediff(F.col("mx"), F.col("u_mx")).alias("r_days"),
+        )
+    )
+
+
 @query(
     "rfm_segments",
     oracle="""
@@ -1770,38 +1947,180 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: one user-keyed aggregate builds the per-user triple; the
     three ntile windows run over USER-cardinality aggregate output
-    (not events) with deterministic user_id tie-breaks — the same
-    bounded-input global-window shape as vocab_induction; at extreme
-    user counts the swap-in is approxQuantile cut points. Monetary
-    sums are integer cents end-to-end."""
-    e = load(spark, sf_dir, "events")
-    anchor = e.agg(F.max("ts").alias("mx"))
-    per_user = (
-        e.groupBy("user_id")
-        .agg(
-            F.max("ts").alias("u_mx"),
-            F.count("*").alias("freq"),
-            F.sum(
-                F.when(
-                    F.col("event_type") == "purchase",
-                    F.round(F.col("value") * 100, 0).cast("bigint"),
-                ).otherwise(0)
-            ).cast("bigint").alias("m_cents"),
-        )
-        .crossJoin(F.broadcast(anchor))
-        .select(
-            "user_id",
-            "freq",
-            "m_cents",
-            F.datediff(F.col("mx"), F.col("u_mx")).alias("r_days"),
-        )
-    )
+    (not events) with deterministic user_id tie-breaks. User count
+    grows with the data, so this exact form is the sf-bounded oracle
+    baseline — rfm_segments_approx is the at-scale path (sampled cut
+    points, no unbounded sort). Monetary sums are integer cents
+    end-to-end."""
+    per_user = _rfm_per_user(spark, sf_dir)
     scored = per_user.select(
         "user_id",
         "m_cents",
         F.ntile(5).over(Window.orderBy(F.asc("r_days"), F.asc("user_id"))).alias("r_score"),
         F.ntile(5).over(Window.orderBy(F.desc("freq"), F.asc("user_id"))).alias("f_score"),
         F.ntile(5).over(Window.orderBy(F.desc("m_cents"), F.asc("user_id"))).alias("m_score"),
+    )
+    return scored.groupBy("r_score", "f_score", "m_score").agg(
+        F.count("*").alias("n_users"),
+        F.round(F.sum("m_cents").cast("bigint") / 100.0, 2).alias(
+            "total_monetary"
+        ),
+    )
+
+
+_RFM_SAMPLE_K = 100  # global user sample; quintile cuts need far fewer
+
+
+@query(
+    "rfm_segments_approx",
+    oracle=f"""
+    WITH anchor AS (SELECT max(ts) AS mx FROM events),
+    per_user AS (
+      SELECT user_id,
+             date_diff('day', max(ts), (SELECT mx FROM anchor)) AS r_days,
+             count(*) AS freq,
+             CAST(sum(CASE WHEN event_type = 'purchase'
+                           THEN CAST(round(value * 100) AS BIGINT)
+                           ELSE 0 END) AS BIGINT) AS m_cents
+      FROM events GROUP BY user_id
+    ),
+    hh AS (
+      SELECT *, ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT AS h
+      FROM per_user
+    ),
+    samp AS (
+      SELECT user_id, r_days, freq, m_cents FROM hh
+      ORDER BY h, user_id LIMIT {_RFM_SAMPLE_K}
+    ),
+    sc AS (SELECT count(*) AS s FROM samp),
+    js AS (SELECT unnest(generate_series(1, 4)) AS j),
+    r_sr AS (SELECT r_days AS cv, user_id AS cuid,
+                    row_number() OVER (ORDER BY r_days, user_id) AS srn
+             FROM samp),
+    r_cuts AS (SELECT j, cv, cuid FROM sc CROSS JOIN js
+               JOIN r_sr ON r_sr.srn = (js.j * sc.s + 4) // 5),
+    f_sr AS (SELECT freq AS cv, user_id AS cuid,
+                    row_number() OVER (ORDER BY freq DESC, user_id) AS srn
+             FROM samp),
+    f_cuts AS (SELECT j, cv, cuid FROM sc CROSS JOIN js
+               JOIN f_sr ON f_sr.srn = (js.j * sc.s + 4) // 5),
+    m_sr AS (SELECT m_cents AS cv, user_id AS cuid,
+                    row_number() OVER (ORDER BY m_cents DESC, user_id) AS srn
+             FROM samp),
+    m_cuts AS (SELECT j, cv, cuid FROM sc CROSS JOIN js
+               JOIN m_sr ON m_sr.srn = (js.j * sc.s + 4) // 5),
+    scored AS (
+      SELECT p.user_id, p.m_cents,
+        CAST(1 + (SELECT count(*) FROM r_cuts c
+                  WHERE p.r_days > c.cv
+                     OR (p.r_days = c.cv AND p.user_id > c.cuid)) AS INT)
+          AS r_score,
+        CAST(1 + (SELECT count(*) FROM f_cuts c
+                  WHERE p.freq < c.cv
+                     OR (p.freq = c.cv AND p.user_id > c.cuid)) AS INT)
+          AS f_score,
+        CAST(1 + (SELECT count(*) FROM m_cuts c
+                  WHERE p.m_cents < c.cv
+                     OR (p.m_cents = c.cv AND p.user_id > c.cuid)) AS INT)
+          AS m_score
+      FROM per_user p
+    )
+    SELECT r_score, f_score, m_score,
+           count(*) AS n_users,
+           round(CAST(sum(m_cents) AS BIGINT) / 100.0, 2) AS total_monetary
+    FROM scored
+    GROUP BY 1, 2, 3
+    """,
+)
+def rfm_segments_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rfm_segments' at-scale twin: R/F/M quintile scores from cut
+    points of a fixed-size deterministic user sample instead of three
+    ntile windows over the full (unbounded) per-user table.
+
+    Why this survives 100×: the exact twin funnels ALL users through a
+    single-partition sort three times; here the full-cardinality side
+    is scan→broadcast-join→project (three 4-element array filters per
+    user), the sample is TakeOrderedAndProject (per-partition top-k,
+    then k·partitions merged — never a full sort), and all three cut
+    arrays come from ONE collect_list aggregate over the ≤k-row
+    sample — the plan has no Window operator at all (pinned in
+    test_plan_quality). Scoring: score 1 = best (most recent / most
+    frequent / highest spend), deterministic user_id tie-breaks; the
+    oracle applies the identical sample, cut ranks, and comparators,
+    so the sampled path itself is hash-checked."""
+    pu = _rfm_per_user(spark, sf_dir)
+    samp = (
+        pu.withColumn("h", _portable_id_hash("user_id"))
+        .orderBy("h", "user_id")
+        .limit(_RFM_SAMPLE_K)
+        .drop("h")
+    )
+    # ONE collect_list aggregate over the ≤k-row sample yields all
+    # three cut arrays (quintile order statistics under each metric's
+    # ordering) — no windows, no joins, a single 1-row broadcast. Desc
+    # orderings sort on the negated metric; cv keeps the original
+    # value for the comparator.
+    idx = lambda j, s: F.floor((j * s + 4) / 5).cast("int")  # noqa: E731
+
+    def sorted_cuts(key_struct, s):
+        arr = F.array_sort(F.transform("a", key_struct))
+        return F.transform(F.sequence(F.lit(1), F.lit(4)), lambda j: F.element_at(arr, idx(j, s)))
+
+    cut_arr = (
+        samp.agg(
+            F.collect_list(F.struct("r_days", "freq", "m_cents", "user_id")).alias("a"),
+            F.count("*").alias("s"),
+        )
+        .select(
+            sorted_cuts(
+                lambda x: F.struct(
+                    x["r_days"].alias("cv"), x["user_id"].alias("cuid")
+                ),
+                F.col("s"),
+            ).alias("r_cuts"),
+            sorted_cuts(
+                lambda x: F.struct(
+                    (-x["freq"]).alias("neg"),
+                    x["user_id"].alias("cuid"),
+                    x["freq"].alias("cv"),
+                ),
+                F.col("s"),
+            ).alias("f_cuts"),
+            sorted_cuts(
+                lambda x: F.struct(
+                    (-x["m_cents"]).alias("neg"),
+                    x["user_id"].alias("cuid"),
+                    x["m_cents"].alias("cv"),
+                ),
+                F.col("s"),
+            ).alias("m_cuts"),
+        )
+    )
+
+    def score(cuts_col: str, after) -> Column:
+        return F.lit(1) + F.size(F.filter(F.col(cuts_col), after))
+
+    scored = (
+        pu.crossJoin(F.broadcast(cut_arr))
+        .select(
+            "user_id",
+            "m_cents",
+            score(
+                "r_cuts",
+                lambda c: (F.col("r_days") > c["cv"])
+                | ((F.col("r_days") == c["cv"]) & (F.col("user_id") > c["cuid"])),
+            ).alias("r_score"),
+            score(
+                "f_cuts",
+                lambda c: (F.col("freq") < c["cv"])
+                | ((F.col("freq") == c["cv"]) & (F.col("user_id") > c["cuid"])),
+            ).alias("f_score"),
+            score(
+                "m_cuts",
+                lambda c: (F.col("m_cents") < c["cv"])
+                | ((F.col("m_cents") == c["cv"]) & (F.col("user_id") > c["cuid"])),
+            ).alias("m_score"),
+        )
     )
     return scored.groupBy("r_score", "f_score", "m_score").agg(
         F.count("*").alias("n_users"),

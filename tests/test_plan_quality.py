@@ -399,6 +399,39 @@ def test_registry_load_timestamps_tz_independent(spark):
         spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", ntz_prev)
 
 
+def _window_op_lines(txt: str) -> list[str]:
+    # physical Window operators only — excludes WindowGroupLimit
+    return [
+        line
+        for line in txt.splitlines()
+        if line.strip().startswith("(")
+        and "Window" in line
+        and "WindowGroupLimit" not in line
+    ]
+
+
+def test_value_deciles_approx_no_unbounded_sort(spark):
+    # the at-scale decile path: sampled cut points, NOT an ntile sort
+    # over each type's full row set. The only Window is the sample
+    # rank, and it must be WindowGroupLimit-pruned (each map partition
+    # keeps <= k rows per type before the shuffle).
+    txt = plan_text(spark, "value_deciles_approx")
+    assert "ntile" not in txt
+    assert "WindowGroupLimit" in txt
+    assert len(_window_op_lines(txt)) == 1
+
+
+def test_rfm_segments_approx_no_window_at_all(spark):
+    # the at-scale RFM path: TakeOrderedAndProject sample + one
+    # collect_list aggregate for cut points + broadcast-join scoring —
+    # zero Window operators (the exact twin has three unpartitioned
+    # ntile sorts).
+    txt = plan_text(spark, "rfm_segments_approx")
+    assert "ntile" not in txt
+    assert "TakeOrderedAndProject" in txt
+    assert _window_op_lines(txt) == []
+
+
 def test_salted_join_rejects_replication_unsafe_how(spark):
     # the small side is replicated num_salts×, so join types that emit
     # unmatched small-side rows would duplicate them — must raise.
