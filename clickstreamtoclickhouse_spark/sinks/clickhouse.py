@@ -124,9 +124,14 @@ def ddl_create_users_table(
 def ddl_create_misfits_table(schema: str) -> str:
     """S8 (clickhouse.py:217-238). ReplacingMergeTree (matching the
     reference, clickhouse.py:231) so re-ingested batches eventually
-    collapse duplicate misfit rows instead of accumulating them."""
+    collapse duplicate misfit rows instead of accumulating them. ALL
+    six columns are non-null String — the reference's template
+    hardcodes bare `String` for every column (clickhouse.py:225-230),
+    and the quarantine writer always stringifies values, so Nullable
+    wrapping here would deviate from the emitted contract
+    (byte-compared in test_clickhouse_ddl_contract)."""
     cols = ", ".join(
-        _col_ddl(n, T.StringType(), ("message_id", "table_name", "column_name"))
+        _col_ddl(n, T.StringType(), tuple(MISFITS_STRUCTURE))
         for n in MISFITS_STRUCTURE
     )
     return (
