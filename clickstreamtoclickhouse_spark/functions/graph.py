@@ -108,14 +108,13 @@ def connected_components(
         .distinct()
         .localCheckpoint(eager=True)
     )
-    # size ROUND 1's parallelism to the edge count too (rounds 2+
-    # already adapt via the signature) — the checkpoint is materialized,
-    # so this count is a cheap cached-scan action, and it saves a full
-    # round of near-empty wide shuffles on small/medium graphs
-    n0 = e.count()
-    t0 = max(1, min(n0 // 500_000 + 1, 200))
-    if t0 < e.rdd.getNumPartitions():
-        e = e.coalesce(t0)
+    # Round 1 runs at the session's shuffle width; rounds 2+ size
+    # their parallelism from the convergence signature (free — no
+    # extra action). A previous revision also count()+coalesced the
+    # initial edge set, but interleaved min-of-5 measurement at sf0.1
+    # showed that extra action is a net LOSS (~5%) and it narrowed
+    # round 1 to one task on small graphs; big graphs keep full width
+    # either way.
     prev_sig = None
     for _ in range(max_iter):
         prev = e

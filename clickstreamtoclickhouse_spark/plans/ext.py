@@ -651,6 +651,180 @@ def doc_topic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _kmeans_oracle_sql(k: int, iters: int, ndims: int) -> str:
+    """DuckDB SQL replicating portable_kmeans_clusters EXACTLY: same
+    seeds (bottom-k by md5 id hash), same Lloyd schedule, same
+    tie-breaks. Numeric portability argument: centroids are always
+    (integer-exact per-dim sums of BoW counts) / n — both engines
+    produce the identical correctly-rounded double regardless of
+    member order; distances fold dims sequentially 0..ndims-1 on both
+    sides (Spark F.aggregate == DuckDB list_reduce, both left folds),
+    so every comparison sees bit-identical doubles."""
+    sq = (
+        f"list_reduce(list_transform(range({ndims}), "
+        "i -> (e.v[i+1] - c.v[i+1]) * (e.v[i+1] - c.v[i+1])), "
+        "(x, y) -> x + y)"
+    )
+    ctes = [
+        f"""toks AS (
+      SELECT doc_id,
+             unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS w
+      FROM documents WHERE length(trim(text)) > 0
+    ),
+    cells AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(w), 1, 4))::INT % {ndims} AS dim,
+             count(*) AS c
+      FROM toks GROUP BY 1, 2
+    ),
+    dense AS (
+      SELECT ids.doc_id, d.dim, coalesce(c.c, 0)::DOUBLE AS x
+      FROM (SELECT DISTINCT doc_id FROM cells) ids
+      CROSS JOIN (SELECT unnest(range({ndims})) AS dim) d
+      LEFT JOIN cells c ON c.doc_id = ids.doc_id AND c.dim = d.dim
+    ),
+    emb AS (
+      SELECT doc_id, list(x ORDER BY dim) AS v FROM dense GROUP BY doc_id
+    ),
+    c0 AS (
+      SELECT row_number() OVER (
+               ORDER BY ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT,
+                        doc_id) - 1 AS cl,
+             v
+      FROM emb
+      ORDER BY ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT, doc_id
+      LIMIT {k}
+    )"""
+    ]
+    for t in range(iters):
+        ctes.append(
+            f"""d{t} AS (
+      SELECT e.doc_id, c.cl, {sq} AS dist
+      FROM emb e CROSS JOIN c{t} c
+    ),
+    a{t} AS (
+      SELECT doc_id, cl FROM (
+        SELECT doc_id, cl,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY dist, cl) AS rn
+        FROM d{t}
+      ) WHERE rn = 1
+    ),
+    s{t} AS (
+      SELECT a.cl, d.dim, sum(d.x) AS sx
+      FROM a{t} a JOIN dense d USING (doc_id)
+      GROUP BY a.cl, d.dim
+    ),
+    n{t} AS (SELECT cl, count(*) AS n FROM a{t} GROUP BY cl),
+    c{t + 1} AS (
+      SELECT pc.cl,
+             CASE WHEN n.n IS NULL THEN pc.v
+                  ELSE (SELECT list(s.sx / n.n ORDER BY s.dim)
+                        FROM s{t} s WHERE s.cl = pc.cl)
+             END AS v
+      FROM c{t} pc LEFT JOIN n{t} n USING (cl)
+    )"""
+        )
+    t = iters
+    ctes.append(
+        f"""d{t} AS (
+      SELECT e.doc_id, c.cl, {sq} AS dist
+      FROM emb e CROSS JOIN c{t} c
+    ),
+    a{t} AS (
+      SELECT doc_id, cl FROM (
+        SELECT doc_id, cl,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY dist, cl) AS rn
+        FROM d{t}
+      ) WHERE rn = 1
+    )"""
+    )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT CAST(cl AS INT) AS cluster, count(*) AS n_docs
+    FROM a{t} GROUP BY cl"""
+    )
+
+
+_PKM_K, _PKM_ITERS, _PKM_DIMS = 8, 4, 64
+
+
+@query(
+    "doc_topic_clusters_portable",
+    oracle=_kmeans_oracle_sql(_PKM_K, _PKM_ITERS, _PKM_DIMS),
+)
+def doc_topic_clusters_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """doc_topic_clusters' hash-checkable twin: DETERMINISTIC k-means
+    over the hashed-BoW embeddings — seeds are the k docs with the
+    smallest portable md5 id hash (no engine RNG), exactly
+    `_PKM_ITERS` Lloyd rounds (no convergence test), ties to the
+    lowest cluster index. Every arithmetic step is bit-portable (see
+    _kmeans_oracle_sql), so the DuckDB oracle reproduces the full
+    iteration schedule and the final cluster cardinalities hash-match
+    — closing the rows-only gap of the MLlib variant (whose k-means||
+    init RNG is engine-internal and not SQL-replicable).
+
+    Scale: per round, ONE distributed job over the checkpointed
+    embedding table (64 map-side-combinable sums per cluster); only
+    k×(ndims+1) scalars ever reach the driver. The checkpoint keeps
+    round N's plan from replaying the BoW build N times — the same
+    iterative-lineage stance as functions/graph.py."""
+    d = load(spark, sf_dir, "documents")
+    emb = similarity.hashed_bow_embeddings(d, n_dims=_PKM_DIMS).localCheckpoint(
+        eager=True
+    )
+    h = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast(
+        "bigint"
+    )
+    seed_rows = (
+        emb.withColumn("h", h).orderBy("h", "doc_id").limit(_PKM_K).collect()
+    )
+    centroids: list[list[float]] = [list(r["embedding"]) for r in seed_rows]
+
+    def assign(cents: list[list[float]]):
+        lit = F.array(*[F.array(*[F.lit(v) for v in c]) for c in cents])
+        dists = F.transform(
+            lit,
+            lambda c: F.aggregate(
+                F.zip_with(
+                    F.col("embedding"), c, lambda x, y: (x - y) * (x - y)
+                ),
+                F.lit(0.0),
+                lambda a, v: a + v,
+            ),
+        )
+        return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+
+    for _ in range(_PKM_ITERS):
+        stats = (
+            emb.select(assign(centroids).alias("cl"), "embedding")
+            .groupBy("cl")
+            .agg(
+                F.count("*").alias("n"),
+                *[
+                    F.sum(F.element_at("embedding", i + 1)).alias(f"s{i}")
+                    for i in range(_PKM_DIMS)
+                ],
+            )
+            .collect()
+        )
+        updated = {
+            r["cl"]: [r[f"s{i}"] / r["n"] for i in range(_PKM_DIMS)]
+            for r in stats
+        }
+        # empty clusters keep their previous centroid (oracle does too)
+        centroids = [updated.get(c, centroids[c]) for c in range(_PKM_K)]
+
+    return (
+        emb.select(assign(centroids).alias("cluster"))
+        .groupBy("cluster")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # Dedup family
 # ---------------------------------------------------------------------------
