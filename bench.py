@@ -96,6 +96,13 @@ def main() -> None:
         # stalls. Treat r4/r5 numbers as the new baseline.
         "notes": "r3->r4 drift: uniform host/testdata-layout shift (median x1.43, p10 1.23, p90 1.66); r5 matches r4 within ~3% on common queries; no plan regressions",
     }
+    # attach the 10x-rows scale probe if scripts/sf_probe.py has run
+    probe_path = Path(__file__).resolve().parent / "SF1_PROBE.json"
+    if probe_path.exists():
+        try:
+            full["sf1_probe"] = json.loads(probe_path.read_text())
+        except Exception:
+            pass
     full_path = Path(__file__).resolve().parent / "BENCH_FULL.json"
     full_path.write_text(json.dumps(full, indent=1) + "\n")
 

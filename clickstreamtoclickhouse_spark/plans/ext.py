@@ -558,6 +558,49 @@ def training_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn("rep", F.col("rep").cast("int"))
 
 
+_SOURCE_CAP = 15
+
+
+@query(
+    "source_capped_docs",
+    oracle=f"""
+    SELECT doc_id, source, CAST(rk AS INT) AS keep_rank
+    FROM (
+      SELECT doc_id, source,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT,
+                        doc_id) AS rk
+      FROM documents
+    ) WHERE rk <= {_SOURCE_CAP}
+    """,
+)
+def source_capped_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document cap (the 'max N pages per domain' guard
+    every web-corpus pipeline applies so one crawler-friendly domain
+    cannot dominate the mixture): keep at most `_SOURCE_CAP` docs per
+    source, chosen by the portable md5 id hash — deterministic across
+    runs, engines, and cluster layouts, unlike rand()-ordered
+    sampling.
+
+    Scale: row_number over (source) with a rank filter is
+    WindowGroupLimit-pruned — each map partition keeps <= cap rows per
+    source before the shuffle, so a source with 10^9 docs ships cap
+    rows per input partition, never its full row set (plan-pinned in
+    test_plan_quality)."""
+    d = load(spark, sf_dir, "documents")
+    h = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+    ).cast("bigint")
+    w = Window.partitionBy("source").orderBy(h, "doc_id")
+    return (
+        d.select("doc_id", "source")
+        .withColumn("keep_rank", F.row_number().over(w))
+        .filter(F.col("keep_rank") <= _SOURCE_CAP)
+        .withColumn("keep_rank", F.col("keep_rank").cast("int"))
+    )
+
+
 @query(
     "bigram_lm_quality",
     oracle=f"""

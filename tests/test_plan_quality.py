@@ -432,6 +432,13 @@ def test_rfm_segments_approx_no_window_at_all(spark):
     assert _window_op_lines(txt) == []
 
 
+def test_source_capped_docs_window_group_limit(spark):
+    # per-source cap must be WindowGroupLimit-pruned: a giant source
+    # ships <= cap rows per map partition, never its full row set
+    txt = plan_text(spark, "source_capped_docs")
+    assert "WindowGroupLimit" in txt
+
+
 def test_salted_join_rejects_replication_unsafe_how(spark):
     # the small side is replicated num_salts×, so join types that emit
     # unmatched small-side rows would duplicate them — must raise.
