@@ -776,11 +776,98 @@ def value_winsorized(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Outlier clipping (winsorization at p05/p95 per type) — the
     numeric-cleaning analog of the text quality filters. Per-type
     bounds collapse to a broadcast table; the clip is a pure
-    least/greatest projection, so the data pass stays map-only."""
+    least/greatest projection, so the data pass stays map-only. The
+    exact `percentile` aggregate buffers each group in memory — this
+    is the sf-bounded oracle baseline; value_winsorized_approx is the
+    at-scale path (sampled bounds, bounded memory)."""
     e = load(spark, sf_dir, "events")
     b = e.groupBy("event_type").agg(
         F.percentile("value", F.lit(0.05)).alias("lo"),
         F.percentile("value", F.lit(0.95)).alias("hi"),
+    )
+    return (
+        e.join(F.broadcast(b), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 2).alias("sum_raw"),
+            F.round(
+                F.sum(F.least(F.greatest(F.col("value"), F.col("lo")), F.col("hi"))),
+                2,
+            ).alias("sum_winsorized"),
+        )
+    )
+
+
+@query(
+    "value_winsorized_approx",
+    oracle="""
+    WITH e AS (SELECT event_type, event_id, value FROM events),
+    hh AS (
+      SELECT event_type, event_id, value,
+             ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8))::BIGINT AS h
+      FROM e
+    ),
+    samp AS (
+      SELECT event_type, event_id, value FROM (
+        SELECT *, row_number() OVER (PARTITION BY event_type
+                                     ORDER BY h, event_id) AS rn
+        FROM hh
+      ) WHERE rn <= 500
+    ),
+    sr AS (
+      SELECT event_type, value,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY value, event_id) AS srn
+      FROM samp
+    ),
+    sc AS (SELECT event_type, count(*) AS s FROM samp GROUP BY 1),
+    b AS (
+      SELECT sc.event_type,
+             max(CASE WHEN sr.srn = (sc.s + 19) // 20 THEN sr.value END) AS lo,
+             max(CASE WHEN sr.srn = (19 * sc.s + 19) // 20 THEN sr.value END) AS hi
+      FROM sc JOIN sr USING (event_type)
+      GROUP BY sc.event_type
+    )
+    SELECT e.event_type,
+           count(*) AS n,
+           round(sum(e.value), 2) AS sum_raw,
+           round(sum(least(greatest(e.value, b.lo), b.hi)), 2) AS sum_winsorized
+    FROM e JOIN b USING (event_type)
+    GROUP BY e.event_type
+    """,
+)
+def value_winsorized_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """value_winsorized's at-scale twin: p05/p95 clip bounds read off
+    the deterministic bottom-k-by-hash sample (the
+    value_deciles_approx machinery) instead of the exact `percentile`
+    aggregate — which buffers every group member in executor memory
+    and is the one unbounded-memory step in the exact form. Sample
+    ranks, bounds (order statistics at ceil(0.05*s) / ceil(0.95*s)
+    under (value, event_id)), and the clip are replicated exactly in
+    the oracle. Plan: WindowGroupLimit-pruned sample + broadcast
+    bounds + one map-side-combinable aggregate."""
+    e = load(spark, sf_dir, "events").select("event_type", "event_id", "value")
+    ws = Window.partitionBy("event_type").orderBy("h", "event_id")
+    samp = (
+        e.withColumn("h", _portable_id_hash("event_id"))
+        .withColumn("rn", F.row_number().over(ws))
+        .filter(F.col("rn") <= 500)
+        .drop("rn", "h")
+    )
+    b = (
+        samp.groupBy("event_type")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("value").alias("cv"), F.col("event_id").alias("cid")))
+            ).alias("a"),
+            F.count("*").alias("s"),
+        )
+        .select(
+            "event_type",
+            F.element_at("a", F.expr("int((s + 19) div 20)"))["cv"].alias("lo"),
+            F.element_at("a", F.expr("int((19 * s + 19) div 20)"))["cv"].alias("hi"),
+        )
     )
     return (
         e.join(F.broadcast(b), "event_type")
