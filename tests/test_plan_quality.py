@@ -432,6 +432,16 @@ def test_rfm_segments_approx_no_window_at_all(spark):
     assert _window_op_lines(txt) == []
 
 
+def test_value_winsorized_approx_bounded_memory_shape(spark):
+    # sampled-bounds winsorization: the only Window is the
+    # WindowGroupLimit-pruned sample rank; no exact percentile
+    # aggregate (whose buffer grows with group size) anywhere.
+    txt = plan_text(spark, "value_winsorized_approx")
+    assert "WindowGroupLimit" in txt
+    assert "percentile(" not in txt
+    assert len(_window_op_lines(txt)) == 1
+
+
 def test_source_capped_docs_window_group_limit(spark):
     # per-source cap must be WindowGroupLimit-pruned: a giant source
     # ships <= cap rows per map partition, never its full row set
