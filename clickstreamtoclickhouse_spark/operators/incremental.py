@@ -33,19 +33,14 @@ from pyspark.sql import functions as F
 def _partition_values(spark: SparkSession, path: str, col: str) -> set[str]:
     """Distinct values of a hive-style partition column from the
     directory listing (no parquet data read)."""
-    from pyspark.errors import AnalysisException
+    from ..util import try_read_parquet
 
-    try:
-        df = spark.read.parquet(path)
-    except AnalysisException as e:
-        # Only "path does not exist" means "no partitions yet" (first
-        # run of a rollup). Any other analysis error — and any
-        # transient IO error — must propagate: silently returning an
-        # empty set would make the caller conclude "already current".
-        cond = getattr(e, "getCondition", lambda: None)() or ""
-        if "PATH_NOT_FOUND" in cond or "Path does not exist" in str(e):
-            return set()
-        raise
+    # None only for "no partitions yet" (first run of a rollup); any
+    # other error propagates — silently returning an empty set would
+    # make the caller conclude "already current".
+    df = try_read_parquet(spark, path)
+    if df is None:
+        return set()
     if col not in df.columns:
         return set()
     # selecting only the partition column reads listing metadata, not

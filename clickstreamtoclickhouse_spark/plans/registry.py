@@ -52,7 +52,11 @@ def _nano_ts_columns(path: str) -> list[str]:
             _NANO_TS_COLS[path] = [
                 f.name for f in schema if str(f.type) == "timestamp[ns]"
             ]
-        except Exception:
+        except (ImportError, FileNotFoundError, OSError):
+            # pyarrow absent or path unreadable: fall through with no
+            # nano columns — the spark.read below raises the real,
+            # actionable error for a missing/corrupt path. Other
+            # exceptions (bugs) propagate.
             _NANO_TS_COLS[path] = []
     return _NANO_TS_COLS[path]
 

@@ -58,10 +58,14 @@ class ParquetWarehouse(Warehouse):
         self.create_schema(schema)
 
     def describe_table(self, schema: str, table: str) -> dict[str, T.DataType]:
+        from ..util import try_read_parquet
+
         path = self._path(schema, table)
-        try:
-            df = self.spark.read.option("mergeSchema", "true").parquet(path)
-        except Exception:
+        # {} ONLY when the table doesn't exist yet; real read failures
+        # propagate (an empty dict here would make the evolution path
+        # re-ADD every column as new)
+        df = try_read_parquet(self.spark, path, mergeSchema="true")
+        if df is None:
             return {}
         return {f.name: f.dataType for f in df.schema.fields if f.name != PARTITION_COL}
 

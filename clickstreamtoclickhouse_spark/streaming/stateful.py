@@ -146,15 +146,15 @@ def streaming_corpus_dedup(
     spark = docs_stream.sparkSession
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        from ..util import try_read_parquet
+
         batch_df = batch_df.cache()
         try:
-            try:
-                index = spark.read.parquet(index_dir)
-                have_index = True
-            except Exception:  # first batch: no index yet
-                index = None
-                have_index = False
-            if have_index:
+            # None ONLY on first batch (no index yet); real read
+            # failures propagate and fail the batch rather than
+            # silently restarting dedup from an empty index
+            index = try_read_parquet(spark, index_dir)
+            if index is not None:
                 fresh = incremental_exact_dedup(
                     batch_df, index, id_col, text_col, corpus_hash_col="content_hash"
                 )
@@ -252,18 +252,18 @@ def stream_merge_upsert(
     spark = updates_stream.sparkSession
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
-        try:
-            base = spark.read.parquet(table_dir)
-            have = True
-        except Exception:  # first batch: table doesn't exist yet
-            have = False
-        if have:
+        from ..util import try_read_parquet
+
+        # None ONLY when the table doesn't exist yet (first batch);
+        # real read failures propagate instead of silently rebuilding
+        # the table from one batch
+        base = try_read_parquet(spark, table_dir)
+        if base is not None:
             merged = merge_upsert(
                 base, batch_df, keys=list(keys),
                 version_col=version_col, delete_col=delete_col,
             )
         else:
-            empty_cols = [c for c in batch_df.columns]
             base = batch_df.limit(0)
             if delete_col is not None:
                 base = base.drop(delete_col)
