@@ -558,6 +558,77 @@ def training_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn("rep", F.col("rep").cast("int"))
 
 
+@query(
+    "doc_char_entropy",
+    oracle="""
+    WITH chars AS (
+      SELECT doc_id, unnest(string_split(lower(text), '')) AS ch
+      FROM documents
+    ),
+    hist AS (
+      SELECT doc_id, ch, count(*) AS c
+      FROM chars WHERE length(ch) > 0
+      GROUP BY 1, 2
+    ),
+    per AS (
+      SELECT doc_id,
+             list(c ORDER BY ch) AS cs,
+             CAST(sum(c) AS BIGINT) AS n_chars,
+             count(*) AS n_distinct
+      FROM hist GROUP BY doc_id
+    )
+    SELECT doc_id, n_chars, CAST(n_distinct AS INT) AS n_distinct_chars,
+           round(list_reduce(
+                   list_transform(cs, c -> -(c / CAST(n_chars AS DOUBLE))
+                                           * ln(c / CAST(n_chars AS DOUBLE))),
+                   (a, b) -> a + b) + 0.0,
+                 4) AS entropy_nats
+    FROM per
+    """,
+)
+def doc_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level Shannon entropy per document (nats) — the
+    classic gibberish / low-diversity quality signal: natural text
+    sits near ~3 nats, single-char or repeated-pattern spam collapses
+    toward 0, random bytes push higher. Complements the word-level
+    Gopher signals with a sub-token view.
+
+    Oracle portability: the entropy fold runs over char counts SORTED
+    by character (Spark array_sort == DuckDB list(ORDER BY), both
+    binary collation) and folds sequentially (F.aggregate ==
+    list_reduce, both left folds with the same seed-0 behavior — the
+    trailing +0.0 normalizes -0.0 for single-char docs), p = c/n is a
+    single correctly-rounded division, and ln() matches across
+    engines at round-4 (the same precedent as the LM-quality logs).
+
+    Scale: explode -> two map-side-combinable groupBys -> bounded
+    per-doc array fold (alphabet-sized, Zipf/charset-bounded) — the
+    same shape as the BoW build; no window, no shuffle beyond the
+    doc-keyed aggregates."""
+    d = load(spark, sf_dir, "documents")
+    chars = d.select(
+        "doc_id", F.explode(F.split(F.lower("text"), "")).alias("ch")
+    ).filter(F.length("ch") > 0)
+    hist = chars.groupBy("doc_id", "ch").agg(F.count("*").alias("c"))
+    per = hist.groupBy("doc_id").agg(
+        F.array_sort(F.collect_list(F.struct("ch", "c"))).alias("h"),
+        F.sum("c").cast("bigint").alias("n_chars"),
+        F.count("*").cast("int").alias("n_distinct_chars"),
+    )
+    p = lambda s: s["c"] / F.col("n_chars").cast("double")  # noqa: E731
+    ent = F.aggregate(
+        F.transform("h", lambda s: -p(s) * F.log(p(s))),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    return per.select(
+        "doc_id",
+        "n_chars",
+        "n_distinct_chars",
+        F.round(ent, 4).alias("entropy_nats"),
+    )
+
+
 _SOURCE_CAP = 15
 
 
