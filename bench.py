@@ -101,8 +101,11 @@ def main() -> None:
     if probe_path.exists():
         try:
             full["sf1_probe"] = json.loads(probe_path.read_text())
-        except Exception:
-            pass
+        except (OSError, json.JSONDecodeError) as e:
+            # a truncated probe file must be visible, not silently
+            # published as "probe never ran"
+            print(f"# WARNING: SF1_PROBE.json unreadable, omitted: {e}",
+                  file=sys.stderr)
     full_path = Path(__file__).resolve().parent / "BENCH_FULL.json"
     full_path.write_text(json.dumps(full, indent=1) + "\n")
 

@@ -659,11 +659,10 @@ def source_capped_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     source before the shuffle, so a source with 10^9 docs ships cap
     rows per input partition, never its full row set (plan-pinned in
     test_plan_quality)."""
+    from ..util import portable_id_hash
+
     d = load(spark, sf_dir, "documents")
-    h = F.conv(
-        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
-    ).cast("bigint")
-    w = Window.partitionBy("source").orderBy(h, "doc_id")
+    w = Window.partitionBy("source").orderBy(portable_id_hash("doc_id"), "doc_id")
     return (
         d.select("doc_id", "source")
         .withColumn("keep_rank", F.row_number().over(w))
@@ -886,17 +885,22 @@ def doc_topic_clusters_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     k×(ndims+1) scalars ever reach the driver. The checkpoint keeps
     round N's plan from replaying the BoW build N times — the same
     iterative-lineage stance as functions/graph.py."""
+    from ..util import portable_id_hash
+
     d = load(spark, sf_dir, "documents")
     emb = similarity.hashed_bow_embeddings(d, n_dims=_PKM_DIMS).localCheckpoint(
         eager=True
     )
-    h = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast(
-        "bigint"
-    )
     seed_rows = (
-        emb.withColumn("h", h).orderBy("h", "doc_id").limit(_PKM_K).collect()
+        emb.withColumn("h", portable_id_hash("doc_id"))
+        .orderBy("h", "doc_id")
+        .limit(_PKM_K)
+        .collect()
     )
     centroids: list[list[float]] = [list(r["embedding"]) for r in seed_rows]
+    # corpora with fewer than k non-empty docs seed fewer clusters —
+    # iterate over what exists (the oracle's LIMIT k does the same)
+    k_eff = len(centroids)
 
     def assign(cents: list[list[float]]):
         lit = F.array(*[F.array(*[F.lit(v) for v in c]) for c in cents])
@@ -930,7 +934,7 @@ def doc_topic_clusters_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
             for r in stats
         }
         # empty clusters keep their previous centroid (oracle does too)
-        centroids = [updated.get(c, centroids[c]) for c in range(_PKM_K)]
+        centroids = [updated.get(c, centroids[c]) for c in range(k_eff)]
 
     return (
         emb.select(assign(centroids).alias("cluster"))

@@ -37,6 +37,7 @@ def query(name: str, oracle: str | None = None):
 
 
 _NANO_TS_COLS: dict[str, list[str]] = {}
+_warned_tz: list[str] = []  # one-time non-UTC session warning latch
 
 
 def _nano_ts_columns(path: str) -> list[str]:
@@ -88,14 +89,33 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     # the naive wall clock is UTC. cast(NTZ→TIMESTAMP) interprets the
     # wall clock in the SESSION TZ (instant = w - tzOffset);
     # from_utc_timestamp(t, tz) applies the exact inverse shift
-    # (t + tzOffset), so the composition yields instant == w-as-UTC on
-    # ANY session TZ (verified vs DuckDB under America/New_York, winter
-    # and summer offsets). Under a UTC session both steps are the
-    # identity. (to_utc_timestamp would double-shift: cast and it move
-    # in the same direction.)
+    # (t + tzOffset), so the composition yields instant == w-as-UTC
+    # (verified vs DuckDB under America/New_York; wall clocks inside a
+    # DST spring-forward gap of a non-UTC session TZ resolve per JVM
+    # gap rules and can land an hour off — nonexistent under UTC).
+    #
+    # ENGINE INVARIANT — UTC session for full oracle parity: this
+    # conversion makes EPOCH semantics (unix_micros, time windows,
+    # interval joins) TZ-independent, but Spark renders wall clocks
+    # (date_format / date_trunc / datediff) in the session TZ by
+    # definition, so those outputs additionally assume a UTC session —
+    # which the driver and our factory both guarantee. A non-UTC
+    # session gets a loud one-time warning instead of silently
+    # TZ-shifted rendered columns.
     ntz = [f.name for f in df.schema.fields if f.dataType.typeName() == "timestamp_ntz"]
     if ntz:
         session_tz = spark.conf.get("spark.sql.session.timeZone")
+        if session_tz not in ("UTC", "Etc/UTC", "GMT", "Z") and not _warned_tz:
+            import sys
+
+            print(
+                f"[registry] WARNING: session timeZone={session_tz!r}; epoch "
+                "semantics stay UTC-correct but wall-clock-rendered columns "
+                "(date_format/date_trunc/datediff) follow the session TZ — "
+                "set spark.sql.session.timeZone=UTC for full oracle parity",
+                file=sys.stderr,
+            )
+            _warned_tz.append(session_tz)
         for c in ntz:
             df = df.withColumn(
                 c, F.from_utc_timestamp(F.col(c).cast("timestamp"), session_tz)

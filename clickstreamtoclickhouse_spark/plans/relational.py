@@ -1691,11 +1691,10 @@ _DECILE_SAMPLE_K = 500  # per event_type; cut-point error ~ O(1/sqrt(k))
 
 
 def _portable_id_hash(id_col: str) -> Column:
-    """First 8 md5 hex digits of the id as a bigint — identical in
-    Spark (conv) and DuckDB ('0x' || ...)::BIGINT; see dataset_split."""
-    return F.conv(
-        F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10
-    ).cast("bigint")
+    """See util.portable_id_hash (the single shared definition)."""
+    from ..util import portable_id_hash
+
+    return portable_id_hash(id_col)
 
 
 @query(
@@ -2135,7 +2134,13 @@ def rfm_segments_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     frequent / highest spend), deterministic user_id tie-breaks; the
     oracle applies the identical sample, cut ranks, and comparators,
     so the sampled path itself is hash-checked."""
-    pu = _rfm_per_user(spark, sf_dir)
+    # materialize the per-user triple ONCE: the sample branch and the
+    # scoring branch both consume it, and AQE does NOT reuse the
+    # exchange across the two (verified on the executed plan — 4
+    # parquet scans without this). One events scan + one user-keyed
+    # shuffle total; the checkpoint is user-cardinality, tiny next to
+    # the events it summarizes.
+    pu = _rfm_per_user(spark, sf_dir).localCheckpoint(eager=True)
     samp = (
         pu.withColumn("h", _portable_id_hash("user_id"))
         .orderBy("h", "user_id")

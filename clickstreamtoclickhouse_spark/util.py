@@ -6,11 +6,37 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def is_path_not_found(e: Exception) -> bool:
-    """True iff an AnalysisException means 'the path does not exist'
-    (a normal first-run condition), as opposed to a real failure that
+    """True iff an AnalysisException means 'no data here yet' — the
+    path does not exist, OR it exists but holds no parquet footers
+    (ops pre-created the directory, or a crashed first write left it
+    empty: Spark raises UNABLE_TO_INFER_SCHEMA for those). Both are
+    normal first-run conditions; anything else is a real failure that
     must propagate."""
     cond = getattr(e, "getCondition", lambda: None)() or ""
-    return "PATH_NOT_FOUND" in cond or "Path does not exist" in str(e)
+    msg = str(e)
+    return (
+        "PATH_NOT_FOUND" in cond
+        or "UNABLE_TO_INFER_SCHEMA" in cond
+        or "Path does not exist" in msg
+        or "Unable to infer schema" in msg
+    )
+
+
+def portable_id_hash(col):
+    """First 8 md5 hex digits of a (numeric or string) id as a
+    bigint — the engine's ONE portable hash for deterministic
+    sampling/splitting: identical in Spark
+    (conv(substr(md5(cast),1,8),16,10)) and DuckDB
+    (('0x' || substr(md5(CAST(id AS VARCHAR)),1,8))::BIGINT), stable
+    across runs, engines, and cluster layouts. Keep every call site on
+    this helper: a divergent copy silently breaks Spark/oracle parity."""
+    from pyspark.sql import Column
+    from pyspark.sql import functions as F
+
+    c = col if isinstance(col, Column) else F.col(col)
+    return F.conv(F.substring(F.md5(c.cast("string")), 1, 8), 16, 10).cast(
+        "bigint"
+    )
 
 
 def try_read_parquet(

@@ -184,9 +184,11 @@ def main() -> None:
     gen_tables(10, np.random.default_rng(43), words, lens, OUT / "x10")
 
     spark = get_spark(app_name="sf_probe", extra_conf={"spark.ui.enabled": "true"})
-    with urllib.request.urlopen("http://localhost:4040/api/v1/applications", timeout=10) as r:
-        app_id = json.load(r)[0]["id"]
-    app_base = f"http://localhost:4040/api/v1/applications/{app_id}"
+    # use THIS session's bound UI url + app id — a hardcoded :4040
+    # would read a concurrent Spark app's stages if one holds the port
+    ui = spark.sparkContext.uiWebUrl
+    app_id = spark.sparkContext.applicationId
+    app_base = f"{ui}/api/v1/applications/{app_id}"
 
     results: dict[str, dict] = {}
     for tag, sf_dir in (("base", OUT / "base"), ("x10", OUT / "x10")):
@@ -194,7 +196,7 @@ def main() -> None:
         for t in ("documents", "embeddings", "events"):
             plans.load(spark, str(sf_dir), t).count()
         for name in PROBE_QUERIES:
-            best, sh = float("inf"), 0
+            best, sh = float("inf"), -1
             for _ in range(2):
                 s0 = shuffle_write_bytes(app_base)
                 t0 = time.perf_counter()
@@ -202,13 +204,21 @@ def main() -> None:
                     "noop"
                 ).mode("overwrite").save()
                 dt = time.perf_counter() - t0
+                s1 = shuffle_write_bytes(app_base)
                 if dt < best:
-                    best, sh = dt, shuffle_write_bytes(app_base) - s0
+                    best = dt
+                    # keep the -1 error sentinel intact: a failed REST
+                    # read on either side must not fabricate a delta
+                    sh = (s1 - s0) if (s0 >= 0 and s1 >= 0) else -1
             results.setdefault(name, {})[tag] = {
                 "sec": round(best, 3),
-                "shuffle_mb": round(sh / 1e6, 1),
+                # None (not a number) when the REST read failed — a
+                # fabricated 0/negative would publish bogus ratios
+                "shuffle_mb": round(sh / 1e6, 1) if sh >= 0 else None,
             }
-            print(f"# {tag} {name}: {best:.2f}s shuffle {sh/1e6:.1f}MB",
+            print(f"# {tag} {name}: {best:.2f}s shuffle "
+                  f"{sh/1e6:.1f}MB" if sh >= 0 else
+                  f"# {tag} {name}: {best:.2f}s shuffle n/a",
                   file=sys.stderr, flush=True)
 
     probe = {}
@@ -216,7 +226,8 @@ def main() -> None:
         ratio = round(r["x10"]["sec"] / max(r["base"]["sec"], 1e-9), 1)
         sh_ratio = (
             round(r["x10"]["shuffle_mb"] / max(r["base"]["shuffle_mb"], 0.1), 1)
-            if r["x10"]["shuffle_mb"] >= 0 and r["base"]["shuffle_mb"] >= 0
+            if r["x10"]["shuffle_mb"] is not None
+            and r["base"]["shuffle_mb"] is not None
             else None
         )
         probe[name] = {
