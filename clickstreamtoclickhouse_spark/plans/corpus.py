@@ -1,0 +1,647 @@
+"""Corpus-curation operators, batch 2 (SURVEY.md §2.11 extension
+family): Gopher n-gram repetition filters, Bloom-filter membership
+dedup, and product-quantization (ADC) approximate nearest neighbors.
+
+Like plans/ext.py, every operator here is a pure DataFrame plan with
+a term-identical DuckDB oracle: integer occupancy sums and fixed-order
+double folds keep the value hashes bit-comparable across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions import text as tx
+from ..util import portable_id_hash
+from .ext import _COPY_OFFSET
+from .registry import load, query
+
+# ---------------------------------------------------------------------------
+# Gopher n-gram repetition filters
+# ---------------------------------------------------------------------------
+
+_TOP_NS = (3, 4)  # top-n-gram char occupancy (Gopher: 2,3,4 — 2 in gopher_stats)
+_DUP_NS = (5, 6)  # duplicate-n-gram char occupancy (Gopher: 5..10)
+_TOP_THRESH = {3: 0.18, 4: 0.16}
+_DUP_THRESH = {5: 0.15, 6: 0.14}
+
+
+def _rep_oracle_sql() -> str:
+    gram_ctes = []
+    for n in (*_TOP_NS, *_DUP_NS):
+        gram_ctes.append(
+            f"""g{n} AS (
+      SELECT doc_id, nc, {n} AS n,
+             unnest(list_transform(range(1, len(ws) - {n} + 2),
+                    i -> array_to_string(ws[i:i+{n - 1}], ' '))) AS g
+      FROM toks WHERE len(ws) >= {n}
+    )"""
+        )
+    union = "\n      UNION ALL\n      ".join(
+        f"SELECT * FROM g{n}" for n in (*_TOP_NS, *_DUP_NS)
+    )
+    top_cols = ",\n           ".join(
+        f"coalesce(max(CASE WHEN n = {n} THEN top_occ END), 0) AS top{n}_occ"
+        for n in _TOP_NS
+    )
+    dup_cols = ",\n           ".join(
+        f"coalesce(max(CASE WHEN n = {n} THEN dup_occ END), 0) AS dup{n}_occ"
+        for n in _DUP_NS
+    )
+    frac = "round(CASE WHEN b.nc = 0 THEN 0.0 ELSE coalesce(w.{occ}, 0) * 1.0 / b.nc END, 6)"
+    out_cols = ",\n           ".join(
+        [frac.format(occ=f"top{n}_occ") + f" AS top{n}_frac" for n in _TOP_NS]
+        + [frac.format(occ=f"dup{n}_occ") + f" AS dup{n}_frac" for n in _DUP_NS]
+    )
+    passes = " AND ".join(
+        [
+            frac.format(occ=f"top{n}_occ") + f" <= {_TOP_THRESH[n]}"
+            for n in _TOP_NS
+        ]
+        + [
+            frac.format(occ=f"dup{n}_occ") + f" <= {_DUP_THRESH[n]}"
+            for n in _DUP_NS
+        ]
+    )
+    return f"""
+    WITH base AS (
+      SELECT doc_id, length(text) AS nc, lower(text) AS t FROM documents
+    ),
+    toks AS (
+      SELECT doc_id, nc, {tx.SQL_WORDS.format(t='t')} AS ws
+      FROM base WHERE length(trim(t)) > 0
+    ),
+    {",".join(gram_ctes)},
+    grams AS (
+      {union}
+    ),
+    cnt AS (
+      SELECT doc_id, nc, n, g, count(*) AS c FROM grams GROUP BY ALL
+    ),
+    per_n AS (
+      SELECT doc_id, nc, n,
+             max(c * length(g)) AS top_occ,
+             sum(CASE WHEN c > 1 THEN c * length(g) ELSE 0 END) AS dup_occ
+      FROM cnt GROUP BY ALL
+    ),
+    wide AS (
+      SELECT doc_id,
+           {top_cols},
+           {dup_cols}
+      FROM per_n GROUP BY doc_id
+    )
+    SELECT b.doc_id,
+           {out_cols},
+           CAST(CASE WHEN {passes} THEN 1 ELSE 0 END AS INT) AS rep_pass
+    FROM base b LEFT JOIN wide w USING (doc_id)
+    """
+
+
+@query("ngram_repetition_filters", oracle=_rep_oracle_sql())
+def ngram_repetition_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher repetition filters beyond gopher_stats' top-bigram /
+    dup-trigram pair (Rae et al. 2021, App. A: top-{2,3,4}-gram and
+    duplicate-{5..10}-gram character fractions — public heuristics):
+    per document, the character occupancy of the heaviest {3,4}-gram
+    and of all duplicated {5,6}-grams, plus the composite pass flag.
+
+    Occupancy variant: `top_occ = max over grams of count×len(gram)`
+    — "the n-gram occupying the most characters" rather than "chars
+    of the most frequent n-gram". A plain MAX over exact integers
+    needs no argmax tie rule, so Spark and the oracle agree bit-wise;
+    overlapping occurrences mean fractions may exceed 1 (Gopher's
+    do too).
+
+    Scale: one explode (linear in tokens) -> partial-aggregated
+    count shuffle keyed (doc_id, n, gram) -> per-doc reduce. No
+    corpus-global state, no window without partitioning; a 10^9-doc
+    corpus shuffles only its gram-count triples."""
+    d = load(spark, sf_dir, "documents")
+    ws = tx.words(F.lower(F.col("text")))
+    # NB: the tag lambda must be SINGLE-arg — F.transform hands a
+    # 2-param lambda (element, index), which would clobber an `n=n`
+    # default with the array index
+    def _tag(n: int):
+        return lambda g: F.struct(F.lit(n).alias("n"), g.alias("g"))
+
+    gram_arrays = [
+        F.transform(tx._ngrams(ws, n), _tag(n)) for n in (*_TOP_NS, *_DUP_NS)
+    ]
+    grams = d.select(
+        "doc_id",
+        F.length("text").alias("nc"),
+        F.explode(F.concat(*gram_arrays)).alias("x"),
+    ).select("doc_id", "nc", F.col("x.n").alias("n"), F.col("x.g").alias("g"))
+    per_n = (
+        grams.groupBy("doc_id", "nc", "n", "g")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id", "nc", "n")
+        .agg(
+            F.max(F.col("c") * F.length("g")).alias("top_occ"),
+            F.sum(
+                F.when(F.col("c") > 1, F.col("c") * F.length("g")).otherwise(
+                    F.lit(0)
+                )
+            ).alias("dup_occ"),
+        )
+    )
+    wide = per_n.groupBy("doc_id").agg(
+        *[
+            F.coalesce(
+                F.max(F.when(F.col("n") == n, F.col("top_occ"))), F.lit(0)
+            ).alias(f"top{n}_occ")
+            for n in _TOP_NS
+        ],
+        *[
+            F.coalesce(
+                F.max(F.when(F.col("n") == n, F.col("dup_occ"))), F.lit(0)
+            ).alias(f"dup{n}_occ")
+            for n in _DUP_NS
+        ],
+    )
+
+    def frac(occ: str) -> F.Column:
+        return F.round(
+            F.when(F.col("nc") == 0, F.lit(0.0)).otherwise(
+                F.coalesce(F.col(occ), F.lit(0)) * 1.0 / F.col("nc")
+            ),
+            6,
+        )
+
+    passes = None
+    for n in _TOP_NS:
+        c = frac(f"top{n}_occ") <= _TOP_THRESH[n]
+        passes = c if passes is None else (passes & c)
+    for n in _DUP_NS:
+        c = frac(f"dup{n}_occ") <= _DUP_THRESH[n]
+        passes = passes & c
+    return (
+        d.select("doc_id", F.length("text").alias("nc"))
+        .join(wide, "doc_id", "left")
+        .select(
+            "doc_id",
+            *[frac(f"top{n}_occ").alias(f"top{n}_frac") for n in _TOP_NS],
+            *[frac(f"dup{n}_occ").alias(f"dup{n}_frac") for n in _DUP_NS],
+            passes.cast("int").alias("rep_pass"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter membership dedup
+# ---------------------------------------------------------------------------
+
+_BLOOM_M = 8192  # filter bits; sized for ~250 inserts -> FP ~2e-4
+_BLOOM_WINDOWS = (1, 9, 17, 25)  # 4 disjoint 8-hex md5 windows = 4 hashes
+
+
+def _bloom_pos(col: F.Column) -> list[F.Column]:
+    """k=4 bit positions from one md5: four disjoint 32-bit windows of
+    the digest, each mod m — portable (identical hex in DuckDB)."""
+    return [
+        F.pmod(
+            F.conv(F.substring(F.md5(col), s, 8), 16, 10).cast("bigint"),
+            F.lit(_BLOOM_M),
+        )
+        for s in _BLOOM_WINDOWS
+    ]
+
+
+def _sql_bloom_pos(t: str) -> str:
+    return ", ".join(
+        f"('0x' || substr(md5({t}), {s}, 8))::BIGINT % {_BLOOM_M}"
+        for s in _BLOOM_WINDOWS
+    )
+
+
+@query(
+    "bloom_dedup_docs",
+    oracle=f"""
+    WITH qry AS (
+      SELECT doc_id + {_COPY_OFFSET} AS doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + {2 * _COPY_OFFSET} AS doc_id,
+             substring(text, 1, cast(floor(length(text) * 0.8) as int)) AS text
+      FROM documents
+    ),
+    bits AS (
+      SELECT DISTINCT unnest([{_sql_bloom_pos('text')}]) AS pos FROM documents
+    ),
+    qpos AS (
+      SELECT doc_id, unnest([{_sql_bloom_pos('text')}]) AS pos FROM qry
+    ),
+    hit AS (
+      SELECT q.doc_id,
+             min(CASE WHEN b.pos IS NULL THEN 0 ELSE 1 END) AS allset
+      FROM qpos q LEFT JOIN bits b USING (pos) GROUP BY q.doc_id
+    ),
+    ih AS (SELECT DISTINCT md5(text) AS th FROM documents)
+    SELECT q.doc_id,
+           CAST(h.allset AS INT) AS bloom_hit,
+           CAST(CASE WHEN i.th IS NULL THEN 0 ELSE 1 END AS INT) AS exact_dup
+    FROM qry q JOIN hit h USING (doc_id)
+    LEFT JOIN ih i ON md5(q.text) = i.th
+    """,
+)
+def bloom_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter membership dedup (Bloom 1970; the batch-vs-history
+    screen web pipelines run before exact checks): originals build a
+    k=4-hash, m=8192-bit filter; a query batch (exact copies — all
+    true dups — plus 80%-truncated copies — all non-dups, exercising
+    the false-positive path) is flagged `bloom_hit` when every one of
+    its bit positions is set, alongside the exact-md5 ground truth.
+    Hash draw is the md5 digest split into four disjoint 32-bit
+    windows — no RNG, so even the false positives are deterministic
+    and the oracle hash-matches them.
+
+    Scale: the filter is represented RELATIONALLY as its set-bit
+    table (<= m rows), built with one map-side-combined distinct;
+    membership is a per-doc join on `pos`. At this m the bit table
+    broadcasts; at web scale m grows to ~10^10 bits and the same plan
+    degrades gracefully to a sort-merge join on pos — still linear,
+    never all-pairs. Vs incremental_dedup_docs' exact hash index the
+    trade is O(m bits) state for a tunable FP rate."""
+    docs = load(spark, sf_dir, "documents")
+    qry = docs.select(
+        (F.col("doc_id") + _COPY_OFFSET).alias("doc_id"), "text"
+    ).unionByName(
+        docs.select(
+            (F.col("doc_id") + 2 * _COPY_OFFSET).alias("doc_id"),
+            F.expr(
+                "substring(text, 1, cast(floor(length(text) * 0.8) as int))"
+            ).alias("text"),
+        )
+    )
+    bits = (
+        docs.select(F.explode(F.array(*_bloom_pos(F.col("text")))).alias("pos"))
+        .distinct()
+        .withColumn("set1", F.lit(1))
+    )
+    hit = (
+        qry.select("doc_id", F.explode(F.array(*_bloom_pos(F.col("text")))).alias("pos"))
+        .join(F.broadcast(bits), "pos", "left")
+        .groupBy("doc_id")
+        .agg(F.min(F.coalesce(F.col("set1"), F.lit(0))).alias("allset"))
+    )
+    idx_hashes = (
+        docs.select(F.md5("text").alias("th")).distinct().withColumn("isdup", F.lit(1))
+    )
+    return (
+        qry.withColumn("th", F.md5("text"))
+        .join(F.broadcast(idx_hashes), "th", "left")
+        .join(hit, "doc_id")
+        .select(
+            "doc_id",
+            F.col("allset").cast("int").alias("bloom_hit"),
+            F.coalesce(F.col("isdup"), F.lit(0)).cast("int").alias("exact_dup"),
+        )
+    )
+
+# ---------------------------------------------------------------------------
+# Product quantization (ADC) approximate nearest neighbors
+# ---------------------------------------------------------------------------
+
+_PQ_M = 16  # subspaces
+_PQ_SUB = 4  # dims per subspace (EMB_DIM / _PQ_M)
+_PQ_K = 32  # codes per codebook
+_PQ_ITERS = 4  # Lloyd rounds per subspace
+_PQ_SHORTLIST = 20  # ADC candidates re-ranked exactly
+_PQ_TOPK = 5
+_PQ_SCALE = 1000  # input quantization grid (see docstring)
+
+
+def _pq_oracle_sql() -> str:
+    """DuckDB SQL replicating embedding_pq_topk bit-exactly: same
+    integer-grid inputs, seed rule, Lloyd schedule, ADC and re-rank
+    tie-breaks. Portability rests on the `round(x*scale)` input grid:
+    every per-cluster sum is a sum of integer-valued doubles (exact in
+    any order, so Spark's partial aggregation and DuckDB's serial SUM
+    agree bit-wise), centroids are exact-int / count, and all distance
+    folds run dims in fixed order on both engines."""
+    m_tab = f"(SELECT unnest(range({_PQ_M})) AS m)"
+    sub_sq = (
+        f"list_reduce(list_transform(range({_PQ_SUB}), "
+        "i -> ({a}[i + 1] - {b}[i + 1]) * ({a}[i + 1] - {b}[i + 1])), "
+        "(x, y) -> x + y)"
+    )
+    full_sq = (
+        f"list_reduce(list_transform(range({_PQ_M * _PQ_SUB}), "
+        "i -> ({a}[i + 1] - {b}[i + 1]) * ({a}[i + 1] - {b}[i + 1])), "
+        "(x, y) -> x + y)"
+    )
+    ctes = [
+        f"""emb AS (
+      SELECT vec_id,
+             list_transform(embedding::DOUBLE[], x -> round(x * {_PQ_SCALE})) AS v
+      FROM embeddings
+    ),
+    seeds AS (
+      SELECT row_number() OVER (
+               ORDER BY ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT,
+                        vec_id) - 1 AS j,
+             v
+      FROM emb
+      ORDER BY ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT, vec_id
+      LIMIT {_PQ_K}
+    ),
+    cb0 AS (
+      SELECT m.m, s.j,
+             s.v[m.m * {_PQ_SUB} + 1 : m.m * {_PQ_SUB} + {_PQ_SUB}] AS c
+      FROM seeds s CROSS JOIN {m_tab} m
+    ),
+    sub AS (
+      SELECT e.vec_id, m.m,
+             e.v[m.m * {_PQ_SUB} + 1 : m.m * {_PQ_SUB} + {_PQ_SUB}] AS s
+      FROM emb e CROSS JOIN {m_tab} m
+    ),
+    dd AS (
+      SELECT vec_id, m, unnest(range({_PQ_SUB})) AS dim,
+             unnest(s) AS x
+      FROM sub
+    )"""
+    ]
+    for t in range(_PQ_ITERS):
+        d = sub_sq.format(a="u.s", b="c.c")
+        ctes.append(
+            f"""d{t} AS (
+      SELECT u.vec_id, u.m, c.j, {d} AS d
+      FROM sub u JOIN cb{t} c ON u.m = c.m
+    ),
+    a{t} AS (
+      SELECT vec_id, m, j FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id, m ORDER BY d, j) AS rn
+        FROM d{t}
+      ) WHERE rn = 1
+    ),
+    s{t} AS (
+      SELECT a.m, a.j, d.dim, sum(d.x) AS sx
+      FROM a{t} a JOIN dd d ON a.vec_id = d.vec_id AND a.m = d.m
+      GROUP BY a.m, a.j, d.dim
+    ),
+    n{t} AS (SELECT m, j, count(*) AS n FROM a{t} GROUP BY m, j),
+    cb{t + 1} AS (
+      SELECT pc.m, pc.j,
+             CASE WHEN n.n IS NULL THEN pc.c
+                  ELSE (SELECT list(s.sx / n.n ORDER BY s.dim)
+                        FROM s{t} s WHERE s.m = pc.m AND s.j = pc.j)
+             END AS c
+      FROM cb{t} pc LEFT JOIN n{t} n ON pc.m = n.m AND pc.j = n.j
+    )"""
+        )
+    T = _PQ_ITERS
+    enc_d = sub_sq.format(a="u.s", b="c.c")
+    lut_d = sub_sq.format(a="u.s", b="c.c")
+    d_cols = ",\n             ".join(
+        f"max(CASE WHEN l.m = {m} THEN l.d END) AS d{m}" for m in range(_PQ_M)
+    )
+    d_sum = " + ".join(f"d{m}" for m in range(_PQ_M))
+    rerank_d = full_sq.format(a="qe.v", b="ne.v")
+    ctes.append(
+        f"""encd AS (
+      SELECT u.vec_id, u.m, c.j, {enc_d} AS d
+      FROM sub u JOIN cb{T} c ON u.m = c.m
+    ),
+    enc AS (
+      SELECT vec_id, m, j AS code FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id, m ORDER BY d, j) AS rn
+        FROM encd
+      ) WHERE rn = 1
+    ),
+    lut AS (
+      SELECT u.vec_id AS query_id, u.m, c.j, {lut_d} AS d
+      FROM sub u JOIN cb{T} c ON u.m = c.m
+      WHERE u.vec_id < 10
+    ),
+    ad AS (
+      SELECT l.query_id, e.vec_id AS neighbor_id,
+             {d_cols}
+      FROM enc e JOIN lut l ON e.m = l.m AND e.code = l.j
+      WHERE l.query_id <> e.vec_id
+      GROUP BY l.query_id, e.vec_id
+    ),
+    short AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY query_id ORDER BY round({d_sum}, 9), neighbor_id) AS rn
+        FROM ad
+      ) WHERE rn <= {_PQ_SHORTLIST}
+    ),
+    rer AS (
+      SELECT s.query_id, s.neighbor_id, {rerank_d} AS dist
+      FROM short s
+      JOIN emb qe ON qe.vec_id = s.query_id
+      JOIN emb ne ON ne.vec_id = s.neighbor_id
+    )"""
+    )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank,
+           round(dist, 6) AS dist
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY dist, neighbor_id) AS rank
+      FROM rer
+    ) WHERE rank <= {_PQ_TOPK}
+    """
+    )
+
+
+def _pq_sqdist(a: F.Column, b: F.Column) -> F.Column:
+    """Fixed-order (left-fold) squared L2 — term-identical with the
+    oracle's list_reduce so doubles match bit-wise."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+@query("embedding_pq_topk", oracle=_pq_oracle_sql())
+def embedding_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN with asymmetric distance computation
+    and exact re-rank (Jégou et al. 2011, public method): embeddings
+    are split into `_PQ_M`×`_PQ_SUB`-dim subspaces; each subspace gets
+    a `_PQ_K`-entry codebook trained by `_PQ_ITERS` deterministic
+    Lloyd rounds (seeds = the bottom-`_PQ_K` vectors by portable md5
+    id hash, ties to the lowest code — doc_topic_clusters_portable's
+    schedule, run once per subspace in a SINGLE job via the long
+    form). Corpus vectors are encoded to M small codes; a query's
+    approximate distance is the sum of per-subspace LUT lookups — no
+    float math per (query, corpus) pair — and the ADC shortlist of
+    `_PQ_SHORTLIST` is re-ranked exactly for the final top-k. Recall
+    vs exact L2 is pinned in test_extensions. Complements
+    embedding_ivf_topk (coarse cells) and embedding_rerank_topk
+    (scalar int8): PQ is the memory-bound regime — 64 floats -> 16
+    bytes per vector here.
+
+    Bit-portability: inputs are first snapped to an integer grid
+    (`round(x*1000)`), so every per-cluster Lloyd sum is a sum of
+    integer-valued doubles — EXACT in any accumulation order, making
+    Spark's partitioned partial aggregates equal DuckDB's serial SUM
+    bit-for-bit (the float-sum analog of the BoW-count argument in
+    doc_topic_clusters_portable; valid while sums stay under 2^53).
+    Centroids are exact-int/count; distance folds run dims in fixed
+    order; the M partial ADC distances add left-to-right (no SUM
+    aggregate). The grid costs ±5e-4 relative noise — far below the
+    quantization error PQ itself accepts.
+
+    Scale: training touches only (m, code, dim) aggregates (M×K×SUB
+    scalars to the driver per round); encoding is one linear pass
+    against literal codebooks; the LUT is nq×M×K rows broadcast; ADC
+    joins the M-rows-per-vector code table to the LUT and reduces by
+    (query, neighbor) with map-side combine; shortlist and final rank
+    are WindowGroupLimit-pruned windows keyed by query."""
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform(
+            F.col("embedding").cast("array<double>"),
+            lambda x: F.round(x * _PQ_SCALE, 0),
+        ).alias("v"),
+    )
+    seed_rows = (
+        emb.withColumn("h", portable_id_hash("vec_id"))
+        .orderBy("h", "vec_id")
+        .limit(_PQ_K)
+        .collect()
+    )
+    k_eff = len(seed_rows)
+    books: list[list[list[float]]] = [
+        [list(r["v"])[m * _PQ_SUB : (m + 1) * _PQ_SUB] for r in seed_rows]
+        for m in range(_PQ_M)
+    ]
+
+    # long form: one row per (vector, subspace) — all M subspaces
+    # train/assign in a single job per round
+    sub_long = emb.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(m).alias("m"),
+                        F.slice("v", m * _PQ_SUB + 1, _PQ_SUB).alias("s"),
+                    )
+                    for m in range(_PQ_M)
+                ]
+            )
+        ).alias("x"),
+    ).select("vec_id", "x.m", "x.s").localCheckpoint(eager=True)
+
+    def assign_code(books_now: list[list[list[float]]]) -> F.Column:
+        """code = argmin_j sqdist(s, books[m][j]), ties -> lowest j."""
+        books_lit = F.array(
+            *[
+                F.array(
+                    *[F.array(*[F.lit(x) for x in c]) for c in books_now[m]]
+                )
+                for m in range(_PQ_M)
+            ]
+        )
+        dists = F.transform(
+            F.element_at(books_lit, F.col("m") + 1),
+            lambda c: _pq_sqdist(F.col("s"), c),
+        )
+        return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+
+    for _ in range(_PQ_ITERS):
+        stats = (
+            sub_long.select("m", assign_code(books).alias("code"), "s")
+            .groupBy("m", "code")
+            .agg(
+                F.count("*").alias("n"),
+                *[
+                    F.sum(F.element_at("s", i + 1)).alias(f"s{i}")
+                    for i in range(_PQ_SUB)
+                ],
+            )
+            .collect()
+        )
+        upd = {
+            (r["m"], r["code"]): [
+                r[f"s{i}"] / r["n"] for i in range(_PQ_SUB)
+            ]
+            for r in stats
+        }
+        # empty clusters keep their previous centroid (oracle does too)
+        books = [
+            [upd.get((m, j), books[m][j]) for j in range(k_eff)]
+            for m in range(_PQ_M)
+        ]
+
+    enc_long = sub_long.select("vec_id", "m", assign_code(books).alias("code"))
+
+    # LUT: per (query, m): distances to all K codes of that subspace.
+    # The 2-arg transform lambda receives (element, index) — index IS j.
+    books_lit = F.array(
+        *[
+            F.array(*[F.array(*[F.lit(x) for x in c]) for c in books[m]])
+            for m in range(_PQ_M)
+        ]
+    )
+    lut = (
+        sub_long.filter(F.col("vec_id") < 10)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("m").alias("lm"),
+            F.explode(
+                F.transform(
+                    F.element_at(books_lit, F.col("m") + 1),
+                    lambda c, j: F.struct(
+                        j.cast("int").alias("j"),
+                        _pq_sqdist(F.col("s"), c).alias("d"),
+                    ),
+                )
+            ).alias("x"),
+        )
+        .select("query_id", "lm", F.col("x.j").alias("lj"), F.col("x.d").alias("d"))
+    )
+
+    ad = (
+        enc_long.join(
+            F.broadcast(lut),
+            (F.col("m") == F.col("lm")) & (F.col("code") == F.col("lj")),
+        )
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(
+            *[
+                F.max(F.when(F.col("lm") == m, F.col("d"))).alias(f"d{m}")
+                for m in range(_PQ_M)
+            ]
+        )
+    )
+    adist = F.col("d0")
+    for m in range(1, _PQ_M):
+        adist = adist + F.col(f"d{m}")
+    w_short = Window.partitionBy("query_id").orderBy(
+        F.round(adist, 9), "neighbor_id"
+    )
+    short = (
+        ad.withColumn("rn", F.row_number().over(w_short))
+        .filter(F.col("rn") <= _PQ_SHORTLIST)
+        .select("query_id", "neighbor_id")
+    )
+
+    # exact re-rank of the shortlist on the quantized grid
+    qe = emb.select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv"))
+    ne = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("v").alias("nv"))
+    rer = (
+        short.join(F.broadcast(qe), "query_id")
+        .join(ne, "neighbor_id")
+        .withColumn("dist", _pq_sqdist(F.col("qv"), F.col("nv")))
+    )
+    w_final = Window.partitionBy("query_id").orderBy("dist", "neighbor_id")
+    return (
+        rer.withColumn("rank", F.row_number().over(w_final))
+        .filter(F.col("rank") <= _PQ_TOPK)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("rank").cast("int").alias("rank"),
+            F.round("dist", 6).alias("dist"),
+        )
+    )

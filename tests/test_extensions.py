@@ -509,3 +509,111 @@ def test_observation_metrics_single_pass(spark):
     assert m["n_rows"] == e.count()
     assert m["nulls_event_id"] == 0
     assert abs(m["sum_value"] - e.agg({"value": "sum"}).first()[0]) < 1e-6
+
+
+def test_pq_topk_recall_vs_exact(spark):
+    """PQ ADC + re-rank must recover most exact-L2 top-5 neighbors
+    (0.86 measured at both sf0.001 and sf0.01 with M=16,K=32,SL=20)."""
+    from pyspark.sql.window import Window
+
+    from clickstreamtoclickhouse_spark.plans.corpus import _PQ_SCALE
+
+    pq = plans.QUERIES["embedding_pq_topk"](spark, SF_DIR)
+    got = {(r["query_id"], r["neighbor_id"]) for r in pq.collect()}
+    emb = (
+        plans.load(spark, SF_DIR, "embeddings")
+        .select(
+            "vec_id",
+            F.transform(
+                F.col("embedding").cast("array<double>"),
+                lambda x: F.round(x * _PQ_SCALE, 0),
+            ).alias("v"),
+        )
+    )
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), F.col("v").alias("qv")
+    )
+    d = (
+        q.crossJoin(emb)
+        .filter(F.col("qid") != F.col("vec_id"))
+        .withColumn(
+            "d",
+            F.aggregate(
+                F.zip_with(F.col("qv"), F.col("v"), lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0),
+                lambda a, b: a + b,
+            ),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy("d", "vec_id")
+    exact = {
+        (r["qid"], r["vec_id"])
+        for r in d.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .collect()
+    }
+    assert len(got) == len(exact) == 50
+    recall = len(got & exact) / len(exact)
+    assert recall >= 0.8, recall
+
+
+def test_bloom_dedup_no_false_negatives(spark):
+    """Bloom filters never miss a true member: every exact-copy query
+    doc must be flagged; truncated (unseen) docs must be exact_dup=0
+    with only a deterministic handful of false positives."""
+    out = plans.QUERIES["bloom_dedup_docs"](spark, SF_DIR).collect()
+    copies = [r for r in out if 1_000_000 <= r["doc_id"] < 2_000_000]
+    trunc = [r for r in out if r["doc_id"] >= 2_000_000]
+    assert len(copies) == len(trunc) > 0
+    assert all(r["bloom_hit"] == 1 and r["exact_dup"] == 1 for r in copies)
+    assert all(r["exact_dup"] == 0 for r in trunc)
+    fp = sum(r["bloom_hit"] for r in trunc)
+    # m=8192, k=4, ~n/2 inserts -> FP rate well under 1%
+    assert fp <= max(2, len(trunc) // 100), fp
+
+
+def test_repetition_filters_flag_planted_repetition(spark):
+    """A doc that is one phrase repeated must fail the filters; the
+    organic testdata docs overwhelmingly pass."""
+    from clickstreamtoclickhouse_spark.plans.corpus import (
+        _DUP_NS,
+        _TOP_NS,
+        ngram_repetition_filters,
+    )
+
+    out = ngram_repetition_filters(spark, SF_DIR)
+    frac_cols = [f"top{n}_frac" for n in _TOP_NS] + [
+        f"dup{n}_frac" for n in _DUP_NS
+    ]
+    rows = out.collect()
+    pass_rate = sum(r["rep_pass"] for r in rows) / len(rows)
+    assert pass_rate >= 0.5, pass_rate
+    # planted: pure repetition -> every signal saturates
+    planted = spark.createDataFrame(
+        [
+            (1, "the quick brown fox " * 30),
+            # long + diverse: occupancy fractions need enough chars to
+            # dilute any single n-gram below the thresholds
+            (2, " ".join(f"word{i}" for i in range(60))),
+        ],
+        "doc_id long, text string",
+    )
+    import clickstreamtoclickhouse_spark.plans.registry as reg
+
+    orig = reg.load
+    try:
+        reg.load = lambda s, sf, t: planted  # noqa: E731
+        import clickstreamtoclickhouse_spark.plans.corpus as corpus_mod
+
+        orig2 = corpus_mod.load
+        corpus_mod.load = lambda s, sf, t: planted
+        try:
+            p = {r["doc_id"]: r for r in corpus_mod.ngram_repetition_filters(spark, SF_DIR).collect()}
+        finally:
+            corpus_mod.load = orig2
+    finally:
+        reg.load = orig
+    assert p[1]["rep_pass"] == 0
+    for c in frac_cols:
+        assert p[1][c] > 0.5, (c, p[1][c])
+    assert p[2]["rep_pass"] == 1

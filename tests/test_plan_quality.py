@@ -497,3 +497,23 @@ def test_expansion_joins_not_coalesced_to_one_partition(spark):
     for name in ("jaccard_near_dups", "user_activity_similarity"):
         txt = plan_text(spark, name)
         assert "REPARTITION_BY_COL" in txt or "RoundRobinPartitioning" not in txt, name
+
+
+def test_corpus_batch2_no_cartesian_and_broadcasts(spark):
+    # bloom: bit-table and index-hash joins must broadcast; nothing in
+    # the three new corpus operators may fall back to a cartesian or
+    # nested-loop join; every window is keyed (no single-partition sort)
+    for name in (
+        "bloom_dedup_docs",
+        "ngram_repetition_filters",
+        "embedding_pq_topk",
+    ):
+        txt = plan_text(spark, name)
+        assert "CartesianProduct" not in txt, name
+        assert "BroadcastNestedLoopJoin" not in txt, name
+    bloom = plan_text(spark, "bloom_dedup_docs")
+    assert "BroadcastHashJoin" in bloom
+    pq = plan_text(spark, "embedding_pq_topk")
+    assert "BroadcastHashJoin" in pq
+    # the shortlist/final ranks are per-query windows -> group-limit pruned
+    assert "WindowGroupLimit" in pq
