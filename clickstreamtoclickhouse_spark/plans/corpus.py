@@ -645,3 +645,303 @@ def embedding_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("dist", 6).alias("dist"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# CCNet-style perplexity bucketing
+# ---------------------------------------------------------------------------
+
+_PPL_SAMPLE_K = 500
+
+
+@query(
+    "perplexity_buckets",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({tx.SQL_WORDS.format(t='lower(text)')}) AS w
+      FROM documents WHERE length(trim(text)) > 0
+    ),
+    cnt AS (SELECT w, count(*) AS c FROM toks GROUP BY w),
+    tot AS (SELECT CAST(sum({tx.sql_token_count_ws('text')}) AS BIGINT) AS n
+            FROM documents),
+    lp AS (SELECT w, ln(c * 1.0 / n) AS logp FROM cnt, tot),
+    scored AS (
+      SELECT doc_id,
+             count(*) AS n_tokens,
+             round(avg(logp), 6) AS score
+      FROM toks JOIN lp USING (w)
+      GROUP BY doc_id
+    ),
+    samp AS (
+      SELECT doc_id, score FROM (
+        SELECT doc_id, score,
+               row_number() OVER (
+                 ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT,
+                          doc_id) AS rn
+        FROM scored
+      ) WHERE rn <= {_PPL_SAMPLE_K}
+    ),
+    sr AS (
+      SELECT score,
+             row_number() OVER (ORDER BY score, doc_id) AS srn,
+             count(*) OVER () AS s
+      FROM samp
+    ),
+    cuts AS (
+      SELECT max(CASE WHEN srn = (s + 2) // 3 THEN score END) AS c1,
+             max(CASE WHEN srn = (2 * s + 2) // 3 THEN score END) AS c2
+      FROM sr
+    )
+    SELECT sc.doc_id, sc.n_tokens, sc.score,
+           CASE WHEN sc.score <= cuts.c1 THEN 'tail'
+                WHEN sc.score <= cuts.c2 THEN 'middle'
+                ELSE 'head' END AS bucket
+    FROM scored sc, cuts
+    """,
+)
+def perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet's head/middle/tail split (Wenzek et al. 2020, public
+    method): score every document with the self-trained unigram LM
+    (unigram_lm_quality's plan — broadcast vocab, two keyed shuffles)
+    and assign terciles. The tercile cut points come from a
+    deterministic portable-hash sample of `_PPL_SAMPLE_K` doc scores
+    — order statistics at ceil(s/3) / ceil(2s/3) — NOT from an
+    unpartitioned ntile over the full corpus, so no single task ever
+    sorts all documents (the value_deciles_approx pattern; sample
+    selection is a WindowGroupLimit-pruned global top-k). Buckets
+    compare ROUNDED scores to rounded cuts, so a cross-engine ULP
+    in the score average cannot flip a boundary doc."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(tx.words(F.lower(F.col("text")))).alias("w")
+    )
+    cnt = toks.groupBy("w").agg(F.count("*").alias("c"))
+    tot = d.agg(F.sum(tx.token_count_ws(F.col("text"))).cast("long").alias("n"))
+    lp = cnt.crossJoin(F.broadcast(tot)).select(
+        "w", F.log(F.col("c") * 1.0 / F.col("n")).alias("logp")
+    )
+    scored = (
+        toks.join(F.broadcast(lp), "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(F.avg("logp"), 6).alias("score"),
+        )
+    )
+    w_samp = Window.orderBy(portable_id_hash("doc_id"), "doc_id")
+    samp = (
+        scored.select("doc_id", "score")
+        .withColumn("rn", F.row_number().over(w_samp))
+        .filter(F.col("rn") <= _PPL_SAMPLE_K)
+    )
+    cuts = samp.agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("score").alias("cv"), F.col("doc_id").alias("cid")))
+        ).alias("a"),
+        F.count("*").alias("s"),
+    ).select(
+        F.element_at("a", F.expr("int((s + 2) div 3)"))["cv"].alias("c1"),
+        F.element_at("a", F.expr("int((2 * s + 2) div 3)"))["cv"].alias("c2"),
+    )
+    return scored.crossJoin(F.broadcast(cuts)).select(
+        "doc_id",
+        "n_tokens",
+        "score",
+        F.when(F.col("score") <= F.col("c1"), F.lit("tail"))
+        .when(F.col("score") <= F.col("c2"), F.lit("middle"))
+        .otherwise(F.lit("head"))
+        .alias("bucket"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# BPE merge induction (tokenizer training)
+# ---------------------------------------------------------------------------
+
+_BPE_ROUNDS = 6
+
+
+def _bpe_oracle_sql() -> str:
+    """DuckDB SQL replicating learn-BPE bit-exactly: same word-count
+    table, same argmax tie-break (count desc, then pair lexicographic),
+    same greedy left-to-right merge application (run parity handles
+    overlapping same-symbol pairs). All counts are integers — no float
+    portability concerns anywhere."""
+    ctes = [
+        f"""vocab AS (
+      SELECT w AS word, count(*) AS freq
+      FROM (
+        SELECT unnest({tx.SQL_WORDS.format(t='lower(text)')}) AS w
+        FROM documents WHERE length(trim(text)) > 0
+      ) GROUP BY w
+    ),
+    l0 AS (
+      SELECT word, freq, t.x['pos'] AS pos, t.x['sym'] AS sym
+      FROM vocab,
+           unnest(list_transform(range(length(word)),
+                  i -> {{'pos': i, 'sym': word[i+1:i+1]}})) AS t(x)
+    )"""
+    ]
+    for t in range(_BPE_ROUNDS):
+        ctes.append(
+            f"""p{t} AS (
+      SELECT sym AS a, lead(sym) OVER (PARTITION BY word ORDER BY pos) AS b,
+             freq
+      FROM l{t}
+    ),
+    pc{t} AS (
+      SELECT a, b, CAST(sum(freq) AS BIGINT) AS cnt
+      FROM p{t} WHERE b IS NOT NULL GROUP BY a, b
+    ),
+    b{t} AS (SELECT a, b, cnt FROM pc{t} ORDER BY cnt DESC, a, b LIMIT 1),
+    x{t} AS (
+      SELECT word, freq, pos, sym,
+             row_number() OVER (PARTITION BY word ORDER BY pos) AS idx,
+             lead(sym) OVER (PARTITION BY word ORDER BY pos) AS nxt
+      FROM l{t}
+    ),
+    fl{t} AS (
+      SELECT *,
+             CASE WHEN sym = (SELECT a FROM b{t})
+                   AND nxt = (SELECT b FROM b{t}) THEN 1 ELSE 0 END AS hit
+      FROM x{t}
+    ),
+    rn{t} AS (
+      SELECT *,
+             CASE WHEN hit = 1 THEN
+               idx - row_number() OVER (PARTITION BY word, hit ORDER BY idx)
+             END AS grp
+      FROM fl{t}
+    ),
+    mg{t} AS (
+      SELECT *,
+             CASE WHEN hit = 1
+                   AND (row_number() OVER (PARTITION BY word, grp ORDER BY idx)
+                        - 1) % 2 = 0
+                  THEN 1 ELSE 0 END AS merged
+      FROM rn{t}
+    ),
+    l{t + 1} AS (
+      SELECT word, freq, pos,
+             CASE WHEN merged = 1 THEN sym || nxt ELSE sym END AS sym
+      FROM (
+        SELECT *, lag(merged) OVER (PARTITION BY word ORDER BY idx) AS mprev
+        FROM mg{t}
+      ) WHERE coalesce(mprev, 0) = 0
+    )"""
+        )
+    union = "\n    UNION ALL\n    ".join(
+        f"SELECT {t + 1} AS rank, a AS lhs, b AS rhs, cnt AS pair_count FROM b{t}"
+        for t in range(_BPE_ROUNDS)
+    )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT CAST(rank AS INT) AS rank, lhs, rhs, pair_count FROM (
+    {union}
+    )"""
+    )
+
+
+@query("bpe_merges", oracle=_bpe_oracle_sql())
+def bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learn the first `_BPE_ROUNDS` byte-pair-encoding merges from
+    the corpus (Sennrich et al. 2016, public method — the training
+    step behind GPT/Llama-style tokenizers; vocab_induction is the
+    init, this is the merge loop). Each round: count adjacent symbol
+    pairs weighted by word frequency, take the argmax (ties: count
+    desc, then pair lexicographic), and apply the merge greedily
+    left-to-right — overlapping occurrences of a same-symbol pair
+    ('aaaa' under (a,a)) resolve by run parity, exactly as serial BPE
+    trainers do.
+
+    Scale: like industrial BPE trainers, the loop runs over the
+    WORD-COUNT table, not the corpus — state is vocabulary-bounded
+    (Zipf), shrinks as symbols fuse, and every window partitions by
+    word. Per round, exactly ONE row (the argmax pair) reaches the
+    driver; lineage is cut per round with localCheckpoint (the
+    functions/graph.py stance for iterative plans). The corpus
+    itself is touched once, by the initial word count.
+
+    Integer counts end-to-end make the oracle replication exact —
+    no rounding anywhere."""
+    d = load(spark, sf_dir, "documents")
+    vocab = (
+        d.select(F.explode(tx.words(F.lower(F.col("text")))).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("freq"))
+    )
+    l = vocab.select(
+        "word",
+        "freq",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(word)),"
+                " i -> struct(i - 1 as pos, substring(word, i, 1) as sym))"
+            )
+        ).alias("x"),
+    ).select("word", "freq", "x.pos", "x.sym")
+    l = l.localCheckpoint(eager=True)
+
+    w_pos = Window.partitionBy("word").orderBy("pos")
+    merges: list[tuple[int, str, str, int]] = []
+    for t in range(_BPE_ROUNDS):
+        pc = (
+            l.select("freq", F.col("sym").alias("a"), F.lead("sym").over(w_pos).alias("b"))
+            .filter(F.col("b").isNotNull())
+            .groupBy("a", "b")
+            .agg(F.sum("freq").alias("cnt"))
+        )
+        top = pc.orderBy(F.desc("cnt"), "a", "b").limit(1).collect()
+        if not top:
+            break  # every word fused to a single symbol
+        best = top[0]
+        merges.append((t + 1, best["a"], best["b"], int(best["cnt"])))
+        x = l.select(
+            "word",
+            "freq",
+            "pos",
+            "sym",
+            F.row_number().over(w_pos).alias("idx"),
+            F.lead("sym").over(w_pos).alias("nxt"),
+        ).withColumn(
+            "hit",
+            (
+                (F.col("sym") == F.lit(best["a"]))
+                & (F.col("nxt") == F.lit(best["b"]))
+            ).cast("int"),
+        )
+        w_hit = Window.partitionBy("word", "hit").orderBy("idx")
+        x = x.withColumn(
+            "grp",
+            F.when(F.col("hit") == 1, F.col("idx") - F.row_number().over(w_hit)),
+        )
+        w_grp = Window.partitionBy("word", "grp").orderBy("idx")
+        x = x.withColumn(
+            "merged",
+            (
+                (F.col("hit") == 1)
+                & ((F.row_number().over(w_grp) - 1) % 2 == 0)
+            ).cast("int"),
+        )
+        w_idx = Window.partitionBy("word").orderBy("idx")
+        l = (
+            x.withColumn("mprev", F.lag("merged").over(w_idx))
+            .filter(F.coalesce(F.col("mprev"), F.lit(0)) == 0)
+            .select(
+                "word",
+                "freq",
+                "pos",
+                F.when(
+                    F.col("merged") == 1, F.concat(F.col("sym"), F.col("nxt"))
+                )
+                .otherwise(F.col("sym"))
+                .alias("sym"),
+            )
+            .localCheckpoint(eager=True)
+        )
+
+    return spark.createDataFrame(
+        merges, "rank int, lhs string, rhs string, pair_count long"
+    )

@@ -617,3 +617,49 @@ def test_repetition_filters_flag_planted_repetition(spark):
     for c in frac_cols:
         assert p[1][c] > 0.5, (c, p[1][c])
     assert p[2]["rep_pass"] == 1
+
+
+def test_bpe_merges_match_serial_reference(spark):
+    """The distributed BPE loop must equal a straightforward serial
+    BPE trainer (independent reimplementation) on the same corpus."""
+    import collections
+
+    import duckdb
+
+    from clickstreamtoclickhouse_spark.plans.corpus import _BPE_ROUNDS
+
+    vocab = duckdb.sql(
+        f"""SELECT w, count(*) c FROM (
+              SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS w
+              FROM read_parquet('{SF_DIR}/documents.parquet')
+              WHERE length(trim(text)) > 0) GROUP BY w"""
+    ).fetchall()
+    words = {w: (list(w), c) for w, c in vocab}
+    expect = []
+    for t in range(_BPE_ROUNDS):
+        counts = collections.Counter()
+        for syms, c in words.values():
+            for i in range(len(syms) - 1):
+                counts[(syms[i], syms[i + 1])] += c
+        if not counts:
+            break
+        best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        (a, b), cnt = best
+        expect.append((t + 1, a, b, cnt))
+        for w, (syms, c) in words.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            words[w] = (out, c)
+    got = [
+        (r["rank"], r["lhs"], r["rhs"], r["pair_count"])
+        for r in plans.QUERIES["bpe_merges"](spark, SF_DIR)
+        .orderBy("rank")
+        .collect()
+    ]
+    assert got == expect
