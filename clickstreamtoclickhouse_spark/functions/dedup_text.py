@@ -583,3 +583,25 @@ def simhash_portable_near_dup_pairs(
     return cand.filter(hamming <= max_hamming).select(
         "doc_a", "doc_b", hamming.cast("int").alias("hamming")
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter (portable md5-window hashes)
+# ---------------------------------------------------------------------------
+
+BLOOM_M_DEFAULT = 8192  # filter bits
+BLOOM_WINDOWS = (1, 9, 17, 25)  # 4 disjoint 8-hex md5 windows = k=4 hashes
+
+
+def bloom_positions(col: F.Column, m: int = BLOOM_M_DEFAULT) -> list[F.Column]:
+    """k=4 Bloom bit positions for one value: four disjoint 32-bit
+    windows of its md5 digest, each mod `m`. No RNG — positions (and
+    therefore false positives) are deterministic and replicable in
+    SQL ('0x' || substr(md5(t), s, 8))::BIGINT % m)."""
+    return [
+        F.pmod(
+            F.conv(F.substring(F.md5(col), s, 8), 16, 10).cast("bigint"),
+            F.lit(m),
+        )
+        for s in BLOOM_WINDOWS
+    ]

@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..functions import text as tx
+from ..functions.dedup_text import BLOOM_WINDOWS, bloom_positions
 from ..util import portable_id_hash
 from .ext import _COPY_OFFSET
 from .registry import load, query
@@ -194,25 +195,16 @@ def ngram_repetition_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _BLOOM_M = 8192  # filter bits; sized for ~250 inserts -> FP ~2e-4
-_BLOOM_WINDOWS = (1, 9, 17, 25)  # 4 disjoint 8-hex md5 windows = 4 hashes
 
 
 def _bloom_pos(col: F.Column) -> list[F.Column]:
-    """k=4 bit positions from one md5: four disjoint 32-bit windows of
-    the digest, each mod m — portable (identical hex in DuckDB)."""
-    return [
-        F.pmod(
-            F.conv(F.substring(F.md5(col), s, 8), 16, 10).cast("bigint"),
-            F.lit(_BLOOM_M),
-        )
-        for s in _BLOOM_WINDOWS
-    ]
+    return bloom_positions(col, _BLOOM_M)
 
 
 def _sql_bloom_pos(t: str) -> str:
     return ", ".join(
         f"('0x' || substr(md5({t}), {s}, 8))::BIGINT % {_BLOOM_M}"
-        for s in _BLOOM_WINDOWS
+        for s in BLOOM_WINDOWS
     )
 
 
@@ -761,12 +753,13 @@ def perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BPE_ROUNDS = 6
 
 
-def _bpe_oracle_sql() -> str:
+def _bpe_oracle_sql(final: str = "merges") -> str:
     """DuckDB SQL replicating learn-BPE bit-exactly: same word-count
     table, same argmax tie-break (count desc, then pair lexicographic),
     same greedy left-to-right merge application (run parity handles
     overlapping same-symbol pairs). All counts are integers — no float
-    portability concerns anywhere."""
+    portability concerns anywhere. `final`: 'merges' emits the learned
+    merge table; 'tokens' emits the resulting per-word tokenization."""
     ctes = [
         f"""vocab AS (
       SELECT w AS word, count(*) AS freq
@@ -830,6 +823,17 @@ def _bpe_oracle_sql() -> str:
       ) WHERE coalesce(mprev, 0) = 0
     )"""
         )
+    if final == "tokens":
+        return (
+            "WITH "
+            + ",\n    ".join(ctes)
+            + f"""
+    SELECT word,
+           CAST(length(word) AS INT) AS n_chars,
+           CAST(count(*) AS INT) AS n_tokens,
+           array_to_string(list(sym ORDER BY pos), ' ') AS tokens
+    FROM l{_BPE_ROUNDS} GROUP BY word"""
+        )
     union = "\n    UNION ALL\n    ".join(
         f"SELECT {t + 1} AS rank, a AS lhs, b AS rhs, cnt AS pair_count FROM b{t}"
         for t in range(_BPE_ROUNDS)
@@ -844,28 +848,11 @@ def _bpe_oracle_sql() -> str:
     )
 
 
-@query("bpe_merges", oracle=_bpe_oracle_sql())
-def bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Learn the first `_BPE_ROUNDS` byte-pair-encoding merges from
-    the corpus (Sennrich et al. 2016, public method — the training
-    step behind GPT/Llama-style tokenizers; vocab_induction is the
-    init, this is the merge loop). Each round: count adjacent symbol
-    pairs weighted by word frequency, take the argmax (ties: count
-    desc, then pair lexicographic), and apply the merge greedily
-    left-to-right — overlapping occurrences of a same-symbol pair
-    ('aaaa' under (a,a)) resolve by run parity, exactly as serial BPE
-    trainers do.
-
-    Scale: like industrial BPE trainers, the loop runs over the
-    WORD-COUNT table, not the corpus — state is vocabulary-bounded
-    (Zipf), shrinks as symbols fuse, and every window partitions by
-    word. Per round, exactly ONE row (the argmax pair) reaches the
-    driver; lineage is cut per round with localCheckpoint (the
-    functions/graph.py stance for iterative plans). The corpus
-    itself is touched once, by the initial word count.
-
-    Integer counts end-to-end make the oracle replication exact —
-    no rounding anywhere."""
+def _bpe_learn(
+    spark: SparkSession, sf_dir: str
+) -> tuple[list[tuple[int, str, str, int]], DataFrame]:
+    """Run the BPE merge loop; returns (learned merges, final
+    per-word symbol table (word, freq, pos, sym))."""
     d = load(spark, sf_dir, "documents")
     vocab = (
         d.select(F.explode(tx.words(F.lower(F.col("text")))).alias("word"))
@@ -942,6 +929,66 @@ def bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint(eager=True)
         )
 
+    return merges, l
+
+
+@query("bpe_merges", oracle=_bpe_oracle_sql())
+def bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learn the first `_BPE_ROUNDS` byte-pair-encoding merges from
+    the corpus (Sennrich et al. 2016, public method — the training
+    step behind GPT/Llama-style tokenizers; vocab_induction is the
+    init, this is the merge loop). Each round: count adjacent symbol
+    pairs weighted by word frequency, take the argmax (ties: count
+    desc, then pair lexicographic), and apply the merge greedily
+    left-to-right — overlapping occurrences of a same-symbol pair
+    ('aaaa' under (a,a)) resolve by run parity, exactly as serial BPE
+    trainers do. A serial reference trainer must produce identical
+    merges (test_bpe_merges_match_serial_reference).
+
+    Scale: like industrial BPE trainers, the loop runs over the
+    WORD-COUNT table, not the corpus — state is vocabulary-bounded
+    (Zipf), shrinks as symbols fuse, and every window partitions by
+    word. Per round, exactly ONE row (the argmax pair) reaches the
+    driver; lineage is cut per round with localCheckpoint (the
+    functions/graph.py stance for iterative plans). The corpus
+    itself is touched once, by the initial word count.
+
+    Integer counts end-to-end make the oracle replication exact —
+    no rounding anywhere."""
+    merges, _ = _bpe_learn(spark, sf_dir)
     return spark.createDataFrame(
         merges, "rank int, lhs string, rhs string, pair_count long"
+    )
+
+
+@query("bpe_tokenize", oracle=_bpe_oracle_sql(final="tokens"))
+def bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the learned BPE merges: the inference side of
+    bpe_merges — per vocabulary word, the resulting token sequence
+    and its length after `_BPE_ROUNDS` merges (what a tokenizer
+    encode() would emit, restricted to the learned table). Encoding
+    documents then reduces to a broadcast word->tokens join onto the
+    token stream — the per-word table IS the tokenizer, and it is
+    vocabulary-bounded, so this stays cheap at any corpus size."""
+    _, l = _bpe_learn(spark, sf_dir)
+    return (
+        l.groupBy("word")
+        .agg(
+            F.count("*").cast("int").alias("n_tokens"),
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("pos", "sym"))
+                    ),
+                    lambda s: s["sym"],
+                ),
+            ).alias("tokens"),
+        )
+        .select(
+            "word",
+            F.length("word").cast("int").alias("n_chars"),
+            "n_tokens",
+            "tokens",
+        )
     )

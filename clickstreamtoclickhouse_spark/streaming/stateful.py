@@ -363,3 +363,89 @@ def user_running_totals_tws(
         outputMode="Update",
         timeMode="None",
     )
+
+
+def streaming_bloom_dedup(
+    docs_stream: DataFrame,
+    bits_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    m: int = 8192,
+):
+    """streaming_corpus_dedup with BOUNDED state: instead of the full
+    content-hash index, the persisted state is a Bloom filter stored
+    RELATIONALLY as its set-bit positions (<= `m` rows, ever). A
+    micro-batch doc is admitted only if at least one of its k=4
+    deterministic md5-window bit positions is unset; survivors'
+    positions are appended (new positions only, via anti-join).
+
+    The trade vs the exact index: O(m bits) state instead of O(corpus)
+    rows — at the price of a tunable, DETERMINISTIC false-positive
+    rate that silently drops a small fraction of genuinely-new docs
+    (acceptable in web-corpus construction, where near-dup filters
+    drop far more). Because Bloom filters have no false negatives, a
+    re-delivered duplicate can never be re-admitted — the
+    exactly-once-membership guarantee survives at-least-once
+    delivery, same as the exact path. In-batch duplicates are removed
+    exactly (min-id per content hash) before insertion.
+
+    At this m the bit table broadcasts into the membership join; at
+    web scale (m ~ 10^10 bits) the identical plan degrades to a
+    sort-merge join on pos — still linear. Same non-atomic
+    two-append caveat (and Delta fix) as streaming_corpus_dedup."""
+    from ..functions.dedup_text import bloom_positions
+
+    spark = docs_stream.sparkSession
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        from ..util import try_read_parquet
+
+        batch_df = batch_df.cache()
+        try:
+            pos_arr = F.array(*bloom_positions(F.col(text_col), m))
+            bits = try_read_parquet(spark, bits_dir)
+            if bits is not None:
+                qpos = batch_df.select(id_col, F.explode(pos_arr).alias("pos"))
+                hit = (
+                    qpos.join(
+                        F.broadcast(bits.withColumn("s1", F.lit(1))),
+                        "pos",
+                        "left",
+                    )
+                    .groupBy(id_col)
+                    .agg(F.min(F.coalesce(F.col("s1"), F.lit(0))).alias("allset"))
+                )
+                fresh = batch_df.join(
+                    hit.filter(F.col("allset") == 0).select(id_col),
+                    id_col,
+                    "left_semi",
+                )
+            else:  # first batch: empty filter, everything bloom-new
+                fresh = batch_df
+            # exact in-batch dedup among bloom-new docs: min id per content
+            keep = (
+                fresh.groupBy(F.md5(F.col(text_col)).alias("h"))
+                .agg(F.min(F.col(id_col)).alias(id_col))
+                .select(id_col)
+            )
+            survivors = fresh.join(keep, id_col, "left_semi").cache()
+            try:
+                survivors.write.mode("append").parquet(out_dir)
+                new_pos = survivors.select(
+                    F.explode(pos_arr).alias("pos")
+                ).distinct()
+                if bits is not None:
+                    new_pos = new_pos.join(bits, "pos", "left_anti")
+                new_pos.write.mode("append").parquet(bits_dir)
+            finally:
+                survivors.unpersist()
+        finally:
+            batch_df.unpersist()
+
+    return (
+        docs_stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )

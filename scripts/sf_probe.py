@@ -51,6 +51,9 @@ PROBE_QUERIES = [
     "embedding_ivf_topk",
     "embedding_lsh_near_dups",
     "user_activity_similarity_capped",
+    "embedding_pq_topk",
+    "bpe_merges",
+    "bloom_dedup_docs",
 ]
 
 

@@ -339,3 +339,50 @@ def test_user_running_totals_transform_with_state(spark, tmp_path):
             spark.conf.set(
                 "spark.sql.streaming.stateStore.providerClass", prev
             )
+
+
+def test_streaming_bloom_dedup(spark, tmp_path):
+    import json as _json
+
+    landing = tmp_path / "docs"
+    landing.mkdir()
+    bits_dir = str(tmp_path / "bits")
+    out_dir = str(tmp_path / "corpus")
+    ckpt = str(tmp_path / "ckpt_bloom")
+
+    def write_file(name, rows):
+        with open(landing / name, "w") as f:
+            for r in rows:
+                f.write(_json.dumps(r) + "\n")
+
+    # batch 1: one in-batch duplicate pair (1,2)
+    write_file("b1.json", [
+        {"doc_id": 1, "text": "alpha beta gamma"},
+        {"doc_id": 2, "text": "alpha beta gamma"},
+        {"doc_id": 3, "text": "delta epsilon"},
+    ])
+    schema = "doc_id long, text string"
+    stream = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", 1
+    ).json(str(landing))
+    q = stateful.streaming_bloom_dedup(stream, bits_dir, out_dir, ckpt)
+    try:
+        q.processAllAvailable()
+        # batch 2: re-sends of both batch-1 texts + one new doc
+        write_file("b2.json", [
+            {"doc_id": 10, "text": "alpha beta gamma"},
+            {"doc_id": 11, "text": "delta epsilon"},
+            {"doc_id": 12, "text": "zeta eta"},
+        ])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    corpus = spark.read.parquet(out_dir)
+    ids = sorted(r["doc_id"] for r in corpus.collect())
+    # bloom has no false negatives: re-sent content can never re-enter;
+    # the three distinct texts don't collide at m=8192 (deterministic)
+    assert ids == [1, 3, 12]
+    bits = spark.read.parquet(bits_dir)
+    # bounded state: at most k=4 positions per admitted doc, no dups
+    assert bits.count() == bits.distinct().count() <= 12
