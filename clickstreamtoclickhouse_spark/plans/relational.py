@@ -2270,3 +2270,117 @@ def recency_weighted_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
             "recency_weighted_value"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# PageRank over the event-transition graph
+# ---------------------------------------------------------------------------
+
+_PR_D = 0.85
+_PR_ITERS = 10
+
+
+def _pagerank_oracle_sql() -> str:
+    ctes = [
+        """tr AS (
+      SELECT prev AS from_type, event_type AS to_type, count(*) AS n
+      FROM (
+        SELECT event_type,
+               lag(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev
+        FROM events
+      ) WHERE prev IS NOT NULL GROUP BY 1, 2
+    ),
+    nodes AS (SELECT DISTINCT event_type FROM events),
+    nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+    outw AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS o FROM tr GROUP BY 1),
+    ew AS (
+      SELECT t.from_type, t.to_type, t.n * 1.0 / o.o AS w
+      FROM tr t JOIN outw o USING (from_type)
+    ),
+    r0 AS (SELECT event_type, 1.0 / nn.n AS r FROM nodes, nn)"""
+    ]
+    for t in range(_PR_ITERS):
+        ctes.append(
+            f"""c{t} AS (
+      SELECT e.to_type, sum(r.r * e.w) AS inc
+      FROM ew e JOIN r{t} r ON e.from_type = r.event_type GROUP BY 1
+    ),
+    r{t + 1} AS (
+      SELECT nd.event_type,
+             round((1 - {_PR_D}) / nn.n
+                   + {_PR_D} * coalesce(c.inc, 0), 9) AS r
+      FROM nodes nd CROSS JOIN nn
+      LEFT JOIN c{t} c ON nd.event_type = c.to_type
+    )"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT event_type, round(r, 6) AS rank_score,
+           CAST(row_number() OVER (ORDER BY round(r, 9) DESC, event_type)
+                AS INT) AS rank
+    FROM r{_PR_ITERS}"""
+    )
+
+
+@query("transition_pagerank", oracle=_pagerank_oracle_sql())
+def transition_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (Brin & Page 1998, public method) over the first-order
+    event-transition graph — the stationary-importance ranking of
+    event types under the damped Markov chain that event_transitions
+    counts (the same computation link-based corpus-quality priors run
+    on web domain graphs). Dangling mass is dropped, not
+    redistributed (ranking-equivalent; documented deviation).
+
+    Portability: per-iteration ranks are rounded to 9 decimals on
+    BOTH engines, so a sub-ULP difference in the (bounded, <= n_nodes
+    member) incoming sums cannot accumulate across the `_PR_ITERS`
+    fixed iterations; the damping base (1-d)/N is computed with the
+    identical expression in both.
+
+    Scale: node/edge tables are event-type-bounded aggregates of one
+    events scan (checkpointed ONCE — the 10 chained iterations never
+    re-read the corpus). Each iteration is an edge-keyed join +
+    map-side-combinable aggregate: the web-scale plan, just with a
+    small vertex set here. No driver-side collect inside the loop
+    beyond the initial node count."""
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    tr = (
+        e.withColumn("prev", F.lag("event_type").over(w))
+        .filter(F.col("prev").isNotNull())
+        .groupBy(F.col("prev").alias("from_type"), F.col("event_type").alias("to_type"))
+        .agg(F.count("*").alias("n"))
+    )
+    nodes = e.select("event_type").distinct().localCheckpoint(eager=True)
+    outw = tr.groupBy("from_type").agg(F.sum("n").cast("long").alias("o"))
+    ew = tr.join(outw, "from_type").select(
+        "from_type", "to_type", (F.col("n") * 1.0 / F.col("o")).alias("w")
+    ).localCheckpoint(eager=True)
+    n_nodes = nodes.count()
+    base = (1 - _PR_D) / n_nodes
+
+    ranks = nodes.select("event_type", F.lit(1.0 / n_nodes).alias("r"))
+    for _ in range(_PR_ITERS):
+        contrib = (
+            ew.join(ranks, ew.from_type == ranks.event_type)
+            .groupBy("to_type")
+            .agg(F.sum(F.col("r") * F.col("w")).alias("inc"))
+        )
+        ranks = (
+            nodes.join(contrib, nodes.event_type == contrib.to_type, "left")
+            .select(
+                "event_type",
+                F.round(
+                    F.lit(base) + _PR_D * F.coalesce(F.col("inc"), F.lit(0.0)), 9
+                ).alias("r"),
+            )
+        )
+    w_rank = Window.orderBy(F.desc(F.round("r", 9)), "event_type")
+    return ranks.select(
+        "event_type",
+        F.round("r", 6).alias("rank_score"),
+        F.row_number().over(w_rank).cast("int").alias("rank"),
+    )

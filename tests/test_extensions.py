@@ -663,3 +663,47 @@ def test_bpe_merges_match_serial_reference(spark):
         .collect()
     ]
     assert got == expect
+
+
+def test_transition_pagerank_matches_power_iteration(spark):
+    """Third-party check (beyond the DuckDB oracle): a dense numpy
+    power iteration with the same rounding schedule must produce the
+    same scores and ranking."""
+    import duckdb
+    import numpy as np
+
+    rows = duckdb.sql(
+        f"""SELECT prev, event_type, count(*) n FROM (
+              SELECT event_type,
+                     lag(event_type) OVER (PARTITION BY user_id
+                                           ORDER BY ts, event_id) AS prev
+              FROM read_parquet('{SF_DIR}/events.parquet'))
+            WHERE prev IS NOT NULL GROUP BY 1, 2"""
+    ).fetchall()
+    nodes = sorted(
+        r[0]
+        for r in duckdb.sql(
+            f"SELECT DISTINCT event_type FROM read_parquet('{SF_DIR}/events.parquet')"
+        ).fetchall()
+    )
+    idx = {t: i for i, t in enumerate(nodes)}
+    n = len(nodes)
+    W = np.zeros((n, n))
+    out = {}
+    for a, b, c in rows:
+        out[a] = out.get(a, 0) + c
+    for a, b, c in rows:
+        W[idx[a], idx[b]] = c * 1.0 / out[a]
+    d, base = 0.85, (1 - 0.85) / n
+    r = np.full(n, 1.0 / n)
+    for _ in range(10):
+        r = np.round(base + d * (r @ W), 9)
+    got = {
+        x["event_type"]: (x["rank_score"], x["rank"])
+        for x in plans.QUERIES["transition_pagerank"](spark, SF_DIR).collect()
+    }
+    order = sorted(range(n), key=lambda i: (-round(r[i], 9), nodes[i]))
+    for pos, i in enumerate(order, 1):
+        score, rank = got[nodes[i]]
+        assert rank == pos
+        assert abs(score - round(r[i], 6)) < 2e-6, (nodes[i], score, r[i])
