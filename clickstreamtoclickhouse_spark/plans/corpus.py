@@ -992,3 +992,96 @@ def bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
             "tokens",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Fuzzy matching / entity resolution (symmetric-delete blocking)
+# ---------------------------------------------------------------------------
+
+_FUZZ_MIN_LEN = 5  # only block words long enough for a stable typo
+
+
+def _sql_del_variants(w: str) -> str:
+    return (
+        f"list_transform(range(length({w}) + 1), "
+        f"i -> CASE WHEN i = length({w}) THEN {w} "
+        f"ELSE substr({w}, 1, i) || substr({w}, i + 2) END)"
+    )
+
+
+@query(
+    "fuzzy_word_matches",
+    oracle=f"""
+    WITH vocab AS (
+      SELECT DISTINCT unnest({tx.SQL_WORDS.format(t='lower(text)')}) AS w
+      FROM documents WHERE length(trim(text)) > 0
+    ),
+    base AS (SELECT w FROM vocab WHERE length(w) >= {_FUZZ_MIN_LEN}),
+    corpus AS (
+      SELECT DISTINCT w FROM (
+        SELECT w FROM base
+        UNION ALL
+        SELECT substr(w, 1, 2) || substr(w, 4) AS w FROM base
+      )
+    ),
+    vars AS (
+      SELECT w, unnest({_sql_del_variants('w')}) AS v FROM corpus
+    ),
+    cand AS (
+      SELECT DISTINCT a.w AS word_a, b.w AS word_b
+      FROM vars a JOIN vars b ON a.v = b.v AND a.w < b.w
+    )
+    SELECT word_a, word_b,
+           CAST(levenshtein(word_a, word_b) AS INT) AS dist
+    FROM cand WHERE levenshtein(word_a, word_b) <= 1
+    """,
+)
+def fuzzy_word_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution by edit distance with symmetric-delete
+    blocking (Garbe's SymSpell, public method): candidate pairs must
+    share a single-deletion variant — exact for distance <= 1, since
+    a substitution/indel pair always shares one — then verified with
+    levenshtein. The corpus is the document vocabulary plus planted
+    char-3-deletion typos (the constructed-corpus pattern: testdata
+    words have no organic typos).
+
+    Scale: this is the fuzzy-join shape that replaces the O(V²)
+    levenshtein cross join — each word explodes into |w|+1 variants
+    (vocab-bounded), candidates come from a variant equi-join, and
+    the expensive distance runs only on candidates. Both the variant
+    generation and the verify are pure Column expressions; DuckDB's
+    levenshtein agrees exactly (integer DP)."""
+    d = load(spark, sf_dir, "documents")
+    vocab = (
+        d.select(F.explode(tx.words(F.lower(F.col("text")))).alias("w"))
+        .distinct()
+        .filter(F.length("w") >= _FUZZ_MIN_LEN)
+    )
+    typos = vocab.select(
+        F.concat(
+            F.substring("w", 1, 2), F.substr(F.col("w"), F.lit(4), F.length("w"))
+        ).alias("w")
+    )
+    corpus = vocab.unionByName(typos).distinct()
+    variants = F.transform(
+        F.sequence(F.lit(0), F.length("w")),
+        lambda i: F.when(i == F.length("w"), F.col("w")).otherwise(
+            F.concat(
+                F.substr(F.col("w"), F.lit(1), i),
+                F.substr(F.col("w"), i + 2, F.length("w")),
+            )
+        ),
+    )
+    vars_ = corpus.select("w", F.explode(variants).alias("v"))
+    a = vars_.select(F.col("w").alias("word_a"), "v")
+    b = vars_.select(F.col("w").alias("word_b"), "v")
+    cand = (
+        a.join(b, "v")
+        .filter(F.col("word_a") < F.col("word_b"))
+        .select("word_a", "word_b")
+        .distinct()
+    )
+    dist = F.levenshtein("word_a", "word_b")
+    return cand.filter(dist <= 1).select(
+        "word_a", "word_b", dist.cast("int").alias("dist")
+    )

@@ -2384,3 +2384,84 @@ def transition_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("r", 6).alias("rank_score"),
         F.row_number().over(w_rank).cast("int").alias("rank"),
     )
+
+
+@query(
+    "ab_test_welch",
+    oracle="""
+    WITH assign AS (
+      SELECT CASE WHEN ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT % 2 = 0
+                  THEN 'A' ELSE 'B' END AS variant,
+             value
+      FROM events
+    ),
+    stats AS (
+      SELECT variant, count(*) AS n,
+             round(avg(value), 6) AS mean,
+             round(var_samp(value), 6) AS var
+      FROM assign GROUP BY variant
+    ),
+    wide AS (
+      SELECT max(CASE WHEN variant = 'A' THEN n END) AS n_a,
+             max(CASE WHEN variant = 'B' THEN n END) AS n_b,
+             max(CASE WHEN variant = 'A' THEN mean END) AS mean_a,
+             max(CASE WHEN variant = 'B' THEN mean END) AS mean_b,
+             max(CASE WHEN variant = 'A' THEN var END) AS var_a,
+             max(CASE WHEN variant = 'B' THEN var END) AS var_b
+      FROM stats
+    )
+    SELECT n_a, n_b, mean_a, mean_b, var_a, var_b,
+           round((mean_a - mean_b)
+                 / sqrt(var_a / n_a + var_b / n_b), 6) AS t_stat,
+           round(pow(var_a / n_a + var_b / n_b, 2)
+                 / (pow(var_a / n_a, 2) / (n_a - 1)
+                    + pow(var_b / n_b, 2) / (n_b - 1)), 4) AS df
+    FROM wide
+    """,
+)
+def ab_test_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t-test over a deterministic 50/50
+    experiment split (public statistics; the readout every
+    experimentation platform computes): users are assigned by the
+    portable id hash (dataset_split's rule — stable across runs and
+    engines, unlike rand()), per-variant mean/variance aggregate in
+    one map-side-combinable pass, and the t statistic plus
+    Welch–Satterthwaite degrees of freedom derive from the ROUNDED
+    per-variant aggregates — so the scalar arithmetic is bit-identical
+    in both engines even though the underlying float sums are
+    order-dependent.
+
+    Scale: one aggregation over the fact table, 2 rows out; the test
+    statistic is driver-free Column arithmetic on a 1-row frame."""
+    from ..util import portable_id_hash
+
+    e = load(spark, sf_dir, "events")
+    assign = e.select(
+        F.when(F.pmod(portable_id_hash("user_id"), F.lit(2)) == 0, "A")
+        .otherwise("B")
+        .alias("variant"),
+        "value",
+    )
+    stats = assign.groupBy("variant").agg(
+        F.count("*").alias("n"),
+        F.round(F.avg("value"), 6).alias("mean"),
+        F.round(F.var_samp("value"), 6).alias("var"),
+    )
+    wide = stats.agg(
+        *[
+            F.max(F.when(F.col("variant") == v, F.col(c))).alias(f"{c}_{v.lower()}")
+            for c in ("n", "mean", "var")
+            for v in ("A", "B")
+        ]
+    )
+    se2 = F.col("var_a") / F.col("n_a") + F.col("var_b") / F.col("n_b")
+    t_stat = (F.col("mean_a") - F.col("mean_b")) / F.sqrt(se2)
+    df = F.pow(se2, 2) / (
+        F.pow(F.col("var_a") / F.col("n_a"), 2) / (F.col("n_a") - 1)
+        + F.pow(F.col("var_b") / F.col("n_b"), 2) / (F.col("n_b") - 1)
+    )
+    return wide.select(
+        "n_a", "n_b", "mean_a", "mean_b", "var_a", "var_b",
+        F.round(t_stat, 6).alias("t_stat"),
+        F.round(df, 4).alias("df"),
+    )
