@@ -700,7 +700,8 @@ def perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     — order statistics at ceil(s/3) / ceil(2s/3) — NOT from an
     unpartitioned ntile over the full corpus, so no single task ever
     sorts all documents (the value_deciles_approx pattern; sample
-    selection is a WindowGroupLimit-pruned global top-k). Buckets
+    selection is a TakeOrderedAndProject global top-k — per-partition
+    heads then a k-row merge). Buckets
     compare ROUNDED scores to rounded cuts, so a cross-engine ULP
     in the score average cannot flip a boundary doc."""
     d = load(spark, sf_dir, "documents")
@@ -720,11 +721,15 @@ def perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("logp"), 6).alias("score"),
         )
     )
-    w_samp = Window.orderBy(portable_id_hash("doc_id"), "doc_id")
+    # global deterministic sample as orderBy+limit, NOT a row_number
+    # window: Spark plans this as TakeOrderedAndProject — per-partition
+    # top-k then a k-row merge — whereas an unpartitioned rank window
+    # funnels every doc score through one task (the WindowExec warning)
     samp = (
-        scored.select("doc_id", "score")
-        .withColumn("rn", F.row_number().over(w_samp))
-        .filter(F.col("rn") <= _PPL_SAMPLE_K)
+        scored.select("doc_id", "score", portable_id_hash("doc_id").alias("h"))
+        .orderBy("h", "doc_id")
+        .limit(_PPL_SAMPLE_K)
+        .drop("h")
     )
     cuts = samp.agg(
         F.array_sort(

@@ -517,3 +517,25 @@ def test_corpus_batch2_no_cartesian_and_broadcasts(spark):
     assert "BroadcastHashJoin" in pq
     # the shortlist/final ranks are per-query windows -> group-limit pruned
     assert "WindowGroupLimit" in pq
+
+
+def test_fuzzy_and_pagerank_plan_shapes(spark):
+    # fuzzy matching: candidates must come from the deletion-variant
+    # equi-join, never a levenshtein cross join
+    txt = plan_text(spark, "fuzzy_word_matches")
+    assert "CartesianProduct" not in txt
+    assert "BroadcastNestedLoopJoin" not in txt
+    # pagerank: 10 chained iterations must not re-read the corpus —
+    # the events scan appears only in the (pre-checkpoint) rank seed,
+    # not once per iteration
+    txt = plan_text(spark, "transition_pagerank")
+    assert txt.count("Scan parquet") <= 2, txt.count("Scan parquet")
+
+
+def test_perplexity_buckets_sample_is_top_k_pruned(spark):
+    # the tercile-cut sample must plan as TakeOrderedAndProject
+    # (per-partition heads + k-row merge), never an unpartitioned
+    # row_number window over every doc score
+    txt = plan_text(spark, "perplexity_buckets")
+    assert "TakeOrderedAndProject" in txt
+    assert "Window" not in txt
