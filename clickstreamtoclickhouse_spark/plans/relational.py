@@ -2465,3 +2465,46 @@ def ab_test_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(t_stat, 6).alias("t_stat"),
         F.round(df, 4).alias("df"),
     )
+
+
+@query(
+    "join_key_skew",
+    oracle="""
+    WITH counts AS (
+      SELECT user_id, count(*) AS n FROM events GROUP BY user_id
+    ),
+    stats AS (
+      SELECT avg(n) AS avg_n, count(*) AS n_keys FROM counts
+    )
+    SELECT c.user_id, c.n,
+           round(c.n / s.avg_n, 4) AS skew_ratio,
+           CAST(s.n_keys AS BIGINT) AS n_keys
+    FROM counts c, stats s
+    ORDER BY c.n DESC, c.user_id
+    LIMIT 10
+    """,
+)
+def join_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-key skew report: the 10 heaviest join/aggregation keys
+    with their multiple of the mean group size — the diagnostic that
+    decides between a plain shuffle, functions/skew.py's salted_join,
+    and AQE skew splitting. Per-key counts are one map-side-combined
+    aggregate; the mean folds in via a 1-row broadcast; the top-10 is
+    a TakeOrderedAndProject (per-partition heads, never a global
+    sort)."""
+    e = load(spark, sf_dir, "events")
+    counts = e.groupBy("user_id").agg(F.count("*").alias("n"))
+    stats = counts.agg(
+        F.avg("n").alias("avg_n"), F.count("*").cast("long").alias("n_keys")
+    )
+    return (
+        counts.crossJoin(F.broadcast(stats))
+        .select(
+            "user_id",
+            "n",
+            F.round(F.col("n") / F.col("avg_n"), 4).alias("skew_ratio"),
+            "n_keys",
+        )
+        .orderBy(F.desc("n"), "user_id")
+        .limit(10)
+    )
