@@ -605,3 +605,13 @@ def bloom_positions(col: F.Column, m: int = BLOOM_M_DEFAULT) -> list[F.Column]:
         )
         for s in BLOOM_WINDOWS
     ]
+
+
+def sql_bloom_positions(t: str, m: int = BLOOM_M_DEFAULT) -> str:
+    """DuckDB twin of bloom_positions — kept beside it so the two
+    hash derivations cannot drift (the portable_id_hash stance):
+    comma-joined list of the k position expressions."""
+    return ", ".join(
+        f"('0x' || substr(md5({t}), {s}, 8))::BIGINT % {m}"
+        for s in BLOOM_WINDOWS
+    )

@@ -329,3 +329,52 @@ def sql_ngrams(ws: str, n: int) -> str:
         f"THEN list_transform(range(1, len({ws}) - {n - 2}), i -> {joined}) "
         f"ELSE CAST([] AS VARCHAR[]) END"
     )
+
+
+# ---------------------------------------------------------------------------
+# Self-trained unigram LM scoring (shared by unigram_lm_quality and
+# perplexity_buckets — one definition so the two queries cannot drift)
+# ---------------------------------------------------------------------------
+
+SQL_UNIGRAM_SCORED_CTES = f"""toks AS (
+      SELECT doc_id, unnest({SQL_WORDS.format(t='lower(text)')}) AS w
+      FROM documents WHERE length(trim(text)) > 0
+    ),
+    cnt AS (SELECT w, count(*) AS c FROM toks GROUP BY w),
+    tot AS (SELECT CAST(sum({sql_token_count_ws('text')}) AS BIGINT) AS n
+            FROM documents),
+    lp AS (SELECT w, ln(c * 1.0 / n) AS logp FROM cnt, tot),
+    scored AS (
+      SELECT doc_id,
+             count(*) AS n_tokens,
+             round(avg(logp), 6) AS avg_logprob
+      FROM toks JOIN lp USING (w)
+      GROUP BY doc_id
+    )"""
+
+
+def unigram_scored_docs(docs):
+    """(doc_id, n_tokens, avg_logprob) under the corpus-self-trained
+    unigram LM — the Spark twin of SQL_UNIGRAM_SCORED_CTES. Two keyed
+    shuffles: vocab counts (broadcast back onto the token stream) and
+    the per-doc average."""
+    from pyspark.sql import functions as F
+
+    toks = docs.select(
+        "doc_id", F.explode(words(F.lower(F.col("text")))).alias("w")
+    )
+    cnt = toks.groupBy("w").agg(F.count("*").alias("c"))
+    tot = docs.agg(
+        F.sum(token_count_ws(F.col("text"))).cast("long").alias("n")
+    )
+    lp = cnt.crossJoin(F.broadcast(tot)).select(
+        "w", F.log(F.col("c") * 1.0 / F.col("n")).alias("logp")
+    )
+    return (
+        toks.join(F.broadcast(lp), "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(F.avg("logp"), 6).alias("avg_logprob"),
+        )
+    )

@@ -14,7 +14,11 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..functions import text as tx
-from ..functions.dedup_text import BLOOM_WINDOWS, bloom_positions
+from ..functions.dedup_text import (
+    BLOOM_M_DEFAULT,
+    bloom_positions,
+    sql_bloom_positions,
+)
 from ..util import portable_id_hash
 from .ext import _COPY_OFFSET
 from .registry import load, query
@@ -194,18 +198,15 @@ def ngram_repetition_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Bloom-filter membership dedup
 # ---------------------------------------------------------------------------
 
-_BLOOM_M = 8192  # filter bits; sized for ~250 inserts -> FP ~2e-4
+# filter sized (m=8192, k=4) for ~250 inserts -> FP ~2e-4
 
 
 def _bloom_pos(col: F.Column) -> list[F.Column]:
-    return bloom_positions(col, _BLOOM_M)
+    return bloom_positions(col, BLOOM_M_DEFAULT)
 
 
 def _sql_bloom_pos(t: str) -> str:
-    return ", ".join(
-        f"('0x' || substr(md5({t}), {s}, 8))::BIGINT % {_BLOOM_M}"
-        for s in BLOOM_WINDOWS
-    )
+    return sql_bloom_positions(t, BLOOM_M_DEFAULT)
 
 
 @query(
@@ -273,7 +274,9 @@ def bloom_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     hit = (
         qry.select("doc_id", F.explode(F.array(*_bloom_pos(F.col("text")))).alias("pos"))
-        .join(F.broadcast(bits), "pos", "left")
+        .join(bits, "pos", "left")  # no broadcast hint: tiny bit
+        # tables broadcast via size estimate, a web-scale m degrades
+        # to sort-merge instead of OOMing a forced broadcast
         .groupBy("doc_id")
         .agg(F.min(F.coalesce(F.col("set1"), F.lit(0))).alias("allset"))
     )
@@ -282,7 +285,8 @@ def bloom_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         qry.withColumn("th", F.md5("text"))
-        .join(F.broadcast(idx_hashes), "th", "left")
+        .join(idx_hashes, "th", "left")  # corpus-sized: must never be
+        # hint-forced into a broadcast
         .join(hit, "doc_id")
         .select(
             "doc_id",
@@ -506,49 +510,89 @@ def embedding_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         for m in range(_PQ_M)
     ]
 
-    # long form: one row per (vector, subspace) — all M subspaces
-    # train/assign in a single job per round
-    sub_long = emb.select(
-        "vec_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(m).alias("m"),
-                        F.slice("v", m * _PQ_SUB + 1, _PQ_SUB).alias("s"),
-                    )
-                    for m in range(_PQ_M)
-                ]
-            )
-        ).alias("x"),
-    ).select("vec_id", "x.m", "x.s").localCheckpoint(eager=True)
-
-    def assign_code(books_now: list[list[list[float]]]) -> F.Column:
-        """code = argmin_j sqdist(s, books[m][j]), ties -> lowest j."""
-        books_lit = F.array(
-            *[
+    # element long form: one row per (vector, subspace) with the
+    # subvector as SCALAR columns — distances below are plain codegen
+    # arithmetic (the HOF fold form ran interpreted and was the bench
+    # hotspot; a literal-centroid expression tree was worse still:
+    # M×K inlined centroids made megabyte plans that stalled Catalyst)
+    sub = (
+        emb.select(
+            "vec_id",
+            F.explode(
                 F.array(
-                    *[F.array(*[F.lit(x) for x in c]) for c in books_now[m]]
+                    *[
+                        F.struct(
+                            F.lit(m).alias("m"),
+                            *[
+                                F.element_at("v", m * _PQ_SUB + i + 1).alias(
+                                    f"e{i}"
+                                )
+                                for i in range(_PQ_SUB)
+                            ],
+                        )
+                        for m in range(_PQ_M)
+                    ]
                 )
-                for m in range(_PQ_M)
-            ]
+            ).alias("x"),
         )
-        dists = F.transform(
-            F.element_at(books_lit, F.col("m") + 1),
-            lambda c: _pq_sqdist(F.col("s"), c),
+        .select("vec_id", "x.*")
+        .localCheckpoint(eager=True)
+    )
+
+    def codebook_df(books_now: list[list[list[float]]]) -> DataFrame:
+        """Codebooks as a broadcastable TABLE (m, j, c0..c{SUB-1}) —
+        M×K rows, joined on m instead of inlined as literals."""
+        rows = [
+            (m, j, *books_now[m][j])
+            for m in range(_PQ_M)
+            for j in range(k_eff)
+        ]
+        schema = "m int, j int, " + ", ".join(
+            f"c{i} double" for i in range(_PQ_SUB)
         )
-        return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+        return spark.createDataFrame(rows, schema)
+
+    def dist_expr() -> F.Column:
+        """Left-fold scalar squared L2 over the SUB element/centroid
+        column pairs — same addition order as the oracle's
+        list_reduce, all inside whole-stage codegen."""
+        terms = [
+            (F.col(f"e{i}") - F.col(f"c{i}")) * (F.col(f"e{i}") - F.col(f"c{i}"))
+            for i in range(_PQ_SUB)
+        ]
+        d = terms[0]
+        for t in terms[1:]:
+            d = d + t
+        return d
+
+    def assign(books_now: list[list[list[float]]]) -> DataFrame:
+        """(vec_id, m, e0.., code): argmin_j over the K centroids of
+        each subspace — n×M×K distance rows, reduced by a map-side-
+        combinable min(struct(d, j)) (lexicographic: ties -> lowest
+        j, matching the oracle's ORDER BY d, j)."""
+        cb = F.broadcast(codebook_df(books_now))
+        return (
+            sub.join(cb, "m")
+            .withColumn("d", dist_expr())
+            .groupBy("vec_id", "m", *[f"e{i}" for i in range(_PQ_SUB)])
+            .agg(
+                F.min(F.struct(F.col("d"), F.col("j"))).alias("best")
+            )
+            .select(
+                "vec_id",
+                "m",
+                *[f"e{i}" for i in range(_PQ_SUB)],
+                F.col("best.j").cast("int").alias("code"),
+            )
+        )
 
     for _ in range(_PQ_ITERS):
         stats = (
-            sub_long.select("m", assign_code(books).alias("code"), "s")
+            assign(books)
             .groupBy("m", "code")
             .agg(
                 F.count("*").alias("n"),
-                *[
-                    F.sum(F.element_at("s", i + 1)).alias(f"s{i}")
-                    for i in range(_PQ_SUB)
-                ],
+                *[F.sum(f"e{i}").alias(f"s{i}") for i in range(_PQ_SUB)],
             )
             .collect()
         )
@@ -564,34 +608,20 @@ def embedding_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             for m in range(_PQ_M)
         ]
 
-    enc_long = sub_long.select("vec_id", "m", assign_code(books).alias("code"))
+    enc_long = assign(books).select("vec_id", "m", "code")
 
-    # LUT: per (query, m): distances to all K codes of that subspace.
-    # The 2-arg transform lambda receives (element, index) — index IS j.
-    books_lit = F.array(
-        *[
-            F.array(*[F.array(*[F.lit(x) for x in c]) for c in books[m]])
-            for m in range(_PQ_M)
-        ]
-    )
+    # LUT: per (query, m, j) distances — nq×M×K rows via the same
+    # broadcast codebook join over the bounded query set
     lut = (
-        sub_long.filter(F.col("vec_id") < 10)
+        sub.filter(F.col("vec_id") < 10)
+        .join(F.broadcast(codebook_df(books)), "m")
         .select(
             F.col("vec_id").alias("query_id"),
             F.col("m").alias("lm"),
-            F.explode(
-                F.transform(
-                    F.element_at(books_lit, F.col("m") + 1),
-                    lambda c, j: F.struct(
-                        j.cast("int").alias("j"),
-                        _pq_sqdist(F.col("s"), c).alias("d"),
-                    ),
-                )
-            ).alias("x"),
+            F.col("j").alias("lj"),
+            dist_expr().alias("d"),
         )
-        .select("query_id", "lm", F.col("x.j").alias("lj"), F.col("x.d").alias("d"))
     )
-
     ad = (
         enc_long.join(
             F.broadcast(lut),
@@ -618,8 +648,11 @@ def embedding_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "neighbor_id")
     )
 
-    # exact re-rank of the shortlist on the quantized grid
-    qe = emb.select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv"))
+    # exact re-rank of the shortlist on the quantized grid; only the
+    # bounded QUERY vectors broadcast — never the corpus side
+    qe = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
     ne = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("v").alias("nv"))
     rer = (
         short.join(F.broadcast(qe), "query_id")
@@ -649,20 +682,9 @@ _PPL_SAMPLE_K = 500
 @query(
     "perplexity_buckets",
     oracle=f"""
-    WITH toks AS (
-      SELECT doc_id, unnest({tx.SQL_WORDS.format(t='lower(text)')}) AS w
-      FROM documents WHERE length(trim(text)) > 0
-    ),
-    cnt AS (SELECT w, count(*) AS c FROM toks GROUP BY w),
-    tot AS (SELECT CAST(sum({tx.sql_token_count_ws('text')}) AS BIGINT) AS n
-            FROM documents),
-    lp AS (SELECT w, ln(c * 1.0 / n) AS logp FROM cnt, tot),
-    scored AS (
-      SELECT doc_id,
-             count(*) AS n_tokens,
-             round(avg(logp), 6) AS score
-      FROM toks JOIN lp USING (w)
-      GROUP BY doc_id
+    WITH {tx.SQL_UNIGRAM_SCORED_CTES},
+    rescored AS (
+      SELECT doc_id, n_tokens, avg_logprob AS score FROM scored
     ),
     samp AS (
       SELECT doc_id, score FROM (
@@ -670,7 +692,7 @@ _PPL_SAMPLE_K = 500
                row_number() OVER (
                  ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT,
                           doc_id) AS rn
-        FROM scored
+        FROM rescored
       ) WHERE rn <= {_PPL_SAMPLE_K}
     ),
     sr AS (
@@ -688,7 +710,7 @@ _PPL_SAMPLE_K = 500
            CASE WHEN sc.score <= cuts.c1 THEN 'tail'
                 WHEN sc.score <= cuts.c2 THEN 'middle'
                 ELSE 'head' END AS bucket
-    FROM scored sc, cuts
+    FROM rescored sc, cuts
     """,
 )
 def perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -705,21 +727,8 @@ def perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     compare ROUNDED scores to rounded cuts, so a cross-engine ULP
     in the score average cannot flip a boundary doc."""
     d = load(spark, sf_dir, "documents")
-    toks = d.select(
-        "doc_id", F.explode(tx.words(F.lower(F.col("text")))).alias("w")
-    )
-    cnt = toks.groupBy("w").agg(F.count("*").alias("c"))
-    tot = d.agg(F.sum(tx.token_count_ws(F.col("text"))).cast("long").alias("n"))
-    lp = cnt.crossJoin(F.broadcast(tot)).select(
-        "w", F.log(F.col("c") * 1.0 / F.col("n")).alias("logp")
-    )
-    scored = (
-        toks.join(F.broadcast(lp), "w")
-        .groupBy("doc_id")
-        .agg(
-            F.count("*").alias("n_tokens"),
-            F.round(F.avg("logp"), 6).alias("score"),
-        )
+    scored = tx.unigram_scored_docs(d).withColumnRenamed(
+        "avg_logprob", "score"
     )
     # global deterministic sample as orderBy+limit, NOT a row_number
     # window: Spark plans this as TakeOrderedAndProject — per-partition
@@ -731,14 +740,18 @@ def perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(_PPL_SAMPLE_K)
         .drop("h")
     )
+    # try_element_at + greatest(1, ·): an all-empty-text corpus makes
+    # the un-grouped agg emit one s=0 row whose index would be 0 —
+    # ANSI element_at would throw where the oracle just returns no
+    # rows; NULL cuts are harmless because `scored` is empty too
     cuts = samp.agg(
         F.array_sort(
             F.collect_list(F.struct(F.col("score").alias("cv"), F.col("doc_id").alias("cid")))
         ).alias("a"),
         F.count("*").alias("s"),
     ).select(
-        F.element_at("a", F.expr("int((s + 2) div 3)"))["cv"].alias("c1"),
-        F.element_at("a", F.expr("int((2 * s + 2) div 3)"))["cv"].alias("c2"),
+        F.try_element_at("a", F.expr("int(greatest(1, (s + 2) div 3))"))["cv"].alias("c1"),
+        F.try_element_at("a", F.expr("int(greatest(1, (2 * s + 2) div 3))"))["cv"].alias("c2"),
     )
     return scored.crossJoin(F.broadcast(cuts)).select(
         "doc_id",

@@ -336,19 +336,8 @@ def gopher_quality_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "unigram_lm_quality",
     oracle=f"""
-    WITH toks AS (
-      SELECT doc_id, unnest({tx.SQL_WORDS.format(t='lower(text)')}) AS w
-      FROM documents WHERE length(trim(text)) > 0
-    ),
-    cnt AS (SELECT w, count(*) AS c FROM toks GROUP BY w),
-    tot AS (SELECT CAST(sum({tx.sql_token_count_ws('text')}) AS BIGINT) AS n
-            FROM documents),
-    lp AS (SELECT w, ln(c * 1.0 / n) AS logp FROM cnt, tot)
-    SELECT doc_id,
-           count(*) AS n_tokens,
-           round(avg(logp), 6) AS avg_logprob
-    FROM toks JOIN lp USING (w)
-    GROUP BY doc_id
+    WITH {tx.SQL_UNIGRAM_SCORED_CTES}
+    SELECT doc_id, n_tokens, avg_logprob FROM scored
     """,
 )
 def unigram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -363,26 +352,10 @@ def unigram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast. Pass 2 joins tokens to the BROADCAST vocab table —
     no shuffle of the token stream — and averages per doc (second
     shuffle, keyed on doc_id). At 100 TB the vocab table is MBs;
-    broadcasting it is the whole trick."""
+    broadcasting it is the whole trick. Scoring lives in
+    tx.unigram_scored_docs, shared with perplexity_buckets."""
     d = load(spark, sf_dir, "documents")
-    toks = d.select(
-        "doc_id", F.explode(tx.words(F.lower(F.col("text")))).alias("w")
-    )
-    cnt = toks.groupBy("w").agg(F.count("*").alias("c"))
-    # corpus total = sum of per-doc token counts: a scan-level
-    # aggregate (no second explode+groupBy pass over the token stream)
-    tot = d.agg(F.sum(tx.token_count_ws(F.col("text"))).cast("long").alias("n"))
-    lp = cnt.crossJoin(F.broadcast(tot)).select(
-        "w", F.log(F.col("c") * 1.0 / F.col("n")).alias("logp")
-    )
-    return (
-        toks.join(F.broadcast(lp), "w")
-        .groupBy("doc_id")
-        .agg(
-            F.count("*").alias("n_tokens"),
-            F.round(F.avg("logp"), 6).alias("avg_logprob"),
-        )
-    )
+    return tx.unigram_scored_docs(d)
 
 
 _RE_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"

@@ -404,13 +404,23 @@ def streaming_bloom_dedup(
 
         batch_df = batch_df.cache()
         try:
-            pos_arr = F.array(*bloom_positions(F.col(text_col), m))
+            # NULL text hashes to NULL positions, which would (a) never
+            # match the bits table -> the doc re-admits on every
+            # re-delivery, and (b) append a duplicate NULL pos row per
+            # batch (NULL != NULL in the anti-join), breaking the <= m
+            # state bound. Normalize to '' so null-text docs dedup as
+            # one content like any other.
+            txt = F.coalesce(F.col(text_col), F.lit(""))
+            pos_arr = F.array(*bloom_positions(txt, m))
             bits = try_read_parquet(spark, bits_dir)
             if bits is not None:
                 qpos = batch_df.select(id_col, F.explode(pos_arr).alias("pos"))
                 hit = (
                     qpos.join(
-                        F.broadcast(bits.withColumn("s1", F.lit(1))),
+                        # no broadcast hint: small bit tables broadcast
+                        # via size estimate; a web-scale m degrades to
+                        # sort-merge instead of a forced-broadcast OOM
+                        bits.withColumn("s1", F.lit(1)),
                         "pos",
                         "left",
                     )
@@ -426,7 +436,7 @@ def streaming_bloom_dedup(
                 fresh = batch_df
             # exact in-batch dedup among bloom-new docs: min id per content
             keep = (
-                fresh.groupBy(F.md5(F.col(text_col)).alias("h"))
+                fresh.groupBy(F.md5(txt).alias("h"))
                 .agg(F.min(F.col(id_col)).alias(id_col))
                 .select(id_col)
             )

@@ -245,8 +245,10 @@ def main() -> None:
     out = {
         "what": "10x-rows scale probe on generator data (see scripts/sf_probe.py); time_ratio <= ~10 = linear, > 15 flags a hidden quadratic",
         "notes": (
-            "r5 findings: no query exceeded the 15x bar (max 11.2x, "
-            "simhash_portable — CPU-bound portable hashing, linear). "
+            "r5 findings (rerun with pq/bpe/bloom added): no query exceeded "
+            "the 15x bar (max 11.4x, simhash_portable — CPU-bound portable "
+            "hashing, linear; new ops embedding_pq_topk 3.3x, bpe_merges "
+            "2.3x, bloom_dedup_docs 3.4x). "
             "jaccard_near_dups_capped's 719x SHUFFLE ratio is adaptive "
             "broadcast behavior, not a pair explosion: at base AQE "
             "broadcasts the shingle side (0.3MB shuffled), at x10 it "

@@ -368,12 +368,17 @@ def test_streaming_bloom_dedup(spark, tmp_path):
     q = stateful.streaming_bloom_dedup(stream, bits_dir, out_dir, ckpt)
     try:
         q.processAllAvailable()
-        # batch 2: re-sends of both batch-1 texts + one new doc
+        # batch 2: re-sends of both batch-1 texts + one new doc +
+        # a null-text doc (hashes as '' — must dedup, not bypass)
         write_file("b2.json", [
             {"doc_id": 10, "text": "alpha beta gamma"},
             {"doc_id": 11, "text": "delta epsilon"},
             {"doc_id": 12, "text": "zeta eta"},
+            {"doc_id": 13},
         ])
+        q.processAllAvailable()
+        # batch 3: re-send of the null-text doc — must NOT re-enter
+        write_file("b3.json", [{"doc_id": 20}])
         q.processAllAvailable()
     finally:
         q.stop()
@@ -381,8 +386,8 @@ def test_streaming_bloom_dedup(spark, tmp_path):
     corpus = spark.read.parquet(out_dir)
     ids = sorted(r["doc_id"] for r in corpus.collect())
     # bloom has no false negatives: re-sent content can never re-enter;
-    # the three distinct texts don't collide at m=8192 (deterministic)
-    assert ids == [1, 3, 12]
+    # the distinct texts don't collide at m=8192 (deterministic)
+    assert ids == [1, 3, 12, 13]
     bits = spark.read.parquet(bits_dir)
     # bounded state: at most k=4 positions per admitted doc, no dups
-    assert bits.count() == bits.distinct().count() <= 12
+    assert bits.count() == bits.distinct().count() <= 16
