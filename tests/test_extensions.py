@@ -707,3 +707,52 @@ def test_transition_pagerank_matches_power_iteration(spark):
         score, rank = got[nodes[i]]
         assert rank == pos
         assert abs(score - round(r[i], 6)) < 2e-6, (nodes[i], score, r[i])
+
+
+def test_repetition_gram_build_equals_hof_form(spark, docs):
+    """The codegen lead-window gram build must emit exactly the grams
+    of the reference array-slice/zip_with (tx._ngrams) form."""
+    from pyspark.sql.window import Window
+
+    from clickstreamtoclickhouse_spark.functions import text as tx
+
+    ns = (3, 4, 5, 6)
+    d = docs.limit(100)
+    ws = tx.words(F.lower(F.col("text")))
+
+    def tag(n):
+        return lambda g: F.struct(F.lit(n).alias("n"), g.alias("g"))
+
+    hof = d.select(
+        "doc_id",
+        F.explode(
+            F.concat(*[F.transform(tx._ngrams(ws, n), tag(n)) for n in ns])
+        ).alias("x"),
+    ).select("doc_id", "x.n", "x.g")
+    tok = d.select(
+        "doc_id", F.posexplode(tx.words(F.lower(F.col("text")))).alias("pos", "w")
+    )
+    wd = Window.partitionBy("doc_id").orderBy("pos")
+    leads = tok.select(
+        "doc_id", "w",
+        *[F.lead("w", k).over(wd).alias(f"l{k}") for k in range(1, max(ns))],
+    )
+
+    def gram(n):
+        parts = [F.col("w")] + [F.col(f"l{k}") for k in range(1, n)]
+        return F.when(F.col(f"l{n - 1}").isNotNull(), F.concat_ws(" ", *parts))
+
+    win = (
+        leads.select(
+            "doc_id",
+            F.explode(
+                F.array(
+                    *[F.struct(F.lit(n).alias("n"), gram(n).alias("g")) for n in ns]
+                )
+            ).alias("x"),
+        )
+        .select("doc_id", "x.n", "x.g")
+        .filter(F.col("g").isNotNull())
+    )
+    assert hof.exceptAll(win).count() == 0
+    assert win.exceptAll(hof).count() == 0
