@@ -333,6 +333,7 @@ _PQ_ITERS = 4  # Lloyd rounds per subspace
 _PQ_SHORTLIST = 20  # ADC candidates re-ranked exactly
 _PQ_TOPK = 5
 _PQ_SCALE = 1000  # input quantization grid (see docstring)
+_PQ_TRAIN = 1024  # codebook training sample (bottom-N by portable hash)
 
 
 def _pq_oracle_sql() -> str:
@@ -360,12 +361,20 @@ def _pq_oracle_sql() -> str:
              list_transform(embedding::DOUBLE[], x -> round(x * {_PQ_SCALE})) AS v
       FROM embeddings
     ),
+    train AS (
+      SELECT vec_id, v FROM (
+        SELECT vec_id, v, row_number() OVER (
+          ORDER BY ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT,
+                   vec_id) AS rn
+        FROM emb
+      ) WHERE rn <= {_PQ_TRAIN}
+    ),
     seeds AS (
       SELECT row_number() OVER (
                ORDER BY ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT,
                         vec_id) - 1 AS j,
              v
-      FROM emb
+      FROM train
       ORDER BY ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT, vec_id
       LIMIT {_PQ_K}
     ),
@@ -379,10 +388,15 @@ def _pq_oracle_sql() -> str:
              e.v[m.m * {_PQ_SUB} + 1 : m.m * {_PQ_SUB} + {_PQ_SUB}] AS s
       FROM emb e CROSS JOIN {m_tab} m
     ),
+    subt AS (
+      SELECT t.vec_id, m.m,
+             t.v[m.m * {_PQ_SUB} + 1 : m.m * {_PQ_SUB} + {_PQ_SUB}] AS s
+      FROM train t CROSS JOIN {m_tab} m
+    ),
     dd AS (
       SELECT vec_id, m, unnest(range({_PQ_SUB})) AS dim,
              unnest(s) AS x
-      FROM sub
+      FROM subt
     )"""
     ]
     for t in range(_PQ_ITERS):
@@ -390,7 +404,7 @@ def _pq_oracle_sql() -> str:
         ctes.append(
             f"""d{t} AS (
       SELECT u.vec_id, u.m, c.j, {d} AS d
-      FROM sub u JOIN cb{t} c ON u.m = c.m
+      FROM subt u JOIN cb{t} c ON u.m = c.m
     ),
     a{t} AS (
       SELECT vec_id, m, j FROM (
@@ -489,12 +503,15 @@ def embedding_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     and exact re-rank (Jégou et al. 2011, public method): embeddings
     are split into `_PQ_M`×`_PQ_SUB`-dim subspaces; each subspace gets
     a `_PQ_K`-entry codebook trained by `_PQ_ITERS` deterministic
-    Lloyd rounds (seeds = the bottom-`_PQ_K` vectors by portable md5
-    id hash, ties to the lowest code — doc_topic_clusters_portable's
-    schedule, run once per subspace in a SINGLE job via the long
-    form). Corpus vectors are encoded to M small codes; a query's
-    approximate distance is the sum of per-subspace LUT lookups — no
-    float math per (query, corpus) pair — and the ADC shortlist of
+    Lloyd rounds over a BOUNDED `_PQ_TRAIN`-vector sample (bottom-N by
+    portable md5 id hash; seeds = the first `_PQ_K` of the same
+    ordering, ties to the lowest code). Sample-trained codebooks are
+    the standard PQ deployment (FAISS trains on a sample regardless of
+    index size), which makes training a driver-side numpy step — the
+    corpus only ever sees the single distributed encode pass. Corpus
+    vectors are encoded to M small codes; a query's approximate
+    distance is the sum of per-subspace LUT lookups — no float math
+    per (query, corpus) pair — and the ADC shortlist of
     `_PQ_SHORTLIST` is re-ranked exactly for the final top-k. Recall
     vs exact L2 is pinned in test_extensions. Complements
     embedding_ivf_topk (coarse cells) and embedding_rerank_topk
@@ -504,20 +521,25 @@ def embedding_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     Bit-portability: inputs are first snapped to an integer grid
     (`round(x*1000)`), so every per-cluster Lloyd sum is a sum of
     integer-valued doubles — EXACT in any accumulation order, making
-    Spark's partitioned partial aggregates equal DuckDB's serial SUM
-    bit-for-bit (the float-sum analog of the BoW-count argument in
+    numpy's training sums equal DuckDB's serial SUM bit-for-bit (the
+    float-sum analog of the BoW-count argument in
     doc_topic_clusters_portable; valid while sums stay under 2^53).
     Centroids are exact-int/count; distance folds run dims in fixed
-    order; the M partial ADC distances add left-to-right (no SUM
-    aggregate). The grid costs ±5e-4 relative noise — far below the
-    quantization error PQ itself accepts.
+    order (explicit left-fold in numpy, Column exprs, and list_reduce
+    alike); np.argmin's first-min tie-break matches ORDER BY d, j; the
+    M partial ADC distances add left-to-right (no SUM aggregate). The
+    grid costs ±5e-4 relative noise — far below the quantization error
+    PQ itself accepts.
 
-    Scale: training touches only (m, code, dim) aggregates (M×K×SUB
-    scalars to the driver per round); encoding is one linear pass
-    against literal codebooks; the LUT is nq×M×K rows broadcast; ADC
+    Scale: training reads `_PQ_TRAIN`×`EMB_DIM` doubles to the driver
+    once (a few hundred KB, corpus-size-independent); encoding is one
+    linear pass against broadcast codebooks; the LUT is nq×M×K rows
+    broadcast; ADC
     joins the M-rows-per-vector code table to the LUT and reduces by
     (query, neighbor) with map-side combine; shortlist and final rank
     are WindowGroupLimit-pruned windows keyed by query."""
+    import numpy as np
+
     emb = load(spark, sf_dir, "embeddings").select(
         "vec_id",
         F.transform(
@@ -525,46 +547,68 @@ def embedding_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda x: F.round(x * _PQ_SCALE, 0),
         ).alias("v"),
     )
-    seed_rows = (
+    # codebook training sample: bottom-_PQ_TRAIN vectors by portable id
+    # hash — BOUNDED at any corpus size (the FAISS stance: PQ codebooks
+    # train on a sample; the corpus only ever sees the linear encode
+    # pass below). Deterministic and engine-portable, so the oracle
+    # takes the identical sample. Seeds = the first _PQ_K of the same
+    # ordering.
+    train_rows = (
         emb.withColumn("h", portable_id_hash("vec_id"))
         .orderBy("h", "vec_id")
-        .limit(_PQ_K)
+        .limit(_PQ_TRAIN)
         .collect()
     )
-    k_eff = len(seed_rows)
-    books: list[list[list[float]]] = [
-        [list(r["v"])[m * _PQ_SUB : (m + 1) * _PQ_SUB] for r in seed_rows]
-        for m in range(_PQ_M)
-    ]
+    X = np.array([list(r["v"]) for r in train_rows], dtype=np.float64)
+    k_eff = min(_PQ_K, len(train_rows))
+
+    # driver-side Lloyd rounds over the bounded sample (numpy; ~1024×64
+    # doubles). Bit-parity with the oracle's SQL training: per-term
+    # (x-c)^2 is elementwise IEEE; the SUB terms add in explicit left-
+    # fold order; np.argmin's first-min tie-break = ORDER BY d, j;
+    # cluster sums are sums of integer-valued doubles (exact in any
+    # order); centroids are one exact division sum/count.
+    books: list[list[list[float]]] = []
+    for m in range(_PQ_M):
+        Xm = X[:, m * _PQ_SUB : (m + 1) * _PQ_SUB]
+        C = Xm[:k_eff].copy()
+        for _ in range(_PQ_ITERS):
+            diff = Xm[:, None, :] - C[None, :, :]
+            sq = diff * diff  # explicit multiply (not **2/pow) for IEEE parity
+            d = sq[..., 0]
+            for i in range(1, _PQ_SUB):
+                d = d + sq[..., i]
+            codes = np.argmin(d, axis=1)
+            for j in range(k_eff):
+                mask = codes == j
+                if mask.any():
+                    C[j] = Xm[mask].sum(axis=0) / mask.sum()
+        books.append([[float(c) for c in row] for row in C])
 
     # element long form: one row per (vector, subspace) with the
     # subvector as SCALAR columns — distances below are plain codegen
     # arithmetic (the HOF fold form ran interpreted and was the bench
     # hotspot; a literal-centroid expression tree was worse still:
     # M×K inlined centroids made megabyte plans that stalled Catalyst)
-    sub = (
-        emb.select(
-            "vec_id",
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(m).alias("m"),
-                            *[
-                                F.element_at("v", m * _PQ_SUB + i + 1).alias(
-                                    f"e{i}"
-                                )
-                                for i in range(_PQ_SUB)
-                            ],
-                        )
-                        for m in range(_PQ_M)
-                    ]
-                )
-            ).alias("x"),
-        )
-        .select("vec_id", "x.*")
-        .localCheckpoint(eager=True)
-    )
+    sub = emb.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(m).alias("m"),
+                        *[
+                            F.element_at("v", m * _PQ_SUB + i + 1).alias(
+                                f"e{i}"
+                            )
+                            for i in range(_PQ_SUB)
+                        ],
+                    )
+                    for m in range(_PQ_M)
+                ]
+            )
+        ).alias("x"),
+    ).select("vec_id", "x.*")
 
     def codebook_df(books_now: list[list[list[float]]]) -> DataFrame:
         """Codebooks as a broadcastable TABLE (m, j, c0..c{SUB-1}) —
@@ -612,28 +656,6 @@ def embedding_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("best.j").cast("int").alias("code"),
             )
         )
-
-    for _ in range(_PQ_ITERS):
-        stats = (
-            assign(books)
-            .groupBy("m", "code")
-            .agg(
-                F.count("*").alias("n"),
-                *[F.sum(f"e{i}").alias(f"s{i}") for i in range(_PQ_SUB)],
-            )
-            .collect()
-        )
-        upd = {
-            (r["m"], r["code"]): [
-                r[f"s{i}"] / r["n"] for i in range(_PQ_SUB)
-            ]
-            for r in stats
-        }
-        # empty clusters keep their previous centroid (oracle does too)
-        books = [
-            [upd.get((m, j), books[m][j]) for j in range(k_eff)]
-            for m in range(_PQ_M)
-        ]
 
     enc_long = assign(books).select("vec_id", "m", "code")
 

@@ -669,6 +669,197 @@ def conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return r1.unionByName(r2).unionByName(r3)
 
 
+_WF_WINDOW_US = 6 * 3600 * 1_000_000  # windowFunnel sliding window
+
+
+@query(
+    "window_funnel",
+    oracle=f"""
+    WITH t AS (
+      SELECT user_id, epoch_us(ts) AS tsu, event_type FROM events
+    ),
+    lv AS (
+      SELECT user_id, tsu, event_type,
+             max(CASE WHEN event_type = 'view' THEN tsu END) OVER w AS v_prev
+      FROM t
+      WINDOW w AS (PARTITION BY user_id ORDER BY tsu
+                   RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    ),
+    c2 AS (
+      SELECT user_id, tsu, event_type, v_prev,
+             max(CASE WHEN event_type = 'click' THEN v_prev END) OVER w AS vc_prev
+      FROM lv
+      WINDOW w AS (PARTITION BY user_id ORDER BY tsu
+                   RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    ),
+    levels AS (
+      SELECT user_id,
+             max(CASE
+                   WHEN event_type = 'purchase' AND vc_prev IS NOT NULL
+                        AND tsu - vc_prev <= {_WF_WINDOW_US} THEN 3
+                   WHEN event_type = 'click' AND v_prev IS NOT NULL
+                        AND tsu - v_prev <= {_WF_WINDOW_US} THEN 2
+                   WHEN event_type = 'view' THEN 1
+                   ELSE 0 END) AS level
+      FROM c2 GROUP BY user_id
+    )
+    SELECT CAST(level AS INT) AS level, count(*) AS n_users
+    FROM levels WHERE level > 0 GROUP BY level
+    """,
+)
+def window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse `windowFunnel(window)(ts, ...)` analog (the function
+    the reference's clickstream warehouse would reach for first;
+    behavior per the public ClickHouse docs — NOT a code port): the
+    deepest view -> click -> purchase chain per user whose total span
+    fits in `_WF_WINDOW_US`, reported as users-per-level.
+
+    Unlike `conversion_funnel` (first-occurrence chain, unbounded
+    span), the chain here must COMPLETE within the window, and any
+    qualifying chain counts — so the plan must consider every chain
+    start, not just the first. The trick that keeps this one window
+    pass instead of a k-way self-join: scanning in ts order, carry
+    (a) the latest strictly-earlier view timestamp and (b) the
+    latest view-start among strictly-earlier view->click chains —
+    both conditional maxes over a RANGE frame ending at 1 PRECEDING
+    (value-strict, so equal timestamps never see each other). Taking
+    the LATEST viable chain start is the greedy that preserves
+    completeness: any valid chain implies one whose start is the
+    carried max, so the end-of-chain window test `t3 - t1 <= W` never
+    misses. Two analytic passes over the same (user_id, tsu) sort
+    order collapse into ONE shuffle + sort at scale; the level rollup
+    is a map-side-combined count over <=3 keys."""
+    e = load(spark, sf_dir, "events").select(
+        "user_id", F.unix_micros("ts").alias("tsu"), "event_type"
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("tsu")
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    et = F.col("event_type")
+    lv = e.withColumn(
+        "v_prev", F.max(F.when(et == "view", F.col("tsu"))).over(w)
+    )
+    c2 = lv.withColumn(
+        "vc_prev", F.max(F.when(et == "click", F.col("v_prev"))).over(w)
+    )
+    win = F.lit(_WF_WINDOW_US)
+    level = (
+        F.when(
+            (et == "purchase")
+            & F.col("vc_prev").isNotNull()
+            & (F.col("tsu") - F.col("vc_prev") <= win),
+            3,
+        )
+        .when(
+            (et == "click")
+            & F.col("v_prev").isNotNull()
+            & (F.col("tsu") - F.col("v_prev") <= win),
+            2,
+        )
+        .when(et == "view", 1)
+        .otherwise(0)
+    )
+    return (
+        c2.groupBy("user_id")
+        .agg(F.max(level).alias("level"))
+        .filter(F.col("level") > 0)
+        .groupBy(F.col("level").cast("int").alias("level"))
+        .agg(F.count("*").alias("n_users"))
+    )
+
+
+_SEQ_SYMS = (
+    ("view", "v"),
+    ("click", "c"),
+    ("purchase", "p"),
+    ("signup", "s"),
+    ("error", "e"),
+)
+_SEQ_PAT = "v.*?c.*?p"  # lazy: leftmost-shortest chains, both engines
+
+
+@query(
+    "sequence_match_events",
+    oracle=f"""
+    WITH syms AS (
+      SELECT user_id, epoch_us(ts) AS tsu, event_id,
+             CASE {' '.join(f"WHEN event_type = '{t}' THEN '{s}'" for t, s in _SEQ_SYMS)}
+                  ELSE '_' END AS sym
+      FROM events
+    ),
+    paths AS (
+      SELECT user_id,
+             string_agg(sym, '' ORDER BY tsu, event_id) AS path
+      FROM syms GROUP BY user_id
+    )
+    SELECT user_id, length(path) AS seq_len,
+           CAST(CASE WHEN regexp_matches(path, '{_SEQ_PAT}') THEN 1 ELSE 0 END AS INT)
+             AS has_chain,
+           CAST(length(regexp_extract_all(path, '{_SEQ_PAT}')) AS INT) AS n_chains
+    FROM paths
+    """,
+)
+def sequence_match_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse `sequenceMatch` / `sequenceCount` analog (public
+    docs semantics, independent implementation): each user's event
+    history becomes an ordered single-char symbol string, and chain
+    detection/counting is regex over that string — `has_chain` is
+    sequenceMatch('(?1).*(?2).*(?3)') for view/click/purchase,
+    `n_chains` counts NON-OVERLAPPING leftmost-shortest chains (the
+    lazy `.*?` quantifiers make each match end at the first
+    completing purchase, so counting matches = greedily counting
+    disjoint chains — ClickHouse's sequenceCount rule).
+
+    Engine parity: the pattern uses only literals, `.` and lazy `*?`
+    — semantics identical in Java regex (Spark) and RE2 (DuckDB),
+    the same intersection-of-dialects stance as pii_scan. The path
+    is built by array_sort(collect_list(struct(tsu, event_id, sym)))
+    — struct order sorts by (tsu, event_id), matching the oracle's
+    `string_agg(... ORDER BY tsu, event_id)` byte-for-byte.
+
+    Scale: one shuffle keyed by user_id; per-user state is the
+    symbol string (1 byte/event) — the same per-key memory contract
+    ClickHouse's sequenceMatch has. For unbounded per-key histories,
+    sessionize first (see `session_paths`) or pre-filter to the
+    pattern's event types."""
+    sym = F.col("event_type")
+    expr = None
+    for t, s in _SEQ_SYMS:
+        expr = (
+            F.when(sym == t, s) if expr is None else expr.when(sym == t, s)
+        )
+    expr = expr.otherwise("_")
+    e = load(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_micros("ts").alias("tsu"),
+        "event_id",
+        expr.alias("sym"),
+    )
+    paths = e.groupBy("user_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("tsu", "event_id", "sym"))
+                ),
+                lambda x: x["sym"],
+            ),
+            "",
+        ).alias("path")
+    )
+    pat = F.lit(_SEQ_PAT)
+    return paths.select(
+        "user_id",
+        F.length("path").cast("long").alias("seq_len"),
+        F.when(F.col("path").rlike(_SEQ_PAT), 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("has_chain"),
+        F.regexp_count("path", pat).cast("int").alias("n_chains"),
+    )
+
+
 @query(
     "cohort_retention",
     oracle="""
