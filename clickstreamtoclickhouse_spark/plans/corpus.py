@@ -1152,3 +1152,237 @@ def fuzzy_word_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cand.filter(dist <= 1).select(
         "word_a", "word_b", dist.cast("int").alias("dist")
     )
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance weights + hashed linear classifier scoring
+# ---------------------------------------------------------------------------
+
+_DSIR_B = 512  # hashed n-gram feature buckets
+_DSIR_TARGET_LANG = "en"  # stand-in target distribution (the "Wikipedia
+# + books" side of DSIR); raw = the whole corpus
+_DSIR_SELECT_K = 100  # resample size
+_CLS_W_MOD = 2001  # pseudo-weight grid: ((h % 2001) - 1000) / 1000
+
+
+_SQL_HASHED_FEATS_CTES = f"""base AS (
+      SELECT doc_id, lang, {tx.SQL_WORDS.format(t='lower(text)')} AS ws
+      FROM documents WHERE length(trim(text)) > 0
+    ),
+    uni AS (SELECT doc_id, lang, unnest(ws) AS f FROM base),
+    bi AS (
+      SELECT doc_id, lang,
+             unnest(list_transform(range(1, len(ws)),
+                    i -> ws[i] || ' ' || ws[i+1])) AS f
+      FROM base WHERE len(ws) >= 2
+    ),
+    feats AS (
+      SELECT doc_id, lang,
+             ('0x' || substr(md5(f), 1, 8))::BIGINT % {_DSIR_B} AS b
+      FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)
+    ),
+    dk AS (
+      SELECT doc_id, lang, b, count(*) AS c
+      FROM feats GROUP BY doc_id, lang, b
+    )"""
+
+
+def _hashed_feats(docs: DataFrame) -> DataFrame:
+    """(doc_id, lang, b): one row per unigram+bigram instance of the
+    lowercased whitespace tokenization, hashed into `_DSIR_B` buckets
+    with the engine's ONE portable hash (util.portable_id_hash) — the
+    hashed n-gram featurization DSIR and fastText share. Pure Column
+    exprs; the DuckDB twin is _SQL_HASHED_FEATS_CTES."""
+    base = docs.filter(F.length(F.trim("text")) > 0).select(
+        "doc_id", "lang", tx.words(F.lower(F.col("text"))).alias("ws")
+    )
+    uni = base.select("doc_id", "lang", F.explode("ws").alias("f"))
+    bi = base.filter(F.size("ws") >= 2).select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("ws") - 1),
+                lambda i: F.concat_ws(
+                    " ", F.element_at("ws", i), F.element_at("ws", i + 1)
+                ),
+            )
+        ).alias("f"),
+    )
+    return uni.unionByName(bi).select(
+        "doc_id", "lang", (portable_id_hash("f") % _DSIR_B).alias("b")
+    )
+
+
+def _doc_bucket_counts(docs: DataFrame) -> DataFrame:
+    """(doc_id, lang, b, c): per-document hashed-feature bucket counts
+    — ONE keyed shuffle over the feature stream; every distribution
+    below derives from this (docs x <=B)-sized table, never from a
+    second pass over the corpus text."""
+    return (
+        _hashed_feats(docs)
+        .groupBy("doc_id", "lang", "b")
+        .agg(F.count("*").alias("c"))
+    )
+
+
+@query(
+    "dsir_importance_weights",
+    oracle=f"""
+    WITH {_SQL_HASHED_FEATS_CTES},
+    raw AS (SELECT b, CAST(sum(c) AS BIGINT) AS ca FROM dk GROUP BY b),
+    tgt AS (SELECT b, CAST(sum(c) AS BIGINT) AS ct FROM dk
+            WHERE lang = '{_DSIR_TARGET_LANG}' GROUP BY b),
+    tot AS (
+      SELECT CAST(sum(c) AS BIGINT) AS na,
+             CAST(sum(CASE WHEN lang = '{_DSIR_TARGET_LANG}' THEN c ELSE 0 END)
+                  AS BIGINT) AS nt
+      FROM dk
+    ),
+    lam AS (
+      SELECT r.b,
+             ln((coalesce(t.ct, 0) + 1.0) / (tot.nt + {_DSIR_B}))
+             - ln((r.ca + 1.0) / (tot.na + {_DSIR_B})) AS lam
+      FROM raw r LEFT JOIN tgt t USING (b), tot
+    ),
+    sc AS (
+      SELECT dk.doc_id,
+             CAST(sum(dk.c) AS BIGINT) AS n_feats,
+             sum(dk.c * lam.lam) AS lw
+      FROM dk JOIN lam USING (b)
+      GROUP BY dk.doc_id
+    ),
+    top AS (
+      SELECT doc_id FROM sc
+      ORDER BY round(lw, 6) DESC, doc_id LIMIT {_DSIR_SELECT_K}
+    )
+    SELECT sc.doc_id, sc.n_feats,
+           round(sc.lw, 6) AS log_weight,
+           round(sc.lw / sc.n_feats, 6) AS avg_log_ratio,
+           CAST(CASE WHEN top.doc_id IS NULL THEN 0 ELSE 1 END AS INT)
+             AS selected
+    FROM sc LEFT JOIN top USING (doc_id)
+    """,
+)
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data Selection via Importance Resampling (Xie et al., NeurIPS
+    2023 — the public DSIR method): featurize every document as hashed
+    unigram+bigram bucket counts, fit two bag-of-hashed-ngrams
+    distributions — target p (here the `_DSIR_TARGET_LANG` slice, the
+    stand-in for "quality" data) and raw q (the whole corpus) — with
+    add-one smoothing over the `_DSIR_B` buckets, and score each doc
+    with the log importance weight sum_b c_b * (ln p_b - ln q_b).
+    `selected` marks the top-`_DSIR_SELECT_K` resample (deterministic
+    rank variant of DSIR's Gumbel draw: ORDER BY rounded weight, then
+    doc_id). Emits (doc_id, n_feats, log_weight, avg_log_ratio,
+    selected) for every doc so downstream mixing can reweight rather
+    than hard-select.
+
+    Scale: the corpus text is read ONCE into per-doc bucket counts
+    (`_doc_bucket_counts`, one keyed shuffle); both distributions and
+    the lambda = ln p - ln q table reduce from that to <= `_DSIR_B`
+    rows (map-side combined, broadcast back); per-doc scoring is a
+    broadcast join + one keyed sum. The resample is a
+    TakeOrderedAndProject top-k (no global sort window) whose ids
+    broadcast onto the score stream. State is O(B), corpus passes are
+    linear — the exact deployment shape of DSIR at dataset scale."""
+    dk = _doc_bucket_counts(load(spark, sf_dir, "documents"))
+    is_tgt = F.col("lang") == _DSIR_TARGET_LANG
+    raw = dk.groupBy("b").agg(
+        F.sum("c").alias("ca"),
+        F.sum(F.when(is_tgt, F.col("c")).otherwise(F.lit(0))).alias("ct"),
+    )
+    tot = raw.agg(
+        F.sum("ca").alias("na"), F.sum("ct").alias("nt")
+    )
+    lam = raw.crossJoin(F.broadcast(tot)).select(
+        "b",
+        (
+            F.log((F.col("ct") + 1.0) / (F.col("nt") + _DSIR_B))
+            - F.log((F.col("ca") + 1.0) / (F.col("na") + _DSIR_B))
+        ).alias("lam"),
+    )
+    sc = (
+        dk.join(F.broadcast(lam), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_feats"),
+            F.sum(F.col("c") * F.col("lam")).alias("lw"),
+        )
+    )
+    top = (
+        sc.orderBy(F.round("lw", 6).desc(), "doc_id")
+        .limit(_DSIR_SELECT_K)
+        .select("doc_id", F.lit(1).alias("sel"))
+    )
+    return (
+        sc.join(F.broadcast(top), "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_feats",
+            F.round("lw", 6).alias("log_weight"),
+            F.round(F.col("lw") / F.col("n_feats"), 6).alias("avg_log_ratio"),
+            F.coalesce(F.col("sel"), F.lit(0)).cast("int").alias("selected"),
+        )
+    )
+
+
+@query(
+    "hashed_classifier_scores",
+    oracle=f"""
+    WITH {_SQL_HASHED_FEATS_CTES},
+    wt AS (
+      SELECT doc_id, c,
+             ((('0x' || substr(md5(CAST(b AS VARCHAR)), 1, 8))::BIGINT
+               % {_CLS_W_MOD}) - {(_CLS_W_MOD - 1) // 2}) / {(_CLS_W_MOD - 1) // 2}.0
+               AS w
+      FROM dk
+    ),
+    sc AS (
+      SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_feats, sum(c * w) AS s
+      FROM wt GROUP BY doc_id
+    )
+    SELECT doc_id, n_feats,
+           round(s / n_feats, 6) AS logit,
+           round(1.0 / (1.0 + exp(-(s / n_feats))), 6) AS prob,
+           CAST(s > 0 AS INT) AS positive
+    FROM sc
+    """,
+)
+def hashed_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fastText-style hashed linear classifier scoring (Joulin et al.
+    2016; the quality-classifier deployment shape of CCNet / LLaMA
+    data filtering): docs featurize to hashed unigram+bigram bucket
+    counts, a per-bucket weight vector dots against them, and the mean
+    activation passes through a sigmoid. No pretrained model ships in
+    this env, so the weights are a DETERMINISTIC stand-in — bucket b's
+    weight is ((portable_hash(b) % {_CLS_W_MOD}) - 1000) / 1000, a
+    fixed pseudo-random grid both engines derive identically — which
+    keeps the full plumbing (featurize -> weight lookup -> dot ->
+    sigmoid -> threshold) real, tested, and oracle-checked; swapping
+    in trained weights is a one-table substitution.
+
+    Scale: reuses `_doc_bucket_counts` (one corpus pass, one keyed
+    shuffle); the weight is a pure Column expression on the bucket id
+    — no join at all — and scoring is one keyed sum. At 100 TB this
+    is the cheapest per-doc scorer in the repo: linear scan, O(1)
+    state, whole-stage codegen end to end."""
+    half = (_CLS_W_MOD - 1) // 2
+    dk = _doc_bucket_counts(load(spark, sf_dir, "documents"))
+    wt = dk.withColumn(
+        "w",
+        ((portable_id_hash(F.col("b")) % _CLS_W_MOD) - F.lit(half))
+        / F.lit(float(half)),
+    )
+    sc = wt.groupBy("doc_id").agg(
+        F.sum("c").alias("n_feats"),
+        F.sum(F.col("c") * F.col("w")).alias("s"),
+    )
+    logit = F.col("s") / F.col("n_feats")
+    return sc.select(
+        "doc_id",
+        "n_feats",
+        F.round(logit, 6).alias("logit"),
+        F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-logit)), 6).alias("prob"),
+        (F.col("s") > 0).cast("int").alias("positive"),
+    )

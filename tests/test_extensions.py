@@ -756,3 +756,37 @@ def test_repetition_gram_build_equals_hof_form(spark, docs):
     )
     assert hof.exceptAll(win).count() == 0
     assert win.exceptAll(hof).count() == 0
+
+
+def test_dsir_upweights_target_language_docs(spark):
+    """DSIR's whole point: docs drawn from the target distribution
+    (here lang='en') must receive higher importance weights on average
+    than the rest, and the deterministic resample must be exactly
+    _DSIR_SELECT_K docs."""
+    from clickstreamtoclickhouse_spark.plans.corpus import (
+        _DSIR_SELECT_K,
+        _DSIR_TARGET_LANG,
+    )
+
+    sc = plans.QUERIES["dsir_importance_weights"](spark, SF_DIR)
+    docs = plans.load(spark, SF_DIR, "documents").select("doc_id", "lang")
+    j = sc.join(docs, "doc_id")
+    means = dict(
+        j.groupBy(F.col("lang") == _DSIR_TARGET_LANG)
+        .agg(F.avg("avg_log_ratio").alias("m"))
+        .collect()
+    )
+    assert means[True] > means[False]
+    assert j.filter("selected = 1").count() == _DSIR_SELECT_K
+
+
+def test_hashed_classifier_scores_are_calibrated_sigmoid(spark):
+    """prob must equal sigmoid(logit) row-wise and `positive` must be
+    the 0-threshold of the raw activation."""
+    import math
+
+    rows = plans.QUERIES["hashed_classifier_scores"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert abs(r.prob - 1.0 / (1.0 + math.exp(-r.logit))) < 1e-4
+        assert r.positive == (1 if r.logit > 0 else 0)
