@@ -540,7 +540,17 @@ def embedding_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     are WindowGroupLimit-pruned windows keyed by query."""
     import numpy as np
 
-    emb = load(spark, sf_dir, "embeddings").select(
+    base = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    # NOTE the per-ELEMENT scalar extract+cast+round in the encode
+    # path below (never an array-wide transform(...) or cast(...)
+    # feeding element_at): projection collapse inlines a whole-array
+    # expression into EVERY one of the 64 element_at extractions, so
+    # the array gets re-transformed (or re-cast) 64x per row — an
+    # O(dim^2) interpreted blowup that made the encode scan a 2s
+    # single-task stage. round(cast(element_at(raw, i)) * SCALE, 0)
+    # is the same arithmetic, one direct array access per element,
+    # whole-stage codegen throughout.
+    emb = base.select(
         "vec_id",
         F.transform(
             F.col("embedding").cast("array<double>"),
@@ -590,7 +600,17 @@ def embedding_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # arithmetic (the HOF fold form ran interpreted and was the bench
     # hotspot; a literal-centroid expression tree was worse still:
     # M×K inlined centroids made megabyte plans that stalled Catalyst)
-    sub = emb.select(
+    # The encode pass fans each input row out 16x and partially
+    # aggregates ~M*K distance rows per vector INSIDE the scan stage —
+    # on an under-partitioned input (one small parquet split at test
+    # SF) that whole fan-out runs in one task. Widen only when the
+    # scan has fewer splits than cores: a real deployment's scan
+    # already carries thousands of tasks and skips this (the shuffled
+    # payload is just (id, vector), and only when the branch fires).
+    n_parts = base.rdd.getNumPartitions()
+    par = spark.sparkContext.defaultParallelism
+    enc_in = base.repartition(par) if n_parts < par else base
+    sub = enc_in.select(
         "vec_id",
         F.explode(
             F.array(
@@ -598,9 +618,13 @@ def embedding_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.struct(
                         F.lit(m).alias("m"),
                         *[
-                            F.element_at("v", m * _PQ_SUB + i + 1).alias(
-                                f"e{i}"
-                            )
+                            F.round(
+                                F.element_at(
+                                    "embedding", m * _PQ_SUB + i + 1
+                                ).cast("double")
+                                * _PQ_SCALE,
+                                0,
+                            ).alias(f"e{i}")
                             for i in range(_PQ_SUB)
                         ],
                     )
@@ -636,14 +660,17 @@ def embedding_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             d = d + t
         return d
 
-    def assign(books_now: list[list[list[float]]]) -> DataFrame:
+    cb = codebook_df(books)  # ONE codebook table, broadcast once and
+    # reused by the encode pass and the LUT (two createDataFrame +
+    # broadcast rounds showed up as separate sub-second jobs)
+
+    def assign(cb_now: DataFrame) -> DataFrame:
         """(vec_id, m, e0.., code): argmin_j over the K centroids of
         each subspace — n×M×K distance rows, reduced by a map-side-
         combinable min(struct(d, j)) (lexicographic: ties -> lowest
         j, matching the oracle's ORDER BY d, j)."""
-        cb = F.broadcast(codebook_df(books_now))
         return (
-            sub.join(cb, "m")
+            sub.join(F.broadcast(cb_now), "m")
             .withColumn("d", dist_expr())
             .groupBy("vec_id", "m", *[f"e{i}" for i in range(_PQ_SUB)])
             .agg(
@@ -657,13 +684,13 @@ def embedding_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
 
-    enc_long = assign(books).select("vec_id", "m", "code")
+    enc_long = assign(cb).select("vec_id", "m", "code")
 
     # LUT: per (query, m, j) distances — nq×M×K rows via the same
     # broadcast codebook join over the bounded query set
     lut = (
         sub.filter(F.col("vec_id") < 10)
-        .join(F.broadcast(codebook_df(books)), "m")
+        .join(F.broadcast(cb), "m")
         .select(
             F.col("vec_id").alias("query_id"),
             F.col("m").alias("lm"),
