@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions import text as tx
+from ..util import widen_scan
 from .registry import load, query
 
 CHUNK_SIZE = 64
@@ -207,9 +208,9 @@ def substring_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     and therefore needs its frequency cap). At 100 TB, shuffle
     xxhash64(gram) instead of the gram string to cut shuffle bytes
     ~10x; the string form is kept here for oracle parity."""
-    d = load(spark, sf_dir, "documents").filter(
-        F.length(F.trim(F.col("text"))) > 0
-    )
+    d = widen_scan(
+        load(spark, sf_dir, "documents")
+    ).filter(F.length(F.trim(F.col("text"))) > 0)
     grams = d.select(
         "doc_id",
         F.explode(

@@ -59,3 +59,20 @@ def try_read_parquet(
         if is_path_not_found(e):
             return None
         raise
+
+
+def widen_scan(df: DataFrame) -> DataFrame:
+    """Round-robin repartition `df` to the session's core count IFF its
+    scan is under-partitioned (fewer splits than cores). Fan-out-heavy
+    operators (shingling, per-dim projections, subspace encodes) do
+    O(10-100)x of their work in the MAP stage; a small single-split
+    parquet input pins all of it to one task. A production-scale scan
+    already carries thousands of splits, so the branch never fires and
+    no shuffle is added; when it does fire the payload is only the
+    small input itself. The explicit numPartitions keeps AQE from
+    re-coalescing the widened exchange."""
+    spark = df.sparkSession
+    par = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        return df.repartition(par)
+    return df
