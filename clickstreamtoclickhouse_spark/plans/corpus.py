@@ -1413,3 +1413,179 @@ def hashed_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-logit)), 6).alias("prob"),
         (F.col("s") > 0).cast("int").alias("positive"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Filtering-cascade survival report
+# ---------------------------------------------------------------------------
+
+_CASCADE_STAGES = [
+    (1, "nonempty"),
+    (2, "word_count"),
+    (3, "word_shape"),
+    (4, "stopwords"),
+    (5, "repetition"),
+    (6, "exact_dedup"),
+]
+
+
+def _cascade_oracle_sql() -> str:
+    stage_values = ", ".join(f"({i}, '{n}')" for i, n in _CASCADE_STAGES)
+    return f"""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + {_COPY_OFFSET} AS doc_id, text FROM documents
+    ),
+    t AS (
+      SELECT doc_id, text, md5(text) AS h,
+             CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+                  ELSE {tx.SQL_WORDS.format(t='lower(text)')} END AS ws
+      FROM corpus
+    ),
+    g AS (
+      SELECT doc_id, text, h, ws,
+             {tx.sql_ngrams('ws', 2)} AS bg,
+             {tx.sql_ngrams('ws', 3)} AS tg
+      FROM t
+    ),
+    m AS (
+      SELECT doc_id, h,
+             len(ws) AS n_words,
+             round(CASE WHEN len(ws) = 0 THEN 0.0
+                  ELSE length(regexp_replace(text, '\\s+', '', 'g')) * 1.0 / len(ws)
+             END, 4) AS mwl,
+             round(CASE WHEN len(bg) = 0 THEN 0.0
+                  ELSE list_max(list_transform(list_distinct(bg),
+                         b -> len(list_filter(bg, x -> x = b)))) * 1.0 / len(bg)
+             END, 6) AS tbf,
+             round(CASE WHEN len(tg) = 0 THEN 0.0
+                  ELSE (len(tg) - len(list_distinct(tg))) * 1.0 / len(tg)
+             END, 6) AS dtf,
+             len(list_intersect(list_distinct(ws),
+                                {tx.sql_stopword_list('en')})) AS n_stop
+      FROM g
+    ),
+    ff0 AS (
+      SELECT doc_id, h,
+             CASE WHEN n_words = 0 THEN 1
+                  WHEN n_words NOT BETWEEN 10 AND 100000 THEN 2
+                  WHEN mwl NOT BETWEEN 3 AND 10 THEN 3
+                  WHEN n_stop < 2 THEN 4
+                  WHEN tbf > 0.20 OR dtf > 0.30 THEN 5
+                  ELSE 0 END AS ff
+      FROM m
+    ),
+    rnk AS (
+      SELECT doc_id,
+             row_number() OVER (PARTITION BY h ORDER BY doc_id) AS rn
+      FROM ff0 WHERE ff = 0
+    ),
+    ffin AS (
+      SELECT f.doc_id,
+             CASE WHEN f.ff > 0 THEN f.ff
+                  WHEN r.rn > 1 THEN 6
+                  ELSE 0 END AS ff
+      FROM ff0 f LEFT JOIN rnk r USING (doc_id)
+    ),
+    cnt AS (SELECT ff, count(*) AS c FROM ffin GROUP BY ff),
+    stages AS (SELECT * FROM (VALUES {stage_values}) AS v(stage_idx, stage))
+    SELECT s.stage_idx, s.stage,
+           CAST(coalesce(sum(CASE WHEN cnt.ff = 0 OR cnt.ff >= s.stage_idx
+                                  THEN cnt.c END), 0) AS BIGINT) AS n_in,
+           CAST(coalesce(sum(CASE WHEN cnt.ff = s.stage_idx
+                                  THEN cnt.c END), 0) AS BIGINT) AS n_rejected,
+           CAST(coalesce(sum(CASE WHEN cnt.ff = 0 OR cnt.ff > s.stage_idx
+                                  THEN cnt.c END), 0) AS BIGINT) AS n_out
+    FROM stages s CROSS JOIN cnt
+    GROUP BY s.stage_idx, s.stage
+    """
+
+
+@query("filter_cascade_report", oracle=_cascade_oracle_sql())
+def filter_cascade_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtering-cascade survival funnel: the audit table a curation
+    pipeline publishes alongside its output (how many docs entered
+    each stage, how many each stage rejected, how many survived).
+    Stages, in pipeline order: nonempty -> Gopher word-count bounds ->
+    mean-word-length shape -> stopword evidence -> repetition
+    occupancy -> exact (md5) dedup keeping the lowest doc_id among
+    survivors. A doc is charged to the FIRST stage that rejects it
+    (cascade semantics — later stages never see it), and dedup ranks
+    only the docs that survived stages 1-5, exactly as the real
+    pipeline would run it. Runs over the duplicate-injected corpus
+    (documents ∪ exact copies, the repo's standard dedup fixture) so
+    the dedup stage's rejections are visible at test SF. Thresholds
+    apply to the ROUNDED metrics
+    (round-4/round-6, same on both engines) so the stage assignment
+    is bit-portable.
+
+    Scale: one linear metric scan (gopher_stats' let-bound struct,
+    evaluated once per row), one md5-keyed shuffle for the dedup rank
+    (uniform hash, no skew), then the per-stage report reduces a
+    <=7-row count table against a 6-row stage dimension — O(1) state,
+    no corpus-wide windows."""
+    from .ext import _dup_corpus
+
+    d = _dup_corpus(load(spark, sf_dir, "documents"))
+    m = d.select(
+        "doc_id",
+        F.md5("text").alias("h"),
+        F.inline(F.array(tx.gopher_stats(F.col("text")))),
+    )
+    ff0 = m.select(
+        "doc_id",
+        "h",
+        F.when(F.col("n_words") == 0, 1)
+        .when(~F.col("n_words").between(10, 100000), 2)
+        .when(~F.col("mean_word_len").between(3, 10), 3)
+        .when(F.col("n_stopword_types") < 2, 4)
+        .when(
+            (F.col("top_bigram_frac") > 0.20)
+            | (F.col("dup_trigram_frac") > 0.30),
+            5,
+        )
+        .otherwise(0)
+        .alias("ff"),
+    )
+    rnk = (
+        ff0.filter(F.col("ff") == 0)
+        .withColumn(
+            "rn",
+            F.row_number().over(Window.partitionBy("h").orderBy("doc_id")),
+        )
+        .select("doc_id", "rn")
+    )
+    ffin = ff0.join(rnk, "doc_id", "left").select(
+        "doc_id",
+        F.when(F.col("ff") > 0, F.col("ff"))
+        .when(F.col("rn") > 1, 6)
+        .otherwise(0)
+        .alias("ff"),
+    )
+    cnt = ffin.groupBy("ff").agg(F.count("*").alias("c"))
+    stages = spark.createDataFrame(
+        _CASCADE_STAGES, "stage_idx int, stage string"
+    )
+    idx = F.col("stage_idx")
+    return (
+        stages.crossJoin(F.broadcast(cnt))
+        .groupBy("stage_idx", "stage")
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.when((F.col("ff") == 0) | (F.col("ff") >= idx), F.col("c"))
+                ),
+                F.lit(0),
+            ).alias("n_in"),
+            F.coalesce(
+                F.sum(F.when(F.col("ff") == idx, F.col("c"))), F.lit(0)
+            ).alias("n_rejected"),
+            F.coalesce(
+                F.sum(
+                    F.when((F.col("ff") == 0) | (F.col("ff") > idx), F.col("c"))
+                ),
+                F.lit(0),
+            ).alias("n_out"),
+        )
+    )

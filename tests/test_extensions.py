@@ -790,3 +790,24 @@ def test_hashed_classifier_scores_are_calibrated_sigmoid(spark):
     for r in rows:
         assert abs(r.prob - 1.0 / (1.0 + math.exp(-r.logit))) < 1e-4
         assert r.positive == (1 if r.logit > 0 else 0)
+
+
+def test_filter_cascade_is_a_consistent_funnel(spark):
+    """Cascade invariants: each stage's n_out equals the next stage's
+    n_in, rejections add up, and the dedup stage removes exactly the
+    injected exact copies that survived the filter stages."""
+    rows = sorted(
+        plans.QUERIES["filter_cascade_report"](spark, SF_DIR).collect(),
+        key=lambda r: r.stage_idx,
+    )
+    assert [r.stage for r in rows] == [
+        "nonempty", "word_count", "word_shape",
+        "stopwords", "repetition", "exact_dedup",
+    ]
+    for r in rows:
+        assert r.n_in - r.n_rejected == r.n_out
+    for prev, nxt in zip(rows, rows[1:]):
+        assert prev.n_out == nxt.n_in
+    dedup = rows[-1]
+    # injected corpus doubles every doc: surviving pairs lose one copy
+    assert dedup.n_rejected == dedup.n_out
