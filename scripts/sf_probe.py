@@ -54,6 +54,9 @@ PROBE_QUERIES = [
     "embedding_pq_topk",
     "bpe_merges",
     "bloom_dedup_docs",
+    "dsir_importance_weights",
+    "hashed_classifier_scores",
+    "filter_cascade_report",
 ]
 
 
