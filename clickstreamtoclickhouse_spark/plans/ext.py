@@ -17,7 +17,6 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..functions import dedup_text, graph, multimodal, similarity, text as tx
-from ..util import widen_scan
 from .registry import load, query
 
 EMB_DIM = 64
@@ -30,10 +29,11 @@ _COPY_OFFSET = 1_000_000
 
 
 def _dup_corpus(docs: DataFrame) -> DataFrame:
-    """documents ∪ exact copies (ids offset). Widened first: every
-    consumer (minhash/simhash/jaccard shingling) fans each doc out by
-    10-100x inside the map stage — see util.widen_scan."""
-    docs = widen_scan(docs)
+    """documents ∪ exact copies (ids offset). Deliberately NOT
+    widen_scan'd: an A/B at sf0.1 showed the extra exchange makes the
+    join-heavy consumers (jaccard/minhash/simhash, which cache the
+    shingle table and lean on AQE runtime broadcasts) 1.2-3x SLOWER,
+    unlike pure fan-out+reduce plans (see substring_dup_spans)."""
     base = docs.select("doc_id", "text")
     copies = docs.select((F.col("doc_id") + _COPY_OFFSET).alias("doc_id"), "text")
     return base.unionByName(copies)
@@ -48,8 +48,7 @@ _SQL_DUP_CORPUS = f"""
 
 def _near_dup_corpus(docs: DataFrame) -> DataFrame:
     """documents ∪ copies truncated to the first 80% of characters.
-    Widened like _dup_corpus."""
-    docs = widen_scan(docs)
+    Not widened — same A/B rationale as _dup_corpus."""
     base = docs.select("doc_id", "text")
     copies = docs.select(
         (F.col("doc_id") + _COPY_OFFSET).alias("doc_id"),
@@ -726,7 +725,7 @@ def doc_topic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
-    d = widen_scan(load(spark, sf_dir, "documents"))
+    d = load(spark, sf_dir, "documents")
     emb = similarity.hashed_bow_embeddings(d, n_dims=64)
     vec = emb.select(
         "doc_id", array_to_vector(F.col("embedding")).alias("fvec")
@@ -866,7 +865,7 @@ def doc_topic_clusters_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     iterative-lineage stance as functions/graph.py."""
     from ..util import portable_id_hash
 
-    d = widen_scan(load(spark, sf_dir, "documents"))
+    d = load(spark, sf_dir, "documents")
     emb = similarity.hashed_bow_embeddings(d, n_dims=_PKM_DIMS).localCheckpoint(
         eager=True
     )
@@ -1379,7 +1378,7 @@ def doc_bow_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucketing, map assembly, and densification are all on the checked
     path. The dense output feeds quantize_int8 / lsh_topk / ivf_topk
     directly (pinned in test_extensions)."""
-    d = widen_scan(load(spark, sf_dir, "documents"))
+    d = load(spark, sf_dir, "documents")
     emb = similarity.hashed_bow_embeddings(d, n_dims=64)
 
     def stats(v):

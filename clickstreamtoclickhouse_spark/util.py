@@ -70,7 +70,15 @@ def widen_scan(df: DataFrame) -> DataFrame:
     already carries thousands of splits, so the branch never fires and
     no shuffle is added; when it does fire the payload is only the
     small input itself. The explicit numPartitions keeps AQE from
-    re-coalescing the widened exchange."""
+    re-coalescing the widened exchange.
+
+    NOT a blanket default: apply only where an A/B shows a win. For
+    pure fan-out+reduce plans (substring_dup_spans 2.8s->1.3s, the PQ
+    subspace encode) it wins big; for join-heavy consumers that cache
+    the exploded table and lean on AQE runtime broadcasts
+    (jaccard/minhash/simhash pair generation) or iterate over a
+    checkpoint (k-means, BoW) the extra exchange measured 1.2-3x
+    SLOWER at sf0.1, so those call sites deliberately do not widen."""
     spark = df.sparkSession
     par = spark.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < par:
