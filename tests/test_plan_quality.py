@@ -546,3 +546,34 @@ def test_perplexity_buckets_sample_is_top_k_pruned(spark):
     txt = plan_text(spark, "perplexity_buckets")
     assert "TakeOrderedAndProject" in txt
     assert "Window" not in txt
+
+
+def test_dsir_scores_via_broadcast_lambda_table(spark):
+    # the lambda (ln p - ln q) table must reach the per-doc scoring as
+    # a broadcast join — never a shuffled join of the corpus against
+    # the bucket distributions — and the resample must be a pruned
+    # top-k (TakeOrderedAndProject), not a global sort window
+    txt = plan_text(spark, "dsir_importance_weights")
+    assert "BroadcastHashJoin" in txt
+    assert "TakeOrderedAndProject" in txt
+    assert "CartesianProduct" not in txt
+    assert "Window" not in txt
+
+
+def test_hashed_classifier_single_keyed_shuffle_chain(spark):
+    # featurize -> bucket counts -> weighted sum: keyed shuffles only,
+    # no join at all (weights are a pure Column expr on the bucket id)
+    txt = plan_text(spark, "hashed_classifier_scores")
+    assert "Join" not in txt
+    assert "CartesianProduct" not in txt
+    assert count_exchanges(txt) <= 2
+
+
+def test_filter_cascade_report_bounded_report_reduce(spark):
+    # one metric scan, one md5-keyed dedup window, and a broadcast of
+    # the <=7-row count table against the 6-row stage dimension — the
+    # report must never shuffle the corpus a second time
+    txt = plan_text(spark, "filter_cascade_report")
+    assert "CartesianProduct" not in txt
+    assert "BroadcastNestedLoopJoin" not in txt or "BuildRight" in txt
+    assert count_exchanges(txt) <= 4
