@@ -1476,17 +1476,14 @@ def _cascade_oracle_sql() -> str:
                   ELSE 0 END AS ff
       FROM m
     ),
-    rnk AS (
-      SELECT doc_id,
-             row_number() OVER (PARTITION BY h ORDER BY doc_id) AS rn
-      FROM ff0 WHERE ff = 0
-    ),
     ffin AS (
-      SELECT f.doc_id,
-             CASE WHEN f.ff > 0 THEN f.ff
-                  WHEN r.rn > 1 THEN 6
+      SELECT doc_id,
+             CASE WHEN ff > 0 THEN ff
+                  WHEN sum(CASE WHEN ff = 0 THEN 1 ELSE 0 END) OVER (
+                         PARTITION BY h ORDER BY doc_id
+                         ROWS UNBOUNDED PRECEDING) > 1 THEN 6
                   ELSE 0 END AS ff
-      FROM ff0 f LEFT JOIN rnk r USING (doc_id)
+      FROM ff0
     ),
     cnt AS (SELECT ff, count(*) AS c FROM ffin GROUP BY ff),
     stages AS (SELECT * FROM (VALUES {stage_values}) AS v(stage_idx, stage))
@@ -1548,18 +1545,23 @@ def filter_cascade_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0)
         .alias("ff"),
     )
-    rnk = (
-        ff0.filter(F.col("ff") == 0)
-        .withColumn(
-            "rn",
-            F.row_number().over(Window.partitionBy("h").orderBy("doc_id")),
-        )
-        .select("doc_id", "rn")
+    # survivor rank WITHOUT a self-join (a rank-then-join formulation
+    # re-evaluates the whole interpreted metric scan on both join
+    # inputs — measured 2x the query): a running count of survivors
+    # within each hash group gives, at each survivor row, its 1-based
+    # rank among survivors; one window, one metric scan
+    w_h = (
+        Window.partitionBy("h")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    ffin = ff0.join(rnk, "doc_id", "left").select(
+    surv_rank = F.sum(
+        F.when(F.col("ff") == 0, 1).otherwise(0)
+    ).over(w_h)
+    ffin = ff0.select(
         "doc_id",
         F.when(F.col("ff") > 0, F.col("ff"))
-        .when(F.col("rn") > 1, 6)
+        .when(surv_rank > 1, 6)
         .otherwise(0)
         .alias("ff"),
     )
