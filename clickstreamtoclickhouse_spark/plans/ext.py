@@ -2363,3 +2363,113 @@ def embedding_lsh_portable_near_dups(spark: SparkSession, sf_dir: str) -> DataFr
         corpus, dim=EMB_DIM, threshold=0.995,
         num_tables=_LSHP_T, bits=_LSHP_B,
     )
+
+
+# ---------------------------------------------------------------------------
+# Dedup-method evaluation: approx candidates vs exact-Jaccard truth
+# ---------------------------------------------------------------------------
+
+
+def _recall_report_oracle() -> str:
+    """Composes the three already-registered pair-pipeline oracles as
+    CTE subqueries (DuckDB allows WITH inside a derived table), so the
+    report's oracle can never drift from the per-method oracles."""
+    from .registry import ORACLE
+
+    jac = ORACLE["jaccard_near_dups"]
+    mh = ORACLE["minhash_portable_near_dups"]
+    sh = ORACLE["simhash_portable_near_dups"]
+    return f"""
+    WITH truth AS (SELECT doc_a, doc_b FROM ({jac})),
+    mh AS (SELECT DISTINCT doc_a, doc_b FROM ({mh})),
+    sh AS (SELECT DISTINCT doc_a, doc_b FROM ({sh})),
+    stats AS (
+      SELECT 'minhash_lsh' AS method,
+             (SELECT count(*) FROM truth) AS n_truth,
+             (SELECT count(*) FROM mh) AS n_candidates,
+             (SELECT count(*) FROM truth t JOIN mh USING (doc_a, doc_b))
+               AS n_overlap
+      UNION ALL
+      SELECT 'simhash_bands',
+             (SELECT count(*) FROM truth),
+             (SELECT count(*) FROM sh),
+             (SELECT count(*) FROM truth t JOIN sh USING (doc_a, doc_b))
+    )
+    SELECT method,
+           CAST(n_truth AS BIGINT) AS n_truth,
+           CAST(n_candidates AS BIGINT) AS n_candidates,
+           CAST(n_overlap AS BIGINT) AS n_overlap,
+           round(CASE WHEN n_candidates = 0 THEN 0.0
+                      ELSE n_overlap * 1.0 / n_candidates END, 6)
+             AS pair_precision,
+           round(CASE WHEN n_truth = 0 THEN 0.0
+                      ELSE n_overlap * 1.0 / n_truth END, 6) AS pair_recall
+    FROM stats
+    """
+
+
+@query("dedup_recall_report", oracle=_recall_report_oracle())
+def dedup_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approx-dedup EVALUATION: precision/recall of the two portable
+    candidate generators (MinHash+LSH at est>=0.5; SimHash 4x8-bit
+    bands at hamming<=3) against exact n-gram Jaccard>=0.5 ground
+    truth, all over the same near-dup corpus — the calibration table a
+    pipeline team publishes before swapping an exact dedup for a
+    banded one at scale. MinHash recall here reflects signature
+    estimation error at the threshold boundary; SimHash measures how
+    a hamming cutoff maps onto a Jaccard one (different similarity,
+    hence the visible precision gap).
+
+    Scale: each pair set is the corresponding operator's plan
+    (banded equi-joins, never all-pairs); the report reduces them to
+    three counts each via two-column equi-joins of pair KEYS only.
+    Truth generation is the one quadratic-risk input — at production
+    scale substitute jaccard_pairs' max_shingle_freq cap or a sampled
+    truth set; the report math is unchanged."""
+    corpus = _near_dup_corpus(load(spark, sf_dir, "documents"))
+    truth = dedup_text.jaccard_pairs(corpus, threshold=0.5, n=3).select(
+        "doc_a", "doc_b"
+    )
+    mh = (
+        dedup_text.minhash_portable_pairs(
+            corpus, threshold=0.5, n=3, num_bands=_MH_BANDS
+        )
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    sh = (
+        dedup_text.simhash_portable_near_dup_pairs(corpus, max_hamming=3, n=3)
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+    def stat_row(method: str, cand: DataFrame) -> DataFrame:
+        nt = truth.agg(F.count("*").alias("n_truth"))
+        nc = cand.agg(F.count("*").alias("n_candidates"))
+        no = truth.join(cand, ["doc_a", "doc_b"]).agg(
+            F.count("*").alias("n_overlap")
+        )
+        return (
+            nt.crossJoin(nc)
+            .crossJoin(no)
+            .select(F.lit(method).alias("method"), "n_truth",
+                    "n_candidates", "n_overlap")
+        )
+
+    stats = stat_row("minhash_lsh", mh).unionByName(
+        stat_row("simhash_bands", sh)
+    )
+    prec = F.when(F.col("n_candidates") == 0, F.lit(0.0)).otherwise(
+        F.col("n_overlap") / F.col("n_candidates")
+    )
+    rec = F.when(F.col("n_truth") == 0, F.lit(0.0)).otherwise(
+        F.col("n_overlap") / F.col("n_truth")
+    )
+    return stats.select(
+        "method",
+        "n_truth",
+        "n_candidates",
+        "n_overlap",
+        F.round(prec, 6).alias("pair_precision"),
+        F.round(rec, 6).alias("pair_recall"),
+    )
