@@ -2427,20 +2427,25 @@ def dedup_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale substitute jaccard_pairs' max_shingle_freq cap or a sampled
     truth set; the report math is unchanged."""
     corpus = _near_dup_corpus(load(spark, sf_dir, "documents"))
+    # each pair set feeds 2-4 aggregates below; localCheckpoint runs
+    # every pipeline exactly ONCE (pair sets are output-sized — KBs
+    # here, bounded by the near-dup rate at any corpus size)
     truth = dedup_text.jaccard_pairs(corpus, threshold=0.5, n=3).select(
         "doc_a", "doc_b"
-    )
+    ).localCheckpoint(eager=True)
     mh = (
         dedup_text.minhash_portable_pairs(
             corpus, threshold=0.5, n=3, num_bands=_MH_BANDS
         )
         .select("doc_a", "doc_b")
         .distinct()
+        .localCheckpoint(eager=True)
     )
     sh = (
         dedup_text.simhash_portable_near_dup_pairs(corpus, max_hamming=3, n=3)
         .select("doc_a", "doc_b")
         .distinct()
+        .localCheckpoint(eager=True)
     )
 
     def stat_row(method: str, cand: DataFrame) -> DataFrame:
