@@ -248,10 +248,12 @@ def main() -> None:
     out = {
         "what": "10x-rows scale probe on generator data (see scripts/sf_probe.py); time_ratio <= ~10 = linear, > 15 flags a hidden quadratic",
         "notes": (
-            "r5 findings (rerun with pq/bpe/bloom added): no query exceeded "
-            "the 15x bar (max 11.4x, simhash_portable — CPU-bound portable "
-            "hashing, linear; new ops embedding_pq_topk 3.3x, bpe_merges "
-            "2.3x, bloom_dedup_docs 3.4x). "
+            "r5 final (rerun with dsir/classifier/cascade added, post "
+            "PQ-codegen + widen-policy fixes): no query exceeded the 15x "
+            "bar (max 12.3x, simhash_portable — CPU-bound portable "
+            "hashing, linear; new ops dsir_importance_weights 5.7x, "
+            "hashed_classifier_scores 7.2x, filter_cascade_report 5.7x, "
+            "all with ~10-16x shuffle = linear in rows). "
             "jaccard_near_dups_capped's 719x SHUFFLE ratio is adaptive "
             "broadcast behavior, not a pair explosion: at base AQE "
             "broadcasts the shingle side (0.3MB shuffled), at x10 it "
