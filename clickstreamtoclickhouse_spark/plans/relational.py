@@ -2699,3 +2699,54 @@ def join_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), "user_id")
         .limit(10)
     )
+
+
+@query(
+    "sliding_7d_active_users",
+    oracle="""
+    WITH ud AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+    ),
+    contrib AS (
+      SELECT user_id, d + CAST(o.o AS INTEGER) AS wd
+      FROM ud CROSS JOIN (SELECT unnest(range(7)) AS o) o
+    ),
+    days AS (SELECT DISTINCT CAST(ts AS DATE) AS wd FROM events)
+    SELECT strftime(c.wd, '%Y-%m-%d') AS window_end,
+           count(DISTINCT c.user_id) AS active_users_7d
+    FROM contrib c JOIN days USING (wd)
+    GROUP BY c.wd
+    """,
+)
+def sliding_7d_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day EXACT distinct actives per day (rolling
+    WAU/MAU): SQL window frames cannot take COUNT(DISTINCT), so the
+    scalable formulation is contribution explode — each (user, day)
+    fact contributes to the 7 window-end days it falls inside, then
+    one distinct-aggregate per window end. Restricted to window ends
+    that are observed activity days (matching what a calendar-spine
+    join would produce on a dense stream).
+
+    Scale: dedup to (user, day) first (the explode multiplies the
+    DAY-grain table, not raw events), a 7x explode, then a two-phase
+    distinct agg keyed by day — everything map-side combinable,
+    no window over user-unbounded partitions, no self-join of the
+    event stream against a date range (the O(days^2) naive form)."""
+    e = load(spark, sf_dir, "events")
+    ud = e.select("user_id", F.to_date("ts").alias("d")).distinct()
+    contrib = ud.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("d"), F.date_add(F.col("d"), 6))
+        ).alias("wd"),
+    )
+    days = e.select(F.to_date("ts").alias("wd")).distinct()
+    return (
+        contrib.join(days, "wd")
+        .groupBy("wd")
+        .agg(F.countDistinct("user_id").alias("active_users_7d"))
+        .select(
+            F.date_format("wd", "yyyy-MM-dd").alias("window_end"),
+            "active_users_7d",
+        )
+    )
