@@ -2478,3 +2478,50 @@ def dedup_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(prec, 6).alias("pair_precision"),
         F.round(rec, 6).alias("pair_recall"),
     )
+
+
+@query(
+    "tokenizer_fertility_by_lang",
+    oracle=f"""
+    SELECT lang,
+           count(*) AS n_docs,
+           CAST(sum(length(text)) AS BIGINT) AS n_chars,
+           CAST(sum({tx.sql_token_count_ws('text')}) AS BIGINT)
+             AS n_tokens_ws,
+           CAST(sum(len(regexp_extract_all(text, '{_SQL_BPE_RE}')))
+             AS BIGINT) AS n_tokens_bpe,
+           round(sum(length(text)) * 1.0 /
+                 sum(len(regexp_extract_all(text, '{_SQL_BPE_RE}'))), 4)
+             AS chars_per_bpe_token,
+           round(sum(len(regexp_extract_all(text, '{_SQL_BPE_RE}'))) * 1.0 /
+                 sum({tx.sql_token_count_ws('text')}), 4)
+             AS bpe_per_word
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def tokenizer_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility per language: chars per BPE-ish token and
+    BPE tokens per whitespace word, by lang. The multilingual token
+    budgeting table — languages that fragment into more tokens per
+    word (here zh, whose han chars each match the punct/other class)
+    cost proportionally more of a fixed token budget, which is why
+    mixture weights are set in TOKENS, not docs or chars. Counter
+    exprs shared with doc_token_stats (tx.token_count_*), so the two
+    views cannot drift.
+
+    Scale: single scan, map-side-combinable integer sums keyed by the
+    handful of languages — the cheapest shape there is."""
+    d = load(spark, sf_dir, "documents")
+    bpe = tx.token_count_bpe(F.col("text"))
+    ws = tx.token_count_ws(F.col("text"))
+    return d.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.length("text")).alias("n_chars"),
+        F.sum(ws).alias("n_tokens_ws"),
+        F.sum(bpe).alias("n_tokens_bpe"),
+        F.round(
+            F.sum(F.length("text")) * 1.0 / F.sum(bpe), 4
+        ).alias("chars_per_bpe_token"),
+        F.round(F.sum(bpe) * 1.0 / F.sum(ws), 4).alias("bpe_per_word"),
+    )

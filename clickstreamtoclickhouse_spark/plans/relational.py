@@ -2750,3 +2750,82 @@ def sliding_7d_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             "active_users_7d",
         )
     )
+
+
+@query(
+    "snapshot_diff",
+    oracle="""
+    WITH v1 AS (SELECT doc_id, text FROM documents),
+    v2 AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 10 = 0
+                  THEN substring(text, 1,
+                         cast(floor(length(text) * 0.5) as int))
+                  ELSE text END AS text
+      FROM documents WHERE doc_id % 17 <> 0
+      UNION ALL
+      SELECT doc_id + 5000000 AS doc_id, text
+      FROM documents WHERE doc_id % 13 = 0
+    )
+    SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+           CASE WHEN a.doc_id IS NULL THEN 'added'
+                WHEN b.doc_id IS NULL THEN 'removed'
+                ELSE 'modified' END AS change
+    FROM v1 a FULL OUTER JOIN v2 b USING (doc_id)
+    WHERE a.doc_id IS NULL OR b.doc_id IS NULL
+       OR md5(a.text) <> md5(b.text)
+    """,
+)
+def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table-version diff (the snapshot-audit op behind every
+    'what changed between corpus v1 and v2' question, and the manual
+    analog of a lakehouse CHANGE DATA FEED): full outer join of two
+    snapshots on the key, rows classified added / removed / modified
+    by content hash; unchanged rows are filtered out so the result is
+    the changeset. v2 is a deterministic perturbation of the
+    documents table (every 17th doc dropped, every 10th truncated to
+    half, every 13th re-appended under a new id) so all three change
+    classes are exercised and the oracle sees the identical pair.
+
+    Scale: one key-partitioned full outer join — both sides shuffle
+    once on the key; the content comparison is a hash equality, so
+    wide rows never carry past the join. At lakehouse scale, swap v2
+    for the next snapshot's scan; the plan is unchanged."""
+    v1 = load(spark, sf_dir, "documents").select("doc_id", "text")
+    base = load(spark, sf_dir, "documents")
+    v2 = (
+        base.filter(F.col("doc_id") % 17 != 0)
+        .select(
+            "doc_id",
+            F.when(
+                F.col("doc_id") % 10 == 0,
+                F.expr(
+                    "substring(text, 1, cast(floor(length(text) * 0.5) as int))"
+                ),
+            )
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+        .unionByName(
+            base.filter(F.col("doc_id") % 13 == 0).select(
+                (F.col("doc_id") + 5_000_000).alias("doc_id"), "text"
+            )
+        )
+    )
+    a = v1.select("doc_id", F.md5("text").alias("h1"))
+    b = v2.select("doc_id", F.md5("text").alias("h2"))
+    return (
+        a.join(b, "doc_id", "full_outer")
+        .filter(
+            F.col("h1").isNull()
+            | F.col("h2").isNull()
+            | (F.col("h1") != F.col("h2"))
+        )
+        .select(
+            "doc_id",
+            F.when(F.col("h1").isNull(), "added")
+            .when(F.col("h2").isNull(), "removed")
+            .otherwise("modified")
+            .alias("change"),
+        )
+    )
