@@ -2525,3 +2525,33 @@ def tokenizer_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("chars_per_bpe_token"),
         F.round(F.sum(bpe) * 1.0 / F.sum(ws), 4).alias("bpe_per_word"),
     )
+
+
+_KANON_K = 5
+
+
+@query(
+    "k_anonymity_report",
+    oracle=f"""
+    SELECT lang, source, count(*) AS n_docs,
+           CAST(CASE WHEN count(*) < {_KANON_K} THEN 1 ELSE 0 END AS INT)
+             AS k_violation
+    FROM documents
+    GROUP BY lang, source
+    """,
+)
+def k_anonymity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over the quasi-identifier columns (lang,
+    source): any equivalence class with fewer than k={_KANON_K}
+    members re-identifies its documents' provenance — the governance
+    check run next to pii_scan before a corpus release (Sweeney 2002,
+    public method). Emits every class with its size and violation
+    flag so the release gate can suppress or generalize small cells.
+
+    Scale: one map-side-combinable count keyed by the quasi-identifier
+    tuple; class cardinality (langs x sources), not corpus size."""
+    d = load(spark, sf_dir, "documents")
+    return d.groupBy("lang", "source").agg(
+        F.count("*").alias("n_docs"),
+        (F.count("*") < _KANON_K).cast("int").alias("k_violation"),
+    )
