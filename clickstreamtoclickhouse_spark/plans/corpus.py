@@ -19,7 +19,7 @@ from ..functions.dedup_text import (
     bloom_positions,
     sql_bloom_positions,
 )
-from ..util import portable_id_hash
+from ..util import portable_id_hash, widen_scan
 from .ext import _COPY_OFFSET
 from .registry import load, query
 
@@ -603,14 +603,9 @@ def embedding_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The encode pass fans each input row out 16x and partially
     # aggregates ~M*K distance rows per vector INSIDE the scan stage —
     # on an under-partitioned input (one small parquet split at test
-    # SF) that whole fan-out runs in one task. Widen only when the
-    # scan has fewer splits than cores: a real deployment's scan
-    # already carries thousands of tasks and skips this (the shuffled
-    # payload is just (id, vector), and only when the branch fires).
-    n_parts = base.rdd.getNumPartitions()
-    par = spark.sparkContext.defaultParallelism
-    enc_in = base.repartition(par) if n_parts < par else base
-    sub = enc_in.select(
+    # SF) that whole fan-out runs in one task; widen_scan fixes that
+    # and is a no-op on a real deployment's many-split scan.
+    sub = widen_scan(base).select(
         "vec_id",
         F.explode(
             F.array(
@@ -1336,6 +1331,12 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("c").alias("n_feats"),
             F.sum(F.col("c") * F.col("lam")).alias("lw"),
         )
+        # sc feeds both the top-k subquery and the final output; a
+        # lazy checkpoint materializes the (id, long, 2 doubles) score
+        # table once instead of re-running the corpus featurization
+        # for each consumer (it IS the op's output — a real pipeline
+        # writes it). Lazy, so building the plan stays side-effect-free
+        .localCheckpoint(eager=False)
     )
     top = (
         sc.orderBy(F.round("lw", 6).desc(), "doc_id")
@@ -1372,7 +1373,7 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id, n_feats,
            round(s / n_feats, 6) AS logit,
            round(1.0 / (1.0 + exp(-(s / n_feats))), 6) AS prob,
-           CAST(s > 0 AS INT) AS positive
+           CAST(round(s / n_feats, 6) > 0 AS INT) AS positive
     FROM sc
     """,
 )
@@ -1406,12 +1407,18 @@ def hashed_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("c") * F.col("w")).alias("s"),
     )
     logit = F.col("s") / F.col("n_feats")
+    # `positive` thresholds the ROUNDED logit so the flag can never
+    # disagree with the visible column. Float-parity stance (shared
+    # with the LM scorers): the per-doc sums accumulate O(B) doubles,
+    # so cross-engine error is ~1e-13 against a 0.5e-6 rounding grid —
+    # the same accepted-risk class as unigram/bigram_lm_quality, not
+    # the integer-grid discipline PQ needs for its argmin ties.
     return sc.select(
         "doc_id",
         "n_feats",
         F.round(logit, 6).alias("logit"),
         F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-logit)), 6).alias("prob"),
-        (F.col("s") > 0).cast("int").alias("positive"),
+        (F.round(logit, 6) > 0).cast("int").alias("positive"),
     )
 
 

@@ -2427,25 +2427,27 @@ def dedup_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale substitute jaccard_pairs' max_shingle_freq cap or a sampled
     truth set; the report math is unchanged."""
     corpus = _near_dup_corpus(load(spark, sf_dir, "documents"))
-    # each pair set feeds 2-4 aggregates below; localCheckpoint runs
-    # every pipeline exactly ONCE (pair sets are output-sized — KBs
-    # here, bounded by the near-dup rate at any corpus size)
+    # each pair set feeds 2-4 aggregates below; a LAZY localCheckpoint
+    # runs every pipeline exactly once on first action while keeping
+    # DataFrame construction side-effect-free (eager would execute all
+    # three pipelines at build/explain time). Pair sets are
+    # output-sized — KBs here, bounded by the near-dup rate
     truth = dedup_text.jaccard_pairs(corpus, threshold=0.5, n=3).select(
         "doc_a", "doc_b"
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     mh = (
         dedup_text.minhash_portable_pairs(
             corpus, threshold=0.5, n=3, num_bands=_MH_BANDS
         )
         .select("doc_a", "doc_b")
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     sh = (
         dedup_text.simhash_portable_near_dup_pairs(corpus, max_hamming=3, n=3)
         .select("doc_a", "doc_b")
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
 
     def stat_row(method: str, cand: DataFrame) -> DataFrame:

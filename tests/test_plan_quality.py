@@ -500,10 +500,13 @@ def test_expansion_joins_not_coalesced_to_one_partition(spark):
         # every round-robin must be user-explicit (REPARTITION_BY_NUM,
         # e.g. util.widen_scan) or by-column — never an AQE-coalescible
         # bare round-robin feeding the expansion join
-        bare = txt.count("RoundRobinPartitioning") - txt.count(
-            "REPARTITION_BY_NUM"
+        bare = sum(
+            1
+            for line in txt.splitlines()
+            if "RoundRobinPartitioning" in line
+            and "REPARTITION_BY_NUM" not in line
         )
-        assert "REPARTITION_BY_COL" in txt or bare <= 0, name
+        assert "REPARTITION_BY_COL" in txt or bare == 0, name
 
 
 def test_corpus_batch2_no_cartesian_and_broadcasts(spark):
