@@ -1,0 +1,98 @@
+"""Governance operators (plans/profiling.py): behavioral invariants
+beyond the oracle hash-match (which test_oracle_parity already runs
+for all four queries)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from clickstreamtoclickhouse_spark.plans import QUERIES
+from clickstreamtoclickhouse_spark.plans.profiling import _QS_W
+from clickstreamtoclickhouse_spark.plans.registry import load
+
+from .conftest import SF_DIR, SF_DIR_MED
+
+
+def test_table_profile_invariants(spark):
+    rows = {r["column_name"]: r for r in QUERIES["table_profile"](spark, SF_DIR).collect()}
+    n_rows = load(spark, SF_DIR, "events").count()
+    assert set(rows) == {"event_id", "ts", "user_id", "event_type", "value", "props"}
+    for r in rows.values():
+        assert r["n_rows"] == n_rows
+        assert 0 <= r["n_nulls"] <= n_rows
+        assert r["n_distinct"] <= n_rows - r["n_nulls"]
+    # event_id is the PK: fully distinct, never null
+    assert rows["event_id"]["n_nulls"] == 0
+    assert rows["event_id"]["n_distinct"] == n_rows
+    assert rows["event_type"]["n_distinct"] <= 10
+
+
+def test_table_profile_single_scan(spark):
+    """The multi-distinct profile must stay ONE pass over events: a
+    single parquet scan feeding an Expand, not one scan per column."""
+    plan = QUERIES["table_profile"](spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") == 1, plan
+    assert "Expand" in plan, plan
+
+
+def test_dq_assertions_signal(spark):
+    """Clean contracts pass; the deliberately-tight value envelope
+    (<=400 vs max ~490) must register real violations — proving the
+    counting path, not just the all-zeros path."""
+    rows = {r["check_name"]: r for r in QUERIES["dq_assertions"](spark, SF_DIR_MED).collect()}
+    assert len(rows) == 9
+    for name in ("unique_o_orderkey", "fk_orders_customer", "fk_lineitem_orders",
+                 "range_l_discount", "positive_l_quantity"):
+        assert rows[name]["n_violations"] == 0 and rows[name]["passed"], name
+    env = rows["value_envelope_0_400"]
+    assert env["n_violations"] > 0 and not env["passed"]
+
+
+def test_dq_assertions_detects_planted_violations(spark, tmp_path):
+    """Planted dirty rows flip the right checks: duplicate + null-key
+    orders, an out-of-range discount, and an orphaned lineitem."""
+    sf = str(tmp_path)
+    for t in ("orders", "lineitem", "events", "customer"):
+        df = load(spark, SF_DIR, t)
+        if t == "orders":
+            dup = df.limit(1)
+            nullcust = (
+                df.limit(1)
+                .withColumn("o_custkey", F.lit(None).cast("long"))
+                .withColumn("o_orderkey", F.lit(-7).cast("long"))
+            )
+            df = df.unionByName(dup).unionByName(nullcust)
+        if t == "lineitem":
+            bad = df.limit(1).withColumn("l_discount", F.lit(0.5)).withColumn(
+                "l_orderkey", F.lit(-1).cast("long"))
+            df = df.unionByName(bad)
+        df.write.parquet(f"{sf}/{t}.parquet")
+    rows = {r["check_name"]: r for r in QUERIES["dq_assertions"](spark, sf).collect()}
+    assert rows["unique_o_orderkey"]["n_violations"] == 1
+    assert rows["not_null_o_custkey"]["n_violations"] == 1
+    assert rows["range_l_discount"]["n_violations"] == 1
+    assert rows["fk_lineitem_orders"]["n_violations"] == 1
+    # the planted null-custkey order also orphans an FK row
+    assert rows["fk_orders_customer"]["n_violations"] == 1
+    assert not rows["unique_o_orderkey"]["passed"]
+
+
+def test_histogram_partition_of_rows(spark):
+    hist = QUERIES["event_value_histogram"](spark, SF_DIR_MED).collect()
+    n = load(spark, SF_DIR_MED, "events").filter(F.col("value").isNotNull()).count()
+    assert sum(r["n_events"] for r in hist) == n
+    for r in hist:
+        assert r["bin_hi"] - r["bin_lo"] == 25.0
+        assert r["n_events"] > 0
+
+
+def test_quantile_sketch_error_bound(spark):
+    """Each estimate is the upper edge of the covering bin, so it can
+    overshoot the exact quantile by at most one bin width and never
+    undershoot (cum >= q*total at that bin)."""
+    est = {r["quantile"]: r["est_value"]
+           for r in QUERIES["value_quantile_sketch"](spark, SF_DIR_MED).collect()}
+    vals = load(spark, SF_DIR_MED, "events")
+    for q, e in est.items():
+        exact = vals.stat.approxQuantile("value", [q], 0.0)[0]
+        assert exact <= e <= exact + _QS_W + 1e-9, (q, e, exact)
