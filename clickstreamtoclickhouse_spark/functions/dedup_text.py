@@ -387,25 +387,21 @@ def _portable_hash(s: Column, base: int = 131, mod: int = MH_PRIME) -> Column:
     )
 
 
-def minhash_portable_pairs(
+def minhash_portable_bands(
     docs: DataFrame,
-    threshold: float = 0.5,
     n: int = 3,
     num_bands: int = 4,
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
-    """Banded MinHash LSH with PORTABLE hashing: shingles -> polynomial
-    base hash -> 16 (a*x+b) mod p permutation minima -> `num_bands`
-    bands -> candidate pairs by band-key equi-join -> estimated
-    Jaccard = matching-signature fraction, thresholded.
-
-    Same plan topology as ``minhash_near_dup_pairs`` (one signature
-    shuffle, band explode, equi-join — no crossJoin), but every hash
-    is engine-neutral arithmetic, so the whole pipeline — candidate
-    generation INCLUDED — is value-checkable against a SQL oracle
-    rather than rows-only. Returns (doc_a, doc_b, est_jaccard),
-    doc_a < doc_b."""
+    """Portable MinHash band keys: shingles -> polynomial base hash ->
+    16 (a*x+b) mod p permutation minima -> `num_bands` band keys.
+    Returns (did, sig, band, bk) — one row per doc per band, the
+    shared candidate-generation front end for same-corpus near-dup
+    pairing (``minhash_portable_pairs``) and cross-corpus membership
+    (decontamination: corpus bands semi-joined to benchmark bands).
+    One shingle explode + one doc-id shuffle; every hash is
+    engine-neutral arithmetic (SQL-twin-checkable)."""
     k = len(MH_AB)
     if k % num_bands:
         raise ValueError("len(MH_AB) must be divisible by num_bands")
@@ -431,9 +427,32 @@ def minhash_portable_pairs(
         ]
     )
     sig = sig.withColumn("sig", F.array(*[f"m{j}" for j in range(k)]))
-    banded = sig.select("did", "sig", F.explode(bands).alias("b")).select(
+    return sig.select("did", "sig", F.explode(bands).alias("b")).select(
         "did", "sig", F.col("b.band").alias("band"), F.col("b.bk").alias("bk")
     )
+
+
+def minhash_portable_pairs(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    n: int = 3,
+    num_bands: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Banded MinHash LSH with PORTABLE hashing: shingles -> polynomial
+    base hash -> 16 (a*x+b) mod p permutation minima -> `num_bands`
+    bands -> candidate pairs by band-key equi-join -> estimated
+    Jaccard = matching-signature fraction, thresholded.
+
+    Same plan topology as ``minhash_near_dup_pairs`` (one signature
+    shuffle, band explode, equi-join — no crossJoin), but every hash
+    is engine-neutral arithmetic, so the whole pipeline — candidate
+    generation INCLUDED — is value-checkable against a SQL oracle
+    rather than rows-only. Returns (doc_a, doc_b, est_jaccard),
+    doc_a < doc_b."""
+    k = len(MH_AB)
+    banded = minhash_portable_bands(docs, n, num_bands, id_col, text_col)
     a = banded.select(
         F.col("did").alias("doc_a"), F.col("sig").alias("sig_a"), "band", "bk"
     )

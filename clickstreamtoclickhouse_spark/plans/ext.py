@@ -2557,3 +2557,213 @@ def k_anonymity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_docs"),
         (F.count("*") < _KANON_K).cast("int").alias("k_violation"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 6: near-dup-aware dataset split + MinHash cross-corpus decontamination
+# ---------------------------------------------------------------------------
+
+# fuzzy-decontamination banding: k=16 minima as 8 bands of r=2 — a
+# LOOSER net than the near-dup pairing's 4x4 (per-band match P = j^2
+# vs j^4), which is the right trade for contamination screening:
+# missing a leaked benchmark doc costs eval integrity, a false
+# positive costs one needlessly-dropped document.
+_DECON_BANDS = 8
+_DECON_R = _MH_K // _DECON_BANDS
+
+
+def _sql_mh_sig_ctes(corpus_cte: str, suffix: str) -> str:
+    """CTE chain (normed -> shingled -> hashed -> sig), names suffixed
+    so one oracle can carry signatures for two corpora."""
+    return f"""
+    normed{suffix} AS (
+      SELECT doc_id, {_SQL_WORDS.format(t=_SQL_NORM.format(t='text'))} AS ws
+      FROM {corpus_cte}
+    ),
+    shingled{suffix} AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(
+               range(1, len(ws) - 1),
+               i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS shingle
+      FROM normed{suffix} WHERE len(ws) >= 3
+    ),
+    hashed{suffix} AS (
+      SELECT doc_id, {_SQL_SHINGLE_HASH} AS h FROM shingled{suffix}
+    ),
+    sig{suffix} AS (
+      SELECT doc_id,
+             {_SQL_MH_MINS}
+      FROM hashed{suffix} GROUP BY doc_id
+    )"""
+
+
+def _sql_mh_bands_from(sig_table: str, num_bands: int, r: int) -> str:
+    return "\n      UNION ALL\n".join(
+        "      SELECT doc_id, {band} AS band, {key} AS bk FROM {t}".format(
+            band=b,
+            key=" || '-' || ".join(
+                f"CAST(m{b * r + j} AS VARCHAR)" for j in range(r)
+            ),
+            t=sig_table,
+        )
+        for b in range(num_bands)
+    )
+
+
+@query(
+    "minhash_decontamination",
+    oracle=f"""
+    WITH bench AS (
+      SELECT doc_id, text FROM documents WHERE source = 'src0'
+    ),
+    corpus AS (
+      SELECT doc_id, text FROM documents WHERE source <> 'src0'
+      UNION ALL
+      SELECT doc_id + {_COPY_OFFSET} AS doc_id,
+             substr(text, 1, CAST(floor(length(text) * 0.8) AS INT)) AS text
+      FROM documents WHERE source = 'src0'
+    ),
+    {_sql_mh_sig_ctes('bench', '_b')},
+    {_sql_mh_sig_ctes('corpus', '_c')},
+    band_b AS (
+{_sql_mh_bands_from('sig_b', _DECON_BANDS, _DECON_R)}
+    ),
+    band_c AS (
+{_sql_mh_bands_from('sig_c', _DECON_BANDS, _DECON_R)}
+    )
+    SELECT c.doc_id AS doc_id,
+           CAST(count(DISTINCT c.band) AS BIGINT) AS n_shared_bands
+    FROM band_c c
+    JOIN band_b b ON c.band = b.band AND c.bk = b.bk
+    GROUP BY c.doc_id
+    """,
+)
+def minhash_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FUZZY benchmark decontamination (the MinHash complement to
+    `benchmark_contamination`'s exact n-gram overlap): flag every
+    corpus document sharing >=1 MinHash band key with any document of
+    a held-out benchmark (here: source='src0', with planted 80%-
+    truncated leaks of it in the corpus). Exact-gram screens miss
+    paraphrased/truncated leakage; banded signatures catch anything
+    with high shingle-set overlap — the screen run before an eval
+    release (Brown et al. 2020 appendix-C style, public method).
+
+    Scale: both sides reduce to (band, key) tables — corpus bands
+    shuffle on the band key and equi-join the benchmark's (tiny:
+    benchmarks are KBs-MBs, broadcastable); NEVER doc x benchmark
+    all-pairs. Output is flagged doc ids with their matched-band
+    count, so the decision threshold is tunable downstream without
+    recomputing signatures. Banding is 8x2 (vs pairing's 4x4):
+    recall-biased, the right side of the trade for leakage."""
+    docs = load(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("source") == "src0").select("doc_id", "text")
+    corpus = (
+        docs.filter(F.col("source") != "src0")
+        .select("doc_id", "text")
+        .unionByName(
+            bench.select(
+                (F.col("doc_id") + _COPY_OFFSET).alias("doc_id"),
+                F.expr(
+                    "substring(text, 1, cast(floor(length(text) * 0.8) as int))"
+                ).alias("text"),
+            )
+        )
+    )
+    band_b = dedup_text.minhash_portable_bands(
+        bench, n=3, num_bands=_DECON_BANDS
+    ).select("band", "bk")
+    band_c = dedup_text.minhash_portable_bands(
+        corpus, n=3, num_bands=_DECON_BANDS
+    ).select(F.col("did").alias("doc_id"), "band", "bk")
+    return (
+        band_c.join(F.broadcast(band_b.distinct()), ["band", "bk"])
+        .groupBy("doc_id")
+        .agg(F.count_distinct("band").alias("n_shared_bands"))
+    )
+
+
+@query(
+    "leakage_safe_split",
+    oracle=f"""
+    WITH RECURSIVE corpus AS ({_SQL_NEAR_DUP_CORPUS}),
+    normed AS (
+      SELECT doc_id, {_SQL_WORDS.format(t=_SQL_NORM.format(t='text'))} AS ws
+      FROM corpus
+    ),
+    shingled AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(
+               range(1, len(ws) - 1),
+               i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS shingle
+      FROM normed WHERE len(ws) >= 3
+    ),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM shingled GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+      FROM shingled a JOIN shingled b USING (shingle)
+      WHERE a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT doc_a, doc_b
+      FROM inter
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b
+      WHERE n_common * 1.0 / (sa.sz + sb.sz - n_common) >= 0.5
+    ),
+    edges AS (
+      SELECT doc_a AS u, doc_b AS v FROM pairs
+      UNION
+      SELECT doc_b AS u, doc_a AS v FROM pairs
+    ),
+    walk(node, comp) AS (
+      SELECT doc_id, doc_id FROM corpus
+      UNION
+      SELECT e.v, w.comp FROM walk w JOIN edges e ON e.u = w.node
+    ),
+    comp AS (
+      SELECT node AS doc_id, min(comp) AS component FROM walk GROUP BY node
+    )
+    SELECT doc_id, component,
+           CASE WHEN hb < 80 THEN 'train'
+                WHEN hb < 90 THEN 'val'
+                ELSE 'test' END AS split
+    FROM (
+      SELECT doc_id, component,
+             ('0x' || substr(md5(CAST(component AS VARCHAR)), 1, 8))::BIGINT
+               % 100 AS hb
+      FROM comp
+    ) h
+    """,
+)
+def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/val/test split that can NEVER leak near-duplicates across
+    splits: hash the duplicate-CLUSTER id, not the document id.
+    `dataset_split`'s per-doc hash is correct for deduped corpora, but
+    on a raw corpus it puts ~20% of each near-dup cluster's members
+    outside train — the classic eval-contamination bug (a test doc's
+    near-copy in train). Composing connected components (Jaccard>=0.5
+    pairs) with the SAME portable-hash split rule closes it: every
+    member of a component shares the component hash, hence the split.
+
+    Scale: jaccard pair generation + O(log n) large-star/small-star
+    (both existing, plan-audited ops); the split itself is a pure
+    projection off the component id. The oracle recomputes components
+    via recursive reachability — a different algorithm agreeing on the
+    fixed point — then applies the identical md5 rule."""
+    from ..util import portable_id_hash
+
+    corpus = _near_dup_corpus(load(spark, sf_dir, "documents"))
+    pairs = dedup_text.jaccard_pairs(corpus, threshold=0.5, n=3)
+    comp = graph.cluster_assignments(
+        corpus, pairs, id_col="doc_id", pair_a="doc_a", pair_b="doc_b"
+    ).select("doc_id", "component")
+    hb = portable_id_hash(F.col("component")) % 100
+    return comp.select(
+        "doc_id",
+        "component",
+        F.when(hb < 80, "train")
+        .when(hb < 90, "val")
+        .otherwise("test")
+        .alias("split"),
+    )

@@ -811,3 +811,42 @@ def test_filter_cascade_is_a_consistent_funnel(spark):
     dedup = rows[-1]
     # injected corpus doubles every doc: surviving pairs lose one copy
     assert dedup.n_rejected == dedup.n_out
+
+
+def test_decontamination_catches_all_planted_leaks(spark):
+    """Every 80%-truncated copy of a benchmark doc must share >=1 of
+    the 8 recall-biased (r=2) bands; false positives stay rare."""
+    sf = "/root/testdata/sf0.01"
+    flagged = {
+        r["doc_id"]
+        for r in plans.QUERIES["minhash_decontamination"](spark, sf).collect()
+    }
+    docs = plans.load(spark, sf, "documents")
+    planted = {
+        r["doc_id"] + 1_000_000
+        for r in docs.filter("source = 'src0'").select("doc_id").collect()
+    }
+    n_clean = docs.filter("source <> 'src0'").count()
+    assert planted <= flagged, f"missed {len(planted - flagged)} planted leaks"
+    fp = len(flagged - planted)
+    assert fp / n_clean < 0.05, f"{fp} false positives of {n_clean} clean docs"
+
+
+def test_leakage_safe_split_never_splits_near_dups(spark, docs):
+    """The invariant the operator exists for: no Jaccard>=0.5 pair may
+    straddle splits — including each doc and its truncated copy."""
+    corpus = _near_dup_corpus(docs)
+    split = {
+        r["doc_id"]: r["split"]
+        for r in plans.QUERIES["leakage_safe_split"](spark, SF_DIR).collect()
+    }
+    assert set(split.values()) >= {"train"}
+    pairs = dedup_text.jaccard_pairs(corpus, threshold=0.5, n=3).collect()
+    assert len(pairs) > 0
+    for r in pairs:
+        assert split[r["doc_a"]] == split[r["doc_b"]], (r["doc_a"], r["doc_b"])
+    # ~80/10/10 by cluster: train must dominate
+    from collections import Counter
+
+    c = Counter(split.values())
+    assert c["train"] > c.get("val", 0) and c["train"] > c.get("test", 0)
