@@ -1,0 +1,114 @@
+"""Streaming data-quality monitoring: per-micro-batch assertion
+metrics (the continuous form of ``plans/profiling.dq_assertions``).
+
+The reference's quality story is reactive — rows that fail coercion
+land in the misfits table (seghouse/warehouse/clickhouse.py misfits
+DDL). This operator adds the proactive half a 24/7 ingest pipeline
+needs: every micro-batch is scored against declared contracts in ONE
+aggregate pass, the per-check violation counts are appended to a
+metrics table (queryable like any other — freshness dashboards,
+alerting joins), and violating rows can optionally be quarantined
+without failing the stream.
+
+Scale: per batch, one map-side-combinable aggregate (all checks are
+conditional sums over one scan) producing exactly ``len(checks)``
+metric rows — metrics volume grows with batches, never with rows.
+The optional quarantine pass reuses the cached batch and writes only
+violating rows. State: none (the metrics table IS the history), so
+this composes with any upstream watermark/dedup operator.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def batch_dq_metrics(
+    batch_df: DataFrame,
+    checks: Sequence[tuple[str, Column]],
+    batch_id: int,
+) -> DataFrame:
+    """One-pass DQ metric rows for a (batch) DataFrame:
+    (batch_id, check_name, n_rows, n_violations, passed) per check.
+    `checks` maps check name -> VIOLATION predicate (true = bad row).
+    Usable standalone on any batch table as well as from the stream
+    monitor below."""
+    if not checks:
+        raise ValueError("batch_dq_metrics needs at least one check")
+    aggs = [F.count(F.lit(1)).alias("n_rows")] + [
+        F.coalesce(F.sum(F.when(cond, 1).otherwise(0)), F.lit(0))
+        .cast("long")
+        .alias(f"v_{i}")
+        for i, (_, cond) in enumerate(checks)
+    ]
+    row = batch_df.agg(*aggs)
+    structs = [
+        F.struct(
+            F.lit(batch_id).cast("long").alias("batch_id"),
+            F.lit(name).alias("check_name"),
+            F.col("n_rows").alias("n_rows"),
+            F.col(f"v_{i}").alias("n_violations"),
+            (F.col(f"v_{i}") == 0).alias("passed"),
+        )
+        for i, (name, _) in enumerate(checks)
+    ]
+    return row.select(F.explode(F.array(*structs)).alias("m")).select("m.*")
+
+
+def streaming_dq_monitor(
+    stream: DataFrame,
+    checks: Sequence[tuple[str, Column]],
+    metrics_dir: str,
+    checkpoint_dir: str,
+    quarantine_dir: str | None = None,
+):
+    """Attach continuous DQ monitoring to a streaming DataFrame.
+
+    Each micro-batch appends one metrics row per check to
+    `metrics_dir` (parquet). With `quarantine_dir`, rows violating ANY
+    check are also appended there with a `_violated` column naming the
+    failed checks — the streaming mirror of the reference's misfits
+    quarantine, but rule-driven instead of coercion-driven.
+
+    The monitor OBSERVES; it never filters the main stream (compose
+    `stream.filter(~cond)` upstream if rejection is wanted). Failure
+    mode: foreachBatch is at-least-once, so a batch retried after a
+    crash between the two appends can double-append metrics; keyed
+    (batch_id, check_name) reads dedupe it (Q1 view), and the Delta
+    mapping in sinks/lakehouse.py makes both appends atomic."""
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if quarantine_dir is not None:
+            batch_df = batch_df.cache()
+        try:
+            batch_dq_metrics(batch_df, checks, batch_id).write.mode(
+                "append"
+            ).parquet(metrics_dir)
+            if quarantine_dir is not None:
+                violated = F.array_compact(
+                    F.array(
+                        *[
+                            F.when(cond, F.lit(name))
+                            for name, cond in checks
+                        ]
+                    )
+                )
+                (
+                    batch_df.withColumn("_violated", violated)
+                    .filter(F.size("_violated") > 0)
+                    .withColumn("_batch_id", F.lit(batch_id).cast("long"))
+                    .write.mode("append")
+                    .parquet(quarantine_dir)
+                )
+        finally:
+            if quarantine_dir is not None:
+                batch_df.unpersist()
+
+    return (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )

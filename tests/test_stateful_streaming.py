@@ -391,3 +391,56 @@ def test_streaming_bloom_dedup(spark, tmp_path):
     bits = spark.read.parquet(bits_dir)
     # bounded state: at most k=4 positions per admitted doc, no dups
     assert bits.count() == bits.distinct().count() <= 16
+
+
+def test_streaming_dq_monitor(spark, tmp_path):
+    """Per-batch metrics: planted null user + negative value are
+    counted; clean checks pass; violating rows land in quarantine
+    with the failing check names."""
+    from clickstreamtoclickhouse_spark.streaming import monitor
+
+    landing = tmp_path / "dq_landing"
+    landing.mkdir()
+    rows = [
+        {"event_id": 1, "user_id": 10, "value": 5.0},
+        {"event_id": 2, "user_id": None, "value": 7.0},
+        {"event_id": 3, "user_id": 30, "value": -2.5},
+        {"event_id": 4, "user_id": 40, "value": 1.0},
+    ]
+    with open(landing / "batch.json", "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+    schema = "event_id BIGINT, user_id BIGINT, value DOUBLE"
+    stream = spark.readStream.schema(schema).json(str(landing))
+    checks = [
+        ("not_null_user_id", F.col("user_id").isNull()),
+        ("nonneg_value", F.col("value") < 0),
+        ("unique_event_id_placeholder", F.lit(False)),
+    ]
+    q = monitor.streaming_dq_monitor(
+        stream,
+        checks,
+        metrics_dir=str(tmp_path / "metrics"),
+        checkpoint_dir=str(tmp_path / "ckpt_dq"),
+        quarantine_dir=str(tmp_path / "quarantine"),
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    metrics = {
+        r["check_name"]: r
+        for r in spark.read.parquet(str(tmp_path / "metrics")).collect()
+    }
+    assert len(metrics) == 3
+    assert all(m["n_rows"] == 4 for m in metrics.values())
+    assert metrics["not_null_user_id"]["n_violations"] == 1
+    assert not metrics["not_null_user_id"]["passed"]
+    assert metrics["nonneg_value"]["n_violations"] == 1
+    assert metrics["unique_event_id_placeholder"]["n_violations"] == 0
+    assert metrics["unique_event_id_placeholder"]["passed"]
+
+    quar = spark.read.parquet(str(tmp_path / "quarantine")).collect()
+    by_id = {r["event_id"]: list(r["_violated"]) for r in quar}
+    assert by_id == {2: ["not_null_user_id"], 3: ["nonneg_value"]}
