@@ -112,6 +112,7 @@ def jaccard_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_shingle_freq: int | None = None,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs by n-gram Jaccard similarity.
 
@@ -124,8 +125,16 @@ def jaccard_pairs(
     docs before the join — at 100 TB a stopword shingle would otherwise
     create a quadratic hot key; the cap bounds each shingle's join
     contribution. None = exact (used for oracle parity at test SF).
+
+    `shingles` injects a precomputed (did, shingle[, ...]) table so a
+    caller evaluating several dedup methods over one corpus (e.g.
+    dedup_recall_report) pays the explode once, not once per method.
     """
-    sh = _doc_shingles(docs, id_col, text_col, n)
+    sh = (
+        shingles.select("did", "shingle")
+        if shingles is not None
+        else _doc_shingles(docs, id_col, text_col, n)
+    )
     if max_shingle_freq is not None:
         freq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
         sh = sh.join(
@@ -393,6 +402,7 @@ def minhash_portable_bands(
     num_bands: int = 4,
     id_col: str = "doc_id",
     text_col: str = "text",
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Portable MinHash band keys: shingles -> polynomial base hash ->
     16 (a*x+b) mod p permutation minima -> `num_bands` band keys.
@@ -406,9 +416,9 @@ def minhash_portable_bands(
     if k % num_bands:
         raise ValueError("len(MH_AB) must be divisible by num_bands")
     r = k // num_bands
-    sh = _doc_shingles(docs, id_col, text_col, n).withColumn(
-        "h", _portable_hash(F.col("shingle"))
-    )
+    sh = shingles if shingles is not None else _doc_shingles(docs, id_col, text_col, n)
+    if "h" not in sh.columns:
+        sh = sh.withColumn("h", _portable_hash(F.col("shingle")))
     sig = sh.groupBy("did").agg(
         *[
             F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(MH_PRIME)).alias(f"m{j}")
@@ -439,6 +449,7 @@ def minhash_portable_pairs(
     num_bands: int = 4,
     id_col: str = "doc_id",
     text_col: str = "text",
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Banded MinHash LSH with PORTABLE hashing: shingles -> polynomial
     base hash -> 16 (a*x+b) mod p permutation minima -> `num_bands`
@@ -452,7 +463,9 @@ def minhash_portable_pairs(
     rather than rows-only. Returns (doc_a, doc_b, est_jaccard),
     doc_a < doc_b."""
     k = len(MH_AB)
-    banded = minhash_portable_bands(docs, n, num_bands, id_col, text_col)
+    banded = minhash_portable_bands(
+        docs, n, num_bands, id_col, text_col, shingles=shingles
+    )
     a = banded.select(
         F.col("did").alias("doc_a"), F.col("sig").alias("sig_a"), "band", "bk"
     )
@@ -527,6 +540,7 @@ def simhash_portable(
     n: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """32-bit SimHash per document over word n-gram shingles, with
     PORTABLE arithmetic: shingle -> polynomial base hash -> bit i =
@@ -534,9 +548,9 @@ def simhash_portable(
     one-aggregation shape as ``simhash`` (32 conditional sums on one
     doc-id shuffle); no engine-native hash anywhere, so the
     fingerprints value-match a SQL twin."""
-    sh = _doc_shingles(docs, id_col, text_col, n).withColumn(
-        "h", _portable_hash(F.col("shingle"))
-    )
+    sh = shingles if shingles is not None else _doc_shingles(docs, id_col, text_col, n)
+    if "h" not in sh.columns:
+        sh = sh.withColumn("h", _portable_hash(F.col("shingle")))
     votes = [
         F.sum(
             F.when(
@@ -562,6 +576,7 @@ def simhash_portable_near_dup_pairs(
     n: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup pairs by portable SimHash: banded pigeonhole
     candidate join (4 x 8-bit bands — any pair within hamming 3
@@ -569,7 +584,7 @@ def simhash_portable_near_dup_pairs(
     EXACT, not probabilistic), then bit_count(xor) verification.
     Returns (doc_a, doc_b, hamming), doc_a < doc_b. Same plan shape
     as ``simhash_near_dup_pairs``; every value checkable in SQL."""
-    sig = simhash_portable(docs, n, id_col, text_col)
+    sig = simhash_portable(docs, n, id_col, text_col, shingles=shingles)
     n_bands = SH_BITS // SH_BAND_BITS
     mask = (1 << SH_BAND_BITS) - 1
     bands = F.array(

@@ -2427,24 +2427,37 @@ def dedup_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale substitute jaccard_pairs' max_shingle_freq cap or a sampled
     truth set; the report math is unchanged."""
     corpus = _near_dup_corpus(load(spark, sf_dir, "documents"))
+    # all three methods consume the SAME (doc, shingle, hash) table —
+    # build it once (one explode + one char-fold pass) and share it; a
+    # lazy localCheckpoint materializes it on first action so the three
+    # pipelines read the checkpoint instead of re-deriving it. At scale
+    # this is the difference between one pass over corpus characters
+    # and three.
+    shingles = (
+        dedup_text._doc_shingles(corpus, "doc_id", "text", 3)
+        .withColumn("h", dedup_text._portable_hash(F.col("shingle")))
+        .localCheckpoint(eager=False)
+    )
     # each pair set feeds 2-4 aggregates below; a LAZY localCheckpoint
     # runs every pipeline exactly once on first action while keeping
     # DataFrame construction side-effect-free (eager would execute all
     # three pipelines at build/explain time). Pair sets are
     # output-sized — KBs here, bounded by the near-dup rate
-    truth = dedup_text.jaccard_pairs(corpus, threshold=0.5, n=3).select(
-        "doc_a", "doc_b"
-    ).localCheckpoint(eager=False)
+    truth = dedup_text.jaccard_pairs(
+        corpus, threshold=0.5, n=3, shingles=shingles
+    ).select("doc_a", "doc_b").localCheckpoint(eager=False)
     mh = (
         dedup_text.minhash_portable_pairs(
-            corpus, threshold=0.5, n=3, num_bands=_MH_BANDS
+            corpus, threshold=0.5, n=3, num_bands=_MH_BANDS, shingles=shingles
         )
         .select("doc_a", "doc_b")
         .distinct()
         .localCheckpoint(eager=False)
     )
     sh = (
-        dedup_text.simhash_portable_near_dup_pairs(corpus, max_hamming=3, n=3)
+        dedup_text.simhash_portable_near_dup_pairs(
+            corpus, max_hamming=3, n=3, shingles=shingles
+        )
         .select("doc_a", "doc_b")
         .distinct()
         .localCheckpoint(eager=False)

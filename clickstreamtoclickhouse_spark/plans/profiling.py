@@ -159,7 +159,9 @@ def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     e AS (
       SELECT CAST(coalesce(sum(CASE WHEN value < 0.0 OR value > 400.0
-                           THEN 1 ELSE 0 END), 0) AS BIGINT) AS out_of_envelope
+                           THEN 1 ELSE 0 END), 0) AS BIGINT) AS out_of_envelope,
+             count(*) - count(ts) AS null_ts,
+             count(*) - count(DISTINCT event_id) AS dup_event_id
       FROM events
     ),
     fk_oc AS (
@@ -182,6 +184,8 @@ def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
       UNION ALL SELECT 'positive_l_quantity', 'lineitem', bad_quantity FROM l
       UNION ALL SELECT 'value_envelope_0_400', 'events',
                        out_of_envelope FROM e
+      UNION ALL SELECT 'not_null_ts', 'events', null_ts FROM e
+      UNION ALL SELECT 'unique_event_id', 'events', dup_event_id FROM e
       UNION ALL SELECT 'fk_orders_customer', 'orders', n FROM fk_oc
       UNION ALL SELECT 'fk_lineitem_orders', 'lineitem', n FROM fk_lo
     )
@@ -231,7 +235,11 @@ def dq_assertions(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = events.agg(
         _viol((F.col("value") < 0.0) | (F.col("value") > 400.0)).alias(
             "out_of_envelope"
-        )
+        ),
+        (F.count(F.lit(1)) - F.count("ts")).alias("null_ts"),
+        (F.count(F.lit(1)) - F.count_distinct("event_id")).alias(
+            "dup_event_id"
+        ),
     )
     fk_oc = (
         orders.join(
@@ -276,6 +284,8 @@ def dq_assertions(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]))
         .unionByName(rows(ev, [
             ("value_envelope_0_400", "events", "out_of_envelope"),
+            ("not_null_ts", "events", "null_ts"),
+            ("unique_event_id", "events", "dup_event_id"),
         ]))
         .unionByName(rows(fk_oc, [
             ("fk_orders_customer", "orders", "n"),

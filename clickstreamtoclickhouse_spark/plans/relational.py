@@ -1248,98 +1248,6 @@ def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "events_profile",
-    oracle="""
-    SELECT 'event_id' AS col, count(*) AS n_rows,
-           count(event_id) AS n_non_null,
-           count(DISTINCT event_id) AS n_distinct
-    FROM events
-    UNION ALL
-    SELECT 'user_id', count(*), count(user_id), count(DISTINCT user_id)
-    FROM events
-    UNION ALL
-    SELECT 'event_type', count(*), count(event_type),
-           count(DISTINCT event_type)
-    FROM events
-    UNION ALL
-    SELECT 'value', count(*), count(value), count(DISTINCT value)
-    FROM events
-    """,
-)
-def events_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Data profiling (Deequ-style column statistics): row count,
-    non-null count, distinct count per profiled column — computed in
-    ONE aggregation pass over the table (count(col) + count
-    distinct per column), then unpivoted to the per-column report.
-    The SQL twin spells each column out; Spark computes all columns
-    in a single scan and reshapes."""
-    e = load(spark, sf_dir, "events")
-    cols = ["event_id", "user_id", "event_type", "value"]
-    agg = e.agg(
-        F.count("*").alias("n_rows"),
-        *[F.count(c).alias(f"nn_{c}") for c in cols],
-        *[F.countDistinct(c).alias(f"nd_{c}") for c in cols],
-    )
-    parts = [
-        F.struct(
-            F.lit(c).alias("col"),
-            F.col("n_rows").alias("n_rows"),
-            F.col(f"nn_{c}").alias("n_non_null"),
-            F.col(f"nd_{c}").alias("n_distinct"),
-        )
-        for c in cols
-    ]
-    return agg.select(F.explode(F.array(*parts)).alias("p")).select("p.*")
-
-
-@query(
-    "data_quality_checks",
-    oracle="""
-    SELECT 'event_id_unique' AS check_name,
-           CAST(count(*) - count(DISTINCT event_id) AS BIGINT) AS n_violations
-    FROM events
-    UNION ALL
-    SELECT 'ts_complete', CAST(count(*) FILTER (WHERE ts IS NULL) AS BIGINT)
-    FROM events
-    UNION ALL
-    SELECT 'value_non_negative',
-           CAST(count(*) FILTER (WHERE value < 0) AS BIGINT)
-    FROM events
-    UNION ALL
-    SELECT 'orders_customer_fk',
-           CAST(count(*) AS BIGINT)
-    FROM orders o
-    WHERE NOT EXISTS (SELECT 1 FROM customer c
-                      WHERE c.c_custkey = o.o_custkey)
-    """,
-)
-def data_quality_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Declarative data-quality suite (the Deequ/Great-Expectations
-    check shape): uniqueness, completeness, range, and referential-
-    integrity violations as one report. The FK check is a left-anti
-    join (never a driver-side loop); each scan-level check is an
-    aggregate over its own pushdown-pruned scan."""
-    e = load(spark, sf_dir, "events")
-    o = load(spark, sf_dir, "orders")
-    c = load(spark, sf_dir, "customer")
-    uniq = e.agg(
-        (F.count("*") - F.countDistinct("event_id")).cast("long").alias("n")
-    ).select(F.lit("event_id_unique").alias("check_name"), F.col("n").alias("n_violations"))
-    compl = e.agg(
-        F.count(F.when(F.col("ts").isNull(), 1)).cast("long").alias("n")
-    ).select(F.lit("ts_complete").alias("check_name"), F.col("n").alias("n_violations"))
-    rng = e.agg(
-        F.count(F.when(F.col("value") < 0, 1)).cast("long").alias("n")
-    ).select(F.lit("value_non_negative").alias("check_name"), F.col("n").alias("n_violations"))
-    fk = (
-        o.join(c, o["o_custkey"] == c["c_custkey"], "left_anti")
-        .agg(F.count("*").cast("long").alias("n"))
-        .select(F.lit("orders_customer_fk").alias("check_name"), F.col("n").alias("n_violations"))
-    )
-    return uniq.unionByName(compl).unionByName(rng).unionByName(fk)
-
-
-@query(
     "scd2_user_type_history",
     oracle="""
     WITH changes AS (

@@ -57,6 +57,10 @@ PROBE_QUERIES = [
     "dsir_importance_weights",
     "hashed_classifier_scores",
     "filter_cascade_report",
+    "minhash_decontamination",
+    "leakage_safe_split",
+    "table_profile",
+    "value_quantile_sketch",
 ]
 
 

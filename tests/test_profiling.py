@@ -40,7 +40,7 @@ def test_dq_assertions_signal(spark):
     (<=400 vs max ~490) must register real violations — proving the
     counting path, not just the all-zeros path."""
     rows = {r["check_name"]: r for r in QUERIES["dq_assertions"](spark, SF_DIR_MED).collect()}
-    assert len(rows) == 9
+    assert len(rows) == 11
     for name in ("unique_o_orderkey", "fk_orders_customer", "fk_lineitem_orders",
                  "range_l_discount", "positive_l_quantity"):
         assert rows[name]["n_violations"] == 0 and rows[name]["passed"], name
