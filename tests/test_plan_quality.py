@@ -607,3 +607,44 @@ def test_governance_reports_single_keyed_agg(spark):
         txt = plan_text(spark, name)
         assert "Join" not in txt, name
         assert count_exchanges(txt) <= 1, name
+
+
+def test_dq_assertions_broadcasts_dims_no_cartesian(spark):
+    # FK checks must be anti-joins with the dimension broadcast (or a
+    # keyed shuffle for lineitem x orders), never a cartesian; scan
+    # checks fuse into aggregates, so no raw-row exchange of orders/
+    # lineitem columns beyond the join keys
+    txt = plan_text(spark, "dq_assertions")
+    assert "CartesianProduct" not in txt
+    assert "BroadcastHashJoin" in txt and "LeftAnti" in txt
+
+
+def test_table_profile_one_scan_with_expand(spark):
+    # the 6-column exact-distinct profile is ONE pass: single parquet
+    # scan feeding an Expand (multi-distinct rewrite), not 6 scans
+    txt = plan_text(spark, "table_profile")
+    scans = [
+        l for l in txt.splitlines()
+        if "Scan parquet" in l and l.strip().startswith("(")
+    ]
+    assert len(scans) == 1, scans
+    assert "Expand" in txt
+
+
+def test_minhash_decontamination_broadcasts_benchmark(spark):
+    # the benchmark band table (tiny) must broadcast; corpus bands are
+    # never cross-joined against it
+    txt = plan_text(spark, "minhash_decontamination")
+    assert "CartesianProduct" not in txt
+    assert "BroadcastHashJoin" in txt
+
+
+def test_quantile_sketch_windows_only_after_merge(spark):
+    # both windows run over the merged <=100-row bin table: every
+    # Window sorts on bin, and the raw events exchange is keyed by
+    # (day, bin) aggregation — no event-row window anywhere
+    txt = plan_text(spark, "value_quantile_sketch")
+    assert "CartesianProduct" not in txt
+    specs = txt.count("windowspecdefinition(")
+    assert specs >= 2  # cum + total (fused into one Window op)
+    assert specs == txt.count("windowspecdefinition(bin")
