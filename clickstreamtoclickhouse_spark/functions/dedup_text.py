@@ -488,6 +488,73 @@ def minhash_portable_pairs(
     )
 
 
+def incremental_minhash_dedup(
+    batch: DataFrame,
+    index_bands: DataFrame | None,
+    n: int = 3,
+    num_bands: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> tuple[DataFrame, DataFrame]:
+    """FUZZY continuous-ingestion dedup — the MinHash analog of
+    ``incremental_exact_dedup``: drop incoming docs whose band keys
+    collide with the persisted corpus BAND INDEX (near-dups of
+    already-admitted content, not just byte-identical), then keep
+    min-id per in-batch collision component. Returns
+    ``(fresh_ids, fresh_bands)``: survivors and the band rows to
+    append to the index so later batches screen against them.
+
+    `index_bands` is the persisted (band, bk) table (None = first
+    batch). Banding defaults to the recall-biased 8x2 layout of
+    minhash_decontamination — for admission control, missing a
+    near-dup pollutes the corpus forever, while a false collision
+    drops one doc.
+
+    Scale: each arriving batch costs O(|batch|) band rows against the
+    index regardless of corpus size (anti-join on the band key; a
+    bucketed index makes it shuffle-free on the index side). In-batch
+    collisions use the same banded equi-join, never all-pairs; the
+    min-id keeper rule is one window over band keys. The rule is
+    deliberately CONSERVATIVE: a doc whose only collisions are with
+    other rejected docs is also dropped (sequential id-order admission
+    would re-admit it, but needs iterative peeling — at ingest scale a
+    deterministic one-pass over-drop beats a multi-round exact
+    replay). Same non-atomic two-append caveat as
+    ``streaming_corpus_dedup``."""
+    from pyspark.sql.window import Window
+
+    bands = minhash_portable_bands(
+        batch, n=n, num_bands=num_bands, id_col=id_col, text_col=text_col
+    ).select("did", "band", "bk")
+    if index_bands is not None:
+        idx = index_bands.select("band", "bk")
+        hit_corpus = (
+            bands.join(idx, ["band", "bk"], "left_semi")
+            .select("did")
+            .distinct()
+        )
+        bands_live = bands.join(hit_corpus, "did", "left_anti")
+    else:
+        bands_live = bands
+    # in-batch: docs sharing any band key collide; keep the minimum id
+    # per band key, then a doc survives only if it is the keeper of
+    # EVERY band key it emits (a non-keeper somewhere means it
+    # collided with an earlier-id doc there)
+    w = Window.partitionBy("band", "bk")
+    keepers = (
+        bands_live.withColumn("keeper", F.min("did").over(w))
+        .groupBy("did")
+        .agg(F.max((F.col("did") != F.col("keeper")).cast("int")).alias("beaten"))
+        .filter(F.col("beaten") == 0)
+        .select("did")
+    )
+    fresh_ids = keepers.withColumnRenamed("did", id_col)
+    fresh_bands = bands_live.join(keepers, "did", "left_semi").select(
+        F.col("did").alias(id_col), "band", "bk"
+    )
+    return fresh_ids, fresh_bands
+
+
 # ---------------------------------------------------------------------------
 # Portable SimHash (oracle-checkable — random-parity projections)
 # ---------------------------------------------------------------------------

@@ -459,3 +459,58 @@ def streaming_bloom_dedup(
         .option("checkpointLocation", checkpoint_dir)
         .start()
     )
+
+
+def streaming_fuzzy_corpus_dedup(
+    docs_stream: DataFrame,
+    index_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_bands: int = 8,
+):
+    """``streaming_corpus_dedup``'s fuzzy sibling: each micro-batch is
+    screened against the persisted MinHash BAND index, so re-sent OR
+    NEAR-DUPLICATE content (truncations, boilerplate re-crawls) is
+    rejected — exact hashing only stops byte-identical re-delivery.
+    Survivors' text is appended to `out_dir`, their band rows to
+    `index_dir`.
+
+    Per batch: O(|batch|) band rows anti-joined to the index (bucket
+    the index on (band, bk) at scale for a co-located join); in-batch
+    collisions resolved by functions.dedup_text.incremental_minhash_dedup's
+    deterministic keeper rule. Index growth is `num_bands` rows per
+    ADMITTED doc — rejected duplicates add nothing. Same non-atomic
+    two-append caveat as the exact variant (Delta mapping closes it)."""
+    from ..functions.dedup_text import incremental_minhash_dedup
+
+    spark = docs_stream.sparkSession
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        from ..util import try_read_parquet
+
+        batch_df = batch_df.cache()
+        try:
+            index = try_read_parquet(spark, index_dir)
+            fresh_ids, fresh_bands = incremental_minhash_dedup(
+                batch_df, index, num_bands=num_bands,
+                id_col=id_col, text_col=text_col,
+            )
+            fresh_bands = fresh_bands.cache()
+            (
+                batch_df.join(fresh_ids, id_col, "left_semi")
+                .write.mode("append").parquet(out_dir)
+            )
+            fresh_bands.select(id_col, "band", "bk").write.mode(
+                "append"
+            ).parquet(index_dir)
+            fresh_bands.unpersist()
+        finally:
+            batch_df.unpersist()
+
+    return (
+        docs_stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )

@@ -252,12 +252,11 @@ def main() -> None:
     out = {
         "what": "10x-rows scale probe on generator data (see scripts/sf_probe.py); time_ratio <= ~10 = linear, > 15 flags a hidden quadratic",
         "notes": (
-            "r5 final (rerun with dsir/classifier/cascade added, post "
-            "PQ-codegen + widen-policy fixes): no query exceeded the 15x "
-            "bar (max 12.3x, simhash_portable — CPU-bound portable "
-            "hashing, linear; new ops dsir_importance_weights 5.7x, "
-            "hashed_classifier_scores 7.2x, filter_cascade_report 5.7x, "
-            "all with ~10-16x shuffle = linear in rows). "
+            "r6 (adds round-6 ops minhash_decontamination 6.0x, "
+            "leakage_safe_split 1.4x, table_profile 6.4x, "
+            "value_quantile_sketch 1.4x): no query exceeded the 15x bar "
+            "(max 11.1x, simhash_portable — CPU-bound portable hashing, "
+            "linear; shuffle x9.6 = linear in rows). "
             "jaccard_near_dups_capped's 719x SHUFFLE ratio is adaptive "
             "broadcast behavior, not a pair explosion: at base AQE "
             "broadcasts the shingle side (0.3MB shuffled), at x10 it "
@@ -265,7 +264,8 @@ def main() -> None:
             "aggregation shuffle appears (216MB ~= 2.6M shingle "
             "instances); the candidate-pair set itself SHRANK "
             "(1.24M -> 0.12M all-pairs, DuckDB-verified) because "
-            "vocabulary grows with corpus (Heaps), spreading shingles."
+            "vocabulary grows with corpus (Heaps), spreading shingles "
+            "(r5 analysis, unchanged)."
         ),
         "queries": probe,
     }

@@ -444,3 +444,81 @@ def test_streaming_dq_monitor(spark, tmp_path):
     quar = spark.read.parquet(str(tmp_path / "quarantine")).collect()
     by_id = {r["event_id"]: list(r["_violated"]) for r in quar}
     assert by_id == {2: ["not_null_user_id"], 3: ["nonneg_value"]}
+
+
+_LONG_A = ("the quick brown fox jumps over the lazy dog while the "
+           "patient heron watches from the riverbank in the morning mist")
+_LONG_B = ("completely different subject matter about distributed "
+           "query engines shuffling partitioned columnar data across "
+           "executor nodes during wide transformations")
+_LONG_A_NEAR = _LONG_A.replace("morning", "evening")
+_LONG_C = ("a third unrelated passage describing alpine meadows where "
+           "marmots whistle warnings across scree fields under summer thunderheads")
+_LONG_C_NEAR = _LONG_C.replace("summer", "winter")
+
+
+def test_incremental_minhash_dedup_batch_semantics(spark):
+    from clickstreamtoclickhouse_spark.functions.dedup_text import (
+        incremental_minhash_dedup,
+    )
+
+    b1 = spark.createDataFrame(
+        [(1, _LONG_A), (2, _LONG_B)], "doc_id long, text string"
+    )
+    fresh1, bands1 = incremental_minhash_dedup(b1, None)
+    assert sorted(r["doc_id"] for r in fresh1.collect()) == [1, 2]
+    bands1 = bands1.cache()
+    assert bands1.count() == 2 * 8  # 8 bands per admitted doc
+
+    # batch 2: near-copy of an indexed doc (rejected via index), a new
+    # doc (admitted), and an in-batch near-copy of it (keeper rule)
+    b2 = spark.createDataFrame(
+        [(10, _LONG_A_NEAR), (11, _LONG_C), (12, _LONG_C_NEAR)],
+        "doc_id long, text string",
+    )
+    fresh2, bands2 = incremental_minhash_dedup(b2, bands1)
+    assert sorted(r["doc_id"] for r in fresh2.collect()) == [11]
+    # index grows only by the admitted doc's bands
+    assert bands2.count() == 8
+    assert {r["doc_id"] for r in bands2.select("doc_id").collect()} == {11}
+
+
+def test_streaming_fuzzy_corpus_dedup(spark, tmp_path):
+    import json as _json
+
+    landing = tmp_path / "fuzzy_docs"
+    landing.mkdir()
+    index_dir = str(tmp_path / "fuzzy_index")
+    out_dir = str(tmp_path / "fuzzy_corpus")
+    ckpt = str(tmp_path / "ckpt_fuzzy")
+
+    def write_file(name, rows):
+        with open(landing / name, "w") as f:
+            for r in rows:
+                f.write(_json.dumps(r) + "\n")
+
+    write_file("b1.json", [
+        {"doc_id": 1, "text": _LONG_A},
+        {"doc_id": 2, "text": _LONG_B},
+    ])
+    schema = "doc_id long, text string"
+    stream = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", 1
+    ).json(str(landing))
+    q = stateful.streaming_fuzzy_corpus_dedup(stream, index_dir, out_dir, ckpt)
+    try:
+        q.processAllAvailable()
+        # batch 2: a NEAR-duplicate (one word changed — exact hashing
+        # would admit it) and one genuinely new doc
+        write_file("b2.json", [
+            {"doc_id": 10, "text": _LONG_A_NEAR},
+            {"doc_id": 11, "text": _LONG_C},
+        ])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    ids = sorted(r["doc_id"] for r in spark.read.parquet(out_dir).collect())
+    assert ids == [1, 2, 11]
+    idx = spark.read.parquet(index_dir)
+    assert idx.count() == 3 * 8
