@@ -7,13 +7,16 @@ import pytest
 
 from clickstreamtoclickhouse_spark import plans
 
-from .conftest import SF_DIR
+from .conftest import SF_DIR, SF_DIR_MED
 from .oracle_utils import assert_query_matches_oracle
 
 
+# sf0.01 — the SAME scale the driver's correctness gate uses, so this
+# parametrization is a true mirror (it also exercises plans on 10x the
+# rows of the other tests' sf0.001 fixtures)
 @pytest.mark.parametrize("name", sorted(plans.ORACLE))
 def test_query_matches_oracle(spark, name):
-    assert_query_matches_oracle(spark, name, SF_DIR)
+    assert_query_matches_oracle(spark, name, SF_DIR_MED)
 
 
 def test_all_queries_return_rows(spark):
