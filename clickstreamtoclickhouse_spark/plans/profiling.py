@@ -426,3 +426,113 @@ def value_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("total").alias("n_total"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# value_drift_psi — population-stability drift between two periods
+# ---------------------------------------------------------------------------
+
+_PSI_SPLIT = "2024-01-16"  # period A: days 1-15; period B: days 16-30
+_PSI_EPS = 1e-6  # Laplace floor so empty bins stay defined (standard PSI)
+
+
+@query(
+    "value_drift_psi",
+    oracle=f"""
+    WITH binned AS (
+      SELECT CASE WHEN ts < TIMESTAMP '{_PSI_SPLIT}' THEN 'a' ELSE 'b' END
+               AS period,
+             f.feature,
+             CASE f.feature
+               WHEN 'event_type' THEN event_type
+               ELSE CAST(CAST(floor(value / {_HIST_W}) AS BIGINT) AS VARCHAR)
+             END AS bin
+      FROM events
+      CROSS JOIN (SELECT unnest(['event_type', 'value_bin']) AS feature) f
+      WHERE value IS NOT NULL
+    ),
+    counts AS (
+      SELECT feature, bin,
+             count(*) FILTER (period = 'a') AS ca,
+             count(*) FILTER (period = 'b') AS cb
+      FROM binned GROUP BY feature, bin
+    ),
+    totals AS (
+      SELECT feature,
+             CAST(sum(ca) AS BIGINT) AS na, CAST(sum(cb) AS BIGINT) AS nb
+      FROM counts GROUP BY feature
+    ),
+    terms AS (
+      SELECT c.feature,
+             (ca * 1.0 / na + {_PSI_EPS}) AS p,
+             (cb * 1.0 / nb + {_PSI_EPS}) AS q,
+             na, nb
+      FROM counts c JOIN totals t USING (feature)
+    )
+    SELECT feature,
+           round(sum((p - q) * ln(p / q)), 6) AS psi,
+           CAST(count(*) AS BIGINT) AS n_bins,
+           max(na) AS n_period_a,
+           max(nb) AS n_period_b
+    FROM terms GROUP BY feature
+    """,
+)
+def value_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift monitoring via the Population Stability
+    Index (standard model-monitoring metric): compare the first and
+    second half of the event window per feature — `event_type`'s
+    categorical distribution and `value`'s fixed-width histogram bins
+    — with PSI = Σ (p−q)·ln(p/q) over Laplace-floored shares. The
+    continuous counterpart to `dq_assertions`: rules catch broken
+    rows, PSI catches a feed whose rows are individually valid but
+    collectively shifted (upstream schema change, traffic mix flip).
+    PSI < 0.1 = stable, 0.1–0.25 = drifting, > 0.25 = alarm.
+
+    Plan: ONE scan; the 2-feature explode doubles rows map-side, then
+    a two-phase aggregate on (feature, bin) — bounded keys (types x
+    bins), so the shuffle is report-sized. The PSI reduce runs over
+    the <=2x(bins) term table. Same deterministic binning as
+    `event_value_histogram`; ln() rounds at 6dp for cross-engine
+    parity (the rounded-flag convention used for logits elsewhere)."""
+    e = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    period = F.when(
+        F.col("ts") < F.lit(_PSI_SPLIT).cast("timestamp"), "a"
+    ).otherwise("b")
+    features = F.array(
+        F.struct(
+            F.lit("event_type").alias("feature"),
+            F.col("event_type").alias("bin"),
+        ),
+        F.struct(
+            F.lit("value_bin").alias("feature"),
+            F.floor(F.col("value") / F.lit(_HIST_W))
+            .cast("long")
+            .cast("string")
+            .alias("bin"),
+        ),
+    )
+    binned = e.select(
+        period.alias("period"), F.explode(features).alias("f")
+    ).select("period", "f.feature", "f.bin")
+    counts = binned.groupBy("feature", "bin").agg(
+        F.count(F.when(F.col("period") == "a", 1)).alias("ca"),
+        F.count(F.when(F.col("period") == "b", 1)).alias("cb"),
+    )
+    totals = counts.groupBy("feature").agg(
+        F.sum("ca").alias("na"), F.sum("cb").alias("nb")
+    )
+    terms = counts.join(totals, "feature").select(
+        "feature",
+        (F.col("ca") / F.col("na") + _PSI_EPS).alias("p"),
+        (F.col("cb") / F.col("nb") + _PSI_EPS).alias("q"),
+        "na",
+        "nb",
+    )
+    return terms.groupBy("feature").agg(
+        F.round(
+            F.sum((F.col("p") - F.col("q")) * F.log(F.col("p") / F.col("q"))), 6
+        ).alias("psi"),
+        F.count(F.lit(1)).alias("n_bins"),
+        F.max("na").alias("n_period_a"),
+        F.max("nb").alias("n_period_b"),
+    )

@@ -96,3 +96,24 @@ def test_quantile_sketch_error_bound(spark):
     for q, e in est.items():
         exact = vals.stat.approxQuantile("value", [q], 0.0)[0]
         assert exact <= e <= exact + _QS_W + 1e-9, (q, e, exact)
+
+
+def test_psi_flags_planted_drift(spark, tmp_path):
+    """Stable synthetic data sits far below the 0.1 drift bar; a
+    planted period-B type flip pushes event_type PSI past 0.25."""
+    stable = {r["feature"]: r["psi"]
+              for r in QUERIES["value_drift_psi"](spark, SF_DIR_MED).collect()}
+    assert stable["event_type"] < 0.1 and stable["value_bin"] < 0.1
+
+    sf = str(tmp_path)
+    e = load(spark, SF_DIR_MED, "events")
+    drifted = e.withColumn(
+        "event_type",
+        F.when(F.col("ts") >= F.lit("2024-01-16").cast("timestamp"), "flood")
+        .otherwise(F.col("event_type")),
+    )
+    drifted.write.parquet(f"{sf}/events.parquet")
+    psi = {r["feature"]: r["psi"]
+           for r in QUERIES["value_drift_psi"](spark, sf).collect()}
+    assert psi["event_type"] > 0.25, psi
+    assert psi["value_bin"] < 0.1  # untouched feature stays stable
