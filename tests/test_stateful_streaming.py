@@ -522,3 +522,45 @@ def test_streaming_fuzzy_corpus_dedup(spark, tmp_path):
     assert ids == [1, 2, 11]
     idx = spark.read.parquet(index_dir)
     assert idx.count() == 3 * 8
+
+
+def test_incremental_minhash_dedup_conservative_chain(spark):
+    """Pin the DOCUMENTED conservative keeper semantics: in a chain
+    A~B~C (B collides with both, A and C don't collide directly), B is
+    rejected against A and C is rejected against B even though B was
+    itself dropped — the deterministic one-pass rule over-drops rather
+    than replaying sequential admission. The expected set is computed
+    independently from the band table, so implementation and spec are
+    cross-checked."""
+    from clickstreamtoclickhouse_spark.functions.dedup_text import (
+        incremental_minhash_dedup,
+        minhash_portable_bands,
+    )
+
+    t1 = _LONG_A
+    t2 = _LONG_A.replace("quick", "swift").replace("morning", "evening")
+    t3 = t2.replace("patient", "hungry").replace("riverbank", "shoreline")
+    batch = spark.createDataFrame(
+        [(1, t1), (2, t2), (3, t3)], "doc_id long, text string"
+    )
+    bands = minhash_portable_bands(batch, n=3, num_bands=8).select(
+        "did", "band", "bk"
+    ).collect()
+    keys = {}
+    for r in bands:
+        keys.setdefault(r["did"], set()).add((r["band"], r["bk"]))
+    # expected per the spec: survivor iff min-id holder of EVERY band
+    # key it emits
+    owner = {}
+    for did, ks in keys.items():
+        for k in ks:
+            owner[k] = min(owner.get(k, did), did)
+    expected = sorted(
+        did for did, ks in keys.items() if all(owner[k] == did for k in ks)
+    )
+    fresh, _ = incremental_minhash_dedup(batch, None)
+    got = sorted(r["doc_id"] for r in fresh.collect())
+    assert got == expected
+    # the scenario is only meaningful if the chain actually collides
+    assert keys[1] & keys[2] and keys[2] & keys[3], "chain failed to collide"
+    assert 2 not in got and 3 not in got and 1 in got
