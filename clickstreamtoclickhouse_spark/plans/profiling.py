@@ -165,12 +165,17 @@ def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events
     ),
     fk_oc AS (
-      SELECT count(*) AS n FROM orders
-      WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
+      -- NOT EXISTS, not NOT IN: anti-join semantics count a NULL key
+      -- as an orphan (matches Spark left_anti); NOT IN would silently
+      -- drop NULL-key rows from the violation count
+      SELECT count(*) AS n FROM orders o
+      WHERE NOT EXISTS (SELECT 1 FROM customer c
+                        WHERE c.c_custkey = o.o_custkey)
     ),
     fk_lo AS (
-      SELECT count(*) AS n FROM lineitem
-      WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+      SELECT count(*) AS n FROM lineitem l
+      WHERE NOT EXISTS (SELECT 1 FROM orders o2
+                        WHERE o2.o_orderkey = l.l_orderkey)
     ),
     checks AS (
       SELECT 'unique_o_orderkey' AS check_name, 'orders' AS table_name,
