@@ -1,0 +1,273 @@
+"""Minimal native transaction log over plain parquet (Delta-style).
+
+``sinks/lakehouse.py`` maps the reference's ReplacingMergeTree
+semantics onto Delta Lake, but the delta jars are absent here, so
+that sink is env-gated. This module implements the CORE mechanism
+natively — a file-based commit log — so transactional semantics are
+actually exercised in this repo, not just designed:
+
+- **Log-derived listings.** A table is a directory with ``_txlog/``
+  holding one JSON file per version: ``{version, adds, removes,
+  schema}``. Readers reconstruct the active file set from the log —
+  never from a directory listing. At 100 TB this is the difference
+  between an O(1)-ish metadata read and a multi-minute S3 LIST, and
+  it is why Delta/Iceberg exist (Armbrust et al., VLDB 2020 — public
+  design).
+- **Atomic, exclusive commits.** A commit is written to a temp file
+  and ``os.link``ed to its final ``{version}.json`` name. ``link``
+  is atomic and fails with EEXIST if the version is taken, giving
+  both crash-atomicity (readers never see a partial commit) and
+  optimistic concurrency (the loser re-reads and retries). On object
+  stores without atomic create-if-absent this step needs a LogStore
+  analog (S3: conditional PUT / DynamoDB lock) — same caveat Delta
+  documents.
+- **Snapshot isolation + time travel.** ``read(version=N)`` resolves
+  the file set as of N; an in-flight reader of version N is untouched
+  by any later commit because its files are never mutated, only
+  de-referenced (and reclaimed by an explicit ``vacuum``).
+- **Atomic MERGE.** ``merge_upsert`` = read snapshot -> merge
+  (operators/merge semantics) -> write new files -> ONE commit that
+  adds them and removes the old set. This closes the non-atomic
+  two-step window called out in ``streaming/stateful.py``'s
+  parquet-overwrite CDC path: with the log, replayed micro-batches
+  and concurrent readers see version N or N+1, never a truncated
+  table.
+
+Scale stance: the log carries file PATHS and a schema string —
+kilobytes per commit, independent of data size. Data moves only
+through normal distributed parquet writes. Log replay is O(versions);
+production systems checkpoint the replay — noted in ``history()`` —
+the mechanism is identical.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+from dataclasses import dataclass
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+
+class CommitConflict(Exception):
+    """Another writer committed this version first (optimistic
+    concurrency): re-read the table and retry the transaction."""
+
+
+@dataclass
+class Snapshot:
+    version: int
+    files: tuple[str, ...]
+    schema_json: str | None
+
+
+class TxLogTable:
+    """A parquet directory governed by a ``_txlog/`` commit log."""
+
+    def __init__(self, path: str) -> None:
+        self.path = Path(path)
+        self.log_dir = self.path / "_txlog"
+        self.log_dir.mkdir(parents=True, exist_ok=True)
+
+    # -- log plumbing ---------------------------------------------------
+
+    def _log_entries(self) -> list[dict]:
+        entries = []
+        for p in sorted(self.log_dir.glob("*.json")):
+            if p.stem.isdigit():
+                entries.append(json.loads(p.read_text()))
+        return entries
+
+    def latest_version(self) -> int:
+        """-1 = empty table (no commits yet)."""
+        versions = [
+            int(p.stem) for p in self.log_dir.glob("*.json") if p.stem.isdigit()
+        ]
+        return max(versions, default=-1)
+
+    def snapshot(self, version: int | None = None) -> Snapshot:
+        """Active file set as of `version` (default: latest). Replays
+        the log; a production variant checkpoints the replayed state
+        every N commits (same mechanism, fewer reads)."""
+        active: set[str] = set()
+        schema_json = None
+        seen = -1
+        for e in self._log_entries():
+            if version is not None and e["version"] > version:
+                break
+            active -= set(e["removes"])
+            active |= set(e["adds"])
+            schema_json = e.get("schema") or schema_json
+            seen = e["version"]
+        if version is not None and seen < version:
+            raise ValueError(f"version {version} does not exist (latest {seen})")
+        return Snapshot(seen, tuple(sorted(active)), schema_json)
+
+    def history(self) -> list[dict]:
+        return [
+            {k: e[k] for k in ("version", "n_adds", "n_removes")}
+            for e in (
+                {**e, "n_adds": len(e["adds"]), "n_removes": len(e["removes"])}
+                for e in self._log_entries()
+            )
+        ]
+
+    def _commit(
+        self, version: int, adds: list[str], removes: list[str], schema_json: str
+    ) -> None:
+        """Atomically publish `version`; raises CommitConflict if a
+        concurrent writer took it."""
+        entry = {
+            "version": version,
+            "adds": sorted(adds),
+            "removes": sorted(removes),
+            "schema": schema_json,
+        }
+        tmp = self.log_dir / f".tmp-{uuid.uuid4().hex}.json"
+        tmp.write_text(json.dumps(entry, indent=1))
+        final = self.log_dir / f"{version:020d}.json"
+        try:
+            os.link(tmp, final)  # atomic create-if-absent
+        except FileExistsError as e:
+            raise CommitConflict(
+                f"version {version} already committed; re-read and retry"
+            ) from e
+        finally:
+            tmp.unlink(missing_ok=True)
+
+    # -- data path ------------------------------------------------------
+
+    def _write_files(self, df: DataFrame) -> list[str]:
+        """Distributed parquet write into a unique subdir; returns the
+        table-relative data file paths (from the filesystem ONCE, at
+        write time — reads never list directories)."""
+        sub = f"data/{uuid.uuid4().hex}"
+        out = self.path / sub
+        df.write.parquet(str(out))
+        return [
+            f"{sub}/{p.name}"
+            for p in out.glob("*.parquet")
+            if not p.name.startswith("_")
+        ]
+
+    def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:
+        snap = self.snapshot(version)
+        if not snap.files:
+            if snap.schema_json is None:
+                raise ValueError("empty table with no committed schema")
+            schema = T.StructType.fromJson(json.loads(snap.schema_json))
+            return spark.createDataFrame([], schema)
+        return (
+            spark.read.option("mergeSchema", "true")
+            .parquet(*[str(self.path / f) for f in snap.files])
+        )
+
+    def append(self, df: DataFrame, _max_retries: int = 10) -> int:
+        """Append-commit (blind adds commute, so conflicts just retry
+        with the next version number). Returns the committed version."""
+        adds = self._write_files(df)
+        schema_json = df.schema.json()
+        for _ in range(_max_retries):
+            v = self.latest_version() + 1
+            try:
+                self._commit(v, adds, [], schema_json)
+                return v
+            except CommitConflict:
+                continue
+        raise CommitConflict(f"gave up after {_max_retries} retries")
+
+    def overwrite(self, df: DataFrame) -> int:
+        """Replace the table contents in ONE commit: readers see the
+        old or the new snapshot, never an in-between state (unlike
+        mode('overwrite') on a plain directory, which deletes before
+        it writes)."""
+        base = self.snapshot()
+        adds = self._write_files(df)
+        v = base.version + 1
+        self._commit(v, adds, list(base.files), df.schema.json())
+        return v
+
+    def merge_upsert(
+        self,
+        spark: SparkSession,
+        updates: DataFrame,
+        keys: list[str],
+        version_col: str | None = None,
+        delete_col: str | None = None,
+        _max_retries: int = 5,
+    ) -> int:
+        """Transactional MERGE: snapshot -> merge (latest-version-wins
+        upsert + tombstone deletes, operators/merge semantics) -> one
+        atomic swap commit. On a concurrent-commit conflict the WHOLE
+        merge re-runs against the new snapshot (optimistic
+        concurrency — merges do not commute, unlike appends)."""
+        from ..operators.merge import merge_upsert as _merge
+
+        for _ in range(_max_retries):
+            base_snap = self.snapshot()
+            if base_snap.version == -1:
+                base = updates.limit(0)
+                if delete_col is not None:
+                    base = base.drop(delete_col)
+            else:
+                base = self.read(spark)
+            merged = _merge(
+                base, updates, keys=keys,
+                version_col=version_col, delete_col=delete_col,
+            )
+            # materialize BEFORE committing: the merged plan reads the
+            # snapshot files; localCheckpoint cuts that lineage so the
+            # new files are complete before the old ones are
+            # de-referenced (and later vacuumed)
+            merged = merged.localCheckpoint(eager=True)
+            adds = self._write_files(merged)
+            try:
+                self._commit(
+                    base_snap.version + 1, adds, list(base_snap.files),
+                    merged.schema.json(),
+                )
+                return base_snap.version + 1
+            except CommitConflict:
+                # orphaned `adds` files are reclaimed by vacuum()
+                continue
+        raise CommitConflict(f"gave up after {_max_retries} retries")
+
+    def vacuum(self, keep_versions: int = 1) -> list[str]:
+        """Delete data files not referenced by any of the last
+        `keep_versions` snapshots (and prune their log entries).
+        Time travel works within the retained window — the same
+        retention contract as Delta VACUUM. Returns deleted paths."""
+        latest = self.latest_version()
+        if latest < 0:
+            return []
+        cutoff = max(latest - keep_versions + 1, 0)
+        referenced: set[str] = set()
+        for v in range(cutoff, latest + 1):
+            referenced |= set(self.snapshot(v).files)
+        deleted = []
+        for sub in (self.path / "data").glob("*/"):
+            for p in sub.glob("*.parquet"):
+                rel = f"data/{sub.name}/{p.name}"
+                if rel not in referenced:
+                    p.unlink()
+                    deleted.append(rel)
+        # fold pre-cutoff history into a base commit so replay still
+        # starts from a valid state
+        if cutoff > 0:
+            base = self.snapshot(cutoff)
+            for e in self._log_entries():
+                if e["version"] < cutoff:
+                    (self.log_dir / f"{e['version']:020d}.json").unlink()
+            rewritten = {
+                "version": cutoff,
+                "adds": list(base.files),
+                "removes": [],
+                "schema": base.schema_json,
+            }
+            (self.log_dir / f"{cutoff:020d}.json").write_text(
+                json.dumps(rewritten, indent=1)
+            )
+        return sorted(deleted)
