@@ -138,7 +138,8 @@ def streaming_corpus_dedup(
     Caveat: corpus and index are two non-atomic parquet appends — a
     crash BETWEEN them (after corpus, before index) lets a re-send of
     that batch's docs back in. The transactional Delta mapping
-    (sinks/lakehouse.py) closes that window; with plain parquet the
+    (sinks/lakehouse.py) or the native log (sinks/txlog.py — both
+    appends in one commit) closes that window; with plain parquet the
     window is one micro-batch wide and the at-rest Q1 dedup view
     still masks the duplicate at read time."""
     from ..functions.dedup_text import incremental_exact_dedup
@@ -482,7 +483,8 @@ def streaming_fuzzy_corpus_dedup(
     collisions resolved by functions.dedup_text.incremental_minhash_dedup's
     deterministic keeper rule. Index growth is `num_bands` rows per
     ADMITTED doc — rejected duplicates add nothing. Same non-atomic
-    two-append caveat as the exact variant (Delta mapping closes it)."""
+    two-append caveat as the exact variant (the Delta mapping or the
+    native transaction log in sinks/txlog.py closes it)."""
     from ..functions.dedup_text import incremental_minhash_dedup
 
     spark = docs_stream.sparkSession
