@@ -62,15 +62,22 @@ class Snapshot:
     version: int
     files: tuple[str, ...]
     schema_json: str | None
+    stats: dict[str, dict] | None = None  # relpath -> {col: [min, max]}
 
 
 class TxLogTable:
-    """A parquet directory governed by a ``_txlog/`` commit log."""
+    """A parquet directory governed by a ``_txlog/`` commit log.
 
-    def __init__(self, path: str) -> None:
+    `stats_cols`: columns whose per-FILE min/max are captured from the
+    parquet footers at write time and stored in the commit — the zone
+    maps behind ``read(where=...)`` data skipping. Footer reads happen
+    once per written file; queries prune from the log alone."""
+
+    def __init__(self, path: str, stats_cols: tuple[str, ...] = ()) -> None:
         self.path = Path(path)
         self.log_dir = self.path / "_txlog"
         self.log_dir.mkdir(parents=True, exist_ok=True)
+        self.stats_cols = tuple(stats_cols)
 
     # -- log plumbing ---------------------------------------------------
 
@@ -93,6 +100,7 @@ class TxLogTable:
         the log; a production variant checkpoints the replayed state
         every N commits (same mechanism, fewer reads)."""
         active: set[str] = set()
+        stats: dict[str, dict] = {}
         schema_json = None
         seen = -1
         for e in self._log_entries():
@@ -100,11 +108,17 @@ class TxLogTable:
                 break
             active -= set(e["removes"])
             active |= set(e["adds"])
+            stats.update(e.get("stats") or {})
             schema_json = e.get("schema") or schema_json
             seen = e["version"]
         if version is not None and seen < version:
             raise ValueError(f"version {version} does not exist (latest {seen})")
-        return Snapshot(seen, tuple(sorted(active)), schema_json)
+        return Snapshot(
+            seen,
+            tuple(sorted(active)),
+            schema_json,
+            {f: stats[f] for f in active if f in stats},
+        )
 
     def history(self) -> list[dict]:
         return [
@@ -116,7 +130,12 @@ class TxLogTable:
         ]
 
     def _commit(
-        self, version: int, adds: list[str], removes: list[str], schema_json: str
+        self,
+        version: int,
+        adds: list[str],
+        removes: list[str],
+        schema_json: str,
+        stats: dict[str, dict] | None = None,
     ) -> None:
         """Atomically publish `version`; raises CommitConflict if a
         concurrent writer took it."""
@@ -125,6 +144,7 @@ class TxLogTable:
             "adds": sorted(adds),
             "removes": sorted(removes),
             "schema": schema_json,
+            "stats": stats or {},
         }
         tmp = self.log_dir / f".tmp-{uuid.uuid4().hex}.json"
         tmp.write_text(json.dumps(entry, indent=1))
@@ -140,40 +160,96 @@ class TxLogTable:
 
     # -- data path ------------------------------------------------------
 
-    def _write_files(self, df: DataFrame) -> list[str]:
+    def _write_files(self, df: DataFrame) -> tuple[list[str], dict[str, dict]]:
         """Distributed parquet write into a unique subdir; returns the
         table-relative data file paths (from the filesystem ONCE, at
-        write time — reads never list directories)."""
+        write time — reads never list directories) plus per-file
+        min/max zone maps for `stats_cols` (footer metadata only, no
+        row reads)."""
         sub = f"data/{uuid.uuid4().hex}"
         out = self.path / sub
         df.write.parquet(str(out))
-        return [
+        files = [
             f"{sub}/{p.name}"
             for p in out.glob("*.parquet")
             if not p.name.startswith("_")
         ]
+        return files, self._collect_stats(files)
 
-    def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:
+    def _collect_stats(self, files: list[str]) -> dict[str, dict]:
+        if not self.stats_cols:
+            return {}
+        import pyarrow.parquet as pq
+
+        def _plain(v):
+            if isinstance(v, bytes):
+                return v.decode("utf-8", "replace")
+            return v if isinstance(v, (int, float, str, bool)) else str(v)
+
+        out: dict[str, dict] = {}
+        for rel in files:
+            md = pq.ParquetFile(str(self.path / rel)).metadata
+            names = {md.schema.column(i).name: i for i in range(md.num_columns)}
+            per_col: dict[str, list] = {}
+            for col in self.stats_cols:
+                if col not in names:
+                    continue
+                mins, maxs = [], []
+                for rg in range(md.num_row_groups):
+                    st = md.row_group(rg).column(names[col]).statistics
+                    if st is None or not st.has_min_max:
+                        mins = []  # any statless row group voids the zone map
+                        break
+                    mins.append(st.min)
+                    maxs.append(st.max)
+                if mins:
+                    per_col[col] = [_plain(min(mins)), _plain(max(maxs))]
+            if per_col:
+                out[rel] = per_col
+        return out
+
+    def read(
+        self,
+        spark: SparkSession,
+        version: int | None = None,
+        where: tuple[str, object, object] | None = None,
+    ) -> DataFrame:
+        """Snapshot read; `where=(col, lo, hi)` prunes files whose
+        committed zone map cannot overlap [lo, hi] BEFORE Spark sees
+        them (files without a zone map for `col` are kept — skipping
+        must never drop data). This is log-metadata data skipping —
+        the predicate itself must still be applied by the query; the
+        log only shrinks the file list, exactly like Delta's
+        stats-based pruning."""
         snap = self.snapshot(version)
-        if not snap.files:
+        files = list(snap.files)
+        if where is not None and files:
+            col, lo, hi = where
+            kept = []
+            for f in files:
+                zm = (snap.stats or {}).get(f, {}).get(col)
+                if zm is None or not (zm[1] < lo or zm[0] > hi):
+                    kept.append(f)
+            files = kept
+        if not files:
             if snap.schema_json is None:
                 raise ValueError("empty table with no committed schema")
             schema = T.StructType.fromJson(json.loads(snap.schema_json))
             return spark.createDataFrame([], schema)
         return (
             spark.read.option("mergeSchema", "true")
-            .parquet(*[str(self.path / f) for f in snap.files])
+            .parquet(*[str(self.path / f) for f in files])
         )
 
     def append(self, df: DataFrame, _max_retries: int = 10) -> int:
         """Append-commit (blind adds commute, so conflicts just retry
         with the next version number). Returns the committed version."""
-        adds = self._write_files(df)
+        adds, stats = self._write_files(df)
         schema_json = df.schema.json()
         for _ in range(_max_retries):
             v = self.latest_version() + 1
             try:
-                self._commit(v, adds, [], schema_json)
+                self._commit(v, adds, [], schema_json, stats)
                 return v
             except CommitConflict:
                 continue
@@ -185,9 +261,9 @@ class TxLogTable:
         mode('overwrite') on a plain directory, which deletes before
         it writes)."""
         base = self.snapshot()
-        adds = self._write_files(df)
+        adds, stats = self._write_files(df)
         v = base.version + 1
-        self._commit(v, adds, list(base.files), df.schema.json())
+        self._commit(v, adds, list(base.files), df.schema.json(), stats)
         return v
 
     def merge_upsert(
@@ -223,11 +299,11 @@ class TxLogTable:
             # new files are complete before the old ones are
             # de-referenced (and later vacuumed)
             merged = merged.localCheckpoint(eager=True)
-            adds = self._write_files(merged)
+            adds, stats = self._write_files(merged)
             try:
                 self._commit(
                     base_snap.version + 1, adds, list(base_snap.files),
-                    merged.schema.json(),
+                    merged.schema.json(), stats,
                 )
                 return base_snap.version + 1
             except CommitConflict:
@@ -266,6 +342,7 @@ class TxLogTable:
                 "adds": list(base.files),
                 "removes": [],
                 "schema": base.schema_json,
+                "stats": base.stats or {},
             }
             (self.log_dir / f"{cutoff:020d}.json").write_text(
                 json.dumps(rewritten, indent=1)

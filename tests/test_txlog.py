@@ -161,3 +161,36 @@ def test_streaming_cdc_through_txlog(spark, tmp_path):
     got = {r["id"]: (r["val"], r["ver"]) for r in t.read(spark).collect()}
     assert got == {1: ("a2", 2), 2: ("b", 1), 3: ("c", 1)}
     assert len(t.history()) == t.latest_version() + 1
+
+
+def test_zone_map_data_skipping(spark, tmp_path):
+    """Per-file min/max from the commit log prune the file list before
+    Spark sees it: two appends with disjoint id ranges -> a ranged
+    read scans only the overlapping file (verified via inputFiles)."""
+    t = TxLogTable(str(tmp_path / "t"), stats_cols=("id",))
+    t.append(_df(spark, [(i, i * 10) for i in range(0, 100)]).coalesce(1))
+    t.append(_df(spark, [(i, i * 10) for i in range(1000, 1100)]).coalesce(1))
+    snap = t.snapshot()
+    assert len(snap.files) == 2 and len(snap.stats) == 2
+    for f, zm in snap.stats.items():
+        assert set(zm) == {"id"}
+
+    pruned = t.read(spark, where=("id", 1050, 1060))
+    assert len(pruned.inputFiles()) == 1
+    got = sorted(r["id"] for r in pruned.filter("id between 1050 and 1060").collect())
+    assert got == list(range(1050, 1061))
+    # full read still sees both files; a no-overlap range sees none
+    assert len(t.read(spark).inputFiles()) == 2
+    assert t.read(spark, where=("id", 5000, 6000)).count() == 0
+
+
+def test_zone_maps_survive_vacuum(spark, tmp_path):
+    t = TxLogTable(str(tmp_path / "t"), stats_cols=("id",))
+    t.append(_df(spark, [(1, 10)]).coalesce(1))
+    t.overwrite(_df(spark, [(2, 20)]).coalesce(1))
+    t.overwrite(_df(spark, [(3, 30)]).coalesce(1))
+    t.vacuum(keep_versions=1)
+    snap = t.snapshot()
+    assert snap.stats and all("id" in zm for zm in snap.stats.values())
+    assert t.read(spark, where=("id", 3, 3)).count() == 1
+    assert len(t.read(spark, where=("id", 100, 200)).inputFiles()) == 0
