@@ -194,3 +194,76 @@ def test_zone_maps_survive_vacuum(spark, tmp_path):
     assert snap.stats and all("id" in zm for zm in snap.stats.values())
     assert t.read(spark, where=("id", 3, 3)).count() == 1
     assert len(t.read(spark, where=("id", 100, 200)).inputFiles()) == 0
+
+
+def test_log_replay_matches_model_over_random_ops(spark, tmp_path):
+    """Seeded random append/overwrite/merge sequence executed against
+    the table AND a driver-side model; every historical version must
+    replay to the model's snapshot at that point (full time-travel
+    consistency, not just the final state)."""
+    import random
+
+    rng = random.Random(20240814)
+    t = TxLogTable(str(tmp_path / "t"))
+    model: dict[int, int] = {}
+    history: list[dict[int, int]] = []
+
+    next_id = 0
+    for _ in range(12):
+        op = rng.choice(["append", "overwrite", "merge"])
+        rows = [(next_id + i, rng.randrange(100)) for i in range(rng.randint(1, 3))]
+        next_id += len(rows)
+        if op == "append":
+            t.append(_df(spark, rows))
+            model.update(dict(rows))
+        elif op == "overwrite":
+            t.overwrite(_df(spark, rows))
+            model = dict(rows)
+        else:
+            upd = [(k, v, 1) for k, v in rows]
+            # also update one existing key when possible
+            if model:
+                k = rng.choice(sorted(model))
+                upd.append((k, rng.randrange(100), 1))
+            t.merge_upsert(
+                spark,
+                _df(spark, upd, "id long, v long, ver long").select("id", "v", "ver"),
+                keys=["id"],
+                version_col="ver",
+            )
+            for k, v, _ in upd:
+                model[k] = v
+        history.append(dict(model))
+
+    for version, expected in enumerate(history):
+        got = {
+            r["id"]: r["v"]
+            for r in t.read(spark, version=version).select("id", "v").collect()
+        }
+        assert got == expected, f"version {version}"
+
+
+def test_concurrent_appends_all_land(spark, tmp_path):
+    """Real thread-level races on the commit log: every append must
+    survive (conflicts retried), versions must be contiguous."""
+    import threading
+
+    t = TxLogTable(str(tmp_path / "t"))
+    errors = []
+
+    def worker(wid: int):
+        try:
+            for j in range(3):
+                t.append(_df(spark, [(wid * 100 + j, wid)]))
+        except Exception as e:  # pragma: no cover - failure diagnostics
+            errors.append(e)
+
+    threads = [threading.Thread(target=worker, args=(w,)) for w in range(4)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert not errors
+    assert t.latest_version() == 11  # 12 contiguous commits, 0..11
+    ids = sorted(r["id"] for r in t.read(spark).collect())
+    assert len(ids) == 12
