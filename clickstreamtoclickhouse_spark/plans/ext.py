@@ -2780,3 +2780,126 @@ def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("test")
         .alias("split"),
     )
+
+
+@query(
+    "corpus_release_report",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, text, lang, source,
+             CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+                  ELSE {tx.SQL_WORDS.format(t='lower(text)')} END AS ws,
+             md5({_SQL_NORM.format(t='text')}) AS fp
+      FROM documents
+    ),
+    g AS (
+      SELECT *,
+             {tx.sql_ngrams('ws', 2)} AS bg,
+             {tx.sql_ngrams('ws', 3)} AS tg
+      FROM t
+    ),
+    m AS (
+      SELECT lang, source, fp,
+             length(text) AS n_chars,
+             {tx.sql_token_count_ws('text')} AS n_tok,
+             CASE WHEN len(ws) BETWEEN 10 AND 100000
+                   AND (CASE WHEN len(ws) = 0 THEN 0.0
+                        ELSE length(regexp_replace(text, '\\s+', '', 'g'))
+                             * 1.0 / len(ws) END) BETWEEN 3 AND 10
+                   AND (CASE WHEN len(bg) = 0 THEN 0.0
+                        ELSE list_max(list_transform(list_distinct(bg),
+                               b -> len(list_filter(bg, x -> x = b))))
+                             * 1.0 / len(bg) END) <= 0.20
+                   AND (CASE WHEN len(tg) = 0 THEN 0.0
+                        ELSE (len(tg) - len(list_distinct(tg)))
+                             * 1.0 / len(tg) END) <= 0.30
+                   AND len(list_intersect(list_distinct(ws),
+                           {tx.sql_stopword_list('en')})) >= 2
+                  THEN 1 ELSE 0 END AS passes
+      FROM g
+    ),
+    s AS (
+      SELECT count(*) AS n_docs,
+             CAST(sum(n_chars) AS BIGINT) AS n_chars,
+             CAST(sum(n_tok) AS BIGINT) AS n_tokens_ws,
+             count(DISTINCT lang) AS n_langs,
+             count(DISTINCT source) AS n_sources,
+             avg(CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END) AS en_share,
+             1.0 - count(DISTINCT fp) * 1.0 / count(*) AS dup_rate,
+             avg(passes * 1.0) AS pass_rate
+      FROM m
+    )
+    SELECT 'n_docs' AS metric, CAST(n_docs AS DOUBLE) AS value FROM s
+    UNION ALL SELECT 'n_chars', CAST(n_chars AS DOUBLE) FROM s
+    UNION ALL SELECT 'n_tokens_ws', CAST(n_tokens_ws AS DOUBLE) FROM s
+    UNION ALL SELECT 'n_langs', CAST(n_langs AS DOUBLE) FROM s
+    UNION ALL SELECT 'n_sources', CAST(n_sources AS DOUBLE) FROM s
+    UNION ALL SELECT 'english_share', round(en_share, 6) FROM s
+    UNION ALL SELECT 'exact_dup_rate', round(dup_rate, 6) FROM s
+    UNION ALL SELECT 'gopher_pass_rate', round(pass_rate, 6) FROM s
+    UNION ALL SELECT 'mean_doc_tokens',
+                     round(n_tokens_ws * 1.0 / n_docs, 6) FROM s
+    """,
+)
+def corpus_release_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus DATASHEET (Gebru et al. 2021 'Datasheets for
+    Datasets' — the summary table published alongside a training-data
+    release): volume (docs/chars/whitespace tokens), provenance
+    breadth (languages, sources), English share, exact-duplicate rate
+    (normalized-text md5), and Gopher-filter pass rate — one row per
+    metric so downstream release gates diff it trivially against the
+    previous snapshot (snapshot_diff composes directly).
+
+    Plan: ONE scan computes every per-row metric (the Gopher chain,
+    token count, and md5 fingerprint are pure projections), then a
+    single aggregate with two count(DISTINCT)s (one Expand) reduces
+    to a 1-row summary exploded into the report — report size is
+    fixed at 9 rows at any corpus scale."""
+    d = load(spark, sf_dir, "documents")
+    stats = tx.gopher_stats(F.col("text"))
+    row = d.select(
+        "lang",
+        "source",
+        tx.fingerprint_md5(F.col("text")).alias("fp"),
+        F.length("text").alias("n_chars"),
+        tx.token_count_ws(F.col("text")).alias("n_tok"),
+        stats.getField("passes_quality").alias("passes"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("n_chars"),
+        F.sum("n_tok").alias("n_tokens_ws"),
+        F.count_distinct("lang").alias("n_langs"),
+        F.count_distinct("source").alias("n_sources"),
+        F.avg(F.when(F.col("lang") == "en", 1.0).otherwise(0.0)).alias(
+            "en_share"
+        ),
+        (
+            F.lit(1.0)
+            - F.count_distinct("fp") / F.count(F.lit(1))
+        ).alias("dup_rate"),
+        F.avg(F.col("passes").cast("double")).alias("pass_rate"),
+    )
+    metrics = [
+        ("n_docs", F.col("n_docs").cast("double")),
+        ("n_chars", F.col("n_chars").cast("double")),
+        ("n_tokens_ws", F.col("n_tokens_ws").cast("double")),
+        ("n_langs", F.col("n_langs").cast("double")),
+        ("n_sources", F.col("n_sources").cast("double")),
+        ("english_share", F.round("en_share", 6)),
+        ("exact_dup_rate", F.round("dup_rate", 6)),
+        ("gopher_pass_rate", F.round("pass_rate", 6)),
+        (
+            "mean_doc_tokens",
+            F.round(F.col("n_tokens_ws") / F.col("n_docs"), 6),
+        ),
+    ]
+    return row.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(name).alias("metric"), col.alias("value"))
+                    for name, col in metrics
+                ]
+            )
+        ).alias("m")
+    ).select("m.*")

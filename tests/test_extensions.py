@@ -850,3 +850,15 @@ def test_leakage_safe_split_never_splits_near_dups(spark, docs):
 
     c = Counter(split.values())
     assert c["train"] > c.get("val", 0) and c["train"] > c.get("test", 0)
+
+
+def test_corpus_release_report_invariants(spark):
+    m = {r["metric"]: r["value"]
+         for r in plans.QUERIES["corpus_release_report"](
+             spark, "/root/testdata/sf0.01").collect()}
+    assert m["n_docs"] == 500.0
+    assert m["n_langs"] == 5.0 and m["n_sources"] == 20.0
+    assert 0.0 <= m["english_share"] <= 1.0
+    assert m["exact_dup_rate"] == 0.0  # corpus has no exact dups
+    assert 0.0 < m["gopher_pass_rate"] <= 1.0
+    assert abs(m["mean_doc_tokens"] - m["n_tokens_ws"] / m["n_docs"]) < 1e-4
