@@ -648,3 +648,17 @@ def test_quantile_sketch_windows_only_after_merge(spark):
     specs = txt.count("windowspecdefinition(")
     assert specs >= 2  # cum + total (fused into one Window op)
     assert specs == txt.count("windowspecdefinition(bin")
+
+
+def test_corpus_release_report_single_scan(spark):
+    # the datasheet must stay ONE pass over documents (per-row metric
+    # projections + one Expand for the two exact distincts), never a
+    # scan per metric
+    txt = plan_text(spark, "corpus_release_report")
+    scans = [
+        l for l in txt.splitlines()
+        if "Scan parquet" in l and l.strip().startswith("(")
+    ]
+    assert len(scans) == 1, scans
+    assert "Expand" in txt
+    assert "Join" not in txt
