@@ -2903,3 +2903,48 @@ def corpus_release_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("m")
     ).select("m.*")
+
+
+@query(
+    "media_dedup",
+    oracle=f"""
+    WITH media AS (
+      SELECT doc_id AS media_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + {_COPY_OFFSET} AS media_id, text FROM documents
+    )
+    SELECT md5(text) AS content_hash,
+           count(*) AS n_copies,
+           min(media_id) AS keeper_id
+    FROM media
+    GROUP BY md5(text)
+    """,
+)
+def media_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup over the BINARY media column (every copy of the
+    corpus holds the bytes once; the pipeline stores pointers): group
+    by md5 of `content`, keep the min-id copy. Upgrades the
+    multimodal family from rows-only — Spark hashes the binary
+    column's bytes, and because the synthetic content IS the utf-8
+    encoding of `text`, DuckDB's md5 over the text computes the
+    identical digest, so binary-column handling itself is under the
+    hash check.
+
+    Scale: shuffle carries (16-byte digest, id) — content bytes never
+    leave their executor. Same plan as text exact_dedup; at 100 TB of
+    real media this is the petabyte-saver that runs before any decode."""
+    media = multimodal.synth_media_from_documents(
+        load(spark, sf_dir, "documents")
+    ).select("media_id", "content")
+    doubled = media.unionByName(
+        media.select(
+            (F.col("media_id") + _COPY_OFFSET).alias("media_id"), "content"
+        )
+    )
+    return (
+        doubled.groupBy(F.md5("content").alias("content_hash"))
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            F.min("media_id").alias("keeper_id"),
+        )
+    )

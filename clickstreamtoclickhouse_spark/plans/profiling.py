@@ -541,3 +541,34 @@ def value_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("na").alias("n_period_a"),
         F.max("nb").alias("n_period_b"),
     )
+
+
+# ---------------------------------------------------------------------------
+# schema_drift — structural drift between two schema snapshots
+# ---------------------------------------------------------------------------
+
+
+def schema_drift(before, after) -> list[dict]:
+    """Structural companion to `value_drift_psi` (which sees value
+    distributions, not shape): diff two Spark schemas into
+    (column, change, before_type, after_type) rows — added / removed /
+    type_changed. Driver-side metadata only (schemas are KBs at any
+    data scale); feed `df.schema` from any two snapshots, or a stored
+    profile's schema against today's batch. Additive-only evolution
+    (the reference's ALTER ADD COLUMN contract, S10) = a drift report
+    with no `removed` and no `type_changed` rows — asserted by the
+    warehouse path's monotonicity property test."""
+    b = {f.name: f.dataType.simpleString() for f in before.fields}
+    a = {f.name: f.dataType.simpleString() for f in after.fields}
+    out = []
+    for name in sorted(b.keys() | a.keys()):
+        if name not in a:
+            out.append({"column": name, "change": "removed",
+                        "before_type": b[name], "after_type": None})
+        elif name not in b:
+            out.append({"column": name, "change": "added",
+                        "before_type": None, "after_type": a[name]})
+        elif b[name] != a[name]:
+            out.append({"column": name, "change": "type_changed",
+                        "before_type": b[name], "after_type": a[name]})
+    return out

@@ -117,3 +117,29 @@ def test_psi_flags_planted_drift(spark, tmp_path):
            for r in QUERIES["value_drift_psi"](spark, sf).collect()}
     assert psi["event_type"] > 0.25, psi
     assert psi["value_bin"] < 0.1  # untouched feature stays stable
+
+
+def test_schema_drift_report(spark):
+    from pyspark.sql import types as T
+
+    from clickstreamtoclickhouse_spark.plans.profiling import schema_drift
+
+    before = T.StructType([
+        T.StructField("id", T.LongType()),
+        T.StructField("v", T.DoubleType()),
+        T.StructField("gone", T.StringType()),
+    ])
+    after = T.StructType([
+        T.StructField("id", T.LongType()),
+        T.StructField("v", T.StringType()),   # type change
+        T.StructField("fresh", T.BooleanType()),
+    ])
+    drift = {d["column"]: d for d in schema_drift(before, after)}
+    assert drift["gone"]["change"] == "removed"
+    assert drift["fresh"]["change"] == "added"
+    assert drift["v"]["change"] == "type_changed"
+    assert drift["v"]["before_type"] == "double"
+    assert schema_drift(before, before) == []
+    # real snapshots: identical table dirs -> no drift
+    e = load(spark, SF_DIR, "events")
+    assert schema_drift(e.schema, e.schema) == []
