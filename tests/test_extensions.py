@@ -862,3 +862,26 @@ def test_corpus_release_report_invariants(spark):
     assert m["exact_dup_rate"] == 0.0  # corpus has no exact dups
     assert 0.0 < m["gopher_pass_rate"] <= 1.0
     assert abs(m["mean_doc_tokens"] - m["n_tokens_ws"] / m["n_docs"]) < 1e-4
+
+
+def test_shared_shingle_table_equivalence(spark, docs):
+    """Round-6 refactor pin: injecting a precomputed (did, shingle,
+    hash) table into the three pair pipelines must be result-identical
+    to letting each derive its own."""
+    corpus = _near_dup_corpus(docs)
+    sh = dedup_text._doc_shingles(corpus, "doc_id", "text", 3).withColumn(
+        "h", dedup_text._portable_hash(F.col("shingle"))
+    ).localCheckpoint(eager=True)
+
+    def rows(df):
+        return sorted(map(tuple, df.collect()))
+
+    assert rows(
+        dedup_text.jaccard_pairs(corpus, threshold=0.5, n=3, shingles=sh)
+    ) == rows(dedup_text.jaccard_pairs(corpus, threshold=0.5, n=3))
+    assert rows(
+        dedup_text.minhash_portable_pairs(corpus, threshold=0.5, n=3, shingles=sh)
+    ) == rows(dedup_text.minhash_portable_pairs(corpus, threshold=0.5, n=3))
+    assert rows(
+        dedup_text.simhash_portable_near_dup_pairs(corpus, max_hamming=3, n=3, shingles=sh)
+    ) == rows(dedup_text.simhash_portable_near_dup_pairs(corpus, max_hamming=3, n=3))
