@@ -2737,3 +2737,81 @@ def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("change"),
         )
     )
+
+
+@query(
+    "transition_entropy",
+    oracle="""
+    WITH tr AS (
+      SELECT prev AS from_type, event_type AS to_type, count(*) AS n
+      FROM (
+        SELECT event_type,
+               lag(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev
+        FROM events
+      ) WHERE prev IS NOT NULL GROUP BY 1, 2
+    ),
+    outw AS (
+      SELECT from_type, CAST(sum(n) AS BIGINT) AS n_out,
+             count(*) AS n_successors
+      FROM tr GROUP BY 1
+    )
+    SELECT t.from_type AS state,
+           max(o.n_out) AS n_out,
+           CAST(max(o.n_successors) AS BIGINT) AS n_successors,
+           round(-sum((t.n * 1.0 / o.n_out) * ln(t.n * 1.0 / o.n_out)), 6)
+             AS entropy_nats,
+           round(CASE WHEN max(o.n_successors) <= 1 THEN 0.0
+                      ELSE -sum((t.n * 1.0 / o.n_out)
+                                * ln(t.n * 1.0 / o.n_out))
+                           / ln(max(o.n_successors) * 1.0) END, 6)
+             AS normalized_entropy
+    FROM tr t JOIN outw o USING (from_type)
+    GROUP BY t.from_type
+    """,
+)
+def transition_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clickstream PREDICTABILITY per state: Shannon entropy of each
+    event type's next-step distribution (Markov conditional entropy —
+    Shannon 1948, public method), plus the [0,1] normalization by
+    ln(successor count). Low entropy = deterministic funnels (the
+    next step is known); high = exploratory branching. The behavioral
+    complement to transition_pagerank's importance ranking, over the
+    SAME transition table.
+
+    Plan: one user-partitioned lag window (high-cardinality key, no
+    single-partition sort) -> two-phase count on (from, to) —
+    bounded by |types|^2 — -> per-state entropy reduce over that tiny
+    table. ln() rounds at 6dp for cross-engine parity (the PSI/logit
+    convention)."""
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    tr = (
+        e.select(
+            F.col("event_type").alias("to_type"),
+            F.lag("event_type").over(w).alias("from_type"),
+        )
+        .filter(F.col("from_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    outw = tr.groupBy("from_type").agg(
+        F.sum("n").alias("n_out"), F.count(F.lit(1)).alias("n_successors")
+    )
+    p = F.col("n") / F.col("n_out")
+    joined = tr.join(outw, "from_type")
+    ent = -F.sum(p * F.log(p))
+    return (
+        joined.groupBy(F.col("from_type").alias("state"))
+        .agg(
+            F.max("n_out").alias("n_out"),
+            F.max("n_successors").alias("n_successors"),
+            F.round(ent, 6).alias("entropy_nats"),
+            F.round(
+                F.when(F.max("n_successors") <= 1, F.lit(0.0)).otherwise(
+                    ent / F.log(F.max("n_successors").cast("double"))
+                ),
+                6,
+            ).alias("normalized_entropy"),
+        )
+    )
