@@ -2815,3 +2815,133 @@ def transition_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("normalized_entropy"),
         )
     )
+
+
+@query(
+    "funnel_time_to_convert",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, min(ts) AS ts0 FROM events
+      WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    p AS (
+      SELECT e.user_id,
+             epoch(min(e.ts)) - epoch(max(s.ts0)) AS lag_secs
+      FROM events e JOIN s ON e.user_id = s.user_id AND e.ts > s.ts0
+      WHERE e.event_type = 'purchase'
+      GROUP BY e.user_id
+    )
+    SELECT (SELECT count(*) FROM s) AS n_signup_users,
+           count(*) AS n_converted,
+           round(count(*) * 1.0 / (SELECT count(*) FROM s), 6)
+             AS conversion_rate,
+           round(quantile_cont(lag_secs, 0.5), 2) AS median_secs,
+           round(quantile_cont(lag_secs, 0.9), 2) AS p90_secs
+    FROM p
+    """,
+)
+def funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME-to-convert through the signup->purchase funnel (the
+    latency half of funnel analytics — window_funnel counts depth,
+    this measures how long conversion takes): first signup per user,
+    first STRICTLY LATER purchase, then the conversion rate and
+    exact interpolated median/p90 lag.
+
+    Plan: two filtered pre-aggregations keyed by user (map-side
+    combinable), one equi-join on user_id with the range predicate as
+    a join residual, then a 1-row summary (exact percentile — swap to
+    approx_percentile at 100 TB, the value_percentiles convention).
+    Epoch arithmetic (unix_micros) keeps the lag TZ-independent."""
+    e = load(spark, sf_dir, "events")
+    s = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("ts0"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(s, "user_id")
+        .filter(F.col("ts") > F.col("ts0"))
+        .groupBy("user_id")
+        .agg(
+            (
+                (F.unix_micros(F.min("ts")) - F.unix_micros(F.max("ts0")))
+                / F.lit(1_000_000.0)
+            ).alias("lag_secs")
+        )
+    )
+    n_signup = s.agg(F.count(F.lit(1)).alias("n_signup_users"))
+    return (
+        p.agg(
+            F.count(F.lit(1)).alias("n_converted"),
+            F.round(F.percentile("lag_secs", F.lit(0.5)), 2).alias("median_secs"),
+            F.round(F.percentile("lag_secs", F.lit(0.9)), 2).alias("p90_secs"),
+        )
+        .crossJoin(n_signup)
+        .select(
+            "n_signup_users",
+            "n_converted",
+            F.round(
+                F.col("n_converted") / F.col("n_signup_users"), 6
+            ).alias("conversion_rate"),
+            "median_secs",
+            "p90_secs",
+        )
+    )
+
+
+@query(
+    "hourly_anomaly_flags",
+    oracle="""
+    WITH cells AS (
+      SELECT event_type, strftime(ts, '%Y-%m-%d') AS d,
+             CAST(hour(ts) AS INT) AS hr, count(*) AS n
+      FROM events GROUP BY 1, 2, 3
+    ),
+    base AS (
+      SELECT event_type, hr,
+             avg(n * 1.0) AS mu, stddev_pop(n * 1.0) AS sigma
+      FROM cells GROUP BY 1, 2
+    )
+    SELECT c.event_type, c.d, c.hr, c.n,
+           round(mu, 4) AS baseline_mean,
+           round((c.n - mu) / sigma, 4) AS z
+    FROM cells c JOIN base b
+      ON c.event_type = b.event_type AND c.hr = b.hr
+    WHERE sigma > 0 AND (c.n - mu) / sigma >= 2.5
+    """,
+)
+def hourly_anomaly_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-baseline anomaly detection on aggregates: each
+    (type, date, hour) traffic cell is scored against ITS OWN
+    hour-of-day baseline (mean/stddev across days — the simplest
+    seasonal profile), and cells spiking >= 2.5 population z are
+    flagged. The aggregate-level complement to the row-level
+    dq_assertions: a feed can pass every row contract while an hour's
+    volume triples. Cells absent entirely (count 0) are not scored —
+    the dashboard treats missing-hour alerts as a freshness check,
+    not a z-score (documented scope).
+
+    Plan: one scan -> two-phase count on the bounded (type, day,
+    hour) key -> baseline agg on (type, hour) [<= types x 24 rows,
+    broadcast] -> flag filter on the unrounded z (rounding only in
+    the projection, the jaccard convention)."""
+    e = load(spark, sf_dir, "events")
+    cells = e.groupBy(
+        "event_type",
+        F.date_format("ts", "yyyy-MM-dd").alias("d"),
+        F.hour("ts").cast("int").alias("hr"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    base = cells.groupBy("event_type", "hr").agg(
+        F.avg("n").alias("mu"), F.stddev_pop("n").alias("sigma")
+    )
+    z = (F.col("n") - F.col("mu")) / F.col("sigma")
+    return (
+        cells.join(F.broadcast(base), ["event_type", "hr"])
+        .filter((F.col("sigma") > 0) & (z >= 2.5))
+        .select(
+            "event_type", "d", "hr", "n",
+            F.round("mu", 4).alias("baseline_mean"),
+            F.round(z, 4).alias("z"),
+        )
+    )
