@@ -608,31 +608,20 @@ def lsh_topk(
     )
 
 
-def lsh_portable_near_dup_pairs(
+def lsh_portable_buckets(
     emb: DataFrame,
     dim: int,
-    threshold: float = 0.995,
     num_tables: int = 6,
     bits: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Hyperplane-LSH near-dup pairs with PORTABLE plane generation —
-    the oracle-checkable twin of ``lsh_near_dup_pairs`` (whose seeded
-    engine-side hyperplane draw can't be reproduced in SQL). Plane
-    component p(t,b,d) = md5("pl:t:b:d") first-8-hex as uint32,
-    affinely mapped to [-1,1) — pure arithmetic any engine
-    reproduces bit-for-bit. Bucket(vec, table) packs the 'bits' sign
-    projections into an integer; candidates share (table, bucket);
-    survivors pass the exact cosine threshold.
-
-    Projections are rounded to 6 dp before the sign test so the
-    engines' summation-order ULPs cannot flip a bucket bit.
-
-    Scale shape: planes are a (T x bits x dim) literal-derived table
-    broadcast onto the relational (vec, d, x) stream — two keyed
-    aggregates to buckets, one (table, bucket) self-equi-join, exact
-    verify on candidates only. Never all-pairs."""
+    """Portable hyperplane-LSH bucket table: (id, t, bucket) — one row
+    per vector per table. Plane components derive from md5 literals
+    (bit-reproducible in any engine); projections round at 6 dp before
+    the sign test so summation-order ULPs cannot flip a bit. Shared
+    front end for same-corpus pairing (``lsh_portable_near_dup_pairs``)
+    and cross-corpus membership (semantic decontamination)."""
     spark = emb.sparkSession
     t_ = spark.range(num_tables).select(F.col("id").alias("t"))
     b_ = spark.range(bits).select(F.col("id").alias("b"))
@@ -661,7 +650,7 @@ def lsh_portable_near_dup_pairs(
         .groupBy(id_col, "t", "b")
         .agg(F.round(F.sum(F.col("x") * F.col("p")), 6).alias("s"))
     )
-    buckets = proj.groupBy(id_col, "t").agg(
+    return proj.groupBy(id_col, "t").agg(
         F.sum(
             F.when(
                 F.col("s") > 0,
@@ -669,6 +658,34 @@ def lsh_portable_near_dup_pairs(
             ).otherwise(F.lit(0).cast("long"))
         ).cast("long").alias("bucket")
     )
+
+
+def lsh_portable_near_dup_pairs(
+    emb: DataFrame,
+    dim: int,
+    threshold: float = 0.995,
+    num_tables: int = 6,
+    bits: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Hyperplane-LSH near-dup pairs with PORTABLE plane generation —
+    the oracle-checkable twin of ``lsh_near_dup_pairs`` (whose seeded
+    engine-side hyperplane draw can't be reproduced in SQL). Plane
+    component p(t,b,d) = md5("pl:t:b:d") first-8-hex as uint32,
+    affinely mapped to [-1,1) — pure arithmetic any engine
+    reproduces bit-for-bit. Bucket(vec, table) packs the 'bits' sign
+    projections into an integer; candidates share (table, bucket);
+    survivors pass the exact cosine threshold.
+
+    Projections are rounded to 6 dp before the sign test so the
+    engines' summation-order ULPs cannot flip a bucket bit.
+
+    Scale shape: planes are a (T x bits x dim) literal-derived table
+    broadcast onto the relational (vec, d, x) stream — two keyed
+    aggregates to buckets, one (table, bucket) self-equi-join, exact
+    verify on candidates only. Never all-pairs."""
+    buckets = lsh_portable_buckets(emb, dim, num_tables, bits, id_col, vec_col)
     a = buckets.select(F.col(id_col).alias("id_a"), "t", "bucket")
     b = buckets.select(F.col(id_col).alias("id_b"), "t", "bucket")
     cand = (

@@ -2948,3 +2948,163 @@ def media_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("media_id").alias("keeper_id"),
         )
     )
+
+
+_SQL_LSHP_PLANES = f"""
+      SELECT t, b, d,
+             ('0x' || substr(md5('pl:' || t || ':' || b || ':' || d), 1, 8))::BIGINT
+               / 2147483648.0 - 1.0 AS p
+      FROM range({_LSHP_T}) r1(t), range({_LSHP_B}) r2(b), range({EMB_DIM}) r3(d)
+"""
+
+
+def _sql_lshp_bucket_ctes(corpus_cte: str, suffix: str) -> str:
+    """rel -> proj -> buckets CTE chain for one corpus (names
+    suffixed so one oracle can bucket two corpora against the shared
+    `planes` table)."""
+    return f"""
+    rel{suffix} AS (
+      SELECT vec_id,
+             unnest(range(0, {EMB_DIM})) AS d,
+             unnest(v) AS x
+      FROM {corpus_cte}
+    ),
+    proj{suffix} AS (
+      SELECT vec_id, t, b, round(sum(x * p), 6) AS s
+      FROM rel{suffix} JOIN planes USING (d)
+      GROUP BY 1, 2, 3
+    ),
+    buckets{suffix} AS (
+      SELECT vec_id, t,
+             CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b)
+                           ELSE 0 END) AS BIGINT) AS bucket
+      FROM proj{suffix} GROUP BY 1, 2
+    )"""
+
+
+_EMB_BENCH_MAX = 50  # vec_id < 50 plays the held-out benchmark set
+
+
+@query(
+    "embedding_decontamination",
+    oracle=f"""
+    WITH bench0 AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+      WHERE vec_id < {_EMB_BENCH_MAX}
+    ),
+    corpus0 AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+      WHERE vec_id >= {_EMB_BENCH_MAX}
+      UNION ALL
+      SELECT vec_id + {_COPY_OFFSET} AS vec_id,
+             list_transform(embedding, x -> (x + CAST(0.01 AS FLOAT))::DOUBLE)
+               AS v
+      FROM embeddings WHERE vec_id < {_EMB_BENCH_MAX}
+    ),
+    bench AS (
+      SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM bench0
+    ),
+    corpus AS (
+      SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM corpus0
+    ),
+    planes AS ({_SQL_LSHP_PLANES}),
+    {_sql_lshp_bucket_ctes('bench', '_b')},
+    {_sql_lshp_bucket_ctes('corpus', '_c')},
+    cand AS (
+      SELECT DISTINCT c.vec_id AS corpus_id, b.vec_id AS bench_id
+      FROM buckets_c c
+      JOIN buckets_b b ON c.t = b.t AND c.bucket = b.bucket
+    ),
+    verified AS (
+      SELECT corpus_id,
+             list_dot_product(cc.v, cb.v) / (cc.nrm * cb.nrm) AS sim
+      FROM cand
+      JOIN corpus cc ON cc.vec_id = corpus_id
+      JOIN bench cb ON cb.vec_id = bench_id
+      WHERE list_dot_product(cc.v, cb.v) / (cc.nrm * cb.nrm) >= 0.99
+    )
+    SELECT corpus_id AS vec_id,
+           count(*) AS n_bench_matches,
+           round(max(sim), 6) AS max_sim
+    FROM verified GROUP BY corpus_id
+    """,
+)
+def embedding_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEMANTIC decontamination — the embedding-space complement to
+    `minhash_decontamination`'s lexical screen: corpus vectors that
+    are near-duplicates (cosine >= 0.99) of a held-out benchmark's
+    vectors (vec_id < {_EMB_BENCH_MAX}, with planted +0.01-perturbed
+    leaks in the corpus). Paraphrased leakage changes every shingle
+    but barely moves the embedding — this catches what the lexical
+    screen cannot; together they are the release-gate pair.
+
+    Two stages, the repo's standard LSH shape: (1) CANDIDATES =
+    corpus vectors sharing any hyperplane (table, bucket) cell with a
+    benchmark vector — benchmark cells are tiny and broadcast, never
+    vector x benchmark all-pairs (recall at cosine 0.9968: per-table
+    P ~= 0.81, miss across {_LSHP_T} tables ~= 4e-5); (2) EXACT
+    cosine verify on candidates only, which discards same-topic
+    cluster-mates (cos ~0.84) that share buckets by semantic
+    closeness without being leaks. Portable md5-derived planes keep
+    both stages — bucketing included — under the DuckDB hash check."""
+    emb = load(spark, sf_dir, "embeddings")
+    bench = emb.filter(F.col("vec_id") < _EMB_BENCH_MAX).select(
+        "vec_id", "embedding"
+    )
+    corpus = (
+        emb.filter(F.col("vec_id") >= _EMB_BENCH_MAX)
+        .select("vec_id", "embedding")
+        .unionByName(
+            bench.select(
+                (F.col("vec_id") + _COPY_OFFSET).alias("vec_id"),
+                F.transform(
+                    "embedding", lambda x: x + F.lit(0.01).cast("float")
+                ).alias("embedding"),
+            )
+        )
+    )
+    bb = similarity.lsh_portable_buckets(
+        bench, dim=EMB_DIM, num_tables=_LSHP_T, bits=_LSHP_B
+    ).select(F.col("vec_id").alias("bench_id"), "t", "bucket")
+    cb = similarity.lsh_portable_buckets(
+        corpus, dim=EMB_DIM, num_tables=_LSHP_T, bits=_LSHP_B
+    ).select(F.col("vec_id").alias("corpus_id"), "t", "bucket")
+    cand = (
+        cb.join(F.broadcast(bb), ["t", "bucket"])
+        .select("corpus_id", "bench_id")
+        .distinct()
+    )
+
+    def with_norm(df, id_alias):
+        v = F.col("embedding").cast("array<double>")
+        return df.select(
+            F.col("vec_id").alias(id_alias),
+            v.alias(f"v_{id_alias}"),
+            F.sqrt(
+                F.aggregate(
+                    F.zip_with(v, v, lambda x, y: x * y),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+            ).alias(f"n_{id_alias}"),
+        )
+
+    cv = with_norm(corpus, "corpus_id")
+    bv = with_norm(bench, "bench_id")
+    dot = F.aggregate(
+        F.zip_with("v_corpus_id", "v_bench_id", lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    sim = dot / (F.col("n_corpus_id") * F.col("n_bench_id"))
+    return (
+        cand.join(cv, "corpus_id")
+        .join(F.broadcast(bv), "bench_id")
+        .filter(sim >= 0.99)
+        .select(F.col("corpus_id").alias("vec_id"), sim.alias("sim"))
+        .groupBy("vec_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bench_matches"),
+            F.round(F.max("sim"), 6).alias("max_sim"),
+        )
+    )

@@ -885,3 +885,16 @@ def test_shared_shingle_table_equivalence(spark, docs):
     assert rows(
         dedup_text.simhash_portable_near_dup_pairs(corpus, max_hamming=3, n=3, shingles=sh)
     ) == rows(dedup_text.simhash_portable_near_dup_pairs(corpus, max_hamming=3, n=3))
+
+
+def test_embedding_decontamination_catches_planted_leaks_only(spark):
+    """Semantic screen: every +0.01-perturbed benchmark copy flagged
+    (cos ~0.9968 >= 0.99); same-cluster non-leaks (cos ~0.84) that
+    share LSH buckets must be discarded by the exact-verify stage."""
+    sf = "/root/testdata/sf0.01"
+    rows = plans.QUERIES["embedding_decontamination"](spark, sf).collect()
+    flagged = {r["vec_id"] for r in rows}
+    planted = {i + 1_000_000 for i in range(50)}
+    assert planted <= flagged, f"missed {len(planted - flagged)} planted leaks"
+    assert flagged == planted, f"{len(flagged - planted)} false positives"
+    assert all(r["max_sim"] >= 0.99 for r in rows)
