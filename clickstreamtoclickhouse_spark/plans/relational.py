@@ -2945,3 +2945,87 @@ def hourly_anomaly_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(z, 4).alias("z"),
         )
     )
+
+
+@query(
+    "event_association_rules",
+    oracle="""
+    WITH baskets AS (
+      SELECT DISTINCT user_id, strftime(ts, '%Y-%m-%d') AS d, event_type
+      FROM events
+    ),
+    nb AS (
+      SELECT CAST(count(DISTINCT (user_id, d)) AS BIGINT) AS n_baskets
+      FROM baskets
+    ),
+    item AS (
+      SELECT event_type, count(*) AS n FROM baskets GROUP BY event_type
+    ),
+    pair AS (
+      SELECT a.event_type AS lhs, b.event_type AS rhs, count(*) AS n
+      FROM baskets a
+      JOIN baskets b ON a.user_id = b.user_id AND a.d = b.d
+                     AND a.event_type < b.event_type
+      GROUP BY 1, 2
+    )
+    SELECT p.lhs, p.rhs, p.n AS n_baskets_both,
+           round(p.n * 1.0 / nb.n_baskets, 6) AS support,
+           round(p.n * 1.0 / la.n, 6) AS confidence,
+           round((p.n * 1.0 / la.n) / (lb.n * 1.0 / nb.n_baskets), 6)
+             AS lift
+    FROM pair p
+    CROSS JOIN nb
+    JOIN item la ON la.event_type = p.lhs
+    JOIN item lb ON lb.event_type = p.rhs
+    """,
+)
+def event_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent-itemset association rules (Agrawal & Srikant 1994,
+    public method) over user-day baskets of event types: for each
+    type pair, support (share of baskets with both), confidence
+    (P(rhs | lhs basket)), and lift (association strength vs
+    independence) — the market-basket surface behind 'users who X
+    also Y' and feature co-occurrence audits.
+
+    Plan: distinct (user, day, type) baskets (one shuffle), pair
+    counts via a (user, day)-keyed self-join — fan-out bounded by
+    types-per-basket, which is capped by the TYPE DOMAIN, not by
+    events; the item/pair tables are |types| and |types|^2 rows, so
+    the rule assembly is driver-trivial at any event volume. With an
+    unbounded item domain (e.g. SKUs) the same plan takes a
+    min-support pre-filter on `item` before the self-join — the
+    classic Apriori pruning step."""
+    e = load(spark, sf_dir, "events")
+    baskets = e.select(
+        "user_id", F.date_format("ts", "yyyy-MM-dd").alias("d"), "event_type"
+    ).distinct()
+    nb = baskets.select("user_id", "d").distinct().agg(
+        F.count(F.lit(1)).alias("n_baskets")
+    )
+    item = baskets.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    a = baskets.select("user_id", "d", F.col("event_type").alias("lhs"))
+    b = baskets.select("user_id", "d", F.col("event_type").alias("rhs"))
+    pair = (
+        a.join(b, ["user_id", "d"])
+        .filter(F.col("lhs") < F.col("rhs"))
+        .groupBy("lhs", "rhs")
+        .agg(F.count(F.lit(1)).alias("n_baskets_both"))
+    )
+    la = item.select(F.col("event_type").alias("lhs"), F.col("n").alias("n_lhs"))
+    lb = item.select(F.col("event_type").alias("rhs"), F.col("n").alias("n_rhs"))
+    conf = F.col("n_baskets_both") / F.col("n_lhs")
+    return (
+        pair.join(F.broadcast(la), "lhs")
+        .join(F.broadcast(lb), "rhs")
+        .crossJoin(F.broadcast(nb))
+        .select(
+            "lhs", "rhs", "n_baskets_both",
+            F.round(F.col("n_baskets_both") / F.col("n_baskets"), 6).alias(
+                "support"
+            ),
+            F.round(conf, 6).alias("confidence"),
+            F.round(
+                conf / (F.col("n_rhs") / F.col("n_baskets")), 6
+            ).alias("lift"),
+        )
+    )
