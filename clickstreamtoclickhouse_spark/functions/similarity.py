@@ -50,6 +50,7 @@ def cosine_topk(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    exclude_label_col: str | None = None,
 ) -> DataFrame:
     """Exact top-k neighbors per query by cosine similarity.
 
@@ -57,25 +58,37 @@ def cosine_topk(
     window. The formula (dot / (sqrt·sqrt), left-fold sums) is kept
     term-identical with the DuckDB oracle so round(sim, 6) is
     bit-comparable. Ranking pins cross-engine ties via round(sim, 9)
-    then neighbor id. Self-matches excluded."""
-    q = F.broadcast(
-        queries.select(
-            F.col(id_col).alias("query_id"),
-            F.col(vec_col).alias("qvec"),
-            norm(F.col(vec_col)).alias("qnorm"),
-        )
-    )
+    then neighbor id. Self-matches excluded.
+
+    With `exclude_label_col`, candidates sharing the query's label are
+    ALSO excluded — top-k most-similar OTHER-label vectors, i.e.
+    contrastive hard-negative mining. The label filter sits before the
+    window, so the broadcast × scan shape is unchanged."""
+    q_cols = [
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        norm(F.col(vec_col)).alias("qnorm"),
+    ]
+    if exclude_label_col is not None:
+        q_cols.append(F.col(exclude_label_col).alias("qlabel"))
+    q = F.broadcast(queries.select(*q_cols))
     # norms computed ONCE per vector before the pairwise join (n + nq
     # norm folds instead of n × nq); same fold order as the oracle's
     # per-side sqrt(list_dot_product(v,v)) → bit-identical sims
-    c = embeddings.select(
+    c_cols = [
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cvec"),
         norm(F.col(vec_col)).alias("cnorm"),
-    )
+    ]
+    if exclude_label_col is not None:
+        c_cols.append(F.col(exclude_label_col).alias("clabel"))
+    c = embeddings.select(*c_cols)
+    pair_ok = F.col("query_id") != F.col("neighbor_id")
+    if exclude_label_col is not None:
+        pair_ok = pair_ok & (F.col("qlabel") != F.col("clabel"))
     sims = (
         q.crossJoin(c)
-        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .filter(pair_ok)
         .withColumn(
             "sim",
             dot(F.col("qvec"), F.col("cvec")) / (F.col("qnorm") * F.col("cnorm")),

@@ -3108,3 +3108,47 @@ def embedding_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("sim"), 6).alias("max_sim"),
         )
     )
+
+
+@query(
+    "hard_negative_mining",
+    oracle="""
+    WITH emb AS (SELECT vec_id, label, embedding::DOUBLE[] AS v,
+                        sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+                 FROM embeddings),
+    q AS (SELECT * FROM emb WHERE vec_id < 10),
+    sims AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             list_dot_product(q.v, c.v) / (q.nrm * c.nrm) AS sim
+      FROM q, emb c
+      WHERE q.vec_id <> c.vec_id AND q.label <> c.label
+    )
+    SELECT query_id, neighbor_id,
+           CAST(rank AS INT) AS rank,
+           round(sim, 6) AS sim
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY round(sim, 9) DESC, neighbor_id) AS rank
+      FROM sims
+    ) WHERE rank <= 5
+    """,
+)
+def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive hard-negative mining: for each anchor (vec_id < 10)
+    the top-5 most-similar vectors with a DIFFERENT label — the
+    near-miss negatives that make contrastive / embedding-model
+    training batches informative (random negatives are trivially easy;
+    hard ones carry the gradient signal).
+
+    Same shape as `embedding_topk` (broadcast anchors x one corpus
+    scan, per-anchor top-k window), with the label-mismatch filter
+    BEFORE the window. At 100 TB the anchor set is whatever batch is
+    being mined (bounded, broadcast); corpus-side work stays one scan.
+    The LSH/IVF shortlist variants (`embedding_lsh_topk`,
+    `embedding_ivf_topk`) are the drop-in shortlist path when the
+    anchor set itself is large."""
+    emb = load(spark, sf_dir, "embeddings")
+    anchors = emb.filter(F.col("vec_id") < 10)
+    return similarity.cosine_topk(
+        emb, anchors, k=5, exclude_label_col="label"
+    )

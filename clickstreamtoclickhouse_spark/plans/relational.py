@@ -3029,3 +3029,56 @@ def event_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift"),
         )
     )
+
+
+@query(
+    "stratified_sample_events",
+    oracle="""
+    WITH policy AS (
+      SELECT * FROM (VALUES
+        ('view',     250000),
+        ('click',    250000),
+        ('error',    100000),
+        ('purchase', 1000000),
+        ('signup',   1000000)
+      ) AS t(event_type, thresh)
+    )
+    SELECT e.event_id, e.event_type
+    FROM events e
+    JOIN policy p USING (event_type)
+    WHERE (('0x' || substr(md5(CAST(e.event_id AS VARCHAR)), 1, 8))::BIGINT
+           % 1000000) < p.thresh
+    """,
+)
+def stratified_sample_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified downsampling — rebalance the event
+    stream for training by keeping 25% of high-volume noise strata
+    (view, click), 10% of error, and all conversion strata (purchase,
+    signup). The semantics of `DataFrame.sampleBy`, but the keep
+    decision is `portable_id_hash(event_id) % 1e6 < thresh` instead of
+    Bernoulli rand(): task retries and speculative re-execution
+    reproduce the same sample (rand() re-draws can drop/duplicate rows
+    on a lost task), re-runs are identical across cluster layouts, and
+    the sample is oracle-checkable row-for-row.
+
+    Plan: broadcast of the literal per-stratum policy onto one events
+    scan — no shuffle, no per-stratum pass; scales as a pure filter."""
+    e = load(spark, sf_dir, "events")
+    policy = spark.createDataFrame(
+        [
+            ("view", 250000),
+            ("click", 250000),
+            ("error", 100000),
+            ("purchase", 1000000),
+            ("signup", 1000000),
+        ],
+        "event_type string, thresh long",
+    )
+    keep = F.pmod(_portable_id_hash("event_id"), F.lit(1000000)) < F.col(
+        "thresh"
+    )
+    return (
+        e.join(F.broadcast(policy), "event_type")
+        .filter(keep)
+        .select("event_id", "event_type")
+    )

@@ -61,6 +61,11 @@ PROBE_QUERIES = [
     "leakage_safe_split",
     "table_profile",
     "value_quantile_sketch",
+    # round-6 heavy additions
+    "dedup_recall_report",
+    "embedding_decontamination",
+    "event_association_rules",
+    "corpus_release_report",
 ]
 
 

@@ -662,3 +662,22 @@ def test_corpus_release_report_single_scan(spark):
     assert len(scans) == 1, scans
     assert "Expand" in txt
     assert "Join" not in txt
+
+
+def test_stratified_sample_no_shuffle(spark):
+    # the stratified sampler is a pure filter: literal policy broadcast
+    # onto ONE events scan — no Exchange anywhere (a shuffle here would
+    # mean the sampler re-partitions 100 TB to drop rows)
+    txt = plan_text(spark, "stratified_sample_events")
+    assert count_exchanges(txt) == 0, txt
+    assert "BroadcastHashJoin" in txt
+
+
+def test_hard_negative_mining_anchor_broadcast(spark):
+    # anchors (vec_id < 10) broadcast against one corpus scan — the
+    # anchor filter must push into the anchor-side parquet scan, and
+    # the pairing is broadcast-nested-loop, never a shuffled cartesian
+    txt = plan_text(spark, "hard_negative_mining")
+    assert "CartesianProduct" not in txt
+    assert "BroadcastNestedLoopJoin" in txt
+    assert "LessThan(vec_id,10)" in txt.replace(" ", "")
