@@ -3082,3 +3082,164 @@ def stratified_sample_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(keep)
         .select("event_id", "event_type")
     )
+
+
+@query(
+    "ab_test_cuped",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, epoch_us(ts) AS us, value FROM events
+    ),
+    bounds AS (SELECT min(us) AS min_us, max(us) AS max_us FROM e),
+    per_user AS (
+      SELECT user_id,
+             CASE WHEN ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT % 2 = 0
+                  THEN 'A' ELSE 'B' END AS variant,
+             round(sum(CASE WHEN us < (min_us + max_us) // 2
+                            THEN value ELSE 0 END), 6) AS pre_val,
+             round(sum(CASE WHEN us >= (min_us + max_us) // 2
+                            THEN value ELSE 0 END), 6) AS post_val
+      FROM e CROSS JOIN bounds
+      GROUP BY user_id, min_us, max_us
+    ),
+    g AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n,
+             round(sum(pre_val), 4) AS s_pre,
+             round(sum(post_val), 4) AS s_post,
+             round(sum(pre_val * pre_val), 4) AS s_prepre,
+             round(sum(pre_val * post_val), 4) AS s_prepost
+      FROM per_user
+    ),
+    theta_t AS (
+      SELECT round((s_prepost - s_pre * s_post / n)
+                   / (s_prepre - s_pre * s_pre / n), 6) AS theta,
+             round(s_pre / n, 6) AS mean_pre_g
+      FROM g
+    ),
+    v AS (
+      SELECT variant, CAST(count(*) AS DOUBLE) AS n,
+             round(sum(pre_val), 4) AS s_pre,
+             round(sum(post_val), 4) AS s_post,
+             round(sum(pre_val * pre_val), 4) AS s_prepre,
+             round(sum(post_val * post_val), 4) AS s_postpost,
+             round(sum(pre_val * post_val), 4) AS s_prepost
+      FROM per_user GROUP BY variant
+    )
+    SELECT variant,
+           CAST(n AS BIGINT) AS n_users,
+           round(s_post / n, 6) AS mean_post,
+           round(s_post / n - theta * (s_pre / n - mean_pre_g), 6)
+             AS mean_adjusted,
+           round((s_postpost - s_post * s_post / n) / (n - 1), 4)
+             AS var_post,
+           round(((s_postpost - s_post * s_post / n)
+                  - 2 * theta * (s_prepost - s_pre * s_post / n)
+                  + theta * theta * (s_prepre - s_pre * s_pre / n))
+                 / (n - 1), 4) AS var_adjusted
+    FROM v CROSS JOIN theta_t
+    """,
+)
+def ab_test_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance-reduced experiment readout (Deng, Xu, Kohavi &
+    Walker, WSDM 2013 — public method): each user's metric over the
+    experiment's second half is adjusted by their own first-half
+    (pre-period) metric, post_adj = post - theta * (pre - mean(pre))
+    with theta = cov(pre, post) / var(pre), shrinking variance by the
+    squared pre/post correlation without biasing the mean — the
+    standard way experimentation platforms reach significance on a
+    fraction of the traffic. Variant assignment reuses ab_test_welch's
+    deterministic portable-hash split.
+
+    Everything derives from ROUNDED sufficient statistics (per-user
+    sums -> rounded global and per-variant moments -> scalar algebra),
+    the ab_test_welch trick that makes order-dependent float sums
+    engine-identical; var(adjusted) expands algebraically as
+    var(post) - 2*theta*cov + theta^2*var(pre), so no second pass over
+    adjusted rows is needed. Scale: one shuffle on user_id, then
+    2-row-frame arithmetic; pre/post split point is a broadcast
+    scalar from a map-side min/max agg."""
+    from ..util import portable_id_hash
+
+    e = load(spark, sf_dir, "events").select(
+        "user_id", F.unix_micros("ts").alias("us"), "value"
+    )
+    bounds = e.agg(
+        F.min("us").alias("min_us"), F.max("us").alias("max_us")
+    )
+    mid = F.expr("(min_us + max_us) div 2")
+    per_user = (
+        e.crossJoin(F.broadcast(bounds))
+        .groupBy(
+            "user_id",
+            F.when(F.pmod(portable_id_hash("user_id"), F.lit(2)) == 0, "A")
+            .otherwise("B")
+            .alias("variant"),
+        )
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("us") < mid, F.col("value")).otherwise(0.0)),
+                6,
+            ).alias("pre_val"),
+            F.round(
+                F.sum(
+                    F.when(F.col("us") >= mid, F.col("value")).otherwise(0.0)
+                ),
+                6,
+            ).alias("post_val"),
+        )
+    )
+    per_user = per_user.persist()
+
+    def moments(df, keys):
+        aggs = [
+            F.count(F.lit(1)).cast("double").alias("n"),
+            F.round(F.sum("pre_val"), 4).alias("s_pre"),
+            F.round(F.sum("post_val"), 4).alias("s_post"),
+            F.round(F.sum(F.col("pre_val") * F.col("pre_val")), 4).alias(
+                "s_prepre"
+            ),
+            F.round(F.sum(F.col("post_val") * F.col("post_val")), 4).alias(
+                "s_postpost"
+            ),
+            F.round(F.sum(F.col("pre_val") * F.col("post_val")), 4).alias(
+                "s_prepost"
+            ),
+        ]
+        return df.groupBy(*keys).agg(*aggs) if keys else df.agg(*aggs)
+
+    g = moments(per_user, [])
+    theta_t = g.select(
+        F.round(
+            (F.col("s_prepost") - F.col("s_pre") * F.col("s_post") / F.col("n"))
+            / (
+                F.col("s_prepre")
+                - F.col("s_pre") * F.col("s_pre") / F.col("n")
+            ),
+            6,
+        ).alias("theta"),
+        F.round(F.col("s_pre") / F.col("n"), 6).alias("mean_pre_g"),
+    )
+    v = moments(per_user, ["variant"])
+    css_post = F.col("s_postpost") - F.col("s_post") * F.col("s_post") / F.col("n")
+    css_pre = F.col("s_prepre") - F.col("s_pre") * F.col("s_pre") / F.col("n")
+    ccs = F.col("s_prepost") - F.col("s_pre") * F.col("s_post") / F.col("n")
+    return v.crossJoin(F.broadcast(theta_t)).select(
+        "variant",
+        F.col("n").cast("bigint").alias("n_users"),
+        F.round(F.col("s_post") / F.col("n"), 6).alias("mean_post"),
+        F.round(
+            F.col("s_post") / F.col("n")
+            - F.col("theta") * (F.col("s_pre") / F.col("n") - F.col("mean_pre_g")),
+            6,
+        ).alias("mean_adjusted"),
+        F.round(css_post / (F.col("n") - 1), 4).alias("var_post"),
+        F.round(
+            (
+                css_post
+                - 2 * F.col("theta") * ccs
+                + F.col("theta") * F.col("theta") * css_pre
+            )
+            / (F.col("n") - 1),
+            4,
+        ).alias("var_adjusted"),
+    )

@@ -681,3 +681,13 @@ def test_hard_negative_mining_anchor_broadcast(spark):
     assert "CartesianProduct" not in txt
     assert "BroadcastNestedLoopJoin" in txt
     assert "LessThan(vec_id,10)" in txt.replace(" ", "")
+
+
+def test_ab_test_cuped_no_window_no_cartesian(spark):
+    # CUPED is one user_id-keyed shuffle plus scalar-frame algebra:
+    # the adjusted variance comes from moment expansion, never a
+    # second pass windowing/joining adjusted rows; scalar frames
+    # (bounds, theta) attach via broadcast
+    txt = plan_text(spark, "ab_test_cuped")
+    assert "CartesianProduct" not in txt
+    assert "windowspecdefinition(" not in txt
