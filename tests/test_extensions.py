@@ -898,3 +898,26 @@ def test_embedding_decontamination_catches_planted_leaks_only(spark):
     assert planted <= flagged, f"missed {len(planted - flagged)} planted leaks"
     assert flagged == planted, f"{len(flagged - planted)} false positives"
     assert all(r["max_sim"] >= 0.99 for r in rows)
+
+
+def test_hard_negative_mining_excludes_same_label(spark):
+    """Planted near-twin with the SAME label must never surface as a
+    hard negative, while the most-similar other-label vector ranks
+    first — the property the label filter exists for."""
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0], 0),   # anchor
+        (1, [0.999, 0.01, 0.0, 0.0], 0),  # same-label twin: excluded
+        (2, [0.95, 0.3, 0.0, 0.0], 1),  # best other-label: rank 1
+        (3, [0.0, 1.0, 0.0, 0.0], 1),
+        (4, [0.0, 0.0, 1.0, 0.0], 2),
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    anchors = emb.filter(F.col("vec_id") == 0)
+    out = similarity.cosine_topk(
+        emb, anchors, k=3, exclude_label_col="label"
+    ).collect()
+    ids = [r["neighbor_id"] for r in sorted(out, key=lambda r: r["rank"])]
+    assert 1 not in ids, ids
+    assert ids[0] == 2, ids
