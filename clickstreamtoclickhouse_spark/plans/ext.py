@@ -3152,3 +3152,80 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.cosine_topk(
         emb, anchors, k=5, exclude_label_col="label"
     )
+
+
+@query(
+    "source_overlap_matrix",
+    oracle=f"""
+    WITH normed AS (
+      SELECT source, {_SQL_WORDS.format(t=_SQL_NORM.format(t='text'))} AS ws
+      FROM documents
+    ),
+    shingled AS (
+      SELECT DISTINCT source,
+             unnest(list_distinct(list_transform(
+               range(1, len(ws) - 1),
+               i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS shingle
+      FROM normed WHERE len(ws) >= 3
+    ),
+    sizes AS (SELECT source, count(*) AS sz FROM shingled GROUP BY source),
+    inter AS (
+      SELECT a.source AS source_a, b.source AS source_b,
+             CAST(count(*) AS BIGINT) AS n_common
+      FROM shingled a JOIN shingled b USING (shingle)
+      WHERE a.source < b.source
+      GROUP BY 1, 2
+    )
+    SELECT source_a, source_b,
+           CAST(sa.sz AS BIGINT) AS n_shingles_a,
+           CAST(sb.sz AS BIGINT) AS n_shingles_b,
+           n_common,
+           round(n_common * 1.0 / (sa.sz + sb.sz - n_common), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.source = source_a
+    JOIN sizes sb ON sb.source = source_b
+    """,
+)
+def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-SOURCE contamination matrix: exact 3-gram shingle-set
+    Jaccard between every source pair — the corpus-level diagnostic
+    behind 'how much of source B is already in source A' decisions
+    (dedup order, mixing weights, license triage). Doc-level dedup
+    reports pairs; this reports the aggregate overlap structure.
+
+    Scale shape mirrors event_association_rules: the shingle-keyed
+    self-join's per-key fan-out is bounded by the SOURCE DOMAIN (a
+    handful), not by corpus size — each distinct (source, shingle) row
+    meets at most |sources| partners, so the join output is at most
+    |sources| x the shingle table, and the matrix itself is
+    |sources|^2 rows. One shuffle to distinct (source, shingle), one
+    shingle-keyed join, broadcast size lookups."""
+    docs = load(spark, sf_dir, "documents")
+    sh = dedup_text._doc_shingles(docs, "source", "text", 3).distinct()
+    sizes = sh.groupBy("did").agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.select(F.col("did").alias("source_a"), "shingle")
+    b = sh.select(F.col("did").alias("source_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = F.broadcast(
+        sizes.select(F.col("did").alias("source_a"), F.col("sz").alias("n_shingles_a"))
+    )
+    sb = F.broadcast(
+        sizes.select(F.col("did").alias("source_b"), F.col("sz").alias("n_shingles_b"))
+    )
+    return (
+        inter.join(sa, "source_a")
+        .join(sb, "source_b")
+        .select(
+            "source_a", "source_b", "n_shingles_a", "n_shingles_b", "n_common",
+            F.round(
+                F.col("n_common")
+                / (F.col("n_shingles_a") + F.col("n_shingles_b") - F.col("n_common")),
+                6,
+            ).alias("jaccard"),
+        )
+    )

@@ -66,6 +66,7 @@ PROBE_QUERIES = [
     "embedding_decontamination",
     "event_association_rules",
     "corpus_release_report",
+    "source_overlap_matrix",
 ]
 
 

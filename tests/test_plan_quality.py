@@ -691,3 +691,12 @@ def test_ab_test_cuped_no_window_no_cartesian(spark):
     txt = plan_text(spark, "ab_test_cuped")
     assert "CartesianProduct" not in txt
     assert "windowspecdefinition(" not in txt
+
+
+def test_source_overlap_matrix_bounded_join(spark):
+    # the shingle self-join's fan-out is bounded by the source domain;
+    # structurally the plan must stay an equi-join (never cartesian)
+    # with the per-source size lookups broadcast onto the tiny matrix
+    txt = plan_text(spark, "source_overlap_matrix")
+    assert "CartesianProduct" not in txt
+    assert txt.count("BroadcastHashJoin") >= 2
