@@ -127,3 +127,13 @@ def read_csv_events(
         corrupt = spark.createDataFrame([], f"{CORRUPT_COL} string")
         parsed = raw
     return RawEvents(events=parsed, corrupt=corrupt, cached=cached)
+
+
+def read_orc_events(spark: SparkSession, path: str) -> DataFrame:
+    """ORC event input (source-format widening like read_csv_events):
+    passthrough columnar scan, same contract as read_parquet_events —
+    ORC carries its own schema and predicate-pushdown/column-pruning
+    statistics, so the scan behaves like the parquet path (pushed
+    filters, pruned ReadSchema) with zero extra code. Hive-exported
+    event feeds are the common producer."""
+    return spark.read.orc(path)

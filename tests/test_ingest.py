@@ -368,3 +368,28 @@ def test_eventgen_streaming_source(spark, tmp_path):
             .select("event_id", "user_id", "event_type").collect())
     )
     assert got == want
+
+
+def test_read_orc_events_round_trip(spark, tmp_path):
+    """ORC source parity with the parquet path: same rows, same
+    schema, and the columnar scan prunes columns + pushes filters
+    exactly like parquet (pinned on the explain output)."""
+    import contextlib
+    import io
+
+    from clickstreamtoclickhouse_spark.sources import readers
+
+    src = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    orc_dir = str(tmp_path / "events_orc")
+    src.write.orc(orc_dir)
+    back = readers.read_orc_events(spark, orc_dir)
+    assert back.count() == src.count()
+    assert dict(back.dtypes) == dict(src.dtypes)
+    probe = back.filter(F.col("event_id") < 100).select("event_id", "event_type")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        probe.explain("formatted")
+    txt = buf.getvalue()
+    assert "PushedFilters: [IsNotNull(event_id), LessThan(event_id,100)]" in txt
+    sch = next(l for l in txt.splitlines() if "ReadSchema" in l)
+    assert "props" not in sch and "value" not in sch
