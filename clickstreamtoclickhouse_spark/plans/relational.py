@@ -3243,3 +3243,86 @@ def ab_test_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("var_adjusted"),
     )
+
+
+@query(
+    "daily_value_ewma",
+    oracle="""
+    WITH daily AS (
+      SELECT strftime(ts, '%Y-%m-%d') AS d, round(sum(value), 4) AS v
+      FROM events GROUP BY 1
+    ),
+    idx AS (
+      SELECT d, v, row_number() OVER (ORDER BY d) AS i FROM daily
+    ),
+    sm AS (
+      SELECT t.d, t.v,
+             sum(s.v * CASE WHEN s.i = 1 THEN (CASE WHEN t.i - 1 = 0 THEN 1.0::DOUBLE ELSE list_reduce(list_transform(range(t.i - 1), x -> 0.7::DOUBLE), (a, b) -> a * b) END)
+                            ELSE 0.3::DOUBLE * (CASE WHEN t.i - s.i = 0 THEN 1.0::DOUBLE ELSE list_reduce(list_transform(range(t.i - s.i), x -> 0.7::DOUBLE), (a, b) -> a * b) END) END) AS ewma
+      FROM idx t JOIN idx s ON s.i <= t.i
+      GROUP BY t.d, t.v
+    )
+    SELECT d, v AS actual, round(ewma, 6) AS ewma,
+           round(v - round(ewma, 6), 6) AS residual
+    FROM sm
+    """,
+)
+def daily_value_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponential smoothing (EWMA, alpha = 0.3) of the daily value
+    series — the classic forecasting/denoising primitive behind
+    control charts and trend monitors. The recurrence
+    s_d = a*v_d + (1-a)*s_{d-1} is unrolled to its closed form
+    (weight a*(1-a)^(d-i), first term (1-a)^(d-1)) over a triangular
+    self-join of the DAY-level aggregate, which is CALENDAR-BOUNDED:
+    a decade of data is ~3.7k rows -> ~7M weighted pairs, driver
+    trivia at any event volume, while the only event-scale work is
+    the one map-side-combinable day rollup.
+
+    Cross-engine float discipline: (1-a)^k is NOT computed with
+    pow() (libm last-ulp differences) but by LEFT-FOLD repeated
+    multiplication — F.aggregate over a sequence here,
+    list_reduce in the oracle — which is bit-identical IEEE
+    arithmetic in both engines; day sums are rounded before
+    weighting, and the residual derives from the already-ROUNDED
+    ewma so it is a 6dp grid point with no round-half ambiguity
+    (a dyadic alpha like 0.5 lands sums exactly on .5 rounding
+    boundaries, where Spark HALF_UP and DuckDB diverge)."""
+    e = load(spark, sf_dir, "events")
+    daily = e.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("d")).agg(
+        F.round(F.sum("value"), 4).alias("v")
+    )
+    # global row_number over the bounded day table (calendar-bounded,
+    # same argument as vocab_induction's Zipf bound)
+    idx = daily.withColumn(
+        "i", F.row_number().over(Window.orderBy("d"))
+    )
+
+    def wfold(k: Column) -> Column:
+        # (1-a)^k by left-fold multiply, bit-identical to the
+        # oracle's list_reduce (1.0*0.7 == 0.7 exactly, so the two
+        # folds share every intermediate)
+        return F.when(k == 0, F.lit(1.0)).otherwise(
+            F.aggregate(
+                F.sequence(F.lit(1), k),
+                F.lit(1.0),
+                lambda acc, _: acc * F.lit(0.7),
+            )
+        )
+
+    t = idx.select(F.col("d"), F.col("v"), F.col("i").alias("ti"))
+    s = idx.select(F.col("v").alias("sv"), F.col("i").alias("si"))
+    w = F.when(F.col("si") == 1, wfold(F.col("ti") - 1)).otherwise(
+        F.lit(0.3) * wfold(F.col("ti") - F.col("si"))
+    )
+    ewma_r = F.round("ewma", 6)
+    return (
+        t.join(s, F.col("si") <= F.col("ti"))
+        .groupBy("d", "v")
+        .agg(F.sum(F.col("sv") * w).alias("ewma"))
+        .select(
+            "d",
+            F.col("v").alias("actual"),
+            ewma_r.alias("ewma"),
+            F.round(F.col("v") - ewma_r, 6).alias("residual"),
+        )
+    )

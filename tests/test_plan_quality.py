@@ -700,3 +700,18 @@ def test_source_overlap_matrix_bounded_join(spark):
     txt = plan_text(spark, "source_overlap_matrix")
     assert "CartesianProduct" not in txt
     assert txt.count("BroadcastHashJoin") >= 2
+
+
+def test_daily_ewma_window_only_over_day_table(spark):
+    # the only Window (global row_number) runs over the calendar-
+    # bounded day AGGREGATE — the event-scale work is one rollup, and
+    # the triangular weight join is day x day, never event-row-sized
+    txt = plan_text(spark, "daily_value_ewma")
+    assert "CartesianProduct" not in txt  # inequality join is BNLJ on the tiny day table
+    sch = next(l for l in txt.splitlines() if "ReadSchema" in l)
+    assert "props" not in sch and "event_type" not in sch
+    windows = [
+        l for l in txt.splitlines()
+        if l.strip().startswith("(") and " Window" in l
+    ]
+    assert len(windows) == 1, windows
