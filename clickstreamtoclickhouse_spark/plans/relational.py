@@ -3326,3 +3326,106 @@ def daily_value_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("v") - ewma_r, 6).alias("residual"),
         )
     )
+
+
+@query(
+    "daily_value_cusum",
+    oracle="""
+    WITH daily AS (
+      SELECT strftime(ts, '%Y-%m-%d') AS d, round(sum(value), 4) AS v
+      FROM events GROUP BY 1
+    ),
+    stats AS (
+      SELECT round(avg(v), 4) AS mu, round(stddev_samp(v), 4) AS sigma
+      FROM daily
+    ),
+    pref AS (
+      SELECT d, v,
+             sum(v - mu - 0.5 * sigma) OVER w AS p_pos,
+             sum(mu - 0.5 * sigma - v) OVER w AS p_neg,
+             4 * sigma AS h
+      FROM daily CROSS JOIN stats
+      WINDOW w AS (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND CURRENT ROW)
+    ),
+    cus AS (
+      SELECT d, v, h,
+             p_pos - least(0, min(p_pos) OVER w) AS c_pos,
+             p_neg - least(0, min(p_neg) OVER w) AS c_neg
+      FROM pref
+      WINDOW w AS (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND CURRENT ROW)
+    )
+    SELECT d, v AS actual,
+           round(c_pos, 6) AS cusum_pos,
+           round(c_neg, 6) AS cusum_neg,
+           CAST(c_pos > h OR c_neg > h AS INT) AS shift_flag
+    FROM cus
+    """,
+)
+def daily_value_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point detection (Page 1954, public method) on the
+    daily value series: one-sided cumulative sums
+    S_d = max(0, S_{d-1} + (v_d - mu -+ k)) with slack k = 0.5*sigma,
+    flagged when either side crosses h = 4*sigma — the sequential
+    mean-shift detector control charts use, complementing
+    hourly_anomaly_flags' pointwise z-test with drift sensitivity.
+
+    The max-recurrence is NOT prefix-decomposable directly, but the
+    classic identity S_d = P_d - min(0, min_{j<=d} P_j) (P = plain
+    prefix sum of the slack-adjusted residuals) turns it into TWO
+    cumulative windows over the calendar-bounded day table — no
+    triangular join, no iteration. Both engines add the same rounded
+    residuals in the same window order, so the float sequences are
+    bit-identical; mu/sigma come rounded from the day table (the
+    rounded-sufficient-statistics rule)."""
+    e = load(spark, sf_dir, "events")
+    daily = e.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("d")).agg(
+        F.round(F.sum("value"), 4).alias("v")
+    )
+    stats = daily.agg(
+        F.round(F.avg("v"), 4).alias("mu"),
+        F.round(F.stddev_samp("v"), 4).alias("sigma"),
+    )
+    # cumulative windows over the bounded day table (calendar-bounded,
+    # same argument as daily_value_ewma)
+    w = (
+        Window.orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    pref = (
+        daily.crossJoin(F.broadcast(stats))
+        .withColumn(
+            "p_pos",
+            F.sum(
+                F.col("v") - F.col("mu") - 0.5 * F.col("sigma")
+            ).over(w),
+        )
+        .withColumn(
+            "p_neg",
+            F.sum(
+                F.col("mu") - 0.5 * F.col("sigma") - F.col("v")
+            ).over(w),
+        )
+        .withColumn("h", 4 * F.col("sigma"))
+    )
+    cus = pref.select(
+        "d",
+        "v",
+        "h",
+        (F.col("p_pos") - F.least(F.lit(0.0), F.min("p_pos").over(w))).alias(
+            "c_pos"
+        ),
+        (F.col("p_neg") - F.least(F.lit(0.0), F.min("p_neg").over(w))).alias(
+            "c_neg"
+        ),
+    )
+    return cus.select(
+        "d",
+        F.col("v").alias("actual"),
+        F.round("c_pos", 6).alias("cusum_pos"),
+        F.round("c_neg", 6).alias("cusum_neg"),
+        ((F.col("c_pos") > F.col("h")) | (F.col("c_neg") > F.col("h")))
+        .cast("int")
+        .alias("shift_flag"),
+    )

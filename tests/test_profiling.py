@@ -183,3 +183,39 @@ def test_cuped_shrinks_variance_on_correlated_users(spark, tmp_path):
         # the adjustment is mean-preserving up to the covariate shift:
         # adjusted means stay within the raw spread of the two arms
         assert abs(r["mean_adjusted"] - r["mean_post"]) < 4 * 40 * 25
+
+
+def test_cusum_flags_planted_level_shift(spark, tmp_path):
+    """On the stock synthetic series CUSUM stays quiet; tripling the
+    per-event value from mid-month on plants a sustained mean shift
+    the one-sided positive sum must flag (and the negative side must
+    not)."""
+    base = {r["d"]: r for r in QUERIES["daily_value_cusum"](spark, SF_DIR_MED).collect()}
+    assert all(r["shift_flag"] == 0 for r in base.values()), [
+        d for d, r in base.items() if r["shift_flag"]
+    ]
+
+    sf = str(tmp_path)
+    e = load(spark, SF_DIR_MED, "events")
+    shifted = e.withColumn(
+        "value",
+        F.when(
+            F.col("ts") >= F.lit("2024-01-16").cast("timestamp"),
+            F.col("value") * 3,
+        ).otherwise(F.col("value")),
+    )
+    shifted.write.parquet(f"{sf}/events.parquet")
+    out = sorted(
+        QUERIES["daily_value_cusum"](spark, sf).collect(), key=lambda r: r["d"]
+    )
+    flagged = [r for r in out if r["shift_flag"]]
+    assert flagged
+    # with a pooled baseline the mean sits between the two levels, so
+    # BOTH sides react: the negative sum builds over the (now
+    # below-mean) first half and only drains after the boundary, the
+    # positive sum grows monotonically through the shifted tail
+    assert flagged[0]["cusum_neg"] > flagged[0]["cusum_pos"]
+    last = out[-1]
+    assert last["shift_flag"] == 1 and last["cusum_pos"] > last["cusum_neg"]
+    shift_day = next(r for r in out if r["d"] == "2024-01-16")
+    assert last["cusum_pos"] > shift_day["cusum_pos"]
