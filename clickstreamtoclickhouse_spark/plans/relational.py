@@ -3429,3 +3429,113 @@ def daily_value_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("shift_flag"),
     )
+
+
+@query(
+    "daily_trend_mann_kendall",
+    oracle="""
+    WITH daily AS (
+      SELECT strftime(ts, '%Y-%m-%d') AS d, round(sum(value), 4) AS v
+      FROM events GROUP BY 1
+    ),
+    idx AS (
+      SELECT d, v, row_number() OVER (ORDER BY d) AS i FROM daily
+    ),
+    pairs AS (
+      SELECT sign(b.v - a.v) AS sgn,
+             (b.v - a.v) / (b.i - a.i) AS slope
+      FROM idx a JOIN idx b ON b.i > a.i
+    ),
+    nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM idx),
+    ties AS (
+      SELECT CAST(COALESCE(sum(t * (t - 1) * (2 * t + 5)), 0) AS BIGINT)
+               AS tie_term
+      FROM (SELECT count(*) AS t FROM idx GROUP BY v HAVING count(*) > 1)
+    ),
+    agg AS (
+      SELECT CAST(sum(sgn) AS BIGINT) AS s_stat,
+             round(quantile_cont(slope, 0.5), 6) AS theil_sen_slope
+      FROM pairs
+    )
+    SELECT n AS n_days, s_stat,
+           CAST((n * (n - 1) * (2 * n + 5) - tie_term) / 18.0 AS DOUBLE)
+             AS var_s,
+           round((s_stat - sign(s_stat))
+                 / sqrt((n * (n - 1) * (2 * n + 5) - tie_term) / 18.0), 6)
+             AS z,
+           theil_sen_slope
+    FROM agg CROSS JOIN nn CROSS JOIN ties
+    """,
+)
+def daily_trend_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust monotonic-trend readout on the daily value series:
+    Mann-Kendall S statistic with tie-corrected variance and
+    continuity-corrected z (the non-parametric 'is there a trend'
+    test), plus the Theil-Sen slope (median of pairwise slopes — the
+    robust trend magnitude a single outlier day cannot move). Both
+    are public classical methods (Mann 1945 / Kendall; Theil 1950 /
+    Sen 1968).
+
+    All pairwise work runs on the CALENDAR-BOUNDED day table
+    (triangular day x day join, like daily_value_ewma); S and the
+    tie term are exact integers, so only the slope median and the
+    final z involve floats — slopes are computed by the identical
+    (b.v - a.v)/(b.i - a.i) expression in both engines and the median
+    interpolation rule (average of the two middle values) matches
+    percentile()/quantile_cont()."""
+    e = load(spark, sf_dir, "events")
+    daily = e.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("d")).agg(
+        F.round(F.sum("value"), 4).alias("v")
+    )
+    idx = daily.withColumn("i", F.row_number().over(Window.orderBy("d")))
+    a = idx.select(F.col("v").alias("av"), F.col("i").alias("ai"))
+    b = idx.select(F.col("v").alias("bv"), F.col("i").alias("bi"))
+    pairs = a.join(b, F.col("bi") > F.col("ai")).select(
+        F.signum(F.col("bv") - F.col("av")).alias("sgn"),
+        ((F.col("bv") - F.col("av")) / (F.col("bi") - F.col("ai"))).alias(
+            "slope"
+        ),
+    )
+    nn = idx.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    ties = (
+        idx.groupBy("v")
+        .agg(F.count(F.lit(1)).alias("t"))
+        .filter(F.col("t") > 1)
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)
+                ),
+                F.lit(0),
+            )
+            .cast("bigint")
+            .alias("tie_term")
+        )
+    )
+    agg = pairs.agg(
+        F.sum("sgn").cast("bigint").alias("s_stat"),
+        F.round(F.expr("percentile(slope, 0.5)"), 6).alias(
+            "theil_sen_slope"
+        ),
+    )
+    var_s = (
+        (
+            F.col("n") * (F.col("n") - 1) * (2 * F.col("n") + 5)
+            - F.col("tie_term")
+        )
+        / 18.0
+    ).cast("double")
+    return (
+        agg.crossJoin(F.broadcast(nn))
+        .crossJoin(F.broadcast(ties))
+        .select(
+            F.col("n").alias("n_days"),
+            "s_stat",
+            var_s.alias("var_s"),
+            F.round(
+                (F.col("s_stat") - F.signum(F.col("s_stat"))) / F.sqrt(var_s),
+                6,
+            ).alias("z"),
+            "theil_sen_slope",
+        )
+    )
