@@ -3255,11 +3255,20 @@ def ab_test_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx AS (
       SELECT d, v, row_number() OVER (ORDER BY d) AS i FROM daily
     ),
+    wt AS (
+      SELECT i - 1 AS k,
+             CASE WHEN i - 1 = 0 THEN 1.0::DOUBLE
+                  ELSE list_reduce(list_transform(range(i - 1),
+                         x -> 0.7::DOUBLE), (a, b) -> a * b) END AS wk
+      FROM idx
+    ),
     sm AS (
       SELECT t.d, t.v,
-             sum(s.v * CASE WHEN s.i = 1 THEN (CASE WHEN t.i - 1 = 0 THEN 1.0::DOUBLE ELSE list_reduce(list_transform(range(t.i - 1), x -> 0.7::DOUBLE), (a, b) -> a * b) END)
-                            ELSE 0.3::DOUBLE * (CASE WHEN t.i - s.i = 0 THEN 1.0::DOUBLE ELSE list_reduce(list_transform(range(t.i - s.i), x -> 0.7::DOUBLE), (a, b) -> a * b) END) END) AS ewma
-      FROM idx t JOIN idx s ON s.i <= t.i
+             sum(s.v * CASE WHEN s.i = 1 THEN wt.wk
+                            ELSE 0.3::DOUBLE * wt.wk END) AS ewma
+      FROM idx t
+      JOIN idx s ON s.i <= t.i
+      JOIN wt ON wt.k = CASE WHEN s.i = 1 THEN t.i - 1 ELSE t.i - s.i END
       GROUP BY t.d, t.v
     )
     SELECT d, v AS actual, round(ewma, 6) AS ewma,
@@ -3282,11 +3291,15 @@ def daily_value_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     pow() (libm last-ulp differences) but by LEFT-FOLD repeated
     multiplication — F.aggregate over a sequence here,
     list_reduce in the oracle — which is bit-identical IEEE
-    arithmetic in both engines; day sums are rounded before
-    weighting, and the residual derives from the already-ROUNDED
-    ewma so it is a 6dp grid point with no round-half ambiguity
-    (a dyadic alpha like 0.5 lands sums exactly on .5 rounding
-    boundaries, where Spark HALF_UP and DuckDB diverge)."""
+    arithmetic in both engines. Each power is folded ONCE in a
+    distinct-k weight table joined onto the pairs (folding inline
+    per pair would redo O(n) multiplies on O(n^2) rows — O(n^3)
+    work and a transient array per row at decade horizons); day
+    sums are rounded before weighting, and the residual derives
+    from the already-ROUNDED ewma so it is a 6dp grid point with
+    no round-half ambiguity (a dyadic alpha like 0.5 lands sums
+    exactly on .5 rounding boundaries, where Spark HALF_UP and
+    DuckDB diverge)."""
     e = load(spark, sf_dir, "events")
     daily = e.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("d")).agg(
         F.round(F.sum("value"), 4).alias("v")
@@ -3296,27 +3309,34 @@ def daily_value_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx = daily.withColumn(
         "i", F.row_number().over(Window.orderBy("d"))
     )
-
-    def wfold(k: Column) -> Column:
-        # (1-a)^k by left-fold multiply, bit-identical to the
-        # oracle's list_reduce (1.0*0.7 == 0.7 exactly, so the two
-        # folds share every intermediate)
-        return F.when(k == 0, F.lit(1.0)).otherwise(
+    # one fold per distinct lag k (n rows, O(n^2) multiplies total),
+    # bit-identical to the oracle's list_reduce (1.0*0.7 == 0.7
+    # exactly, so the two folds share every intermediate)
+    wt = idx.select(
+        (F.col("i") - 1).alias("k"),
+        F.when(F.col("i") - 1 == 0, F.lit(1.0))
+        .otherwise(
             F.aggregate(
-                F.sequence(F.lit(1), k),
+                F.sequence(F.lit(1), F.col("i") - 1),
                 F.lit(1.0),
                 lambda acc, _: acc * F.lit(0.7),
             )
         )
-
+        .alias("wk"),
+    )
     t = idx.select(F.col("d"), F.col("v"), F.col("i").alias("ti"))
     s = idx.select(F.col("v").alias("sv"), F.col("i").alias("si"))
-    w = F.when(F.col("si") == 1, wfold(F.col("ti") - 1)).otherwise(
-        F.lit(0.3) * wfold(F.col("ti") - F.col("si"))
+    k = F.when(F.col("si") == 1, F.col("ti") - 1).otherwise(
+        F.col("ti") - F.col("si")
+    )
+    w = F.when(F.col("si") == 1, F.col("wk")).otherwise(
+        F.lit(0.3) * F.col("wk")
     )
     ewma_r = F.round("ewma", 6)
     return (
         t.join(s, F.col("si") <= F.col("ti"))
+        .withColumn("k", k)
+        .join(F.broadcast(wt), "k")
         .groupBy("d", "v")
         .agg(F.sum(F.col("sv") * w).alias("ewma"))
         .select(
