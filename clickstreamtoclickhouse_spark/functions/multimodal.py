@@ -163,3 +163,61 @@ def synth_media_from_documents(docs: DataFrame, kind: str = "image") -> DataFram
         F.lit(None).cast("long").alias("duration_ms"),
         F.lit(None).cast("int").alias("sample_rate"),
     )
+
+
+def resize_image(
+    media: DataFrame, width: int = 8, height: int = 8, fake: bool = True
+) -> DataFrame:
+    """Image resize plumbing (the brief's decode/feature/resize/
+    frame-sample quartet): emits a (height*width)-element uint8
+    thumbnail per image. fake=True (env default — no codec libs here)
+    pools the RAW BYTES into height*width equal buckets (mean byte
+    value per bucket, deterministic); the real branch decodes via
+    decode_image and would area-pool pixels the same way. Arrow
+    mapInPandas batches, same scale shape as extract_features: pure
+    per-row kernel, no shuffle."""
+    n_cells = width * height
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("thumbnail", T.ArrayType(T.IntegerType())),
+        ]
+    )
+
+    def pool(buf: bytes) -> list[int]:
+        if not buf:
+            return [0] * n_cells
+        arr = np.frombuffer(buf, dtype=np.uint8)
+        # pad so the byte stream splits into n_cells equal buckets
+        pad = (-len(arr)) % n_cells
+        if pad:
+            arr = np.concatenate([arr, np.zeros(pad, dtype=np.uint8)])
+        return (
+            arr.reshape(n_cells, -1).mean(axis=1).astype(np.int64).tolist()
+        )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            thumbs = []
+            for content in pdf["content"]:
+                if fake:
+                    thumbs.append(pool(content))
+                else:
+                    px = decode_image(content)
+                    thumbs.append(pool(px.tobytes()))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "width": width,
+                    "height": height,
+                    "thumbnail": thumbs,
+                }
+            )
+
+    return (
+        media.filter(F.col("kind") == "image")
+        .select("media_id", "content")
+        .mapInPandas(kernel, schema=schema)
+    )

@@ -921,3 +921,18 @@ def test_hard_negative_mining_excludes_same_label(spark):
     ids = [r["neighbor_id"] for r in sorted(out, key=lambda r: r["rank"])]
     assert 1 not in ids, ids
     assert ids[0] == 2, ids
+
+
+def test_resize_image_thumbnail_shape_and_determinism(spark, docs):
+    media = multimodal.synth_media_from_documents(docs.limit(4), kind="image")
+    thumbs = {r.media_id: r for r in multimodal.resize_image(media, 4, 4).collect()}
+    assert len(thumbs) == 4
+    for r in thumbs.values():
+        assert r.width == 4 and r.height == 4
+        assert len(r.thumbnail) == 16
+        assert all(0 <= x <= 255 for x in r.thumbnail)
+    again = {r.media_id: r.thumbnail for r in multimodal.resize_image(media, 4, 4).collect()}
+    assert again == {k: r.thumbnail for k, r in thumbs.items()}
+    # non-image rows are filtered, not crashed on
+    vid = multimodal.synth_media_from_documents(docs.limit(2), kind="video")
+    assert multimodal.resize_image(vid, 4, 4).count() == 0
