@@ -3559,3 +3559,83 @@ def daily_trend_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
             "theil_sen_slope",
         )
     )
+
+
+@query(
+    "user_bot_scores",
+    oracle="""
+    WITH gaps AS (
+      SELECT user_id,
+             epoch_us(ts) - lag(epoch_us(ts)) OVER (
+               PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+               AS gap_us
+      FROM events
+    ),
+    mom AS (
+      SELECT user_id,
+             CAST(count(gap_us) AS BIGINT) AS n_gaps,
+             CAST(sum(gap_us) AS BIGINT) AS s1,
+             sum(gap_us::HUGEINT * gap_us::HUGEINT) AS s2
+      FROM gaps WHERE gap_us IS NOT NULL
+      GROUP BY user_id HAVING count(gap_us) >= 5
+    )
+    SELECT user_id, n_gaps,
+           round(s1 / 1000000.0 / n_gaps, 4) AS mean_gap_s,
+           round(sqrt(greatest(
+                   (s2 / n_gaps::DOUBLE) - (s1 / n_gaps::DOUBLE) ** 2,
+                   0.0))
+                 / 1000000.0, 4) AS std_gap_s,
+           CAST(
+             sqrt(greatest((s2 / n_gaps::DOUBLE)
+                           - (s1 / n_gaps::DOUBLE) ** 2, 0.0))
+             < 0.05 * (s1 / n_gaps::DOUBLE) AS INT) AS bot_flag
+    FROM mom
+    """,
+)
+def user_bot_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Automation/bot screening from inter-arrival regularity: humans
+    produce bursty, high-variance gaps between events; scripted
+    clients tick on a near-constant period. Per user (with >= 5
+    gaps): gap count, mean and population-σ of the inter-event gap,
+    and a flag when the coefficient of variation σ/μ < 0.05 — the
+    metronome signature. The behavioral complement to
+    hourly_anomaly_flags (volume spikes) and dq_assertions (schema).
+
+    Scale: one user-keyed shuffle for the lag window, then a
+    map-side-combinable moment aggregate; INTEGER microsecond moments
+    (sum, sum-of-squares) make the engines bit-identical before the
+    final scalar algebra — no float sums cross the wire. lag orders
+    by (ts, event_id) so concurrent same-microsecond events have a
+    deterministic order in both engines."""
+    e = load(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.unix_micros("ts").alias("us")
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    gaps = e.withColumn("gap_us", F.col("us") - F.lag("us").over(w)).filter(
+        F.col("gap_us").isNotNull()
+    )
+    mom = (
+        gaps.groupBy("user_id")
+        .agg(
+            F.count("gap_us").cast("bigint").alias("n_gaps"),
+            F.sum("gap_us").cast("bigint").alias("s1"),
+            F.sum(
+                F.col("gap_us").cast("decimal(38,0)")
+                * F.col("gap_us").cast("decimal(38,0)")
+            ).alias("s2"),
+        )
+        .filter(F.col("n_gaps") >= 5)
+    )
+    n = F.col("n_gaps").cast("double")
+    mean_us = F.col("s1").cast("double") / n
+    var_us = F.greatest(
+        F.col("s2").cast("double") / n - mean_us * mean_us, F.lit(0.0)
+    )
+    std_us = F.sqrt(var_us)
+    return mom.select(
+        "user_id",
+        "n_gaps",
+        F.round(F.col("s1") / 1000000.0 / n, 4).alias("mean_gap_s"),
+        F.round(std_us / 1000000.0, 4).alias("std_gap_s"),
+        (std_us < 0.05 * mean_us).cast("int").alias("bot_flag"),
+    )

@@ -219,3 +219,35 @@ def test_cusum_flags_planted_level_shift(spark, tmp_path):
     assert last["shift_flag"] == 1 and last["cusum_pos"] > last["cusum_neg"]
     shift_day = next(r for r in out if r["d"] == "2024-01-16")
     assert last["cusum_pos"] > shift_day["cusum_pos"]
+
+
+def test_bot_scores_flag_planted_metronome(spark, tmp_path):
+    """Organic synthetic users all pass (verified in-query above the
+    CV bar); a planted client ticking every 30s +- 0.1s must flag,
+    and a bursty human-like planted user must not."""
+    rows = []
+    eid = 10_000_000
+    for i in range(60):  # metronome: 30s +- tiny deterministic jitter
+        rows.append((eid, 9_000_001, 30.0 * i + 0.01 * (i % 3), "view"))
+        eid += 1
+    gaps = [1, 2, 400, 5, 3600, 10, 30, 7200, 2, 60]  # bursty human
+    t = 0.0
+    for i in range(60):
+        t += gaps[i % len(gaps)]
+        rows.append((eid, 9_000_002, t, "view"))
+        eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, off double, event_type string"
+    ).select(
+        "event_id",
+        F.expr("timestamp_micros(CAST(1700000000000000 + off * 1000000 AS LONG))").alias("ts"),
+        "user_id",
+        "event_type",
+        F.lit(1.0).alias("value"),
+        F.lit("{}").alias("props"),
+    )
+    sf = str(tmp_path)
+    df.write.parquet(f"{sf}/events.parquet")
+    out = {r["user_id"]: r for r in QUERIES["user_bot_scores"](spark, sf).collect()}
+    assert out[9_000_001]["bot_flag"] == 1, out[9_000_001]
+    assert out[9_000_002]["bot_flag"] == 0, out[9_000_002]
