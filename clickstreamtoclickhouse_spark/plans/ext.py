@@ -3229,3 +3229,128 @@ def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard"),
         )
     )
+
+
+@query(
+    "embedding_label_cohesion",
+    oracle="""
+    WITH dims AS (
+      SELECT vec_id, label, u.i AS dim,
+             embedding[u.i + 1]::DOUBLE AS val
+      FROM embeddings, unnest(range(len(embedding))) AS u(i)
+    ),
+    cent AS (
+      SELECT label, dim, round(avg(val), 6) AS c
+      FROM dims GROUP BY label, dim
+    ),
+    cnorm AS (
+      SELECT label AS clabel, round(sqrt(sum(c * c)), 6) AS cn
+      FROM cent GROUP BY label
+    ),
+    vnorm AS (
+      SELECT vec_id, round(sqrt(sum(val * val)), 6) AS vn
+      FROM dims GROUP BY vec_id
+    ),
+    dots AS (
+      SELECT d.vec_id, d.label, ct.label AS clabel,
+             round(sum(d.val * ct.c), 6) AS dot
+      FROM dims d JOIN cent ct ON ct.dim = d.dim
+      GROUP BY d.vec_id, d.label, ct.label
+    ),
+    sims AS (
+      SELECT dots.vec_id, dots.label, dots.clabel,
+             dot / (vn * cn) AS sim
+      FROM dots
+      JOIN vnorm USING (vec_id)
+      JOIN cnorm USING (clabel)
+    ),
+    per_vec AS (
+      SELECT vec_id, label,
+             max(CASE WHEN clabel = label THEN sim END) AS own_sim,
+             max(CASE WHEN clabel <> label THEN sim END) AS other_sim
+      FROM sims GROUP BY vec_id, label
+    )
+    SELECT label,
+           CAST(count(*) AS BIGINT) AS n_vectors,
+           round(avg(own_sim), 6) AS avg_own_sim,
+           round(avg(other_sim), 6) AS avg_best_other_sim,
+           round(avg(own_sim) - avg(other_sim), 6) AS margin,
+           CAST(sum(CASE WHEN other_sim > own_sim THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_confusable
+    FROM per_vec GROUP BY label
+    """,
+)
+def embedding_label_cohesion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding-space cohesion report — the label-noise /
+    class-overlap diagnostic a curation pipeline runs before training
+    a classifier on labeled vectors: each vector's cosine to its OWN
+    label centroid vs its best OTHER-label centroid, aggregated per
+    label (mean own, mean best-other, margin, and how many vectors
+    sit closer to a foreign centroid — the mislabel suspects).
+
+    Fully relational, no crossJoin anywhere: dims explode to
+    (vec, dim, val); centroids are a (label, dim) aggregate — LABEL
+    DOMAIN x 64 rows, broadcast onto the dim stream for one keyed
+    dot-product aggregate per (vec, label) pair, fan-out bounded by
+    the label domain exactly like source_overlap_matrix's source
+    bound. Centroid components, norms, and dots are rounded before
+    downstream algebra (rounded-sufficient-statistics rule), so both
+    engines run identical scalar arithmetic."""
+    emb = load(spark, sf_dir, "embeddings")
+    dims = emb.select(
+        "vec_id",
+        "label",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias(
+            "dim", "val"
+        ),
+    )
+    cent = dims.groupBy("label", "dim").agg(
+        F.round(F.avg("val"), 6).alias("c")
+    )
+    cnorm = cent.groupBy(F.col("label").alias("clabel")).agg(
+        F.round(F.sqrt(F.sum(F.col("c") * F.col("c"))), 6).alias("cn")
+    )
+    vnorm = dims.groupBy("vec_id").agg(
+        F.round(F.sqrt(F.sum(F.col("val") * F.col("val"))), 6).alias("vn")
+    )
+    dots = (
+        dims.join(
+            F.broadcast(
+                cent.select(
+                    F.col("label").alias("clabel"), "dim", "c"
+                )
+            ),
+            "dim",
+        )
+        .groupBy("vec_id", "label", "clabel")
+        .agg(F.round(F.sum(F.col("val") * F.col("c")), 6).alias("dot"))
+    )
+    sims = (
+        dots.join(vnorm, "vec_id")
+        .join(F.broadcast(cnorm), "clabel")
+        .select(
+            "vec_id",
+            "label",
+            "clabel",
+            (F.col("dot") / (F.col("vn") * F.col("cn"))).alias("sim"),
+        )
+    )
+    per_vec = sims.groupBy("vec_id", "label").agg(
+        F.max(
+            F.when(F.col("clabel") == F.col("label"), F.col("sim"))
+        ).alias("own_sim"),
+        F.max(
+            F.when(F.col("clabel") != F.col("label"), F.col("sim"))
+        ).alias("other_sim"),
+    )
+    return per_vec.groupBy("label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vectors"),
+        F.round(F.avg("own_sim"), 6).alias("avg_own_sim"),
+        F.round(F.avg("other_sim"), 6).alias("avg_best_other_sim"),
+        F.round(F.avg("own_sim") - F.avg("other_sim"), 6).alias("margin"),
+        F.sum(
+            F.when(F.col("other_sim") > F.col("own_sim"), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_confusable"),
+    )
