@@ -717,3 +717,18 @@ def test_daily_ewma_window_only_over_day_table(spark):
     df.collect()
     ex = df._jdf.queryExecution().executedPlan().toString()
     assert "ReusedExchange" in ex, ex[:2000]
+
+
+def test_bot_scores_single_user_exchange(spark):
+    # lag window and moment aggregate share the user_id partitioning:
+    # one shuffle total, no re-exchange between window and groupBy
+    txt = plan_text(spark, "user_bot_scores")
+    assert count_exchanges(txt) == 1, txt
+
+
+def test_label_cohesion_bounded_joins(spark):
+    # centroid tables are label-domain x dim sized and must broadcast
+    # onto the dim stream; nothing may cartesian
+    txt = plan_text(spark, "embedding_label_cohesion")
+    assert "CartesianProduct" not in txt
+    assert txt.count("BroadcastHashJoin") >= 2
