@@ -3102,20 +3102,6 @@ def stratified_sample_events(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM e CROSS JOIN bounds
       GROUP BY user_id, min_us, max_us
     ),
-    g AS (
-      SELECT CAST(count(*) AS DOUBLE) AS n,
-             round(sum(pre_val), 4) AS s_pre,
-             round(sum(post_val), 4) AS s_post,
-             round(sum(pre_val * pre_val), 4) AS s_prepre,
-             round(sum(pre_val * post_val), 4) AS s_prepost
-      FROM per_user
-    ),
-    theta_t AS (
-      SELECT round((s_prepost - s_pre * s_post / n)
-                   / (s_prepre - s_pre * s_pre / n), 6) AS theta,
-             round(s_pre / n, 6) AS mean_pre_g
-      FROM g
-    ),
     v AS (
       SELECT variant, CAST(count(*) AS DOUBLE) AS n,
              round(sum(pre_val), 4) AS s_pre,
@@ -3124,6 +3110,20 @@ def stratified_sample_events(spark: SparkSession, sf_dir: str) -> DataFrame:
              round(sum(post_val * post_val), 4) AS s_postpost,
              round(sum(pre_val * post_val), 4) AS s_prepost
       FROM per_user GROUP BY variant
+    ),
+    g AS (
+      SELECT sum(n) AS n,
+             round(sum(s_pre), 4) AS s_pre,
+             round(sum(s_prepre), 4) AS s_prepre,
+             round(sum(s_prepost), 4) AS s_prepost,
+             round(sum(s_post), 4) AS s_post
+      FROM v
+    ),
+    theta_t AS (
+      SELECT round((s_prepost - s_pre * s_post / n)
+                   / (s_prepre - s_pre * s_pre / n), 6) AS theta,
+             round(s_pre / n, 6) AS mean_pre_g
+      FROM g
     )
     SELECT variant,
            CAST(n AS BIGINT) AS n_users,
@@ -3188,26 +3188,32 @@ def ab_test_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("post_val"),
         )
     )
-    per_user = per_user.persist()
-
-    def moments(df, keys):
-        aggs = [
-            F.count(F.lit(1)).cast("double").alias("n"),
-            F.round(F.sum("pre_val"), 4).alias("s_pre"),
-            F.round(F.sum("post_val"), 4).alias("s_post"),
-            F.round(F.sum(F.col("pre_val") * F.col("pre_val")), 4).alias(
-                "s_prepre"
-            ),
-            F.round(F.sum(F.col("post_val") * F.col("post_val")), 4).alias(
-                "s_postpost"
-            ),
-            F.round(F.sum(F.col("pre_val") * F.col("post_val")), 4).alias(
-                "s_prepost"
-            ),
-        ]
-        return df.groupBy(*keys).agg(*aggs) if keys else df.agg(*aggs)
-
-    g = moments(per_user, [])
+    # per-variant moments are the ONLY pass over per_user; the global
+    # moments reduce the 2-row variant frame (no second aggregation of
+    # the user table, no persist — a lingering persist would pin
+    # executor memory for the session and let the CacheManager
+    # substitute cached reads into later bench passes)
+    v = per_user.groupBy("variant").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.round(F.sum("pre_val"), 4).alias("s_pre"),
+        F.round(F.sum("post_val"), 4).alias("s_post"),
+        F.round(F.sum(F.col("pre_val") * F.col("pre_val")), 4).alias(
+            "s_prepre"
+        ),
+        F.round(F.sum(F.col("post_val") * F.col("post_val")), 4).alias(
+            "s_postpost"
+        ),
+        F.round(F.sum(F.col("pre_val") * F.col("post_val")), 4).alias(
+            "s_prepost"
+        ),
+    )
+    g = v.agg(
+        F.sum("n").alias("n"),
+        F.round(F.sum("s_pre"), 4).alias("s_pre"),
+        F.round(F.sum("s_prepre"), 4).alias("s_prepre"),
+        F.round(F.sum("s_prepost"), 4).alias("s_prepost"),
+        F.round(F.sum("s_post"), 4).alias("s_post"),
+    )
     theta_t = g.select(
         F.round(
             (F.col("s_prepost") - F.col("s_pre") * F.col("s_post") / F.col("n"))
@@ -3219,7 +3225,6 @@ def ab_test_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("theta"),
         F.round(F.col("s_pre") / F.col("n"), 6).alias("mean_pre_g"),
     )
-    v = moments(per_user, ["variant"])
     css_post = F.col("s_postpost") - F.col("s_post") * F.col("s_post") / F.col("n")
     css_pre = F.col("s_prepre") - F.col("s_pre") * F.col("s_pre") / F.col("n")
     ccs = F.col("s_prepost") - F.col("s_pre") * F.col("s_post") / F.col("n")
@@ -3463,7 +3468,7 @@ def daily_value_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     pairs AS (
       SELECT sign(b.v - a.v) AS sgn,
-             (b.v - a.v) / (b.i - a.i) AS slope
+             (b.v - a.v) / (b.d::DATE - a.d::DATE) AS slope
       FROM idx a JOIN idx b ON b.i > a.i
     ),
     nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM idx),
@@ -3499,8 +3504,9 @@ def daily_trend_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
     All pairwise work runs on the CALENDAR-BOUNDED day table
     (triangular day x day join, like daily_value_ewma); S and the
     tie term are exact integers, so only the slope median and the
-    final z involve floats — slopes are computed by the identical
-    (b.v - a.v)/(b.i - a.i) expression in both engines and the median
+    final z involve floats — slopes are value-change per CALENDAR day
+    ((b.v - a.v)/datediff, robust to gap days) computed by identical
+    expressions in both engines, and the median
     interpolation rule (average of the two middle values) matches
     percentile()/quantile_cont()."""
     e = load(spark, sf_dir, "events")
@@ -3508,13 +3514,20 @@ def daily_trend_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("value"), 4).alias("v")
     )
     idx = daily.withColumn("i", F.row_number().over(Window.orderBy("d")))
-    a = idx.select(F.col("v").alias("av"), F.col("i").alias("ai"))
-    b = idx.select(F.col("v").alias("bv"), F.col("i").alias("bi"))
+    a = idx.select(
+        F.col("v").alias("av"), F.col("i").alias("ai"), F.col("d").alias("ad")
+    )
+    b = idx.select(
+        F.col("v").alias("bv"), F.col("i").alias("bi"), F.col("d").alias("bd")
+    )
+    # slope per CALENDAR day (datediff), not per observed row — a gap
+    # day (ingestion outage, sparse slice) must not inflate the trend
     pairs = a.join(b, F.col("bi") > F.col("ai")).select(
         F.signum(F.col("bv") - F.col("av")).alias("sgn"),
-        ((F.col("bv") - F.col("av")) / (F.col("bi") - F.col("ai"))).alias(
-            "slope"
-        ),
+        (
+            (F.col("bv") - F.col("av"))
+            / F.datediff(F.to_date("bd"), F.to_date("ad"))
+        ).alias("slope"),
     )
     nn = idx.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
     ties = (

@@ -67,6 +67,8 @@ PROBE_QUERIES = [
     "event_association_rules",
     "corpus_release_report",
     "source_overlap_matrix",
+    "user_bot_scores",
+    "embedding_label_cohesion",
 ]
 
 

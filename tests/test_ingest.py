@@ -379,7 +379,9 @@ def test_read_orc_events_round_trip(spark, tmp_path):
 
     from clickstreamtoclickhouse_spark.sources import readers
 
-    src = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    from .conftest import SF_DIR
+
+    src = spark.read.parquet(f"{SF_DIR}/events.parquet")
     orc_dir = str(tmp_path / "events_orc")
     src.write.orc(orc_dir)
     back = readers.read_orc_events(spark, orc_dir)
