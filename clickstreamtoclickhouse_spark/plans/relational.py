@@ -3652,3 +3652,99 @@ def user_bot_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(std_us / 1000000.0, 4).alias("std_gap_s"),
         (std_us < 0.05 * mean_us).cast("int").alias("bot_flag"),
     )
+
+
+@query(
+    "user_feature_snapshot",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_id, event_type, value, epoch_us(ts) AS us
+      FROM events
+    ),
+    gmax AS (SELECT max(us) AS g FROM e),
+    flagged AS (
+      SELECT user_id, event_type, value, us,
+             CASE WHEN us - lag(us) OVER (
+                    PARTITION BY user_id ORDER BY us, event_id)
+                  IS DISTINCT FROM NULL
+                  AND us - lag(us) OVER (
+                    PARTITION BY user_id ORDER BY us, event_id)
+                      <= 1800000000
+             THEN 0 ELSE 1 END AS new_session
+      FROM e
+    ),
+    per_type AS (
+      SELECT user_id, event_type,
+             CAST(count(*) AS BIGINT) AS n,
+             round(sum(value), 4) AS val,
+             CAST(sum(new_session) AS BIGINT) AS sess,
+             max(us) AS last_us
+      FROM flagged GROUP BY user_id, event_type
+    )
+    SELECT user_id,
+           CAST(sum(n) AS BIGINT) AS n_events,
+           round(sum(val), 4) AS total_value,
+           CAST(sum(sess) AS BIGINT) AS n_sessions,
+           CAST(count(*) AS BIGINT) AS n_types,
+           round(ln(sum(n)) - sum(n * ln(n)) / sum(n), 6) AS type_entropy,
+           round((max(g) - max(last_us)) / 3600000000.0, 4)
+             AS recency_hours
+    FROM per_type CROSS JOIN gmax
+    GROUP BY user_id
+    """,
+)
+def user_feature_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user feature-store snapshot — the fused feature-extraction
+    pass a propensity/churn model trains on: event count, total value
+    (monetary), session count (30-min inactivity breaks), behavioral
+    breadth (distinct types + Shannon type entropy), and recency
+    hours vs the corpus watermark. One query instead of five: every
+    stage (lag window -> (user, type) partial -> user rollup) is
+    keyed by user_id, and hash partitioning on user_id satisfies the
+    (user_id, event_type) clustering requirement, so the WHOLE
+    feature vector costs ONE shuffle of events (plan-pinned). The
+    watermark branch is a column-pruned scan-and-max (map-side, no
+    shuffle), broadcast back.
+
+    Entropy uses the single-pass identity
+    H = ln(N) - sum(n*ln(n))/N, avoiding a totals self-join;
+    ln-on-ratio parity follows transition_entropy's idiom (round 6
+    after identical expressions)."""
+    e = load(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "event_type",
+        "value",
+        F.unix_micros("ts").alias("us"),
+    )
+    gmax = e.agg(F.max("us").alias("g"))
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    gap = F.col("us") - F.lag("us").over(w)
+    flagged = e.withColumn(
+        "new_session",
+        F.when(gap.isNotNull() & (gap <= 1_800_000_000), 0).otherwise(1),
+    )
+    per_type = flagged.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.round(F.sum("value"), 4).alias("val"),
+        F.sum("new_session").cast("bigint").alias("sess"),
+        F.max("us").alias("last_us"),
+    )
+    return (
+        per_type.crossJoin(F.broadcast(gmax))
+        .groupBy("user_id")
+        .agg(
+            F.sum("n").cast("bigint").alias("n_events"),
+            F.round(F.sum("val"), 4).alias("total_value"),
+            F.sum("sess").cast("bigint").alias("n_sessions"),
+            F.count(F.lit(1)).cast("bigint").alias("n_types"),
+            F.round(
+                F.log(F.sum("n"))
+                - F.sum(F.col("n") * F.log("n")) / F.sum("n"),
+                6,
+            ).alias("type_entropy"),
+            F.round(
+                (F.max("g") - F.max("last_us")) / 3600000000.0, 4
+            ).alias("recency_hours"),
+        )
+    )

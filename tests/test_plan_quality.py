@@ -732,3 +732,21 @@ def test_label_cohesion_bounded_joins(spark):
     txt = plan_text(spark, "embedding_label_cohesion")
     assert "CartesianProduct" not in txt
     assert txt.count("BroadcastHashJoin") >= 2
+
+
+def test_feature_snapshot_single_user_shuffle(spark):
+    # lag window, (user, type) partial, and user rollup all key by
+    # user_id — hash partitioning on user_id satisfies every stage's
+    # clustering, so the whole feature vector is ONE events shuffle;
+    # the watermark branch is a scan+max whose singleton exchange
+    # carries 8-byte partials, not event rows
+    txt = plan_text(spark, "user_feature_snapshot")
+    assert "CartesianProduct" not in txt
+    assert count_exchanges(txt) == 2  # user shuffle + watermark singleton
+    # exactly one hash exchange, keyed by user_id (node detail lines)
+    hashed = [
+        l for l in txt.splitlines()
+        if l.startswith("Arguments: hashpartitioning")
+    ]
+    assert len(hashed) == 1 and "user_id" in hashed[0], hashed
+    assert "Arguments: SinglePartition" in txt  # the 8-byte max, not rows
