@@ -932,3 +932,109 @@ def dominant_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("s_name", "n_name")
         .agg(F.count("*").alias("dominated_parts"))
     )
+
+
+@query(
+    "negative_sampling_pairs",
+    oracle="""
+    WITH pos AS (
+      SELECT DISTINCT o.o_custkey AS custkey, l.l_partkey AS partkey
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    ),
+    np AS (SELECT CAST(count(*) AS BIGINT) AS n_part FROM part),
+    custs AS (SELECT DISTINCT o_custkey AS custkey FROM orders),
+    cand0 AS (
+      SELECT c.custkey, u.slot,
+             ('0x' || substr(md5(CAST(c.custkey * 16 + u.slot AS VARCHAR)),
+                             1, 8))::BIGINT % np.n_part AS partkey
+      FROM custs c
+      CROSS JOIN np
+      CROSS JOIN unnest(range(8)) AS u(slot)
+    ),
+    cand AS (
+      SELECT custkey, partkey, CAST(min(slot) AS BIGINT) AS slot
+      FROM cand0 GROUP BY custkey, partkey
+    ),
+    neg AS (
+      SELECT * FROM cand c
+      WHERE NOT EXISTS (SELECT 1 FROM pos p
+                        WHERE p.custkey = c.custkey
+                          AND p.partkey = c.partkey)
+    )
+    SELECT custkey, partkey AS neg_partkey, CAST(rk AS INT) AS rank
+    FROM (
+      SELECT custkey, partkey, slot,
+             row_number() OVER (PARTITION BY custkey
+                                ORDER BY slot, partkey) AS rk
+      FROM neg
+    ) WHERE rk <= 4
+    """,
+)
+def negative_sampling_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic negative sampling for recommendation /
+    two-tower training: for every customer, 4 parts they have NEVER
+    ordered, drawn pseudo-randomly but REPRODUCIBLY — candidate
+    partkey = portable_hash(custkey*16 + slot) mod |part| over 8
+    slots, collision-deduped, anti-joined against the positive
+    (customer, part) interactions, first 4 survivors kept by slot
+    order. Hash-based draws (not rand()) mean task retries, re-runs,
+    and the DuckDB oracle all see the same negatives — the same
+    determinism argument as stratified_sample_events.
+
+    Scale: positives are one distinct over the order-lines join;
+    candidate generation is |customers| x 8 rows (linear, no
+    rand-and-reject loop); the anti-join shuffles on (cust, part);
+    the final rank is WindowGroupLimit-prunable. The 8-slot
+    oversample bounds the miss probability: a customer would need
+    >= 5 of 8 draws to collide with their own history for the query
+    to under-deliver (at 100 TB interaction density per user is
+    ~1e-5 of the catalog, so misses are negligible)."""
+    from pyspark.sql import Window
+
+    from ..util import portable_id_hash
+
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    pos = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .select(
+            F.col("o_custkey").alias("custkey"),
+            F.col("l_partkey").alias("partkey"),
+        )
+        .distinct()
+    )
+    np_ = load(spark, sf_dir, "part").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_part")
+    )
+    custs = o.select(F.col("o_custkey").alias("custkey")).distinct()
+    cand = (
+        custs.crossJoin(F.broadcast(np_))
+        .select(
+            "custkey",
+            F.explode(F.sequence(F.lit(0), F.lit(7))).alias("slot"),
+            "n_part",
+        )
+        .select(
+            "custkey",
+            "slot",
+            F.pmod(
+                portable_id_hash(
+                    F.col("custkey") * 16 + F.col("slot")
+                ),
+                F.col("n_part"),
+            ).alias("partkey"),
+        )
+        .groupBy("custkey", "partkey")
+        .agg(F.min("slot").cast("bigint").alias("slot"))
+    )
+    neg = cand.join(pos, ["custkey", "partkey"], "left_anti")
+    w = Window.partitionBy("custkey").orderBy("slot", "partkey")
+    return (
+        neg.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 4)
+        .select(
+            "custkey",
+            F.col("partkey").alias("neg_partkey"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )

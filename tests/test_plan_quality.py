@@ -750,3 +750,13 @@ def test_feature_snapshot_single_user_shuffle(spark):
     ]
     assert len(hashed) == 1 and "user_id" in hashed[0], hashed
     assert "Arguments: SinglePartition" in txt  # the 8-byte max, not rows
+
+
+def test_negative_sampling_plan_shape(spark):
+    # candidate generation is linear (customers x 8 explode), the
+    # positives exclusion is a hash anti-join, and the keep-4 rank
+    # must be WindowGroupLimit-pruned map-side
+    txt = plan_text(spark, "negative_sampling_pairs")
+    assert "CartesianProduct" not in txt
+    assert "LeftAnti" in txt
+    assert "WindowGroupLimit" in txt
