@@ -3354,3 +3354,26 @@ def embedding_label_cohesion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_confusable"),
     )
+
+
+@query("media_thumbnails")  # rows-only: mapInPandas kernel not in SQL
+def media_thumbnails(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal resize plumbing through the driver contract: binary
+    image column -> Arrow batches -> 4x4 byte-pooled thumbnail
+    (deterministic fake kernel; real decode env-gated — see
+    functions/multimodal.py:resize_image). Emits a hashable scalar
+    projection of each thumbnail so the rows-only check still pins
+    the kernel's output values, not just its row count."""
+    media = multimodal.synth_media_from_documents(
+        load(spark, sf_dir, "documents"), kind="image"
+    )
+    th = multimodal.resize_image(media, width=4, height=4, fake=True)
+    return th.select(
+        "media_id",
+        "width",
+        "height",
+        F.element_at("thumbnail", 1).alias("cell0"),
+        F.aggregate(
+            "thumbnail", F.lit(0), lambda acc, x: acc + x
+        ).alias("cell_sum"),
+    )

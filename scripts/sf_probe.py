@@ -69,6 +69,9 @@ PROBE_QUERIES = [
     "source_overlap_matrix",
     "user_bot_scores",
     "embedding_label_cohesion",
+    # events-scale lag window + two-level agg (negative_sampling_pairs
+    # is TPC-H-table-scale, which this generator does not synthesize)
+    "user_feature_snapshot",
 ]
 
 
