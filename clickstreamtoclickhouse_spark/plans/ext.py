@@ -3377,3 +3377,57 @@ def media_thumbnails(spark: SparkSession, sf_dir: str) -> DataFrame:
             "thumbnail", F.lit(0), lambda acc, x: acc + x
         ).alias("cell_sum"),
     )
+
+
+_SENT_POS = ("fast", "small")
+_SENT_NEG = ("slow", "spill")
+
+
+@query(
+    "doc_lexicon_sentiment",
+    oracle=f"""
+    WITH normed AS (
+      SELECT doc_id, {_SQL_WORDS.format(t=_SQL_NORM.format(t='text'))} AS ws
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(ws) AS BIGINT) AS n_tokens,
+           CAST(len(list_filter(ws, x -> x IN {_SENT_POS})) AS BIGINT)
+             AS n_pos,
+           CAST(len(list_filter(ws, x -> x IN {_SENT_NEG})) AS BIGINT)
+             AS n_neg,
+           round((len(list_filter(ws, x -> x IN {_SENT_POS}))
+                  - len(list_filter(ws, x -> x IN {_SENT_NEG})))
+                 * 1.0 / len(ws), 6) AS polarity
+    FROM normed WHERE len(ws) > 0
+    """,
+)
+def doc_lexicon_sentiment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexicon-based sentiment/polarity scoring (SURVEY §2.11's
+    'language/sentiment' text-analysis line): per-document positive
+    and negative lexicon hit counts and the normalized polarity
+    (pos - neg)/tokens. The lexicon here is a tiny domain-tuned
+    demo pair (_SENT_POS/_SENT_NEG, words present in the synthetic
+    vocabulary); in production it is a parameter — either inlined
+    membership predicates like this (a few hundred words compile
+    fine into the plan) or a broadcast lexicon table joined on the
+    exploded token stream for large lexicons (the unigram_lm_quality
+    shape). Pure Column expressions over one pruned scan — zero
+    shuffles, no Python."""
+    d = load(spark, sf_dir, "documents")
+    from ..functions.text import normalized_text, words
+
+    ws = words(normalized_text(F.col("text")))
+    n_pos = F.size(F.filter(ws, lambda w: w.isin(*_SENT_POS)))
+    n_neg = F.size(F.filter(ws, lambda w: w.isin(*_SENT_NEG)))
+    n_tok = F.size(ws)
+    return (
+        d.select(
+            "doc_id",
+            n_tok.cast("bigint").alias("n_tokens"),
+            n_pos.cast("bigint").alias("n_pos"),
+            n_neg.cast("bigint").alias("n_neg"),
+            F.round((n_pos - n_neg) / n_tok, 6).alias("polarity"),
+        )
+        .filter(F.col("n_tokens") > 0)
+    )
