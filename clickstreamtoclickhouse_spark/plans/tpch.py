@@ -1038,3 +1038,72 @@ def negative_sampling_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rank").cast("int").alias("rank"),
         )
     )
+
+
+@query(
+    "order_reconciliation",
+    oracle="""
+    WITH lt AS (
+      SELECT l_orderkey,
+             round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)),
+                   2) AS line_total
+      FROM lineitem GROUP BY l_orderkey
+    ),
+    rel AS (
+      SELECT abs(o.o_totalprice - lt.line_total) / o.o_totalprice AS r
+      FROM orders o JOIN lt ON lt.l_orderkey = o.o_orderkey
+    )
+    SELECT CASE WHEN r < 0.0001 THEN 'exact'
+                WHEN r < 0.01  THEN 'within_1pct'
+                WHEN r < 0.10  THEN 'within_10pct'
+                ELSE 'over_10pct' END AS band,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           round(avg(r), 6) AS avg_rel_diff
+    FROM rel GROUP BY 1
+    """,
+)
+def order_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate-vs-detail reconciliation — the ledger check every
+    warehouse runs after ingest: recompute each order's total from
+    its line items (extendedprice x (1-discount) x (1+tax)) and band
+    the relative difference against the stored o_totalprice. A
+    healthy TPC-H load is 100% 'exact'; this synthetic generator
+    does not enforce the invariant, so the report shows the real
+    delta distribution — which is precisely the operator's job
+    (regressions show up as mass moving between bands).
+
+    Scale: line totals are one map-side-combinable agg keyed by
+    orderkey; the compare join shuffles on the same key; output is
+    four bands. The dq_assertions suite covers schema/FK contracts;
+    this adds the cross-table FINANCIAL consistency contract."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    lt = li.groupBy("l_orderkey").agg(
+        F.round(
+            F.sum(
+                F.col("l_extendedprice")
+                * (1 - F.col("l_discount"))
+                * (1 + F.col("l_tax"))
+            ),
+            2,
+        ).alias("line_total")
+    )
+    r = (
+        o.join(lt, o["o_orderkey"] == lt["l_orderkey"])
+        .select(
+            (
+                F.abs(F.col("o_totalprice") - F.col("line_total"))
+                / F.col("o_totalprice")
+            ).alias("r")
+        )
+    )
+    band = (
+        F.when(F.col("r") < 0.0001, "exact")
+        .when(F.col("r") < 0.01, "within_1pct")
+        .when(F.col("r") < 0.10, "within_10pct")
+        .otherwise("over_10pct")
+    )
+    return r.groupBy(band.alias("band")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.round(F.avg("r"), 6).alias("avg_rel_diff"),
+    )
