@@ -3748,3 +3748,89 @@ def user_feature_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recency_hours"),
         )
     )
+
+
+@query(
+    "cohort_ltv_curves",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, value,
+             date_trunc('week', ts)::DATE AS wk
+      FROM events
+    ),
+    firstw AS (
+      SELECT user_id, min(wk) AS cohort_wk FROM e GROUP BY user_id
+    ),
+    sizes AS (
+      SELECT cohort_wk, CAST(count(*) AS BIGINT) AS cohort_users
+      FROM firstw GROUP BY cohort_wk
+    ),
+    cell AS (
+      SELECT f.cohort_wk,
+             CAST((e.wk - f.cohort_wk) / 7 AS BIGINT) AS age_weeks,
+             round(sum(e.value), 4) AS v
+      FROM e JOIN firstw f USING (user_id)
+      GROUP BY 1, 2
+    )
+    SELECT strftime(c.cohort_wk, '%Y-%m-%d') AS cohort_week,
+           c.age_weeks,
+           s.cohort_users,
+           round(sum(c.v) OVER (PARTITION BY c.cohort_wk
+                                ORDER BY c.age_weeks
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW), 4) AS cum_value,
+           round(sum(c.v) OVER (PARTITION BY c.cohort_wk
+                                ORDER BY c.age_weeks
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW)
+                 / s.cohort_users, 4) AS cum_value_per_user
+    FROM cell c JOIN sizes s USING (cohort_wk)
+    """,
+)
+def cohort_ltv_curves(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curves — the revenue complement to
+    cohort_retention: users grouped by first-seen ISO week, then
+    cumulative value per cohort-age week, total and per cohort
+    member (the LTV curve growth/finance teams read payback periods
+    off). A cohort's curve is monotone by construction; flattening
+    marks where incremental value stops.
+
+    Scale: first-seen is one user-keyed agg; the (cohort, age) cell
+    rollup shuffles on a CALENDAR-BOUNDED key pair, and the
+    cumulative window runs per cohort over at most |weeks| rows —
+    no per-user window anywhere; cohort sizes broadcast."""
+    e = load(spark, sf_dir, "events").select(
+        "user_id", "value", F.date_trunc("week", "ts").cast("date").alias("wk")
+    )
+    firstw = e.groupBy("user_id").agg(F.min("wk").alias("cohort_wk"))
+    sizes = firstw.groupBy("cohort_wk").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cohort_users")
+    )
+    cell = (
+        e.join(firstw, "user_id")
+        .groupBy(
+            "cohort_wk",
+            (F.datediff("wk", "cohort_wk") / 7)
+            .cast("bigint")
+            .alias("age_weeks"),
+        )
+        .agg(F.round(F.sum("value"), 4).alias("v"))
+    )
+    w = (
+        Window.partitionBy("cohort_wk")
+        .orderBy("age_weeks")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum("v").over(w)
+    return (
+        cell.join(F.broadcast(sizes), "cohort_wk")
+        .select(
+            F.date_format("cohort_wk", "yyyy-MM-dd").alias("cohort_week"),
+            "age_weeks",
+            "cohort_users",
+            F.round(cum, 4).alias("cum_value"),
+            F.round(cum / F.col("cohort_users"), 4).alias(
+                "cum_value_per_user"
+            ),
+        )
+    )
