@@ -3387,7 +3387,11 @@ _SENT_NEG = ("slow", "spill")
     "doc_lexicon_sentiment",
     oracle=f"""
     WITH normed AS (
-      SELECT doc_id, {_SQL_WORDS.format(t=_SQL_NORM.format(t='text'))} AS ws
+      SELECT doc_id,
+             CASE WHEN length({_SQL_NORM.format(t='text')}) = 0
+                  THEN CAST([] AS VARCHAR[])
+                  ELSE {_SQL_WORDS.format(t=_SQL_NORM.format(t='text'))}
+             END AS ws
       FROM documents
     )
     SELECT doc_id,
@@ -3415,9 +3419,7 @@ def doc_lexicon_sentiment(spark: SparkSession, sf_dir: str) -> DataFrame:
     shape). Pure Column expressions over one pruned scan — zero
     shuffles, no Python."""
     d = load(spark, sf_dir, "documents")
-    from ..functions.text import normalized_text, words
-
-    ws = words(normalized_text(F.col("text")))
+    ws = tx.words(tx.normalized_text(F.col("text")))
     n_pos = F.size(F.filter(ws, lambda w: w.isin(*_SENT_POS)))
     n_neg = F.size(F.filter(ws, lambda w: w.isin(*_SENT_NEG)))
     n_tok = F.size(ws)

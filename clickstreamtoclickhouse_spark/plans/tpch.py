@@ -942,7 +942,7 @@ def dominant_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
     ),
     np AS (SELECT CAST(count(*) AS BIGINT) AS n_part FROM part),
-    custs AS (SELECT DISTINCT o_custkey AS custkey FROM orders),
+    custs AS (SELECT c_custkey AS custkey FROM customer),
     cand0 AS (
       SELECT c.custkey, u.slot,
              ('0x' || substr(md5(CAST(c.custkey * 16 + u.slot AS VARCHAR)),
@@ -1006,7 +1006,12 @@ def negative_sampling_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     np_ = load(spark, sf_dir, "part").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_part")
     )
-    custs = o.select(F.col("o_custkey").alias("custkey")).distinct()
+    # the customer table is already unique on its key — a plain scan,
+    # not a shuffle-distinct over the much larger orders table — and it
+    # covers zero-order (cold-start) customers too
+    custs = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("custkey")
+    )
     cand = (
         custs.crossJoin(F.broadcast(np_))
         .select(

@@ -70,8 +70,10 @@ PROBE_QUERIES = [
     "user_bot_scores",
     "embedding_label_cohesion",
     # events-scale lag window + two-level agg (negative_sampling_pairs
-    # is TPC-H-table-scale, which this generator does not synthesize)
+    # and order_reconciliation are TPC-H-table-scale, which this
+    # generator does not synthesize)
     "user_feature_snapshot",
+    "cohort_ltv_curves",
 ]
 
 
