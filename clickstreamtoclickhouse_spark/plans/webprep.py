@@ -1,0 +1,416 @@
+"""Web-corpus extraction/cleaning stages (SURVEY.md §2.11 extension
+family): HTML text extraction, unicode/whitespace normalization, and
+registrable-domain (eTLD+1) per-domain caps.
+
+These are the stages that run BEFORE the quality/dedup pipeline on a
+web crawl (WET/WARC -> text): strip markup, canonicalize whitespace,
+and bound any single domain's share of the corpus. The synthetic
+documents table carries clean text, so — like `line_dedup_docs`'s
+lined corpus — each operator runs over a corpus constructed
+term-identically in Spark and the DuckDB oracle (markup wrapping /
+deterministic dirtying / URL synthesis), which makes the extraction
+logic itself the thing the value hash checks.
+
+All pure Column expressions: zero Python rows, zero UDFs. Regexes are
+written in the RE2∩Java subset (same discipline as `pii_scan`):
+literal classes, lazy quantifiers, (?s) dotall — no lookaround, no
+backrefs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..util import portable_id_hash
+from .registry import load, query
+
+# ---------------------------------------------------------------------------
+# Unicode / whitespace normalization
+# ---------------------------------------------------------------------------
+
+# Zero-width & BOM characters: deleted (they join words invisibly).
+_RE_ZERO_WIDTH = r"[\x{200B}\x{200C}\x{200D}\x{FEFF}]"
+# C0 controls except \t \n \r (those are whitespace, handled by \s+),
+# DEL, and NBSP: replaced by a space. \x0B is included here because
+# Java's \s contains it but RE2's does not — mapping it to ' ' before
+# the \s+ collapse keeps both engines on identical behavior.
+_RE_CONTROL = r"[\x00-\x08\x0B\x0C\x0E-\x1F\x7F\x{00A0}]"
+
+
+def normalize_ws_text(col: Column) -> Column:
+    """Canonical text-cleaning stage: drop zero-width chars, map
+    control chars + NBSP to spaces, collapse runs of whitespace,
+    trim. Pure Column; identical semantics to sql_normalize_ws."""
+    c = F.regexp_replace(col, _RE_ZERO_WIDTH, "")
+    c = F.regexp_replace(c, _RE_CONTROL, " ")
+    return F.trim(F.regexp_replace(c, r"\s+", " "))
+
+
+def sql_normalize_ws(expr: str) -> str:
+    """DuckDB mirror of normalize_ws_text (RE2 accepts the same
+    \\x{{...}} classes; 'g' flag = replace-all like Spark)."""
+    return (
+        "trim(regexp_replace(regexp_replace(regexp_replace("
+        f"{expr}, '{_RE_ZERO_WIDTH}', '', 'g'), "
+        f"'{_RE_CONTROL}', ' ', 'g'), "
+        "'\\s+', ' ', 'g'))"
+    )
+
+
+# Deterministic dirtying: four corruption modes chosen by doc_id % 4,
+# plus universal leading/trailing junk. chr codes shared with the SQL.
+_SQL_DIRTY_CORPUS = """
+  SELECT doc_id,
+         '  ' ||
+         CASE doc_id % 4
+           WHEN 0 THEN replace(text, ' ', chr(9))
+           WHEN 1 THEN replace(text, ' ', '  ')
+           WHEN 2 THEN replace(text, ' ', ' ' || chr(8203))
+           ELSE chr(7) || replace(text, ' ', chr(160)) || chr(31)
+         END || chr(9) AS dirty,
+         text
+  FROM documents
+"""
+
+
+def _dirty_corpus(docs: DataFrame) -> DataFrame:
+    """(doc_id, dirty, text): text corrupted with tabs / double
+    spaces / zero-width spaces / control chars + NBSP by doc_id % 4."""
+    m = F.col("doc_id") % 4
+    t = F.col("text")
+    dirty = (
+        F.when(m == 0, F.replace(t, F.lit(" "), F.lit("\t")))
+        .when(m == 1, F.replace(t, F.lit(" "), F.lit("  ")))
+        .when(m == 2, F.replace(t, F.lit(" "), F.lit(" \u200b")))
+        .otherwise(
+            F.concat(
+                F.lit("\x07"),
+                F.replace(t, F.lit(" "), F.lit("\u00a0")),
+                F.lit("\x1f"),
+            )
+        )
+    )
+    return docs.select(
+        "doc_id",
+        F.concat(F.lit("  "), dirty, F.lit("\t")).alias("dirty"),
+        "text",
+    )
+
+
+@query(
+    "text_normalize_docs",
+    oracle=f"""
+    WITH dirty AS ({_SQL_DIRTY_CORPUS})
+    SELECT doc_id,
+           CAST(length(dirty) AS BIGINT) AS n_chars_dirty,
+           CAST(length({sql_normalize_ws('dirty')}) AS BIGINT) AS n_chars_norm,
+           md5({sql_normalize_ws('dirty')}) AS norm_md5,
+           {sql_normalize_ws('dirty')} =
+             trim(regexp_replace(text, '\\s+', ' ', 'g')) AS roundtrip
+    FROM dirty
+    """,
+)
+def text_normalize_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode/whitespace normalization stage (the C4/CCNet cleanup
+    pass that precedes tokenization): delete zero-width characters,
+    map C0 controls + NBSP to spaces, collapse whitespace, trim.
+
+    The corpus is dirtied deterministically (doc_id % 4 picks tabs /
+    double spaces / U+200B / BEL+NBSP+US corruption) so the oracle
+    checks a real transformation; `roundtrip` pins the invariant
+    normalize(dirty(text)) == canonical(text) for EVERY row — the
+    normalizer provably undoes all four corruption modes.
+
+    Scale (100 TB stance): pure per-row projection — no shuffle, no
+    UDF; regexes run inside WholeStageCodegen and the scan only reads
+    (doc_id, text)."""
+    d = _dirty_corpus(load(spark, sf_dir, "documents"))
+    norm = normalize_ws_text(F.col("dirty"))
+    canonical = F.trim(F.regexp_replace(F.col("text"), r"\s+", " "))
+    return d.select(
+        "doc_id",
+        F.length("dirty").cast("bigint").alias("n_chars_dirty"),
+        F.length(norm).cast("bigint").alias("n_chars_norm"),
+        F.md5(norm).alias("norm_md5"),
+        (norm == canonical).alias("roundtrip"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# HTML text extraction
+# ---------------------------------------------------------------------------
+
+# Markup wrapper pieces (shared literals with the SQL construction).
+_HTML_PRE_TITLE = "<html><head><title>Doc "
+_HTML_MID_TITLE = " - "
+_HTML_POST_TITLE = (
+    '</title><style type="text/css">p{margin:0;padding:0}</style>'
+    '</head><body onload="init()"><h1>Overview</h1><p class="main">'
+)
+_HTML_POST_BODY = (
+    "</p><ul><li>item &lt;1&gt;</li><li>R &amp; D</li></ul>"
+    '<script type="text/javascript">var t='
+)
+_HTML_PRE_COMMENT = ";track(t);</script><!-- src: "
+_HTML_TAIL = " --></body></html>"
+
+_SQL_HTML_CORPUS = f"""
+  SELECT doc_id,
+         '{_HTML_PRE_TITLE}' || CAST(doc_id AS VARCHAR) ||
+         '{_HTML_MID_TITLE}' || source ||
+         '{_HTML_POST_TITLE.replace("'", "''")}' || text ||
+         '{_HTML_POST_BODY.replace("'", "''")}' || CAST(doc_id AS VARCHAR) ||
+         '{_HTML_PRE_COMMENT}' || source || '{_HTML_TAIL}' AS markup
+  FROM documents
+"""
+
+
+def _html_corpus(docs: DataFrame) -> DataFrame:
+    """(doc_id, markup): documents wrapped in a deterministic HTML
+    shell — title, style block, heading, entity-bearing list items,
+    script block, and an HTML comment."""
+    ds = F.col("doc_id").cast("string")
+    return docs.select(
+        "doc_id",
+        F.concat(
+            F.lit(_HTML_PRE_TITLE),
+            ds,
+            F.lit(_HTML_MID_TITLE),
+            F.col("source"),
+            F.lit(_HTML_POST_TITLE),
+            F.col("text"),
+            F.lit(_HTML_POST_BODY),
+            ds,
+            F.lit(_HTML_PRE_COMMENT),
+            F.col("source"),
+            F.lit(_HTML_TAIL),
+        ).alias("markup"),
+    )
+
+
+def html_extract_text(markup: Column) -> Column:
+    """Markup -> visible text: drop comments, script and style blocks
+    wholesale; every remaining tag becomes a space; decode the five
+    core entities (&amp; LAST so '&amp;lt;' does not double-decode);
+    collapse whitespace. RE2∩Java regexes only — lowercase tag names
+    match this corpus; a real crawl adds (?i)."""
+    c = F.regexp_replace(markup, r"(?s)<!--.*?-->", " ")
+    c = F.regexp_replace(c, r"(?s)<script[^>]*>.*?</script>", " ")
+    c = F.regexp_replace(c, r"(?s)<style[^>]*>.*?</style>", " ")
+    c = F.regexp_replace(c, r"<[^>]*>", " ")
+    for ent, ch in (("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+                    ("&#39;", "'"), ("&amp;", "&")):
+        c = F.replace(c, F.lit(ent), F.lit(ch))
+    return F.trim(F.regexp_replace(c, r"\s+", " "))
+
+
+def _sql_html_extract(expr: str) -> str:
+    body = f"regexp_replace({expr}, '(?s)<!--.*?-->', ' ', 'g')"
+    body = f"regexp_replace({body}, '(?s)<script[^>]*>.*?</script>', ' ', 'g')"
+    body = f"regexp_replace({body}, '(?s)<style[^>]*>.*?</style>', ' ', 'g')"
+    body = f"regexp_replace({body}, '<[^>]*>', ' ', 'g')"
+    for ent, ch in (("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+                    ("&#39;", "''"), ("&amp;", "&")):
+        body = f"replace({body}, '{ent}', '{ch}')"
+    return f"trim(regexp_replace({body}, '\\s+', ' ', 'g'))"
+
+
+@query(
+    "html_text_extract",
+    oracle=f"""
+    WITH h AS ({_SQL_HTML_CORPUS}),
+    x AS (
+      SELECT doc_id,
+             regexp_extract(markup, '<title>(.*?)</title>', 1) AS title,
+             {_sql_html_extract('markup')} AS body
+      FROM h
+    )
+    SELECT doc_id, title,
+           md5(body) AS body_md5,
+           CAST(length(body) AS BIGINT) AS n_chars,
+           CAST(len(string_split(body, ' ')) AS BIGINT) AS n_words
+    FROM x
+    """,
+)
+def html_text_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML -> text extraction (the WARC->WET step of a web-corpus
+    pipeline, cf. trafilatura/jusText's core loop): title capture,
+    comment/script/style removal, tag stripping, entity decoding,
+    whitespace canonicalization.
+
+    Runs over a markup corpus constructed identically in both engines
+    (style + script + comment + entity-bearing list items wrap each
+    document), so the hash checks that boilerplate code/CSS/comments
+    are GONE from the extract while entity-decoded visible text
+    ('item <1>', 'R & D') survives.
+
+    Scale (100 TB stance): per-row projection only — regex chains in
+    WholeStageCodegen, no shuffle; at crawl scale this runs as wide as
+    the scan and is bounded by gunzip+regex CPU, the right bottleneck."""
+    h = _html_corpus(load(spark, sf_dir, "documents"))
+    body = html_extract_text(F.col("markup"))
+    return h.select(
+        "doc_id",
+        F.regexp_extract("markup", r"<title>(.*?)</title>", 1).alias("title"),
+        F.md5(body).alias("body_md5"),
+        F.length(body).cast("bigint").alias("n_chars"),
+        F.size(F.split(body, " ", -1)).cast("bigint").alias("n_words"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Registrable-domain (eTLD+1) extraction + per-domain caps
+# ---------------------------------------------------------------------------
+
+_SUBS = ("www.", "blog.", "cdn.", "")
+_BASES = ("example", "news-site", "shop", "wiki", "forum")
+_SUFFIXES = ("com", "org", "co.uk", "net", "ac.uk")
+_MULTI_SUFFIXES = ("co.uk", "ac.uk")  # tiny public-suffix list stand-in
+_DOMAIN_CAP = 12
+
+_SQL_URL_CORPUS = f"""
+  SELECT doc_id,
+         'https://' ||
+         (list_value{_SUBS!r}[
+            CAST(('0x' || substr(md5('sub' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 4 AS INT) + 1]) ||
+         (list_value{_BASES!r}[
+            CAST(('0x' || substr(md5('dom' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 5 AS INT) + 1]) ||
+         '.' ||
+         (list_value{_SUFFIXES!r}[
+            CAST(('0x' || substr(md5('tld' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 5 AS INT) + 1]) ||
+         '/d/' || CAST(doc_id AS VARCHAR) AS url
+  FROM documents
+"""
+
+
+def _url_corpus(docs: DataFrame) -> DataFrame:
+    """(doc_id, url): synthetic crawl URLs — hash-chosen subdomain,
+    base domain, and public suffix (incl. multi-label co.uk/ac.uk)."""
+
+    def pick(options: tuple[str, ...], salt: str) -> Column:
+        h = portable_id_hash(F.concat(F.lit(salt), F.col("doc_id").cast("string")))
+        return F.element_at(
+            F.array(*[F.lit(o) for o in options]),
+            (h % len(options)).cast("int") + 1,
+        )
+
+    return docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("https://"),
+            pick(_SUBS, "sub"),
+            pick(_BASES, "dom"),
+            F.lit("."),
+            pick(_SUFFIXES, "tld"),
+            F.lit("/d/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+    )
+
+
+def registrable_domain(url: Column) -> Column:
+    """eTLD+1 from a URL: host label list, check the last two labels
+    against the multi-label suffix set, keep 3 labels if matched else
+    2. The real operator broadcasts the full public-suffix list; the
+    comparison topology is identical."""
+    host = F.regexp_extract(url, r"^[a-z]+://([^/]+)", 1)
+    labels = F.split(host, r"\.", -1)
+    last2 = F.concat_ws(".", F.element_at(labels, -2), F.element_at(labels, -1))
+    multi = F.array(*[F.lit(s) for s in _MULTI_SUFFIXES])
+    return F.when(
+        F.array_contains(multi, last2),
+        F.concat_ws(".", F.element_at(labels, -3), last2),
+    ).otherwise(last2)
+
+
+_SQL_REG_DOMAIN = """
+  CASE WHEN (labels[-2] || '.' || labels[-1]) IN ('co.uk', 'ac.uk')
+       THEN labels[-3] || '.' || labels[-2] || '.' || labels[-1]
+       ELSE labels[-2] || '.' || labels[-1] END
+"""
+
+
+@query(
+    "domain_capped_docs",
+    oracle=f"""
+    WITH u AS ({_SQL_URL_CORPUS}),
+    d AS (
+      SELECT doc_id, {_SQL_REG_DOMAIN} AS registrable_domain
+      FROM (
+        SELECT doc_id,
+               string_split(regexp_extract(url, '^[a-z]+://([^/]+)', 1), '.') AS labels
+        FROM u
+      )
+    ),
+    r AS (
+      SELECT doc_id, registrable_domain,
+             row_number() OVER (
+               PARTITION BY registrable_domain
+               ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT,
+                        doc_id) AS rn
+      FROM d
+    ),
+    kept AS (
+      SELECT registrable_domain,
+             CAST(count(*) AS BIGINT) AS n_kept,
+             md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)) AS kept_md5
+      FROM r WHERE rn <= {_DOMAIN_CAP}
+      GROUP BY registrable_domain
+    ),
+    tot AS (
+      SELECT registrable_domain, CAST(count(*) AS BIGINT) AS n_docs
+      FROM d GROUP BY registrable_domain
+    )
+    SELECT t.registrable_domain, t.n_docs, k.n_kept, k.kept_md5
+    FROM tot t JOIN kept k USING (registrable_domain)
+    """,
+)
+def domain_capped_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain corpus caps on the registrable domain (the
+    C4/RefinedWeb guard against any one site dominating the corpus;
+    also the key for robots/paywall policy joins). eTLD+1 extraction
+    uses a multi-label public-suffix check, so shop.co.uk and
+    www.shop.co.uk collapse to one domain while shop.com stays
+    distinct.
+
+    Which documents survive the cap is deterministic (portable doc-id
+    hash order) and hash-checked per domain via kept_md5 — not just
+    the counts.
+
+    Scale (100 TB stance): rank-filter BEFORE any aggregation so the
+    per-domain limit evaluates as WindowGroupLimit (plan-pinned) —
+    each shuffle partition retains at most cap rows per domain instead
+    of sorting whole domains; the totals agg and the ranked filter
+    share one domain-keyed exchange (ReusedExchange)."""
+    d = _url_corpus(load(spark, sf_dir, "documents")).select(
+        "doc_id", registrable_domain(F.col("url")).alias("registrable_domain")
+    )
+    w = (
+        Window.partitionBy("registrable_domain")
+        .orderBy(portable_id_hash(F.col("doc_id")), F.col("doc_id"))
+    )
+    kept = (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _DOMAIN_CAP)
+        .groupBy("registrable_domain")
+        .agg(
+            F.count("*").cast("bigint").alias("n_kept"),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list("doc_id")),
+                        lambda x: x.cast("string"),
+                    ),
+                    ",",
+                )
+            ).alias("kept_md5"),
+        )
+    )
+    tot = d.groupBy("registrable_domain").agg(
+        F.count("*").cast("bigint").alias("n_docs")
+    )
+    return tot.join(kept, "registrable_domain").select(
+        "registrable_domain", "n_docs", "n_kept", "kept_md5"
+    )

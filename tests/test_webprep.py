@@ -1,0 +1,99 @@
+"""Behavioral tests for the web-corpus extraction/cleaning stages
+(plans/webprep.py): planted invariants beyond the oracle hash-match."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from clickstreamtoclickhouse_spark import plans
+from clickstreamtoclickhouse_spark.plans.webprep import (
+    _DOMAIN_CAP,
+    html_extract_text,
+    normalize_ws_text,
+    registrable_domain,
+)
+
+from .conftest import SF_DIR
+
+
+def test_text_normalize_roundtrips_every_doc(spark):
+    # normalize(dirty(text)) == canonical(text) must hold for ALL four
+    # corruption modes — a single False means a corruption the
+    # normalizer cannot undo.
+    out = plans.QUERIES["text_normalize_docs"](spark, SF_DIR)
+    assert out.filter(~F.col("roundtrip")).count() == 0
+    # dirtying really did something: every dirty text is longer
+    assert out.filter(F.col("n_chars_dirty") <= F.col("n_chars_norm")).count() == 0
+
+
+def test_normalize_ws_text_unit_cases(spark):
+    rows = spark.createDataFrame(
+        [
+            ("a\tb",),                       # tab
+            ("a \u200bb",),                  # zero-width space deleted -> "a b"
+            ("\x07a\u00a0b\x1f",),           # BEL / NBSP / US
+            ("  a   b  ",),                  # collapse + trim
+            ("\ufeffa\u200c\u200db",),       # BOM + ZWNJ/ZWJ joiners deleted
+        ],
+        "s string",
+    ).select(normalize_ws_text(F.col("s")).alias("n"))
+    got = [r.n for r in rows.collect()]
+    assert got == ["a b", "a b", "a b", "a b", "ab"]
+
+
+def test_html_extract_strips_code_keeps_visible_text(spark):
+    h = plans.QUERIES["html_text_extract"](spark, SF_DIR)
+    first = h.orderBy("doc_id").first()
+    assert first.title.startswith("Doc 0 - ")
+    # and on a hand-built page: script/style/comment gone, entities decoded
+    page = (
+        "<html><head><style>h1{color:red}</style></head><body>"
+        "<h1>Hi</h1><p>A &amp; B &lt;ok&gt;</p>"
+        "<script>var secret=42;</script><!-- hidden --></body></html>"
+    )
+    row = (
+        spark.range(1)
+        .select(html_extract_text(F.lit(page)).alias("t"))
+        .first()
+    )
+    assert row.t == "Hi A & B <ok>"
+    assert "secret" not in row.t and "color" not in row.t and "hidden" not in row.t
+
+
+def test_registrable_domain_collapses_subdomains(spark):
+    cases = [
+        ("https://www.shop.co.uk/d/1", "shop.co.uk"),
+        ("https://shop.co.uk/d/2", "shop.co.uk"),
+        ("https://cdn.example.com/d/3", "example.com"),
+        ("https://example.com/d/4", "example.com"),
+        ("https://blog.wiki.ac.uk/d/5", "wiki.ac.uk"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "url string").select(
+        "url", registrable_domain(F.col("url")).alias("d")
+    )
+    got = {r.url: r.d for r in df.collect()}
+    for url, want in cases:
+        assert got[url] == want, url
+
+
+def test_domain_cap_bounds_every_domain(spark):
+    out = plans.QUERIES["domain_capped_docs"](spark, SF_DIR)
+    rows = out.collect()
+    assert rows, "no domains produced"
+    for r in rows:
+        assert r.n_kept <= _DOMAIN_CAP
+        assert r.n_kept <= r.n_docs
+        # cap binds exactly: kept == min(docs, cap)
+        assert r.n_kept == min(r.n_docs, _DOMAIN_CAP)
+
+
+def test_domain_cap_uses_window_group_limit(spark):
+    # the rank filter must evaluate as WindowGroupLimit so shuffle
+    # partitions retain at most cap rows per domain (never sort whole
+    # domains); and the projection stages add no extra shuffle — only
+    # the domain-keyed exchange(s) for window + aggregates.
+    from .test_plan_quality import count_exchanges, plan_text
+
+    txt = plan_text(spark, "domain_capped_docs")
+    assert "WindowGroupLimit" in txt
+    assert count_exchanges(txt) <= 3
