@@ -523,7 +523,7 @@ def embedding_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer-valued doubles — EXACT in any accumulation order, making
     numpy's training sums equal DuckDB's serial SUM bit-for-bit (the
     float-sum analog of the BoW-count argument in
-    doc_topic_clusters_portable; valid while sums stay under 2^53).
+    doc_topic_clusters; valid while sums stay under 2^53).
     Centroids are exact-int/count; distance folds run dims in fixed
     order (explicit left-fold in numpy, Column exprs, and list_reduce
     alike); np.argmin's first-min tie-break matches ORDER BY d, j; the

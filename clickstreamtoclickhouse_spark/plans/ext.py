@@ -715,33 +715,6 @@ def bigram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("doc_topic_clusters")  # rows-only: kmeans not in SQL
-def doc_topic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """End-to-end document clustering: hashed-BoW embeddings
-    (similarity.hashed_bow_embeddings) -> seeded k-means -> cluster
-    cardinalities. The full documents->vectors->clusters composition
-    a topic-bucketing or mixture-balancing pipeline runs; stability
-    pinned by the fixed seed (deterministic row counts)."""
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
-
-    d = load(spark, sf_dir, "documents")
-    emb = similarity.hashed_bow_embeddings(d, n_dims=64)
-    vec = emb.select(
-        "doc_id", array_to_vector(F.col("embedding")).alias("fvec")
-    )
-    km = KMeans(
-        k=8, seed=7, maxIter=8, featuresCol="fvec", predictionCol="cluster"
-    )  # 8 Lloyd rounds: cluster-size output is stable well before default 20
-    model = km.fit(vec.select("fvec"))
-    return (
-        model.transform(vec)
-        .groupBy("cluster")
-        .agg(F.count("*").alias("n_docs"))
-        .select(F.col("cluster").cast("int").alias("cluster"), "n_docs")
-    )
-
-
 def _kmeans_oracle_sql(k: int, iters: int, ndims: int) -> str:
     """DuckDB SQL replicating portable_kmeans_clusters EXACTLY: same
     seeds (bottom-k by md5 id hash), same Lloyd schedule, same
@@ -844,19 +817,22 @@ _PKM_K, _PKM_ITERS, _PKM_DIMS = 8, 4, 64
 
 
 @query(
-    "doc_topic_clusters_portable",
+    "doc_topic_clusters",
     oracle=_kmeans_oracle_sql(_PKM_K, _PKM_ITERS, _PKM_DIMS),
 )
-def doc_topic_clusters_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """doc_topic_clusters' hash-checkable twin: DETERMINISTIC k-means
-    over the hashed-BoW embeddings — seeds are the k docs with the
-    smallest portable md5 id hash (no engine RNG), exactly
-    `_PKM_ITERS` Lloyd rounds (no convergence test), ties to the
-    lowest cluster index. Every arithmetic step is bit-portable (see
-    _kmeans_oracle_sql), so the DuckDB oracle reproduces the full
-    iteration schedule and the final cluster cardinalities hash-match
-    — closing the rows-only gap of the MLlib variant (whose k-means||
-    init RNG is engine-internal and not SQL-replicable).
+def doc_topic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end document topic clustering: hashed-BoW embeddings ->
+    DETERMINISTIC k-means -> cluster cardinalities. Seeds are the k
+    docs with the smallest portable md5 id hash (no engine RNG),
+    exactly `_PKM_ITERS` Lloyd rounds (no convergence test), ties to
+    the lowest cluster index. Every arithmetic step is bit-portable
+    (see _kmeans_oracle_sql), so the DuckDB oracle reproduces the full
+    iteration schedule and the final cluster cardinalities hash-match.
+    (An earlier MLlib KMeans variant was registered rows-only — its
+    k-means|| init RNG is engine-internal and not SQL-replicable; this
+    portable formulation is now THE registered query, per the round-6
+    verdict. MLlib k-means integration stays exercised by
+    similarity.ivf_topk's library tests.)
 
     Scale: per round, ONE distributed job over the checkpointed
     embedding table (64 map-side-combinable sums per cluster); only
@@ -1247,19 +1223,11 @@ def incremental_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_text.incremental_exact_dedup(batch, docs)
 
 
-@query("minhash_near_dups")  # rows-only: LSH internals not portable
-def minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH approximate near-dup pairs (seeded, deterministic)."""
-    corpus = _near_dup_corpus(load(spark, sf_dir, "documents"))
-    return dedup_text.minhash_near_dup_pairs(corpus, threshold=0.5)
-
-
-@query("simhash_near_dups")  # rows-only: xxhash64 not in DuckDB
-def simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs (banded Hamming ≤ 3) over the
-    duplicated corpus (exact copies -> Hamming 0)."""
-    corpus = _dup_corpus(load(spark, sf_dir, "documents"))
-    return dedup_text.simhash_near_dup_pairs(corpus, max_hamming=3)
+# NOTE: `minhash_near_dups` / `simhash_near_dups` are registered
+# further down with their PORTABLE formulations (fully oracle-checked,
+# per the round-6 verdict). The engine-native xxhash64 kernels
+# (dedup_text.minhash_near_dup_pairs / simhash_near_dup_pairs) remain
+# library fast paths, pinned by behavioral tests in test_extensions.
 
 
 # ---------------------------------------------------------------------------
@@ -1316,17 +1284,10 @@ def embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.cosine_near_dup_pairs(corpus, threshold=0.995)
 
 
-@query("embedding_lsh_near_dups")  # rows-only: hyperplane draw not in SQL
-def embedding_lsh_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed embedding near-dup PAIRS — the at-scale path for
-    embedding_near_dups (which is the exact O(n²) oracle baseline,
-    sf-bounded by the 250-vector cap): candidate pairs from a
-    (table, bucket) self-equi-join, exact cosine filter on candidates.
-    Recall vs the exact baseline is pinned in test_extensions."""
-    corpus = _perturbed_embeddings(load(spark, sf_dir, "embeddings"))
-    return similarity.lsh_near_dup_pairs(
-        corpus, dim=EMB_DIM, threshold=0.995, bits=8, num_tables=8
-    )
+# NOTE: `embedding_lsh_near_dups` is registered further down with its
+# PORTABLE (md5-derived hyperplane) formulation — fully oracle-checked.
+# The seeded-numpy kernel (similarity.lsh_near_dup_pairs) remains the
+# engine-native library fast path, recall-pinned in test_extensions.
 
 
 @query(
@@ -1500,33 +1461,447 @@ def embedding_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("embedding_rerank_topk")  # rows-only: int8 prefilter not in SQL
+@query(
+    "embedding_rerank_topk",
+    oracle=f"""
+    WITH base AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v,
+             list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) AS amax
+      FROM embeddings
+    ),
+    qz AS (
+      SELECT vec_id, v,
+             CASE WHEN amax = 0.0 THEN 0.0 ELSE 127.0 / amax END AS s
+      FROM base
+    ),
+    rec AS (
+      SELECT vec_id, v,
+             CASE WHEN round(s, 6) > 0
+                  THEN list_transform(v, x -> round(x * s, 0) / round(s, 6))
+                  ELSE list_transform(v, x -> 0.0) END AS rv
+      FROM qz
+    ),
+    recn AS (
+      SELECT vec_id, v, rv,
+             sqrt(list_dot_product(rv, rv)) AS rn,
+             sqrt(list_dot_product(v, v)) AS nrm
+      FROM rec
+    ),
+    approx AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             list_dot_product(q.rv, c.rv) / (q.rn * c.rn) AS asim
+      FROM recn q JOIN recn c ON q.vec_id <> c.vec_id
+      WHERE q.vec_id < 10
+    ),
+    short AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY query_id ORDER BY round(asim, 9) DESC, neighbor_id) AS rn
+        FROM approx
+      ) WHERE rn <= 20
+    ),
+    rer AS (
+      SELECT s.query_id, s.neighbor_id,
+             list_dot_product(q.v, c.v) / (q.nrm * c.nrm) AS sim
+      FROM short s
+      JOIN recn q ON q.vec_id = s.query_id
+      JOIN recn c ON c.vec_id = s.neighbor_id
+    )
+    SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank,
+           round(sim, 6) AS sim
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY round(sim, 9) DESC, neighbor_id) AS rank
+      FROM rer
+    ) WHERE rank <= 5
+    """,
+)
 def embedding_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Two-stage ANN (quantized prefilter -> exact re-rank on the
-    shortlist); recall vs embedding_topk pinned in tests."""
+    """Two-stage ANN (int8-quantized prefilter -> exact re-rank on the
+    shortlist of 20), FULLY oracle-checked: the int8 codes are already
+    value-portable (embedding_quantized pins them), the reconstruction
+    divides each code by the 6-dp-rounded scale — pure arithmetic both
+    engines reproduce bit-for-bit — and both ranking windows pin ties
+    via round(·, 9) then neighbor id. Recall vs embedding_topk is also
+    pinned in tests."""
     emb = load(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
     return similarity.quantized_rerank_topk(emb, queries, k=5, shortlist=20)
 
 
-@query("embedding_ivf_topk")  # rows-only: kmeans quantizer not in SQL
+# IVF coarse quantizer (portable integer-grid Lloyd — the same
+# bit-portability construction as embedding_pq_topk, see
+# plans/corpus.py: grid inputs make every Lloyd sum order-independent)
+_IVF_K = 16       # coarse cells
+_IVF_ITERS = 4    # Lloyd rounds
+_IVF_PROBE = 4    # cells searched per query
+_IVF_TOPK = 5
+_IVF_SCALE = 1000  # input quantization grid
+_IVF_TRAIN = 1024  # quantizer training sample (bottom-N by portable hash)
+
+
+def _ivf_oracle_sql() -> str:
+    """DuckDB SQL replicating embedding_ivf_topk bit-exactly: same
+    integer-grid inputs, portable-hash training sample and seed rule,
+    Lloyd schedule, first-min tie-breaks, probe order, and final
+    cosine ranking. Portability argument identical to
+    plans/corpus._pq_oracle_sql (integer-valued double sums are exact
+    in any accumulation order; distance folds run dims in fixed
+    order on both engines)."""
+    sq = (
+        f"list_reduce(list_transform(range({EMB_DIM}), "
+        "i -> ({a}[i + 1] - {b}[i + 1]) * ({a}[i + 1] - {b}[i + 1])), "
+        "(x, y) -> x + y)"
+    )
+    hord = "('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT"
+    ctes = [
+        f"""emb AS (
+      SELECT vec_id,
+             embedding::DOUBLE[] AS v,
+             sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm,
+             list_transform(embedding::DOUBLE[], x -> round(x * {_IVF_SCALE})) AS g
+      FROM embeddings
+    ),
+    train AS (
+      SELECT vec_id, g FROM (
+        SELECT vec_id, g, row_number() OVER (ORDER BY {hord}, vec_id) AS rn
+        FROM emb
+      ) WHERE rn <= {_IVF_TRAIN}
+    ),
+    c0 AS (
+      SELECT row_number() OVER (ORDER BY {hord}, vec_id) - 1 AS cl, g AS cv
+      FROM train
+      ORDER BY {hord}, vec_id
+      LIMIT {_IVF_K}
+    ),
+    dd AS (
+      SELECT vec_id, unnest(range({EMB_DIM})) AS dim, unnest(g) AS x FROM train
+    )"""
+    ]
+    for t in range(_IVF_ITERS):
+        d = sq.format(a="e.g", b="c.cv")
+        ctes.append(
+            f"""d{t} AS (
+      SELECT e.vec_id, c.cl, {d} AS dist
+      FROM train e CROSS JOIN c{t} c
+    ),
+    a{t} AS (
+      SELECT vec_id, cl FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cl) AS rn
+        FROM d{t}
+      ) WHERE rn = 1
+    ),
+    s{t} AS (
+      SELECT a.cl, d.dim, sum(d.x) AS sx
+      FROM a{t} a JOIN dd d USING (vec_id)
+      GROUP BY a.cl, d.dim
+    ),
+    n{t} AS (SELECT cl, count(*) AS n FROM a{t} GROUP BY cl),
+    c{t + 1} AS (
+      SELECT pc.cl,
+             CASE WHEN n.n IS NULL THEN pc.cv
+                  ELSE (SELECT list(s.sx / n.n ORDER BY s.dim)
+                        FROM s{t} s WHERE s.cl = pc.cl)
+             END AS cv
+      FROM c{t} pc LEFT JOIN n{t} n USING (cl)
+    )"""
+        )
+    T = _IVF_ITERS
+    assign_d = sq.format(a="e.g", b="c.cv")
+    probe_d = sq.format(a="q.g", b="c.cv")
+    ctes.append(
+        f"""assign AS (
+      SELECT vec_id, cl AS cell FROM (
+        SELECT e.vec_id, c.cl,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {assign_d}, c.cl) AS rn
+        FROM emb e CROSS JOIN c{T} c
+      ) WHERE rn = 1
+    ),
+    qprobe AS (
+      SELECT vec_id AS query_id, cl AS cell FROM (
+        SELECT q.vec_id, c.cl,
+               row_number() OVER (PARTITION BY q.vec_id
+                                  ORDER BY {probe_d}, c.cl) AS rn
+        FROM emb q CROSS JOIN c{T} c
+        WHERE q.vec_id < 10
+      ) WHERE rn <= {_IVF_PROBE}
+    ),
+    cand AS (
+      SELECT p.query_id, a.vec_id AS neighbor_id
+      FROM qprobe p JOIN assign a USING (cell)
+      WHERE p.query_id <> a.vec_id
+    ),
+    sims AS (
+      SELECT c.query_id, c.neighbor_id,
+             list_dot_product(q.v, n.v) / (q.nrm * n.nrm) AS sim
+      FROM cand c
+      JOIN emb q ON q.vec_id = c.query_id
+      JOIN emb n ON n.vec_id = c.neighbor_id
+    )"""
+    )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank,
+           round(sim, 6) AS sim
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY round(sim, 9) DESC, neighbor_id) AS rank
+      FROM sims
+    ) WHERE rank <= {_IVF_TOPK}
+    """
+    )
+
+
+@query("embedding_ivf_topk", oracle=_ivf_oracle_sql())
 def embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-partitioned approximate top-k (k-means coarse quantizer,
-    n_probe cells searched) — the inverted-file ANN scale path;
-    recall measured against embedding_topk in tests."""
-    emb = load(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") < 10)
-    return similarity.ivf_topk(emb, queries, k=5, n_cells=16, n_probe=4)
+    """IVF-partitioned approximate top-k with a PORTABLE coarse
+    quantizer, fully oracle-checked: inputs snap to an integer grid
+    (round(x*1000)) so every Lloyd sum is a sum of integer-valued
+    doubles — exact in any accumulation order (the embedding_pq_topk
+    construction, plans/corpus.py) — and the quantizer trains
+    driver-side over a BOUNDED `_IVF_TRAIN` sample (bottom-N by
+    portable md5 id hash; seeds = the first `_IVF_K` of the same
+    ordering), so training cost is corpus-size-independent, the FAISS
+    stance. Corpus cells assign via a first-min argmin (ties to the
+    lowest cell, matching the oracle's ORDER BY dist, cl); each query
+    probes its `_IVF_PROBE` nearest cells; final ranking is exact
+    cosine on the full-precision vectors with round(·,9)+id tie-break.
+    The MLlib-quantizer kernel (similarity.ivf_topk, whose k-means||
+    RNG is engine-internal) stays the library fast path, recall-pinned
+    in test_extensions.
+
+    Scale: training reads `_IVF_TRAIN`×`EMB_DIM` doubles to the driver
+    once; cell assignment is one linear projection against literal
+    centroids (no shuffle); the probe table is nq×`_IVF_PROBE` rows
+    broadcast onto the cell-keyed corpus — the crossJoin shrinks by
+    ~n_cells/n_probe exactly as in the engine-native variant."""
+    import numpy as np
+
+    from ..functions.text import _let
+    from ..util import portable_id_hash
+
+    base = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    grid = F.transform(
+        F.col("embedding").cast("array<double>"),
+        lambda x: F.round(x * _IVF_SCALE, 0),
+    )
+    train_rows = (
+        base.select(
+            "vec_id", grid.alias("g"), portable_id_hash("vec_id").alias("h")
+        )
+        .orderBy("h", "vec_id")
+        .limit(_IVF_TRAIN)
+        .collect()
+    )
+    X = np.array([list(r["g"]) for r in train_rows], dtype=np.float64)
+    k_eff = min(_IVF_K, len(train_rows))
+    # driver-side Lloyd over the bounded sample; bit-parity with the
+    # oracle per the PQ argument: explicit elementwise (x-c)*(x-c),
+    # left-fold dim adds, np.argmin first-min == ORDER BY dist, cl,
+    # integer-grid sums exact in any order, centroid = exact sum/n.
+    C = X[:k_eff].copy()
+    for _ in range(_IVF_ITERS):
+        diff = X[:, None, :] - C[None, :, :]
+        sqd = diff * diff  # explicit multiply (not **2) for IEEE parity
+        d = sqd[..., 0]
+        for i in range(1, EMB_DIM):
+            d = d + sqd[..., i]
+        codes = np.argmin(d, axis=1)
+        for j in range(k_eff):
+            mask = codes == j
+            if mask.any():
+                C[j] = X[mask].sum(axis=0) / mask.sum()
+    cents = [[float(x) for x in row] for row in C]
+
+    def sqdist(a: F.Column, b: F.Column) -> F.Column:
+        # fixed-order left fold == the oracle's list_reduce
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    cent_lit = F.array(*[F.array(*[F.lit(v) for v in c]) for c in cents])
+    # argmin cell: dists let-bound so the 16×64 fold evaluates once per
+    # row (interpreted HOFs have no CSE — see text._let)
+    cell_expr = _let(
+        _let(grid, lambda g: F.transform(cent_lit, lambda c: sqdist(g, c))),
+        lambda ds: (F.array_position(ds, F.array_min(ds)) - 1).cast("int"),
+    )
+    dvec = F.col("embedding").cast("array<double>")
+    assigned = base.select(
+        F.col("vec_id").alias("neighbor_id"),
+        dvec.alias("cv"),
+        similarity.norm(dvec).alias("cnorm"),
+        cell_expr.alias("cell"),
+    )
+
+    cent_df = spark.createDataFrame(
+        [(i, cents[i]) for i in range(k_eff)], "cell int, cv array<double>"
+    )
+    q = base.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        dvec.alias("qv"),
+        similarity.norm(dvec).alias("qnorm"),
+        grid.alias("qg"),
+    )
+    qcells = (
+        q.crossJoin(F.broadcast(cent_df))
+        .withColumn("dist", sqdist(F.col("qg"), F.col("cv")))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy("dist", "cell")
+            ),
+        )
+        .filter(F.col("rn") <= _IVF_PROBE)
+        .select("query_id", "qv", "qnorm", "cell")
+    )
+    cand = F.broadcast(qcells).join(assigned, "cell").filter(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc(F.round("sim", 9)), F.col("neighbor_id")
+    )
+    return (
+        cand.withColumn(
+            "sim",
+            similarity.dot(F.col("qv"), F.col("cv"))
+            / (F.col("qnorm") * F.col("cnorm")),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _IVF_TOPK)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("rank").cast("int").alias("rank"),
+            F.round("sim", 6).alias("sim"),
+        )
+    )
 
 
-@query("embedding_lsh_topk")  # rows-only: hyperplane draw not in SQL
+_LSHT_T = 8  # hyperplane tables (top-k variant)
+_LSHT_B = 4  # bits per table — shallower buckets than the near-dup
+#              variant: top-k needs a candidate POOL per query, not
+#              just high-precision collisions
+
+
+@query(
+    "embedding_lsh_topk",
+    oracle=f"""
+    WITH corpus AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v,
+             sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+      FROM embeddings
+    ),
+    planes AS (
+      SELECT t, b, d,
+             ('0x' || substr(md5('pl:' || t || ':' || b || ':' || d), 1, 8))::BIGINT
+               / 2147483648.0 - 1.0 AS p
+      FROM range({_LSHT_T}) r1(t), range({_LSHT_B}) r2(b), range({EMB_DIM}) r3(d)
+    ),
+    rel AS (
+      SELECT vec_id, unnest(range(0, {EMB_DIM})) AS d, unnest(v) AS x
+      FROM corpus
+    ),
+    proj AS (
+      SELECT vec_id, t, b, round(sum(x * p), 6) AS s
+      FROM rel JOIN planes USING (d)
+      GROUP BY 1, 2, 3
+    ),
+    buckets AS (
+      SELECT vec_id, t,
+             CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b)
+                           ELSE 0 END) AS BIGINT) AS bucket
+      FROM proj GROUP BY 1, 2
+    ),
+    cand AS (
+      SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+      FROM buckets q
+      JOIN buckets c ON q.t = c.t AND q.bucket = c.bucket
+      WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id
+    ),
+    sims AS (
+      SELECT query_id, neighbor_id,
+             list_dot_product(cq.v, cc.v) / (cq.nrm * cc.nrm) AS sim
+      FROM cand
+      JOIN corpus cq ON cq.vec_id = query_id
+      JOIN corpus cc ON cc.vec_id = neighbor_id
+    )
+    SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank,
+           round(sim, 6) AS sim
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY round(sim, 9) DESC, neighbor_id) AS rank
+      FROM sims
+    ) WHERE rank <= 5
+    """,
+)
 def embedding_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed approximate top-k (random hyperplanes, seeded) —
-    the at-scale ANN path; recall measured against embedding_topk in
-    tests."""
+    """LSH-bucketed approximate top-k with PORTABLE (md5-derived)
+    hyperplanes, fully oracle-checked — candidate generation included:
+    bucket tables are computed ONCE over the corpus (the query side is
+    a vec_id filter of the same table, exactly as in the oracle, so no
+    Spark-internal re-aggregation can drift a 6-dp-rounded projection
+    across the two sides); candidates share any (table, bucket) cell;
+    exact cosine + round(·,9)+id tie-broken top-5 within candidates.
+    The seeded-numpy kernel (similarity.lsh_topk) stays the
+    engine-native library fast path, recall-pinned in test_extensions.
+
+    Scale: the (t, bucket) equi-join replaces the crossJoin — corpus
+    buckets shuffle once, the filtered query buckets broadcast."""
     emb = load(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") < 10)
-    return similarity.lsh_topk(emb, queries, dim=EMB_DIM, k=5, bits=4, num_tables=8)
+    buckets = similarity.lsh_portable_buckets(
+        emb, dim=EMB_DIM, num_tables=_LSHT_T, bits=_LSHT_B
+    )
+    qb = buckets.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "t", "bucket"
+    )
+    cb = buckets.select(F.col("vec_id").alias("neighbor_id"), "t", "bucket")
+    cand = (
+        F.broadcast(qb)
+        .join(cb, ["t", "bucket"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    dvec = F.col("embedding").cast("array<double>")
+    vecs = emb.select(
+        "vec_id", dvec.alias("v"), similarity.norm(dvec).alias("nrm")
+    )
+    q = vecs.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+    )
+    c = vecs.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("v").alias("cv"),
+        F.col("nrm").alias("cn"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc(F.round("sim", 9)), F.col("neighbor_id")
+    )
+    return (
+        cand.join(F.broadcast(q), "query_id")
+        .join(c, "neighbor_id")
+        .withColumn(
+            "sim",
+            similarity.dot(F.col("qv"), F.col("cv"))
+            / (F.col("qn") * F.col("cn")),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("rank").cast("int").alias("rank"),
+            F.round("sim", 6).alias("sim"),
+        )
+    )
 
 
 @query(
@@ -2039,7 +2414,7 @@ _SQL_MH_MATCHES = " + ".join(
 
 
 @query(
-    "minhash_portable_near_dups",
+    "minhash_near_dups",
     oracle=f"""
     WITH corpus AS ({_SQL_NEAR_DUP_CORPUS}),
     normed AS (
@@ -2081,11 +2456,12 @@ _SQL_MH_MATCHES = " + ".join(
     FROM est WHERE est >= 0.5
     """,
 )
-def minhash_portable_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+def minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH with the FULL pipeline under oracle check —
-    candidate generation included. The xxhash64 variant
-    (`minhash_near_dups`) is rows-only because engine-native hashes
-    don't port; here the base hash is a polynomial codepoint fold and
+    candidate generation included. The xxhash64 kernel
+    (dedup_text.minhash_near_dup_pairs) stays the engine-native
+    library fast path because its hashes don't port to SQL; here the
+    registered query's base hash is a polynomial codepoint fold and
     the permutations are fixed (a*x+b) mod p literals shared verbatim
     with the DuckDB twin, so banding, collision sets, and signature-
     match estimates agree value-for-value cross-engine.
@@ -2129,7 +2505,7 @@ _SQL_SH_BANDS = "\n      UNION ALL\n".join(
 
 
 @query(
-    "simhash_portable_near_dups",
+    "simhash_near_dups",
     oracle=f"""
     WITH corpus AS ({_SQL_NEAR_DUP_CORPUS}),
     normed AS (
@@ -2171,14 +2547,15 @@ _SQL_SH_BANDS = "\n      UNION ALL\n".join(
     WHERE bit_count(xor(sa.fp, sb.fp)) <= 3
     """,
 )
-def simhash_portable_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+def simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dups with the FULL pipeline under oracle check
-    (companion to minhash_portable_near_dups): 32 random-parity
-    projections of the portable shingle hash, majority vote per bit,
-    4 x 8-bit pigeonhole bands, bit_count(xor) verification at
-    hamming <= 3. The xxhash64 simhash (`simhash_near_dups`) stays as
-    the rows-only engine-native path; this twin pins fingerprints,
-    banding, and the recall guarantee value-for-value cross-engine."""
+    (companion to minhash_near_dups): 32 random-parity projections of
+    the portable shingle hash, majority vote per bit, 4 x 8-bit
+    pigeonhole bands, bit_count(xor) verification at hamming <= 3.
+    The 64-bit xxhash64 simhash (dedup_text.simhash_near_dup_pairs)
+    stays the engine-native library fast path; this registered
+    formulation pins fingerprints, banding, and the recall guarantee
+    value-for-value cross-engine."""
     corpus = _near_dup_corpus(load(spark, sf_dir, "documents"))
     return dedup_text.simhash_portable_near_dup_pairs(
         corpus, max_hamming=3, n=3
@@ -2305,7 +2682,7 @@ _LSHP_B = 8   # bits per table
 
 
 @query(
-    "embedding_lsh_portable_near_dups",
+    "embedding_lsh_near_dups",
     oracle=f"""
     WITH corpus0 AS ({_SQL_PERTURBED_EMB}),
     corpus AS (
@@ -2348,14 +2725,16 @@ _LSHP_B = 8   # bits per table
     WHERE list_dot_product(ca.v, cb.v) / (ca.nrm * cb.nrm) >= 0.995
     """,
 )
-def embedding_lsh_portable_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hyperplane-LSH embedding near-dups with the CANDIDATE
-    GENERATION under oracle check — completing the portable family
-    (MinHash, SimHash, and now vector LSH): plane components are
-    md5-derived uniforms both engines compute bit-identically, so
-    buckets, collision sets, and survivors all hash-match. The
-    seeded-numpy variant (`embedding_lsh_near_dups`) stays as the
-    engine-native rows-only path; recall pinned by the same planted
+def embedding_lsh_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH embedding near-dup PAIRS — the at-scale path for
+    embedding_near_dups (the exact O(n²) oracle baseline, sf-bounded
+    by the 250-vector cap) — with the CANDIDATE GENERATION under
+    oracle check, completing the portable family (MinHash, SimHash,
+    vector LSH): plane components are md5-derived uniforms both
+    engines compute bit-identically, so buckets, collision sets, and
+    survivors all hash-match. The seeded-numpy kernel
+    (similarity.lsh_near_dup_pairs) stays the engine-native library
+    fast path; recall pinned by the same planted
     (original, +0.01 copy) pairs — cosine ≈ 0.9968, per-table bucket
     match P ≈ 0.81, miss probability across 6 tables ≈ 4e-5."""
     corpus = _perturbed_embeddings(load(spark, sf_dir, "embeddings"))
@@ -2377,8 +2756,8 @@ def _recall_report_oracle() -> str:
     from .registry import ORACLE
 
     jac = ORACLE["jaccard_near_dups"]
-    mh = ORACLE["minhash_portable_near_dups"]
-    sh = ORACLE["simhash_portable_near_dups"]
+    mh = ORACLE["minhash_near_dups"]
+    sh = ORACLE["simhash_near_dups"]
     return f"""
     WITH truth AS (SELECT doc_a, doc_b FROM ({jac})),
     mh AS (SELECT DISTINCT doc_a, doc_b FROM ({mh})),
@@ -3356,14 +3735,45 @@ def embedding_label_cohesion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("media_thumbnails")  # rows-only: mapInPandas kernel not in SQL
+@query(
+    "media_thumbnails",
+    oracle="""
+    WITH sized AS (
+      SELECT doc_id AS media_id, text, length(text) AS n,
+             CASE WHEN length(text) = 0 THEN 0
+                  ELSE (length(text) + 15) // 16 END AS lp
+      FROM documents
+    ),
+    cells AS (
+      SELECT media_id, c,
+             CASE WHEN lp = 0 THEN 0
+                  ELSE CAST(trunc(CAST(list_sum(list_transform(
+                         range(c * lp + 1, c * lp + lp + 1),
+                         i -> CASE WHEN i <= n
+                                   THEN ascii(substr(text, CAST(i AS INT), 1))
+                                   ELSE 0 END)) AS DOUBLE) / lp) AS INT)
+             END AS cell
+      FROM sized CROSS JOIN range(16) r(c)
+    )
+    SELECT media_id,
+           CAST(4 AS INT) AS width, CAST(4 AS INT) AS height,
+           CAST(max(CASE WHEN c = 0 THEN cell END) AS INT) AS cell0,
+           CAST(sum(cell) AS BIGINT) AS cell_sum
+    FROM cells GROUP BY media_id
+    """,
+)
 def media_thumbnails(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal resize plumbing through the driver contract: binary
     image column -> Arrow batches -> 4x4 byte-pooled thumbnail
     (deterministic fake kernel; real decode env-gated — see
-    functions/multimodal.py:resize_image). Emits a hashable scalar
-    projection of each thumbnail so the rows-only check still pins
-    the kernel's output values, not just its row count."""
+    functions/multimodal.py:resize_image). The scalar projection
+    (first cell + cell sum) is FULLY oracle-checked: the synthetic
+    content is the UTF-8 bytes of `documents.text` (ASCII throughout
+    the testdata, so DuckDB's ascii(substr(...)) reads the identical
+    byte stream), and the fake kernel's zero-padded bucket means
+    (float division then truncate) are replicated term-for-term —
+    pinning the mapInPandas Arrow plumbing end-to-end, values
+    included, not just row counts."""
     media = multimodal.synth_media_from_documents(
         load(spark, sf_dir, "documents"), kind="image"
     )
@@ -3374,7 +3784,7 @@ def media_thumbnails(spark: SparkSession, sf_dir: str) -> DataFrame:
         "height",
         F.element_at("thumbnail", 1).alias("cell0"),
         F.aggregate(
-            "thumbnail", F.lit(0), lambda acc, x: acc + x
+            "thumbnail", F.lit(0).cast("long"), lambda acc, x: acc + x
         ).alias("cell_sum"),
     )
 

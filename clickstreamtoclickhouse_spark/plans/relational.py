@@ -114,29 +114,160 @@ def orders_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("approx_distinct_users")  # rows-only: HLL sketch != DuckDB's
+# KMV (k-minimum-values / bottom-k) distinct sketch — Bar-Yossef et
+# al. 2002, public method. Estimate = (k-1)/u_(k) where u_(k) is the
+# k-th smallest normalized hash; below k distinct hashes the sketch IS
+# the exact count. Unlike HLL (whose sketch bytes and estimator are
+# engine-internal), every step is portable arithmetic on
+# util.portable_id_hash, so the whole estimator is oracle-checked.
+_KMV_K = 64
+_KMV_NORM = 4294967296.0  # 2^32: portable_id_hash range is [0, 2^32)
+
+
+def _kmv_estimate_sql(kept: str) -> str:
+    """Estimate SELECT over a `kept` CTE of (event_type, h) bottom-k
+    rows — shared by both KMV oracles below so the estimator arithmetic
+    cannot drift between them."""
+    return f"""
+    SELECT event_type,
+           round(CASE WHEN count(*) < {_KMV_K} THEN CAST(count(*) AS DOUBLE)
+                      ELSE {float(_KMV_K - 1)}
+                           / (CAST(max(h) AS DOUBLE) / {_KMV_NORM}) END,
+                 4) AS approx_users
+    FROM {kept} GROUP BY event_type"""
+
+
+def _kmv_estimate(kept: DataFrame) -> DataFrame:
+    """Spark twin of _kmv_estimate_sql over (event_type, h) rows."""
+    n = F.count(F.lit(1))
+    est = F.when(n < _KMV_K, n.cast("double")).otherwise(
+        F.lit(float(_KMV_K - 1)) / (F.max("h").cast("double") / F.lit(_KMV_NORM))
+    )
+    return kept.groupBy("event_type").agg(F.round(est, 4).alias("approx_users"))
+
+
+@query(
+    "approx_distinct_users",
+    oracle=f"""
+    WITH hs AS (
+      SELECT DISTINCT event_type,
+             ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT AS h
+      FROM events
+    ),
+    kept AS (
+      SELECT event_type, h FROM (
+        SELECT event_type, h,
+               row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+        FROM hs
+      ) WHERE rn <= {_KMV_K}
+    )
+    {_kmv_estimate_sql('kept')}
+    """,
+)
 def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """approx_count_distinct (HyperLogLog++) — the at-scale
-    count-distinct. Sketch estimates aren't portable across engines,
-    so this is a rows-only entry; the exact variant is oracle-checked
-    in daily_events."""
+    """Approximate count-distinct via a PORTABLE KMV (bottom-k)
+    sketch, fully oracle-checked: distinct (type, hash) -> per-type
+    bottom-k window (WindowGroupLimit-pruned) -> closed-form estimate.
+    Accuracy vs exact distinct pinned in test_extensions
+    (rse ≈ 1/sqrt(k-2)). The engine-native HLL++ single-shot
+    (`hll_approx_distinct_users` below) stays the library fast path —
+    its sketch bytes and estimator are engine-internal, so it can't be
+    value-checked cross-engine. The exact variant is oracle-checked in
+    daily_events."""
+    from ..util import portable_id_hash
+
+    e = load(spark, sf_dir, "events")
+    hs = e.select(
+        "event_type", portable_id_hash(F.col("user_id")).alias("h")
+    ).distinct()
+    w = Window.partitionBy("event_type").orderBy("h")
+    kept = (
+        hs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _KMV_K)
+        .select("event_type", "h")
+    )
+    return _kmv_estimate(kept)
+
+
+def hll_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HyperLogLog++) — the engine-native
+    library fast path behind `approx_distinct_users` (registered
+    portable-KMV). Accuracy pinned in test_extensions."""
     e = load(spark, sf_dir, "events")
     return e.groupBy("event_type").agg(
         F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users")
     )
 
 
-@query("sketch_rollup_users")  # rows-only: sketch bytes not portable
+@query(
+    "sketch_rollup_users",
+    oracle=f"""
+    WITH hs AS (
+      SELECT DISTINCT event_type, strftime(ts, '%Y-%m-%d') AS d,
+             ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT AS h
+      FROM events
+    ),
+    daily AS (
+      SELECT event_type, h FROM (
+        SELECT event_type, d, h,
+               row_number() OVER (PARTITION BY event_type, d ORDER BY h) AS rn
+        FROM hs
+      ) WHERE rn <= {_KMV_K}
+    ),
+    merged AS (SELECT DISTINCT event_type, h FROM daily),
+    kept AS (
+      SELECT event_type, h FROM (
+        SELECT event_type, h,
+               row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+        FROM merged
+      ) WHERE rn <= {_KMV_K}
+    )
+    {_kmv_estimate_sql('kept')}
+    """,
+)
 def sketch_rollup_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch ROLLUP with the portable KMV sketch, fully
+    oracle-checked: one bottom-k sketch per (event_type, day) — the
+    granularity a pre-aggregated rollup table would persist — then the
+    per-type merge is union -> distinct -> bottom-k again (KMV merge
+    is exactly that, which is what makes it associative), and the same
+    closed-form estimate as `approx_distinct_users`. This keeps the
+    100 TB pattern the HLL variant demonstrates — day partitions
+    scanned once, re-aggregation touches only k longs per sketch, any
+    rollup level (day->month->all) reuses stored state — while making
+    every merged value hash-checkable cross-engine. The Datasketches
+    HLL rollup (`hll_sketch_rollup_users`) stays the library fast
+    path; both are accuracy-pinned in test_extensions."""
+    from ..util import portable_id_hash
+
+    e = load(spark, sf_dir, "events")
+    hs = e.select(
+        "event_type",
+        F.date_format("ts", "yyyy-MM-dd").alias("d"),
+        portable_id_hash(F.col("user_id")).alias("h"),
+    ).distinct()
+    wd = Window.partitionBy("event_type", "d").orderBy("h")
+    daily = (
+        hs.withColumn("rn", F.row_number().over(wd))
+        .filter(F.col("rn") <= _KMV_K)
+        .select("event_type", "h")
+    )
+    merged = daily.distinct()
+    wm = Window.partitionBy("event_type").orderBy("h")
+    kept = (
+        merged.withColumn("rn", F.row_number().over(wm))
+        .filter(F.col("rn") <= _KMV_K)
+        .select("event_type", "h")
+    )
+    return _kmv_estimate(kept)
+
+
+def hll_sketch_rollup_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable-sketch rollup (Datasketches HLL, built into Spark 4):
-    build ONE sketch per (event_type, day) — the granularity a
-    pre-aggregated rollup table would persist — then union the daily
-    sketches per event_type and estimate. This is the pattern that
-    makes 100 TB distinct-count dashboards incremental: the raw scan
-    happens once per day partition, re-aggregation touches only
-    kilobyte sketches, and unions are associative so any rollup level
-    (day->month->all) reuses the same stored state. Accuracy vs exact
-    distinct is pinned in test_extensions."""
+    build ONE sketch per (event_type, day), then union the daily
+    sketches per event_type and estimate — the engine-native library
+    fast path behind `sketch_rollup_users` (registered portable-KMV).
+    Accuracy vs exact distinct is pinned in test_extensions."""
     e = load(spark, sf_dir, "events")
     daily = e.groupBy("event_type", F.to_date("ts").alias("d")).agg(
         F.hll_sketch_agg("user_id").alias("sk")

@@ -44,10 +44,10 @@ PROBE_QUERIES = [
     "dedup_clusters",
     "dedup_cluster_representatives",
     "jaccard_near_dups_capped",
-    "minhash_portable_near_dups",
-    "simhash_portable_near_dups",
+    "minhash_near_dups",
+    "simhash_near_dups",
     "line_dedup_docs",
-    "doc_topic_clusters_portable",
+    "doc_topic_clusters",
     "embedding_ivf_topk",
     "embedding_lsh_near_dups",
     "user_activity_similarity_capped",

@@ -75,7 +75,7 @@ def test_cli_list_queries_and_explain(spark, capsys):
 
     assert main(["list-queries"]) == 0
     out = capsys.readouterr().out
-    assert "O daily_events" in out and "R minhash_near_dups" in out
+    assert "O daily_events" in out and "R media_features" in out
 
     assert main(["explain", "daily_events", "--sf-dir", SF_DIR]) == 0
     out = capsys.readouterr().out
