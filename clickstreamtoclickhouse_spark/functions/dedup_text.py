@@ -175,6 +175,26 @@ def jaccard_pairs(
     )
 
 
+def _cap_buckets(
+    banded: DataFrame, keys: list[str], max_bucket_size: int | None
+) -> DataFrame:
+    """Hot-bucket guard for banded LSH self-joins: drop band buckets
+    holding more than `max_bucket_size` members BEFORE the join — the
+    banded analog of ``jaccard_pairs.max_shingle_freq``. A bucket of k
+    members contributes k(k-1)/2 candidate pairs, so one pathological
+    bucket (e.g. k exact duplicates of a viral document, all sharing
+    every band key) turns the join quadratic. Capping only ever loses
+    RECALL among the capped docs (the verify step filters candidates,
+    so precision is unaffected); run exact dedup first so byte-equal
+    groups never reach the band join. None = exact (oracle-parity
+    baseline)."""
+    if max_bucket_size is None:
+        return banded
+    sizes = banded.groupBy(*keys).agg(F.count("*").alias("__bn"))
+    ok = sizes.filter(F.col("__bn") <= max_bucket_size).select(*keys)
+    return banded.join(ok, keys, "left_semi")
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH (pure Column expressions — no MLlib fit step)
 # ---------------------------------------------------------------------------
@@ -216,6 +236,7 @@ def minhash_near_dup_pairs(
     seed: int = 42,
     id_col: str = "doc_id",
     text_col: str = "text",
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Approximate near-dup pairs via banded MinHash LSH, entirely in
     Column expressions: word n-gram shingles -> k min-hashes -> b
@@ -258,6 +279,7 @@ def minhash_near_dup_pairs(
     banded = sig.select("did", "sig", F.explode(bands).alias("b")).select(
         "did", "sig", F.col("b.band").alias("band"), F.col("b.bh").alias("bh")
     )
+    banded = _cap_buckets(banded, ["band", "bh"], max_bucket_size)
     a = banded.select(
         F.col("did").alias("doc_a"), F.col("sig").alias("sig_a"), "band", "bh"
     )
@@ -315,6 +337,7 @@ def simhash_near_dup_pairs(
     max_hamming: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Near-dup candidate pairs by SimHash Hamming distance ≤ k.
 
@@ -340,6 +363,7 @@ def simhash_near_dup_pairs(
             )
         ).alias("bv"),
     ).select("did", "simhash", "bv.band", "bv.val")
+    bands = _cap_buckets(bands, ["band", "val"], max_bucket_size)
     a = bands.select(F.col("did").alias("doc_a"), F.col("simhash").alias("sig_a"), "band", "val")
     b = bands.select(F.col("did").alias("doc_b"), F.col("simhash").alias("sig_b"), "band", "val")
     cand = (
@@ -450,6 +474,7 @@ def minhash_portable_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     shingles: DataFrame | None = None,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Banded MinHash LSH with PORTABLE hashing: shingles -> polynomial
     base hash -> 16 (a*x+b) mod p permutation minima -> `num_bands`
@@ -466,6 +491,7 @@ def minhash_portable_pairs(
     banded = minhash_portable_bands(
         docs, n, num_bands, id_col, text_col, shingles=shingles
     )
+    banded = _cap_buckets(banded, ["band", "bk"], max_bucket_size)
     a = banded.select(
         F.col("did").alias("doc_a"), F.col("sig").alias("sig_a"), "band", "bk"
     )
@@ -559,47 +585,83 @@ def incremental_minhash_dedup(
 # Portable SimHash (oracle-checkable — random-parity projections)
 # ---------------------------------------------------------------------------
 
-# 32 fixed universal hashes; bit i of a shingle's projection is the
+# 56 fixed universal hashes; bit i of a shingle's projection is the
 # parity of (a_i*h + b_i) mod PRIME — an engine-neutral stand-in for
-# "bit i of a 64-bit native hash". Frozen literals, shared with the
-# DuckDB oracle twin.
+# "bit i of a 64-bit native hash". Frozen literals (seeded
+# random.Random(20260814) draw, frozen at generation), shared with
+# the DuckDB oracle twin.
+#
+# WIDTH IS THE SCALE LEVER: banded candidate volume is ~ n²/2^band_bits
+# per band (random collisions are UNIFORM, so a size cap cannot save a
+# narrow band). The original 4×8-bit layout measured 81M raw
+# collisions for 18k true pairs at a 100k-doc probe; 4×14-bit bands
+# cut that ~64×. 56 bits (not 64) keeps bit 55 the top bit so the
+# fingerprint never touches the sign bit of a BIGINT in either
+# engine. This is the Manku et al. 2007 (public) configuration
+# adapted to portable arithmetic: a wide fingerprint with a SMALL
+# absolute hamming cutoff targets near-IDENTICAL documents; the
+# 0.5-0.8 Jaccard regime belongs to MinHash.
 SH_AB: tuple[tuple[int, int], ...] = (
-    (785529273, 365246975),
-    (830029370, 646853777),
-    (561380868, 789741456),
-    (36386284, 388159641),
-    (904901290, 544200132),
-    (858092631, 927393745),
-    (688290101, 616131058),
-    (63046564, 859174502),
-    (627577040, 464732996),
-    (747581128, 555199688),
-    (126690169, 111989978),
-    (165742055, 277054080),
-    (42220329, 215283303),
-    (143864128, 731819781),
-    (963209802, 17125301),
-    (246170042, 188557469),
-    (685140264, 743419650),
-    (699444122, 539188400),
-    (231003432, 494024569),
-    (413883451, 653754702),
-    (552840405, 657447050),
-    (54514408, 746255234),
-    (874338784, 545532383),
-    (395673620, 291810918),
-    (633627808, 144301858),
-    (73463470, 380607367),
-    (461519278, 837107855),
-    (929308256, 96880807),
-    (402038399, 59680730),
-    (49407459, 133413027),
-    (122709673, 600626165),
-    (929896608, 103017954),
+    (785529273, 365246976),
+    (830029370, 646853778),
+    (561380868, 789741457),
+    (36386284, 388159642),
+    (904901290, 544200133),
+    (858092631, 927393746),
+    (688290101, 616131059),
+    (63046564, 859174503),
+    (627577040, 464732997),
+    (747581128, 555199689),
+    (126690169, 111989979),
+    (165742055, 277054081),
+    (42220329, 215283304),
+    (143864128, 731819782),
+    (963209802, 17125302),
+    (246170042, 188557470),
+    (685140264, 743419651),
+    (699444122, 539188401),
+    (231003432, 494024570),
+    (413883451, 653754703),
+    (552840405, 657447051),
+    (54514408, 746255235),
+    (874338784, 545532384),
+    (395673620, 291810919),
+    (633627808, 144301859),
+    (73463470, 380607368),
+    (461519278, 837107856),
+    (929308256, 96880808),
+    (402038399, 59680731),
+    (49407459, 133413028),
+    (122709673, 600626166),
+    (929896608, 103017955),
+    (111932942, 24544222),
+    (20616478, 428485959),
+    (982859058, 470825591),
+    (335766666, 308922630),
+    (344029535, 972239699),
+    (268625832, 15218290),
+    (76229739, 636769047),
+    (658562841, 655453547),
+    (500250615, 238937234),
+    (875330333, 83385518),
+    (920149918, 72610944),
+    (944963357, 911566383),
+    (743757943, 92922459),
+    (27185753, 898967870),
+    (427924173, 977102403),
+    (497968761, 459938984),
+    (847731025, 862488573),
+    (879653459, 574898469),
+    (529351160, 98287420),
+    (323142446, 938913125),
+    (192324899, 436062918),
+    (337071609, 962492316),
+    (23129131, 694924930),
+    (952958466, 299644353),
 )
 
-SH_BITS = len(SH_AB)  # 32-bit fingerprint
-SH_BAND_BITS = 8      # 4 bands of 8 bits -> pigeonhole covers hamming <= 3
+SH_BITS = len(SH_AB)  # 56-bit fingerprint
+SH_BAND_BITS = 14     # 4 bands of 14 bits -> pigeonhole covers hamming <= 3
 
 
 def simhash_portable(
@@ -609,10 +671,11 @@ def simhash_portable(
     text_col: str = "text",
     shingles: DataFrame | None = None,
 ) -> DataFrame:
-    """32-bit SimHash per document over word n-gram shingles, with
+    """SH_BITS-wide (56-bit) SimHash per document over word n-gram
+    shingles, with
     PORTABLE arithmetic: shingle -> polynomial base hash -> bit i =
     majority vote of parity((a_i*h + b_i) mod p). Same one-explode +
-    one-aggregation shape as ``simhash`` (32 conditional sums on one
+    one-aggregation shape as ``simhash`` (SH_BITS conditional sums on one
     doc-id shuffle); no engine-native hash anywhere, so the
     fingerprints value-match a SQL twin."""
     sh = shingles if shingles is not None else _doc_shingles(docs, id_col, text_col, n)
@@ -644,9 +707,10 @@ def simhash_portable_near_dup_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     shingles: DataFrame | None = None,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs by portable SimHash: banded pigeonhole
-    candidate join (4 x 8-bit bands — any pair within hamming 3
+    candidate join (4 x 14-bit bands — any pair within hamming 3
     shares at least one intact band, so recall at the threshold is
     EXACT, not probabilistic), then bit_count(xor) verification.
     Returns (doc_a, doc_b, hamming), doc_a < doc_b. Same plan shape
@@ -668,6 +732,7 @@ def simhash_portable_near_dup_pairs(
     banded = sig.select("did", "simhash", F.explode(bands).alias("b")).select(
         "did", "simhash", F.col("b.band").alias("band"), F.col("b.bv").alias("bv")
     )
+    banded = _cap_buckets(banded, ["band", "bv"], max_bucket_size)
     a = banded.select(
         F.col("did").alias("doc_a"), F.col("simhash").alias("sh_a"), "band", "bv"
     )

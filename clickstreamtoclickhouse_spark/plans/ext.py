@@ -68,6 +68,52 @@ _SQL_NEAR_DUP_CORPUS = f"""
 """
 
 
+def _light_edit_corpus(docs: DataFrame) -> DataFrame:
+    """documents ∪ copies with two appended words: each copy differs
+    from its original by exactly two trailing shingles — the
+    near-IDENTICAL regime a small-hamming SimHash cutoff targets
+    (truncation copies are MinHash's 0.5-0.8 Jaccard regime)."""
+    base = docs.select("doc_id", "text")
+    copies = docs.select(
+        (F.col("doc_id") + _COPY_OFFSET).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zq zq")).alias("text"),
+    )
+    return base.unionByName(copies)
+
+
+_SQL_LIGHT_EDIT_CORPUS = f"""
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {_COPY_OFFSET} AS doc_id, text || ' zq zq' AS text
+  FROM documents
+"""
+
+
+def _hot_cluster_corpus(docs: DataFrame) -> DataFrame:
+    """near-dup corpus ∪ 20 extra EXACT copies of doc 0 — a planted
+    hot cluster: all 21 byte-equal docs share every band key, so any
+    banded LSH self-join would pay 21²/2 candidate pairs per band for
+    them. The *_capped queries run on this corpus so the hot-bucket
+    guard is ACTIVE and oracle-visible at test SF (the
+    jaccard_near_dups_capped stance)."""
+    hot = (
+        docs.filter(F.col("doc_id") == 0)
+        .select(
+            F.explode(F.sequence(F.lit(0), F.lit(19))).alias("i"), "text"
+        )
+        .select((F.col("i") + 3 * _COPY_OFFSET).alias("doc_id"), "text")
+    )
+    return _near_dup_corpus(docs).unionByName(hot)
+
+
+_SQL_HOT_CLUSTER_CORPUS = f"""
+  {_SQL_NEAR_DUP_CORPUS}
+  UNION ALL
+  SELECT {3 * _COPY_OFFSET} + r.i AS doc_id, d.text
+  FROM documents d, range(20) r(i) WHERE d.doc_id = 0
+"""
+
+
 def _chain_corpus(docs: DataFrame) -> DataFrame:
     """documents ∪ 80%-truncated copies ∪ 64%-truncated copies: each
     doc yields a CHAIN of three near-duplicates (the 64% copy is the
@@ -2413,11 +2459,9 @@ _SQL_MH_MATCHES = " + ".join(
 )
 
 
-@query(
-    "minhash_near_dups",
-    oracle=f"""
-    WITH corpus AS ({_SQL_NEAR_DUP_CORPUS}),
-    normed AS (
+# shared shingle->hash front end of the portable MinHash/SimHash
+# oracles (twin of dedup_text._doc_shingles + _portable_hash)
+_SQL_HASHED_SHINGLES = f"""normed AS (
       SELECT doc_id, {_SQL_WORDS.format(t=_SQL_NORM.format(t='text'))} AS ws
       FROM corpus
     ),
@@ -2430,15 +2474,38 @@ _SQL_MH_MATCHES = " + ".join(
     ),
     hashed AS (
       SELECT doc_id, {_SQL_SHINGLE_HASH} AS h FROM shingled
+    )"""
+
+
+def _sql_bucket_cap(keys: str, cap: int | None) -> str:
+    """Oracle twin of dedup_text._cap_buckets: rebind `banded` to the
+    rows whose band bucket holds <= cap members (no-op CTE when
+    uncapped, keeping the two oracle shapes identical)."""
+    if cap is None:
+        return "banded AS (SELECT * FROM banded0)"
+    return f"""bok AS (
+      SELECT {keys} FROM banded0 GROUP BY {keys} HAVING count(*) <= {cap}
     ),
+    banded AS (SELECT b.* FROM banded0 b JOIN bok USING ({keys}))"""
+
+
+def _minhash_pairs_oracle(corpus_sql: str, cap: int | None = None) -> str:
+    """Parametrized DuckDB twin of dedup_text.minhash_portable_pairs —
+    shared by the registered queries (near-dup corpus, capped twin)
+    and dedup_recall_report's composition, so the oracle arithmetic
+    can never drift between them."""
+    return f"""
+    WITH corpus AS ({corpus_sql}),
+    {_SQL_HASHED_SHINGLES},
     sig AS (
       SELECT doc_id,
              {_SQL_MH_MINS}
       FROM hashed GROUP BY doc_id
     ),
-    banded AS (
+    banded0 AS (
 {_SQL_MH_BANDS}
     ),
+    {_sql_bucket_cap("band, bk", cap)},
     cand AS (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
       FROM banded a
@@ -2454,7 +2521,12 @@ _SQL_MH_MATCHES = " + ".join(
     )
     SELECT doc_a, doc_b, round(est, 6) AS est_jaccard
     FROM est WHERE est >= 0.5
-    """,
+    """
+
+
+@query(
+    "minhash_near_dups",
+    oracle=_minhash_pairs_oracle(_SQL_NEAR_DUP_CORPUS),
 )
 def minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH with the FULL pipeline under oracle check —
@@ -2474,6 +2546,32 @@ def minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = _near_dup_corpus(load(spark, sf_dir, "documents"))
     return dedup_text.minhash_portable_pairs(
         corpus, threshold=0.5, n=3, num_bands=_MH_BANDS
+    )
+
+
+_MH_CAP = 8  # capped-twin bucket bound (bites at sf0.01; see oracle)
+
+
+@query(
+    "minhash_near_dups_capped",
+    oracle=_minhash_pairs_oracle(_SQL_HOT_CLUSTER_CORPUS, cap=_MH_CAP),
+)
+def minhash_near_dups_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """minhash_near_dups with the HOT-BUCKET GUARD active and
+    oracle-visible (the jaccard_near_dups_capped pattern): band
+    buckets holding more than `_MH_CAP` docs are dropped before the
+    self-join, bounding any one bucket's candidate contribution to
+    O(cap²) — the at-scale default. Runs on the hot-cluster corpus
+    (21 planted byte-equal docs) so the guard demonstrably fires: the
+    identical mass emits no pairs while ordinary planted near-dups
+    survive. A bucket that large is either a mass of exact duplicates
+    (collapse those with exact_dedup FIRST; byte-equal docs share
+    every band key) or a degenerate signature; capping loses only
+    recall among its members, never precision."""
+    corpus = _hot_cluster_corpus(load(spark, sf_dir, "documents"))
+    return dedup_text.minhash_portable_pairs(
+        corpus, threshold=0.5, n=3, num_bands=_MH_BANDS,
+        max_bucket_size=_MH_CAP,
     )
 
 
@@ -2504,24 +2602,14 @@ _SQL_SH_BANDS = "\n      UNION ALL\n".join(
 )
 
 
-@query(
-    "simhash_near_dups",
-    oracle=f"""
-    WITH corpus AS ({_SQL_NEAR_DUP_CORPUS}),
-    normed AS (
-      SELECT doc_id, {_SQL_WORDS.format(t=_SQL_NORM.format(t='text'))} AS ws
-      FROM corpus
-    ),
-    shingled AS (
-      SELECT doc_id,
-             unnest(list_distinct(list_transform(
-               range(1, len(ws) - 1),
-               i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS shingle
-      FROM normed WHERE len(ws) >= 3
-    ),
-    hashed AS (
-      SELECT doc_id, {_SQL_SHINGLE_HASH} AS h FROM shingled
-    ),
+def _simhash_pairs_oracle(corpus_sql: str, cap: int | None = None) -> str:
+    """Parametrized DuckDB twin of
+    dedup_text.simhash_portable_near_dup_pairs — shared by the
+    registered queries (light-edit corpus, capped twin) and
+    dedup_recall_report's composition (near-dup corpus)."""
+    return f"""
+    WITH corpus AS ({corpus_sql}),
+    {_SQL_HASHED_SHINGLES},
     votes AS (
       SELECT doc_id,
              {_SQL_SH_VOTES}
@@ -2530,9 +2618,10 @@ _SQL_SH_BANDS = "\n      UNION ALL\n".join(
     sig AS (
       SELECT doc_id, {_SQL_SH_FP} AS fp FROM votes
     ),
-    banded AS (
+    banded0 AS (
 {_SQL_SH_BANDS}
     ),
+    {_sql_bucket_cap("band, bv", cap)},
     cand AS (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
       FROM banded a
@@ -2545,20 +2634,73 @@ _SQL_SH_BANDS = "\n      UNION ALL\n".join(
     JOIN sig sa ON sa.doc_id = doc_a
     JOIN sig sb ON sb.doc_id = doc_b
     WHERE bit_count(xor(sa.fp, sb.fp)) <= 3
-    """,
+    """
+
+
+@query(
+    "simhash_near_dups",
+    oracle=_simhash_pairs_oracle(_SQL_LIGHT_EDIT_CORPUS),
 )
 def simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dups with the FULL pipeline under oracle check
-    (companion to minhash_near_dups): 32 random-parity projections of
-    the portable shingle hash, majority vote per bit, 4 x 8-bit
+    (companion to minhash_near_dups): 56 random-parity projections of
+    the portable shingle hash, majority vote per bit, 4 x 14-bit
     pigeonhole bands, bit_count(xor) verification at hamming <= 3.
     The 64-bit xxhash64 simhash (dedup_text.simhash_near_dup_pairs)
     stays the engine-native library fast path; this registered
     formulation pins fingerprints, banding, and the recall guarantee
-    value-for-value cross-engine."""
-    corpus = _near_dup_corpus(load(spark, sf_dir, "documents"))
+    value-for-value cross-engine.
+
+    Corpus/width choice: a small absolute hamming cutoff over a WIDE
+    fingerprint is the Manku et al. 2007 configuration — it targets
+    near-IDENTICAL documents, so the planted positives here are
+    two-word-appended copies (two trailing shingles changed); 80%
+    truncations (Jaccard ≈ 0.65) are MinHash's regime and stay the
+    minhash_near_dups corpus. Width is also the scale lever: banded
+    candidate volume is ~n²/2^band_bits per band, and the original
+    4×8-bit layout measured 81M raw collisions at a 100k-doc probe
+    (wide bands cut that ~64×) — see dedup_text.SH_AB."""
+    corpus = _light_edit_corpus(load(spark, sf_dir, "documents"))
     return dedup_text.simhash_portable_near_dup_pairs(
         corpus, max_hamming=3, n=3
+    )
+
+
+_SH_CAP = 8  # capped-twin bucket bound
+
+# light-edit corpus ∪ the same 21-doc byte-equal hot cluster
+_SQL_HOT_LIGHT_CORPUS = f"""
+  {_SQL_LIGHT_EDIT_CORPUS}
+  UNION ALL
+  SELECT {3 * _COPY_OFFSET} + r.i AS doc_id, d.text
+  FROM documents d, range(20) r(i) WHERE d.doc_id = 0
+"""
+
+
+def _hot_light_corpus(docs: DataFrame) -> DataFrame:
+    hot = (
+        docs.filter(F.col("doc_id") == 0)
+        .select(
+            F.explode(F.sequence(F.lit(0), F.lit(19))).alias("i"), "text"
+        )
+        .select((F.col("i") + 3 * _COPY_OFFSET).alias("doc_id"), "text")
+    )
+    return _light_edit_corpus(docs).unionByName(hot)
+
+
+@query(
+    "simhash_near_dups_capped",
+    oracle=_simhash_pairs_oracle(_SQL_HOT_LIGHT_CORPUS, cap=_SH_CAP),
+)
+def simhash_near_dups_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """simhash_near_dups with the HOT-BUCKET GUARD active and
+    oracle-visible: band buckets holding more than `_SH_CAP` docs are
+    dropped before the self-join (see minhash_near_dups_capped for
+    the rationale and the planted 21-doc hot cluster) — the at-scale
+    default alongside exact-dedup pre-collapse."""
+    corpus = _hot_light_corpus(load(spark, sf_dir, "documents"))
+    return dedup_text.simhash_portable_near_dup_pairs(
+        corpus, max_hamming=3, n=3, max_bucket_size=_SH_CAP
     )
 
 
@@ -2750,14 +2892,18 @@ def embedding_lsh_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _recall_report_oracle() -> str:
-    """Composes the three already-registered pair-pipeline oracles as
-    CTE subqueries (DuckDB allows WITH inside a derived table), so the
-    report's oracle can never drift from the per-method oracles."""
+    """Composes the pair-pipeline oracles as CTE subqueries (DuckDB
+    allows WITH inside a derived table), so the report's oracle can
+    never drift from the per-method oracle generators. All three
+    methods run over the SAME near-dup corpus here (the registered
+    simhash_near_dups evaluates on its own light-edit corpus; this
+    report deliberately measures how its hamming cutoff behaves in
+    MinHash's truncation regime)."""
     from .registry import ORACLE
 
     jac = ORACLE["jaccard_near_dups"]
-    mh = ORACLE["minhash_near_dups"]
-    sh = ORACLE["simhash_near_dups"]
+    mh = _minhash_pairs_oracle(_SQL_NEAR_DUP_CORPUS)
+    sh = _simhash_pairs_oracle(_SQL_NEAR_DUP_CORPUS)
     return f"""
     WITH truth AS (SELECT doc_a, doc_b FROM ({jac})),
     mh AS (SELECT DISTINCT doc_a, doc_b FROM ({mh})),
@@ -2790,7 +2936,7 @@ def _recall_report_oracle() -> str:
 @query("dedup_recall_report", oracle=_recall_report_oracle())
 def dedup_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approx-dedup EVALUATION: precision/recall of the two portable
-    candidate generators (MinHash+LSH at est>=0.5; SimHash 4x8-bit
+    candidate generators (MinHash+LSH at est>=0.5; SimHash 4x14-bit
     bands at hamming<=3) against exact n-gram Jaccard>=0.5 ground
     truth, all over the same near-dup corpus — the calibration table a
     pipeline team publishes before swapping an exact dedup for a

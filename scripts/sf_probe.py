@@ -45,7 +45,9 @@ PROBE_QUERIES = [
     "dedup_cluster_representatives",
     "jaccard_near_dups_capped",
     "minhash_near_dups",
+    "minhash_near_dups_capped",
     "simhash_near_dups",
+    "simhash_near_dups_capped",
     "line_dedup_docs",
     "doc_topic_clusters",
     "embedding_ivf_topk",

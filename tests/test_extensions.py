@@ -426,6 +426,63 @@ def test_portable_simhash_identical_docs_hamming_zero(spark):
     assert planted == n_docs
 
 
+def test_portable_simhash_light_edit_recall(spark):
+    # the registered query's regime: two appended words = two changed
+    # trailing shingles; a wide fingerprint keeps most such pairs
+    # within hamming 3 (measured ~0.57 at sf0.01 — doc-length
+    # dependent, shorter docs flip more bits)
+    from clickstreamtoclickhouse_spark.functions import dedup_text
+    from clickstreamtoclickhouse_spark.plans import load
+    from clickstreamtoclickhouse_spark.plans.ext import _light_edit_corpus
+
+    corpus = _light_edit_corpus(load(spark, SF_DIR, "documents"))
+    pairs = dedup_text.simhash_portable_near_dup_pairs(corpus, max_hamming=3)
+    found = {(r["doc_a"], r["doc_b"]) for r in pairs.collect()}
+    n_docs = load(spark, SF_DIR, "documents").count()
+    planted = sum(1 for a, b in found if b - a == 1_000_000)
+    assert planted >= 0.4 * n_docs, f"light-edit recall {planted}/{n_docs}"
+
+
+def test_banded_bucket_cap_drops_hot_cluster_only(spark):
+    # a mass of byte-equal docs shares every band key -> quadratic
+    # bucket; the cap must suppress pairs among them while ordinary
+    # planted near-dups keep flowing (for both banded families)
+    from pyspark.sql import functions as F
+    from clickstreamtoclickhouse_spark.functions import dedup_text
+    from clickstreamtoclickhouse_spark.plans import load
+    from clickstreamtoclickhouse_spark.plans.ext import (
+        _hot_cluster_corpus,
+        _hot_light_corpus,
+    )
+
+    docs = load(spark, SF_DIR, "documents")
+    for corpus, pair_fn in [
+        (
+            _hot_cluster_corpus(docs),
+            lambda c, cap: dedup_text.minhash_portable_pairs(
+                c, threshold=0.5, max_bucket_size=cap
+            ),
+        ),
+        (
+            _hot_light_corpus(docs),
+            lambda c, cap: dedup_text.simhash_portable_near_dup_pairs(
+                c, max_hamming=3, max_bucket_size=cap
+            ),
+        ),
+    ]:
+        uncapped = pair_fn(corpus, None)
+        in_hot = (F.col("doc_a") >= 3_000_000) & (F.col("doc_b") >= 3_000_000)
+        assert uncapped.filter(in_hot).count() >= 20 * 19 / 2
+        capped = pair_fn(corpus, 8)
+        assert capped.filter(in_hot).count() == 0
+        # ordinary planted pairs survive the cap
+        planted = capped.filter(
+            (F.col("doc_b") - F.col("doc_a") == 1_000_000)
+            & (F.col("doc_a") < 3_000_000)
+        ).count()
+        assert planted > 0
+
+
 def test_incremental_rollup_processes_only_new_partitions(spark, tmp_path):
     from pyspark.sql import functions as F
 
