@@ -546,12 +546,36 @@ def incremental_minhash_dedup(
     would re-admit it, but needs iterative peeling — at ingest scale a
     deterministic one-pass over-drop beats a multi-round exact
     replay). Same non-atomic two-append caveat as
-    ``streaming_corpus_dedup``."""
+    ``streaming_corpus_dedup``.
+
+    Docs too short to shingle (fewer than `n` words after
+    normalization) emit no MinHash band rows, which previously made
+    them vanish — never admitted, never indexed (an advisor-flagged
+    data-loss path). They now get ONE degenerate band row
+    (band = -1, key = md5 of the normalized text), so the identical
+    anti-join + keeper machinery applies EXACT-match semantics to
+    them: first sight admits and indexes, re-delivery and in-batch
+    copies are rejected. Near-duplicate matching genuinely needs >= n
+    words; exact normalized-text identity is the right degenerate
+    contract below that."""
     from pyspark.sql.window import Window
 
     bands = minhash_portable_bands(
         batch, n=n, num_bands=num_bands, id_col=id_col, text_col=text_col
     ).select("did", "band", "bk")
+    no_shingle = (
+        batch.select(
+            F.col(id_col).alias("did"),
+            normalized_text(F.col(text_col)).alias("__nt"),
+        )
+        .join(bands.select("did").distinct(), "did", "left_anti")
+        .select(
+            "did",
+            F.lit(-1).alias("band"),
+            F.md5(F.col("__nt")).alias("bk"),
+        )
+    )
+    bands = bands.unionByName(no_shingle)
     if index_bands is not None:
         idx = index_bands.select("band", "bk")
         hit_corpus = (

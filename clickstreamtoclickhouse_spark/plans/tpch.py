@@ -941,12 +941,13 @@ def dominant_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT DISTINCT o.o_custkey AS custkey, l.l_partkey AS partkey
       FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
     ),
-    np AS (SELECT CAST(count(*) AS BIGINT) AS n_part FROM part),
+    np AS (SELECT CAST(count(*) AS BIGINT) AS n_part,
+                  CAST(min(p_partkey) AS BIGINT) AS k0 FROM part),
     custs AS (SELECT c_custkey AS custkey FROM customer),
     cand0 AS (
       SELECT c.custkey, u.slot,
              ('0x' || substr(md5(CAST(c.custkey * 16 + u.slot AS VARCHAR)),
-                             1, 8))::BIGINT % np.n_part AS partkey
+                             1, 8))::BIGINT % np.n_part + np.k0 AS partkey
       FROM custs c
       CROSS JOIN np
       CROSS JOIN unnest(range(8)) AS u(slot)
@@ -974,8 +975,13 @@ def negative_sampling_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic negative sampling for recommendation /
     two-tower training: for every customer, 4 parts they have NEVER
     ordered, drawn pseudo-randomly but REPRODUCIBLY — candidate
-    partkey = portable_hash(custkey*16 + slot) mod |part| over 8
-    slots, collision-deduped, anti-joined against the positive
+    partkey = min(partkey) + portable_hash(custkey*16 + slot) mod
+    |part| over 8 slots (anchoring at the table's actual minimum key
+    keeps every draw inside the real contiguous key domain whether it
+    is 1-based like spec TPC-H or 0-based like the driver's testdata —
+    a bare mod could emit a nonexistent key and never the last part;
+    an advisor flagged the off-by-one), collision-deduped, anti-joined
+    against the positive
     (customer, part) interactions, first 4 survivors kept by slot
     order. Hash-based draws (not rand()) mean task retries, re-runs,
     and the DuckDB oracle all see the same negatives — the same
@@ -1004,7 +1010,8 @@ def negative_sampling_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     np_ = load(spark, sf_dir, "part").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_part")
+        F.count(F.lit(1)).cast("bigint").alias("n_part"),
+        F.min("p_partkey").cast("bigint").alias("k0"),
     )
     # the customer table is already unique on its key — a plain scan,
     # not a shuffle-distinct over the much larger orders table — and it
@@ -1018,15 +1025,19 @@ def negative_sampling_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "custkey",
             F.explode(F.sequence(F.lit(0), F.lit(7))).alias("slot"),
             "n_part",
+            "k0",
         )
         .select(
             "custkey",
             "slot",
-            F.pmod(
-                portable_id_hash(
-                    F.col("custkey") * 16 + F.col("slot")
-                ),
-                F.col("n_part"),
+            (
+                F.pmod(
+                    portable_id_hash(
+                        F.col("custkey") * 16 + F.col("slot")
+                    ),
+                    F.col("n_part"),
+                )
+                + F.col("k0")
             ).alias("partkey"),
         )
         .groupBy("custkey", "partkey")

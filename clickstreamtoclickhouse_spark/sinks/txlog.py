@@ -331,20 +331,32 @@ class TxLogTable:
                     p.unlink()
                     deleted.append(rel)
         # fold pre-cutoff history into a base commit so replay still
-        # starts from a valid state
+        # starts from a valid state. CRASH-SAFETY ORDER (an advisor
+        # flagged the old unlink-then-plain-write sequence as a data
+        # loss window): (1) write the folded entry to a temp file and
+        # atomically rename it over the cutoff entry, (2) only then
+        # unlink the pre-cutoff entries. The folded entry also REMOVES
+        # every file any earlier entry ever added (minus the base set),
+        # so the log is replay-valid at EVERY intermediate state: with
+        # all, some, or none of the pre-cutoff entries still present,
+        # snapshot(cutoff) resolves to exactly the base file set
+        # (replay applies an entry's removes before its adds).
         if cutoff > 0:
             base = self.snapshot(cutoff)
-            for e in self._log_entries():
-                if e["version"] < cutoff:
-                    (self.log_dir / f"{e['version']:020d}.json").unlink()
+            pre = [e for e in self._log_entries() if e["version"] < cutoff]
+            ever_added: set[str] = set()
+            for e in pre:
+                ever_added |= set(e["adds"])
             rewritten = {
                 "version": cutoff,
                 "adds": list(base.files),
-                "removes": [],
+                "removes": sorted(ever_added - set(base.files)),
                 "schema": base.schema_json,
                 "stats": base.stats or {},
             }
-            (self.log_dir / f"{cutoff:020d}.json").write_text(
-                json.dumps(rewritten, indent=1)
-            )
+            tmp = self.log_dir / f".tmp-vacuum-{uuid.uuid4().hex}.json"
+            tmp.write_text(json.dumps(rewritten, indent=1))
+            os.replace(tmp, self.log_dir / f"{cutoff:020d}.json")
+            for e in pre:
+                (self.log_dir / f"{e['version']:020d}.json").unlink()
         return sorted(deleted)

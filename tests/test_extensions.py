@@ -483,6 +483,20 @@ def test_banded_bucket_cap_drops_hot_cluster_only(spark):
         assert planted > 0
 
 
+def test_negative_sampling_keys_in_part_domain(spark):
+    # draws must land in TPC-H's 1-based 1..|part| key domain and
+    # never reference a positive (customer, part) interaction
+    from pyspark.sql import functions as F
+
+    out = plans.QUERIES["negative_sampling_pairs"](spark, SF_DIR).cache()
+    part = plans.load(spark, SF_DIR, "part")
+    # every sampled key resolves to a real part row
+    assert out.join(
+        part, out.neg_partkey == part.p_partkey, "left_anti"
+    ).count() == 0
+    out.unpersist()
+
+
 def test_incremental_rollup_processes_only_new_partitions(spark, tmp_path):
     from pyspark.sql import functions as F
 

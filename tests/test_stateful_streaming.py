@@ -483,6 +483,39 @@ def test_incremental_minhash_dedup_batch_semantics(spark):
     assert {r["doc_id"] for r in bands2.select("doc_id").collect()} == {11}
 
 
+def test_incremental_minhash_dedup_short_docs_not_lost(spark):
+    """Docs with fewer than n=3 words emit no MinHash band rows; the
+    degenerate exact-match band row (band=-1, md5 of normalized text)
+    must keep them flowing: admitted and indexed on first sight,
+    rejected on re-delivery and for in-batch copies — never silently
+    dropped (the advisor-flagged loss path)."""
+    from clickstreamtoclickhouse_spark.functions.dedup_text import (
+        incremental_minhash_dedup,
+    )
+
+    b1 = spark.createDataFrame(
+        [(1, "tiny doc"), (2, "Tiny DOC!"), (3, _LONG_A)],
+        "doc_id long, text string",
+    )
+    fresh1, bands1 = incremental_minhash_dedup(b1, None)
+    # doc 2 normalizes to doc 1's text -> in-batch exact collision
+    assert sorted(r["doc_id"] for r in fresh1.collect()) == [1, 3]
+    bands1 = bands1.cache()
+    # 1 degenerate row for the short doc + 8 bands for the long one
+    assert bands1.count() == 1 + 8
+    assert bands1.filter("band = -1").count() == 1
+
+    # batch 2: re-delivered short doc (rejected via index), a NEW
+    # short doc (admitted), and a different long doc (admitted)
+    b2 = spark.createDataFrame(
+        [(10, "tiny doc"), (11, "other snippet"), (12, _LONG_B)],
+        "doc_id long, text string",
+    )
+    fresh2, bands2 = incremental_minhash_dedup(b2, bands1)
+    assert sorted(r["doc_id"] for r in fresh2.collect()) == [11, 12]
+    assert bands2.filter("band = -1").count() == 1  # only doc 11's
+
+
 def test_streaming_fuzzy_corpus_dedup(spark, tmp_path):
     import json as _json
 
