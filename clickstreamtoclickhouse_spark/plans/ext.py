@@ -2898,10 +2898,12 @@ def _recall_report_oracle() -> str:
     methods run over the SAME near-dup corpus here (the registered
     simhash_near_dups evaluates on its own light-edit corpus; this
     report deliberately measures how its hamming cutoff behaves in
-    MinHash's truncation regime)."""
+    MinHash's truncation regime). Truth is the CAPPED exact Jaccard
+    (max_shingle_freq=4) — the scale-safe default; see the report
+    docstring."""
     from .registry import ORACLE
 
-    jac = ORACLE["jaccard_near_dups"]
+    jac = ORACLE["jaccard_near_dups_capped"]
     mh = _minhash_pairs_oracle(_SQL_NEAR_DUP_CORPUS)
     sh = _simhash_pairs_oracle(_SQL_NEAR_DUP_CORPUS)
     return f"""
@@ -2948,9 +2950,13 @@ def dedup_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: each pair set is the corresponding operator's plan
     (banded equi-joins, never all-pairs); the report reduces them to
     three counts each via two-column equi-joins of pair KEYS only.
-    Truth generation is the one quadratic-risk input — at production
-    scale substitute jaccard_pairs' max_shingle_freq cap or a sampled
-    truth set; the report math is unchanged."""
+    Truth generation was the one quadratic-risk input — the shipped
+    report therefore uses the CAPPED exact Jaccard
+    (max_shingle_freq=4, same guard and value as
+    jaccard_near_dups_capped, replicated in the oracle) as its truth
+    set by default, so the whole harness is scale-safe; the uncapped
+    exact form remains available as the sf-bounded library baseline
+    (jaccard_pairs with max_shingle_freq=None)."""
     corpus = _near_dup_corpus(load(spark, sf_dir, "documents"))
     # all three methods consume the SAME (doc, shingle, hash) table —
     # build it once (one explode + one char-fold pass) and share it; a
@@ -2969,7 +2975,7 @@ def dedup_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     # three pipelines at build/explain time). Pair sets are
     # output-sized — KBs here, bounded by the near-dup rate
     truth = dedup_text.jaccard_pairs(
-        corpus, threshold=0.5, n=3, shingles=shingles
+        corpus, threshold=0.5, n=3, shingles=shingles, max_shingle_freq=4
     ).select("doc_a", "doc_b").localCheckpoint(eager=False)
     mh = (
         dedup_text.minhash_portable_pairs(
@@ -3475,6 +3481,149 @@ def media_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _sql_thumb_cells(corpus_sql: str) -> str:
+    """CTE chain ending in `cells(media_id, c, cell)` — the 16
+    byte-pooled bucket means per media item, the SQL twin of
+    multimodal.resize_image(fake=True) over synthetic media whose
+    content is the UTF-8 bytes of `text` (ASCII throughout the
+    testdata, so ascii(substr) reads the identical byte stream).
+    Shared by media_thumbnails and media_perceptual_dedup so the
+    kernel replication cannot drift."""
+    return f"""sized AS (
+      SELECT media_id, text, length(text) AS n,
+             CASE WHEN length(text) = 0 THEN 0
+                  ELSE (length(text) + 15) // 16 END AS lp
+      FROM ({corpus_sql})
+    ),
+    cells AS (
+      SELECT media_id, c,
+             CASE WHEN lp = 0 THEN 0
+                  ELSE CAST(trunc(CAST(list_sum(list_transform(
+                         range(c * lp + 1, c * lp + lp + 1),
+                         i -> CASE WHEN i <= n
+                                   THEN ascii(substr(text, CAST(i AS INT), 1))
+                                   ELSE 0 END)) AS DOUBLE) / lp) AS INT)
+             END AS cell
+      FROM sized CROSS JOIN range(16) r(c)
+    )"""
+
+
+# copies with a LENGTH-PRESERVING one-byte edit (first char
+# uppercased): the perceptual-hash planted positive — pooling smooths
+# a one-byte change to a <=1 shift of one bucket mean, so most copies
+# keep their aHash (measured 0.78 at sf0.01); a byte-APPENDING edit
+# shifts every bucket boundary and is NOT what perceptual hashing
+# promises to catch
+_SQL_PERCEPTUAL_CORPUS = f"""
+      SELECT doc_id AS media_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + {_COPY_OFFSET} AS media_id,
+             upper(substr(text, 1, 1)) || substr(text, 2) AS text
+      FROM documents
+"""
+
+
+@query(
+    "media_perceptual_dedup",
+    oracle=f"""
+    WITH {_sql_thumb_cells(_SQL_PERCEPTUAL_CORPUS)},
+    tot AS (
+      SELECT media_id, CAST(sum(cell) AS BIGINT) AS tot
+      FROM cells GROUP BY media_id
+    ),
+    ah AS (
+      SELECT c.media_id,
+             CAST(sum(CASE WHEN 16 * c.cell > t.tot
+                           THEN (CAST(1 AS BIGINT) << c.c) ELSE 0 END)
+                  AS BIGINT) AS ahash
+      FROM cells c JOIN tot t USING (media_id)
+      GROUP BY c.media_id
+    ),
+    dh AS (
+      SELECT a.media_id,
+             CAST(sum(CASE WHEN a.cell > b.cell
+                           THEN (CAST(1 AS BIGINT) << a.c) ELSE 0 END)
+                  AS BIGINT) AS dhash
+      FROM cells a JOIN cells b ON a.media_id = b.media_id AND b.c = a.c + 1
+      GROUP BY a.media_id
+    )
+    SELECT ahash,
+           count(*) AS n_items,
+           CAST(min(media_id) AS BIGINT) AS keeper_id,
+           CAST(min(dhash) AS BIGINT) AS rep_dhash
+    FROM ah JOIN dh USING (media_id)
+    GROUP BY 1
+    """,
+)
+def media_perceptual_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERCEPTUAL media dedup over the binary column — the
+    byte-identity upgrade of media_dedup: cluster by a 16-bit aHash
+    (cell vs mean of the 4x4 byte-pooled thumbnail, in exact integer
+    form 16*cell > sum), so NEAR-identical binaries (here: copies
+    with a length-preserving one-byte edit, which md5 exact-dedup can
+    never catch) collapse into one cluster; the 15-bit dHash
+    (horizontal gradient sign) rides along as an oracle-checked
+    representative column — the second signal a production pipeline
+    thresholds on. The thumbnail comes from the REAL mapInPandas
+    fake-decode kernel (the one media_thumbnails value-checks), so
+    the whole Arrow plumbing + hash arithmetic is under the oracle; a
+    real deployment swaps decode_image in and keeps every line
+    downstream.
+
+    The integer formulation (16*cell > total, cell_i > cell_{{i+1}})
+    keeps both hashes bit-portable — no float mean, no rounding.
+
+    Scale: hashes are two map-side-combinable aggregates over 16
+    cells per item; the dedup shuffle carries (ahash, id, dhash) —
+    bytes never move. Planted one-byte-edit cluster recall (~0.78) is
+    pinned in test_extensions."""
+    docs = load(spark, sf_dir, "documents")
+    corpus_docs = docs.select("doc_id", "text").unionByName(
+        docs.select(
+            (F.col("doc_id") + _COPY_OFFSET).alias("doc_id"),
+            F.concat(
+                F.upper(F.substring("text", 1, 1)),
+                F.expr("substring(text, 2)"),
+            ).alias("text"),
+        )
+    )
+    media = multimodal.synth_media_from_documents(corpus_docs)
+    th = multimodal.resize_image(media, width=4, height=4, fake=True)
+
+    from ..functions.text import _let
+
+    tarr = F.col("thumbnail")
+
+    def with_tot(tt: F.Column) -> F.Column:
+        ah = F.lit(0).cast("long")
+        for c in range(16):
+            ah = ah + F.when(
+                F.element_at(tarr, c + 1).cast("long") * 16 > tt,
+                F.lit(1 << c).cast("long"),
+            ).otherwise(F.lit(0).cast("long"))
+        return ah
+
+    ahash = _let(
+        F.aggregate(tarr, F.lit(0).cast("long"), lambda a, x: a + x),
+        with_tot,
+    )
+    dhash = F.lit(0).cast("long")
+    for c in range(15):
+        dhash = dhash + F.when(
+            F.element_at(tarr, c + 1) > F.element_at(tarr, c + 2),
+            F.lit(1 << c).cast("long"),
+        ).otherwise(F.lit(0).cast("long"))
+
+    hashed = th.select(
+        "media_id", ahash.alias("ahash"), dhash.alias("dhash")
+    )
+    return hashed.groupBy("ahash").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.min("media_id").cast("bigint").alias("keeper_id"),
+        F.min("dhash").cast("bigint").alias("rep_dhash"),
+    )
+
+
 _SQL_LSHP_PLANES = f"""
       SELECT t, b, d,
              ('0x' || substr(md5('pl:' || t || ':' || b || ':' || d), 1, 8))::BIGINT
@@ -3883,24 +4032,8 @@ def embedding_label_cohesion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "media_thumbnails",
-    oracle="""
-    WITH sized AS (
-      SELECT doc_id AS media_id, text, length(text) AS n,
-             CASE WHEN length(text) = 0 THEN 0
-                  ELSE (length(text) + 15) // 16 END AS lp
-      FROM documents
-    ),
-    cells AS (
-      SELECT media_id, c,
-             CASE WHEN lp = 0 THEN 0
-                  ELSE CAST(trunc(CAST(list_sum(list_transform(
-                         range(c * lp + 1, c * lp + lp + 1),
-                         i -> CASE WHEN i <= n
-                                   THEN ascii(substr(text, CAST(i AS INT), 1))
-                                   ELSE 0 END)) AS DOUBLE) / lp) AS INT)
-             END AS cell
-      FROM sized CROSS JOIN range(16) r(c)
-    )
+    oracle=f"""
+    WITH {_sql_thumb_cells("SELECT doc_id AS media_id, text FROM documents")}
     SELECT media_id,
            CAST(4 AS INT) AS width, CAST(4 AS INT) AS height,
            CAST(max(CASE WHEN c = 0 THEN cell END) AS INT) AS cell0,

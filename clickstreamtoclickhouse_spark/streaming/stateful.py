@@ -470,6 +470,8 @@ def streaming_fuzzy_corpus_dedup(
     id_col: str = "doc_id",
     text_col: str = "text",
     num_bands: int = 8,
+    index_table: str | None = None,
+    compact_every: int = 16,
 ):
     """``streaming_corpus_dedup``'s fuzzy sibling: each micro-batch is
     screened against the persisted MinHash BAND index, so re-sent OR
@@ -484,17 +486,27 @@ def streaming_fuzzy_corpus_dedup(
     deterministic keeper rule. Index growth is `num_bands` rows per
     ADMITTED doc — rejected duplicates add nothing. Same non-atomic
     two-append caveat as the exact variant (the Delta mapping or the
-    native transaction log in sinks/txlog.py closes it)."""
+    native transaction log in sinks/txlog.py closes it).
+
+    `index_table` switches the index from an `index_dir` parquet pile
+    to a BUCKETED catalog table (sinks.bucketed.BandIndex, bucketBy on
+    the (band, bk) join key): the per-batch anti-join then shuffles
+    only the small batch side — the index scan is exchange-free
+    regardless of corpus size — and every `compact_every` batches the
+    accumulated per-append file sets are compacted in place, so the
+    index never degrades into an ever-larger small-file pile."""
     from ..functions.dedup_text import incremental_minhash_dedup
+    from ..sinks.bucketed import BandIndex
 
     spark = docs_stream.sparkSession
+    bidx = BandIndex(spark, index_table) if index_table else None
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         from ..util import try_read_parquet
 
         batch_df = batch_df.cache()
         try:
-            index = try_read_parquet(spark, index_dir)
+            index = bidx.load() if bidx else try_read_parquet(spark, index_dir)
             fresh_ids, fresh_bands = incremental_minhash_dedup(
                 batch_df, index, num_bands=num_bands,
                 id_col=id_col, text_col=text_col,
@@ -504,9 +516,13 @@ def streaming_fuzzy_corpus_dedup(
                 batch_df.join(fresh_ids, id_col, "left_semi")
                 .write.mode("append").parquet(out_dir)
             )
-            fresh_bands.select(id_col, "band", "bk").write.mode(
-                "append"
-            ).parquet(index_dir)
+            new_bands = fresh_bands.select(id_col, "band", "bk")
+            if bidx:
+                bidx.append(new_bands)
+                if batch_id > 0 and batch_id % compact_every == 0:
+                    bidx.compact()
+            else:
+                new_bands.write.mode("append").parquet(index_dir)
             fresh_bands.unpersist()
         finally:
             batch_df.unpersist()

@@ -483,6 +483,25 @@ def test_banded_bucket_cap_drops_hot_cluster_only(spark):
         assert planted > 0
 
 
+def test_media_perceptual_dedup_clusters_one_byte_edits(spark):
+    # a length-preserving one-byte edit must land most copies in the
+    # same aHash cluster as their original (measured ~0.78 at sf0.01;
+    # exact md5 dedup catches none of these), with the original as
+    # keeper; untouched singletons stay alone
+    from pyspark.sql import functions as F
+
+    out = plans.QUERIES["media_perceptual_dedup"](spark, SF_DIR).cache()
+    n_docs = plans.load(spark, SF_DIR, "documents").count()
+    multi = out.filter(F.col("n_items") >= 2)
+    n_multi = multi.count()
+    assert n_multi >= 0.6 * n_docs
+    # nearly all multi-item clusters pair an original with its copy
+    # (min id wins); a couple of copy-copy hash collisions are normal
+    # for a 16-bit hash over 1000 items
+    assert multi.filter(F.col("keeper_id") >= 1_000_000).count() <= 0.02 * n_multi
+    out.unpersist()
+
+
 def test_negative_sampling_keys_in_part_domain(spark):
     # draws must land in TPC-H's 1-based 1..|part| key domain and
     # never reference a positive (customer, part) interaction

@@ -130,6 +130,69 @@ def test_bucketed_join_is_shuffle_free(spark):
         spark.sql("DROP TABLE IF EXISTS bkt_users")
 
 
+def test_band_index_anti_join_is_index_side_shuffle_free(spark):
+    # the persisted MinHash band index is bucketed on its (band, bk)
+    # join key, so the per-batch screen shuffles ONLY the small batch
+    # side: exactly one Exchange in the whole anti-join plan, and the
+    # index side feeds the join straight from its bucketed scan
+    import contextlib
+    import io
+
+    from pyspark.sql import functions as F
+
+    from clickstreamtoclickhouse_spark.functions.dedup_text import (
+        minhash_portable_bands,
+    )
+    from clickstreamtoclickhouse_spark.plans import load
+    from clickstreamtoclickhouse_spark.sinks.bucketed import BandIndex
+
+    docs = load(spark, SF_DIR, "documents")
+    bands = minhash_portable_bands(docs, num_bands=8).select(
+        F.col("did").alias("doc_id"), "band", "bk"
+    )
+    idx = BandIndex(spark, "bkt_band_index", num_buckets=8)
+    spark.sql("DROP TABLE IF EXISTS bkt_band_index")
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        idx.append(bands)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        batch = minhash_portable_bands(
+            docs.filter(F.col("doc_id") < 20), num_bands=8
+        ).select("band", "bk")
+        screened = batch.join(
+            idx.load().select("band", "bk"), ["band", "bk"], "left_anti"
+        )
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            screened.explain("formatted")
+        nodes = [
+            ln.strip() for ln in buf.getvalue().splitlines()
+            if ln.strip().startswith("(")
+        ]
+        # the index side must feed the join straight from its bucketed
+        # scan: in formatted output the join's right subtree prints
+        # contiguously before the join node, so no Exchange may appear
+        # between the index scan and the SortMergeJoin
+        i_scan = next(
+            i for i, n in enumerate(nodes) if "bkt_band_index" in n
+        )
+        i_join = next(
+            i for i, n in enumerate(nodes) if "SortMergeJoin" in n
+        )
+        assert i_scan < i_join
+        between = nodes[i_scan:i_join]
+        assert not any(
+            "Exchange" in n for n in between
+        ), f"index side still shuffles:\n{nodes}"
+        # the whole plan carries exactly the two batch-side exchanges
+        # (the batch's own signature aggregation + its join shuffle)
+        assert sum("Exchange" in n for n in nodes) == 2, nodes
+        assert screened.count() == 0  # every batch band key is indexed
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS bkt_band_index")
+
+
 def test_aqe_splits_skewed_join_partitions(spark):
     # the last unpinned 100x-scale behavior: a hot join key must not
     # serialize into one straggler task — AQE's skew-join handling

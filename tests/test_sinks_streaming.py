@@ -263,6 +263,125 @@ def test_jdbc_write_path_against_embedded_derby(spark, tmp_path):
     wh.close()
 
 
+def test_schema_evolution_e2e_against_embedded_derby(spark, tmp_path):
+    """The full store_table contract over REAL JDBC round trips:
+    ensure_table_structure (create -> describe -> ALTER ADD COLUMN for
+    a newly arriving column), value reconciliation against the table's
+    actual schema, executor-parallel append, and the misfit quarantine
+    insert — the largest CH-sink surface that previously ran only
+    against in-memory fakes. Derby stands in for the server; the
+    dialect renderers (ANSI CREATE/ALTER, SYS catalog introspection)
+    are overridden while every piece of MACHINERY — the evolve loop,
+    _execute/_query_pairs, reconcile_types, add_missing_columns, the
+    jdbc writes — is the production code. The ClickHouse DDL STRINGS
+    themselves are contract-tested in test_clickhouse_ddl_contract."""
+    from py4j.protocol import Py4JJavaError
+
+    from clickstreamtoclickhouse_spark.app import store_table
+
+    class DerbyEvolveWarehouse(ch.ClickHouseWarehouse):
+        QUOTE = '"'
+        PROBE_SQL = "VALUES 1"
+
+        def _sql_type(self, dtype) -> str:
+            return {
+                T.LongType: "BIGINT",
+                T.IntegerType: "INTEGER",
+                T.DoubleType: "DOUBLE",
+                T.BooleanType: "SMALLINT",
+                T.TimestampType: "TIMESTAMP",
+            }.get(type(dtype), "VARCHAR(512)")
+
+        def _swallow_exists(self, sql: str) -> None:
+            try:
+                self._execute(sql)
+            except Py4JJavaError as e:  # Derby lacks IF NOT EXISTS
+                if "already exists" not in str(e):
+                    raise
+
+        def create_schema(self, schema: str) -> None:
+            self._swallow_exists(f'CREATE SCHEMA "{schema}"')
+
+        def create_table(self, schema, table, column_types, non_null_columns=()):
+            cols = ", ".join(
+                f'"{c}" {self._sql_type(t)}' for c, t in column_types.items()
+            )
+            self._swallow_exists(
+                f"CREATE TABLE {self._qualified(schema, table)} ({cols})"
+            )
+
+        def describe_table(self, schema, table):
+            pairs = self._query_pairs(
+                "SELECT c.COLUMNNAME, c.COLUMNDATATYPE FROM SYS.SYSCOLUMNS c "
+                "JOIN SYS.SYSTABLES t ON c.REFERENCEID = t.TABLEID "
+                "JOIN SYS.SYSSCHEMAS s ON t.SCHEMAID = s.SCHEMAID "
+                f"WHERE t.TABLENAME = '{table}' AND s.SCHEMANAME = '{schema}'"
+            )
+
+            def back(tp: str):
+                tp = tp.upper()
+                if tp.startswith("BIGINT"):
+                    return T.LongType()
+                if tp.startswith("INTEGER"):
+                    return T.IntegerType()
+                if tp.startswith("DOUBLE"):
+                    return T.DoubleType()
+                if tp.startswith("TIMESTAMP"):
+                    return T.TimestampType()
+                return T.StringType()
+
+            return {n: back(tp) for n, tp in pairs}
+
+        def add_column(self, schema, table, column, column_type):
+            self._execute(
+                f"ALTER TABLE {self._qualified(schema, table)} "
+                f'ADD COLUMN "{column}" {self._sql_type(column_type)}'
+            )
+
+    url = f"jdbc:derby:{tmp_path}/derbyevo;create=true"
+    wh = DerbyEvolveWarehouse(
+        spark, jdbc_url=url, user="app", password="",
+        driver="org.apache.derby.iapi.jdbc.AutoloadedDriver",
+    )
+    wh.connect()
+
+    # batch 1 creates the table
+    b1 = spark.createDataFrame(
+        [("m1", "2026-01-01T00:00:00Z", "2026-01-01T00:00:01Z", 5)],
+        "message_id string, timestamp string, received_at string, n long",
+    )
+    store_table(wh, "ns", "tracks", b1)
+
+    # batch 2: a NEW column (plan) triggers ALTER ADD COLUMN, and `n`
+    # arrives as an uncastable string -> nulled in the clean append +
+    # one diagnostic row quarantined into the misfits table
+    b2 = spark.createDataFrame(
+        [("m2", "2026-01-02T00:00:00Z", "2026-01-02T00:00:01Z",
+          "not-a-number", "pro")],
+        "message_id string, timestamp string, received_at string, "
+        "n string, plan string",
+    )
+    store_table(wh, "ns", "tracks", b2)
+
+    def read_back(table):
+        return (
+            spark.read.format("jdbc")
+            .option("url", url)
+            .option("dbtable", f'"ns"."{table}"')
+            .load()
+        )
+
+    rows = {r.message_id: (r.n, r.plan) for r in read_back("tracks").collect()}
+    assert rows == {"m1": (5, None), "m2": (None, "pro")}
+    mis = read_back("misfits").collect()
+    assert len(mis) == 1
+    m = mis[0]
+    assert (m.message_id, m.table_name, m.column_name, m.column_value) == (
+        "m2", "tracks", "n", "not-a-number"
+    )
+    wh.close()
+
+
 def test_delta_warehouse_gated_without_jars(spark):
     # delta-spark is absent in this environment: the sink must fail
     # fast at connect() with setup guidance, not at first write

@@ -557,6 +557,109 @@ def test_streaming_fuzzy_corpus_dedup(spark, tmp_path):
     assert idx.count() == 3 * 8
 
 
+def test_band_index_compaction_preserves_rows(spark):
+    """Each BandIndex.append lays down its own file set; compact()
+    must rewrite the table into one set (temp table + catalog rename)
+    without changing its contents or losing the bucket layout."""
+    from clickstreamtoclickhouse_spark.functions.dedup_text import (
+        minhash_portable_bands,
+    )
+    from clickstreamtoclickhouse_spark.sinks.bucketed import BandIndex
+    from pyspark.sql import functions as F
+
+    idx = BandIndex(spark, "bkt_compaction_t", num_buckets=4)
+    spark.sql("DROP TABLE IF EXISTS bkt_compaction_t")
+    try:
+        assert idx.load() is None
+        b1 = spark.createDataFrame(
+            [(1, _LONG_A), (2, _LONG_B)], "doc_id long, text string"
+        )
+        b2 = spark.createDataFrame(
+            [(3, _LONG_C)], "doc_id long, text string"
+        )
+        for b in (b1, b2):
+            idx.append(
+                minhash_portable_bands(b, num_bands=8).select(
+                    F.col("did").alias("doc_id"), "band", "bk"
+                )
+            )
+        rows_before = sorted(
+            (r["doc_id"], r["band"], r["bk"]) for r in idx.load().collect()
+        )
+        files_before, files_after = idx.compact()
+        assert files_after < files_before
+        rows_after = sorted(
+            (r["doc_id"], r["band"], r["bk"]) for r in idx.load().collect()
+        )
+        assert rows_after == rows_before
+        # still appendable (bucket spec survived the rename)
+        idx.append(
+            minhash_portable_bands(
+                spark.createDataFrame(
+                    [(4, _LONG_A_NEAR)], "doc_id long, text string"
+                ),
+                num_bands=8,
+            ).select(F.col("did").alias("doc_id"), "band", "bk")
+        )
+        assert idx.load().count() == len(rows_before) + 8
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bkt_compaction_t")
+        spark.sql("DROP TABLE IF EXISTS bkt_compaction_t__compacting")
+
+
+def test_streaming_fuzzy_corpus_dedup_bucketed_index(spark, tmp_path):
+    """The index_table variant must reproduce the parquet-dir
+    variant's admit/reject semantics with the index living in a
+    bucketed catalog table (batch-side-only shuffle pinned in
+    test_plan_quality)."""
+    import json as _json
+
+    landing = tmp_path / "fuzzy_docs_b"
+    landing.mkdir()
+    out_dir = str(tmp_path / "fuzzy_corpus_b")
+    ckpt = str(tmp_path / "ckpt_fuzzy_b")
+    spark.sql("DROP TABLE IF EXISTS bkt_fuzzy_stream_idx")
+
+    def write_file(name, rows):
+        with open(landing / name, "w") as f:
+            for r in rows:
+                f.write(_json.dumps(r) + "\n")
+
+    write_file("b1.json", [
+        {"doc_id": 1, "text": _LONG_A},
+        {"doc_id": 2, "text": _LONG_B},
+    ])
+    schema = "doc_id long, text string"
+    stream = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", 1
+    ).json(str(landing))
+    q = stateful.streaming_fuzzy_corpus_dedup(
+        stream, index_dir="", out_dir=out_dir, checkpoint_dir=ckpt,
+        index_table="bkt_fuzzy_stream_idx", compact_every=1,
+    )
+    try:
+        q.processAllAvailable()
+        write_file("b2.json", [
+            {"doc_id": 10, "text": _LONG_A_NEAR},
+            {"doc_id": 11, "text": _LONG_C},
+        ])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    try:
+        ids = sorted(
+            r["doc_id"] for r in spark.read.parquet(out_dir).collect()
+        )
+        assert ids == [1, 2, 11]
+        idx = spark.table("bkt_fuzzy_stream_idx")
+        assert idx.count() == 3 * 8
+        assert {r["doc_id"] for r in idx.select("doc_id").collect()} == {1, 2, 11}
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bkt_fuzzy_stream_idx")
+        spark.sql("DROP TABLE IF EXISTS bkt_fuzzy_stream_idx__compacting")
+
+
 def test_incremental_minhash_dedup_conservative_chain(spark):
     """Pin the DOCUMENTED conservative keeper semantics: in a chain
     A~B~C (B collides with both, A and C don't collide directly), B is
