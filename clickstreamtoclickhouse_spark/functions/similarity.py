@@ -673,6 +673,116 @@ def lsh_portable_buckets(
     )
 
 
+def incremental_lsh_dedup(
+    batch: DataFrame,
+    index_buckets: DataFrame | None,
+    index_vectors: DataFrame | None,
+    dim: int,
+    threshold: float = 0.995,
+    num_tables: int = 6,
+    bits: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """SEMANTIC continuous-ingestion dedup — the embedding analog of
+    ``dedup_text.incremental_minhash_dedup``, with an exact-cosine
+    VERIFY stage (embedding LSH buckets at 8 bits collide for mere
+    cluster-mates, so bucket collision alone would over-drop; the
+    verify restores precision exactly as in embedding_decontamination):
+    drop incoming vectors with a verified (cosine >= threshold)
+    near-duplicate already in the corpus, then among survivors drop
+    any vector with a verified SMALLER-ID in-batch near-dup (the same
+    deterministic one-pass keeper rule as the MinHash variant — a
+    vector whose only match was itself dropped is still dropped;
+    over-drop, never re-admit).
+
+    `index_buckets` is the persisted (id, t, bucket) table and
+    `index_vectors` the persisted (id, vector) table (both None =
+    first batch). Returns ``(fresh_ids, fresh_buckets,
+    fresh_vectors)`` — survivors plus the rows to append to both
+    index tables.
+
+    Scale: per batch, O(|batch| x num_tables) bucket rows equi-joined
+    to the bucket index (bucket the stored table on (t, bucket) —
+    sinks.bucketed.BandIndex's layout — for a batch-side-only
+    shuffle); the verify fetches ONLY colliding corpus vectors by id.
+    Candidate volume is bounded by bucket occupancy; at extreme
+    corpus sizes raise `bits` (candidates ~ n/2^bits per table) or
+    pre-collapse exact duplicates, exactly as for the text variant."""
+    dvec = F.col(vec_col).cast("array<double>")
+    vecs = batch.select(F.col(id_col).alias("vid"), dvec.alias("v")).withColumn(
+        "nrm", norm(F.col("v"))
+    )
+    buckets = lsh_portable_buckets(
+        batch, dim, num_tables, bits, id_col, vec_col
+    ).select(F.col(id_col).alias("vid"), "t", "bucket")
+    if index_buckets is not None:
+        cand = (
+            buckets.join(
+                index_buckets.select(
+                    F.col(id_col).alias("cid"), "t", "bucket"
+                ),
+                ["t", "bucket"],
+            )
+            .select("vid", "cid")
+            .distinct()
+        )
+        iv = index_vectors.select(
+            F.col(id_col).alias("cid"),
+            F.col(vec_col).cast("array<double>").alias("cv"),
+        ).withColumn("cnrm", norm(F.col("cv")))
+        hits = (
+            cand.join(vecs, "vid")
+            .join(iv, "cid")
+            .filter(
+                dot(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("cnrm"))
+                >= threshold
+            )
+            .select("vid")
+            .distinct()
+        )
+        live_ids = vecs.select("vid").join(hits, "vid", "left_anti")
+    else:
+        live_ids = vecs.select("vid")
+    lb = buckets.join(live_ids, "vid", "left_semi")
+    a = lb.select(F.col("vid").alias("id_a"), "t", "bucket")
+    b = lb.select(F.col("vid").alias("id_b"), "t", "bucket")
+    pairs = (
+        a.join(b, ["t", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    va = vecs.select(
+        F.col("vid").alias("id_a"), F.col("v").alias("va"), F.col("nrm").alias("na")
+    )
+    vb = vecs.select(
+        F.col("vid").alias("id_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb")
+    )
+    beaten = (
+        pairs.join(va, "id_a")
+        .join(vb, "id_b")
+        .filter(
+            dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+            >= threshold
+        )
+        .select(F.col("id_b").alias("vid"))
+        .distinct()
+    )
+    fresh = live_ids.join(beaten, "vid", "left_anti")
+    fresh_buckets = lb.join(fresh, "vid", "left_semi").select(
+        F.col("vid").alias(id_col), "t", "bucket"
+    )
+    fresh_vectors = vecs.join(fresh, "vid", "left_semi").select(
+        F.col("vid").alias(id_col), F.col("v").alias(vec_col)
+    )
+    return (
+        fresh.select(F.col("vid").alias(id_col)),
+        fresh_buckets,
+        fresh_vectors,
+    )
+
+
 def lsh_portable_near_dup_pairs(
     emb: DataFrame,
     dim: int,

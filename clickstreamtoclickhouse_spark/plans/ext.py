@@ -3784,6 +3784,118 @@ def embedding_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_IED_LO, _IED_HI, _IED_FRESH = 50, 250, 300  # corpus / fresh id ranges
+
+
+@query(
+    "incremental_embedding_dedup",
+    oracle=f"""
+    WITH corpus0 AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+      WHERE vec_id >= {_IED_LO} AND vec_id < {_IED_HI}
+    ),
+    batch0 AS (
+      SELECT vec_id + {_COPY_OFFSET} AS vec_id,
+             list_transform(embedding, x -> (x + CAST(0.01 AS FLOAT))::DOUBLE)
+               AS v
+      FROM embeddings WHERE vec_id >= {_IED_LO} AND vec_id < {_IED_LO + 50}
+      UNION ALL
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+      WHERE vec_id >= {_IED_HI} AND vec_id < {_IED_FRESH}
+    ),
+    corpus AS (
+      SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM corpus0
+    ),
+    batch AS (
+      SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM batch0
+    ),
+    planes AS ({_SQL_LSHP_PLANES}),
+    {_sql_lshp_bucket_ctes('corpus', '_c')},
+    {_sql_lshp_bucket_ctes('batch', '_b')},
+    cand_bc AS (
+      SELECT DISTINCT b.vec_id AS bid, c.vec_id AS cid
+      FROM buckets_b b JOIN buckets_c c ON b.t = c.t AND b.bucket = c.bucket
+    ),
+    hits AS (
+      SELECT DISTINCT bid FROM cand_bc
+      JOIN batch vb ON vb.vec_id = bid
+      JOIN corpus vc ON vc.vec_id = cid
+      WHERE list_dot_product(vb.v, vc.v) / (vb.nrm * vc.nrm) >= 0.995
+    ),
+    live AS (
+      SELECT vec_id FROM batch t
+      WHERE NOT EXISTS (SELECT 1 FROM hits h WHERE h.bid = t.vec_id)
+    ),
+    cand_bb AS (
+      SELECT DISTINCT a.vec_id AS id_a, b2.vec_id AS id_b
+      FROM buckets_b a
+      JOIN buckets_b b2 ON a.t = b2.t AND a.bucket = b2.bucket
+                        AND a.vec_id < b2.vec_id
+      WHERE EXISTS (SELECT 1 FROM live l WHERE l.vec_id = a.vec_id)
+        AND EXISTS (SELECT 1 FROM live l WHERE l.vec_id = b2.vec_id)
+    ),
+    beaten AS (
+      SELECT DISTINCT id_b FROM cand_bb
+      JOIN batch va ON va.vec_id = id_a
+      JOIN batch vb2 ON vb2.vec_id = id_b
+      WHERE list_dot_product(va.v, vb2.v) / (va.nrm * vb2.nrm) >= 0.995
+    )
+    SELECT CAST(vec_id AS BIGINT) AS vec_id
+    FROM live t
+    WHERE NOT EXISTS (SELECT 1 FROM beaten b WHERE b.id_b = t.vec_id)
+    """,
+)
+def incremental_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEMANTIC continuous-ingestion dedup, fully oracle-checked —
+    the embedding analog of incremental_dedup_docs, via
+    similarity.incremental_lsh_dedup: an arriving batch (here: +0.01
+    perturbations of 50 corpus members, which MUST be rejected, plus
+    50 genuinely new vectors, which must be admitted) is screened
+    against the persisted corpus bucket index; bucket collisions are
+    candidates only — an exact-cosine verify (>= 0.995) restores
+    precision, so same-topic cluster-mates (cos ~0.84) are NOT
+    dropped. The in-batch keeper rule is the deterministic one-pass
+    over-drop documented on the MinHash variant.
+
+    Scale: batch-side bucket rows equi-joined to the (t, bucket)
+    index (store it via sinks.bucketed.BandIndex's layout for a
+    batch-side-only shuffle); the verify fetches colliding corpus
+    vectors by id. Never all-pairs."""
+    emb = load(spark, sf_dir, "embeddings")
+    corpus = emb.filter(
+        (F.col("vec_id") >= _IED_LO) & (F.col("vec_id") < _IED_HI)
+    ).select("vec_id", "embedding")
+    batch = (
+        emb.filter(
+            (F.col("vec_id") >= _IED_LO) & (F.col("vec_id") < _IED_LO + 50)
+        )
+        .select(
+            (F.col("vec_id") + _COPY_OFFSET).alias("vec_id"),
+            F.transform(
+                "embedding", lambda x: x + F.lit(0.01).cast("float")
+            ).alias("embedding"),
+        )
+        .unionByName(
+            emb.filter(
+                (F.col("vec_id") >= _IED_HI) & (F.col("vec_id") < _IED_FRESH)
+            ).select("vec_id", "embedding")
+        )
+    )
+    corpus_buckets = similarity.lsh_portable_buckets(
+        corpus, dim=EMB_DIM, num_tables=_LSHP_T, bits=_LSHP_B
+    )
+    fresh, _fb, _fv = similarity.incremental_lsh_dedup(
+        batch,
+        corpus_buckets,
+        corpus,
+        dim=EMB_DIM,
+        threshold=0.995,
+        num_tables=_LSHP_T,
+        bits=_LSHP_B,
+    )
+    return fresh.select(F.col("vec_id").cast("bigint").alias("vec_id"))
+
+
 @query(
     "hard_negative_mining",
     oracle="""

@@ -234,6 +234,73 @@ def substring_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+N_EPOCHS = 2
+N_SHARDS = 8
+
+
+@query(
+    "epoch_shuffle",
+    oracle=f"""
+    WITH keyed AS (
+      SELECT e.epoch, d.doc_id,
+             ('0x' || substr(md5(CAST(e.epoch AS VARCHAR) || ':' ||
+                                 CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT AS h
+      FROM documents d, range({N_EPOCHS}) e(epoch)
+    )
+    SELECT CAST(epoch AS INT) AS epoch,
+           CAST(h % {N_SHARDS} AS INT) AS shard,
+           CAST(row_number() OVER (PARTITION BY epoch, h % {N_SHARDS}
+                                   ORDER BY h, doc_id) AS BIGINT) AS step,
+           doc_id
+    FROM keyed
+    """,
+)
+def epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-epoch shuffling + sharding — the data-ORDER
+    side of training prep: every epoch sees every document exactly
+    once, in an order derived from md5(epoch:doc_id) (so epochs
+    reshuffle, but any task retry, re-run, or engine migration
+    reproduces the identical order — rand() cannot promise that), and
+    documents are simultaneously assigned to `N_SHARDS` reader shards
+    with a per-shard step counter, which is exactly the layout a
+    distributed data loader consumes.
+
+    Scale: one projection for (hash, shard) and one WINDOW PARTITIONED
+    BY (epoch, shard) for the step counter — the sort is per-shard,
+    never global, so shards sort in parallel and the plan scales with
+    the shard count. Epoch fan-out is an explode, no self-join."""
+    from ..util import portable_id_hash
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    keyed = docs.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(N_EPOCHS - 1))).alias("epoch"),
+    ).withColumn(
+        "h",
+        portable_id_hash(
+            F.concat_ws(
+                ":",
+                F.col("epoch").cast("string"),
+                F.col("doc_id").cast("string"),
+            )
+        ),
+    )
+    from pyspark.sql.window import Window
+
+    shard = F.pmod(F.col("h"), F.lit(N_SHARDS)).cast("int")
+    w = Window.partitionBy("epoch", "shard").orderBy("h", "doc_id")
+    return (
+        keyed.select(
+            F.col("epoch").cast("int").alias("epoch"),
+            shard.alias("shard"),
+            "h",
+            "doc_id",
+        )
+        .withColumn("step", F.row_number().over(w).cast("bigint"))
+        .select("epoch", "shard", "step", "doc_id")
+    )
+
+
 @query(
     "dataset_split",
     oracle="""

@@ -483,6 +483,64 @@ def test_banded_bucket_cap_drops_hot_cluster_only(spark):
         assert planted > 0
 
 
+def test_incremental_embedding_dedup_semantics(spark):
+    # planted: +0.01 perturbations of corpus members must be REJECTED
+    # (verified near-dups), genuinely new vectors must be ADMITTED —
+    # cluster-mates sharing buckets are not enough to drop (the
+    # exact-cosine verify restores precision)
+    out = {r["vec_id"] for r in
+           plans.QUERIES["incremental_embedding_dedup"](spark, SF_DIR).collect()}
+    assert not any(v >= 1_000_000 for v in out), "perturbed copies admitted"
+    fresh_expected = set(range(250, 300))
+    assert out <= fresh_expected
+    # near-total admission: fresh vectors are distinct originals, so
+    # only a true fresh-fresh near-dup (none planted) could drop one
+    assert len(out) >= 45, f"only {len(out)}/50 fresh admitted"
+
+
+def test_incremental_embedding_dedup_first_batch_and_index_growth(spark):
+    from clickstreamtoclickhouse_spark.functions import similarity
+
+    emb = plans.load(spark, SF_DIR, "embeddings").filter("vec_id < 40")
+    batch = emb.select("vec_id", "embedding")
+    fresh, fb, fv = similarity.incremental_lsh_dedup(
+        batch, None, None, dim=64
+    )
+    ids = {r["vec_id"] for r in fresh.collect()}
+    assert ids == set(range(40))  # no near-dups among originals
+    # index rows appear only for admitted vectors
+    assert fv.count() == 40
+    assert {r["vec_id"] for r in fb.select("vec_id").distinct().collect()} == ids
+    # second batch: resend two admitted vectors -> both rejected
+    again = emb.filter("vec_id < 2").select("vec_id", "embedding")
+    fresh2, _, _ = similarity.incremental_lsh_dedup(again, fb, fv, dim=64)
+    assert fresh2.count() == 0
+
+
+def test_epoch_shuffle_is_a_permutation_per_epoch(spark):
+    from collections import defaultdict
+
+    rows = plans.QUERIES["epoch_shuffle"](spark, SF_DIR).collect()
+    n_docs = plans.load(spark, SF_DIR, "documents").count()
+    by_epoch = defaultdict(list)
+    for r in rows:
+        by_epoch[r["epoch"]].append(r)
+    assert set(by_epoch) == {0, 1}
+    orders = {}
+    for e, rs in by_epoch.items():
+        # every doc exactly once per epoch
+        assert sorted(r["doc_id"] for r in rs) == sorted(range(n_docs))
+        # steps are contiguous 1..k within each shard
+        shard_steps = defaultdict(list)
+        for r in rs:
+            shard_steps[r["shard"]].append(r["step"])
+        for steps in shard_steps.values():
+            assert sorted(steps) == list(range(1, len(steps) + 1))
+        orders[e] = [r["doc_id"] for r in sorted(rs, key=lambda r: (r["shard"], r["step"]))]
+    # epochs reshuffle: the global (shard, step) orders differ
+    assert orders[0] != orders[1]
+
+
 def test_media_perceptual_dedup_clusters_one_byte_edits(spark):
     # a length-preserving one-byte edit must land most copies in the
     # same aHash cluster as their original (measured ~0.78 at sf0.01;
