@@ -187,12 +187,24 @@ def _cap_buckets(
     RECALL among the capped docs (the verify step filters candidates,
     so precision is unaffected); run exact dedup first so byte-equal
     groups never reach the band join. None = exact (oracle-parity
-    baseline)."""
+    baseline).
+
+    Implemented as a COUNT WINDOW over the band key rather than an
+    aggregate + semi-join: the join form evaluates the whole signature
+    pipeline twice (once per join side — `banded` is unpersisted
+    lineage), while the window is one pass whose exchange hash-
+    partitions on exactly the keys the downstream candidate self-join
+    needs, so the planner can reuse it."""
     if max_bucket_size is None:
         return banded
-    sizes = banded.groupBy(*keys).agg(F.count("*").alias("__bn"))
-    ok = sizes.filter(F.col("__bn") <= max_bucket_size).select(*keys)
-    return banded.join(ok, keys, "left_semi")
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(*keys)
+    return (
+        banded.withColumn("__bn", F.count(F.lit(1)).over(w))
+        .filter(F.col("__bn") <= max_bucket_size)
+        .drop("__bn")
+    )
 
 
 # ---------------------------------------------------------------------------

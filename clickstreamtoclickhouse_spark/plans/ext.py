@@ -273,6 +273,61 @@ def doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "quality_score_calibration",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, source,
+             length(text) AS n_chars,
+             {tx.sql_token_count_ws('text')} AS n_words,
+             length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS n_punct
+      FROM documents
+    ),
+    q AS (
+      SELECT doc_id, source,
+             round(0.4 * least(n_words / 100.0, 1.0)
+                 + 0.3 * (CASE WHEN n_words > 0
+                                AND n_chars * 1.0 / n_words BETWEEN 3 AND 12
+                               THEN 1.0 ELSE 0.5 END)
+                 + 0.3 * (1.0 - least((CASE WHEN n_chars = 0 THEN 0.0
+                                            ELSE n_punct * 1.0 / n_chars END) * 4,
+                                      1.0)), 4) AS quality
+      FROM t
+    )
+    SELECT doc_id, source, quality,
+           round(percent_rank() OVER (PARTITION BY source
+                                      ORDER BY quality, doc_id), 6)
+             AS calibrated
+    FROM q
+    """,
+)
+def quality_score_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source PERCENTILE calibration of quality scores — the step
+    that makes scores comparable ACROSS sources before mixing or
+    thresholding: a raw cutoff of e.g. 0.6 means different things for
+    a clean-wiki source and a noisy-crawl source, so mixture builders
+    (Gopher, CCNet's per-domain buckets) threshold on the WITHIN-
+    source percentile instead. calibrated = percent_rank within the
+    doc's source, ties pinned by (rounded score, doc_id) so both
+    engines rank identically.
+
+    Scale: one scan + one window PARTITIONED BY source — per-source
+    sorts run in parallel, no global ordering anywhere. Skewed source
+    sizes are a sort-size concern, not a correctness one; at extreme
+    skew substitute the sampled-cut-point technique of
+    perplexity_buckets."""
+    d = load(spark, sf_dir, "documents")
+    q = d.select(
+        "doc_id",
+        "source",
+        tx.quality_score(F.col("text")).alias("quality"),
+    )
+    w = Window.partitionBy("source").orderBy("quality", "doc_id")
+    return q.withColumn(
+        "calibrated", F.round(F.percent_rank().over(w), 6)
+    )
+
+
+@query(
     "doc_fingerprints",
     oracle=f"""
     SELECT doc_id,
