@@ -710,12 +710,21 @@ def incremental_lsh_dedup(
     corpus sizes raise `bits` (candidates ~ n/2^bits per table) or
     pre-collapse exact duplicates, exactly as for the text variant."""
     dvec = F.col(vec_col).cast("array<double>")
-    vecs = batch.select(F.col(id_col).alias("vid"), dvec.alias("v")).withColumn(
-        "nrm", norm(F.col("v"))
+    # lazy localCheckpoints: vecs/buckets/live/fresh are each consumed
+    # by several downstream branches — without truncation every branch
+    # re-derives the whole bucket pipeline (a measured 86-scan,
+    # 106-exchange plan); checkpointed, each is computed once at first
+    # action (the dedup_recall_report pattern)
+    vecs = (
+        batch.select(F.col(id_col).alias("vid"), dvec.alias("v"))
+        .withColumn("nrm", norm(F.col("v")))
+        .localCheckpoint(eager=False)
     )
-    buckets = lsh_portable_buckets(
-        batch, dim, num_tables, bits, id_col, vec_col
-    ).select(F.col(id_col).alias("vid"), "t", "bucket")
+    buckets = (
+        lsh_portable_buckets(batch, dim, num_tables, bits, id_col, vec_col)
+        .select(F.col(id_col).alias("vid"), "t", "bucket")
+        .localCheckpoint(eager=False)
+    )
     if index_buckets is not None:
         cand = (
             buckets.join(
@@ -744,7 +753,10 @@ def incremental_lsh_dedup(
         live_ids = vecs.select("vid").join(hits, "vid", "left_anti")
     else:
         live_ids = vecs.select("vid")
-    lb = buckets.join(live_ids, "vid", "left_semi")
+    live_ids = live_ids.localCheckpoint(eager=False)
+    lb = buckets.join(live_ids, "vid", "left_semi").localCheckpoint(
+        eager=False
+    )
     a = lb.select(F.col("vid").alias("id_a"), "t", "bucket")
     b = lb.select(F.col("vid").alias("id_b"), "t", "bucket")
     pairs = (
@@ -769,7 +781,9 @@ def incremental_lsh_dedup(
         .select(F.col("id_b").alias("vid"))
         .distinct()
     )
-    fresh = live_ids.join(beaten, "vid", "left_anti")
+    fresh = live_ids.join(beaten, "vid", "left_anti").localCheckpoint(
+        eager=False
+    )
     fresh_buckets = lb.join(fresh, "vid", "left_semi").select(
         F.col("vid").alias(id_col), "t", "bucket"
     )
