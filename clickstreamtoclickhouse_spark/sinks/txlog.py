@@ -311,6 +311,52 @@ class TxLogTable:
                 continue
         raise CommitConflict(f"gave up after {_max_retries} retries")
 
+    def optimize(
+        self,
+        spark: SparkSession,
+        min_files: int = 2,
+        target_file_bytes: int = 128 << 20,
+        _max_retries: int = 5,
+    ) -> int | None:
+        """Small-file compaction as ONE atomic commit — the OPTIMIZE
+        analog of Delta/Iceberg table maintenance: rewrite the current
+        snapshot's files into ceil(total_bytes / target_file_bytes)
+        right-sized files and commit (adds=new, removes=old), so
+        readers see the pre- or post-compaction snapshot, never a mix;
+        the superseded files stay on disk for time travel until
+        ``vacuum`` reclaims them. Content is unchanged — pure layout
+        maintenance (per-append file sets from a streaming ingest are
+        the usual input); zone maps are recomputed for the new files.
+        No-op (returns None) below `min_files`.
+
+        Concurrency: compaction removes specific files, so it
+        conflicts with ANY concurrent commit; on CommitConflict the
+        whole rewrite re-runs against the new snapshot (the
+        merge_upsert optimistic loop — compactions do not commute)."""
+        for _ in range(_max_retries):
+            snap = self.snapshot()
+            if snap.version == -1 or len(snap.files) < min_files:
+                return None
+            total = sum((self.path / f).stat().st_size for f in snap.files)
+            n_out = max(1, (total + target_file_bytes - 1) // target_file_bytes)
+            # materialize before committing (merge_upsert's rationale):
+            # the rewrite reads the snapshot files; the checkpoint cuts
+            # that lineage so the new files are complete before the old
+            # ones are de-referenced
+            df = self.read(spark, version=snap.version).coalesce(
+                int(n_out)
+            ).localCheckpoint(eager=True)
+            adds, stats = self._write_files(df)
+            try:
+                self._commit(
+                    snap.version + 1, adds, list(snap.files),
+                    df.schema.json(), stats,
+                )
+                return snap.version + 1
+            except CommitConflict:
+                continue
+        raise CommitConflict(f"gave up after {_max_retries} retries")
+
     def vacuum(self, keep_versions: int = 1) -> list[str]:
         """Delete data files not referenced by any of the last
         `keep_versions` snapshots (and prune their log entries).

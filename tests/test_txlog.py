@@ -112,6 +112,36 @@ def test_vacuum_reclaims_unreferenced_files(spark, tmp_path):
         t.snapshot(version=0)
 
 
+def test_optimize_compacts_in_one_commit(spark, tmp_path):
+    """OPTIMIZE rewrites the per-append file pile into a right-sized
+    set in one atomic commit: contents unchanged, time travel to the
+    pre-compaction version still works (until vacuum), and vacuum then
+    reclaims the superseded files."""
+    t = TxLogTable(str(tmp_path / "t"), stats_cols=("id",))
+    for i in range(3):
+        t.append(_df(spark, [(i * 10 + j, j) for j in range(3)]))
+    pre = t.snapshot()
+    assert len(pre.files) >= 3
+    v = t.optimize(spark)
+    assert v == pre.version + 1
+    post = t.snapshot()
+    assert len(post.files) < len(pre.files)
+    rows = sorted((r["id"], r["v"]) for r in t.read(spark).collect())
+    assert rows == sorted((i * 10 + j, j) for i in range(3) for j in range(3))
+    # zone maps recomputed for the new files
+    assert post.stats and all(f in post.stats for f in post.files)
+    # time travel to the pre-compaction version still reads old files
+    assert sorted(
+        (r["id"], r["v"]) for r in t.read(spark, version=pre.version).collect()
+    ) == rows
+    # vacuum reclaims the superseded pile; latest snapshot unaffected
+    deleted = t.vacuum(keep_versions=1)
+    assert set(deleted) == set(pre.files)
+    assert sorted((r["id"], r["v"]) for r in t.read(spark).collect()) == rows
+    # idempotence: a fresh optimize on a compacted table is a no-op
+    assert t.optimize(spark) is None
+
+
 def test_vacuum_fold_is_crash_safe_at_every_intermediate_state(spark, tmp_path):
     """The vacuum fold must write the folded cutoff entry (atomic
     rename) BEFORE unlinking pre-cutoff entries, and the folded entry
