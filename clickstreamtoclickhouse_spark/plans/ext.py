@@ -958,6 +958,8 @@ def doc_topic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     k_eff = len(centroids)
 
     def assign(cents: list[list[float]]):
+        from ..functions.text import _let
+
         lit = F.array(*[F.array(*[F.lit(v) for v in c]) for c in cents])
         dists = F.transform(
             lit,
@@ -969,7 +971,15 @@ def doc_topic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
                 lambda a, v: a + v,
             ),
         )
-        return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+        # let-bind: argmin references the distance array twice
+        # (array_min + array_position) and interpreted HOFs have no
+        # CSE — unbound, the k x dims fold would run twice per row
+        return _let(
+            dists,
+            lambda ds: (F.array_position(ds, F.array_min(ds)) - 1).cast(
+                "int"
+            ),
+        )
 
     for _ in range(_PKM_ITERS):
         stats = (
@@ -2253,18 +2263,44 @@ def training_data_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@query("media_features")  # rows-only: mapInPandas kernel not in SQL
+@query(
+    "media_features",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id AS media_id, text, length(text) AS n FROM documents
+    ),
+    f AS (
+      SELECT media_id, n,
+             CASE WHEN n = 0 THEN 0
+                  ELSE list_sum(list_transform(range(1, (n + 7) // 8 + 1),
+                         i -> ascii(substr(text, CAST(i AS INT), 1)))) % 997
+             END AS m0
+      FROM m
+    )
+    SELECT media_id, 'image' AS kind, CAST(n AS BIGINT) AS n_bytes,
+           round((CAST(CAST(m0 AS DOUBLE) / 997.0 AS FLOAT))::DOUBLE, 6) AS f0
+    FROM f
+    """,
+)
 def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal feature extraction: binary media column -> Arrow
     batches -> deterministic fake decode kernel (real codecs absent
-    in this container; plumbing is the test)."""
+    in this container) — now fully oracle-checked, closing the last
+    rows-only registry entry: feature 0 is float32((sum of the first
+    ceil(n/8) bytes mod 997) / 997), and since the synthetic content
+    is the UTF-8 bytes of ASCII `text`, DuckDB reproduces the byte
+    sum via ascii(substr(...)), the float32 cast bit-exactly
+    (IEEE round-to-nearest on both engines), and the 6-dp round on
+    the promoted double. The mapInPandas Arrow plumbing is therefore
+    value-checked end-to-end — real-decode deployments swap
+    decode_image in and keep every line downstream."""
     media = multimodal.synth_media_from_documents(load(spark, sf_dir, "documents"))
     feats = multimodal.extract_features(media, fake=True)
     return feats.select(
         "media_id",
         "kind",
         "n_bytes",
-        F.round(F.element_at("features", 1), 6).alias("f0"),
+        F.round(F.element_at("features", 1).cast("double"), 6).alias("f0"),
     )
 
 

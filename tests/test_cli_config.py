@@ -75,7 +75,9 @@ def test_cli_list_queries_and_explain(spark, capsys):
 
     assert main(["list-queries"]) == 0
     out = capsys.readouterr().out
-    assert "O daily_events" in out and "R media_features" in out
+    assert "O daily_events" in out and "O media_features" in out
+    # round 7: every registered query carries an oracle — no R rows
+    assert "\nR " not in out and not out.startswith("R ")
 
     assert main(["explain", "daily_events", "--sf-dir", SF_DIR]) == 0
     out = capsys.readouterr().out
