@@ -76,6 +76,13 @@ PROBE_QUERIES = [
     # generator does not synthesize)
     "user_feature_snapshot",
     "cohort_ltv_curves",
+    # round-7 additions (doc-scale; incremental_embedding_dedup is
+    # excluded — its corpus is a fixed id range, so 10x rows don't
+    # change its work)
+    "media_perceptual_dedup",
+    "media_features",
+    "epoch_shuffle",
+    "quality_score_calibration",
 ]
 
 

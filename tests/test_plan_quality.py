@@ -815,6 +815,41 @@ def test_feature_snapshot_single_user_shuffle(spark):
     assert "Arguments: SinglePartition" in txt  # the 8-byte max, not rows
 
 
+def test_epoch_shuffle_partitioned_window_only(spark):
+    # the step counter is a window PARTITIONED BY (epoch, shard) —
+    # never an unpartitioned global sort — and the whole query is one
+    # exchange (the window's)
+    txt = plan_text(spark, "epoch_shuffle")
+    assert count_exchanges(txt) == 1, txt
+    win_args = [
+        ln for ln in txt.splitlines() if "Arguments" in ln and "row_number" in ln
+    ]
+    assert win_args and all("epoch" in ln and "shard" in ln for ln in win_args), (
+        win_args or txt
+    )
+
+
+def test_quality_calibration_partitioned_window_only(spark):
+    # percent_rank runs per source; one exchange, partition keys present
+    txt = plan_text(spark, "quality_score_calibration")
+    assert count_exchanges(txt) == 1, txt
+    win_args = [
+        ln for ln in txt.splitlines() if "Arguments" in ln and "percent_rank" in ln
+    ]
+    assert win_args and all("source" in ln for ln in win_args), win_args or txt
+
+
+def test_media_perceptual_dedup_single_shuffle_after_kernel(spark):
+    # thumbnail kernel (mapInPandas) feeds two map-side-combinable hash
+    # aggregates: the only exchange is the final (ahash) group-by, and
+    # content bytes never shuffle (post-kernel rows are hash-sized)
+    txt = plan_text(spark, "media_perceptual_dedup")
+    assert "MapInPandas" in txt or "PythonMapInArrow" in txt, txt
+    assert count_exchanges(txt) == 1, txt
+    for sch in (ln for ln in txt.splitlines() if "ReadSchema" in ln):
+        assert "lang" not in sch and "source" not in sch
+
+
 def test_negative_sampling_plan_shape(spark):
     # candidate generation is linear (customers x 8 explode), the
     # positives exclusion is a hash anti-join, and the keep-4 rank
