@@ -274,20 +274,19 @@ def main() -> None:
     out = {
         "what": "10x-rows scale probe on generator data (see scripts/sf_probe.py); time_ratio <= ~10 = linear, > 15 flags a hidden quadratic",
         "notes": (
-            "r6 (adds round-6 ops minhash_decontamination 6.0x, "
-            "leakage_safe_split 1.4x, table_profile 6.4x, "
-            "value_quantile_sketch 1.4x): no query exceeded the 15x bar "
-            "(max 11.1x, simhash_portable — CPU-bound portable hashing, "
-            "linear; shuffle x9.6 = linear in rows). "
-            "jaccard_near_dups_capped's 719x SHUFFLE ratio is adaptive "
-            "broadcast behavior, not a pair explosion: at base AQE "
-            "broadcasts the shingle side (0.3MB shuffled), at x10 it "
-            "exceeds the threshold and the linear-in-corpus shingle "
-            "aggregation shuffle appears (216MB ~= 2.6M shingle "
-            "instances); the candidate-pair set itself SHRANK "
-            "(1.24M -> 0.12M all-pairs, DuckDB-verified) because "
-            "vocabulary grows with corpus (Heaps), spreading shingles "
-            "(r5 analysis, unchanged)."
+            "r7: SimHash reworked to 56-bit fingerprints with 4x14-bit "
+            "bands — the r6 13.0x outlier was candidate FAN-OUT "
+            "(8-bit bands = 256 values/band = n^2/256 collisions, "
+            "measured 81M raw pairs at 100k docs), not hashing CPU; "
+            "now 5.0x (39.1s -> ~16s at x10). Capped twins "
+            "(minhash/simhash_near_dups_capped, count-window hot-bucket "
+            "guard) probe alongside. jaccard_near_dups_capped's large "
+            "SHUFFLE ratio is adaptive broadcast behavior, not a pair "
+            "explosion: at base AQE broadcasts the shingle side, at x10 "
+            "it exceeds the threshold and the linear-in-corpus shingle "
+            "aggregation shuffle appears; the candidate-pair set itself "
+            "SHRANK because vocabulary grows with corpus (Heaps), "
+            "spreading shingles (r5 analysis, unchanged)."
         ),
         "queries": probe,
     }
