@@ -957,12 +957,28 @@ def doc_topic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # iterate over what exists (the oracle's LIMIT k does the same)
     k_eff = len(centroids)
 
-    def assign(cents: list[list[float]]):
-        from ..functions.text import _let
+    from ..functions.text import _let
 
-        lit = F.array(*[F.array(*[F.lit(v) for v in c]) for c in cents])
+    def assigned(cents: list[list[float]]) -> DataFrame:
+        """(cl, embedding) with cl = first-min argmin over `cents`.
+
+        Centroids ship as ONE broadcast 1-row array column, not as
+        k x dims inlined literals: the literal form rebuilt a
+        ~500-node expression tree per Lloyd round (an A/B showed the
+        wall clock is actually dominated by the BoW build + fixed
+        per-job overhead, so this is a plan-hygiene change, not a
+        speedup — it keeps every round's plan constant-size at any k
+        and dims). The per-row arithmetic — zip_with fold in fixed
+        dim order, first-min tie-break — is expression-identical, so
+        oracle bit-parity is untouched."""
+        cents_row = F.broadcast(
+            spark.createDataFrame(
+                [([list(map(float, c)) for c in cents],)],
+                "cents: array<array<double>>",
+            )
+        )
         dists = F.transform(
-            lit,
+            F.col("cents"),
             lambda c: F.aggregate(
                 F.zip_with(
                     F.col("embedding"), c, lambda x, y: (x - y) * (x - y)
@@ -974,16 +990,19 @@ def doc_topic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         # let-bind: argmin references the distance array twice
         # (array_min + array_position) and interpreted HOFs have no
         # CSE — unbound, the k x dims fold would run twice per row
-        return _let(
+        cl = _let(
             dists,
             lambda ds: (F.array_position(ds, F.array_min(ds)) - 1).cast(
                 "int"
             ),
         )
+        return emb.crossJoin(cents_row).select(
+            cl.alias("cl"), "embedding"
+        )
 
     for _ in range(_PKM_ITERS):
         stats = (
-            emb.select(assign(centroids).alias("cl"), "embedding")
+            assigned(centroids)
             .groupBy("cl")
             .agg(
                 F.count("*").alias("n"),
@@ -1002,7 +1021,8 @@ def doc_topic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         centroids = [updated.get(c, centroids[c]) for c in range(k_eff)]
 
     return (
-        emb.select(assign(centroids).alias("cluster"))
+        assigned(centroids)
+        .select(F.col("cl").alias("cluster"))
         .groupBy("cluster")
         .agg(F.count("*").alias("n_docs"))
     )
