@@ -483,6 +483,46 @@ def test_banded_bucket_cap_drops_hot_cluster_only(spark):
         assert planted > 0
 
 
+def test_kmv_exact_below_k_and_cap_subset_invariant(spark):
+    # KMV boundary: below k distinct hashes the sketch IS the exact
+    # count (no estimator error at all)
+    from clickstreamtoclickhouse_spark.plans.relational import (
+        _KMV_K,
+        _kmv_estimate,
+    )
+    from clickstreamtoclickhouse_spark.util import portable_id_hash
+    from pyspark.sql import functions as F
+
+    n = _KMV_K - 10
+    e = spark.createDataFrame(
+        [("click", i % n) for i in range(500)], "event_type string, user_id long"
+    )
+    hs = e.select(
+        "event_type", portable_id_hash(F.col("user_id")).alias("h")
+    ).distinct()
+    est = _kmv_estimate(hs).collect()[0]["approx_users"]
+    assert est == float(n)
+
+    # hot-bucket cap invariant: capped pair sets are SUBSETS of the
+    # uncapped ones (the guard can only remove candidates)
+    from clickstreamtoclickhouse_spark.functions import dedup_text
+    from clickstreamtoclickhouse_spark.plans import load
+    from clickstreamtoclickhouse_spark.plans.ext import _near_dup_corpus
+
+    corpus = _near_dup_corpus(load(spark, SF_DIR, "documents").limit(100))
+    for fn in (
+        lambda c, cap: dedup_text.minhash_portable_pairs(
+            c, threshold=0.5, max_bucket_size=cap
+        ),
+        lambda c, cap: dedup_text.simhash_portable_near_dup_pairs(
+            c, max_hamming=3, max_bucket_size=cap
+        ),
+    ):
+        full = {(r["doc_a"], r["doc_b"]) for r in fn(corpus, None).collect()}
+        capped = {(r["doc_a"], r["doc_b"]) for r in fn(corpus, 3).collect()}
+        assert capped <= full
+
+
 def test_incremental_embedding_dedup_semantics(spark):
     # planted: +0.01 perturbations of corpus members must be REJECTED
     # (verified near-dups), genuinely new vectors must be ADMITTED —
