@@ -532,3 +532,64 @@ def streaming_fuzzy_corpus_dedup(
         .option("checkpointLocation", checkpoint_dir)
         .start()
     )
+
+
+def streaming_embedding_dedup(
+    vec_stream: DataFrame,
+    index_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    dim: int,
+    threshold: float = 0.995,
+    num_tables: int = 6,
+    bits: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """SEMANTIC streaming dedup — completes the incremental-dedup
+    symmetry (text: exact `streaming_corpus_dedup` + fuzzy
+    `streaming_fuzzy_corpus_dedup`; embeddings: this): each
+    micro-batch of vectors is screened against the persisted LSH
+    bucket index WITH an exact-cosine verify
+    (functions.similarity.incremental_lsh_dedup — bucket collisions
+    alone would drop mere cluster-mates), survivors' vectors append
+    to `out_dir` and their bucket + vector index rows to
+    `index_dir`/buckets and `index_dir`/vectors.
+
+    Per batch: O(|batch| x num_tables) bucket rows against the index
+    (bucket the stored table on (t, bucket) at scale — BandIndex's
+    layout); the verify fetches only colliding corpus vectors by id.
+    Same non-atomic multi-append caveat as the text variants (the
+    transaction log in sinks/txlog.py closes it)."""
+    from ..functions.similarity import incremental_lsh_dedup
+
+    spark = vec_stream.sparkSession
+    buckets_dir = f"{index_dir}/buckets"
+    vectors_dir = f"{index_dir}/vectors"
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        from ..util import try_read_parquet
+
+        batch_df = batch_df.cache()
+        try:
+            idx_b = try_read_parquet(spark, buckets_dir)
+            idx_v = try_read_parquet(spark, vectors_dir)
+            fresh, fresh_b, fresh_v = incremental_lsh_dedup(
+                batch_df, idx_b, idx_v, dim=dim, threshold=threshold,
+                num_tables=num_tables, bits=bits,
+                id_col=id_col, vec_col=vec_col,
+            )
+            (
+                batch_df.join(fresh, id_col, "left_semi")
+                .write.mode("append").parquet(out_dir)
+            )
+            fresh_b.write.mode("append").parquet(buckets_dir)
+            fresh_v.write.mode("append").parquet(vectors_dir)
+        finally:
+            batch_df.unpersist()
+
+    return (
+        vec_stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )

@@ -660,6 +660,57 @@ def test_streaming_fuzzy_corpus_dedup_bucketed_index(spark, tmp_path):
         spark.sql("DROP TABLE IF EXISTS bkt_fuzzy_stream_idx__compacting")
 
 
+def test_streaming_embedding_dedup(spark, tmp_path):
+    """Semantic streaming dedup: a near-duplicate vector (tiny
+    perturbation of an indexed one) is rejected via bucket collision +
+    exact-cosine verify; orthogonal vectors pass. Index grows only for
+    admitted vectors."""
+    import json as _json
+
+    landing = tmp_path / "vec_stream"
+    landing.mkdir()
+    index_dir = str(tmp_path / "vec_index")
+    out_dir = str(tmp_path / "vec_corpus")
+    ckpt = str(tmp_path / "ckpt_vec")
+
+    def base_vec(axis, dim=8):
+        return [1.0 if i == axis else 0.0 for i in range(dim)]
+
+    def write_file(name, rows):
+        with open(landing / name, "w") as f:
+            for r in rows:
+                f.write(_json.dumps(r) + "\n")
+
+    write_file("b1.json", [
+        {"vec_id": 1, "embedding": base_vec(0)},
+        {"vec_id": 2, "embedding": base_vec(1)},
+    ])
+    stream = spark.readStream.schema(
+        "vec_id long, embedding array<float>"
+    ).option("maxFilesPerTrigger", 1).json(str(landing))
+    q = stateful.streaming_embedding_dedup(
+        stream, index_dir, out_dir, ckpt, dim=8
+    )
+    try:
+        q.processAllAvailable()
+        near = base_vec(0)
+        near[1] = 0.001  # cosine to vec 1 ~ 0.9999995 -> rejected
+        write_file("b2.json", [
+            {"vec_id": 10, "embedding": near},
+            {"vec_id": 11, "embedding": base_vec(2)},
+        ])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    ids = sorted(r["vec_id"] for r in spark.read.parquet(out_dir).collect())
+    assert ids == [1, 2, 11]
+    idx_v = spark.read.parquet(f"{index_dir}/vectors")
+    assert sorted(r["vec_id"] for r in idx_v.collect()) == [1, 2, 11]
+    idx_b = spark.read.parquet(f"{index_dir}/buckets")
+    assert {r["vec_id"] for r in idx_b.select("vec_id").collect()} == {1, 2, 11}
+
+
 def test_incremental_minhash_dedup_conservative_chain(spark):
     """Pin the DOCUMENTED conservative keeper semantics: in a chain
     A~B~C (B collides with both, A and C don't collide directly), B is
