@@ -2998,6 +2998,195 @@ def embedding_lsh_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# End-to-end corpus build: the single manifest query a training team runs
+# ---------------------------------------------------------------------------
+
+# quality-scored, benchmark-held-out corpus base (doc_id % 25 = 0
+# plays the eval split, as in benchmark_contamination). The quality
+# expression is the doc_quality oracle's, verbatim.
+_SQL_MANIFEST_Q = f"""
+  SELECT doc_id, source, text,
+         round(0.4 * least({tx.sql_token_count_ws('text')} / 100.0, 1.0)
+             + 0.3 * (CASE WHEN {tx.sql_token_count_ws('text')} > 0
+                            AND length(text) * 1.0 / {tx.sql_token_count_ws('text')}
+                                BETWEEN 3 AND 12
+                           THEN 1.0 ELSE 0.5 END)
+             + 0.3 * (1.0 - least((CASE WHEN length(text) = 0 THEN 0.0
+                                        ELSE length(regexp_replace(text,
+                                             '[A-Za-z0-9\\s]', '', 'g'))
+                                             * 1.0 / length(text) END) * 4,
+                                  1.0)), 4) AS quality
+  FROM documents
+  WHERE length(trim(text)) > 0 AND doc_id % 25 <> 0
+"""
+
+# quality gate + exact dedup (min-id keeper per content hash),
+# self-contained so the near-dup pair oracle can embed it verbatim
+_SQL_MANIFEST_EX = f"""
+  SELECT q.doc_id, q.source, q.text, q.quality
+  FROM ({_SQL_MANIFEST_Q}) q
+  WHERE q.quality >= 0.5
+    AND NOT EXISTS (SELECT 1 FROM ({_SQL_MANIFEST_Q}) q2
+                    WHERE q2.quality >= 0.5
+                      AND md5(q2.text) = md5(q.text)
+                      AND q2.doc_id < q.doc_id)
+"""
+
+_MANIFEST_SHARDS = 8
+_MANIFEST_CAL_MIN = 0.1  # drop the worst decile per source
+
+
+def _manifest_oracle() -> str:
+    grams = tx.sql_ngrams("ws", 5)
+    hexpr = (
+        "('0x' || substr(md5('0:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT"
+    )
+    return f"""
+    WITH nd AS (
+      SELECT e.* FROM ({_SQL_MANIFEST_EX}) e
+      WHERE NOT EXISTS (
+        SELECT 1 FROM ({_minhash_pairs_oracle(_SQL_MANIFEST_EX, cap=_MH_CAP)}) p
+        WHERE p.doc_b = e.doc_id)
+    ),
+    bgrams AS (
+      SELECT DISTINCT unnest(list_distinct({grams})) AS gram
+      FROM (SELECT {tx.SQL_WORDS.format(t='lower(text)')} AS ws
+            FROM documents
+            WHERE doc_id % 25 = 0 AND length(trim(text)) > 0)
+    ),
+    dgrams AS (
+      SELECT doc_id, unnest(list_distinct({grams})) AS gram
+      FROM (SELECT doc_id, {tx.SQL_WORDS.format(t='lower(text)')} AS ws
+            FROM nd)
+    ),
+    contaminated AS (
+      SELECT DISTINCT d.doc_id FROM dgrams d JOIN bgrams b USING (gram)
+    ),
+    dc AS (
+      SELECT * FROM nd t
+      WHERE NOT EXISTS (SELECT 1 FROM contaminated c
+                        WHERE c.doc_id = t.doc_id)
+    ),
+    cal AS (
+      SELECT *, round(percent_rank() OVER (PARTITION BY source
+                                           ORDER BY quality, doc_id), 6)
+                AS calibrated
+      FROM dc
+    ),
+    keyed AS (
+      SELECT doc_id, source, text, {hexpr} AS h
+      FROM cal WHERE calibrated >= {_MANIFEST_CAL_MIN}
+    )
+    SELECT doc_id, source,
+           {tx.sql_token_count_ws('text')} AS n_tokens,
+           CAST(h % {_MANIFEST_SHARDS} AS INT) AS shard,
+           CAST(row_number() OVER (PARTITION BY h % {_MANIFEST_SHARDS}
+                                   ORDER BY h, doc_id) AS BIGINT) AS step
+    FROM keyed
+    """
+
+
+@query("corpus_build_manifest", oracle=_manifest_oracle())
+def corpus_build_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE END-TO-END CORPUS BUILD — one query chaining the stages a
+    training-data team actually runs, every stage an operator this
+    engine ships individually, and the WHOLE composition under one
+    oracle: (1) non-empty + benchmark holdout (doc_id % 25 = 0 plays
+    the eval split), (2) quality gate at 0.5, (3) exact dedup (min-id
+    keeper per content hash), (4) MinHash-LSH near-dup dedup with the
+    hot-bucket guard active (one-pass drop of any doc with a
+    smaller-id verified pair — the incremental keeper rule),
+    (5) 5-gram benchmark decontamination, (6) per-source percentile
+    calibration dropping the worst decile, (7) the training manifest:
+    deterministic epoch-0 reader-shard + step assignment and token
+    counts — the file a data loader consumes.
+
+    Scale: every stage keeps its standalone plan shape — keyed
+    shuffles only (content hash, band key, gram, source, shard),
+    broadcast benchmark grams, the capped band self-join, per-source
+    and per-shard windows, never a global sort or crossJoin. The one
+    new cost is lineage reuse, handled with a lazy checkpoint on the
+    deduped base so the pair stage and the anti-join don't re-derive
+    it."""
+    from ..util import portable_id_hash
+
+    docs = load(spark, sf_dir, "documents")
+    base = docs.filter(
+        (F.length(F.trim(F.col("text"))) > 0) & (F.col("doc_id") % 25 != 0)
+    ).select("doc_id", "source", "text")
+    q = base.withColumn("quality", tx.quality_score(F.col("text"))).filter(
+        F.col("quality") >= 0.5
+    )
+    wh = Window.partitionBy(F.md5("text"))
+    ex = (
+        q.withColumn("__keep", F.min("doc_id").over(wh))
+        .filter(F.col("doc_id") == F.col("__keep"))
+        .drop("__keep")
+        .localCheckpoint(eager=False)
+    )
+    pairs = dedup_text.minhash_portable_pairs(
+        ex.select("doc_id", "text"),
+        threshold=0.5,
+        n=3,
+        num_bands=_MH_BANDS,
+        max_bucket_size=_MH_CAP,
+    )
+    nd = ex.join(
+        pairs.select(F.col("doc_b").alias("doc_id")).distinct(),
+        "doc_id",
+        "left_anti",
+    )
+    bench_grams = (
+        docs.filter(
+            (F.col("doc_id") % 25 == 0)
+            & (F.length(F.trim(F.col("text"))) > 0)
+        )
+        .select(
+            F.explode(
+                F.array_distinct(
+                    tx._ngrams(tx.words(F.lower(F.col("text"))), 5)
+                )
+            ).alias("gram")
+        )
+        .distinct()
+    )
+    doc_grams = nd.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(tx._ngrams(tx.words(F.lower(F.col("text"))), 5))
+        ).alias("gram"),
+    )
+    contaminated = (
+        doc_grams.join(F.broadcast(bench_grams), "gram")
+        .select("doc_id")
+        .distinct()
+    )
+    dc = nd.join(contaminated, "doc_id", "left_anti")
+    wsrc = Window.partitionBy("source").orderBy("quality", "doc_id")
+    kept = (
+        dc.withColumn(
+            "calibrated", F.round(F.percent_rank().over(wsrc), 6)
+        )
+        .filter(F.col("calibrated") >= _MANIFEST_CAL_MIN)
+    )
+    keyed = kept.select(
+        "doc_id",
+        "source",
+        tx.token_count_ws(F.col("text")).alias("n_tokens"),
+        portable_id_hash(
+            F.concat_ws(":", F.lit("0"), F.col("doc_id").cast("string"))
+        ).alias("h"),
+    )
+    shard = F.pmod(F.col("h"), F.lit(_MANIFEST_SHARDS)).cast("int")
+    wshard = Window.partitionBy("shard").orderBy("h", "doc_id")
+    return (
+        keyed.withColumn("shard", shard)
+        .withColumn("step", F.row_number().over(wshard).cast("bigint"))
+        .select("doc_id", "source", "n_tokens", "shard", "step")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Dedup-method evaluation: approx candidates vs exact-Jaccard truth
 # ---------------------------------------------------------------------------
 

@@ -483,6 +483,28 @@ def test_banded_bucket_cap_drops_hot_cluster_only(spark):
         assert planted > 0
 
 
+def test_corpus_build_manifest_stage_invariants(spark):
+    from collections import defaultdict
+
+    rows = plans.QUERIES["corpus_build_manifest"](spark, SF_DIR).collect()
+    assert rows
+    # benchmark holdout never leaks into the training manifest
+    assert all(r["doc_id"] % 25 != 0 for r in rows)
+    # the cascade actually filters (quality gate + calibration decile)
+    n_base = plans.load(spark, SF_DIR, "documents").filter(
+        "length(trim(text)) > 0 AND doc_id % 25 <> 0"
+    ).count()
+    assert 0 < len(rows) < n_base
+    # steps are contiguous 1..k within each reader shard
+    by_shard = defaultdict(list)
+    for r in rows:
+        by_shard[r["shard"]].append(r["step"])
+    for steps in by_shard.values():
+        assert sorted(steps) == list(range(1, len(steps) + 1))
+    assert set(by_shard) <= set(range(8))
+    assert all(r["n_tokens"] > 0 for r in rows)
+
+
 def test_kmv_exact_below_k_and_cap_subset_invariant(spark):
     # KMV boundary: below k distinct hashes the sketch IS the exact
     # count (no estimator error at all)
