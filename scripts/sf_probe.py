@@ -83,6 +83,7 @@ PROBE_QUERIES = [
     "media_features",
     "epoch_shuffle",
     "quality_score_calibration",
+    "corpus_build_manifest",
 ]
 
 
