@@ -4534,3 +4534,66 @@ def doc_lexicon_sentiment(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_tokens") > 0)
     )
+
+
+_TEMP_ALPHA = 0.3  # temperature exponent (XLM-R uses alpha=0.3)
+
+
+@query(
+    "temperature_sampling_weights",
+    oracle=f"""
+    WITH by_lang AS (
+      SELECT lang,
+             CAST(sum(len(regexp_extract_all(text, '{_SQL_BPE_RE}')))
+               AS BIGINT) AS n_tokens
+      FROM documents GROUP BY lang
+    ),
+    probs AS (
+      SELECT lang, n_tokens,
+             n_tokens * 1.0 / sum(n_tokens) OVER () AS p
+      FROM by_lang
+    )
+    SELECT lang, n_tokens,
+           round(p, 6) AS p_raw,
+           round(pow(p, {_TEMP_ALPHA})
+                 / sum(pow(p, {_TEMP_ALPHA})) OVER (), 6) AS weight,
+           round(pow(p, {_TEMP_ALPHA})
+                 / sum(pow(p, {_TEMP_ALPHA})) OVER () / p, 4)
+             AS upsample_factor
+    FROM probs
+    """,
+)
+def temperature_sampling_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based multilingual mixture weights (the p_i^alpha
+    renormalization of Lample & Conneau 2019 / XLM-R, public method):
+    token-mass shares per language are flattened with exponent
+    alpha={_TEMP_ALPHA} so low-resource languages are upsampled
+    relative to their raw share — the standard way a pretraining
+    mixer sets per-language sampling rates in TOKENS (the budget that
+    matters), not documents. Emits the raw share, the temperature
+    weight, and the effective upsample factor per language; composes
+    with `training_mixture` (which consumes per-bucket weights) and
+    `tokenizer_fertility_by_lang` (which prices the budget).
+
+    Scale: one map-side-combinable token-count aggregate keyed by
+    language; the normalizing windows run over the language-bounded
+    aggregate (a handful of rows), never the corpus. Float parity:
+    both engines round the window-summed shares to 6 decimals (the
+    repo-wide guard against summation-order ULP drift on tiny
+    unordered double sums)."""
+    d = load(spark, sf_dir, "documents")
+    by_lang = d.groupBy("lang").agg(
+        F.sum(tx.token_count_bpe(F.col("text"))).cast("long").alias("n_tokens")
+    )
+    w_all = Window.partitionBy()
+    p = (F.col("n_tokens") * 1.0 / F.sum("n_tokens").over(w_all)).alias("p")
+    probs = by_lang.select("lang", "n_tokens", p)
+    pa = F.pow(F.col("p"), F.lit(_TEMP_ALPHA))
+    z = F.sum(pa).over(w_all)
+    return probs.select(
+        "lang",
+        "n_tokens",
+        F.round("p", 6).alias("p_raw"),
+        F.round(pa / z, 6).alias("weight"),
+        F.round(pa / z / F.col("p"), 4).alias("upsample_factor"),
+    )

@@ -3965,3 +3965,255 @@ def cohort_ltv_curves(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Survival analysis: Kaplan-Meier time-to-first-purchase
+# ---------------------------------------------------------------------------
+
+_KM_HORIZON_H = 96  # administrative censoring horizon (hours)
+
+
+@query(
+    "km_time_to_purchase",
+    oracle=f"""
+    WITH u AS (
+      SELECT user_id, min(ts) AS f FROM events GROUP BY 1
+    ),
+    p AS (
+      SELECT user_id, min(ts) AS fp FROM events
+      WHERE event_type = 'purchase' GROUP BY 1
+    ),
+    m AS (SELECT max(ts) AS mx FROM events),
+    subj AS (
+      SELECT u.user_id,
+             (epoch_us(p.fp) - epoch_us(u.f)) // 3600000000 AS dur_h,
+             least({_KM_HORIZON_H},
+                   (epoch_us(m.mx) - epoch_us(u.f)) // 3600000000) AS cens_h
+      FROM u LEFT JOIN p USING (user_id) CROSS JOIN m
+    ),
+    obs AS (
+      SELECT CASE WHEN dur_h IS NOT NULL AND dur_h <= cens_h
+                  THEN dur_h ELSE cens_h END AS t_hours,
+             CASE WHEN dur_h IS NOT NULL AND dur_h <= cens_h
+                  THEN 1 ELSE 0 END AS ev
+      FROM subj
+    ),
+    tbl AS (
+      SELECT t_hours,
+             CAST(sum(ev) AS BIGINT) AS n_events,
+             CAST(sum(1 - ev) AS BIGINT) AS n_censored,
+             CAST(count(*) AS BIGINT) AS n_total
+      FROM obs GROUP BY 1
+    ),
+    km AS (
+      SELECT t_hours, n_events, n_censored,
+             CAST(sum(n_total) OVER (
+               ORDER BY t_hours DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS n_at_risk
+      FROM tbl
+    )
+    SELECT t_hours, n_at_risk, n_events, n_censored,
+           CASE WHEN max(CASE WHEN n_events = n_at_risk THEN 1 ELSE 0 END)
+                     OVER (ORDER BY t_hours
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     = 1
+                THEN 0.0
+                ELSE round(exp(sum(
+                       CASE WHEN n_events = 0 THEN 0.0
+                            ELSE ln(1.0 - CAST(n_events AS DOUBLE) / n_at_risk)
+                       END) OVER (ORDER BY t_hours
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW)), 6)
+           END AS survival
+    FROM km
+    """,
+)
+def km_time_to_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival estimator (Kaplan & Meier 1958, public
+    method) over time-to-first-purchase in whole elapsed hours, with
+    administrative right-censoring at a fixed horizon (and at each
+    user's end of observation, whichever is sooner). The standard
+    product-limit life table: one row per observed time with the risk
+    set, event/censor counts, and S(t) = prod_{s<=t}(1 - d_s/n_s).
+
+    Cross-engine float parity: S(t) is computed as
+    exp(cumsum(ln(1 - d/n))) under an ORDERED cumulative window, so
+    both engines accumulate the identical doubles in the identical
+    order; d=n (risk set exhausted) short-circuits to exactly 0
+    rather than ln(0).
+
+    Scale: two user-keyed aggregates (first event / first purchase
+    ride the same shuffle key) + a 1-row max-ts broadcast; the KM
+    windows run over the per-hour life table, bounded by the horizon
+    (<= {_KM_HORIZON_H}+1 rows), not the user count — the global sort
+    is on a constant-size aggregate, never the corpus."""
+    e = load(spark, sf_dir, "events")
+    u = e.groupBy("user_id").agg(F.min("ts").alias("f"))
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("fp"))
+    )
+    m = e.agg(F.max("ts").alias("mx"))
+    hour_us = 3600 * 1_000_000
+    subj = (
+        u.join(p, "user_id", "left")
+        .crossJoin(F.broadcast(m))
+        .select(
+            ((F.unix_micros("fp") - F.unix_micros("f")) / hour_us)
+            .cast("long")
+            .alias("dur_h"),
+            F.least(
+                F.lit(_KM_HORIZON_H).cast("long"),
+                ((F.unix_micros("mx") - F.unix_micros("f")) / hour_us)
+                .cast("long"),
+            ).alias("cens_h"),
+        )
+    )
+    is_event = F.col("dur_h").isNotNull() & (F.col("dur_h") <= F.col("cens_h"))
+    obs = subj.select(
+        F.when(is_event, F.col("dur_h")).otherwise(F.col("cens_h")).alias(
+            "t_hours"
+        ),
+        F.when(is_event, 1).otherwise(0).alias("ev"),
+    )
+    tbl = obs.groupBy("t_hours").agg(
+        F.sum("ev").cast("long").alias("n_events"),
+        F.sum(1 - F.col("ev")).cast("long").alias("n_censored"),
+        F.count(F.lit(1)).cast("long").alias("n_total"),
+    )
+    # Risk set = subjects still under observation at t: reverse
+    # cumulative total over the (horizon-bounded) life table.
+    w_desc = Window.orderBy(F.desc("t_hours")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    km = tbl.withColumn(
+        "n_at_risk", F.sum("n_total").over(w_desc).cast("long")
+    )
+    w_asc = Window.orderBy("t_hours").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    term = F.when(F.col("n_events") == 0, F.lit(0.0)).otherwise(
+        F.log(1.0 - F.col("n_events").cast("double") / F.col("n_at_risk"))
+    )
+    exhausted = F.max(
+        F.when(F.col("n_events") == F.col("n_at_risk"), 1).otherwise(0)
+    ).over(w_asc)
+    return km.select(
+        "t_hours",
+        "n_at_risk",
+        "n_events",
+        "n_censored",
+        F.when(exhausted == 1, F.lit(0.0))
+        .otherwise(F.round(F.exp(F.sum(term).over(w_asc)), 6))
+        .alias("survival"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Most-probable-path distances over the transition graph
+# ---------------------------------------------------------------------------
+
+_SP_MAX_HOPS = 6
+
+
+def _shortest_path_oracle_sql() -> str:
+    return f"""
+    WITH RECURSIVE tr AS (
+      SELECT prev AS from_type, event_type AS to_type, count(*) AS n
+      FROM (
+        SELECT event_type,
+               lag(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev
+        FROM events
+      ) WHERE prev IS NOT NULL GROUP BY 1, 2
+    ),
+    outw AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS o FROM tr GROUP BY 1),
+    ew AS (
+      SELECT t.from_type, t.to_type,
+             round(-ln(t.n * 1.0 / o.o), 9) AS w
+      FROM tr t JOIN outw o USING (from_type)
+    ),
+    src AS (
+      SELECT event_type FROM events
+      GROUP BY 1 ORDER BY count(*) DESC, event_type LIMIT 1
+    ),
+    paths(event_type, cost, hops) AS (
+      SELECT event_type, CAST(0.0 AS DOUBLE), 0 FROM src
+      UNION
+      SELECT e.to_type, p.cost + e.w, p.hops + 1
+      FROM paths p JOIN ew e ON e.from_type = p.event_type
+      WHERE p.hops < {_SP_MAX_HOPS}
+    )
+    SELECT event_type, round(min(cost), 6) AS min_cost
+    FROM paths GROUP BY 1
+    """
+
+
+@query("transition_shortest_paths", oracle=_shortest_path_oracle_sql())
+def transition_shortest_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Most-probable-path (Viterbi-style) distance from the dominant
+    entry event to every reachable event type: edge weight
+    -ln(P(to|from)) over the first-order transition graph, so the
+    min-cost path is the maximum-likelihood event sequence. Computed
+    as bounded Bellman-Ford relaxation ({_SP_MAX_HOPS} rounds —
+    weights are non-negative, so that covers every simple path on the
+    event-type vocabulary); the DuckDB oracle enumerates the same
+    bounded-hop paths with a recursive CTE.
+
+    Cross-engine float parity: edge weights are rounded to 9 decimals
+    on both engines; float addition is monotone, so the DP min over
+    relaxations equals the oracle's min over enumerated left-
+    associated path sums term-for-term.
+
+    Scale: the transition graph is an event-type-bounded aggregate of
+    one events scan (checkpointed once); each relaxation round is a
+    broadcast-size join on the vocabulary — corpus size only enters
+    the initial count aggregate."""
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    tr = (
+        e.withColumn("prev", F.lag("event_type").over(w))
+        .filter(F.col("prev").isNotNull())
+        .groupBy(
+            F.col("prev").alias("from_type"),
+            F.col("event_type").alias("to_type"),
+        )
+        .agg(F.count("*").alias("n"))
+    )
+    outw = tr.groupBy("from_type").agg(F.sum("n").cast("long").alias("o"))
+    ew = (
+        tr.join(outw, "from_type")
+        .select(
+            "from_type",
+            "to_type",
+            F.round(-F.log(F.col("n") * 1.0 / F.col("o")), 9).alias("w"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    src = (
+        e.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), "event_type")
+        .limit(1)
+    )
+    dist = src.select("event_type", F.lit(0.0).alias("cost")).localCheckpoint(
+        eager=True
+    )
+    for _ in range(_SP_MAX_HOPS):
+        relaxed = (
+            dist.join(ew, dist.event_type == ew.from_type)
+            .select(
+                F.col("to_type").alias("event_type"),
+                (F.col("cost") + F.col("w")).alias("cost"),
+            )
+        )
+        dist = (
+            dist.unionByName(relaxed)
+            .groupBy("event_type")
+            .agg(F.min("cost").alias("cost"))
+            .localCheckpoint(eager=True)
+        )
+    return dist.select("event_type", F.round("cost", 6).alias("min_cost"))

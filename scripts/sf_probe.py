@@ -84,6 +84,11 @@ PROBE_QUERIES = [
     "epoch_shuffle",
     "quality_score_calibration",
     "corpus_build_manifest",
+    # round-7 survival/graph additions (events-scale; the lineitem-
+    # scale part_copurchase_triangles is excluded for the same reason
+    # as negative_sampling_pairs — no TPC-H tables in this generator)
+    "km_time_to_purchase",
+    "transition_shortest_paths",
 ]
 
 

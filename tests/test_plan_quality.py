@@ -858,3 +858,39 @@ def test_negative_sampling_plan_shape(spark):
     assert "CartesianProduct" not in txt
     assert "LeftAnti" in txt
     assert "WindowGroupLimit" in txt
+
+
+def test_triangles_equi_joins_only(spark):
+    # the wedge build and closing check must stay equi-joins on the
+    # oriented edge list (the rank inequality is a post-join filter,
+    # never a nested-loop condition) — a cartesian here is O(m^2)
+    txt = plan_text(spark, "part_copurchase_triangles")
+    assert "CartesianProduct" not in txt
+    assert "BroadcastNestedLoopJoin" not in txt
+
+
+def test_km_windows_only_over_life_table(spark):
+    # the KM cumulative windows (risk set, survival product) must run
+    # over the horizon-bounded life table AGGREGATE: the only
+    # single-partition exchanges sit above a HashAggregate keyed by
+    # t_hours, never over raw events
+    txt = plan_text(spark, "km_time_to_purchase")
+    lines = [l for l in txt.splitlines() if l.strip().startswith("(")]
+    single = [l for l in lines if "Exchange SinglePartition" in l]
+    assert len(single) <= 2
+    # the subject build joins first-purchase onto first-event on the
+    # same user_id key and broadcasts the 1-row max-ts anchor
+    assert "CartesianProduct" not in txt
+
+
+def test_temperature_weights_bounded_window(spark):
+    # normalization windows run over the language-bounded aggregate;
+    # exactly one corpus-scale shuffle (the lang groupBy)
+    txt = plan_text(spark, "temperature_sampling_weights")
+    assert "CartesianProduct" not in txt
+    hash_aggs = [
+        l for l in txt.splitlines()
+        if l.strip().startswith("(") and "HashAggregate" in l
+    ]
+    assert hash_aggs, "expected the lang-keyed aggregate"
+    assert count_exchanges(txt) <= 3

@@ -1,0 +1,171 @@
+"""Behavioral tests (planted positives/negatives) for the round-7
+survival-analysis and graph additions: Kaplan-Meier time-to-purchase,
+bounded Bellman-Ford shortest paths, degree-ordered triangle counts,
+and temperature-based mixture weights."""
+
+from __future__ import annotations
+
+import datetime as dt
+import math
+
+from clickstreamtoclickhouse_spark import plans
+
+
+def _write(spark, tmp_path, table, rows, schema):
+    spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{tmp_path}/{table}.parquet")
+
+
+T0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+
+def _ev(user, hours, etype, eid):
+    return (eid, T0 + dt.timedelta(hours=hours), user, etype)
+
+
+EV_SCHEMA = "event_id long, ts timestamp, user_id long, event_type string"
+
+
+def test_km_planted_life_table(spark, tmp_path):
+    """4 planted users: purchases at +1h and +2h, one late purchase
+    beyond the 96h horizon (censored at 96), one never-purchaser
+    (censored at 96) -> the textbook product-limit values."""
+    rows = [
+        _ev(1, 0, "view", 1), _ev(1, 1, "purchase", 2),
+        _ev(2, 0, "view", 3), _ev(2, 2, "purchase", 4),
+        # u3 purchases at +200h: beyond the horizon -> censored at 96
+        _ev(3, 0, "view", 5), _ev(3, 200, "purchase", 6),
+        # u4 never purchases; max ts (+200h) keeps everyone's
+        # end-of-observation beyond the 96h horizon
+        _ev(4, 0, "view", 7),
+    ]
+    _write(spark, tmp_path, "events", rows, EV_SCHEMA)
+    out = {
+        r.t_hours: r
+        for r in plans.QUERIES["km_time_to_purchase"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert set(out) == {1, 2, 96}
+    assert (out[1].n_at_risk, out[1].n_events, out[1].n_censored) == (4, 1, 0)
+    assert out[1].survival == round(3 / 4, 6)
+    assert (out[2].n_at_risk, out[2].n_events, out[2].n_censored) == (3, 1, 0)
+    assert out[2].survival == round(3 / 4 * 2 / 3, 6)
+    # the two censored subjects exit at the horizon; S(t) unchanged
+    assert (out[96].n_at_risk, out[96].n_events, out[96].n_censored) == (
+        2, 0, 2,
+    )
+    assert out[96].survival == out[2].survival
+
+
+def test_km_risk_set_exhausted_yields_zero(spark, tmp_path):
+    """If the last subjects at risk all convert at time t, S(t) must
+    be exactly 0.0 (not ln(0) blow-up)."""
+    rows = [
+        _ev(1, 0, "view", 1), _ev(1, 1, "purchase", 2),
+        _ev(2, 0, "view", 3), _ev(2, 1, "purchase", 4),
+    ]
+    _write(spark, tmp_path, "events", rows, EV_SCHEMA)
+    out = plans.QUERIES["km_time_to_purchase"](spark, str(tmp_path)).collect()
+    assert len(out) == 1
+    assert out[0].t_hours == 1 and out[0].survival == 0.0
+
+
+def test_shortest_paths_planted_graph(spark, tmp_path):
+    """Planted chain A->B->C: source is the dominant type A; costs are
+    the -ln transition probabilities along the most likely path."""
+    rows = [
+        # user 1: A A A B  (A->A x2, A->B)
+        _ev(1, 0, "A", 1), _ev(1, 1, "A", 2),
+        _ev(1, 2, "A", 3), _ev(1, 3, "B", 4),
+        # user 2: A B C  (A->B, B->C)
+        _ev(2, 0, "A", 5), _ev(2, 1, "B", 6), _ev(2, 2, "C", 7),
+    ]
+    _write(spark, tmp_path, "events", rows, EV_SCHEMA)
+    out = {
+        r.event_type: r.min_cost
+        for r in plans.QUERIES["transition_shortest_paths"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    # A: 5 occurrences -> source. P(A->B)=2/4, P(B->C)=1/1.
+    assert out["A"] == 0.0
+    assert out["B"] == round(round(-math.log(0.5), 9), 6)
+    assert out["C"] == out["B"]  # the B->C hop has probability 1 (cost 0)
+
+
+def test_shortest_paths_unreachable_absent(spark, tmp_path):
+    """A node with no inbound path from the source must not appear."""
+    rows = [
+        # Z is its own island (Z->Z); A dominates and never reaches Z
+        _ev(1, 0, "A", 1), _ev(1, 1, "B", 2),
+        _ev(2, 0, "A", 3), _ev(2, 1, "B", 4),
+        _ev(3, 0, "Z", 5), _ev(3, 1, "Z", 6),
+    ]
+    _write(spark, tmp_path, "events", rows, EV_SCHEMA)
+    out = {
+        r.event_type
+        for r in plans.QUERIES["transition_shortest_paths"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert out == {"A", "B"}
+
+
+LI_SCHEMA = "l_orderkey long, l_partkey long"
+
+
+def test_triangles_planted(spark, tmp_path):
+    """Order {1,2,3} forms one triangle; order {3,4} adds an edge that
+    closes nothing; duplicate lines must not double-count."""
+    rows = [
+        (1, 1), (1, 2), (1, 3),
+        (2, 3), (2, 4),
+        (3, 1), (3, 2), (3, 2),  # duplicate line: edge (1,2) again
+    ]
+    _write(spark, tmp_path, "lineitem", rows, LI_SCHEMA)
+    out = {
+        r.l_partkey: r.n_triangles
+        for r in plans.QUERIES["part_copurchase_triangles"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert out == {1: 1, 2: 1, 3: 1}
+
+
+def test_triangles_two_shared_edge(spark, tmp_path):
+    """Two triangles sharing edge (2,3): corner counts reflect
+    participation, each triangle counted exactly once."""
+    rows = [(1, 1), (1, 2), (1, 3), (2, 2), (2, 3), (2, 4)]
+    _write(spark, tmp_path, "lineitem", rows, LI_SCHEMA)
+    out = {
+        r.l_partkey: r.n_triangles
+        for r in plans.QUERIES["part_copurchase_triangles"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert out == {1: 1, 2: 2, 3: 2, 4: 1}
+
+
+DOC_SCHEMA = "doc_id long, text string, lang string, source string"
+
+
+def test_temperature_weights_upsample_minority(spark, tmp_path):
+    """90/10 token split at alpha=0.3: weights sum to 1, the minority
+    language is upsampled (>1x), the majority damped (<1x)."""
+    ten_words = "a b c d e f g h i j"
+    rows = [(i, ten_words, "en", "s") for i in range(9)]
+    rows.append((99, ten_words, "de", "s"))
+    _write(spark, tmp_path, "documents", rows, DOC_SCHEMA)
+    out = {
+        r.lang: r
+        for r in plans.QUERIES["temperature_sampling_weights"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert out["en"].n_tokens == 90 and out["de"].n_tokens == 10
+    assert abs(out["en"].weight + out["de"].weight - 1.0) < 1e-6
+    z = 0.9**0.3 + 0.1**0.3
+    assert abs(out["de"].weight - 0.1**0.3 / z) < 1e-6
+    assert out["de"].upsample_factor > 1.0 > out["en"].upsample_factor
