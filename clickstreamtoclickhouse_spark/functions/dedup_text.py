@@ -175,6 +175,67 @@ def jaccard_pairs(
     )
 
 
+def containment_pairs(
+    docs: DataFrame,
+    threshold: float = 0.9,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_shingle_freq: int | None = None,
+) -> DataFrame:
+    """Near-duplicate pairs by ASYMMETRIC shingle containment
+    (Broder 1997's resemblance companion): c(A in B) = |A∩B| / |A|.
+    Catches the quote/excerpt/truncation regime symmetric Jaccard
+    misses — a short doc fully embedded in a long one has containment
+    1.0 but Jaccard |A|/|B|, arbitrarily low. A pair is emitted when
+    EITHER direction reaches `threshold`; the training-data dedup
+    policy then drops the contained (higher-containment = smaller)
+    side.
+
+    Same relational plan as ``jaccard_pairs`` (shingle equi-join,
+    never all-pairs), same `max_shingle_freq` hot-shingle guard for
+    the 100 TB path; only the final ratio differs. Output:
+    (doc_a, doc_b, cont_a_in_b, cont_b_in_a) with doc_a < doc_b."""
+    sh = _doc_shingles(docs, id_col, text_col, n)
+    if max_shingle_freq is not None:
+        freq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+        sh = sh.join(
+            freq.filter(F.col("df") <= max_shingle_freq).select("shingle"),
+            "shingle",
+            "left_semi",
+        )
+    sh = sh.cache()
+    sizes = sh.groupBy("did").agg(F.count("*").alias("sz"))
+    nparts = int(sh.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    a = sh.select(F.col("did").alias("doc_a"), "shingle").repartition(
+        nparts, "shingle"
+    )
+    b = sh.select(F.col("did").alias("doc_b"), "shingle").repartition(
+        nparts, "shingle"
+    )
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col("did").alias("doc_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("did").alias("doc_b"), F.col("sz").alias("sz_b"))
+    c_ab = F.col("n_common") / F.col("sz_a")
+    c_ba = F.col("n_common") / F.col("sz_b")
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(F.greatest(c_ab, c_ba) >= threshold)
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(c_ab, 6).alias("cont_a_in_b"),
+            F.round(c_ba, 6).alias("cont_b_in_a"),
+        )
+    )
+
+
 def _cap_buckets(
     banded: DataFrame, keys: list[str], max_bucket_size: int | None
 ) -> DataFrame:

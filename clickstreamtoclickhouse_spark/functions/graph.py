@@ -173,3 +173,60 @@ def cluster_assignments(
     return assigned.join(sizes, "component").select(
         id_col, "component", "cluster_size"
     )
+
+
+def k_core(
+    edges: DataFrame,
+    k: int,
+    a: str = "a",
+    b: str = "b",
+    max_rounds: int = 20,
+) -> DataFrame:
+    """k-core of an undirected graph by synchronous peeling (Seidman
+    1983, public method): repeatedly drop every node whose degree
+    within the surviving subgraph is < k, for `max_rounds` rounds or
+    until the node set stops shrinking. Returns (node, core_degree)
+    for the surviving core, where core_degree is the node's degree
+    WITHIN the final core.
+
+    Distributed shape: the directed (symmetrized) edge list is
+    checkpointed once; each round is two semi-joins of edges against
+    the (node-bounded, broadcastable) surviving set plus one keyed
+    count — the standard bulk-synchronous peel, O(rounds * |E|) work,
+    no all-pairs anywhere. Early exit on a driver-side count compare
+    (one bounded scalar per round, same stance as connected
+    components' convergence check)."""
+    und = (
+        edges.select(F.col(a).alias("s"), F.col(b).alias("d"))
+        .unionByName(
+            edges.select(F.col(b).alias("s"), F.col(a).alias("d"))
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    core = und.select(F.col("s").alias("node")).distinct().localCheckpoint(
+        eager=True
+    )
+    n_prev = core.count()
+    for _ in range(max_rounds):
+        survivors = (
+            und.join(core.withColumnRenamed("node", "s"), "s", "left_semi")
+            .join(core.withColumnRenamed("node", "d"), "d", "left_semi")
+            .groupBy("s")
+            .agg(F.count(F.lit(1)).alias("deg"))
+            .filter(F.col("deg") >= k)
+            .select(F.col("s").alias("node"))
+            .localCheckpoint(eager=True)
+        )
+        n_now = survivors.count()
+        core = survivors
+        if n_now == n_prev:
+            break
+        n_prev = n_now
+    return (
+        und.join(core.withColumnRenamed("node", "s"), "s", "left_semi")
+        .join(core.withColumnRenamed("node", "d"), "d", "left_semi")
+        .groupBy("s")
+        .agg(F.count(F.lit(1)).cast("long").alias("core_degree"))
+        .select(F.col("s").alias("node"), "core_degree")
+    )

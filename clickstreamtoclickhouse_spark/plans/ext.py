@@ -4597,3 +4597,49 @@ def temperature_sampling_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(pa / z, 6).alias("weight"),
         F.round(pa / z / F.col("p"), 4).alias("upsample_factor"),
     )
+
+
+@query(
+    "containment_dup_pairs",
+    oracle=f"""
+    WITH corpus AS ({_SQL_NEAR_DUP_CORPUS}),
+    normed AS (
+      SELECT doc_id, {_SQL_WORDS.format(t=_SQL_NORM.format(t='text'))} AS ws
+      FROM corpus
+    ),
+    shingled AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(
+               range(1, len(ws) - 1),
+               i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS shingle
+      FROM normed WHERE len(ws) >= 3
+    ),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM shingled GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+      FROM shingled a JOIN shingled b USING (shingle)
+      WHERE a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           round(n_common * 1.0 / sa.sz, 6) AS cont_a_in_b,
+           round(n_common * 1.0 / sb.sz, 6) AS cont_b_in_a
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE greatest(n_common * 1.0 / sa.sz, n_common * 1.0 / sb.sz) >= 0.9
+    """,
+)
+def containment_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric shingle-containment duplicate pairs (Broder 1997)
+    over the truncated-copy corpus, threshold 0.9: every 80%%
+    truncation is FULLY contained in its original (containment ~1.0),
+    so this catches exactly the excerpt/quote regime where the pair's
+    symmetric Jaccard (~0.8) falls below a 0.9 near-identity bar —
+    the long-doc-quotes-short-doc leak symmetric dedup misses.
+
+    Scale: identical shingle equi-join shape as `jaccard_near_dups`
+    (never all-pairs) with the same hot-shingle cap available on the
+    library function for the 100 TB path."""
+    corpus = _near_dup_corpus(load(spark, sf_dir, "documents"))
+    return dedup_text.containment_pairs(corpus, threshold=0.9, n=3)

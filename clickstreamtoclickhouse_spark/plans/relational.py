@@ -4217,3 +4217,149 @@ def transition_shortest_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint(eager=True)
         )
     return dist.select("event_type", F.round("cost", 6).alias("min_cost"))
+
+
+# ---------------------------------------------------------------------------
+# Poisson-bootstrap confidence interval
+# ---------------------------------------------------------------------------
+
+_BOOT_B = 200
+# Poisson(1) inverse-CDF thresholds (cumulative pmf), capped at w=6.
+_POIS1_CDF = (
+    "0.36787944117144233",
+    "0.7357588823428847",
+    "0.9196986029286058",
+    "0.9810118431238462",
+    "0.9963401531726563",
+    "0.9994058151824183",
+)
+
+
+def _boot_w_sql(u: str) -> str:
+    whens = " ".join(
+        f"WHEN {u} < {t}::DOUBLE THEN {k}" for k, t in enumerate(_POIS1_CDF)
+    )
+    return f"CASE {whens} ELSE 6 END"
+
+
+@query(
+    "purchase_mean_bootstrap_ci",
+    oracle=f"""
+    WITH p AS MATERIALIZED (
+      SELECT event_id,
+             CAST(round(value * 100, 0) AS BIGINT) AS cents
+      FROM events WHERE event_type = 'purchase'
+    ),
+    rep AS (
+      SELECT p.event_id, p.cents, b.b,
+             ('0x' || substr(md5(CAST(p.event_id AS VARCHAR) || ':'
+                                 || CAST(b.b AS VARCHAR)), 1, 8))::BIGINT
+               / 4294967296.0 AS u
+      FROM p CROSS JOIN (
+        SELECT unnest(range(1, {_BOOT_B} + 1)) AS b) b
+    ),
+    means AS (
+      SELECT b,
+             CAST(sum(({_boot_w_sql('u')}) * cents) AS BIGINT) AS s1,
+             CAST(sum({_boot_w_sql('u')}) AS BIGINT) AS s0
+      FROM rep GROUP BY b HAVING sum({_boot_w_sql('u')}) > 0
+    ),
+    ranked AS (
+      SELECT round(s1 / 100.0 / s0, 6) AS mean_b,
+             row_number() OVER (ORDER BY s1 * 1.0 / s0, b) AS rk,
+             count(*) OVER () AS n_rep
+      FROM means
+    ),
+    pt AS (
+      SELECT round(sum(cents) / 100.0 / count(*), 6) AS point_mean FROM p
+    )
+    SELECT CAST(max(n_rep) AS BIGINT) AS n_replicates,
+           max(pt.point_mean) AS point_mean,
+           max(CASE WHEN rk = CAST(ceil(0.025 * n_rep) AS BIGINT)
+                    THEN mean_b END) AS ci_lo,
+           max(CASE WHEN rk = CAST(floor(0.975 * n_rep) AS BIGINT)
+                    THEN mean_b END) AS ci_hi
+    FROM ranked CROSS JOIN pt
+    """,
+)
+def purchase_mean_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """95% percentile-bootstrap confidence interval for the mean
+    purchase value, via the POISSON bootstrap (Hanley & MacGibbon
+    2006 / Chamandy et al. 2012, public methods) — the bootstrap that
+    distributes: instead of resampling n rows with replacement (which
+    needs a global index join), every row draws an independent
+    Poisson(1) replication weight per replicate, so the whole thing
+    is one explode + map-side-combinable keyed aggregate.
+
+    Determinism/parity: the per-(row, replicate) uniform comes from
+    the engine's one portable hash (util.portable_id_hash) divided by
+    2^32 (exact), the Poisson inverse-CDF thresholds are shared
+    literal doubles, and each replicate's statistic is assembled from
+    EXACT integer sufficient statistics (value in rounded cents x
+    integer weight), so replicate means are bit-identical across
+    engines regardless of aggregation order. CI bounds are exact
+    order statistics (ranks ceil(.025 B) / floor(.975 B)) with
+    deterministic tie-break on the replicate id.
+
+    Scale: B={_BOOT_B} replicates x one events scan, combinable into
+    B partial sums per partition before any shuffle — no resample
+    join, no global sort of the data (the only sort is over the
+    B-row replicate table)."""
+    e = load(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    p = e.select(
+        "event_id",
+        F.round(F.col("value") * 100, 0).cast("bigint").alias("cents"),
+    )
+    from ..util import portable_id_hash
+
+    rep = p.select(
+        "cents",
+        F.explode(F.sequence(F.lit(1), F.lit(_BOOT_B))).alias("b"),
+        "event_id",
+    ).select(
+        "cents",
+        "b",
+        (
+            portable_id_hash(
+                F.concat(
+                    F.col("event_id").cast("string"),
+                    F.lit(":"),
+                    F.col("b").cast("string"),
+                )
+            )
+            / F.lit(4294967296.0)
+        ).alias("u"),
+    )
+    w = F.lit(6)
+    for k in range(len(_POIS1_CDF) - 1, -1, -1):
+        w = F.when(F.col("u") < float(_POIS1_CDF[k]), F.lit(k)).otherwise(w)
+    means = (
+        rep.select("b", "cents", w.alias("w"))
+        .groupBy("b")
+        .agg(
+            F.sum(F.col("w") * F.col("cents")).cast("bigint").alias("s1"),
+            F.sum("w").cast("bigint").alias("s0"),
+        )
+        .filter(F.col("s0") > 0)
+    )
+    w_rank = Window.orderBy(F.col("s1") * 1.0 / F.col("s0"), "b")
+    ranked = means.select(
+        F.round(F.col("s1") / 100.0 / F.col("s0"), 6).alias("mean_b"),
+        F.row_number().over(w_rank).alias("rk"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n_rep"),
+    )
+    pt = p.agg(
+        F.round(F.sum("cents") / 100.0 / F.count(F.lit(1)), 6).alias(
+            "point_mean"
+        )
+    )
+    lo_rk = F.ceil(0.025 * F.col("n_rep")).cast("bigint")
+    hi_rk = F.floor(0.975 * F.col("n_rep")).cast("bigint")
+    return ranked.crossJoin(F.broadcast(pt)).agg(
+        F.max("n_rep").cast("bigint").alias("n_replicates"),
+        F.max("point_mean").alias("point_mean"),
+        F.max(F.when(F.col("rk") == lo_rk, F.col("mean_b"))).alias("ci_lo"),
+        F.max(F.when(F.col("rk") == hi_rk, F.col("mean_b"))).alias("ci_hi"),
+    )

@@ -1250,3 +1250,104 @@ def part_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corners.groupBy(F.col("p").alias("l_partkey")).agg(
         F.count(F.lit(1)).cast("long").alias("n_triangles")
     )
+
+
+_KCORE_ROUNDS = 10
+
+
+def _kcore_oracle_sql() -> str:
+    # AS MATERIALIZED is load-bearing: each round references the
+    # previous core twice and und once, so DuckDB's default CTE
+    # inlining would expand the edge-build pipeline 2^rounds times
+    # (exhausting file handles on the base-table scans alone).
+    peel = ["core0 AS MATERIALIZED (SELECT DISTINCT s AS node FROM und)"]
+    for t in range(_KCORE_ROUNDS):
+        peel.append(
+            f"""core{t + 1} AS MATERIALIZED (
+      SELECT s AS node FROM und
+      JOIN core{t} ca ON und.s = ca.node
+      JOIN core{t} cb ON und.d = cb.node
+      GROUP BY s HAVING count(*) >= (SELECT k FROM kk)
+    )"""
+        )
+    return (
+        """
+    WITH li2 AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    edges AS (
+      SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      FROM li2 a JOIN li2 b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    und AS MATERIALIZED (
+      SELECT u AS s, v AS d FROM edges
+      UNION ALL SELECT v, u FROM edges
+    ),
+    kk AS MATERIALIZED (
+      SELECT count(*) // (2 * count(DISTINCT s)) AS k FROM und
+    ),
+    """
+        + ",\n    ".join(peel)
+        + f"""
+    SELECT s AS l_partkey, CAST(count(*) AS BIGINT) AS core_degree
+    FROM und
+    JOIN core{_KCORE_ROUNDS} ca ON und.s = ca.node
+    JOIN core{_KCORE_ROUNDS} cb ON und.d = cb.node
+    GROUP BY s
+    """
+    )
+
+
+@query("part_copurchase_kcore", oracle=_kcore_oracle_sql())
+def part_copurchase_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core of the co-purchase part graph (Seidman 1983 peeling) at
+    k = floor(|E| / |V|) — the graph-derived density bar, so the
+    query transfers across scale factors without a hand-tuned
+    constant. Emits the surviving core with each part's in-core
+    degree: the dense always-bought-together backbone that survives
+    after cascade-removing weakly attached parts (the same peel that
+    prunes low-connectivity candidates before community detection).
+
+    Parity: the peel runs a FIXED maximum of {_KCORE_ROUNDS} rounds
+    on both engines (Spark exits early only at the fixpoint, where
+    further rounds are no-ops on either side — the core shrinks
+    monotonically, so a size match IS set equality); k uses exact
+    integer arithmetic in both.
+
+    Scale: each round is two semi-joins of the checkpointed edge list
+    against the node-bounded (broadcastable) survivor set + one keyed
+    count — O(rounds * |E|), never all-pairs; the co-order edge build
+    fan-out is bounded by order line counts as in
+    `part_copurchase_triangles`."""
+    li2 = (
+        load(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a, b = li2.alias("a"), li2.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
+        )
+        .distinct()
+    )
+    und = (
+        edges.select(F.col("u").alias("s"), F.col("v").alias("d"))
+        .unionByName(edges.select(F.col("v").alias("s"), F.col("u").alias("d")))
+        .localCheckpoint(eager=True)
+    )
+    row = und.agg(
+        F.count(F.lit(1)).alias("e2"),
+        F.countDistinct("s").alias("v"),
+    ).collect()[0]
+    k = row["e2"] // (2 * row["v"]) if row["v"] else 0
+    from ..functions.graph import k_core
+
+    core = k_core(und, k=k, a="s", b="d", max_rounds=_KCORE_ROUNDS)
+    return core.select(
+        F.col("node").alias("l_partkey"), "core_degree"
+    )

@@ -894,3 +894,23 @@ def test_temperature_weights_bounded_window(spark):
     ]
     assert hash_aggs, "expected the lang-keyed aggregate"
     assert count_exchanges(txt) <= 3
+
+
+def test_containment_shingle_equi_join(spark):
+    # containment must ride the same shingle equi-join shape as
+    # jaccard_pairs — never an all-pairs comparison
+    txt = plan_text(spark, "containment_dup_pairs")
+    assert "CartesianProduct" not in txt
+    assert "BroadcastNestedLoopJoin" not in txt
+
+
+def test_bootstrap_ci_no_corpus_sort(spark):
+    # the only single-partition work (rank window + final reduce) runs
+    # over the B-row replicate table; the events-scale path is one
+    # keyed aggregate after the explode — no global sort of the data
+    txt = plan_text(spark, "purchase_mean_bootstrap_ci")
+    assert "CartesianProduct" not in txt
+    lines = [l for l in txt.splitlines() if l.strip().startswith("(")]
+    single = [l for l in lines if "Exchange SinglePartition" in l]
+    assert len(single) <= 3
+    assert any("Generate" in l for l in lines), "expected the replicate explode"

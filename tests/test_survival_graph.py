@@ -169,3 +169,83 @@ def test_temperature_weights_upsample_minority(spark, tmp_path):
     z = 0.9**0.3 + 0.1**0.3
     assert abs(out["de"].weight - 0.1**0.3 / z) < 1e-6
     assert out["de"].upsample_factor > 1.0 > out["en"].upsample_factor
+
+
+def test_containment_catches_embedded_doc(spark):
+    """A short doc fully embedded in a long one: containment 1.0 in
+    the short->long direction while Jaccard stays below threshold;
+    unrelated docs emit nothing."""
+    from clickstreamtoclickhouse_spark.functions import dedup_text
+
+    long_words = " ".join(f"w{i}" for i in range(30))
+    short_words = " ".join(f"w{i}" for i in range(10))
+    other = " ".join(f"z{i}" for i in range(30))
+    docs = spark.createDataFrame(
+        [(1, long_words), (2, short_words), (3, other)],
+        "doc_id long, text string",
+    )
+    pairs = dedup_text.containment_pairs(docs, threshold=0.9, n=3).collect()
+    assert len(pairs) == 1
+    r = pairs[0]
+    assert (r.doc_a, r.doc_b) == (1, 2)
+    assert r.cont_b_in_a == 1.0  # every shingle of the short doc is in the long
+    assert r.cont_a_in_b < 0.5
+    # symmetric jaccard misses this pair at the same bar
+    jac = dedup_text.jaccard_pairs(docs, threshold=0.9, n=3).collect()
+    assert jac == []
+
+
+def test_k_core_peels_tail_keeps_clique(spark):
+    """Clique of 4 (degree 3) + pendant chain: at k=3 the chain
+    cascades away, the clique survives with in-core degree 3."""
+    from clickstreamtoclickhouse_spark.functions.graph import k_core
+
+    clique = [(i, j) for i in range(1, 5) for j in range(i + 1, 5)]
+    chain = [(4, 5), (5, 6), (6, 7)]
+    edges = spark.createDataFrame(clique + chain, "a long, b long")
+    core = {r.node: r.core_degree for r in k_core(edges, k=3).collect()}
+    assert core == {1: 3, 2: 3, 3: 3, 4: 3}
+
+
+def test_k_core_cascade_to_empty(spark):
+    """A pure path has no 2-core: synchronous peeling must cascade
+    from the endpoints until nothing is left."""
+    from clickstreamtoclickhouse_spark.functions.graph import k_core
+
+    path = [(i, i + 1) for i in range(1, 8)]
+    edges = spark.createDataFrame(path, "a long, b long")
+    assert k_core(edges, k=2).count() == 0
+
+
+def test_bootstrap_ci_constant_value_degenerate(spark, tmp_path):
+    """With every purchase worth the same amount, every replicate mean
+    equals the point mean, so the CI collapses to a point."""
+    rows = [
+        (i, T0 + dt.timedelta(hours=i), i % 7, "purchase") for i in range(60)
+    ]
+    _write(spark, tmp_path, "events", rows, EV_SCHEMA)
+    # the query reads `value`: rewrite with a constant value column
+    import pyspark.sql.functions as F
+
+    df = spark.read.parquet(f"{tmp_path}/events.parquet").withColumn(
+        "value", F.lit(12.34)
+    )
+    df.write.mode("overwrite").parquet(f"{tmp_path}/events2.parquet")
+    spark.read.parquet(f"{tmp_path}/events2.parquet").write.mode(
+        "overwrite"
+    ).parquet(f"{tmp_path}/events.parquet")
+    out = plans.QUERIES["purchase_mean_bootstrap_ci"](
+        spark, str(tmp_path)
+    ).collect()[0]
+    assert out.n_replicates == 200
+    assert out.point_mean == 12.34
+    assert out.ci_lo == 12.34 and out.ci_hi == 12.34
+
+
+def test_bootstrap_ci_brackets_point_mean(spark):
+    out = plans.QUERIES["purchase_mean_bootstrap_ci"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()[0]
+    assert out.n_replicates == 200
+    assert out.ci_lo <= out.point_mean <= out.ci_hi
+    assert out.ci_lo < out.ci_hi
