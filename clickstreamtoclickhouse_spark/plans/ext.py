@@ -4643,3 +4643,59 @@ def containment_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     library function for the 100 TB path."""
     corpus = _near_dup_corpus(load(spark, sf_dir, "documents"))
     return dedup_text.containment_pairs(corpus, threshold=0.9, n=3)
+
+
+@query(
+    "source_concentration_hhi",
+    oracle=f"""
+    WITH cell AS (
+      SELECT lang, source,
+             CAST(sum(len(regexp_extract_all(text, '{_SQL_BPE_RE}')))
+               AS BIGINT) AS tok
+      FROM documents GROUP BY lang, source
+    ),
+    tot AS (
+      SELECT lang, CAST(sum(tok) AS BIGINT) AS lang_tok,
+             CAST(count(*) AS BIGINT) AS n_sources
+      FROM cell GROUP BY lang
+    )
+    SELECT c.lang, t.n_sources, t.lang_tok,
+           round(sum(power(c.tok * 1.0 / t.lang_tok, 2)), 6) AS hhi,
+           round(1.0 / sum(power(c.tok * 1.0 / t.lang_tok, 2)), 4)
+             AS effective_sources
+    FROM cell c JOIN tot t USING (lang)
+    GROUP BY c.lang, t.n_sources, t.lang_tok
+    """,
+)
+def source_concentration_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-concentration audit per language: Herfindahl-Hirschman
+    index over each source's token share, plus the effective number
+    of sources (1/HHI, the "inverse Simpson" diversity) — the
+    governance metric that flags a language whose token mass secretly
+    comes from one crawl domain (a single-source language is a
+    contamination/bias risk no per-document filter can see). Composes
+    with `k_anonymity_report` (cell sizes) and `source_capped_docs`
+    (the mitigation).
+
+    Scale: one map-side-combinable (lang, source)-keyed token count,
+    then algebra on the (langs x sources)-bounded cell table — corpus
+    size enters only the first aggregate. Shares are squared/summed
+    per lang over the bounded cell table (sum order guarded by the
+    repo's round-6 stance on tiny float sums)."""
+    d = load(spark, sf_dir, "documents")
+    cell = d.groupBy("lang", "source").agg(
+        F.sum(tx.token_count_bpe(F.col("text"))).cast("long").alias("tok")
+    )
+    tot = cell.groupBy("lang").agg(
+        F.sum("tok").cast("long").alias("lang_tok"),
+        F.count(F.lit(1)).cast("long").alias("n_sources"),
+    )
+    share_sq = F.pow(F.col("tok") * 1.0 / F.col("lang_tok"), 2)
+    return (
+        cell.join(F.broadcast(tot), "lang")
+        .groupBy("lang", "n_sources", "lang_tok")
+        .agg(
+            F.round(F.sum(share_sq), 6).alias("hhi"),
+            F.round(1.0 / F.sum(share_sq), 4).alias("effective_sources"),
+        )
+    )

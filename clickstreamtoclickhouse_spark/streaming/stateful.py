@@ -593,3 +593,115 @@ def streaming_embedding_dedup(
         .option("checkpointLocation", checkpoint_dir)
         .start()
     )
+
+
+_MG_OUT = T.StructType(
+    [
+        T.StructField("shard", T.IntegerType()),
+        T.StructField("item", T.StringType()),
+        T.StructField("count_lower", T.LongType()),
+        T.StructField("decrements", T.LongType()),
+        T.StructField("shard_seen", T.LongType()),
+    ]
+)
+_MG_STATE = T.StructType(
+    [
+        T.StructField("items", T.ArrayType(T.StringType())),
+        T.StructField("counts", T.ArrayType(T.LongType())),
+        T.StructField("decrements", T.LongType()),
+        T.StructField("n_seen", T.LongType()),
+    ]
+)
+
+
+def streaming_heavy_hitters(
+    events: DataFrame,
+    item_col: str = "event_type",
+    ts_col: str = "timestamp",
+    k: int = 16,
+    n_shards: int = 8,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming heavy hitters via a Misra-Gries summary (Misra &
+    Gries 1982, public method) held in GroupState: at most k
+    counters per shard survive across micro-batches, so state is
+    O(k * n_shards) FOREVER regardless of stream volume — the
+    unbounded-cardinality companion to `heavy_hitter_events`' batch
+    top-k.
+
+    Sharding: items are hash-partitioned into `n_shards` groups
+    (stable pmod of xxhash64), each holding an independent summary —
+    the standard scale-out, since MG summaries of disjoint item sets
+    union losslessly. Per item the MG guarantee holds within its
+    shard: count_lower <= true_count <= count_lower + decrements,
+    and any item with true shard frequency > shard_seen/(k+1) is
+    GUARANTEED present (never a false negative above that bar).
+    Every batch emits each shard's surviving candidates in UPDATE
+    mode; a downstream exact count over just the candidate set
+    refines lower bounds when needed.
+
+    Batch arithmetic is pure pandas column ops (value_counts +
+    vectorized merge) — no per-row Python in the executor hot path
+    beyond the Arrow-batched state function itself."""
+
+    def update(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state,
+    ) -> Iterator[pd.DataFrame]:
+        import pandas as _pd
+
+        if state.exists:
+            items, counts, decs, seen = state.get
+            summary = dict(zip(items, (int(c) for c in counts)))
+            decs, seen = int(decs), int(seen)
+        else:
+            summary, decs, seen = {}, 0, 0
+        batch = _pd.concat(list(pdfs), ignore_index=True)
+        vc = batch["item"].value_counts()
+        seen += int(vc.sum())
+        for item, cnt in vc.items():
+            summary[item] = summary.get(item, 0) + int(cnt)
+        # Misra-Gries decrement: while more than k counters survive,
+        # subtract the (k+1)-th largest from everyone and drop zeros —
+        # equivalent to repeated unit decrements, done in one step.
+        while len(summary) > k:
+            cut = sorted(summary.values(), reverse=True)[k]
+            decs += cut
+            summary = {
+                i: c - cut for i, c in summary.items() if c - cut > 0
+            }
+        ordered = sorted(summary.items(), key=lambda kv: (-kv[1], kv[0]))
+        state.update(
+            (
+                [i for i, _ in ordered],
+                [c for _, c in ordered],
+                decs,
+                seen,
+            )
+        )
+        yield _pd.DataFrame(
+            {
+                "shard": [key[0]] * len(ordered),
+                "item": [i for i, _ in ordered],
+                "count_lower": [c for _, c in ordered],
+                "decrements": [decs] * len(ordered),
+                "shard_seen": [seen] * len(ordered),
+            }
+        )
+
+    shard = F.pmod(F.xxhash64(F.col(item_col)), F.lit(n_shards)).cast("int")
+    return (
+        events.withWatermark(ts_col, watermark)
+        .select(
+            shard.alias("shard"), F.col(item_col).cast("string").alias("item")
+        )
+        .groupBy("shard")
+        .applyInPandasWithState(
+            update,
+            outputStructType=_MG_OUT,
+            stateStructType=_MG_STATE,
+            outputMode="update",
+            timeoutConf="NoTimeout",
+        )
+    )

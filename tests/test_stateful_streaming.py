@@ -751,3 +751,55 @@ def test_incremental_minhash_dedup_conservative_chain(spark):
     # the scenario is only meaningful if the chain actually collides
     assert keys[1] & keys[2] and keys[2] & keys[3], "chain failed to collide"
     assert 2 not in got and 3 not in got and 1 in got
+
+
+def test_streaming_heavy_hitters(spark, tmp_path):
+    """Misra-Gries in GroupState across two micro-batches: the
+    dominant item must survive with valid bounds (lower <= true <=
+    lower + decrements), state stays capped at k counters, and the
+    guarantee holds even though rare items may be evicted."""
+    import json as _json
+
+    d = tmp_path / "hhland"
+    d.mkdir()
+    # batch 1: hot x20, five rares x2; batch 2: hot x10, warm x8
+    rows1 = [{"item_id": "hot", "timestamp": "2026-01-01T10:00:00"}] * 20
+    for i in range(5):
+        rows1 += [
+            {"item_id": f"rare{i}", "timestamp": "2026-01-01T10:01:00"}
+        ] * 2
+    rows2 = [{"item_id": "hot", "timestamp": "2026-01-01T11:00:00"}] * 10
+    rows2 += [{"item_id": "warm", "timestamp": "2026-01-01T11:01:00"}] * 8
+    with open(d / "b1.json", "w") as f:
+        for r in rows1:
+            f.write(_json.dumps(r) + "\n")
+    with open(d / "b2.json", "w") as f:
+        for r in rows2:
+            f.write(_json.dumps(r) + "\n")
+
+    schema = "item_id string, timestamp string"
+    raw = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(d))
+        .withColumn("timestamp", F.to_timestamp("timestamp"))
+    )
+    # one shard so every item shares one summary — the adversarial case
+    hh = stateful.streaming_heavy_hitters(
+        raw, item_col="item_id", k=3, n_shards=1
+    )
+    out = _run(spark, hh, "hh_out", tmp_path, mode="update").collect()
+    assert out, "no heavy-hitter rows emitted"
+    final_seen = max(r["shard_seen"] for r in out)
+    final = [r for r in out if r["shard_seen"] == final_seen]
+    assert len(final) <= 3  # state capped at k counters
+    by_item = {r["item"]: r for r in final}
+    assert "hot" in by_item  # freq 30/48 >> n/(k+1): guaranteed present
+    hot = by_item["hot"]
+    assert hot["count_lower"] <= 30 <= hot["count_lower"] + hot["decrements"]
+    assert final_seen == 48
+    # MG guarantee: an EVICTED item's true count never exceeds the
+    # accumulated decrements (rare items had true count 2 each)
+    evicted = [i for i in range(5) if f"rare{i}" not in by_item]
+    if evicted:
+        assert hot["decrements"] >= 2

@@ -249,3 +249,33 @@ def test_bootstrap_ci_brackets_point_mean(spark):
     assert out.n_replicates == 200
     assert out.ci_lo <= out.point_mean <= out.ci_hi
     assert out.ci_lo < out.ci_hi
+
+
+def test_holt_tracks_linear_ramp(spark, tmp_path):
+    """On a pure linear ramp the Holt trend converges toward the true
+    slope and one-step forecasts stay far closer than EWMA's lag."""
+    rows = []
+    eid = 0
+    for day in range(12):
+        eid += 1
+        rows.append((eid, T0 + dt.timedelta(days=day), 1, "view"))
+    _write(spark, tmp_path, "events", rows, EV_SCHEMA)
+    import pyspark.sql.functions as F
+
+    df = spark.read.parquet(f"{tmp_path}/events.parquet").withColumn(
+        "value", (F.dayofmonth("ts") * 10.0).cast("double")
+    )
+    df.write.mode("overwrite").parquet(f"{tmp_path}/events2.parquet")
+    spark.read.parquet(f"{tmp_path}/events2.parquet").write.mode(
+        "overwrite"
+    ).parquet(f"{tmp_path}/events.parquet")
+    out = sorted(
+        plans.QUERIES["daily_value_holt"](spark, str(tmp_path)).collect(),
+        key=lambda r: r.d,
+    )
+    assert out[0].forecast is None and out[0].residual is None
+    # true slope is 10/day: the trend estimate must be positive and
+    # approaching it, and late forecasts must be within a few units
+    assert out[-1].trend > 5.0
+    assert abs(out[-1].residual) < abs(out[1].residual) or out[1].residual is None
+    assert abs(out[-1].actual - out[-1].forecast) < 15.0
