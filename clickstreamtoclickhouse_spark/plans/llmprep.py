@@ -338,3 +338,155 @@ def dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             "split"
         ),
     )
+
+
+# Span corruption: 1-in-SPAN_RATE positions seed a span of 2-4 tokens
+# (mean 3) => expected mask rate ~15%, the T5 default.
+_SPAN_RATE = 20
+_SC_HASH = (
+    "pmod(cast(conv(substr(md5(concat(cast(doc_id as string), '{sep}', "
+    "cast(i as string))), 1, 8), 16, 10) as bigint), {mod})"
+)
+_SC_HASH_DUCK = (
+    "('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '{sep}' || "
+    "CAST(i AS VARCHAR)), 1, 8))::BIGINT % {mod}"
+)
+
+
+@query(
+    "span_corruption_pairs",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_SQL_WS} AS ws FROM documents
+    ),
+    arr AS MATERIALIZED (
+      SELECT doc_id, ws, len(ws) AS n,
+        list_transform(range(1, len(ws) + 1), i ->
+          {_SC_HASH_DUCK.format(sep=':', mod=_SPAN_RATE)} = 0) AS starts,
+        list_transform(range(1, len(ws) + 1), i ->
+          2 + {_SC_HASH_DUCK.format(sep='#', mod=3)}) AS lens
+      FROM toks
+    ),
+    msk AS MATERIALIZED (
+      SELECT doc_id, ws, n,
+        list_transform(range(1, n + 1), i ->
+          len(list_filter(range(greatest(1, i - 3), i + 1),
+              s -> starts[s] AND s + lens[s] > i)) > 0) AS masked
+      FROM arr
+    ),
+    runs AS MATERIALIZED (
+      SELECT doc_id, ws, n, masked,
+        list_transform(range(1, n + 1), i ->
+          masked[i] AND (i = 1 OR NOT masked[i - 1])) AS runstart
+      FROM msk
+    ),
+    ks AS MATERIALIZED (
+      SELECT doc_id, ws, n, masked, runstart,
+        list_transform(range(1, n + 1), i ->
+          len(list_filter(list_slice(runstart, 1, i), b -> b))) AS k
+      FROM runs
+    )
+    SELECT doc_id,
+      CAST(n AS BIGINT) AS n_tokens,
+      CAST(len(list_filter(masked, b -> b)) AS BIGINT) AS n_masked,
+      CAST(len(list_filter(runstart, b -> b)) AS BIGINT) AS n_spans,
+      coalesce(array_to_string(list_filter(list_transform(range(1, n + 1),
+        i ->
+        CASE WHEN NOT masked[i] THEN ws[i]
+             WHEN runstart[i]
+               THEN '<extra_id_' || CAST(k[i] - 1 AS VARCHAR) || '>'
+             ELSE '' END), x -> x <> ''), ' '), '') AS input_text,
+      coalesce(array_to_string(list_filter(list_transform(range(1, n + 1),
+        i ->
+        CASE WHEN runstart[i]
+               THEN '<extra_id_' || CAST(k[i] - 1 AS VARCHAR) || '> ' || ws[i]
+             WHEN masked[i] THEN ws[i]
+             ELSE '' END), x -> x <> ''), ' '), '') AS targets_text
+    FROM ks
+    """,
+)
+def span_corruption_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5-style span-corruption training pairs (Raffel et al. 2020,
+    public method): deterministic hash-seeded spans (~5% of positions
+    seed a 2-4 token span => ~15% mask rate, the T5 default) are
+    replaced by incrementing <extra_id_K> sentinels in the input;
+    the targets sequence carries each sentinel followed by the
+    masked-out tokens — the (input, target) pair an encoder-decoder
+    denoising objective trains on, built straight from the documents
+    table with no random state (rerunning any partition regenerates
+    identical pairs, the retry-safety every distributed sample
+    builder needs).
+
+    Plan shape: one scan, all work in per-row higher-order functions
+    (transform/filter/exists over the token array) — zero shuffles,
+    zero Python. Overlapping spans merge into one sentinel run; the
+    per-position span-membership check looks back at most max_len-1
+    positions, and the sentinel numbering prefix-count is O(n^2) per
+    document in fused array ops (bounded by document length, ~250
+    tokens — never corpus-quadratic). Hashes are the engine's
+    portable md5 form (util.portable_id_hash expression, inlined
+    for lambda use and mirrored verbatim in the oracle)."""
+    d = load(spark, sf_dir, "documents")
+    h_start = _SC_HASH.format(sep=":", mod=_SPAN_RATE)
+    h_len = _SC_HASH.format(sep="#", mod=3)
+    out = (
+        d.select("doc_id", tx.words(F.col("text")).alias("ws"))
+        .withColumn("n", F.size("ws"))
+        .withColumn(
+            "pos",
+            F.expr(
+                "case when n = 0 then cast(array() as array<int>) "
+                "else sequence(1, n) end"
+            ),
+        )
+        .withColumn("starts", F.expr(f"transform(pos, i -> {h_start} = 0)"))
+        .withColumn("lens", F.expr(f"transform(pos, i -> 2 + {h_len})"))
+        .withColumn(
+            "masked",
+            F.expr(
+                "transform(pos, i -> exists("
+                "sequence(greatest(1, i - 3), i), "
+                "s -> element_at(starts, s) "
+                "and s + element_at(lens, s) > i))"
+            ),
+        )
+        .withColumn(
+            "runstart",
+            F.expr(
+                "transform(pos, i -> element_at(masked, i) and "
+                "(i = 1 or not element_at(masked, greatest(i - 1, 1))))"
+            ),
+        )
+        .withColumn(
+            "k",
+            F.expr(
+                "transform(pos, i -> "
+                "size(filter(slice(runstart, 1, i), b -> b)))"
+            ),
+        )
+    )
+    return out.select(
+        "doc_id",
+        F.col("n").cast("long").alias("n_tokens"),
+        F.expr("cast(size(filter(masked, b -> b)) as long)").alias(
+            "n_masked"
+        ),
+        F.expr("cast(size(filter(runstart, b -> b)) as long)").alias(
+            "n_spans"
+        ),
+        F.expr(
+            "array_join(filter(transform(pos, i -> "
+            "case when not element_at(masked, i) then element_at(ws, i) "
+            "when element_at(runstart, i) then concat('<extra_id_', "
+            "cast(element_at(k, i) - 1 as string), '>') "
+            "else '' end), x -> x != ''), ' ')"
+        ).alias("input_text"),
+        F.expr(
+            "array_join(filter(transform(pos, i -> "
+            "case when element_at(runstart, i) then concat('<extra_id_', "
+            "cast(element_at(k, i) - 1 as string), '> ', "
+            "element_at(ws, i)) "
+            "when element_at(masked, i) then element_at(ws, i) "
+            "else '' end), x -> x != ''), ' ')"
+        ).alias("targets_text"),
+    )

@@ -89,6 +89,9 @@ PROBE_QUERIES = [
     # as negative_sampling_pairs — no TPC-H tables in this generator)
     "km_time_to_purchase",
     "transition_shortest_paths",
+    # doc-scale shingle join / events-scale replicate explode
+    "containment_dup_pairs",
+    "purchase_mean_bootstrap_ci",
 ]
 
 

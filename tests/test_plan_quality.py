@@ -914,3 +914,11 @@ def test_bootstrap_ci_no_corpus_sort(spark):
     single = [l for l in lines if "Exchange SinglePartition" in l]
     assert len(single) <= 3
     assert any("Generate" in l for l in lines), "expected the replicate explode"
+
+
+def test_span_corruption_zero_shuffle(spark):
+    # all span work is per-row higher-order functions over the token
+    # array: one scan, no exchange, no Python anywhere
+    txt = plan_text(spark, "span_corruption_pairs")
+    assert count_exchanges(txt) == 0
+    assert "Python" not in txt and "ArrowEval" not in txt

@@ -279,3 +279,42 @@ def test_holt_tracks_linear_ramp(spark, tmp_path):
     assert out[-1].trend > 5.0
     assert abs(out[-1].residual) < abs(out[1].residual) or out[1].residual is None
     assert abs(out[-1].actual - out[-1].forecast) < 15.0
+
+
+def test_span_corruption_roundtrip_and_rate(spark):
+    """Denoising-pair invariant: splicing each <extra_id_K> target
+    span back into the input reconstructs the original token stream;
+    aggregate mask rate sits near the 15% design point."""
+    import re
+
+    rows = plans.QUERIES["span_corruption_pairs"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    docs = {
+        r.doc_id: r.text
+        for r in plans.load(spark, "/root/testdata/sf0.001", "documents")
+        .select("doc_id", "text")
+        .collect()
+    }
+    assert rows
+    tot_tokens = sum(r.n_tokens for r in rows)
+    tot_masked = sum(r.n_masked for r in rows)
+    assert 0.08 <= tot_masked / tot_tokens <= 0.25
+    sent = re.compile(r"^<extra_id_(\d+)>$")
+    for r in rows:
+        # parse targets into span lists keyed by sentinel id
+        spans, cur = {}, None
+        for tok in r.targets_text.split():
+            m = sent.match(tok)
+            if m:
+                cur = int(m.group(1))
+                spans[cur] = []
+            else:
+                spans[cur].append(tok)
+        assert r.n_spans == len(spans)
+        assert all(spans[k] for k in spans), f"empty span in doc {r.doc_id}"
+        rebuilt = []
+        for tok in r.input_text.split():
+            m = sent.match(tok)
+            rebuilt.extend(spans[int(m.group(1))] if m else [tok])
+        assert rebuilt == docs[r.doc_id].split(), f"doc {r.doc_id}"
