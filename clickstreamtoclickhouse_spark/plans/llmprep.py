@@ -417,76 +417,65 @@ def span_corruption_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical pairs, the retry-safety every distributed sample
     builder needs).
 
-    Plan shape: one scan, all work in per-row higher-order functions
-    (transform/filter/exists over the token array) — zero shuffles,
-    zero Python. Overlapping spans merge into one sentinel run; the
-    per-position span-membership check looks back at most max_len-1
-    positions, and the sentinel numbering prefix-count is O(n^2) per
-    document in fused array ops (bounded by document length, ~250
-    tokens — never corpus-quadratic). Hashes are the engine's
-    portable md5 form (util.portable_id_hash expression, inlined
-    for lambda use and mirrored verbatim in the oracle)."""
+    Plan shape: one scan, ONE LINEAR aggregate() fold per row that
+    carries (coverage-end, prev-mask, span counter, output arrays)
+    as its accumulator — zero shuffles, zero Python, and the folded
+    struct is expanded through inline(array(...)) so it is evaluated
+    exactly once per row. The first formulation chained dependent
+    transform() columns instead; Catalyst collapses projections and
+    interprets HOF lambdas WITHOUT common-subexpression elimination,
+    so every element_at(masked, ...) re-materialized the whole
+    upstream array chain — O(n^4) per document, 100s at sf0.1 vs
+    ~3s for this fold (the same pitfall functions/dedup_text.py's
+    _doc_shingles documents). The incremental coverage-end recurrence
+    (cov = max over seen span starts of s + len_s; masked_i = start_i
+    OR cov_{i-1} > i) is exactly the oracle's exists() semantics.
+
+    Hashes are the engine's portable md5 form (util.portable_id_hash
+    expression, inlined for lambda use and mirrored verbatim in the
+    oracle)."""
     d = load(spark, sf_dir, "documents")
     h_start = _SC_HASH.format(sep=":", mod=_SPAN_RATE)
     h_len = _SC_HASH.format(sep="#", mod=3)
-    out = (
-        d.select("doc_id", tx.words(F.col("text")).alias("ws"))
-        .withColumn("n", F.size("ws"))
-        .withColumn(
-            "pos",
-            F.expr(
-                "case when n = 0 then cast(array() as array<int>) "
-                "else sequence(1, n) end"
-            ),
-        )
-        .withColumn("starts", F.expr(f"transform(pos, i -> {h_start} = 0)"))
-        .withColumn("lens", F.expr(f"transform(pos, i -> 2 + {h_len})"))
-        .withColumn(
-            "masked",
-            F.expr(
-                "transform(pos, i -> exists("
-                "sequence(greatest(1, i - 3), i), "
-                "s -> element_at(starts, s) "
-                "and s + element_at(lens, s) > i))"
-            ),
-        )
-        .withColumn(
-            "runstart",
-            F.expr(
-                "transform(pos, i -> element_at(masked, i) and "
-                "(i = 1 or not element_at(masked, greatest(i - 1, 1))))"
-            ),
-        )
-        .withColumn(
-            "k",
-            F.expr(
-                "transform(pos, i -> "
-                "size(filter(slice(runstart, 1, i), b -> b)))"
-            ),
-        )
+    start = f"({h_start} = 0)"
+    length = f"(2 + {h_len})"
+    masked = f"({start} or acc.cov > i)"
+    runstart = f"({masked} and not acc.pm)"
+    sent = "concat('<extra_id_', cast(acc.ns as string), '>')"
+    inp_elem = (
+        f"case when not {masked} then element_at(ws, i) "
+        f"when {runstart} then {sent} else null end"
     )
-    return out.select(
-        "doc_id",
-        F.col("n").cast("long").alias("n_tokens"),
-        F.expr("cast(size(filter(masked, b -> b)) as long)").alias(
-            "n_masked"
-        ),
-        F.expr("cast(size(filter(runstart, b -> b)) as long)").alias(
-            "n_spans"
-        ),
-        F.expr(
-            "array_join(filter(transform(pos, i -> "
-            "case when not element_at(masked, i) then element_at(ws, i) "
-            "when element_at(runstart, i) then concat('<extra_id_', "
-            "cast(element_at(k, i) - 1 as string), '>') "
-            "else '' end), x -> x != ''), ' ')"
-        ).alias("input_text"),
-        F.expr(
-            "array_join(filter(transform(pos, i -> "
-            "case when element_at(runstart, i) then concat('<extra_id_', "
-            "cast(element_at(k, i) - 1 as string), '> ', "
-            "element_at(ws, i)) "
-            "when element_at(masked, i) then element_at(ws, i) "
-            "else '' end), x -> x != ''), ' ')"
-        ).alias("targets_text"),
+    tgt_elem = (
+        f"case when {runstart} then concat({sent}, ' ', element_at(ws, i)) "
+        f"when {masked} then element_at(ws, i) else null end"
+    )
+    fold = f"""aggregate(
+      case when n = 0 then cast(array() as array<int>) else sequence(1, n) end,
+      named_struct(
+        'cov', 0, 'pm', false, 'ns', 0, 'nm', 0,
+        'inp', cast(array() as array<string>),
+        'tgt', cast(array() as array<string>)),
+      (acc, i) -> named_struct(
+        'cov', cast(greatest(acc.cov, if({start}, i + {length}, 0)) as int),
+        'pm', {masked},
+        'ns', acc.ns + if({runstart}, 1, 0),
+        'nm', acc.nm + if({masked}, 1, 0),
+        'inp', if(({inp_elem}) is null, acc.inp,
+                  concat(acc.inp, array({inp_elem}))),
+        'tgt', if(({tgt_elem}) is null, acc.tgt,
+                  concat(acc.tgt, array({tgt_elem})))),
+      acc -> named_struct(
+        'n_masked', cast(acc.nm as bigint),
+        'n_spans', cast(acc.ns as bigint),
+        'input_text', array_join(acc.inp, ' '),
+        'targets_text', array_join(acc.tgt, ' ')))"""
+    return (
+        widen_scan(d.select("doc_id", tx.words(F.col("text")).alias("ws")))
+        .withColumn("n", F.size("ws"))
+        .selectExpr(
+            "doc_id",
+            "cast(n as bigint) as n_tokens",
+            f"inline(array({fold}))",
+        )
     )

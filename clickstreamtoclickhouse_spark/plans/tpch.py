@@ -1158,25 +1158,29 @@ def part_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-part triangle participation counts on the co-purchase
     graph (parts are adjacent iff they appear in the same order) —
     the local-clustering signal behind "bought together" cohesion and
-    community seeds. Triangle enumeration uses DEGREE ORDERING
-    (Chiba & Nishizeki 1985 / the MapReduce formulation of Suri &
-    Vassilvitskii 2011, public methods): every undirected edge is
-    oriented from its lower-(degree, id) endpoint to the higher one,
-    wedges are built only at each node's out-neighborhood, and a
-    wedge closes iff the oriented (b, c) edge exists — each triangle
-    is produced exactly once, at its lowest-rank corner.
+    community seeds. Uses DEGREE-ORDERED orientation (Chiba &
+    Nishizeki 1985) with the compact-forward evaluation (Latapy 2008,
+    public methods): every undirected edge is oriented from its
+    lower-(degree, id) endpoint to the higher one, and each triangle
+    {a,b,c} is found exactly once at its CLOSING edge (b,c) as a
+    member of N_in(b) ∩ N_in(c) under that orientation.
 
-    The oracle enumerates the identical triangle set with the plain
-    id-ordered a<b<c formulation (orientation changes work, not
-    results).
+    The intersection runs as array_intersect over per-node sorted
+    in-adjacency arrays joined onto the edge list — O(sum over edges
+    of deg(b)+deg(c)) ≈ O(m·avg_deg) fused JVM set work, with NO
+    materialized wedge relation: the first formulation generated the
+    41M-row wedge join at sf0.1 (21.6s); this one shuffles only the
+    m-row edge list and the O(m)-total adjacency arrays (2.5s). The
+    oracle enumerates the identical triangle set with the plain
+    id-ordered a<b<c triple join (orientation and evaluation order
+    change work, not results).
 
     Scale: the co-occurrence self-join fans out per order, bounded by
     the order's line count (<= 7 in TPC-H-shaped data), so the edge
-    build is linear in lineitem. Degree ordering bounds every node's
-    out-degree by O(sqrt(m)), giving the O(m^1.5) wedge bound that
-    survives hub parts where naive id-ordering would square on the
-    hottest key; the closing check is an equi-join on the oriented
-    edge list."""
+    build is linear in lineitem; degree ordering bounds in-degrees by
+    O(sqrt(m)), so no adjacency array exceeds that and the per-edge
+    intersection cost keeps the O(m^1.5) total bound even on hub
+    parts."""
     li2 = (
         load(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
@@ -1194,16 +1198,15 @@ def part_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    # Degree of each endpoint over the undirected edge set.
+    # Degree of each endpoint over the undirected edge set; rank key
+    # (degree, id) packed into one bigint so the orientation
+    # comparison is a single column op (partkey < 1e10, deg < 1e8).
     deg = (
         pairs.select(F.col("u").alias("node"))
         .unionByName(pairs.select(F.col("v").alias("node")))
         .groupBy("node")
         .agg(F.count(F.lit(1)).cast("long").alias("deg"))
     )
-    # Total-order rank key: (degree, id) packed into one bigint so the
-    # orientation comparison is a single column op. partkey < 1e10 and
-    # deg < 1e8 in any realistic SF, so the pack cannot collide.
     rank_of = (F.col("deg") * F.lit(10_000_000_000) + F.col("node")).alias(
         "rk"
     )
@@ -1218,38 +1221,50 @@ def part_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("rk_u") < F.col("rk_v"), F.col("u"))
         .otherwise(F.col("v"))
         .alias("s"),
-        F.when(F.col("rk_u") < F.col("rk_v"), F.col("rk_u"))
-        .otherwise(F.col("rk_v"))
-        .alias("rk_s"),
         F.when(F.col("rk_u") < F.col("rk_v"), F.col("v"))
         .otherwise(F.col("u"))
         .alias("d"),
-        F.when(F.col("rk_u") < F.col("rk_v"), F.col("rk_v"))
-        .otherwise(F.col("rk_u"))
-        .alias("rk_d"),
     ).localCheckpoint(eager=True)
-    e1, e2 = oriented.alias("e1"), oriented.alias("e2")
-    wedges = e1.join(
-        e2,
-        (F.col("e1.s") == F.col("e2.s"))
-        & (F.col("e1.rk_d") < F.col("e2.rk_d")),
-    ).select(
-        F.col("e1.s").alias("a"),
-        F.col("e1.d").alias("b"),
-        F.col("e2.d").alias("c"),
+    # Sorted in-neighbor array per node (total payload O(m); max array
+    # length O(sqrt m) by the orientation).
+    inadj = oriented.groupBy("d").agg(
+        F.sort_array(F.collect_list("s")).alias("ins")
     )
-    closing = oriented.select(
-        F.col("s").alias("b"), F.col("d").alias("c")
+    closing = (
+        oriented.join(
+            inadj.select(F.col("d").alias("s"), F.col("ins").alias("ins_b")),
+            "s",
+        )
+        .join(
+            inadj.select("d", F.col("ins").alias("ins_c")),
+            "d",
+        )
+        .select(
+            "s",
+            "d",
+            F.array_intersect("ins_b", "ins_c").alias("common"),
+        )
+        .filter(F.size("common") > 0)
+        .localCheckpoint(eager=True)
     )
-    tri = wedges.join(closing, ["b", "c"])
-    corners = (
-        tri.select(F.col("a").alias("p"))
-        .unionByName(tri.select(F.col("b").alias("p")))
-        .unionByName(tri.select(F.col("c").alias("p")))
+    # corner counts: 'a' corners are the intersection members; the
+    # closing edge endpoints each gain the intersection size
+    a_corners = closing.select(
+        F.explode("common").alias("p"), F.lit(1).cast("long").alias("c")
     )
-    return corners.groupBy(F.col("p").alias("l_partkey")).agg(
-        F.count(F.lit(1)).cast("long").alias("n_triangles")
+    b_corners = closing.select(
+        F.col("s").alias("p"), F.size("common").cast("long").alias("c")
     )
+    c_corners = closing.select(
+        F.col("d").alias("p"), F.size("common").cast("long").alias("c")
+    )
+    return (
+        a_corners.unionByName(b_corners)
+        .unionByName(c_corners)
+        .groupBy(F.col("p").alias("l_partkey"))
+        .agg(F.sum("c").cast("long").alias("n_triangles"))
+    )
+
 
 
 _KCORE_ROUNDS = 10

@@ -916,9 +916,12 @@ def test_bootstrap_ci_no_corpus_sort(spark):
     assert any("Generate" in l for l in lines), "expected the replicate explode"
 
 
-def test_span_corruption_zero_shuffle(spark):
-    # all span work is per-row higher-order functions over the token
-    # array: one scan, no exchange, no Python anywhere
+def test_span_corruption_single_fold_no_python(spark):
+    # all span work is ONE linear aggregate() fold per row expanded
+    # through inline(array(...)) — no Python anywhere, and at most the
+    # widen_scan round-robin exchange (CPU-parallelism for the fold on
+    # an under-partitioned test scan; never fires on a real corpus)
     txt = plan_text(spark, "span_corruption_pairs")
-    assert count_exchanges(txt) == 0
+    assert count_exchanges(txt) <= 1
     assert "Python" not in txt and "ArrowEval" not in txt
+    assert "Generate" in txt  # the inline() single-evaluation expansion
