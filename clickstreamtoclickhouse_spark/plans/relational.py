@@ -4455,3 +4455,300 @@ def daily_value_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.round(F.col("v") - fc, 6))
         .alias("residual"),
     )
+
+
+_DTW_INF = 10**15
+
+
+@query(
+    "event_type_dtw",
+    oracle=f"""
+    WITH RECURSIVE bounds AS (
+      SELECT CAST(min(ts) AS DATE) AS mn, CAST(max(ts) AS DATE) AS mx
+      FROM events
+    ),
+    cal AS (
+      SELECT unnest(range(0, date_diff('day', mn, mx) + 1)) AS idx
+      FROM bounds
+    ),
+    cnts AS (
+      SELECT event_type,
+             date_diff('day', (SELECT mn FROM bounds), CAST(ts AS DATE))
+               AS idx,
+             count(*) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    vecs AS (
+      SELECT t.event_type,
+             list(CAST(coalesce(c.n, 0) AS BIGINT) ORDER BY cal.idx) AS vec
+      FROM (SELECT DISTINCT event_type FROM events) t
+      CROSS JOIN cal
+      LEFT JOIN cnts c
+        ON c.event_type = t.event_type AND c.idx = cal.idx
+      GROUP BY t.event_type
+    ),
+    pairs AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             a.vec AS va, b.vec AS vb
+      FROM vecs a JOIN vecs b ON a.event_type < b.event_type
+    ),
+    dp(type_a, type_b, i, row) AS (
+      SELECT type_a, type_b, 0,
+             list_prepend(0::BIGINT,
+                          list_transform(vb, x -> {_DTW_INF}::BIGINT))
+      FROM pairs
+      UNION ALL
+      SELECT dp.type_a, dp.type_b, dp.i + 1,
+        list_reduce(
+          list_prepend([{_DTW_INF}::BIGINT],
+                       list_transform(range(1, len(p.vb) + 1),
+                                      j -> [j::BIGINT])),
+          (nr, jl) -> list_append(nr,
+            abs(p.va[dp.i + 1] - p.vb[len(nr)])
+            + least(dp.row[len(nr) + 1], dp.row[len(nr)], nr[len(nr)])))
+      FROM dp JOIN pairs p
+        ON p.type_a = dp.type_a AND p.type_b = dp.type_b
+      WHERE dp.i < len(p.va)
+    )
+    SELECT dp.type_a, dp.type_b,
+           CAST(len(p.va) AS BIGINT) AS n_days,
+           row[len(p.vb) + 1] AS dtw_distance
+    FROM dp JOIN pairs p
+      ON p.type_a = dp.type_a AND p.type_b = dp.type_b
+    WHERE dp.i = len(p.va)
+    """,
+)
+def event_type_dtw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic-time-warping distance (Sakoe & Chiba 1978, public
+    method) between every pair of event types' daily-count series —
+    the alignment-tolerant time-series similarity that cosine
+    (`user_activity_similarity`) can't express: a traffic pattern
+    shifted by a day still matches. Series are dense calendar
+    vectors (missing days = 0), distances are EXACT integer DP (the
+    |a-b| local cost and min-plus recurrence never leave BIGINT), so
+    cross-engine parity is structural — no float discipline needed.
+
+    Engine mechanics: Spark evaluates the DP as a nested aggregate()
+    fold (outer over series A, inner building each row left-to-right
+    with the within-row dependence); the oracle carries the DP row
+    through a linear recursive CTE with a single-level list_reduce
+    (DuckDB 1.0 lambdas cannot capture outer lambda variables, and
+    list_reduce has no init argument — the row/init ride as
+    prepended list elements instead).
+
+    Scale: the event-scale work is one (type, day)-keyed count; the
+    O(days^2) DP runs per TYPE PAIR over calendar-bounded vectors —
+    at a decade horizon that is ~13M fused integer ops per pair,
+    driver trivia, and the pair count is type-vocabulary-bounded."""
+    e = load(spark, sf_dir, "events")
+    bounds = e.agg(
+        F.min(F.to_date("ts")).alias("mn"), F.max(F.to_date("ts")).alias("mx")
+    )
+    cal = bounds.select(
+        F.explode(F.sequence(F.lit(0), F.datediff("mx", "mn"))).alias("idx")
+    )
+    cnts = (
+        e.crossJoin(F.broadcast(bounds.select("mn")))
+        .groupBy(
+            "event_type",
+            F.datediff(F.to_date("ts"), F.col("mn")).alias("idx"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    types = e.select("event_type").distinct()
+    dense = (
+        types.crossJoin(cal)
+        .join(cnts, ["event_type", "idx"], "left")
+        .groupBy("event_type")
+        .agg(
+            F.expr(
+                "transform(sort_array(collect_list(struct(idx, n))), "
+                "s -> coalesce(s.n, 0L))"
+            ).alias("vec")
+        )
+    )
+    pairs = (
+        dense.select(
+            F.col("event_type").alias("type_a"), F.col("vec").alias("va")
+        )
+        .join(
+            dense.select(
+                F.col("event_type").alias("type_b"), F.col("vec").alias("vb")
+            ),
+            F.col("type_a") < F.col("type_b"),
+        )
+    )
+    dtw = f"""
+    element_at(
+      aggregate(va,
+        concat(array(0L), transform(vb, x -> {_DTW_INF}L)),
+        (old, x) -> aggregate(sequence(1, size(vb)),
+          array({_DTW_INF}L),
+          (nr, j) -> concat(nr, array(
+            abs(x - element_at(vb, j))
+            + least(element_at(old, j + 1), element_at(old, j),
+                    element_at(nr, j)))))),
+      size(vb) + 1)"""
+    return pairs.selectExpr(
+        "type_a",
+        "type_b",
+        "cast(size(va) as bigint) as n_days",
+        f"{dtw} as dtw_distance",
+    )
+
+
+@query(
+    "smoothed_conversion_rates",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id,
+             CAST(count(*) AS BIGINT) AS n_events,
+             CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_purchases
+      FROM events GROUP BY user_id
+    ),
+    moments AS (
+      SELECT round(avg(n_purchases * 1.0 / n_events), 6) AS m,
+             round(var_samp(n_purchases * 1.0 / n_events), 6) AS v
+      FROM per_user
+    ),
+    prior AS (
+      SELECT m, v,
+             CASE WHEN v > 0 AND m * (1 - m) / v - 1 > 0
+                  THEN m * (m * (1 - m) / v - 1) ELSE NULL END AS alpha,
+             CASE WHEN v > 0 AND m * (1 - m) / v - 1 > 0
+                  THEN (1 - m) * (m * (1 - m) / v - 1) ELSE NULL END AS beta
+      FROM moments
+    )
+    SELECT user_id, n_events, n_purchases,
+           round(n_purchases * 1.0 / n_events, 6) AS raw_rate,
+           round(CASE WHEN alpha IS NULL
+                      THEN n_purchases * 1.0 / n_events
+                      ELSE (n_purchases + alpha) / (n_events + alpha + beta)
+                 END, 6) AS smoothed_rate
+    FROM per_user CROSS JOIN prior
+    """,
+)
+def smoothed_conversion_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical-Bayes beta-binomial shrinkage of per-user conversion
+    rates (Robbins 1956 / the standard CTR-smoothing construction,
+    public method): fit a Beta(alpha, beta) prior to the observed
+    rate distribution by method of moments, then report each user's
+    posterior-mean rate (k + alpha)/(n + alpha + beta) — low-traffic
+    users shrink toward the population mean instead of broadcasting
+    noisy 0%/100% rates into downstream features. Degenerate moments
+    (zero variance) fall back to the raw rate, CASE-identically on
+    both engines.
+
+    Float discipline (verify-skill stance): the prior is scalar
+    algebra over ROUNDED moments (avg/var at 6dp, the ab_test_welch
+    pattern), so both engines derive bit-identical alpha/beta; the
+    per-user posterior then divides exact integers by those shared
+    scalars.
+
+    Scale: one user-keyed count aggregate + a broadcast 1-row prior —
+    the cheapest per-entity feature shape there is."""
+    e = load(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("long")
+        .alias("n_purchases"),
+    )
+    rate = F.col("n_purchases") * 1.0 / F.col("n_events")
+    moments = per_user.agg(
+        F.round(F.avg(rate), 6).alias("m"),
+        F.round(F.var_samp(rate), 6).alias("v"),
+    )
+    strength = F.col("m") * (1 - F.col("m")) / F.col("v") - 1
+    ok = (F.col("v") > 0) & (strength > 0)
+    prior = moments.select(
+        F.when(ok, F.col("m") * strength).alias("alpha"),
+        F.when(ok, (1 - F.col("m")) * strength).alias("beta"),
+    )
+    smoothed = F.when(
+        F.col("alpha").isNull(), rate
+    ).otherwise(
+        (F.col("n_purchases") + F.col("alpha"))
+        / (F.col("n_events") + F.col("alpha") + F.col("beta"))
+    )
+    return per_user.crossJoin(F.broadcast(prior)).select(
+        "user_id",
+        "n_events",
+        "n_purchases",
+        F.round(rate, 6).alias("raw_rate"),
+        F.round(smoothed, 6).alias("smoothed_rate"),
+    )
+
+
+@query(
+    "benford_value_audit",
+    oracle="""
+    WITH cents AS (
+      SELECT CAST(round(value * 100, 0) AS BIGINT) AS c
+      FROM events WHERE round(value * 100, 0) > 0
+    ),
+    digits AS (
+      SELECT substr(CAST(c AS VARCHAR), 1, 1) AS digit,
+             CAST(count(*) AS BIGINT) AS n_obs
+      FROM cents GROUP BY 1
+    ),
+    tot AS (SELECT CAST(sum(n_obs) AS BIGINT) AS n FROM digits),
+    tbl AS (
+      SELECT digit, n_obs,
+             round(n_obs * 1.0 / tot.n, 6) AS obs_share,
+             round(ln(1.0 + 1.0 / CAST(digit AS INT)) / ln(10.0), 6)
+               AS exp_share,
+             tot.n AS n
+      FROM digits CROSS JOIN tot
+    )
+    SELECT digit, n_obs, obs_share, exp_share,
+           round(sum(n * (obs_share - exp_share) * (obs_share - exp_share)
+                     / exp_share) OVER (), 4) AS chi2
+    FROM tbl
+    """,
+)
+def benford_value_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit (Benford 1938 / Nigrini's
+    fraud-screening use, public method) over the event value column:
+    observed leading-significant-digit shares vs the log10(1 + 1/d)
+    law, with the chi-square deviation statistic — the standard
+    forensic screen for fabricated or truncated monetary data.
+
+    Digit extraction is EXACT: values become integer cents first
+    (round*100, the repo's money convention), and the leading digit
+    is the first character of the integer's decimal string —
+    identical across engines, with no float log10 near power-of-ten
+    boundaries. Shares and the digit law are rounded at 6dp before
+    the chi-square algebra (rounded-sufficient-statistics stance).
+
+    Scale: one scan into a 9-row digit aggregate; the chi-square
+    window runs over those 9 rows."""
+    e = load(spark, sf_dir, "events")
+    cents = e.select(
+        F.round(F.col("value") * 100, 0).cast("bigint").alias("c")
+    ).filter(F.col("c") > 0)
+    digits = cents.groupBy(
+        F.substring(F.col("c").cast("string"), 1, 1).alias("digit")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_obs"))
+    tot = digits.agg(F.sum("n_obs").cast("long").alias("n"))
+    tbl = digits.crossJoin(F.broadcast(tot)).select(
+        "digit",
+        "n_obs",
+        F.round(F.col("n_obs") * 1.0 / F.col("n"), 6).alias("obs_share"),
+        F.round(
+            F.log(1.0 + 1.0 / F.col("digit").cast("int")) / F.log(F.lit(10.0)),
+            6,
+        ).alias("exp_share"),
+        "n",
+    )
+    chi = F.sum(
+        F.col("n")
+        * (F.col("obs_share") - F.col("exp_share"))
+        * (F.col("obs_share") - F.col("exp_share"))
+        / F.col("exp_share")
+    ).over(Window.partitionBy())
+    return tbl.select(
+        "digit", "n_obs", "obs_share", "exp_share",
+        F.round(chi, 4).alias("chi2"),
+    )

@@ -318,3 +318,71 @@ def test_span_corruption_roundtrip_and_rate(spark):
             m = sent.match(tok)
             rebuilt.extend(spans[int(m.group(1))] if m else [tok])
         assert rebuilt == docs[r.doc_id].split(), f"doc {r.doc_id}"
+
+
+def test_dtw_shift_tolerance(spark, tmp_path):
+    """A one-day-shifted spike aligns at distance 0 under DTW (the
+    property cosine/euclidean lack); a flat series stays far."""
+    rows, eid = [], 0
+    # X: spike of 5 events on day 1; Y: same spike on day 2;
+    # Z: one event on each of days 0..3 (anchors the calendar too)
+    for _ in range(5):
+        eid += 1; rows.append(_ev(1, 24 * 1, "X", eid))
+    for _ in range(5):
+        eid += 1; rows.append(_ev(2, 24 * 2, "Y", eid))
+    for day in range(4):
+        eid += 1; rows.append(_ev(3, 24 * day, "Z", eid))
+    _write(spark, tmp_path, "events", rows, EV_SCHEMA)
+    out = {
+        (r.type_a, r.type_b): r.dtw_distance
+        for r in plans.QUERIES["event_type_dtw"](spark, str(tmp_path)).collect()
+    }
+    # vectors over days 0..3: X=[0,5,0,0], Y=[0,0,5,0], Z=[1,1,1,1]
+    assert out[("X", "Y")] == 0  # warping absorbs the one-day shift
+    def dtw(a, b):
+        INF = 10**15
+        old = [0] + [INF] * len(b)
+        for x in a:
+            nr = [INF]
+            for j in range(1, len(b) + 1):
+                nr.append(abs(x - b[j - 1]) + min(old[j], old[j - 1], nr[j - 1]))
+            old = nr
+        return old[len(b)]
+    assert out[("X", "Z")] == dtw([0, 5, 0, 0], [1, 1, 1, 1])
+    assert out[("Y", "Z")] == dtw([0, 0, 5, 0], [1, 1, 1, 1])
+    assert out[("X", "Z")] > out[("X", "Y")]
+
+
+def test_eb_shrinkage_pulls_low_n_toward_mean(spark, tmp_path):
+    """A 1-event user at 100% shrinks hard toward the population
+    mean; a 100-event user barely moves — the defining EB property."""
+    rows, eid = [], 0
+    # 8 users with 50 events each at 20% purchase rate (population)
+    for u in range(8):
+        for i in range(50):
+            eid += 1
+            rows.append(
+                _ev(u, i, "purchase" if i % 5 == 0 else "view", eid)
+            )
+    # user 100: a single purchase (raw rate 1.0)
+    eid += 1
+    rows.append(_ev(100, 0, "purchase", eid))
+    _write(spark, tmp_path, "events", rows, EV_SCHEMA)
+    out = {
+        r.user_id: r
+        for r in plans.QUERIES["smoothed_conversion_rates"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    one_shot = out[100]
+    assert one_shot.raw_rate == 1.0
+    # shrunk most of the way back toward ~0.2
+    assert one_shot.smoothed_rate < 0.65
+    big = out[0]
+    assert abs(big.smoothed_rate - big.raw_rate) < 0.05
+    # every smoothed rate sits between the raw rate and the pop mean
+    rates = [r.raw_rate for r in out.values()]
+    m = sum(rates) / len(rates)
+    for r in out.values():
+        lo, hi = sorted((r.raw_rate, m))
+        assert lo - 1e-6 <= r.smoothed_rate <= hi + 1e-6
