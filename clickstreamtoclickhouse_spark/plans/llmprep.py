@@ -479,3 +479,81 @@ def span_corruption_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"inline(array({fold}))",
         )
     )
+
+
+_MLM_SEL = 15   # % of positions selected
+_MLM_MASK = 8   # of 10 selected: <8 -> [MASK], =8 -> random, =9 -> keep
+
+
+@query(
+    "mlm_masked_tokens",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_SQL_WS} AS ws FROM documents
+    )
+    SELECT doc_id,
+      CAST(len(ws) AS BIGINT) AS n_tokens,
+      CAST(len(list_filter(range(1, len(ws) + 1), i ->
+        {_SC_HASH_DUCK.format(sep='m', mod=100)} < {_MLM_SEL}))
+        AS BIGINT) AS n_selected,
+      coalesce(array_to_string(list_transform(range(1, len(ws) + 1), i ->
+        CASE WHEN {_SC_HASH_DUCK.format(sep='m', mod=100)} >= {_MLM_SEL}
+             THEN ws[i]
+             WHEN {_SC_HASH_DUCK.format(sep='r', mod=10)} < {_MLM_MASK}
+             THEN '[MASK]'
+             WHEN {_SC_HASH_DUCK.format(sep='r', mod=10)} = {_MLM_MASK}
+             THEN ws[1 + ({_SC_HASH_DUCK.format(sep='v', mod=1000000)}
+                          % len(ws))]
+             ELSE ws[i] END), ' '), '') AS masked_text,
+      coalesce(array_to_string(list_transform(
+        list_filter(range(1, len(ws) + 1), i ->
+          {_SC_HASH_DUCK.format(sep='m', mod=100)} < {_MLM_SEL}),
+        i -> CAST(i AS VARCHAR) || ':' || ws[i]), ' '), '') AS labels_text
+    FROM toks
+    """,
+)
+def mlm_masked_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BERT-style masked-language-model corruption (Devlin et al.
+    2019, public method): 15% of positions are selected; of those,
+    80% become [MASK], 10% are replaced by a (hash-drawn) token from
+    the same document, 10% keep the original — with the label stream
+    ("pos:token") carrying the prediction targets. The encoder-
+    objective sibling of `span_corruption_pairs`, deterministic per
+    (doc, position) from the portable hash, so retried partitions
+    rebuild identical batches.
+
+    Unlike the span builder, every position decides INDEPENDENTLY, so
+    this stays plain per-row transform()s over the one token array —
+    no fold needed, no chained HOF columns (the no-CSE pitfall), one
+    scan, zero shuffles."""
+    d = load(spark, sf_dir, "documents")
+    sel = _SC_HASH.format(sep="m", mod=100)
+    sub = _SC_HASH.format(sep="r", mod=10)
+    rnd = _SC_HASH.format(sep="v", mod=1000000)
+    return (
+        d.select("doc_id", tx.words(F.col("text")).alias("ws"))
+        .withColumn("n", F.size("ws"))
+        .selectExpr(
+            "doc_id",
+            "cast(n as bigint) as n_tokens",
+            f"""cast(size(filter(
+                case when n = 0 then cast(array() as array<int>)
+                     else sequence(1, n) end,
+                i -> {sel} < {_MLM_SEL})) as bigint) as n_selected""",
+            f"""array_join(transform(
+                case when n = 0 then cast(array() as array<int>)
+                     else sequence(1, n) end,
+                i -> case
+                  when {sel} >= {_MLM_SEL} then element_at(ws, i)
+                  when {sub} < {_MLM_MASK} then '[MASK]'
+                  when {sub} = {_MLM_MASK}
+                    then element_at(ws, cast(1 + ({rnd}) % n as int))
+                  else element_at(ws, i) end), ' ') as masked_text""",
+            f"""array_join(transform(filter(
+                case when n = 0 then cast(array() as array<int>)
+                     else sequence(1, n) end,
+                i -> {sel} < {_MLM_SEL}),
+                i -> concat(cast(i as string), ':', element_at(ws, i))),
+                ' ') as labels_text""",
+        )
+    )

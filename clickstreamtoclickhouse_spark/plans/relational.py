@@ -4752,3 +4752,68 @@ def benford_value_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "digit", "n_obs", "obs_share", "exp_share",
         F.round(chi, 4).alias("chi2"),
     )
+
+
+@query(
+    "user_value_gini",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id,
+             CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM events GROUP BY user_id
+    ),
+    ranked AS (
+      SELECT cents,
+             row_number() OVER (ORDER BY cents, user_id) AS i,
+             count(*) OVER () AS n,
+             sum(cents) OVER () AS tot
+      FROM per_user
+    )
+    SELECT CAST(max(n) AS BIGINT) AS n_users,
+           round(max(tot) / 100.0, 2) AS total_value,
+           round(2.0 * sum(i * cents) / (max(n) * max(tot))
+                 - (max(n) + 1.0) / max(n), 6) AS gini
+    FROM ranked
+    """,
+)
+def user_value_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of per-user value (Gini 1912, the standard
+    revenue-concentration metric): 0 = every user contributes
+    equally, ->1 = a whale carries everything — the one-number
+    inequality readout product teams track next to DAU. Computed by
+    the rank formula G = 2*sum(i*x_i)/(n*sum x) - (n+1)/n over users
+    sorted ascending by value (deterministic tie-break on user_id).
+
+    Exactness: per-user values are integer cents, so sum(i*x_i) and
+    the totals are exact integer arithmetic on both engines; the only
+    float ops are the two final divisions on identical integers.
+
+    Scale: the rank window runs over the USER AGGREGATE (entities,
+    not events) — the same sf-bounded stance as rfm_segments, with
+    the same two-phase sampled-cut-points escape documented there if
+    the entity table itself outgrows a sort."""
+    e = load(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(
+        F.sum(F.round(F.col("value") * 100, 0).cast("bigint"))
+        .cast("bigint")
+        .alias("cents")
+    )
+    w = Window.orderBy("cents", "user_id")
+    wall = Window.partitionBy()
+    ranked = per_user.select(
+        "cents",
+        F.row_number().over(w).alias("i"),
+        F.count(F.lit(1)).over(wall).alias("n"),
+        F.sum("cents").over(wall).alias("tot"),
+    )
+    return ranked.agg(
+        F.max("n").cast("long").alias("n_users"),
+        F.round(F.max("tot") / 100.0, 2).alias("total_value"),
+        F.round(
+            2.0 * F.sum(F.col("i") * F.col("cents"))
+            / (F.max("n") * F.max("tot"))
+            - (F.max("n") + 1.0) / F.max("n"),
+            6,
+        ).alias("gini"),
+    )

@@ -386,3 +386,58 @@ def test_eb_shrinkage_pulls_low_n_toward_mean(spark, tmp_path):
     for r in out.values():
         lo, hi = sorted((r.raw_rate, m))
         assert lo - 1e-6 <= r.smoothed_rate <= hi + 1e-6
+
+
+def test_gini_equal_vs_whale(spark, tmp_path):
+    """Equal contributors -> gini 0; one whale among zeros -> the
+    rank-formula maximum (n-1)/n."""
+    schema = EV_SCHEMA + ", value double"
+    equal = [(i, T0, i, "view", 10.0) for i in range(1, 11)]
+    _write(spark, tmp_path, "events", equal, schema)
+    out = plans.QUERIES["user_value_gini"](spark, str(tmp_path)).collect()[0]
+    assert out.n_users == 10 and out.gini == 0.0
+    # whale: user 10 gets everything
+    whale = [
+        (i, T0, i, "view", 1000.0 if i == 10 else 0.0) for i in range(1, 11)
+    ]
+    _write(spark, tmp_path, "events", whale, schema)
+    out = plans.QUERIES["user_value_gini"](spark, str(tmp_path)).collect()[0]
+    assert out.gini == round((10 - 1) / 10, 6)
+
+
+def test_mlm_alignment_and_policy(spark):
+    """masked_text stays token-aligned with the original; labels
+    carry the true tokens at their positions; the 80/10/10 policy
+    shows up as a [MASK] majority among selected positions."""
+    rows = plans.QUERIES["mlm_masked_tokens"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    docs = {
+        r.doc_id: r.text.split()
+        for r in plans.load(spark, "/root/testdata/sf0.001", "documents")
+        .select("doc_id", "text")
+        .collect()
+    }
+    tot = sum(r.n_tokens for r in rows)
+    sel = sum(r.n_selected for r in rows)
+    assert 0.10 <= sel / tot <= 0.20
+    n_mask = 0
+    for r in rows:
+        orig = docs[r.doc_id]
+        masked = r.masked_text.split()
+        assert len(masked) == len(orig)
+        labels = {}
+        for item in (r.labels_text.split() if r.labels_text else []):
+            p, tok = item.split(":", 1)
+            labels[int(p)] = tok
+        assert len(labels) == r.n_selected
+        for p, tok in labels.items():
+            assert orig[p - 1] == tok  # label = original token
+        for j, (m, o) in enumerate(zip(masked, orig), start=1):
+            if j not in labels:
+                assert m == o  # unselected positions untouched
+            elif m == "[MASK]":
+                n_mask += 1
+            else:
+                assert m in orig  # random-replacement draws from the doc
+    assert n_mask / sel > 0.6  # ~80% of selected become [MASK]
