@@ -99,6 +99,24 @@ def main(argv: list[str] | None = None) -> int:
         "--mode", default="formatted",
         choices=["simple", "extended", "codegen", "cost", "formatted"],
     )
+    run = sub.add_parser(
+        "run", help="execute a registered query and print / write the result"
+    )
+    run.add_argument("query", help="query name (see list-queries)")
+    run.add_argument("--sf-dir", default=None, help="testdata dir")
+    run.add_argument(
+        "--limit", type=int, default=20,
+        help="max rows to print (ignored with --output)",
+    )
+    run.add_argument(
+        "--format", default="table", choices=["table", "json"],
+        help="stdout format",
+    )
+    run.add_argument(
+        "--output", default=None,
+        help="write the FULL result as parquet to this path instead of "
+        "printing (distributed write — no driver collect)",
+    )
     args = parser.parse_args(argv)
 
     if args.command == "list-queries":
@@ -118,6 +136,24 @@ def main(argv: list[str] | None = None) -> int:
         spark = get_spark(app_name=f"explain-{args.query}")
         df = plans.QUERIES[args.query](spark, args.sf_dir or DEFAULT_SF_DIR)
         df.explain(args.mode)
+        return 0
+    if args.command == "run":
+        from . import plans
+        from .session import DEFAULT_SF_DIR
+
+        if args.query not in plans.QUERIES:
+            print(f"unknown query: {args.query}", file=sys.stderr)
+            return 2
+        spark = get_spark(app_name=f"run-{args.query}")
+        df = plans.QUERIES[args.query](spark, args.sf_dir or DEFAULT_SF_DIR)
+        if args.output:
+            df.write.mode("overwrite").parquet(args.output)
+            print(f"wrote {args.output}")
+        elif args.format == "json":
+            for row in df.limit(args.limit).toJSON().collect():
+                print(row)
+        else:
+            df.show(args.limit, truncate=False)
         return 0
 
     conf = (

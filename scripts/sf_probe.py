@@ -92,6 +92,10 @@ PROBE_QUERIES = [
     # doc-scale shingle join / events-scale replicate explode
     "containment_dup_pairs",
     "purchase_mean_bootstrap_ci",
+    # doc-scale per-row corruption builders (span fold must stay
+    # linear after the HOF-no-CSE rewrite — this probe pins it)
+    "span_corruption_pairs",
+    "mlm_masked_tokens",
 ]
 
 

@@ -84,3 +84,23 @@ def test_cli_list_queries_and_explain(spark, capsys):
     assert "Physical Plan" in out and "Scan parquet" in out
 
     assert main(["explain", "not_a_query"]) == 2
+
+
+def test_cli_run_query(spark, capsys, tmp_path):
+    from clickstreamtoclickhouse_spark.app import main
+
+    from .conftest import SF_DIR
+
+    assert main(["run", "mktsegment_stats", "--sf-dir", SF_DIR,
+                 "--format", "json"]) == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    import json as _json
+
+    rows = [_json.loads(l) for l in out if l.startswith("{")]
+    assert rows and all("c_mktsegment" in r for r in rows)
+    # parquet output path: full distributed write, re-readable
+    dest = str(tmp_path / "out.parquet")
+    assert main(["run", "mktsegment_stats", "--sf-dir", SF_DIR,
+                 "--output", dest]) == 0
+    assert spark.read.parquet(dest).count() == len(rows)
+    assert main(["run", "not_a_query"]) == 2

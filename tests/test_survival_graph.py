@@ -441,3 +441,72 @@ def test_mlm_alignment_and_policy(spark):
             else:
                 assert m in orig  # random-replacement draws from the doc
     assert n_mask / sel > 0.6  # ~80% of selected become [MASK]
+
+
+def test_km_survival_monotone_nonincreasing(spark):
+    """S(t) is a survival function: non-increasing in t, within
+    (0, 1], over real data."""
+    rows = sorted(
+        plans.QUERIES["km_time_to_purchase"](
+            spark, "/root/testdata/sf0.001"
+        ).collect(),
+        key=lambda r: r.t_hours,
+    )
+    assert rows
+    prev = 1.0 + 1e-9
+    for r in rows:
+        assert 0.0 <= r.survival <= prev + 1e-9
+        prev = r.survival
+    # risk set is non-increasing too
+    risks = [r.n_at_risk for r in rows]
+    assert risks == sorted(risks, reverse=True)
+
+
+def test_dtw_identity_and_symmetry_properties(spark, tmp_path):
+    """DTW(x, x) = 0; the pair table emits each unordered pair once
+    (type_a < type_b), and distances are non-negative."""
+    rows, eid = [], 0
+    for day in range(5):
+        for t in ("P", "Q"):
+            eid += 1
+            rows.append(_ev(1, 24 * day, t, eid))
+    _write(spark, tmp_path, "events", rows, EV_SCHEMA)
+    out = plans.QUERIES["event_type_dtw"](spark, str(tmp_path)).collect()
+    assert len(out) == 1  # one unordered pair
+    r = out[0]
+    assert (r.type_a, r.type_b) == ("P", "Q")
+    assert r.dtw_distance == 0  # identical series
+    # real data: non-negativity over all pairs
+    real = plans.QUERIES["event_type_dtw"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert all(x.dtw_distance >= 0 for x in real)
+    assert len(real) == 10  # C(5,2) event-type pairs
+
+
+def test_bootstrap_ci_width_shrinks_with_n(spark, tmp_path):
+    """Percentile-bootstrap CI width scales ~1/sqrt(n): quadrupling
+    the sample should clearly narrow the interval."""
+    import random
+
+    rng = random.Random(7)
+
+    def mk(n):
+        rows = []
+        for i in range(n):
+            rows.append(
+                (i, T0 + dt.timedelta(minutes=i), i % 9, "purchase",
+                 round(rng.uniform(5, 95), 2))
+            )
+        return rows
+
+    schema = EV_SCHEMA + ", value double"
+    _write(spark, tmp_path, "events", mk(80), schema)
+    small = plans.QUERIES["purchase_mean_bootstrap_ci"](
+        spark, str(tmp_path)
+    ).collect()[0]
+    _write(spark, tmp_path, "events", mk(1280), schema)
+    big = plans.QUERIES["purchase_mean_bootstrap_ci"](
+        spark, str(tmp_path)
+    ).collect()[0]
+    assert (big.ci_hi - big.ci_lo) < (small.ci_hi - small.ci_lo) / 2
