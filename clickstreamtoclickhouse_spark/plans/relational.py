@@ -4312,8 +4312,11 @@ def purchase_mean_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.round(F.col("value") * 100, 0).cast("bigint").alias("cents"),
     )
-    from ..util import portable_id_hash
+    from ..util import portable_id_hash, widen_scan
 
+    # the B-fold explode + per-replicate md5 is map-heavy: widen an
+    # under-partitioned test scan so it parallelizes (no-op at scale)
+    p = widen_scan(p)
     rep = p.select(
         "cents",
         F.explode(F.sequence(F.lit(1), F.lit(_BOOT_B))).alias("b"),
