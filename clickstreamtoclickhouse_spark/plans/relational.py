@@ -4820,3 +4820,194 @@ def user_value_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("gini"),
     )
+
+
+@query(
+    "daily_trend_theil_sen",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(strftime(ts, '%j') AS INT) AS x,
+             round(sum(value), 4) AS y
+      FROM events GROUP BY strftime(ts, '%Y-%m-%d'), x
+    ),
+    slopes AS (
+      SELECT (b.y - a.y) / (b.x - a.x) AS s
+      FROM daily a JOIN daily b ON b.x > a.x
+    ),
+    ms AS (
+      SELECT s, row_number() OVER (ORDER BY s) AS r, count(*) OVER () AS n
+      FROM slopes
+    ),
+    med AS (
+      SELECT round(avg(s), 6) AS slope FROM ms
+      WHERE r IN ((n + 1) // 2, (n + 2) // 2)
+    ),
+    resid AS (
+      SELECT d.y - med.slope * d.x AS c,
+             row_number() OVER (ORDER BY d.y - med.slope * d.x) AS r,
+             count(*) OVER () AS n,
+             med.slope AS slope
+      FROM daily d CROSS JOIN med
+    )
+    SELECT CAST(max(n) AS BIGINT) AS n_days,
+           max(slope) AS slope,
+           round(avg(CASE WHEN r IN ((n + 1) // 2, (n + 2) // 2)
+                          THEN c END), 6) AS intercept
+    FROM resid
+    """,
+)
+def daily_trend_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend estimator (Theil 1950 / Sen 1968, public
+    method) of the daily value series: the MEDIAN of all pairwise
+    slopes, with the matching median-residual intercept — the
+    outlier-resistant companion to `daily_trend_mann_kendall` (which
+    tests direction; this estimates magnitude) and the robust
+    alternative to OLS on spiky metrics (breakdown point ~29%).
+
+    Determinism/parity: x is the integer day-of-year, y the 4dp-
+    rounded day sum, so every pairwise slope is the same double on
+    both engines; medians are exact order statistics (rank-selected,
+    averaging the two middle ranks), and the median slope is ROUNDED
+    before the intercept residuals so both engines rank identical
+    residual values.
+
+    Scale: the O(days^2) pair join runs over the CALENDAR-BOUNDED day
+    aggregate (a decade is ~6.8M pairs — driver trivia); the only
+    event-scale work is one map-side-combinable day rollup."""
+    e = load(spark, sf_dir, "events")
+    daily = e.groupBy(
+        F.date_format("ts", "yyyy-MM-dd").alias("d"),
+        F.dayofyear("ts").cast("int").alias("x"),
+    ).agg(F.round(F.sum("value"), 4).alias("y"))
+    a, b = daily.alias("a"), daily.alias("b")
+    slopes = a.join(b, F.col("b.x") > F.col("a.x")).select(
+        ((F.col("b.y") - F.col("a.y")) / (F.col("b.x") - F.col("a.x"))).alias(
+            "s"
+        )
+    )
+    wall = Window.partitionBy()
+    ms = slopes.select(
+        "s",
+        F.row_number().over(Window.orderBy("s")).alias("r"),
+        F.count(F.lit(1)).over(wall).alias("n"),
+    )
+    med = ms.filter(
+        (F.col("r") == ((F.col("n") + 1) / 2).cast("int"))
+        | (F.col("r") == ((F.col("n") + 2) / 2).cast("int"))
+    ).agg(F.round(F.avg("s"), 6).alias("slope"))
+    resid = daily.crossJoin(F.broadcast(med)).select(
+        (F.col("y") - F.col("slope") * F.col("x")).alias("c"),
+        "slope",
+    )
+    rr = resid.select(
+        "c",
+        "slope",
+        F.row_number().over(Window.orderBy("c")).alias("r"),
+        F.count(F.lit(1)).over(wall).alias("n"),
+    )
+    return rr.agg(
+        F.max("n").cast("long").alias("n_days"),
+        F.max("slope").alias("slope"),
+        F.round(
+            F.avg(
+                F.when(
+                    (F.col("r") == ((F.col("n") + 1) / 2).cast("int"))
+                    | (F.col("r") == ((F.col("n") + 2) / 2).cast("int")),
+                    F.col("c"),
+                )
+            ),
+            6,
+        ).alias("intercept"),
+    )
+
+
+@query(
+    "ab_test_proportions",
+    oracle="""
+    WITH assign AS (
+      SELECT CASE WHEN ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT % 2 = 0
+                  THEN 'A' ELSE 'B' END AS variant,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS conv
+      FROM events
+    ),
+    stats AS (
+      SELECT variant, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(conv) AS BIGINT) AS k
+      FROM assign GROUP BY variant
+    ),
+    wide AS (
+      SELECT max(CASE WHEN variant = 'A' THEN n END) AS n_a,
+             max(CASE WHEN variant = 'B' THEN n END) AS n_b,
+             max(CASE WHEN variant = 'A' THEN k END) AS k_a,
+             max(CASE WHEN variant = 'B' THEN k END) AS k_b
+      FROM stats
+    )
+    SELECT n_a, n_b, k_a, k_b,
+           round(k_a * 1.0 / n_a, 6) AS rate_a,
+           round(k_b * 1.0 / n_b, 6) AS rate_b,
+           CASE WHEN (k_a + k_b) = 0 OR (k_a + k_b) = (n_a + n_b) THEN NULL
+                ELSE round((k_a * 1.0 / n_a - k_b * 1.0 / n_b)
+                     / sqrt(((k_a + k_b) * 1.0 / (n_a + n_b))
+                            * (1 - (k_a + k_b) * 1.0 / (n_a + n_b))
+                            * (1.0 / n_a + 1.0 / n_b)), 4)
+           END AS z
+    FROM wide
+    """,
+)
+def ab_test_proportions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test (pooled variance) on the purchase share
+    of events between hash-assigned variants — the binomial companion
+    to `ab_test_welch` (means) and `ab_test_cuped` (variance-reduced
+    means). Assignment hashes the USER (the engine's portable hash,
+    same buckets as the other A/B readouts) while the unit counted is
+    the event; the naive z ignores that within-user clustering, the
+    standard caveat of event-level readouts (the user-level CUPED
+    query is the design-correct one — this is the quick screen).
+    Degenerate pools (all or zero conversions) yield NULL instead of
+    a divide-by-zero, CASE-identically on both engines.
+
+    Parity: the statistic is scalar algebra over four exact integers
+    (n/k per variant) — no float aggregation anywhere.
+
+    Scale: one scan into a 2-row variant aggregate."""
+    from ..util import portable_id_hash
+
+    e = load(spark, sf_dir, "events")
+    assign = e.select(
+        F.when(portable_id_hash(F.col("user_id")) % 2 == 0, "A")
+        .otherwise("B")
+        .alias("variant"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias(
+            "conv"
+        ),
+    )
+    stats = assign.groupBy("variant").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("conv").cast("long").alias("k"),
+    )
+    wide = stats.agg(
+        F.max(F.when(F.col("variant") == "A", F.col("n"))).alias("n_a"),
+        F.max(F.when(F.col("variant") == "B", F.col("n"))).alias("n_b"),
+        F.max(F.when(F.col("variant") == "A", F.col("k"))).alias("k_a"),
+        F.max(F.when(F.col("variant") == "B", F.col("k"))).alias("k_b"),
+    )
+    ra = F.col("k_a") * 1.0 / F.col("n_a")
+    rb = F.col("k_b") * 1.0 / F.col("n_b")
+    ktot = F.col("k_a") + F.col("k_b")
+    ntot = F.col("n_a") + F.col("n_b")
+    pool = ktot * 1.0 / ntot
+    z = F.when((ktot == 0) | (ktot == ntot), F.lit(None).cast("double")).otherwise(
+        F.round(
+            (ra - rb)
+            / F.sqrt(
+                pool * (1 - pool) * (1.0 / F.col("n_a") + 1.0 / F.col("n_b"))
+            ),
+            4,
+        )
+    )
+    return wide.select(
+        "n_a", "n_b", "k_a", "k_b",
+        F.round(ra, 6).alias("rate_a"),
+        F.round(rb, 6).alias("rate_b"),
+        z.alias("z"),
+    )

@@ -510,3 +510,19 @@ def test_bootstrap_ci_width_shrinks_with_n(spark, tmp_path):
         spark, str(tmp_path)
     ).collect()[0]
     assert (big.ci_hi - big.ci_lo) < (small.ci_hi - small.ci_lo) / 2
+
+
+def test_theil_sen_robust_to_outlier(spark, tmp_path):
+    """A perfect slope-30 ramp with one wild outlier day: Theil-Sen
+    recovers the true slope; an OLS fit would be dragged far off."""
+    schema = EV_SCHEMA + ", value double"
+    rows = []
+    for day in range(11):
+        v = 3000.0 if day == 5 else 30.0 * (day + 1)
+        rows.append((day + 1, T0 + dt.timedelta(days=day), 1, "view", v))
+    _write(spark, tmp_path, "events", rows, schema)
+    out = plans.QUERIES["daily_trend_theil_sen"](
+        spark, str(tmp_path)
+    ).collect()[0]
+    assert out.n_days == 11
+    assert abs(out.slope - 30.0) < 1.0  # median of slopes ignores the spike
