@@ -5171,3 +5171,121 @@ def km_logrank_by_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("oe") * F.sum("oe") / F.sum("v"), 4),
         ).alias("chi2"),
     )
+
+
+@query(
+    "value_ks_drift_test",
+    oracle="""
+    WITH halves AS (
+      SELECT CAST(round(value * 100, 0) AS BIGINT) AS cents,
+             CASE WHEN epoch_us(ts) <
+                    (SELECT min(epoch_us(ts))
+                            + (max(epoch_us(ts)) - min(epoch_us(ts))) // 2
+                     FROM events)
+                  THEN 'early' ELSE 'late' END AS half
+      FROM events
+    ),
+    bins AS (
+      SELECT cents,
+             CAST(sum(CASE WHEN half = 'early' THEN 1 ELSE 0 END) AS BIGINT)
+               AS a,
+             CAST(sum(CASE WHEN half = 'late' THEN 1 ELSE 0 END) AS BIGINT)
+               AS b
+      FROM halves GROUP BY cents
+    ),
+    tot AS (
+      SELECT CAST(sum(a) AS BIGINT) AS n_a, CAST(sum(b) AS BIGINT) AS n_b
+      FROM bins
+    ),
+    cdf AS (
+      SELECT sum(a) OVER (ORDER BY cents
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               * 1.0 / tot.n_a
+             - sum(b) OVER (ORDER BY cents
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               * 1.0 / tot.n_b AS diff,
+             tot.n_a AS n_a, tot.n_b AS n_b
+      FROM bins CROSS JOIN tot
+    )
+    SELECT CAST(max(n_a) AS BIGINT) AS n_early,
+           CAST(max(n_b) AS BIGINT) AS n_late,
+           round(max(abs(diff)), 6) AS ks_d,
+           round(1.358 * sqrt((max(n_a) + max(n_b)) * 1.0
+                              / (max(n_a) * max(n_b))), 6) AS crit_05,
+           CAST(CASE WHEN max(abs(diff)) >
+                1.358 * sqrt((max(n_a) + max(n_b)) * 1.0
+                             / (max(n_a) * max(n_b)))
+                THEN 1 ELSE 0 END AS INT) AS drifted
+    FROM cdf
+    """,
+)
+def value_ks_drift_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov drift test (Kolmogorov 1933 /
+    Smirnov 1939, public method) between the early and late halves of
+    the observation window: D = max |ECDF_early - ECDF_late| over the
+    value distribution, with the 5% critical value
+    1.358*sqrt((na+nb)/(na*nb)) and a reject flag — the exact-
+    statistic companion to `value_drift_psi` (PSI buckets coarsely;
+    KS finds the worst CDF gap wherever it is).
+
+    Parity: values land on the integer-cents grid first, so the CDF
+    window walks identical ordered integer bins on both engines; the
+    midpoint split is epoch arithmetic on exact timestamps.
+
+    Scale: two scans' worth of work in one pass (bin counts keyed by
+    cents), then ordered windows over the VALUE-DOMAIN-bounded bin
+    table (~10k bins for a 0-100 money domain) — never an event-scale
+    sort. For unbounded domains substitute the quantile-sketch bins
+    (`value_quantile_sketch`), trading exactness for fixed size."""
+    e = load(spark, sf_dir, "events")
+    mid = e.agg(
+        (
+            F.min(F.unix_micros("ts"))
+            + F.floor(
+                (F.max(F.unix_micros("ts")) - F.min(F.unix_micros("ts")))
+                / 2
+            )
+        ).cast("long").alias("mid_us")
+    )
+    halves = e.crossJoin(F.broadcast(mid)).select(
+        F.round(F.col("value") * 100, 0).cast("bigint").alias("cents"),
+        F.when(F.unix_micros("ts") < F.col("mid_us"), "early")
+        .otherwise("late")
+        .alias("half"),
+    )
+    bins = halves.groupBy("cents").agg(
+        F.sum(F.when(F.col("half") == "early", 1).otherwise(0))
+        .cast("long")
+        .alias("a"),
+        F.sum(F.when(F.col("half") == "late", 1).otherwise(0))
+        .cast("long")
+        .alias("b"),
+    )
+    tot = bins.agg(
+        F.sum("a").cast("long").alias("n_a"),
+        F.sum("b").cast("long").alias("n_b"),
+    )
+    w = Window.orderBy("cents").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cdf = bins.crossJoin(F.broadcast(tot)).select(
+        (
+            F.sum("a").over(w) * 1.0 / F.col("n_a")
+            - F.sum("b").over(w) * 1.0 / F.col("n_b")
+        ).alias("diff"),
+        "n_a",
+        "n_b",
+    )
+    crit = 1.358 * F.sqrt(
+        (F.max("n_a") + F.max("n_b")) * 1.0 / (F.max("n_a") * F.max("n_b"))
+    )
+    return cdf.agg(
+        F.max("n_a").cast("long").alias("n_early"),
+        F.max("n_b").cast("long").alias("n_late"),
+        F.round(F.max(F.abs(F.col("diff"))), 6).alias("ks_d"),
+        F.round(crit, 6).alias("crit_05"),
+        F.when(F.max(F.abs(F.col("diff"))) > crit, 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("drifted"),
+    )

@@ -543,3 +543,25 @@ def test_countmin_one_sided_and_mergeable(spark):
     # user count here, so collisions are rare)
     exact = sum(1 for r in rows if r.overestimate == 0)
     assert exact >= len(rows) * 0.5
+
+
+def test_ks_detects_planted_drift(spark, tmp_path):
+    """Late-half values shifted +50: KS must reject; identical halves
+    must not."""
+    schema = EV_SCHEMA + ", value double"
+    shifted, same, eid = [], [], 0
+    for i in range(400):
+        eid += 1
+        early = i < 200
+        base = 10.0 + (i % 20)
+        shifted.append(
+            (eid, T0 + dt.timedelta(hours=i), i % 9, "view",
+             base if early else base + 50.0)
+        )
+        same.append((eid, T0 + dt.timedelta(hours=i), i % 9, "view", base))
+    _write(spark, tmp_path, "events", shifted, schema)
+    out = plans.QUERIES["value_ks_drift_test"](spark, str(tmp_path)).collect()[0]
+    assert out.drifted == 1 and out.ks_d > 0.9
+    _write(spark, tmp_path, "events", same, schema)
+    out = plans.QUERIES["value_ks_drift_test"](spark, str(tmp_path)).collect()[0]
+    assert out.drifted == 0 and out.ks_d < out.crit_05
