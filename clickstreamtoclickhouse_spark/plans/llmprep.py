@@ -531,7 +531,7 @@ def mlm_masked_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     sub = _SC_HASH.format(sep="r", mod=10)
     rnd = _SC_HASH.format(sep="v", mod=1000000)
     return (
-        d.select("doc_id", tx.words(F.col("text")).alias("ws"))
+        widen_scan(d.select("doc_id", tx.words(F.col("text")).alias("ws")))
         .withColumn("n", F.size("ws"))
         .selectExpr(
             "doc_id",
