@@ -4050,17 +4050,19 @@ def km_time_to_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     (<= {_KM_HORIZON_H}+1 rows), not the user count — the global sort
     is on a constant-size aggregate, never the corpus."""
     e = load(spark, sf_dir, "events")
-    u = e.groupBy("user_id").agg(F.min("ts").alias("f"))
-    p = (
-        e.filter(F.col("event_type") == "purchase")
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("fp"))
+    # ONE user-keyed pass computes first event AND first purchase
+    # (conditional min) — the oracle's two aggregates fused; the only
+    # other scan is the 1-row max-ts anchor
+    u = e.groupBy("user_id").agg(
+        F.min("ts").alias("f"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "fp"
+        ),
     )
     m = e.agg(F.max("ts").alias("mx"))
     hour_us = 3600 * 1_000_000
     subj = (
-        u.join(p, "user_id", "left")
-        .crossJoin(F.broadcast(m))
+        u.crossJoin(F.broadcast(m))
         .select(
             ((F.unix_micros("fp") - F.unix_micros("f")) / hour_us)
             .cast("long")
@@ -4878,7 +4880,9 @@ def daily_trend_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = e.groupBy(
         F.date_format("ts", "yyyy-MM-dd").alias("d"),
         F.dayofyear("ts").cast("int").alias("x"),
-    ).agg(F.round(F.sum("value"), 4).alias("y"))
+    ).agg(F.round(F.sum("value"), 4).alias("y")).localCheckpoint(eager=True)
+    # checkpointed: the slope self-join and residual pass reuse the
+    # calendar-bounded aggregate instead of re-scanning events (3x)
     a, b = daily.alias("a"), daily.alias("b")
     slopes = a.join(b, F.col("b.x") > F.col("a.x")).select(
         ((F.col("b.y") - F.col("a.y")) / (F.col("b.x") - F.col("a.x"))).alias(
@@ -5099,23 +5103,22 @@ def km_logrank_by_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..util import portable_id_hash
 
     e = load(spark, sf_dir, "events")
-    u = e.groupBy("user_id").agg(F.min("ts").alias("f")).select(
+    u = e.groupBy("user_id").agg(
+        F.min("ts").alias("f"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "fp"
+        ),
+    ).select(
         F.when(portable_id_hash(F.col("user_id")) % 2 == 0, "A")
         .otherwise("B")
         .alias("grp"),
-        "user_id",
         "f",
-    )
-    p = (
-        e.filter(F.col("event_type") == "purchase")
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("fp"))
+        "fp",
     )
     m = e.agg(F.max("ts").alias("mx"))
     hour_us = 3600 * 1_000_000
     subj = (
-        u.join(p, "user_id", "left")
-        .crossJoin(F.broadcast(m))
+        u.crossJoin(F.broadcast(m))
         .select(
             "grp",
             ((F.unix_micros("fp") - F.unix_micros("f")) / hour_us)

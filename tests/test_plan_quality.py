@@ -925,3 +925,34 @@ def test_span_corruption_single_fold_no_python(spark):
     assert count_exchanges(txt) <= 1
     assert "Python" not in txt and "ArrowEval" not in txt
     assert "Generate" in txt  # the inline() single-evaluation expansion
+
+
+def test_km_single_user_pass(spark):
+    # first-event and first-purchase come from ONE user-keyed
+    # aggregate (conditional min), so the plan scans events exactly
+    # twice: the subject pass + the 1-row max-ts anchor
+    txt = plan_text(spark, "km_time_to_purchase")
+    scans = [
+        l for l in txt.splitlines()
+        if l.strip().startswith("(") and "Scan parquet" in l
+    ]
+    assert len(scans) == 2
+
+
+def test_logrank_single_user_pass(spark):
+    txt = plan_text(spark, "km_logrank_by_variant")
+    scans = [
+        l for l in txt.splitlines()
+        if l.strip().startswith("(") and "Scan parquet" in l
+    ]
+    assert len(scans) == 2
+    assert "CartesianProduct" not in txt
+
+
+def test_ks_windows_over_bin_table(spark):
+    # the CDF windows run over the value-domain-bounded bin AGGREGATE
+    txt = plan_text(spark, "value_ks_drift_test")
+    lines = [l for l in txt.splitlines() if l.strip().startswith("(")]
+    single = [l for l in lines if "Exchange SinglePartition" in l]
+    assert len(single) <= 2
+    assert "CartesianProduct" not in txt
