@@ -5292,3 +5292,116 @@ def value_ks_drift_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("drifted"),
     )
+
+
+_HW_M = 7  # weekly seasonality
+
+
+@query(
+    "daily_value_holt_winters",
+    oracle=f"""
+    WITH RECURSIVE daily AS MATERIALIZED (
+      SELECT strftime(ts, '%Y-%m-%d') AS d, round(sum(value), 4) AS v
+      FROM events GROUP BY 1
+    ),
+    idx AS MATERIALIZED (
+      SELECT d, v, row_number() OVER (ORDER BY d) AS i FROM daily
+    ),
+    arr AS MATERIALIZED (
+      SELECT list(v ORDER BY d) AS ys, list(d ORDER BY d) AS ds FROM daily
+    ),
+    init AS MATERIALIZED (
+      SELECT list_reduce(list_slice(ys, 1, {_HW_M}),
+                         (a, b) -> a + b) / {_HW_M}.0 AS l0,
+             ys, ds
+      FROM arr
+    ),
+    hw(i, l, b, s) AS (
+      SELECT {_HW_M}, l0, CAST(0.0 AS DOUBLE),
+             list_transform(list_slice(ys, 1, {_HW_M}), y -> y - l0)
+      FROM init
+      UNION ALL
+      SELECT hw.i + 1,
+        0.3::DOUBLE * (init.ys[hw.i + 1] - hw.s[1])
+          + 0.7::DOUBLE * (hw.l + hw.b),
+        0.2::DOUBLE * ((0.3::DOUBLE * (init.ys[hw.i + 1] - hw.s[1])
+                        + 0.7::DOUBLE * (hw.l + hw.b)) - hw.l)
+          + 0.8::DOUBLE * hw.b,
+        list_append(list_slice(hw.s, 2, {_HW_M}),
+          0.1::DOUBLE * (init.ys[hw.i + 1]
+                         - (0.3::DOUBLE * (init.ys[hw.i + 1] - hw.s[1])
+                            + 0.7::DOUBLE * (hw.l + hw.b)))
+            + 0.9::DOUBLE * hw.s[1])
+      FROM hw, init WHERE hw.i < len(init.ys)
+    )
+    SELECT init.ds[hw.i] AS d,
+           init.ys[hw.i] AS actual,
+           round(hw.l, 6) AS level,
+           round(hw.b, 6) AS trend,
+           round(hw.s[{_HW_M}], 6) AS seasonal,
+           round(prev.l + prev.b + prev.s[1], 6) AS forecast,
+           round(init.ys[hw.i]
+                 - round(prev.l + prev.b + prev.s[1], 6), 6) AS residual
+    FROM hw JOIN hw prev ON prev.i = hw.i - 1
+    CROSS JOIN init
+    WHERE hw.i > {_HW_M}
+    """,
+)
+def daily_value_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive Holt-Winters triple exponential smoothing (Winters
+    1960, public method; alpha=0.3, beta=0.2, gamma=0.1, weekly
+    m={_HW_M}) of the daily value series — the seasonality-aware top
+    of the forecasting ladder (`daily_value_ewma` -> level,
+    `daily_value_holt` -> +trend, this -> +day-of-week cycle), with
+    one-step forecasts l+b+s and residuals from day m+1 on. Init is
+    the standard first-cycle recipe: l0 = mean of the first week,
+    b0 = 0, s_i = y_i - l0.
+
+    Parity: the (l, b, s[1..m]) state rides a LINEAR recursive CTE
+    in DuckDB (LIST-state recursion is exact there — only
+    STRUCT-state list_reduce is broken, see daily_value_holt) while
+    Spark evaluates identical left-to-right arithmetic as per-prefix
+    aggregate() folds with an (l, b, s-array) struct accumulator;
+    the first-week mean is an explicit left-fold on both engines so
+    even the init is bit-identical.
+
+    Scale: one map-side-combinable day rollup; the per-prefix folds
+    run over the CALENDAR-BOUNDED day array on a 1-row broadcast —
+    same boundedness as daily_value_holt."""
+    e = load(spark, sf_dir, "events")
+    daily = e.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("d")).agg(
+        F.round(F.sum("value"), 4).alias("v")
+    )
+    idx = daily.withColumn("i", F.row_number().over(Window.orderBy("d")))
+    series = daily.agg(
+        F.array_sort(F.collect_list(F.struct("d", "v"))).alias("arr")
+    ).select(F.expr("transform(arr, s -> s.v)").alias("vs"))
+    m = _HW_M
+    l0 = f"aggregate(slice(vs, 1, {m}), 0D, (a, x) -> a + x) / {m}.0"
+    init_state = (
+        f"named_struct('l', {l0}, 'b', 0.0D, "
+        f"'s', transform(slice(vs, 1, {m}), y -> y - ({l0})))"
+    )
+    new_l = "0.3D * (x - acc.s[0]) + 0.7D * (acc.l + acc.b)"
+    fold = (
+        f"aggregate(slice(vs, {m} + 1, {{n}}), {init_state}, "
+        "(acc, x) -> named_struct("
+        f"'l', {new_l}, "
+        f"'b', 0.2D * (({new_l}) - acc.l) + 0.8D * acc.b, "
+        f"'s', concat(slice(acc.s, 2, {m} - 1), "
+        f"array(0.1D * (x - ({new_l})) + 0.9D * acc.s[0]))))"
+    )
+    cur = F.expr(fold.format(n=f"i - {m}"))
+    prev = F.expr(fold.format(n=f"i - {m} - 1"))
+    fc = F.round(prev["l"] + prev["b"] + F.expr("element_at({0}.s, 1)".format(
+        fold.format(n=f"i - {m} - 1"))), 6)
+    st = idx.crossJoin(F.broadcast(series)).filter(F.col("i") > m)
+    return st.select(
+        "d",
+        F.col("v").alias("actual"),
+        F.round(cur["l"], 6).alias("level"),
+        F.round(cur["b"], 6).alias("trend"),
+        F.round(F.element_at(cur["s"], m), 6).alias("seasonal"),
+        fc.alias("forecast"),
+        F.round(F.col("v") - fc, 6).alias("residual"),
+    )

@@ -565,3 +565,25 @@ def test_ks_detects_planted_drift(spark, tmp_path):
     _write(spark, tmp_path, "events", same, schema)
     out = plans.QUERIES["value_ks_drift_test"](spark, str(tmp_path)).collect()[0]
     assert out.drifted == 0 and out.ks_d < out.crit_05
+
+
+def test_holt_winters_nails_pure_weekly_cycle(spark, tmp_path):
+    """A perfectly periodic weekly series: the first-cycle init makes
+    the seasonal state exact, so every one-step forecast from day 8
+    on reproduces the actual value (residual 0)."""
+    schema = EV_SCHEMA + ", value double"
+    pattern = [100.0, 80.0, 90.0, 120.0, 150.0, 60.0, 70.0]
+    rows = []
+    for day in range(28):
+        rows.append(
+            (day + 1, T0 + dt.timedelta(days=day), 1, "view",
+             pattern[day % 7])
+        )
+    _write(spark, tmp_path, "events", rows, schema)
+    out = plans.QUERIES["daily_value_holt_winters"](
+        spark, str(tmp_path)
+    ).collect()
+    assert len(out) == 21  # days 8..28
+    for r in out:
+        assert abs(r.residual) < 1e-6, r
+        assert abs(r.trend) < 1e-6
