@@ -256,3 +256,72 @@ def test_merge_upsert_idempotent_property(spark, updates):
     # max-version non-deleted update row's key
     alive = {r[0] for r in a}
     assert all(isinstance(k, int) for k in alive)
+
+
+# --- k-core vs a pure-Python synchronous peel ---
+
+_edge = st.tuples(
+    st.integers(min_value=1, max_value=8), st.integers(min_value=1, max_value=8)
+).filter(lambda e: e[0] != e[1])
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.lists(_edge, min_size=1, max_size=14), st.integers(2, 4))
+def test_k_core_matches_python_peel(spark, edges, k):
+    from clickstreamtoclickhouse_spark.functions.graph import k_core
+
+    und = {frozenset(e) for e in edges}
+    adj = {}
+    for e in und:
+        a, b = tuple(e)
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    nodes = set(adj)
+    while True:
+        drop = {n for n in nodes if len(adj[n] & nodes) < k}
+        if not drop:
+            break
+        nodes -= drop
+    expected = {n: len(adj[n] & nodes) for n in nodes}
+
+    df = spark.createDataFrame(
+        [(a, b) for a, b in (tuple(e) for e in und)], "a long, b long"
+    )
+    got = {r.node: r.core_degree for r in k_core(df, k=k).collect()}
+    assert got == expected
+
+
+# --- containment pairs vs python shingle-set reference ---
+
+_cword = st.sampled_from(["aa", "bb", "cc", "dd", "ee"])
+_cdoc = st.lists(_cword, min_size=0, max_size=10).map(" ".join)
+
+
+@settings(max_examples=15, deadline=None)
+@given(st.lists(_cdoc, min_size=2, max_size=5))
+def test_containment_matches_python_reference(spark, docs):
+    from clickstreamtoclickhouse_spark.functions import dedup_text
+
+    def shingles(d):
+        ws = d.split()
+        return {" ".join(ws[i:i + 3]) for i in range(len(ws) - 2)}
+
+    sets = {i: shingles(d) for i, d in enumerate(docs)}
+    expected = {}
+    for i in sorted(sets):
+        for j in sorted(sets):
+            if i >= j or not sets[i] or not sets[j]:
+                continue
+            inter = len(sets[i] & sets[j])
+            ca, cb = inter / len(sets[i]), inter / len(sets[j])
+            if max(ca, cb) >= 0.5:
+                expected[(i, j)] = (round(ca, 6), round(cb, 6))
+
+    df = spark.createDataFrame(
+        [(i, d) for i, d in enumerate(docs)], "doc_id long, text string"
+    )
+    got = {
+        (r.doc_a, r.doc_b): (r.cont_a_in_b, r.cont_b_in_a)
+        for r in dedup_text.containment_pairs(df, threshold=0.5, n=3).collect()
+    }
+    assert got == expected
