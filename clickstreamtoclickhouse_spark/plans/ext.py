@@ -4699,3 +4699,60 @@ def source_concentration_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(1.0 / F.sum(share_sq), 4).alias("effective_sources"),
         )
     )
+
+
+_FRAME_STRIDE = 256
+
+
+@query(
+    "media_frame_sample",
+    oracle=f"""
+    WITH frames AS (
+      SELECT doc_id AS media_id, f.k AS frame_idx,
+             substr(text, f.k * {_FRAME_STRIDE} + 1, {_FRAME_STRIDE}) AS fr
+      FROM documents
+      CROSS JOIN (
+        SELECT unnest(range(0, 64)) AS k) f
+      WHERE f.k * {_FRAME_STRIDE} < length(text)
+    )
+    SELECT media_id, CAST(frame_idx AS INT) AS frame_idx,
+           CAST(length(fr) AS BIGINT) AS n_bytes,
+           CAST(ascii(substr(fr, 1, 1)) AS INT) AS first_byte,
+           CAST(list_reduce(list_transform(range(1, len(fr) + 1),
+                  j -> CAST(ascii(substr(fr, CAST(j AS INT), 1)) AS BIGINT)),
+                (a, b) -> a + b) AS BIGINT) AS byte_sum
+    FROM frames
+    """,
+)
+def media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plumbing through the driver contract —
+    the last of the decode/resize/feature/frame-sample quartet to be
+    query-exposed: binary content -> Arrow batches -> one row per
+    sampled frame (a {_FRAME_STRIDE}-byte stride in the deterministic
+    fake path; a real demuxer is env-gated in
+    functions/multimodal.py:frame_sample). Each frame's byte scalars
+    (length, first byte, byte sum) are FULLY oracle-checked: the
+    synthetic content is the UTF-8 bytes of documents.text (ASCII
+    testdata), so DuckDB replays the identical stride windows with
+    substr/ascii — values, not just row counts, pin the mapInPandas
+    frame fan-out.
+
+    Scale: frames never leave executors (the scalar projection
+    happens next to the kernel); one scan, Arrow-batched, output
+    linear in total media bytes / stride."""
+    media = multimodal.synth_media_from_documents(
+        load(spark, sf_dir, "documents"), kind="video"
+    )
+    frames = multimodal.frame_sample(media, every_n_bytes=_FRAME_STRIDE)
+    fs = F.col("frame_bytes").cast("string")
+    return frames.select(
+        "media_id",
+        F.col("frame_idx").cast("int").alias("frame_idx"),
+        F.length("frame_bytes").cast("long").alias("n_bytes"),
+        F.ascii(F.substring(fs, 1, 1)).cast("int").alias("first_byte"),
+        F.expr(
+            "aggregate(sequence(1, length(cast(frame_bytes as string))), 0L, "
+            "(a, i) -> a + cast(ascii(substring("
+            "cast(frame_bytes as string), i, 1)) as bigint))"
+        ).cast("long").alias("byte_sum"),
+    )

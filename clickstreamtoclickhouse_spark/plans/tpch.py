@@ -1366,3 +1366,132 @@ def part_copurchase_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return core.select(
         F.col("node").alias("l_partkey"), "core_degree"
     )
+
+
+_LP_NEIGHBOR_CAP = 40  # per-node wedge fan bound (deterministic)
+_LP_TOPK = 50
+
+
+@query(
+    "part_link_prediction",
+    oracle=f"""
+    WITH li2 AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    edges AS MATERIALIZED (
+      SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      FROM li2 a JOIN li2 b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    und AS MATERIALIZED (
+      SELECT u AS z, v AS nb FROM edges
+      UNION ALL SELECT v, u FROM edges
+    ),
+    deg AS MATERIALIZED (
+      SELECT z, CAST(count(*) AS BIGINT) AS d FROM und GROUP BY z
+    ),
+    capped AS MATERIALIZED (
+      SELECT z, nb FROM (
+        SELECT z, nb, row_number() OVER (PARTITION BY z ORDER BY nb) AS r
+        FROM und
+      ) WHERE r <= {_LP_NEIGHBOR_CAP}
+    ),
+    wedges AS (
+      SELECT a.nb AS pa, b.nb AS pb, a.z AS z
+      FROM capped a JOIN capped b ON a.z = b.z AND a.nb < b.nb
+    ),
+    cand AS (
+      SELECT w.pa, w.pb,
+             CAST(count(*) AS BIGINT) AS common_neighbors,
+             round(sum(1.0 / ln(deg.d)), 6) AS adamic_adar
+      FROM wedges w JOIN deg ON deg.z = w.z
+      WHERE NOT EXISTS (
+        SELECT 1 FROM edges e WHERE e.u = w.pa AND e.v = w.pb)
+      GROUP BY w.pa, w.pb
+    )
+    SELECT pa AS part_a, pb AS part_b, common_neighbors, adamic_adar
+    FROM cand
+    ORDER BY common_neighbors DESC, pa, pb
+    LIMIT {_LP_TOPK}
+    """,
+)
+def part_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction on the co-purchase graph (Liben-Nowell &
+    Kleinberg 2003, public method): for part pairs that are NOT yet
+    co-purchased but share wedge neighbors, score by common-neighbor
+    count with the Adamic-Adar weight (sum 1/ln(deg z) — rare shared
+    neighbors count more) — the classic "will be bought together"
+    candidate generator. Emits the top {_LP_TOPK} by the INTEGER
+    common-neighbor count (deterministic id tie-break; the float AA
+    score is display-rounded, never the sort key, so near-tie ULP
+    noise cannot reorder the cut).
+
+    Scale: wedge generation is the quadratic risk (deg^2 per node on
+    hub parts), so each node's neighbor list is capped at the
+    {_LP_NEIGHBOR_CAP} lowest-id neighbors BEFORE the self-join —
+    the same deterministic-cap stance as jaccard's hot-shingle guard
+    and the LSH bucket caps, replicated exactly in the oracle (AA
+    weights still use FULL degrees, so scores stay faithful). The
+    candidate anti-join excludes existing edges; the final top-k is
+    TakeOrderedAndProject, never a global sort."""
+    li2 = (
+        load(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a, b = li2.alias("a"), li2.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    from pyspark.sql.window import Window as W
+
+    und = edges.select(F.col("u").alias("z"), F.col("v").alias("nb")).unionByName(
+        edges.select(F.col("v").alias("z"), F.col("u").alias("nb"))
+    )
+    deg = und.groupBy("z").agg(F.count(F.lit(1)).cast("long").alias("d"))
+    capped = (
+        und.withColumn(
+            "r", F.row_number().over(W.partitionBy("z").orderBy("nb"))
+        )
+        .filter(F.col("r") <= _LP_NEIGHBOR_CAP)
+        .select("z", "nb")
+    )
+    ca, cb = capped.alias("ca"), capped.alias("cb")
+    wedges = ca.join(
+        cb,
+        (F.col("ca.z") == F.col("cb.z")) & (F.col("ca.nb") < F.col("cb.nb")),
+    ).select(
+        F.col("ca.nb").alias("pa"),
+        F.col("cb.nb").alias("pb"),
+        F.col("ca.z").alias("z"),
+    )
+    non_edges = wedges.join(
+        edges,
+        (wedges.pa == edges.u) & (wedges.pb == edges.v),
+        "left_anti",
+    )
+    cand = (
+        non_edges.join(deg, "z")
+        .groupBy("pa", "pb")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("common_neighbors"),
+            F.round(F.sum(1.0 / F.log(F.col("d"))), 6).alias("adamic_adar"),
+        )
+    )
+    return (
+        cand.select(
+            F.col("pa").alias("part_a"),
+            F.col("pb").alias("part_b"),
+            "common_neighbors",
+            "adamic_adar",
+        )
+        .orderBy(F.desc("common_neighbors"), "part_a", "part_b")
+        .limit(_LP_TOPK)
+    )

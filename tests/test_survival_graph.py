@@ -587,3 +587,32 @@ def test_holt_winters_nails_pure_weekly_cycle(spark, tmp_path):
     for r in out:
         assert abs(r.residual) < 1e-6, r
         assert abs(r.trend) < 1e-6
+
+
+def test_link_prediction_planted(spark, tmp_path):
+    """Parts 1 and 2 share neighbors 3 and 4 but never co-occur:
+    they must surface as the top candidate with cn=2; existing edges
+    are excluded; a rarer shared neighbor outweighs a hub in AA."""
+    import math
+
+    rows = [
+        (1, 1), (1, 3),       # 1-3
+        (2, 2), (2, 3),       # 2-3
+        (3, 1), (3, 4),       # 1-4
+        (4, 2), (4, 4),       # 2-4
+        # make 4 a hub: extra neighbors 5,6
+        (5, 4), (5, 5),
+        (6, 4), (6, 6),
+    ]
+    _write(spark, tmp_path, "lineitem", rows, LI_SCHEMA)
+    out = plans.QUERIES["part_link_prediction"](spark, str(tmp_path)).collect()
+    cands = {(r.part_a, r.part_b): r for r in out}
+    assert (1, 2) in cands
+    top = cands[(1, 2)]
+    assert top.common_neighbors == 2
+    # z=3 has degree 2, z=4 degree 4: AA = 1/ln2 + 1/ln4
+    expected_aa = round(1 / math.log(2) + 1 / math.log(4), 6)
+    assert abs(top.adamic_adar - expected_aa) < 1e-6
+    # no existing edge may appear as a candidate
+    edges = {(1, 3), (2, 3), (1, 4), (2, 4), (4, 5), (4, 6)}
+    assert all((r.part_a, r.part_b) not in edges for r in out)
