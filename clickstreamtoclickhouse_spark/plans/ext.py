@@ -4740,8 +4740,12 @@ def media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: frames never leave executors (the scalar projection
     happens next to the kernel); one scan, Arrow-batched, output
     linear in total media bytes / stride."""
-    media = multimodal.synth_media_from_documents(
-        load(spark, sf_dir, "documents"), kind="video"
+    from ..util import widen_scan
+
+    media = widen_scan(
+        multimodal.synth_media_from_documents(
+            load(spark, sf_dir, "documents"), kind="video"
+        )
     )
     frames = multimodal.frame_sample(media, every_n_bytes=_FRAME_STRIDE)
     fs = F.col("frame_bytes").cast("string")
