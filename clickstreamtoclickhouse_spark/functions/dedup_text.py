@@ -130,6 +130,34 @@ def jaccard_pairs(
     caller evaluating several dedup methods over one corpus (e.g.
     dedup_recall_report) pays the explode once, not once per method.
     """
+    inter = _shingle_pair_candidates(
+        docs, n, id_col, text_col, max_shingle_freq, shingles
+    )
+    # filter on the UNROUNDED ratio (matching the SQL oracle); round
+    # only in the final projection — filtering on the rounded value
+    # would keep a true similarity in [threshold-5e-7, threshold)
+    jacc = F.col("n_common") / (F.col("sz_a") + F.col("sz_b") - F.col("n_common"))
+    return inter.filter(jacc >= threshold).select(
+        "doc_a", "doc_b", F.round(jacc, 6).alias("jaccard")
+    )
+
+
+def _shingle_pair_candidates(
+    docs: DataFrame | None,
+    n: int,
+    id_col: str,
+    text_col: str,
+    max_shingle_freq: int | None,
+    shingles: DataFrame | None,
+) -> DataFrame:
+    """Shared candidate front end for every shingle-overlap measure
+    (jaccard_pairs, containment_pairs): shingle-explode -> optional
+    hot-shingle frequency cap -> expansion self-join -> per-pair
+    intersection counts joined with both set sizes. Output:
+    (doc_a, doc_b, n_common, sz_a, sz_b) with doc_a < doc_b —
+    downstream only the ratio differs. One implementation keeps the
+    cap semantics and the AQE-exemption repartition from silently
+    diverging between measures."""
     sh = (
         shingles.select("did", "shingle")
         if shingles is not None
@@ -163,16 +191,7 @@ def jaccard_pairs(
     )
     sa = sizes.select(F.col("did").alias("doc_a"), F.col("sz").alias("sz_a"))
     sb = sizes.select(F.col("did").alias("doc_b"), F.col("sz").alias("sz_b"))
-    # filter on the UNROUNDED ratio (matching the SQL oracle); round
-    # only in the final projection — filtering on the rounded value
-    # would keep a true similarity in [threshold-5e-7, threshold)
-    jacc = F.col("n_common") / (F.col("sz_a") + F.col("sz_b") - F.col("n_common"))
-    return (
-        inter.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .filter(jacc >= threshold)
-        .select("doc_a", "doc_b", F.round(jacc, 6).alias("jaccard"))
-    )
+    return inter.join(sa, "doc_a").join(sb, "doc_b")
 
 
 def containment_pairs(
@@ -182,6 +201,7 @@ def containment_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_shingle_freq: int | None = None,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs by ASYMMETRIC shingle containment
     (Broder 1997's resemblance companion): c(A in B) = |A∩B| / |A|.
@@ -192,47 +212,22 @@ def containment_pairs(
     policy then drops the contained (higher-containment = smaller)
     side.
 
-    Same relational plan as ``jaccard_pairs`` (shingle equi-join,
-    never all-pairs), same `max_shingle_freq` hot-shingle guard for
-    the 100 TB path; only the final ratio differs. Output:
+    Same relational plan as ``jaccard_pairs`` (the shared
+    ``_shingle_pair_candidates`` front end: shingle equi-join, never
+    all-pairs, with the same `max_shingle_freq` hot-shingle guard for
+    the 100 TB path and the same `shingles` injection for one-explode
+    multi-method evaluation); only the final ratio differs. Output:
     (doc_a, doc_b, cont_a_in_b, cont_b_in_a) with doc_a < doc_b."""
-    sh = _doc_shingles(docs, id_col, text_col, n)
-    if max_shingle_freq is not None:
-        freq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
-        sh = sh.join(
-            freq.filter(F.col("df") <= max_shingle_freq).select("shingle"),
-            "shingle",
-            "left_semi",
-        )
-    sh = sh.cache()
-    sizes = sh.groupBy("did").agg(F.count("*").alias("sz"))
-    nparts = int(sh.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    a = sh.select(F.col("did").alias("doc_a"), "shingle").repartition(
-        nparts, "shingle"
+    inter = _shingle_pair_candidates(
+        docs, n, id_col, text_col, max_shingle_freq, shingles
     )
-    b = sh.select(F.col("did").alias("doc_b"), "shingle").repartition(
-        nparts, "shingle"
-    )
-    inter = (
-        a.join(b, "shingle")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("n_common"))
-    )
-    sa = sizes.select(F.col("did").alias("doc_a"), F.col("sz").alias("sz_a"))
-    sb = sizes.select(F.col("did").alias("doc_b"), F.col("sz").alias("sz_b"))
     c_ab = F.col("n_common") / F.col("sz_a")
     c_ba = F.col("n_common") / F.col("sz_b")
-    return (
-        inter.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .filter(F.greatest(c_ab, c_ba) >= threshold)
-        .select(
-            "doc_a",
-            "doc_b",
-            F.round(c_ab, 6).alias("cont_a_in_b"),
-            F.round(c_ba, 6).alias("cont_b_in_a"),
-        )
+    return inter.filter(F.greatest(c_ab, c_ba) >= threshold).select(
+        "doc_a",
+        "doc_b",
+        F.round(c_ab, 6).alias("cont_a_in_b"),
+        F.round(c_ba, 6).alias("cont_b_in_a"),
     )
 
 
@@ -645,7 +640,12 @@ def incremental_minhash_dedup(
         .select(
             "did",
             F.lit(-1).alias("band"),
-            F.md5(F.col("__nt")).alias("bk"),
+            # coalesce: md5(NULL) is NULL, and NULL keys never match in
+            # the corpus-screen equi-join (unlike the in-batch window,
+            # which groups NULLs) — a NULL-text doc would be re-admitted
+            # on every re-delivery. Empty and NULL text share one key:
+            # both normalize to "no content", the degenerate contract.
+            F.md5(F.coalesce(F.col("__nt"), F.lit(""))).alias("bk"),
         )
     )
     bands = bands.unionByName(no_shingle)

@@ -181,6 +181,7 @@ def k_core(
     a: str = "a",
     b: str = "b",
     max_rounds: int = 20,
+    symmetrized: bool = False,
 ) -> DataFrame:
     """k-core of an undirected graph by synchronous peeling (Seidman
     1983, public method): repeatedly drop every node whose degree
@@ -196,14 +197,21 @@ def k_core(
     no all-pairs anywhere. Early exit on a driver-side count compare
     (one bounded scalar per round, same stance as connected
     components' convergence check)."""
-    und = (
-        edges.select(F.col(a).alias("s"), F.col(b).alias("d"))
-        .unionByName(
-            edges.select(F.col(b).alias("s"), F.col(a).alias("d"))
+    # `symmetrized=True`: the caller already built (and typically
+    # checkpointed) the directed both-ways edge list — skip the
+    # union+distinct+checkpoint pass, which would double the rows only
+    # to dedup them back and re-materialize the largest intermediate.
+    if symmetrized:
+        und = edges.select(F.col(a).alias("s"), F.col(b).alias("d"))
+    else:
+        und = (
+            edges.select(F.col(a).alias("s"), F.col(b).alias("d"))
+            .unionByName(
+                edges.select(F.col(b).alias("s"), F.col(a).alias("d"))
+            )
+            .distinct()
+            .localCheckpoint(eager=True)
         )
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
     core = und.select(F.col("s").alias("node")).distinct().localCheckpoint(
         eager=True
     )

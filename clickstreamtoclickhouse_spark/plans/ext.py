@@ -89,13 +89,16 @@ _SQL_LIGHT_EDIT_CORPUS = f"""
 """
 
 
-def _hot_cluster_corpus(docs: DataFrame) -> DataFrame:
-    """near-dup corpus ∪ 20 extra EXACT copies of doc 0 — a planted
-    hot cluster: all 21 byte-equal docs share every band key, so any
+def _with_hot_cluster(base: DataFrame, docs: DataFrame) -> DataFrame:
+    """`base` ∪ 20 extra EXACT copies of doc 0 — a planted hot
+    cluster: all 21 byte-equal docs share every band key, so any
     banded LSH self-join would pay 21²/2 candidate pairs per band for
-    them. The *_capped queries run on this corpus so the hot-bucket
+    them. The *_capped queries run on such corpora so the hot-bucket
     guard is ACTIVE and oracle-visible at test SF (the
-    jaccard_near_dups_capped stance)."""
+    jaccard_near_dups_capped stance). One builder (and one SQL twin,
+    ``_sql_with_hot_cluster``) serves every capped corpus so the
+    cluster size/offset can never drift between the Spark and oracle
+    sides of different queries."""
     hot = (
         docs.filter(F.col("doc_id") == 0)
         .select(
@@ -103,15 +106,23 @@ def _hot_cluster_corpus(docs: DataFrame) -> DataFrame:
         )
         .select((F.col("i") + 3 * _COPY_OFFSET).alias("doc_id"), "text")
     )
-    return _near_dup_corpus(docs).unionByName(hot)
+    return base.unionByName(hot)
 
 
-_SQL_HOT_CLUSTER_CORPUS = f"""
-  {_SQL_NEAR_DUP_CORPUS}
+def _sql_with_hot_cluster(base_sql: str) -> str:
+    return f"""
+  {base_sql}
   UNION ALL
   SELECT {3 * _COPY_OFFSET} + r.i AS doc_id, d.text
   FROM documents d, range(20) r(i) WHERE d.doc_id = 0
 """
+
+
+def _hot_cluster_corpus(docs: DataFrame) -> DataFrame:
+    return _with_hot_cluster(_near_dup_corpus(docs), docs)
+
+
+_SQL_HOT_CLUSTER_CORPUS = _sql_with_hot_cluster(_SQL_NEAR_DUP_CORPUS)
 
 
 def _chain_corpus(docs: DataFrame) -> DataFrame:
@@ -2780,23 +2791,11 @@ def simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SH_CAP = 8  # capped-twin bucket bound
 
 # light-edit corpus ∪ the same 21-doc byte-equal hot cluster
-_SQL_HOT_LIGHT_CORPUS = f"""
-  {_SQL_LIGHT_EDIT_CORPUS}
-  UNION ALL
-  SELECT {3 * _COPY_OFFSET} + r.i AS doc_id, d.text
-  FROM documents d, range(20) r(i) WHERE d.doc_id = 0
-"""
+_SQL_HOT_LIGHT_CORPUS = _sql_with_hot_cluster(_SQL_LIGHT_EDIT_CORPUS)
 
 
 def _hot_light_corpus(docs: DataFrame) -> DataFrame:
-    hot = (
-        docs.filter(F.col("doc_id") == 0)
-        .select(
-            F.explode(F.sequence(F.lit(0), F.lit(19))).alias("i"), "text"
-        )
-        .select((F.col("i") + 3 * _COPY_OFFSET).alias("doc_id"), "text")
-    )
-    return _light_edit_corpus(docs).unionByName(hot)
+    return _with_hot_cluster(_light_edit_corpus(docs), docs)
 
 
 @query(
@@ -4708,12 +4707,14 @@ _FRAME_STRIDE = 256
     "media_frame_sample",
     oracle=f"""
     WITH frames AS (
-      SELECT doc_id AS media_id, f.k AS frame_idx,
-             substr(text, f.k * {_FRAME_STRIDE} + 1, {_FRAME_STRIDE}) AS fr
-      FROM documents
-      CROSS JOIN (
-        SELECT unnest(range(0, 64)) AS k) f
-      WHERE f.k * {_FRAME_STRIDE} < length(text)
+      SELECT media_id, frame_idx,
+             substr(text, frame_idx * 256 + 1, 256) AS fr
+      FROM (
+        SELECT doc_id AS media_id, text,
+               unnest(range(0, CAST(ceil(length(text) / 256.0)
+                                    AS BIGINT))) AS frame_idx
+        FROM documents
+      )
     )
     SELECT media_id, CAST(frame_idx AS INT) AS frame_idx,
            CAST(length(fr) AS BIGINT) AS n_bytes,

@@ -343,13 +343,23 @@ def dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Span corruption: 1-in-SPAN_RATE positions seed a span of 2-4 tokens
 # (mean 3) => expected mask rate ~15%, the T5 default.
 _SPAN_RATE = 20
+from ..util import portable_id_hash_duck, portable_id_hash_sql
+
+# per-(doc, position) sampling hash — built from the engine's ONE
+# portable hash (CLAUDE.md rule), in SQL-text form for lambda use
 _SC_HASH = (
-    "pmod(cast(conv(substr(md5(concat(cast(doc_id as string), '{sep}', "
-    "cast(i as string))), 1, 8), 16, 10) as bigint), {mod})"
+    portable_id_hash_sql(
+        "concat(cast(doc_id as string), '{sep}', cast(i as string))"
+    )
+    .replace("{", "{{").replace("}", "}}")
+    .replace("{{sep}}", "{sep}")
+    + " % {mod}"
 )
 _SC_HASH_DUCK = (
-    "('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '{sep}' || "
-    "CAST(i AS VARCHAR)), 1, 8))::BIGINT % {mod}"
+    portable_id_hash_duck(
+        "CAST(doc_id AS VARCHAR) || '{sep}' || CAST(i AS VARCHAR)"
+    )
+    + " % {mod}"
 )
 
 

@@ -3974,6 +3974,54 @@ def cohort_ltv_curves(spark: SparkSession, sf_dir: str) -> DataFrame:
 _KM_HORIZON_H = 96  # administrative censoring horizon (hours)
 
 
+def _km_subjects(e: DataFrame, grouped: bool = False) -> DataFrame:
+    """Shared subject builder for the survival family: ONE user-keyed
+    pass computes each user's first event and first purchase
+    (conditional min — the two oracle aggregates fused), the 1-row
+    max-ts anchor broadcasts on, and the observation scheme
+    (_KM_HORIZON_H administrative horizon, end-of-observation
+    censoring, whole-elapsed-hours truncation) is applied once — so
+    the estimator (km_time_to_purchase) and its hypothesis test
+    (km_logrank_by_variant) provably share one censoring contract.
+    Output: (t, ev[, grp]) per subject."""
+    from ..util import portable_id_hash
+
+    agg = e.groupBy("user_id").agg(
+        F.min("ts").alias("f"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "fp"
+        ),
+    )
+    if grouped:
+        agg = agg.select(
+            F.when(portable_id_hash(F.col("user_id")) % 2 == 0, "A")
+            .otherwise("B")
+            .alias("grp"),
+            "f",
+            "fp",
+        )
+    m = e.agg(F.max("ts").alias("mx"))
+    hour_us = 3600 * 1_000_000
+    subj = agg.crossJoin(F.broadcast(m)).select(
+        *(["grp"] if grouped else []),
+        ((F.unix_micros("fp") - F.unix_micros("f")) / hour_us)
+        .cast("long")
+        .alias("dur_h"),
+        F.least(
+            F.lit(_KM_HORIZON_H).cast("long"),
+            ((F.unix_micros("mx") - F.unix_micros("f")) / hour_us)
+            .cast("long"),
+        ).alias("cens_h"),
+    )
+    is_event = F.col("dur_h").isNotNull() & (F.col("dur_h") <= F.col("cens_h"))
+    return subj.select(
+        *(["grp"] if grouped else []),
+        F.when(is_event, F.col("dur_h")).otherwise(F.col("cens_h")).alias("t"),
+        F.when(is_event, 1).otherwise(0).alias("ev"),
+    )
+
+
+
 @query(
     "km_time_to_purchase",
     oracle=f"""
@@ -4050,37 +4098,7 @@ def km_time_to_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     (<= {_KM_HORIZON_H}+1 rows), not the user count — the global sort
     is on a constant-size aggregate, never the corpus."""
     e = load(spark, sf_dir, "events")
-    # ONE user-keyed pass computes first event AND first purchase
-    # (conditional min) — the oracle's two aggregates fused; the only
-    # other scan is the 1-row max-ts anchor
-    u = e.groupBy("user_id").agg(
-        F.min("ts").alias("f"),
-        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
-            "fp"
-        ),
-    )
-    m = e.agg(F.max("ts").alias("mx"))
-    hour_us = 3600 * 1_000_000
-    subj = (
-        u.crossJoin(F.broadcast(m))
-        .select(
-            ((F.unix_micros("fp") - F.unix_micros("f")) / hour_us)
-            .cast("long")
-            .alias("dur_h"),
-            F.least(
-                F.lit(_KM_HORIZON_H).cast("long"),
-                ((F.unix_micros("mx") - F.unix_micros("f")) / hour_us)
-                .cast("long"),
-            ).alias("cens_h"),
-        )
-    )
-    is_event = F.col("dur_h").isNotNull() & (F.col("dur_h") <= F.col("cens_h"))
-    obs = subj.select(
-        F.when(is_event, F.col("dur_h")).otherwise(F.col("cens_h")).alias(
-            "t_hours"
-        ),
-        F.when(is_event, 1).otherwise(0).alias("ev"),
-    )
+    obs = _km_subjects(e).select(F.col("t").alias("t_hours"), "ev")
     tbl = obs.groupBy("t_hours").agg(
         F.sum("ev").cast("long").alias("n_events"),
         F.sum(1 - F.col("ev")).cast("long").alias("n_censored"),
@@ -5100,43 +5118,8 @@ def km_logrank_by_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: the same two user-keyed aggregates as the KM query; the
     log-rank reduction runs over the horizon-bounded life table."""
-    from ..util import portable_id_hash
-
     e = load(spark, sf_dir, "events")
-    u = e.groupBy("user_id").agg(
-        F.min("ts").alias("f"),
-        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
-            "fp"
-        ),
-    ).select(
-        F.when(portable_id_hash(F.col("user_id")) % 2 == 0, "A")
-        .otherwise("B")
-        .alias("grp"),
-        "f",
-        "fp",
-    )
-    m = e.agg(F.max("ts").alias("mx"))
-    hour_us = 3600 * 1_000_000
-    subj = (
-        u.crossJoin(F.broadcast(m))
-        .select(
-            "grp",
-            ((F.unix_micros("fp") - F.unix_micros("f")) / hour_us)
-            .cast("long")
-            .alias("dur_h"),
-            F.least(
-                F.lit(_KM_HORIZON_H).cast("long"),
-                ((F.unix_micros("mx") - F.unix_micros("f")) / hour_us)
-                .cast("long"),
-            ).alias("cens_h"),
-        )
-    )
-    is_event = F.col("dur_h").isNotNull() & (F.col("dur_h") <= F.col("cens_h"))
-    obs = subj.select(
-        "grp",
-        F.when(is_event, F.col("dur_h")).otherwise(F.col("cens_h")).alias("t"),
-        F.when(is_event, 1).otherwise(0).alias("ev"),
-    )
+    obs = _km_subjects(e, grouped=True)
     tbl = obs.groupBy("t").agg(
         F.sum(F.when(F.col("grp") == "A", 1).otherwise(0))
         .cast("long")

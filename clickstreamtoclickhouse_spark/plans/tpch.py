@@ -1362,7 +1362,9 @@ def part_copurchase_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     k = row["e2"] // (2 * row["v"]) if row["v"] else 0
     from ..functions.graph import k_core
 
-    core = k_core(und, k=k, a="s", b="d", max_rounds=_KCORE_ROUNDS)
+    core = k_core(
+        und, k=k, a="s", b="d", max_rounds=_KCORE_ROUNDS, symmetrized=True
+    )
     return core.select(
         F.col("node").alias("l_partkey"), "core_degree"
     )

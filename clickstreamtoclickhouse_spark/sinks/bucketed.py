@@ -91,7 +91,30 @@ class BandIndex:
         self.num_buckets = num_buckets
 
     def exists(self) -> bool:
+        self._recover()
         return self.spark.catalog.tableExists(self.table)
+
+    def _recover(self) -> None:
+        """Finish or roll back a compaction swap interrupted by a
+        crash (single-writer maintenance op). Invariants: the
+        compacted temp table is only ever fully written (Spark
+        registers a saved table at commit), and the backup rename
+        happens after that write — so whenever the live table is
+        missing, either the temp (preferred: the compacted data) or
+        the backup holds the complete index and can be adopted. Every
+        intermediate crash state is therefore recoverable, which is
+        what makes the swap effectively atomic for readers that go
+        through exists()/load()/append()."""
+        cat = self.spark.catalog
+        if cat.tableExists(self.table):
+            return
+        tmp = f"{self.table}__compacting"
+        bak = f"{self.table}__precompact"
+        if cat.tableExists(tmp):
+            self.spark.sql(f"ALTER TABLE {tmp} RENAME TO {self.table}")
+            self.spark.sql(f"DROP TABLE IF EXISTS {bak}")
+        elif cat.tableExists(bak):
+            self.spark.sql(f"ALTER TABLE {bak} RENAME TO {self.table}")
 
     def load(self) -> DataFrame | None:
         """The index as a bucketed scan (None before the first
@@ -100,6 +123,7 @@ class BandIndex:
 
     def append(self, bands: DataFrame) -> None:
         """Append (id, band, bk) rows for newly admitted docs."""
+        self._recover()
         write_bucketed(
             bands,
             self.table,
@@ -154,6 +178,14 @@ class BandIndex:
             )
         finally:
             self.spark.conf.set(conf, old)
-        self.spark.sql(f"DROP TABLE {self.table}")
+        # Crash-safe swap: the live table is never dropped while it is
+        # the only copy. Rename live -> backup, temp -> live, then drop
+        # the backup; _recover() adopts the survivor from any
+        # intermediate crash state (a bare DROP+RENAME here would lose
+        # the whole index if the process died between the statements).
+        bak = f"{self.table}__precompact"
+        self.spark.sql(f"DROP TABLE IF EXISTS {bak}")
+        self.spark.sql(f"ALTER TABLE {self.table} RENAME TO {bak}")
         self.spark.sql(f"ALTER TABLE {tmp} RENAME TO {self.table}")
+        self.spark.sql(f"DROP TABLE {bak}")
         return before, self.n_files()

@@ -559,21 +559,48 @@ def streaming_embedding_dedup(
     Per batch: O(|batch| x num_tables) bucket rows against the index
     (bucket the stored table on (t, bucket) at scale — BandIndex's
     layout); the verify fetches only colliding corpus vectors by id.
-    Same non-atomic multi-append caveat as the text variants (the
-    transaction log in sinks/txlog.py closes it)."""
-    from ..functions.similarity import incremental_lsh_dedup
+
+    Torn-index recovery: the two index appends are not atomic, but
+    the bucket table is a DETERMINISTIC function of the vector table
+    (lsh_portable_buckets), so the vector table is the source of
+    truth. Vectors are appended FIRST; on every batch, ids present in
+    vectors but missing from buckets (the crash window) get their
+    bucket rows REGENERATED and unioned in before screening, so a
+    crash between the appends can never cause re-admission or a
+    crash-loop — the cost is one id anti-join per batch (index side
+    bucketable). A bucket table with no vector table (impossible
+    under this write order) is ignored: without vectors nothing can
+    be verified. The txlog sink remains the single-commit option."""
+    from ..functions.similarity import incremental_lsh_dedup, lsh_portable_buckets
 
     spark = vec_stream.sparkSession
     buckets_dir = f"{index_dir}/buckets"
     vectors_dir = f"{index_dir}/vectors"
 
-    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+    def load_index():
         from ..util import try_read_parquet
 
+        idx_v = try_read_parquet(spark, vectors_dir)
+        if idx_v is None:
+            return None, None  # nothing verifiable yet
+        idx_b = try_read_parquet(spark, buckets_dir)
+        missing = (
+            idx_v
+            if idx_b is None
+            else idx_v.join(
+                idx_b.select(id_col).distinct(), id_col, "left_anti"
+            )
+        )
+        regen = lsh_portable_buckets(
+            missing, dim, num_tables, bits, id_col, vec_col
+        ).select(id_col, "t", "bucket")
+        idx_b = regen if idx_b is None else idx_b.unionByName(regen)
+        return idx_b, idx_v
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         batch_df = batch_df.cache()
         try:
-            idx_b = try_read_parquet(spark, buckets_dir)
-            idx_v = try_read_parquet(spark, vectors_dir)
+            idx_b, idx_v = load_index()
             fresh, fresh_b, fresh_v = incremental_lsh_dedup(
                 batch_df, idx_b, idx_v, dim=dim, threshold=threshold,
                 num_tables=num_tables, bits=bits,
@@ -583,8 +610,9 @@ def streaming_embedding_dedup(
                 batch_df.join(fresh, id_col, "left_semi")
                 .write.mode("append").parquet(out_dir)
             )
-            fresh_b.write.mode("append").parquet(buckets_dir)
+            # vectors FIRST: they are the recoverable source of truth
             fresh_v.write.mode("append").parquet(vectors_dir)
+            fresh_b.write.mode("append").parquet(buckets_dir)
         finally:
             batch_df.unpersist()
 

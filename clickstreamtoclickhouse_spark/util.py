@@ -39,6 +39,24 @@ def portable_id_hash(col):
     )
 
 
+def portable_id_hash_sql(expr: str) -> str:
+    """Spark-SQL-text form of ``portable_id_hash`` for use inside SQL
+    lambda strings (F.transform/aggregate bodies can't always take a
+    Column helper). `expr` is a SQL string expression. Keep every
+    inline SQL hash on this builder — same single-source rule as the
+    Column form."""
+    return (
+        f"cast(conv(substr(md5(cast({expr} as string)), 1, 8), 16, 10) "
+        "as bigint)"
+    )
+
+
+def portable_id_hash_duck(expr: str) -> str:
+    """DuckDB-text twin of ``portable_id_hash`` for oracle SQL.
+    `expr` is a VARCHAR expression."""
+    return f"('0x' || substr(md5({expr}), 1, 8))::BIGINT"
+
+
 def try_read_parquet(
     spark: SparkSession, path: str, **options: str
 ) -> DataFrame | None:

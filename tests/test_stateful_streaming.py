@@ -803,3 +803,116 @@ def test_streaming_heavy_hitters(spark, tmp_path):
     evicted = [i for i in range(5) if f"rare{i}" not in by_item]
     if evicted:
         assert hot["decrements"] >= 2
+
+
+def test_band_index_compact_swap_recovers_from_crash(spark):
+    """A crash between compact()'s two renames must not lose the
+    index: _recover() adopts the compacted temp (or rolls back to the
+    backup) on the next access instead of reporting an empty index."""
+    from clickstreamtoclickhouse_spark.sinks.bucketed import BandIndex
+
+    idx = BandIndex(spark, "bkt_crash_idx", num_buckets=4)
+    for t in ("bkt_crash_idx", "bkt_crash_idx__compacting",
+              "bkt_crash_idx__precompact"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    rows = spark.createDataFrame(
+        [(1, 0, "k0"), (2, 1, "k1")], "doc_id long, band int, bk string"
+    )
+    idx.append(rows)
+    n0 = idx.load().count()
+    # simulate the mid-swap crash state: temp fully written, live
+    # renamed away to the backup, process dies before temp -> live
+    spark.sql(
+        "CREATE TABLE bkt_crash_idx__compacting AS SELECT * FROM bkt_crash_idx"
+    )
+    spark.sql(
+        "ALTER TABLE bkt_crash_idx RENAME TO bkt_crash_idx__precompact"
+    )
+    assert idx.exists()  # recovery adopted the compacted copy
+    assert idx.load().count() == n0
+    assert not spark.catalog.tableExists("bkt_crash_idx__precompact")
+    # rollback path: only the backup survives
+    spark.sql("ALTER TABLE bkt_crash_idx RENAME TO bkt_crash_idx__precompact")
+    assert idx.exists()
+    assert idx.load().count() == n0
+    spark.sql("DROP TABLE IF EXISTS bkt_crash_idx")
+
+
+def test_streaming_embedding_dedup_heals_torn_index(spark, tmp_path):
+    """Crash window between the two index appends: vectors written,
+    buckets missing. The next batch must regenerate the missing
+    bucket rows from the vector table (the source of truth) and still
+    reject a re-sent near-duplicate — no crash-loop, no re-admission."""
+    import json as _json
+    import shutil
+
+    landing = tmp_path / "vec_stream2"
+    landing.mkdir()
+    index_dir = str(tmp_path / "vec_index2")
+    out_dir = str(tmp_path / "vec_corpus2")
+    ckpt = str(tmp_path / "ckpt_vec2")
+
+    def base_vec(axis, dim=8):
+        return [1.0 if i == axis else 0.0 for i in range(dim)]
+
+    def write_file(name, rows):
+        with open(landing / name, "w") as f:
+            for r in rows:
+                f.write(_json.dumps(r) + "\n")
+
+    write_file("b1.json", [{"vec_id": 1, "embedding": base_vec(0)}])
+    stream = spark.readStream.schema(
+        "vec_id long, embedding array<float>"
+    ).option("maxFilesPerTrigger", 1).json(str(landing))
+    q = stateful.streaming_embedding_dedup(
+        stream, index_dir, out_dir, ckpt, dim=8
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    # simulate the crash window: the bucket append never happened
+    shutil.rmtree(f"{index_dir}/buckets")
+    # re-deliver vec 1's content under a new id + one new vector
+    write_file("b2.json", [
+        {"vec_id": 20, "embedding": base_vec(0)},
+        {"vec_id": 21, "embedding": base_vec(3)},
+    ])
+    stream = spark.readStream.schema(
+        "vec_id long, embedding array<float>"
+    ).option("maxFilesPerTrigger", 1).json(str(landing))
+    q = stateful.streaming_embedding_dedup(
+        stream, index_dir, out_dir, ckpt, dim=8
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    ids = sorted(r["vec_id"] for r in spark.read.parquet(out_dir).collect())
+    assert ids == [1, 21]  # the exact re-send was still rejected
+    idx_b = spark.read.parquet(f"{index_dir}/buckets")
+    # regenerated bucket rows cover the new admit (vector 1's rows
+    # regenerate again next batch — idempotent union, never data loss)
+    assert {r["vec_id"] for r in idx_b.select("vec_id").collect()} == {21}
+
+
+def test_incremental_minhash_dedup_null_text_not_readmitted(spark):
+    """NULL-text docs take the degenerate exact-identity path too: a
+    re-delivered NULL-text doc must be rejected against the index
+    (md5(NULL) would be a NULL join key that never matches)."""
+    from clickstreamtoclickhouse_spark.functions.dedup_text import (
+        incremental_minhash_dedup,
+    )
+
+    b1 = spark.createDataFrame(
+        [(1, None), (2, "real words here enough for shingles")],
+        "doc_id long, text string",
+    )
+    fresh1, idx1 = incremental_minhash_dedup(b1, None)
+    assert sorted(r.doc_id for r in fresh1.collect()) == [1, 2]
+    b2 = spark.createDataFrame(
+        [(10, None), (11, "")], "doc_id long, text string"
+    )
+    fresh2, _ = incremental_minhash_dedup(b2, idx1)
+    # NULL text re-delivery rejected; "" shares the no-content key
+    assert fresh2.collect() == []
