@@ -152,6 +152,7 @@ class BandIndex:
         """Rewrite the index into one file set per bucket: write a new
         bucketed table from the current scan, then swap it in with an
         atomic catalog rename. Returns (files_before, files_after)."""
+        self._recover()
         before = self.n_files()
         tmp = f"{self.table}__compacting"
         self.spark.sql(f"DROP TABLE IF EXISTS {tmp}")
