@@ -5388,3 +5388,152 @@ def daily_value_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
         fc.alias("forecast"),
         F.round(F.col("v") - fc, 6).alias("residual"),
     )
+
+
+@query(
+    "nelson_aalen_hazard",
+    oracle=f"""
+    WITH u AS (
+      SELECT user_id, min(ts) AS f,
+             min(CASE WHEN event_type = 'purchase' THEN ts END) AS fp
+      FROM events GROUP BY 1
+    ),
+    m AS (SELECT max(ts) AS mx FROM events),
+    subj AS (
+      SELECT (epoch_us(fp) - epoch_us(f)) // 3600000000 AS dur_h,
+             least({_KM_HORIZON_H},
+                   (epoch_us(m.mx) - epoch_us(f)) // 3600000000) AS cens_h
+      FROM u CROSS JOIN m
+    ),
+    obs AS (
+      SELECT CASE WHEN dur_h IS NOT NULL AND dur_h <= cens_h
+                  THEN dur_h ELSE cens_h END AS t_hours,
+             CASE WHEN dur_h IS NOT NULL AND dur_h <= cens_h
+                  THEN 1 ELSE 0 END AS ev
+      FROM subj
+    ),
+    tbl AS (
+      SELECT t_hours,
+             CAST(sum(ev) AS BIGINT) AS n_events,
+             CAST(count(*) AS BIGINT) AS n_total
+      FROM obs GROUP BY 1
+    ),
+    risk AS (
+      SELECT t_hours, n_events,
+             CAST(sum(n_total) OVER (ORDER BY t_hours DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS n_at_risk
+      FROM tbl
+    )
+    SELECT t_hours, n_at_risk, n_events,
+           round(sum(n_events * 1.0 / n_at_risk)
+                 OVER (ORDER BY t_hours
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                 6) AS cum_hazard
+    FROM risk WHERE n_events > 0
+    """,
+)
+def nelson_aalen_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nelson-Aalen cumulative hazard estimator (Nelson 1972 / Aalen
+    1978, public method) over the same censored time-to-first-purchase
+    subjects as `km_time_to_purchase` (shared `_km_subjects`
+    contract): H(t) = sum_{{s<=t}} d_s/n_s over event times — the
+    additive companion to KM's product-limit S(t) (exp(-H) ~ S), and
+    the quantity whose slope reads as the instantaneous conversion
+    hazard. Same parity mechanics as KM: integer life table, ordered
+    cumulative window over the horizon-bounded event times."""
+    e = load(spark, sf_dir, "events")
+    obs = _km_subjects(e)
+    tbl = obs.groupBy(F.col("t").alias("t_hours")).agg(
+        F.sum("ev").cast("long").alias("n_events"),
+        F.count(F.lit(1)).cast("long").alias("n_total"),
+    )
+    w_desc = Window.orderBy(F.desc("t_hours")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    risk = tbl.select(
+        "t_hours",
+        "n_events",
+        F.sum("n_total").over(w_desc).cast("long").alias("n_at_risk"),
+    )
+    w_asc = Window.orderBy("t_hours").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        risk.withColumn(
+            "cum_hazard",
+            F.round(
+                F.sum(
+                    F.col("n_events") * 1.0 / F.col("n_at_risk")
+                ).over(w_asc),
+                6,
+            ),
+        )
+        .filter(F.col("n_events") > 0)
+        .select("t_hours", "n_at_risk", "n_events", "cum_hazard")
+    )
+
+
+@query(
+    "purchase_rate_wilson_ci",
+    oracle="""
+    WITH s AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS BIGINT) AS k
+      FROM events
+    )
+    SELECT n, k,
+           round(k * 1.0 / n, 6) AS rate,
+           round((k * 1.0 / n + 1.9599639845400545 * 1.9599639845400545
+                    / (2.0 * n)
+                  - 1.9599639845400545
+                    * sqrt((k * 1.0 / n) * (1 - k * 1.0 / n) / n
+                           + 1.9599639845400545 * 1.9599639845400545
+                             / (4.0 * n * n)))
+                 / (1 + 1.9599639845400545 * 1.9599639845400545 / n), 6)
+             AS ci_lo,
+           round((k * 1.0 / n + 1.9599639845400545 * 1.9599639845400545
+                    / (2.0 * n)
+                  + 1.9599639845400545
+                    * sqrt((k * 1.0 / n) * (1 - k * 1.0 / n) / n
+                           + 1.9599639845400545 * 1.9599639845400545
+                             / (4.0 * n * n)))
+                 / (1 + 1.9599639845400545 * 1.9599639845400545 / n), 6)
+             AS ci_hi
+    FROM s
+    """,
+)
+def purchase_rate_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilson score interval (Wilson 1927, public method) for the
+    purchase share of events at 95% — the small-sample-safe rate CI
+    that never leaves [0, 1] (unlike the Wald interval) and stays
+    sane at k=0 or k=n, which is why rate dashboards standardize on
+    it. The z=1.96 literal is written to full double precision
+    identically on both engines; everything else is scalar algebra
+    over two exact integers, so parity is structural. Complements
+    `purchase_mean_bootstrap_ci` (mean of a continuous metric) and
+    `ab_test_proportions` (two-sample comparison).
+
+    Scale: one map-side-combinable scan into a 1-row aggregate."""
+    z = 1.9599639845400545
+    e = load(spark, sf_dir, "events")
+    s = e.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("long")
+        .alias("k"),
+    )
+    p = F.col("k") * 1.0 / F.col("n")
+    half = z * F.sqrt(
+        p * (1 - p) / F.col("n") + z * z / (4.0 * F.col("n") * F.col("n"))
+    )
+    center = p + z * z / (2.0 * F.col("n"))
+    denom = 1 + z * z / F.col("n")
+    return s.select(
+        "n",
+        "k",
+        F.round(p, 6).alias("rate"),
+        F.round((center - half) / denom, 6).alias("ci_lo"),
+        F.round((center + half) / denom, 6).alias("ci_hi"),
+    )

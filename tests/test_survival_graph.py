@@ -616,3 +616,48 @@ def test_link_prediction_planted(spark, tmp_path):
     # no existing edge may appear as a candidate
     edges = {(1, 3), (2, 3), (1, 4), (2, 4), (4, 5), (4, 6)}
     assert all((r.part_a, r.part_b) not in edges for r in out)
+
+
+def test_nelson_aalen_consistent_with_km(spark):
+    """H(t) and S(t) over the same subjects: exp(-H) ~ S (they agree
+    to first order), H is non-decreasing, and both use identical risk
+    sets at event times."""
+    import math
+
+    km = {
+        r.t_hours: r
+        for r in plans.QUERIES["km_time_to_purchase"](
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    }
+    na = {
+        r.t_hours: r
+        for r in plans.QUERIES["nelson_aalen_hazard"](
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    }
+    assert na  # event times exist
+    prev = 0.0
+    for t in sorted(na):
+        assert na[t].cum_hazard >= prev - 1e-9
+        prev = na[t].cum_hazard
+        assert na[t].n_at_risk == km[t].n_at_risk
+        assert na[t].n_events == km[t].n_events
+        # Fleming-Harrington relation: exp(-H) >= KM S(t), close to it
+        assert math.exp(-na[t].cum_hazard) >= km[t].survival - 1e-9
+
+
+def test_wilson_ci_bounds_and_degenerates(spark, tmp_path):
+    """Wilson stays inside [0,1] and gives a nonzero-width interval
+    even at k=0 (where Wald collapses to [0,0])."""
+    rows = [(i, T0 + dt.timedelta(hours=i), 1, "view") for i in range(20)]
+    _write(spark, tmp_path, "events", rows, EV_SCHEMA)
+    out = plans.QUERIES["purchase_rate_wilson_ci"](
+        spark, str(tmp_path)
+    ).collect()[0]
+    assert out.k == 0 and out.rate == 0.0
+    assert out.ci_lo == 0.0 and 0.0 < out.ci_hi < 0.2
+    real = plans.QUERIES["purchase_rate_wilson_ci"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()[0]
+    assert 0.0 <= real.ci_lo <= real.rate <= real.ci_hi <= 1.0
