@@ -95,7 +95,7 @@ def _with_hot_cluster(base: DataFrame, docs: DataFrame) -> DataFrame:
     banded LSH self-join would pay 21²/2 candidate pairs per band for
     them. The *_capped queries run on such corpora so the hot-bucket
     guard is ACTIVE and oracle-visible at test SF (the
-    jaccard_near_dups_capped stance). One builder (and one SQL twin,
+    capped-primary jaccard_near_dups stance). One builder (and one SQL twin,
     ``_sql_with_hot_cluster``) serves every capped corpus so the
     cluster size/offset can never drift between the Spark and oracle
     sides of different queries."""
@@ -1063,7 +1063,7 @@ def exact_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "jaccard_near_dups",
+    "jaccard_near_dups_uncapped",
     oracle=f"""
     WITH corpus AS ({_SQL_NEAR_DUP_CORPUS}),
     normed AS (
@@ -1092,16 +1092,19 @@ def exact_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE n_common * 1.0 / (sa.sz + sb.sz - n_common) >= 0.5
     """,
 )
-def jaccard_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """3-gram shingle Jaccard near-dup pairs over the truncated-copy
-    corpus: each (original, 80%-truncation) pair lands around
-    jaccard ≈ 0.8."""
+def jaccard_near_dups_uncapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNCAPPED 3-gram shingle Jaccard — the sf-bounded exact
+    baseline behind the registered `jaccard_near_dups` (which runs
+    the hot-shingle cap). No shingle-frequency guard: a stopword
+    shingle shared by k docs contributes O(k²) candidate pairs, so
+    this form is for oracle anchoring and small-corpus audits only —
+    at 100 TB use the capped primary."""
     corpus = _near_dup_corpus(load(spark, sf_dir, "documents"))
     return dedup_text.jaccard_pairs(corpus, threshold=0.5, n=3)
 
 
 @query(
-    "jaccard_near_dups_capped",
+    "jaccard_near_dups",
     oracle=f"""
     WITH corpus AS ({_SQL_NEAR_DUP_CORPUS}),
     normed AS (
@@ -1135,13 +1138,17 @@ def jaccard_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE n_common * 1.0 / (sa.sz + sb.sz - n_common) >= 0.5
     """,
 )
-def jaccard_near_dups_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """jaccard_near_dups with the at-scale guard ACTIVE:
+def jaccard_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-gram shingle Jaccard near-dup pairs over the truncated-copy
+    corpus — THE REGISTERED PRIMARY, with the at-scale guard ACTIVE:
     max_shingle_freq=4 drops shingles shared by more than 4 docs
     before the self-join (at 100 TB a stopword shingle is a quadratic
-    hot key). The oracle applies the identical cap — sizes and
-    intersections both computed post-cap — so the guard itself is
-    correctness-checked, not just unit-tested."""
+    hot key — the uncapped form's measured failure mode; see
+    `jaccard_near_dups_uncapped` for the sf-bounded exact baseline).
+    The oracle applies the identical cap — sizes and intersections
+    both computed post-cap — so the guard itself is
+    correctness-checked, not just unit-tested. Each
+    (original, 80%-truncation) pair lands around jaccard ≈ 0.8."""
     corpus = _near_dup_corpus(load(spark, sf_dir, "documents"))
     return dedup_text.jaccard_pairs(
         corpus, threshold=0.5, n=3, max_shingle_freq=4
@@ -2131,7 +2138,7 @@ def user_activity_similarity_capped(spark: SparkSession, sf_dir: str) -> DataFra
     under-estimates similarity — the threshold is lowered to 0.4 to
     keep the surviving pair set non-trivial. The oracle applies the
     identical cap, making the guard itself correctness-checked (same
-    pattern as jaccard_near_dups_capped)."""
+    pattern as the capped jaccard_near_dups primary)."""
     e = load(spark, sf_dir, "events")
     series = e.groupBy(
         "user_id", F.dayofmonth("ts").cast("int").alias("day")
@@ -2646,32 +2653,61 @@ def _minhash_pairs_oracle(corpus_sql: str, cap: int | None = None) -> str:
     """
 
 
+_MH_CAP = 8  # hot-bucket bound, active in the PRIMARY (bites at sf0.01)
+
+
 @query(
     "minhash_near_dups",
-    oracle=_minhash_pairs_oracle(_SQL_NEAR_DUP_CORPUS),
+    oracle=_minhash_pairs_oracle(_SQL_NEAR_DUP_CORPUS, cap=_MH_CAP),
 )
 def minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH with the FULL pipeline under oracle check —
-    candidate generation included. The xxhash64 kernel
-    (dedup_text.minhash_near_dup_pairs) stays the engine-native
-    library fast path because its hashes don't port to SQL; here the
-    registered query's base hash is a polynomial codepoint fold and
-    the permutations are fixed (a*x+b) mod p literals shared verbatim
-    with the DuckDB twin, so banding, collision sets, and signature-
-    match estimates agree value-for-value cross-engine.
+    candidate generation included — and the HOT-BUCKET GUARD ACTIVE
+    (max_bucket_size=_MH_CAP=8, replicated in the oracle): band
+    buckets holding more docs are dropped before the self-join,
+    bounding any bucket's candidate contribution to O(cap²). The
+    r7 probe measured the uncapped form's shuffle growing 81x at 10x
+    rows (k² fan-out on hot band buckets — exact-duplicate clusters
+    share every band key); the guard makes candidate volume linear,
+    so this capped form owns the primary name and
+    `minhash_near_dups_uncapped` remains the sf-bounded baseline.
 
-    Identical scale shape to the xxhash64 variant (signature shuffle,
-    band explode, (band, key) equi-join; never all-pairs); the
-    portable fold costs one extra pass over shingle characters —
-    the price of end-to-end checkability, worth paying in any engine
-    migration scenario (it pins recall behavior, not just survivors)."""
+    The xxhash64 kernel (dedup_text.minhash_near_dup_pairs) stays the
+    engine-native library fast path because its hashes don't port to
+    SQL; here the registered query's base hash is a polynomial
+    codepoint fold and the permutations are fixed (a*x+b) mod p
+    literals shared verbatim with the DuckDB twin, so banding,
+    collision sets, and signature-match estimates agree
+    value-for-value cross-engine."""
+    corpus = _near_dup_corpus(load(spark, sf_dir, "documents"))
+    return dedup_text.minhash_portable_pairs(
+        corpus, threshold=0.5, n=3, num_bands=_MH_BANDS,
+        max_bucket_size=_MH_CAP,
+    )
+
+
+@query(
+    "minhash_near_dups_uncapped",
+    oracle=_minhash_pairs_oracle(_SQL_NEAR_DUP_CORPUS),
+)
+def minhash_near_dups_uncapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNCAPPED MinHash+LSH — the sf-bounded exact-recall baseline
+    behind the registered `minhash_near_dups` (which drops band
+    buckets over _MH_CAP=8 docs). Without the guard a hot band bucket
+    of k colliding docs emits O(k²) candidates (measured: 81x shuffle
+    growth at 10x rows on a corpus with exact-duplicate clusters), so
+    this form is for oracle anchoring and recall audits only — at
+    100 TB use the capped primary (collapse byte-equal masses with
+    exact_dedup first; they share every band key).
+
+    Identical scale shape otherwise (signature shuffle, band explode,
+    (band, key) equi-join; never all-pairs); the portable fold costs
+    one extra pass over shingle characters — the price of end-to-end
+    checkability (it pins recall behavior, not just survivors)."""
     corpus = _near_dup_corpus(load(spark, sf_dir, "documents"))
     return dedup_text.minhash_portable_pairs(
         corpus, threshold=0.5, n=3, num_bands=_MH_BANDS
     )
-
-
-_MH_CAP = 8  # capped-twin bucket bound (bites at sf0.01; see oracle)
 
 
 @query(
@@ -2679,16 +2715,14 @@ _MH_CAP = 8  # capped-twin bucket bound (bites at sf0.01; see oracle)
     oracle=_minhash_pairs_oracle(_SQL_HOT_CLUSTER_CORPUS, cap=_MH_CAP),
 )
 def minhash_near_dups_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """minhash_near_dups with the HOT-BUCKET GUARD active and
-    oracle-visible (the jaccard_near_dups_capped pattern): band
-    buckets holding more than `_MH_CAP` docs are dropped before the
-    self-join, bounding any one bucket's candidate contribution to
-    O(cap²) — the at-scale default. Runs on the hot-cluster corpus
-    (21 planted byte-equal docs) so the guard demonstrably fires: the
-    identical mass emits no pairs while ordinary planted near-dups
-    survive. A bucket that large is either a mass of exact duplicates
-    (collapse those with exact_dedup FIRST; byte-equal docs share
-    every band key) or a degenerate signature; capping loses only
+    """The hot-bucket guard's STRESS DEMO: same capped pipeline as
+    the primary `minhash_near_dups`, but run on the hot-CLUSTER
+    corpus (21 planted byte-equal docs) so the guard demonstrably
+    FIRES: the identical mass shares every band key, blows past
+    `_MH_CAP`, and emits no pairs, while ordinary planted near-dups
+    survive — oracle-visible on both engines. A bucket that large is
+    either a mass of exact duplicates (collapse those with
+    exact_dedup FIRST) or a degenerate signature; capping loses only
     recall among its members, never precision."""
     corpus = _hot_cluster_corpus(load(spark, sf_dir, "documents"))
     return dedup_text.minhash_portable_pairs(
@@ -3202,7 +3236,7 @@ def _recall_report_oracle() -> str:
     docstring."""
     from .registry import ORACLE
 
-    jac = ORACLE["jaccard_near_dups_capped"]
+    jac = ORACLE["jaccard_near_dups"]
     mh = _minhash_pairs_oracle(_SQL_NEAR_DUP_CORPUS)
     sh = _simhash_pairs_oracle(_SQL_NEAR_DUP_CORPUS)
     return f"""
@@ -3252,7 +3286,7 @@ def dedup_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     Truth generation was the one quadratic-risk input — the shipped
     report therefore uses the CAPPED exact Jaccard
     (max_shingle_freq=4, same guard and value as
-    jaccard_near_dups_capped, replicated in the oracle) as its truth
+    the capped jaccard_near_dups primary, replicated in the oracle) as its truth
     set by default, so the whole harness is scale-safe; the uncapped
     exact form remains available as the sf-bounded library baseline
     (jaccard_pairs with max_shingle_freq=None)."""
@@ -4708,10 +4742,11 @@ _FRAME_STRIDE = 256
     oracle=f"""
     WITH frames AS (
       SELECT media_id, frame_idx,
-             substr(text, frame_idx * 256 + 1, 256) AS fr
+             substr(text, frame_idx * {_FRAME_STRIDE} + 1,
+                    {_FRAME_STRIDE}) AS fr
       FROM (
         SELECT doc_id AS media_id, text,
-               unnest(range(0, CAST(ceil(length(text) / 256.0)
+               unnest(range(0, CAST(ceil(length(text) / {_FRAME_STRIDE}.0)
                                     AS BIGINT))) AS frame_idx
         FROM documents
       )

@@ -173,7 +173,15 @@ def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     (`hll_approx_distinct_users` below) stays the library fast path —
     its sketch bytes and estimator are engine-internal, so it can't be
     value-checked cross-engine. The exact variant is oracle-checked in
-    daily_events."""
+    daily_events.
+
+    Cardinality ceiling: `portable_id_hash` maps into a 32-bit
+    domain, so per-type cardinalities approaching 2^32 suffer hash
+    collisions that bias the KMV estimate LOW and saturate near
+    ~4.3e9. Callers with hundreds of millions+ distinct users per
+    type should use `hll_approx_distinct_users` (64-bit HLL++
+    internals) — this portable form trades that ceiling for
+    cross-engine verifiability."""
     from ..util import portable_id_hash
 
     e = load(spark, sf_dir, "events")
@@ -4136,11 +4144,8 @@ def km_time_to_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Most-probable-path distances over the transition graph
 # ---------------------------------------------------------------------------
 
-_SP_MAX_HOPS = 6
-
-
 def _shortest_path_oracle_sql() -> str:
-    return f"""
+    return """
     WITH RECURSIVE tr AS (
       SELECT prev AS from_type, event_type AS to_type, count(*) AS n
       FROM (
@@ -4160,12 +4165,13 @@ def _shortest_path_oracle_sql() -> str:
       SELECT event_type FROM events
       GROUP BY 1 ORDER BY count(*) DESC, event_type LIMIT 1
     ),
+    nv AS (SELECT count(DISTINCT event_type) AS v FROM events),
     paths(event_type, cost, hops) AS (
       SELECT event_type, CAST(0.0 AS DOUBLE), 0 FROM src
       UNION
       SELECT e.to_type, p.cost + e.w, p.hops + 1
       FROM paths p JOIN ew e ON e.from_type = p.event_type
-      WHERE p.hops < {_SP_MAX_HOPS}
+      WHERE p.hops < (SELECT v - 1 FROM nv)
     )
     SELECT event_type, round(min(cost), 6) AS min_cost
     FROM paths GROUP BY 1
@@ -4178,10 +4184,12 @@ def transition_shortest_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     entry event to every reachable event type: edge weight
     -ln(P(to|from)) over the first-order transition graph, so the
     min-cost path is the maximum-likelihood event sequence. Computed
-    as bounded Bellman-Ford relaxation ({_SP_MAX_HOPS} rounds —
-    weights are non-negative, so that covers every simple path on the
-    event-type vocabulary); the DuckDB oracle enumerates the same
-    bounded-hop paths with a recursive CTE.
+    as bounded Bellman-Ford relaxation with the round count DERIVED
+    from the data (|V|-1 rounds, V = distinct event types — the
+    classic Bellman-Ford bound; weights are non-negative, so that
+    covers every simple path regardless of vocabulary size); the
+    DuckDB oracle enumerates the same |V|-1-hop paths with a
+    recursive CTE whose bound is the same scalar subquery.
 
     Cross-engine float parity: edge weights are rounded to 9 decimals
     on both engines; float addition is monotone, so the DP min over
@@ -4222,7 +4230,11 @@ def transition_shortest_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     dist = src.select("event_type", F.lit(0.0).alias("cost")).localCheckpoint(
         eager=True
     )
-    for _ in range(_SP_MAX_HOPS):
+    # |V|-1 Bellman-Ford rounds: a 1-row vocabulary-count aggregate
+    # (bounded driver collect) sizes the loop to the data instead of a
+    # hardcoded hop cap that silently under-relaxes large vocabularies.
+    n_types = e.agg(F.countDistinct("event_type")).collect()[0][0] or 1
+    for _ in range(max(int(n_types) - 1, 1)):
         relaxed = (
             dist.join(ew, dist.event_type == ew.from_type)
             .select(
@@ -4845,10 +4857,13 @@ def user_value_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "daily_trend_theil_sen",
     oracle="""
-    WITH daily AS (
-      SELECT CAST(strftime(ts, '%j') AS INT) AS x,
-             round(sum(value), 4) AS y
-      FROM events GROUP BY strftime(ts, '%Y-%m-%d'), x
+    WITH day0 AS (
+      SELECT CAST(ts AS DATE) AS d, round(sum(value), 4) AS y
+      FROM events GROUP BY 1
+    ),
+    daily AS (
+      SELECT CAST(datediff('day', min(d) OVER (), d) AS INT) AS x, y
+      FROM day0
     ),
     slopes AS (
       SELECT (b.y - a.y) / (b.x - a.x) AS s
@@ -4884,8 +4899,10 @@ def daily_trend_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests direction; this estimates magnitude) and the robust
     alternative to OLS on spiky metrics (breakdown point ~29%).
 
-    Determinism/parity: x is the integer day-of-year, y the 4dp-
-    rounded day sum, so every pairwise slope is the same double on
+    Determinism/parity: x is days since the series MINIMUM date
+    (datediff, the same multi-year-safe x `event_type_dtw` uses — NOT
+    day-of-year, which would alias dates across calendar years), y the
+    4dp-rounded day sum, so every pairwise slope is the same double on
     both engines; medians are exact order statistics (rank-selected,
     averaging the two middle ranks), and the median slope is ROUNDED
     before the intercept residuals so both engines rank identical
@@ -4893,12 +4910,18 @@ def daily_trend_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: the O(days^2) pair join runs over the CALENDAR-BOUNDED day
     aggregate (a decade is ~6.8M pairs — driver trivia); the only
-    event-scale work is one map-side-combinable day rollup."""
+    event-scale work is one map-side-combinable day rollup. The
+    min-date window is a single pass over that same day table."""
     e = load(spark, sf_dir, "events")
-    daily = e.groupBy(
-        F.date_format("ts", "yyyy-MM-dd").alias("d"),
-        F.dayofyear("ts").cast("int").alias("x"),
-    ).agg(F.round(F.sum("value"), 4).alias("y")).localCheckpoint(eager=True)
+    day0 = e.groupBy(F.to_date("ts").alias("d")).agg(
+        F.round(F.sum("value"), 4).alias("y")
+    )
+    daily = day0.select(
+        F.datediff("d", F.min("d").over(Window.partitionBy()))
+        .cast("int")
+        .alias("x"),
+        "y",
+    ).localCheckpoint(eager=True)
     # checkpointed: the slope self-join and residual pass reuse the
     # calendar-bounded aggregate instead of re-scanning events (3x)
     a, b = daily.alias("a"), daily.alias("b")

@@ -566,11 +566,20 @@ def streaming_embedding_dedup(
     truth. Vectors are appended FIRST; on every batch, ids present in
     vectors but missing from buckets (the crash window) get their
     bucket rows REGENERATED and unioned in before screening, so a
-    crash between the appends can never cause re-admission or a
-    crash-loop — the cost is one id anti-join per batch (index side
-    bucketable). A bucket table with no vector table (impossible
+    crash between the TWO INDEX appends can never cause re-admission
+    or a crash-loop — the cost is one id anti-join per batch (index
+    side bucketable). A bucket table with no vector table (impossible
     under this write order) is ignored: without vectors nothing can
-    be verified. The txlog sink remains the single-commit option."""
+    be verified.
+
+    Output-sink caveat: `out_dir` is appended BEFORE the vector
+    index, so a crash in the window between the out_dir append and
+    the vectors append leaves the batch absent from the index; on
+    micro-batch replay it is re-admitted and re-written, DUPLICATING
+    those rows in out_dir (the index itself stays exactly-once by the
+    recovery above). Readers needing exactly-once output should
+    dedup out_dir on `id_col` or route the output through the txlog
+    sink's single atomic commit, as the text variant notes."""
     from ..functions.similarity import incremental_lsh_dedup, lsh_portable_buckets
 
     spark = vec_stream.sparkSession
