@@ -1206,18 +1206,24 @@ def part_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     Nishizeki 1985) with the compact-forward evaluation (Latapy 2008,
     public methods): every undirected edge is oriented from its
     lower-(degree, id) endpoint to the higher one, and each triangle
-    {a,b,c} is found exactly once at its CLOSING edge (b,c) as a
-    member of N_in(b) ∩ N_in(c) under that orientation.
+    {a,b,c} (rank order a<b<c) is found exactly once at its LOWEST
+    edge (a,b) as a member of N_out(a) ∩ N_out(b).
 
+    OUT-arrays are load-bearing for the complexity bound: under the
+    lower→higher orientation every out-degree is ≤ sqrt(2m) (a node
+    with out-degree k has k out-neighbors of degree ≥ its own ≥ k,
+    so m ≥ k²/2), while IN-degrees are unbounded — a hub part's
+    edges ALL orient into it, so the earlier in-array formulation
+    (r7) paid O(deg_hub²) on hot parts; this one caps every array at
+    sqrt(2m) regardless of skew (the hub's own out-array is empty).
     The intersection runs as array_intersect over per-node sorted
-    in-adjacency arrays joined onto the edge list — O(sum over edges
-    of deg(b)+deg(c)) ≈ O(m·avg_deg) fused JVM set work, with NO
-    materialized wedge relation: the first formulation generated the
-    41M-row wedge join at sf0.1 (21.6s); this one shuffles only the
-    m-row edge list and the O(m)-total adjacency arrays (2.5s). The
-    oracle enumerates the identical triangle set with the plain
-    id-ordered a<b<c triple join (orientation and evaluation order
-    change work, not results).
+    out-adjacency arrays joined onto the edge list — O(m^1.5) fused
+    JVM set work, with NO materialized wedge relation: the wedge-join
+    formulation generated the 41M-row join at sf0.1 (21.6s); this
+    one shuffles only the m-row edge list and the O(m)-total
+    adjacency arrays (2.5s). The oracle enumerates the identical
+    triangle set with the plain id-ordered a<b<c triple join
+    (orientation and evaluation order change work, not results).
 
     Scale: the edge build is the shared `_copurchase_edges`
     session-cached checkpoint (linear in lineitem — see its
@@ -1252,42 +1258,44 @@ def part_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.col("u"))
         .alias("d"),
     ).localCheckpoint(eager=True)
-    # Sorted in-neighbor array per node (total payload O(m); max array
-    # length O(sqrt m) by the orientation).
-    inadj = oriented.groupBy("d").agg(
-        F.sort_array(F.collect_list("s")).alias("ins")
+    # Sorted OUT-neighbor array per node (total payload O(m); every
+    # array <= sqrt(2m) by the orientation — see docstring).
+    outadj = oriented.groupBy("s").agg(
+        F.sort_array(F.collect_list("d")).alias("outs")
     )
-    closing = (
+    lowest = (
         oriented.join(
-            inadj.select(F.col("d").alias("s"), F.col("ins").alias("ins_b")),
-            "s",
+            outadj.select("s", F.col("outs").alias("outs_a")), "s"
         )
         .join(
-            inadj.select("d", F.col("ins").alias("ins_c")),
+            outadj.select(
+                F.col("s").alias("d"), F.col("outs").alias("outs_b")
+            ),
             "d",
         )
         .select(
             "s",
             "d",
-            F.array_intersect("ins_b", "ins_c").alias("common"),
+            F.array_intersect("outs_a", "outs_b").alias("common"),
         )
         .filter(F.size("common") > 0)
         .localCheckpoint(eager=True)
     )
-    # corner counts: 'a' corners are the intersection members; the
-    # closing edge endpoints each gain the intersection size
-    a_corners = closing.select(
+    # corner counts: the intersection members are the HIGHEST-rank
+    # corners (one triangle each); the lowest edge's endpoints each
+    # gain the intersection size
+    top_corners = lowest.select(
         F.explode("common").alias("p"), F.lit(1).cast("long").alias("c")
     )
-    b_corners = closing.select(
+    a_corners = lowest.select(
         F.col("s").alias("p"), F.size("common").cast("long").alias("c")
     )
-    c_corners = closing.select(
+    b_corners = lowest.select(
         F.col("d").alias("p"), F.size("common").cast("long").alias("c")
     )
     return (
-        a_corners.unionByName(b_corners)
-        .unionByName(c_corners)
+        top_corners.unionByName(a_corners)
+        .unionByName(b_corners)
         .groupBy(F.col("p").alias("l_partkey"))
         .agg(F.sum("c").cast("long").alias("n_triangles"))
     )

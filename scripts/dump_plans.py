@@ -28,8 +28,8 @@ HEADLINE = [
     ("value_drift_psi", "one scan, 2-feature explode, bounded (feature,bin) agg, report-sized PSI reduce"),
     ("latest_event_per_user", "single-exchange WindowGroupLimit argmax"),
     ("sessionization", "one user exchange, session_window-free lag/cumsum chain"),
-    ("jaccard_near_dups_capped", "hot-shingle cap before the expansion self-join"),
-    ("minhash_near_dups", "signature shuffle -> band explode -> equi-join (no cartesian)"),
+    ("jaccard_near_dups", "PRIMARY: hot-shingle cap before the expansion self-join"),
+    ("minhash_near_dups", "PRIMARY: signature shuffle -> band explode -> bucket cap -> equi-join (no cartesian)"),
     ("simhash_near_dups_capped", "count-window bucket cap; its exchange feeds the band self-join"),
     ("minhash_decontamination", "corpus bands vs BROADCAST benchmark bands"),
     # incremental_embedding_dedup is lazily localCheckpointed stage-by-
@@ -55,11 +55,21 @@ HEADLINE = [
     ("daily_value_cusum", "two cumulative windows over the bounded day table"),
     # round-7 additions
     ("km_time_to_purchase", "two user-keyed aggs on one key; KM windows over the horizon-bounded life table"),
-    ("part_copurchase_triangles", "compact-forward: in-adjacency arrays + array_intersect at closing edges (no wedge relation)"),
+    ("part_copurchase_triangles", "compact-forward: OUT-adjacency arrays (each <= sqrt(2m)) + array_intersect at lowest edges (no wedge relation)"),
     ("purchase_mean_bootstrap_ci", "replicate explode -> B-keyed combinable aggregate; rank window over the B-row table"),
     ("containment_dup_pairs", "same shingle equi-join shape as jaccard (asymmetric ratio only)"),
     ("span_corruption_pairs", "one linear aggregate() fold per row, inline()-expanded once — no Python, no corpus shuffle"),
     ("temperature_sampling_weights", "lang-keyed token agg; normalizing windows over the lang-bounded table"),
+    # round-8 additions: the rest of the top-10-by-bench-cost queries,
+    # so the most expensive plans are reviewable without rerunning
+    ("part_link_prediction", "capped neighbor lists BEFORE the wedge self-join; left_anti existing edges; TakeOrderedAndProject top-k"),
+    ("part_copurchase_kcore", "checkpointed symmetric edges; per-round survivor semi-joins (broadcastable) + keyed count"),
+    ("doc_topic_clusters", "portable Lloyd final-assignment plan (per-round collects are k x (dims+1) scalars, not shown statically)"),
+    ("dedup_recall_report", "three pair pipelines over ONE lazily-checkpointed shingle table; report reduces pair KEYS only"),
+    ("corpus_build_manifest", "end-to-end funnel: filters -> dedup -> split with no corpus-wide window"),
+    ("simhash_near_dups", "56-bit portable fingerprints, 4x14-bit pigeonhole bands, bit_count verify"),
+    ("dedup_clusters", "large-star/small-star connected components over banded candidate pairs"),
+    ("corpus_release_report", "ONE scan -> Expand multi-distinct -> 9-row report; no joins anywhere"),
 ]
 
 

@@ -39,12 +39,14 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 SRC = "/root/testdata/sf0.1"
 OUT = Path("/tmp/sfprobe")
 BASE_DOCS, BASE_EMB, BASE_EVENTS, BASE_USERS = 5_000, 2_000, 100_000, 1_500
+BASE_ORDERS, BASE_PARTS = 30_000, 20_000
 
 PROBE_QUERIES = [
     "dedup_clusters",
     "dedup_cluster_representatives",
-    "jaccard_near_dups_capped",
+    "jaccard_near_dups",
     "minhash_near_dups",
+    "minhash_near_dups_uncapped",
     "minhash_near_dups_capped",
     "simhash_near_dups",
     "simhash_near_dups_capped",
@@ -84,11 +86,17 @@ PROBE_QUERIES = [
     "epoch_shuffle",
     "quality_score_calibration",
     "corpus_build_manifest",
-    # round-7 survival/graph additions (events-scale; the lineitem-
-    # scale part_copurchase_triangles is excluded for the same reason
-    # as negative_sampling_pairs — no TPC-H tables in this generator)
+    # round-7 survival/graph additions (events-scale)
     "km_time_to_purchase",
     "transition_shortest_paths",
+    "transition_pagerank",
+    # round-8: the graph heavies, measurable now that this generator
+    # synthesizes a basket-shaped lineitem table (controlled per-order
+    # line counts + planted hub parts so the neighbor/degree guards
+    # visibly bite)
+    "part_copurchase_triangles",
+    "part_copurchase_kcore",
+    "part_link_prediction",
     # doc-scale shingle join / events-scale replicate explode
     "containment_dup_pairs",
     "purchase_mean_bootstrap_ci",
@@ -184,6 +192,34 @@ def gen_tables(scale: int, rng: np.random.Generator, words, lens, out: Path):
         out / "embeddings.parquet",
     )
 
+    # Basket-shaped lineitem for the co-purchase graph family. Shape
+    # choices mirror the doc/embedding Heaps arguments: the PART
+    # domain grows with scale (fixed domain + 10x orders would
+    # densify every co-purchase neighborhood and grow the TRUE edge
+    # set superlinearly IN THE DATA), per-order line counts stay
+    # bounded (Poisson(2.5)+1 capped at 7, the TPC-H-ish regime the
+    # queries' docstrings assume), and 5 HUB parts each land in a
+    # constant FRACTION of lines — their degrees grow ~10x at 10x
+    # rows, exactly the skew the neighbor cap / degree orientation
+    # guards must absorb.
+    n_orders = BASE_ORDERS * scale
+    lc = np.minimum(rng.poisson(2.5, n_orders) + 1, 7)
+    n_lines = int(lc.sum())
+    orderkeys = np.repeat(np.arange(n_orders, dtype=np.int64), lc)
+    n_parts = BASE_PARTS * scale
+    partkeys = rng.integers(5, n_parts, n_lines)
+    hub_rows = rng.random(n_lines) < 0.02
+    partkeys[hub_rows] = rng.integers(0, 5, int(hub_rows.sum()))
+    pq.write_table(
+        pa.table(
+            {
+                "l_orderkey": orderkeys,
+                "l_partkey": partkeys.astype(np.int64),
+            }
+        ),
+        out / "lineitem.parquet",
+    )
+
     n_ev = BASE_EVENTS * scale
     ts0 = np.datetime64("2024-01-01T00:00:00")
     ts = ts0 + (rng.integers(0, 30 * 86_400_000_000, n_ev)).astype(
@@ -238,7 +274,7 @@ def main() -> None:
     results: dict[str, dict] = {}
     for tag, sf_dir in (("base", OUT / "base"), ("x10", OUT / "x10")):
         # warm the scans once so file listing isn't in the first timing
-        for t in ("documents", "embeddings", "events"):
+        for t in ("documents", "embeddings", "events", "lineitem"):
             plans.load(spark, str(sf_dir), t).count()
         for name in PROBE_QUERIES:
             best, sh = float("inf"), -1
@@ -287,19 +323,26 @@ def main() -> None:
     out = {
         "what": "10x-rows scale probe on generator data (see scripts/sf_probe.py); time_ratio <= ~10 = linear, > 15 flags a hidden quadratic",
         "notes": (
-            "r7: SimHash reworked to 56-bit fingerprints with 4x14-bit "
-            "bands — the r6 13.0x outlier was candidate FAN-OUT "
-            "(8-bit bands = 256 values/band = n^2/256 collisions, "
-            "measured 81M raw pairs at 100k docs), not hashing CPU; "
-            "now 5.0x (39.1s -> ~16s at x10). Capped twins "
-            "(minhash/simhash_near_dups_capped, count-window hot-bucket "
-            "guard) probe alongside. jaccard_near_dups_capped's large "
-            "SHUFFLE ratio is adaptive broadcast behavior, not a pair "
-            "explosion: at base AQE broadcasts the shingle side, at x10 "
-            "it exceeds the threshold and the linear-in-corpus shingle "
-            "aggregation shuffle appears; the candidate-pair set itself "
-            "SHRANK because vocabulary grows with corpus (Heaps), "
-            "spreading shingles (r5 analysis, unchanged)."
+            "r8: the registered jaccard_near_dups / minhash_near_dups "
+            "PRIMARIES now run with their hot-shingle / hot-bucket "
+            "guards active (r7 measured the uncapped minhash shuffle "
+            "growing 81x at 10x rows); minhash_near_dups_uncapped "
+            "probes alongside as the documented contrast. The graph "
+            "family (triangles / k-core / link prediction) is now "
+            "measured on a generator basket table with bounded "
+            "per-order line counts and 5 planted hub parts whose "
+            "degrees grow ~10x at 10x rows — the stress the neighbor "
+            "cap / degree orientation must absorb. The three graph "
+            "queries share one session-cached co-purchase edge "
+            "checkpoint, so min-of-2 timings measure post-edge-build "
+            "work (symmetric at base and x10, ratios unaffected). "
+            "jaccard_near_dups' large SHUFFLE ratio is adaptive "
+            "broadcast behavior, not a pair explosion: at base AQE "
+            "broadcasts the shingle side, at x10 it exceeds the "
+            "threshold and the linear-in-corpus shingle aggregation "
+            "shuffle appears; the candidate-pair set itself SHRANK "
+            "because vocabulary grows with corpus (Heaps; r5 "
+            "analysis, unchanged)."
         ),
         "queries": probe,
     }

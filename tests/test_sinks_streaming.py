@@ -382,6 +382,62 @@ def test_schema_evolution_e2e_against_embedded_derby(spark, tmp_path):
     wh.close()
 
 
+def test_users_upsert_readback_against_embedded_derby(spark, tmp_path):
+    """The users/RMT(ver) semantic over a REAL JDBC connection: the
+    CH users table is append-only on insert (ReplacingMergeTree defers
+    dedup to merge/read time — /root/reference/seghouse/warehouse/
+    clickhouse.py users DDL), so the sink inserts EVERY version and
+    the read side collapses to the latest via latest_version_view.
+    Derby stands in for the server: two versions of u1 plus one of u2
+    go through the executor-parallel jdbc append, the raw read-back
+    must hold all three physical rows (append-only contract), and the
+    version view must keep exactly (u1, ver 2) and (u2, ver 1)."""
+    from clickstreamtoclickhouse_spark.operators.dedup import (
+        latest_version_view,
+    )
+
+    class DerbyWarehouse(ch.ClickHouseWarehouse):
+        QUOTE = '"'
+        PROBE_SQL = "VALUES 1"
+
+    url = f"jdbc:derby:{tmp_path}/derbyusers;create=true"
+    wh = DerbyWarehouse(
+        spark, jdbc_url=url, user="app", password="",
+        driver="org.apache.derby.iapi.jdbc.AutoloadedDriver",
+    )
+    wh.connect()
+    wh._execute(
+        'CREATE TABLE "APP"."users" ("user_id" VARCHAR(64), "ver" BIGINT, '
+        '"message_id" VARCHAR(64), "plan" VARCHAR(64))'
+    )
+    schema = "user_id string, ver long, message_id string, plan string"
+    wh.insert_df(
+        "APP", "users",
+        spark.createDataFrame([("u1", 1, "m1", "free")], schema),
+    )
+    wh.insert_df(
+        "APP", "users",
+        spark.createDataFrame(
+            [("u1", 2, "m2", "pro"), ("u2", 1, "m3", "free")], schema
+        ).repartition(2),
+    )
+
+    back = (
+        spark.read.format("jdbc")
+        .option("url", url)
+        .option("dbtable", '"APP"."users"')
+        .load()
+    )
+    # append-only physical contract: every inserted version persists
+    assert back.count() == 3
+    latest = {
+        r.user_id: (r.ver, r.plan)
+        for r in latest_version_view(back).collect()
+    }
+    assert latest == {"u1": (2, "pro"), "u2": (1, "free")}
+    wh.close()
+
+
 def test_delta_warehouse_gated_without_jars(spark):
     # delta-spark is absent in this environment: the sink must fail
     # fast at connect() with setup guidance, not at first write
