@@ -1,0 +1,499 @@
+"""Corpus-curation operators, round 8: chunk-level dedup, tokenizer
+vocabulary coverage, preference-pair construction, internal split
+hygiene, and repetition-aware mixture allocation.
+
+These extend the LLM-pipeline family (SURVEY.md §2.11 extension tier)
+with the steps between a filtered corpus and a training run that the
+earlier families don't cover:
+
+- chunk-level exact dedup — RAG / retrieval corpora dedup at the
+  CHUNK granularity, not the document (a boilerplate chunk repeats
+  across distinct documents that doc-level dedup keeps);
+- out-of-vocabulary rate per language against the induced top-K
+  vocabulary — the tokenizer-coverage readout a multilingual
+  pretraining team checks before freezing a vocab (composes
+  `vocab_induction` / `tokenizer_fertility_by_lang`);
+- preference pairs (chosen, rejected) per source by quality-score
+  rank — the deterministic construction step for reward-model /
+  DPO-style training data (Ouyang et al. 2022; Rafailov et al. 2023,
+  public methods);
+- train/val/test contamination check — dataset_split hashes the
+  DOC ID, so byte-identical texts under different ids can straddle
+  splits; this measures exactly that leak (the internal-hygiene
+  companion to the external benchmark-decontamination queries);
+- epoch-capped mixture allocation — turns temperature weights into
+  an actual per-language token allocation under a repetition cap
+  (Muennighoff et al. 2023 'Scaling Data-Constrained LMs' motivates
+  the epoch cap, public method), with the surplus waterfall unrolled
+  a fixed number of rounds for cross-engine parity.
+
+All queries are scan -> project/explode -> keyed agg/join shapes (or
+windows over the LANGUAGE/SOURCE-bounded aggregate); no corpus-wide
+windows, no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions import text as tx
+from .llmprep import CHUNK_SIZE, CHUNK_STRIDE
+from .registry import load, query
+
+_COPY_OFFSET = 1_000_000
+VOCAB_K = 500
+PREF_PER_SOURCE = 5
+_EPOCH_CAP = 4
+_ALLOC_ALPHA = 0.3  # same temperature as temperature_sampling_weights
+
+_SQL_WS = tx.SQL_WORDS.format(t="text")
+
+# duplicated corpus: every document exists twice under different ids —
+# planted positives for chunk dedup and split contamination (the copy's
+# id hashes into a different split bucket with high probability)
+_SQL_COPY_CORPUS = f"""
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + {_COPY_OFFSET} AS doc_id, text FROM documents
+"""
+
+
+def _copy_corpus(d: DataFrame) -> DataFrame:
+    base = d.select("doc_id", "text")
+    return base.unionByName(
+        base.select(
+            (F.col("doc_id") + _COPY_OFFSET).alias("doc_id"), "text"
+        )
+    )
+
+
+@query(
+    "chunk_dedup",
+    oracle=f"""
+    WITH corpus AS ({_SQL_COPY_CORPUS}),
+    toks AS (
+      SELECT doc_id, {_SQL_WS} AS ws
+      FROM corpus WHERE length(trim(text)) > 0
+    ),
+    st AS (
+      SELECT doc_id, ws, unnest(range(0, len(ws), {CHUNK_STRIDE})) AS start
+      FROM toks
+    ),
+    chunks AS (
+      SELECT doc_id,
+             CAST(start AS BIGINT) AS chunk_start,
+             md5(array_to_string(
+               ws[CAST(start + 1 AS BIGINT)
+                  : CAST(start + {CHUNK_SIZE} AS BIGINT)], ' '))
+               AS content_hash
+      FROM st
+    )
+    SELECT content_hash,
+           CAST(count(*) AS BIGINT) AS n_copies,
+           CAST(min(doc_id) AS BIGINT) AS keeper_doc,
+           CAST(min(chunk_start) AS BIGINT) AS keeper_start
+    FROM chunks
+    GROUP BY content_hash
+    """,
+)
+def chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup at CHUNK granularity over the duplicated corpus:
+    the doc_chunking windows (size {CHUNK_SIZE}, stride
+    {CHUNK_STRIDE}) hashed and grouped — every chunk group in the
+    planted corpus reports n_copies >= 2 with the original document
+    as keeper. Retrieval corpora dedup here rather than at the doc
+    level because a boilerplate chunk (header, license block) repeats
+    across otherwise-unique documents.
+
+    keeper_start is the global min start among the group's members
+    (identical to the keeper doc's start whenever copies are aligned,
+    as planted here); a per-keeper-doc argmin would need a second
+    pass for no additional test power.
+
+    Scale: scan -> explode(window starts) -> md5 -> ONE hash-keyed
+    groupBy — the exact_dedup shape with ~2x-token-count/stride rows;
+    no self-join, no windows."""
+    corpus = _copy_corpus(load(spark, sf_dir, "documents")).filter(
+        F.length(F.trim(F.col("text"))) > 0
+    )
+    t = corpus.select("doc_id", tx.words(F.col("text")).alias("ws"))
+    t = t.select(
+        "doc_id",
+        "ws",
+        F.explode(
+            F.sequence(F.lit(0), F.size("ws") - 1, F.lit(CHUNK_STRIDE))
+        ).alias("start"),
+    )
+    chunks = t.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.col("start").cast("bigint").alias("chunk_start"),
+        F.md5(
+            F.array_join(
+                F.slice("ws", F.col("start") + 1, F.lit(CHUNK_SIZE)), " "
+            )
+        ).alias("content_hash"),
+    )
+    return chunks.groupBy("content_hash").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_copies"),
+        F.min("doc_id").cast("bigint").alias("keeper_doc"),
+        F.min("chunk_start").cast("bigint").alias("keeper_start"),
+    )
+
+
+@query(
+    "oov_rate_by_lang",
+    oracle=f"""
+    WITH toks AS (
+      SELECT lang, unnest({tx.SQL_WORDS.format(t='lower(text)')}) AS w
+      FROM documents WHERE length(trim(text)) > 0
+    ),
+    vocab AS (
+      SELECT w FROM (
+        SELECT w, row_number() OVER (ORDER BY count(*) DESC, w) AS r
+        FROM toks GROUP BY w
+      ) WHERE r <= {VOCAB_K}
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(CASE WHEN v.w IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_covered,
+           round(1.0 - sum(CASE WHEN v.w IS NOT NULL THEN 1 ELSE 0 END)
+                       * 1.0 / count(*), 6) AS oov_rate
+    FROM toks t LEFT JOIN vocab v ON t.w = v.w
+    GROUP BY lang
+    """,
+)
+def oov_rate_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-vocabulary token rate per language against the corpus's
+    OWN induced top-{VOCAB_K} vocabulary (count-desc, word-asc
+    tie-break — a deterministic total order, so the K boundary is
+    identical cross-engine). The readout a multilingual team checks
+    before freezing a tokenizer: a language whose OOV rate is high
+    under the shared vocabulary will fragment into bytes/unks and pay
+    a fertility penalty (`tokenizer_fertility_by_lang` prices the
+    same problem after the fact).
+
+    Scale: one word-keyed count aggregate (map-side combinable), a
+    {VOCAB_K}-row TakeOrderedAndProject (never a global sort), the
+    vocab BROADCAST back onto the token stream, and a language-keyed
+    aggregate — all shuffles are keyed, the only collect-like step is
+    the bounded top-K."""
+    d = load(spark, sf_dir, "documents").filter(
+        F.length(F.trim(F.col("text"))) > 0
+    )
+    toks = d.select(
+        "lang", F.explode(tx.words(F.lower(F.col("text")))).alias("w")
+    )
+    vocab = (
+        toks.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), "w")
+        .limit(VOCAB_K)
+        .select("w", F.lit(1).alias("iv"))
+    )
+    cov = toks.join(F.broadcast(vocab), "w", "left")
+    return cov.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+        F.sum(F.coalesce(F.col("iv"), F.lit(0)))
+        .cast("bigint")
+        .alias("n_covered"),
+        F.round(
+            1.0
+            - F.sum(F.coalesce(F.col("iv"), F.lit(0)))
+            * 1.0
+            / F.count(F.lit(1)),
+            6,
+        ).alias("oov_rate"),
+    )
+
+
+_SQL_QUALITY = f"""
+             round(0.4 * least({tx.sql_token_count_ws('text')} / 100.0, 1.0)
+               + 0.3 * (CASE WHEN {tx.sql_token_count_ws('text')} > 0
+                              AND length(text) * 1.0
+                                  / {tx.sql_token_count_ws('text')}
+                                  BETWEEN 3 AND 12
+                             THEN 1.0 ELSE 0.5 END)
+               + 0.3 * (1.0 - least(
+                   (CASE WHEN length(text) = 0 THEN 0.0
+                         ELSE length(regexp_replace(
+                                text, '[A-Za-z0-9\\s]', '', 'g'))
+                              * 1.0 / length(text) END) * 4, 1.0)), 4)
+"""
+
+
+@query(
+    "preference_pairs",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, source, {_SQL_QUALITY} AS q
+      FROM documents
+    ),
+    top AS (
+      SELECT source, q, doc_id,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY q DESC, doc_id) AS r
+      FROM scored
+    ),
+    bot AS (
+      SELECT source, q, doc_id,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY q ASC, doc_id DESC) AS r
+      FROM scored
+    )
+    SELECT t.source, CAST(t.r AS INT) AS pair_rank,
+           CAST(t.doc_id AS BIGINT) AS chosen_id,
+           CAST(b.doc_id AS BIGINT) AS rejected_id,
+           round(t.q - b.q, 4) AS margin
+    FROM top t JOIN bot b ON t.source = b.source AND t.r = b.r
+    WHERE t.r <= {PREF_PER_SOURCE}
+      AND t.doc_id <> b.doc_id AND t.q > b.q
+    """,
+)
+def preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Preference-pair construction for reward-model / DPO-style
+    training data (public method: Ouyang et al. 2022 InstructGPT,
+    Rafailov et al. 2023 DPO): within each source, align the top
+    {PREF_PER_SOURCE} documents by quality score (chosen) with the
+    bottom {PREF_PER_SOURCE} (rejected) rank-for-rank, emitting the
+    score margin. Deterministic everywhere: the quality score is the
+    engine's 4dp composite (doc_quality), ranks tie-break on doc_id
+    (asc among chosen, desc among rejected, so small sources pick
+    disjoint extremes first), and degenerate pairs (same doc, zero
+    margin) are dropped identically on both engines.
+
+    Scale: two per-source row_number windows both pruned by the rank
+    filter (WindowGroupLimit), then a join on (source, rank <=
+    {PREF_PER_SOURCE}) — the joined relation is source-count x
+    {PREF_PER_SOURCE} rows, never the corpus."""
+    d = load(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id", "source", tx.quality_score(F.col("text")).alias("q")
+    )
+    wt = Window.partitionBy("source").orderBy(F.desc("q"), F.asc("doc_id"))
+    wb = Window.partitionBy("source").orderBy(F.asc("q"), F.desc("doc_id"))
+    top = (
+        scored.withColumn("r", F.row_number().over(wt))
+        .filter(F.col("r") <= PREF_PER_SOURCE)
+        .select("source", "r", F.col("doc_id").alias("c_id"), F.col("q").alias("c_q"))
+    )
+    bot = (
+        scored.withColumn("r", F.row_number().over(wb))
+        .filter(F.col("r") <= PREF_PER_SOURCE)
+        .select("source", "r", F.col("doc_id").alias("r_id"), F.col("q").alias("r_q"))
+    )
+    return (
+        top.join(bot, ["source", "r"])
+        .filter((F.col("c_id") != F.col("r_id")) & (F.col("c_q") > F.col("r_q")))
+        .select(
+            "source",
+            F.col("r").cast("int").alias("pair_rank"),
+            F.col("c_id").cast("bigint").alias("chosen_id"),
+            F.col("r_id").cast("bigint").alias("rejected_id"),
+            F.round(F.col("c_q") - F.col("r_q"), 4).alias("margin"),
+        )
+    )
+
+
+@query(
+    "split_contamination",
+    oracle=f"""
+    WITH corpus AS ({_SQL_COPY_CORPUS}),
+    t AS (
+      SELECT doc_id, md5(text) AS fp,
+             CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                       ::BIGINT % 100 < 80 THEN 'train'
+                  WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                       ::BIGINT % 100 < 90 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM corpus
+    ),
+    train_fps AS (SELECT DISTINCT fp FROM t WHERE split = 'train')
+    SELECT split,
+           CAST(count(*) AS BIGINT) AS n_leaked_docs,
+           CAST(count(DISTINCT e.fp) AS BIGINT) AS n_shared_fps
+    FROM t e
+    WHERE split <> 'train'
+      AND EXISTS (SELECT 1 FROM train_fps tr WHERE tr.fp = e.fp)
+    GROUP BY split
+    """,
+)
+def split_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Internal split hygiene: `dataset_split` buckets on the DOC ID
+    hash, so byte-identical texts under different ids (mirrors,
+    re-crawls — planted here as the id-offset copy corpus) can land
+    on both sides of the train/eval boundary. This measures exactly
+    that leak: per non-train split, how many documents share an exact
+    content fingerprint with ANY train document. The internal
+    companion to the external benchmark-decontamination trio — run it
+    before publishing a split, feed leaked fps to the dedup pass, or
+    switch the split key to the CONTENT cluster (leakage_safe_split)
+    when it fires.
+
+    Scale: one scan -> (split, fp) projection, a distinct on the
+    train fingerprints, and a fingerprint-keyed LEFT SEMI join + split
+    aggregate — the exact incremental-dedup shape; no windows, no
+    self-join fan-out."""
+    from ..util import portable_id_hash
+
+    corpus = _copy_corpus(load(spark, sf_dir, "documents"))
+    b = F.pmod(portable_id_hash(F.col("doc_id")), F.lit(100))
+    t = corpus.select(
+        F.md5("text").alias("fp"),
+        F.when(b < 80, "train").when(b < 90, "val").otherwise("test").alias(
+            "split"
+        ),
+    )
+    train_fps = t.filter(F.col("split") == "train").select("fp").distinct()
+    leaked = t.filter(F.col("split") != "train").join(
+        train_fps, "fp", "left_semi"
+    )
+    return leaked.groupBy("split").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_leaked_docs"),
+        F.countDistinct("fp").cast("bigint").alias("n_shared_fps"),
+    )
+
+
+@query(
+    "mixture_epoch_allocation",
+    oracle=f"""
+    WITH by_lang AS (
+      SELECT lang,
+             CAST(sum(len(regexp_extract_all(text, '{tx.BPE_TOKEN_RE}')))
+               AS BIGINT) AS n_tokens
+      FROM documents GROUP BY lang
+    ),
+    tot AS (
+      SELECT lang, n_tokens,
+             n_tokens * 1.0 / sum(n_tokens) OVER () AS p,
+             2 * sum(n_tokens) OVER () AS budget
+      FROM by_lang
+    ),
+    w AS (
+      SELECT lang, n_tokens, budget,
+             round(pow(p, {_ALLOC_ALPHA})
+                   / sum(pow(p, {_ALLOC_ALPHA})) OVER (), 6) AS weight
+      FROM tot
+    ),
+    r0 AS (
+      SELECT *,
+             CAST(floor(budget * weight) AS BIGINT) AS target,
+             least(CAST(floor(budget * weight) AS BIGINT),
+                   {_EPOCH_CAP} * n_tokens) AS alloc
+      FROM w
+    ),
+    r1 AS (
+      SELECT *,
+             CASE WHEN alloc < {_EPOCH_CAP} * n_tokens THEN
+               least(alloc + CAST(floor(
+                 (max(budget) OVER () - sum(alloc) OVER ())
+                 * round(weight / sum(CASE WHEN alloc < {_EPOCH_CAP} * n_tokens
+                                       THEN weight ELSE 0 END) OVER (), 6))
+                 AS BIGINT), {_EPOCH_CAP} * n_tokens)
+             ELSE alloc END AS alloc1
+      FROM r0
+    ),
+    r2 AS (
+      SELECT *,
+             CASE WHEN alloc1 < {_EPOCH_CAP} * n_tokens THEN
+               least(alloc1 + CAST(floor(
+                 (max(budget) OVER () - sum(alloc1) OVER ())
+                 * round(weight / sum(CASE WHEN alloc1 < {_EPOCH_CAP} * n_tokens
+                                       THEN weight ELSE 0 END) OVER (), 6))
+                 AS BIGINT), {_EPOCH_CAP} * n_tokens)
+             ELSE alloc1 END AS alloc2
+      FROM r1
+    )
+    SELECT lang, n_tokens, weight,
+           CAST(target AS BIGINT) AS target_tokens,
+           CAST(alloc2 AS BIGINT) AS allocated_tokens,
+           round(alloc2 * 1.0 / n_tokens, 4) AS epochs,
+           CAST(CASE WHEN alloc2 >= {_EPOCH_CAP} * n_tokens
+                     THEN 1 ELSE 0 END AS INT) AS at_cap
+    FROM r2
+    """,
+)
+def mixture_epoch_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition-aware mixture allocation: turn the temperature
+    weights (alpha={_ALLOC_ALPHA}, the temperature_sampling_weights
+    formula) into an actual per-language TOKEN allocation for a
+    budget of 2x the corpus, capping every language at
+    {_EPOCH_CAP} epochs of its available tokens (Muennighoff et al.
+    2023 show repeated data decays in value — the cap is the standard
+    guard) and waterfalling the capped surplus to the uncapped
+    languages over two fixed redistribution rounds. A residual the
+    waterfall can't place (everything at cap) stays unallocated —
+    visible as epochs < target everywhere.
+
+    Cross-engine parity: weights and redistribution RATIOS are
+    rounded to 6dp before use, every token quantity floors to BIGINT,
+    and the round count is fixed — so both engines walk the identical
+    integer lattice regardless of float-sum order.
+
+    Scale: one language-keyed token aggregate over the corpus; every
+    window after that runs on the LANGUAGE-bounded table (a handful
+    of rows). The unrolled rounds are fixed-size plan growth, not
+    data-dependent iteration."""
+    d = load(spark, sf_dir, "documents")
+    by_lang = d.groupBy("lang").agg(
+        F.sum(tx.token_count_bpe(F.col("text")))
+        .cast("long")
+        .alias("n_tokens")
+    )
+    wall = Window.partitionBy()
+    tot = by_lang.select(
+        "lang",
+        "n_tokens",
+        (F.col("n_tokens") * 1.0 / F.sum("n_tokens").over(wall)).alias("p"),
+        (F.lit(2) * F.sum("n_tokens").over(wall)).alias("budget"),
+    )
+    pa = F.pow(F.col("p"), F.lit(_ALLOC_ALPHA))
+    w = tot.select(
+        "lang",
+        "n_tokens",
+        "budget",
+        F.round(pa / F.sum(pa).over(wall), 6).alias("weight"),
+    )
+    cap = F.lit(_EPOCH_CAP) * F.col("n_tokens")
+    r = w.select(
+        "*",
+        F.floor(F.col("budget") * F.col("weight"))
+        .cast("long")
+        .alias("target"),
+        F.least(
+            F.floor(F.col("budget") * F.col("weight")).cast("long"),
+            cap.cast("long"),
+        ).alias("alloc"),
+    )
+    for _ in range(2):  # fixed waterfall rounds, mirrored in the oracle
+        uncapped_w = F.sum(
+            F.when(F.col("alloc") < cap, F.col("weight")).otherwise(0.0)
+        ).over(wall)
+        surplus = F.max("budget").over(wall) - F.sum("alloc").over(wall)
+        bump = F.floor(
+            surplus * F.round(F.col("weight") / uncapped_w, 6)
+        ).cast("long")
+        r = r.select(
+            "lang",
+            "n_tokens",
+            "budget",
+            "weight",
+            "target",
+            F.when(
+                F.col("alloc") < cap,
+                F.least(F.col("alloc") + bump, cap.cast("long")),
+            )
+            .otherwise(F.col("alloc"))
+            .alias("alloc"),
+        )
+    return r.select(
+        "lang",
+        "n_tokens",
+        "weight",
+        F.col("target").cast("long").alias("target_tokens"),
+        F.col("alloc").cast("long").alias("allocated_tokens"),
+        F.round(F.col("alloc") * 1.0 / F.col("n_tokens"), 4).alias("epochs"),
+        F.when(F.col("alloc") >= cap, 1).otherwise(0).cast("int").alias("at_cap"),
+    )

@@ -104,6 +104,11 @@ PROBE_QUERIES = [
     # linear after the HOF-no-CSE rewrite — this probe pins it)
     "span_corruption_pairs",
     "mlm_masked_tokens",
+    # round-8 curation family (doc-scale: chunk explode, token-stream
+    # vocab join, fingerprint semi-join)
+    "chunk_dedup",
+    "oov_rate_by_lang",
+    "split_contamination",
 ]
 
 

@@ -956,3 +956,28 @@ def test_ks_windows_over_bin_table(spark):
     single = [l for l in lines if "Exchange SinglePartition" in l]
     assert len(single) <= 2
     assert "CartesianProduct" not in txt
+
+
+def test_curation_plan_shapes(spark):
+    # oov_rate_by_lang: the top-K vocab must be a bounded
+    # TakeOrderedAndProject broadcast back onto the token stream —
+    # never a global sort or a shuffled join against the corpus
+    txt = plan_text(spark, "oov_rate_by_lang")
+    assert "TakeOrderedAndProject" in txt
+    assert "BroadcastHashJoin" in txt
+    assert "SortMergeJoin" not in txt
+    # preference_pairs: both per-source rank windows are pruned by the
+    # rank filter before the join
+    txt = plan_text(spark, "preference_pairs")
+    assert "WindowGroupLimit" in txt
+    assert "CartesianProduct" not in txt
+    # split_contamination: fingerprint-keyed semi join, no fan-out
+    txt = plan_text(spark, "split_contamination")
+    assert "LeftSemi" in txt
+    assert "CartesianProduct" not in txt
+    assert "BroadcastNestedLoopJoin" not in txt
+    # chunk_dedup: pure scan -> explode -> ONE hash-keyed aggregate;
+    # exactly one shuffle (the group on content_hash), no joins
+    txt = plan_text(spark, "chunk_dedup")
+    assert "Join" not in txt
+    assert count_exchanges(txt) == 1
