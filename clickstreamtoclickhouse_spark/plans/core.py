@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.window import Window
 
+from ..util import widen_scan
 from .registry import load, query
 
 # ---------------------------------------------------------------------------
@@ -362,7 +363,7 @@ def props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     codegen'd. (get_json_object proved pathological here — its shared
     path-cache serializes 32 executor threads; measured 30-150s vs
     0.5s for from_json on the same data.)"""
-    e = load(spark, sf_dir, "events")
+    e = widen_scan(load(spark, sf_dir, "events"))
     schema = T.StructType([T.StructField("k", T.LongType())])
     return (
         e.withColumn("j", F.from_json("props", schema))

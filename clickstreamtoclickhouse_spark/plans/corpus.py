@@ -129,7 +129,7 @@ def ngram_repetition_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
     zip_with build (tx._ngrams ×4) runs on the interpreted HOF path
     and measured 5.5x slower at sf0.1; outputs are identical
     (equality pinned in test_extensions)."""
-    d = load(spark, sf_dir, "documents")
+    d = widen_scan(load(spark, sf_dir, "documents"))
     ns = (*_TOP_NS, *_DUP_NS)
     tok = d.select(
         "doc_id",
@@ -797,7 +797,7 @@ def perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     heads then a k-row merge). Buckets
     compare ROUNDED scores to rounded cuts, so a cross-engine ULP
     in the score average cannot flip a boundary doc."""
-    d = load(spark, sf_dir, "documents")
+    d = widen_scan(load(spark, sf_dir, "documents"))
     scored = tx.unigram_scored_docs(d).withColumnRenamed(
         "avg_logprob", "score"
     )
@@ -1531,7 +1531,7 @@ def filter_cascade_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     no corpus-wide windows."""
     from .ext import _dup_corpus
 
-    d = _dup_corpus(load(spark, sf_dir, "documents"))
+    d = _dup_corpus(widen_scan(load(spark, sf_dir, "documents")))
     m = d.select(
         "doc_id",
         F.md5("text").alias("h"),

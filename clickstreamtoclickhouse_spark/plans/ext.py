@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..functions import dedup_text, graph, multimodal, similarity, text as tx
+from ..util import widen_scan
 from .registry import load, query
 
 EMB_DIM = 64
@@ -30,10 +31,12 @@ _COPY_OFFSET = 1_000_000
 
 def _dup_corpus(docs: DataFrame) -> DataFrame:
     """documents ∪ exact copies (ids offset). Deliberately NOT
-    widen_scan'd: an A/B at sf0.1 showed the extra exchange makes the
-    join-heavy consumers (jaccard/minhash/simhash, which cache the
-    shingle table and lean on AQE runtime broadcasts) 1.2-3x SLOWER,
-    unlike pure fan-out+reduce plans (see substring_dup_spans)."""
+    widen_scan'd here: per-query A/Bs decide (r8 full-registry A/B at
+    sf0.1): jaccard/minhash consumers that cache the shingle table and
+    lean on AQE runtime broadcasts measured 1.2-3x SLOWER widened, so
+    their corpora stay narrow; the r7 portable SimHash became
+    hashing-CPU-bound and now measures ~25% FASTER widened, so the
+    simhash queries widen at their own load sites."""
     base = docs.select("doc_id", "text")
     copies = docs.select((F.col("doc_id") + _COPY_OFFSET).alias("doc_id"), "text")
     return base.unionByName(copies)
@@ -274,7 +277,7 @@ def lang_id_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality scoring: length/word-shape/punctuation composite."""
-    d = load(spark, sf_dir, "documents")
+    d = widen_scan(load(spark, sf_dir, "documents"))
     return d.select(
         "doc_id",
         tx.token_count_ws(F.col("text")).alias("n_words"),
@@ -382,7 +385,7 @@ def doc_rolling_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Order-sensitive polynomial rolling-hash fingerprint; the DuckDB
     twin folds the identical polynomial with list_reduce (init value
     supplied via list_prepend), so values hash-match cross-engine."""
-    d = load(spark, sf_dir, "documents")
+    d = widen_scan(load(spark, sf_dir, "documents"))
     return d.select(
         "doc_id", tx.fingerprint_rolling(F.col("text")).alias("fp_rolling")
     )
@@ -440,7 +443,7 @@ def gopher_quality_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
     fraction, stopword-type count, and the composite pass flag. All
     JVM-side higher-order functions — per-row arrays never shuffle,
     the plan is scan -> project, so it scales embarrassingly."""
-    d = load(spark, sf_dir, "documents")
+    d = widen_scan(load(spark, sf_dir, "documents"))
     # inline(array(struct)) materializes every metric from ONE
     # evaluation per row; selecting struct fields individually would
     # re-run the whole metric chain once per output column (the
@@ -512,7 +515,7 @@ def pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     restricted to the Java∩RE2 common syntax so Spark and DuckDB
     match byte-for-byte; the redacted hash proves the replacement
     text itself agrees cross-engine."""
-    d = load(spark, sf_dir, "documents")
+    d = widen_scan(load(spark, sf_dir, "documents"))
     planted = F.when(
         F.col("doc_id") % 5 == 0,
         F.concat(
@@ -797,7 +800,7 @@ def bigram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocabulary²-bounded tables BROADCAST onto the bigram stream
     (which itself is a pure projection via the let-bound n-gram
     builder), then one per-doc aggregation."""
-    d = load(spark, sf_dir, "documents")
+    d = widen_scan(load(spark, sf_dir, "documents"))
     ws = tx.words(F.lower(F.col("text")))
     pairs = d.select(
         "doc_id",
@@ -1832,7 +1835,7 @@ def embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.text import _let
     from ..util import portable_id_hash
 
-    base = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    base = widen_scan(load(spark, sf_dir, "embeddings")).select("vec_id", "embedding")
     grid = F.transform(
         F.col("embedding").cast("array<double>"),
         lambda x: F.round(x * _IVF_SCALE, 0),
@@ -2433,7 +2436,7 @@ def line_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     — for very long lines, substitute xxhash64(line) as the join key
     (identical topology). Reassembly is a per-doc sort of an
     already-small collected list, never a global sort."""
-    lined = _lined_corpus(load(spark, sf_dir, "documents"))
+    lined = _lined_corpus(widen_scan(load(spark, sf_dir, "documents")))
     ln = lined.select(
         "doc_id", F.posexplode("lines").alias("pos", "line")
     )
@@ -2724,7 +2727,7 @@ def minhash_near_dups_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     either a mass of exact duplicates (collapse those with
     exact_dedup FIRST) or a degenerate signature; capping loses only
     recall among its members, never precision."""
-    corpus = _hot_cluster_corpus(load(spark, sf_dir, "documents"))
+    corpus = _hot_cluster_corpus(widen_scan(load(spark, sf_dir, "documents")))
     return dedup_text.minhash_portable_pairs(
         corpus, threshold=0.5, n=3, num_bands=_MH_BANDS,
         max_bucket_size=_MH_CAP,
@@ -2816,7 +2819,7 @@ def simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate volume is ~n²/2^band_bits per band, and the original
     4×8-bit layout measured 81M raw collisions at a 100k-doc probe
     (wide bands cut that ~64×) — see dedup_text.SH_AB."""
-    corpus = _light_edit_corpus(load(spark, sf_dir, "documents"))
+    corpus = _light_edit_corpus(widen_scan(load(spark, sf_dir, "documents")))
     return dedup_text.simhash_portable_near_dup_pairs(
         corpus, max_hamming=3, n=3
     )
@@ -2842,7 +2845,7 @@ def simhash_near_dups_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     dropped before the self-join (see minhash_near_dups_capped for
     the rationale and the planted 21-doc hot cluster) — the at-scale
     default alongside exact-dedup pre-collapse."""
-    corpus = _hot_light_corpus(load(spark, sf_dir, "documents"))
+    corpus = _hot_light_corpus(widen_scan(load(spark, sf_dir, "documents")))
     return dedup_text.simhash_portable_near_dup_pairs(
         corpus, max_hamming=3, n=3, max_bucket_size=_SH_CAP
     )
@@ -3532,7 +3535,7 @@ def minhash_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     count, so the decision threshold is tunable downstream without
     recomputing signatures. Banding is 8x2 (vs pairing's 4x4):
     recall-biased, the right side of the trade for leakage."""
-    docs = load(spark, sf_dir, "documents")
+    docs = widen_scan(load(spark, sf_dir, "documents"))
     bench = docs.filter(F.col("source") == "src0").select("doc_id", "text")
     corpus = (
         docs.filter(F.col("source") != "src0")
@@ -3719,7 +3722,7 @@ def corpus_release_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     single aggregate with two count(DISTINCT)s (one Expand) reduces
     to a 1-row summary exploded into the report — report size is
     fixed at 9 rows at any corpus scale."""
-    d = load(spark, sf_dir, "documents")
+    d = widen_scan(load(spark, sf_dir, "documents"))
     stats = tx.gopher_stats(F.col("text"))
     row = d.select(
         "lang",
@@ -4266,7 +4269,7 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     The LSH/IVF shortlist variants (`embedding_lsh_topk`,
     `embedding_ivf_topk`) are the drop-in shortlist path when the
     anchor set itself is large."""
-    emb = load(spark, sf_dir, "embeddings")
+    emb = widen_scan(load(spark, sf_dir, "embeddings"))
     anchors = emb.filter(F.col("vec_id") < 10)
     return similarity.cosine_topk(
         emb, anchors, k=5, exclude_label_col="label"
@@ -4552,7 +4555,7 @@ def doc_lexicon_sentiment(spark: SparkSession, sf_dir: str) -> DataFrame:
     exploded token stream for large lexicons (the unigram_lm_quality
     shape). Pure Column expressions over one pruned scan — zero
     shuffles, no Python."""
-    d = load(spark, sf_dir, "documents")
+    d = widen_scan(load(spark, sf_dir, "documents"))
     ws = tx.words(tx.normalized_text(F.col("text")))
     n_pos = F.size(F.filter(ws, lambda w: w.isin(*_SENT_POS)))
     n_neg = F.size(F.filter(ws, lambda w: w.isin(*_SENT_NEG)))

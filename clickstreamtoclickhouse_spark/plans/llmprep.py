@@ -132,7 +132,7 @@ def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     one broadcast-join + one keyed agg — the corpus is never
     shuffled on the gram, only on doc_id. At extreme benchmark sizes,
     swap the broadcast for a shuffle join on xxhash64(gram)."""
-    d = load(spark, sf_dir, "documents").filter(
+    d = widen_scan(load(spark, sf_dir, "documents")).filter(
         F.length(F.trim(F.col("text"))) > 0
     )
     grams = d.select(

@@ -35,6 +35,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..util import widen_scan
 from .registry import load, query
 
 # ---------------------------------------------------------------------------
@@ -110,7 +111,7 @@ def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     to one row per column — driver-side width, not data width. At
     100 TB: same plan with approx_count_distinct dropping the Expand;
     exact distincts kept here because they are oracle-checkable."""
-    e = load(spark, sf_dir, "events")
+    e = widen_scan(load(spark, sf_dir, "events"))
     aggs = [F.count(F.lit(1)).alias("n_rows")]
     for c, kind in _PROFILE_COLS:
         aggs += [

@@ -23,7 +23,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..util import portable_id_hash
+from ..util import portable_id_hash, widen_scan
 from .registry import load, query
 
 # ---------------------------------------------------------------------------
@@ -126,7 +126,7 @@ def text_normalize_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale (100 TB stance): pure per-row projection — no shuffle, no
     UDF; regexes run inside WholeStageCodegen and the scan only reads
     (doc_id, text)."""
-    d = _dirty_corpus(load(spark, sf_dir, "documents"))
+    d = _dirty_corpus(widen_scan(load(spark, sf_dir, "documents")))
     norm = normalize_ws_text(F.col("dirty"))
     canonical = F.trim(F.regexp_replace(F.col("text"), r"\s+", " "))
     return d.select(
