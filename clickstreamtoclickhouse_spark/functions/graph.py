@@ -238,3 +238,62 @@ def k_core(
         .agg(F.count(F.lit(1)).cast("long").alias("core_degree"))
         .select(F.col("s").alias("node"), "core_degree")
     )
+
+
+def label_propagation(
+    edges: DataFrame,
+    a: str = "u",
+    b: str = "v",
+    rounds: int = 4,
+) -> DataFrame:
+    """Synchronous label propagation communities (Raghavan, Albert &
+    Kumara 2007, public method) with fully DETERMINISTIC updates:
+    every node starts labeled with its own id, and each round every
+    node adopts its neighbors' most frequent label, ties broken by
+    the SMALLEST label — so the result is a pure function of the edge
+    set, reproducible across engines and retries (the original's
+    random tie-breaks and scan order are the classic
+    nondeterminism complaints against LPA).
+
+    Fixed `rounds` (no convergence test): synchronous LPA can
+    oscillate on bipartite-ish structures, so a fixpoint check may
+    never fire; a fixed small round count is both the standard remedy
+    and what makes cross-engine parity exact. Communities after r
+    rounds reflect density within radius ~r — the complement of
+    connected_components (pure reachability) and k_core (degree
+    threshold) in the family.
+
+    Distributed shape: each round is one join of the symmetrized edge
+    list against the (node, label) table on the neighbor key, a
+    (node, label) count aggregate, and a per-node argmax window over
+    the label-bounded vote table — O(rounds * |E|) keyed work, no
+    all-pairs; lineage is truncated per round with localCheckpoint
+    (the connected_components stance)."""
+    und = (
+        edges.select(F.col(a).alias("s"), F.col(b).alias("d"))
+        .unionByName(edges.select(F.col(b).alias("s"), F.col(a).alias("d")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        und.select(F.col("s").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("label"))
+        .localCheckpoint(eager=True)
+    )
+    w = Window.partitionBy("node").orderBy(F.desc("n"), F.asc("label"))
+    for _ in range(rounds):
+        votes = (
+            und.join(
+                labels.withColumnRenamed("node", "d"), "d"
+            )
+            .groupBy(F.col("s").alias("node"), "label")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        labels = (
+            votes.withColumn("r", F.row_number().over(w))
+            .filter(F.col("r") == 1)
+            .select("node", "label")
+            .localCheckpoint(eager=True)
+        )
+    return labels

@@ -1500,3 +1500,218 @@ def part_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("common_neighbors"), "part_a", "part_b")
         .limit(_LP_TOPK)
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 8: label-propagation communities + entity resolution
+# ---------------------------------------------------------------------------
+
+_LPA_ROUNDS = 4
+
+
+def _lpa_oracle_sql() -> str:
+    # AS MATERIALIZED on every round: each lab{t} is referenced once
+    # per following round, but default CTE inlining would still expand
+    # the edge-build pipeline per reference (the k-core lesson).
+    rounds = [
+        "lab0 AS MATERIALIZED (SELECT DISTINCT s AS node, s AS label FROM und)"
+    ]
+    for t in range(_LPA_ROUNDS):
+        rounds.append(
+            f"""lab{t + 1} AS MATERIALIZED (
+      SELECT node, label FROM (
+        SELECT u.s AS node, l.label AS label,
+               row_number() OVER (PARTITION BY u.s
+                                  ORDER BY count(*) DESC, l.label) AS r
+        FROM und u JOIN lab{t} l ON u.d = l.node
+        GROUP BY u.s, l.label
+      ) WHERE r = 1
+    )"""
+        )
+    return (
+        """
+    WITH li2 AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    edges AS MATERIALIZED (
+      SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      FROM li2 a JOIN li2 b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    und AS MATERIALIZED (
+      SELECT u AS s, v AS d FROM edges
+      UNION ALL SELECT v, u FROM edges
+    ),
+    """
+        + ",\n    ".join(rounds)
+        + f"""
+    SELECT CAST(node AS BIGINT) AS l_partkey,
+           CAST(label AS BIGINT) AS community,
+           CAST(count(*) OVER (PARTITION BY label) AS BIGINT)
+             AS community_size
+    FROM lab{_LPA_ROUNDS}
+    """
+    )
+
+
+@query("part_copurchase_communities", oracle=_lpa_oracle_sql())
+def part_copurchase_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection on the co-purchase part graph by
+    DETERMINISTIC synchronous label propagation (Raghavan et al.
+    2007; min-label tie-break, fixed _LPA_ROUNDS=4 rounds — see
+    functions/graph.py:label_propagation for why determinism and a
+    fixed round count replace the original's random tie-breaks and
+    convergence test). The density-based complement to the family's
+    reachability components (`dedup_clusters` machinery), degree
+    backbone (`part_copurchase_kcore`), and link scores
+    (`part_link_prediction`).
+
+    Parity: the DuckDB twin unrolls the identical rounds as
+    MATERIALIZED CTEs (vote counts, argmax by (count DESC, label
+    ASC)) — every intermediate label table is equal by induction.
+
+    Scale: the edge build is the shared `_copurchase_edges`
+    session-cached checkpoint; each round is one neighbor-key join +
+    one (node, label) count + one per-node argmax window
+    (WindowGroupLimit-prunable) — O(rounds x |E|) keyed work."""
+    from ..functions.graph import label_propagation
+
+    edges = _copurchase_edges(spark, sf_dir)
+    labels = label_propagation(edges, a="u", b="v", rounds=_LPA_ROUNDS)
+    sizes = labels.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("community_size")
+    )
+    return labels.join(sizes, "label").select(
+        F.col("node").cast("long").alias("l_partkey"),
+        F.col("label").cast("long").alias("community"),
+        "community_size",
+    )
+
+
+_ER_OFFSET = 1_000_000
+_ER_BLOCK_CAP = 64
+_ER_MAX_EDIT = 2
+
+
+@query(
+    "part_entity_resolution",
+    oracle=f"""
+    WITH RECURSIVE records AS MATERIALIZED (
+      SELECT p_partkey AS rec_id, p_name AS name,
+             p_brand || '|' || p_type || '|' || CAST(p_size AS VARCHAR) AS blk
+      FROM part
+      UNION ALL
+      SELECT p_partkey + {_ER_OFFSET} AS rec_id,
+             substr(p_name, 1, CAST(p_partkey % length(p_name) AS INT))
+             || substr(p_name,
+                       CAST(p_partkey % length(p_name) AS INT) + 2,
+                       length(p_name)) AS name,
+             p_brand || '|' || p_type || '|' || CAST(p_size AS VARCHAR) AS blk
+      FROM part
+    ),
+    freq AS (SELECT blk, count(*) AS df FROM records GROUP BY blk),
+    blocked AS (
+      SELECT rec_id, name, blk FROM records JOIN freq USING (blk)
+      WHERE df <= {_ER_BLOCK_CAP}
+    ),
+    pairs AS (
+      SELECT a.rec_id AS ra, b.rec_id AS rb
+      FROM blocked a JOIN blocked b
+        ON a.blk = b.blk AND a.rec_id < b.rec_id
+      WHERE levenshtein(a.name, b.name) <= {_ER_MAX_EDIT}
+    ),
+    e2 AS (
+      SELECT ra AS u, rb AS v FROM pairs
+      UNION SELECT rb, ra FROM pairs
+    ),
+    walk(node, comp) AS (
+      SELECT rec_id, rec_id FROM records
+      UNION
+      SELECT e.v, w.comp FROM walk w JOIN e2 e ON e.u = w.node
+    ),
+    comp AS (
+      SELECT node AS rec_id, min(comp) AS entity_id FROM walk GROUP BY node
+    )
+    SELECT CAST(rec_id AS BIGINT) AS rec_id,
+           CAST(entity_id AS BIGINT) AS entity_id,
+           CAST(count(*) OVER (PARTITION BY entity_id) AS BIGINT)
+             AS entity_size
+    FROM comp
+    """,
+)
+def part_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution / record linkage (Fellegi & Sunter 1969
+    framing; the blocking->compare->cluster pipeline of Christen
+    2012, public methods) over part RECORDS with PLANTED dirty
+    duplicates: every part appears twice — raw, and with one
+    character dropped from its NAME at a key-dependent position
+    (id-offset, so ids never collide; structured fields untouched,
+    the classic \'typo in the free-text field\' regime). The pipeline:
+    block on the STRUCTURED attributes (brand|type|size —
+    multi-field blocking, the textbook answer to low-entropy text
+    keys; a first cut at name bigrams failed the planted test
+    outright because these two-word names share zero bigrams after a
+    typo), verify candidates with levenshtein <= 2 on the noisy name
+    (never all-pairs — only within-block pairs are compared), and
+    resolve transitive entities via connected components keyed by the
+    min member id.
+
+    The df cap (_ER_BLOCK_CAP=64) is the hot-block guard: a
+    degenerate block (all-default attributes) of k records is a k2
+    candidate hot key, so oversize blocks are dropped — the plan
+    degrades in RECALL, never in shuffle volume, and the cap is
+    replicated in the oracle. Blocking-key entropy is the documented
+    scale lever: brand x type x size is ~187k combos, so blocks stay cold
+    through sf1 and saturate beyond, where a real deployment adds key
+    fields (container, phonetic name key).
+
+    Parity: the dirty-name surgery, block key, df cap, edit cutoff,
+    and min-id fixpoint are replicated exactly; the oracle reaches
+    the same components via a recursive reachability CTE (different
+    algorithm, same fixed point — the dedup_clusters stance)."""
+    from ..functions import graph
+
+    cols = ("p_brand", "p_type", "p_size")
+    p = load(spark, sf_dir, "part").select("p_partkey", "p_name", *cols)
+    blk = F.concat_ws("|", *[F.col(c).cast("string") for c in cols]).alias(
+        "blk"
+    )
+    dirty = p.select(
+        (F.col("p_partkey") + _ER_OFFSET).alias("rec_id"),
+        F.concat(
+            F.expr("substr(p_name, 1, pmod(p_partkey, length(p_name)))"),
+            F.expr(
+                "substr(p_name, cast(pmod(p_partkey, length(p_name)) as int)"
+                " + 2, length(p_name))"
+            ),
+        ).alias("name"),
+        blk,
+    )
+    records = p.select(
+        F.col("p_partkey").alias("rec_id"), F.col("p_name").alias("name"), blk
+    ).unionByName(dirty)
+    freq = records.groupBy("blk").agg(F.count(F.lit(1)).alias("df"))
+    blocked = (
+        records.join(freq, "blk")
+        .filter(F.col("df") <= _ER_BLOCK_CAP)
+        .select("rec_id", "name", "blk")
+    )
+    a, b = blocked.alias("a"), blocked.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.rec_id") < F.col("b.rec_id")),
+        )
+        .filter(F.levenshtein(F.col("a.name"), F.col("b.name")) <= _ER_MAX_EDIT)
+        .select(
+            F.col("a.rec_id").alias("ra"), F.col("b.rec_id").alias("rb")
+        )
+    )
+    assigned = graph.cluster_assignments(
+        records.select("rec_id"), pairs, id_col="rec_id",
+        pair_a="ra", pair_b="rb",
+    )
+    return assigned.select(
+        F.col("rec_id").cast("long").alias("rec_id"),
+        F.col("component").cast("long").alias("entity_id"),
+        F.col("cluster_size").cast("long").alias("entity_size"),
+    )

@@ -90,6 +90,7 @@ PROBE_QUERIES = [
     "km_time_to_purchase",
     "transition_shortest_paths",
     "transition_pagerank",
+    "part_copurchase_communities",
     # round-8: the graph heavies, measurable now that this generator
     # synthesizes a basket-shaped lineitem table (controlled per-order
     # line counts + planted hub parts so the neighbor/degree guards

@@ -113,3 +113,48 @@ def test_dedup_clusters_matches_pair_graph(spark):
     )
     assert trip.filter(F.col("n_comp") > 1).count() <= 5
     out.unpersist()
+
+
+def test_label_propagation_separates_planted_cliques(spark):
+    # two 5-cliques joined by ONE bridge edge: LPA must give each
+    # clique a single internal label and keep the two labels distinct
+    # (the bridge endpoints may wobble — interior nodes are asserted)
+    c1 = [(a, b) for a in range(1, 6) for b in range(1, 6) if a < b]
+    c2 = [(a, b) for a in range(11, 16) for b in range(11, 16) if a < b]
+    edges = spark.createDataFrame(c1 + c2 + [(5, 11)], "u long, v long")
+    labels = {
+        r.node: r.label
+        for r in graph.label_propagation(edges, rounds=4).collect()
+    }
+    assert len(labels) == 10
+    assert len({labels[n] for n in (1, 2, 3, 4)}) == 1
+    assert len({labels[n] for n in (12, 13, 14, 15)}) == 1
+    assert labels[1] != labels[12]
+
+
+def test_label_propagation_deterministic(spark):
+    random.seed(7)
+    edges = spark.createDataFrame(
+        [(random.randint(0, 30), random.randint(0, 30)) for _ in range(60)],
+        "u long, v long",
+    ).filter("u != v")
+    a = sorted((r.node, r.label) for r in graph.label_propagation(edges).collect())
+    b = sorted((r.node, r.label) for r in graph.label_propagation(edges).collect())
+    assert a == b
+
+
+def test_part_entity_resolution_links_planted_dirty_records(spark):
+    from clickstreamtoclickhouse_spark import plans
+    from clickstreamtoclickhouse_spark.plans.tpch import _ER_OFFSET
+
+    rows = plans.QUERIES["part_entity_resolution"](spark, SF_DIR).collect()
+    ent = {r.rec_id: r.entity_id for r in rows}
+    origs = [r for r in ent if r < _ER_OFFSET]
+    assert origs
+    # every planted dirty record resolves into its original's entity
+    linked = sum(1 for o in origs if ent.get(o + _ER_OFFSET) == ent[o])
+    assert linked == len(origs), f"{len(origs) - linked} planted pairs missed"
+    # and resolution is not degenerate (one giant entity)
+    assert len(set(ent.values())) > len(origs) * 0.5
+    for r in rows:
+        assert r.entity_size >= 2 or r.entity_id == r.rec_id

@@ -989,3 +989,48 @@ def test_curation_plan_shapes(spark):
     txt = plan_text(spark, "chunk_dedup")
     assert "Join" not in txt
     assert count_exchanges(txt) == 1
+
+
+def test_lpa_and_entity_resolution_plan_shapes(spark):
+    # LPA rounds execute at build time behind per-round checkpoints
+    # (the doc_topic_clusters stance), so the registered query's
+    # static plan is just the sizes join — pin ONE round's vote plan
+    # directly: neighbor equi-join + keyed vote agg + group-limit
+    # pruned argmax, no cartesian
+    import contextlib
+    import io
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    edges = spark.createDataFrame([(1, 2), (2, 3)], "u long, v long")
+    und = edges.unionByName(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    labels = und.select(F.col("u").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    votes = (
+        und.join(labels.withColumnRenamed("node", "v"), "v")
+        .groupBy(F.col("u").alias("node"), "label")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("node").orderBy(F.desc("n"), F.asc("label"))
+    rnd = votes.withColumn("r", F.row_number().over(w)).filter("r = 1")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        rnd.explain("formatted")
+    txt = buf.getvalue()
+    assert "WindowGroupLimit" in txt
+    assert "CartesianProduct" not in txt
+    # the registered query's residual plan: keyed sizes join only
+    txt = plan_text(spark, "part_copurchase_communities")
+    assert "CartesianProduct" not in txt
+    assert "BroadcastNestedLoopJoin" not in txt
+    # ER: candidates come from the block equi-join (never all-pairs);
+    # the levenshtein verify itself executes inside the CC build
+    # behind its checkpoints, so it isn't statically visible here —
+    # the planted-recall test in test_graph.py value-checks it
+    txt = plan_text(spark, "part_entity_resolution")
+    assert "CartesianProduct" not in txt
+    assert "BroadcastNestedLoopJoin" not in txt
