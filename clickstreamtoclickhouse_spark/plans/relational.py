@@ -5560,3 +5560,256 @@ def purchase_rate_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round((center - half) / denom, 6).alias("ci_lo"),
         F.round((center + half) / denom, 6).alias("ci_hi"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 8: KMV sketch set operations + lead-lag cross-correlation
+# ---------------------------------------------------------------------------
+
+_KMV_SET_K = 256  # larger k than the per-type sketch: set-op estimates
+                  # compound two sketches' error, so buy rse ~ 1/sqrt(k)
+
+
+@query(
+    "kmv_set_operations",
+    oracle=f"""
+    WITH ha AS (
+      SELECT DISTINCT ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))
+               ::BIGINT AS h
+      FROM events WHERE event_type = 'purchase'
+    ),
+    hb AS (
+      SELECT DISTINCT ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))
+               ::BIGINT AS h
+      FROM events WHERE event_type = 'click'
+    ),
+    ka AS (SELECT h FROM ha ORDER BY h LIMIT {_KMV_SET_K}),
+    kb AS (SELECT h FROM hb ORDER BY h LIMIT {_KMV_SET_K}),
+    ku AS (
+      SELECT h FROM (SELECT h FROM ka UNION SELECT h FROM kb)
+      ORDER BY h LIMIT {_KMV_SET_K}
+    ),
+    sa AS (SELECT count(*) AS n, max(h) AS mx FROM ka),
+    sb AS (SELECT count(*) AS n, max(h) AS mx FROM kb),
+    su AS (SELECT count(*) AS n, max(h) AS mx FROM ku),
+    si AS (
+      SELECT count(*) AS n FROM ku
+      WHERE EXISTS (SELECT 1 FROM ka WHERE ka.h = ku.h)
+        AND EXISTS (SELECT 1 FROM kb WHERE kb.h = ku.h)
+    )
+    SELECT
+      round(CASE WHEN sa.n < {_KMV_SET_K} THEN CAST(sa.n AS DOUBLE)
+                 ELSE {float(_KMV_SET_K - 1)}
+                      / (CAST(sa.mx AS DOUBLE) / 4294967296.0) END, 4)
+        AS est_purchasers,
+      round(CASE WHEN sb.n < {_KMV_SET_K} THEN CAST(sb.n AS DOUBLE)
+                 ELSE {float(_KMV_SET_K - 1)}
+                      / (CAST(sb.mx AS DOUBLE) / 4294967296.0) END, 4)
+        AS est_clickers,
+      round(CASE WHEN su.n < {_KMV_SET_K} THEN CAST(su.n AS DOUBLE)
+                 ELSE {float(_KMV_SET_K - 1)}
+                      / (CAST(su.mx AS DOUBLE) / 4294967296.0) END, 4)
+        AS est_union,
+      round((CAST(si.n AS DOUBLE) / su.n)
+            * CASE WHEN su.n < {_KMV_SET_K} THEN CAST(su.n AS DOUBLE)
+                   ELSE {float(_KMV_SET_K - 1)}
+                        / (CAST(su.mx AS DOUBLE) / 4294967296.0) END, 4)
+        AS est_intersection,
+      round(CAST(si.n AS DOUBLE) / su.n, 6) AS est_jaccard
+    FROM sa, sb, su, si
+    """,
+)
+def kmv_set_operations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based SET OPERATIONS between the purchaser and clicker
+    user sets (Beyer et al. 2007, "On Synopses for Distinct-Value
+    Estimation under Multiset Operations", public method): two
+    bottom-k (KMV) sketches support union, intersection, and Jaccard
+    estimates WITHOUT a second pass — the sketch algebra a warehouse
+    runs when the exact `purchaser_clicker_sets` intersect/except is
+    too expensive across many segment pairs. Union sketch = bottom-k
+    of the merged sketches (its own KMV estimate); intersection via
+    the ratio estimator rho = |K_union ∩ A ∩ B| / |K_union|, scaled
+    by the union estimate; Jaccard = rho itself.
+
+    Parity: hashes, bottom-k cuts, and membership counts are exact
+    integers on both engines (the portable 32-bit hash domain — see
+    approx_distinct_users' documented cardinality ceiling); only the
+    two final divisions are floats, rounded identically. Accuracy vs
+    the exact set sizes is pinned in test_extensions
+    (rse ~ 1/sqrt(k), k=_KMV_SET_K=256).
+
+    Scale: two distinct-hash aggregates over the filtered scans, then
+    every sketch step is a {_KMV_SET_K}-row TakeOrderedAndProject /
+    semi-join — the estimator never touches row-scale data again."""
+    from ..util import portable_id_hash
+
+    e = load(spark, sf_dir, "events")
+
+    def sketch(ev_type: str) -> DataFrame:
+        return (
+            e.filter(F.col("event_type") == ev_type)
+            .select(portable_id_hash(F.col("user_id")).alias("h"))
+            .distinct()
+            .orderBy("h")
+            .limit(_KMV_SET_K)
+        )
+
+    ka = sketch("purchase").localCheckpoint(eager=False)
+    kb = sketch("click").localCheckpoint(eager=False)
+    ku = (
+        ka.unionByName(kb).distinct().orderBy("h").limit(_KMV_SET_K)
+    ).localCheckpoint(eager=False)
+
+    def est(stats_n, stats_mx):
+        return F.when(
+            stats_n < _KMV_SET_K, stats_n.cast("double")
+        ).otherwise(
+            F.lit(float(_KMV_SET_K - 1))
+            / (stats_mx.cast("double") / F.lit(4294967296.0))
+        )
+
+    sa = ka.agg(
+        F.count(F.lit(1)).alias("n_a"), F.max("h").alias("mx_a")
+    )
+    sb = kb.agg(
+        F.count(F.lit(1)).alias("n_b"), F.max("h").alias("mx_b")
+    )
+    su = ku.agg(
+        F.count(F.lit(1)).alias("n_u"), F.max("h").alias("mx_u")
+    )
+    si = (
+        ku.join(ka, "h", "left_semi")
+        .join(kb, "h", "left_semi")
+        .agg(F.count(F.lit(1)).alias("n_i"))
+    )
+    row = sa.crossJoin(sb).crossJoin(su).crossJoin(si)
+    e_u = est(F.col("n_u"), F.col("mx_u"))
+    return row.select(
+        F.round(est(F.col("n_a"), F.col("mx_a")), 4).alias("est_purchasers"),
+        F.round(est(F.col("n_b"), F.col("mx_b")), 4).alias("est_clickers"),
+        F.round(e_u, 4).alias("est_union"),
+        F.round(
+            (F.col("n_i").cast("double") / F.col("n_u")) * e_u, 4
+        ).alias("est_intersection"),
+        F.round(F.col("n_i").cast("double") / F.col("n_u"), 6).alias(
+            "est_jaccard"
+        ),
+    )
+
+
+_XCORR_MAX_LAG = 3
+
+
+@query(
+    "event_type_lead_lag",
+    oracle=f"""
+    WITH d0 AS (
+      SELECT CAST(ts AS DATE) AS d, event_type,
+             round(sum(value), 4) AS v
+      FROM events WHERE event_type IN ('click', 'purchase')
+      GROUP BY 1, 2
+    ),
+    idx AS (
+      SELECT event_type, v,
+             datediff('day', min(d) OVER (), d) AS i
+      FROM d0
+    ),
+    x AS (SELECT i, v FROM idx WHERE event_type = 'click'),
+    y AS (SELECT i, v FROM idx WHERE event_type = 'purchase'),
+    lags AS (
+      SELECT unnest(range(-{_XCORR_MAX_LAG}, {_XCORR_MAX_LAG} + 1)) AS lag
+    ),
+    pairs AS (
+      SELECT l.lag, x.v AS xv, y.v AS yv
+      FROM lags l
+      CROSS JOIN x
+      JOIN y ON y.i = x.i + l.lag
+    ),
+    mo AS (
+      SELECT lag,
+             CAST(count(*) AS BIGINT) AS n,
+             round(sum(xv), 4) AS sx, round(sum(yv), 4) AS sy,
+             round(sum(xv * yv), 4) AS sxy,
+             round(sum(xv * xv), 4) AS sxx,
+             round(sum(yv * yv), 4) AS syy
+      FROM pairs GROUP BY lag
+    )
+    SELECT CAST(lag AS INT) AS lag, n,
+           CASE WHEN (n * sxx - sx * sx) * (n * syy - sy * sy) <= 0
+                THEN NULL
+                ELSE round((n * sxy - sx * sy)
+                     / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+           END AS xcorr
+    FROM mo
+    """,
+)
+def event_type_lead_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lead-lag CROSS-correlation between the click and purchase
+    daily value series (the sample cross-correlation function of Box
+    & Jenkins, public method), lags -3..+3:
+    corr(click_t, purchase_t+lag) — positive-lag peaks mean clicks
+    LEAD purchases by that many days, the standard
+    marketing-attribution / demand-forecast readout. The multivariate
+    companion to `event_type_dtw` (alignment distance) and
+    `daily_value_ewma` (single-series smoothing).
+
+    Cross-engine float parity: the repo's rounded-sufficient-statistic
+    convention — per-lag counts plus 4dp-rounded sums of x, y, xy, x²,
+    y², with the correlation derived by SCALAR algebra from those six
+    numbers, so float-sum order can't leak in; degenerate variances
+    yield NULL identically.
+
+    Scale: one (day, type) rollup over the filtered scan; the lag
+    join and moment aggregates run on the CALENDAR-BOUNDED day table
+    x 7 lags — driver trivia at any corpus
+    size."""
+    e = load(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    d0 = e.groupBy(
+        F.to_date("ts").alias("d"), "event_type"
+    ).agg(F.round(F.sum("value"), 4).alias("v"))
+    idx = d0.select(
+        "event_type",
+        "v",
+        F.datediff("d", F.min("d").over(Window.partitionBy())).alias("i"),
+    ).localCheckpoint(eager=False)
+    x = idx.filter(F.col("event_type") == "click").select(
+        F.col("i").alias("xi"), F.col("v").alias("xv")
+    )
+    y = idx.filter(F.col("event_type") == "purchase").select(
+        F.col("i").alias("yi"), F.col("v").alias("yv")
+    )
+    lags = spark.range(-_XCORR_MAX_LAG, _XCORR_MAX_LAG + 1).select(
+        F.col("id").cast("int").alias("lag")
+    )
+    pairs = (
+        x.crossJoin(F.broadcast(lags))
+        .withColumn("j", F.col("xi") + F.col("lag"))
+        .join(y, F.col("j") == F.col("yi"))
+    )
+    mo = pairs.groupBy("lag").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.round(F.sum("xv"), 4).alias("sx"),
+        F.round(F.sum("yv"), 4).alias("sy"),
+        F.round(F.sum(F.col("xv") * F.col("yv")), 4).alias("sxy"),
+        F.round(F.sum(F.col("xv") * F.col("xv")), 4).alias("sxx"),
+        F.round(F.sum(F.col("yv") * F.col("yv")), 4).alias("syy"),
+    )
+    den = (
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return mo.select(
+        F.col("lag").cast("int").alias("lag"),
+        "n",
+        F.when(den <= 0, F.lit(None).cast("double"))
+        .otherwise(
+            F.round(
+                (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+                / F.sqrt(den),
+                6,
+            )
+        )
+        .alias("xcorr"),
+    )

@@ -1179,3 +1179,56 @@ def test_resize_image_thumbnail_shape_and_determinism(spark, docs):
     # non-image rows are filtered, not crashed on
     vid = multimodal.synth_media_from_documents(docs.limit(2), kind="video")
     assert multimodal.resize_image(vid, 4, 4).count() == 0
+
+
+def test_kmv_set_operations_accuracy(spark):
+    from .conftest import SF_DIR_MED
+
+    row = plans.QUERIES["kmv_set_operations"](spark, SF_DIR_MED).collect()[0]
+    e = plans.load(spark, SF_DIR_MED, "events")
+    purchasers = e.filter("event_type = 'purchase'").select("user_id").distinct()
+    clickers = e.filter("event_type = 'click'").select("user_id").distinct()
+    n_a = purchasers.count()
+    n_b = clickers.count()
+    n_i = purchasers.intersect(clickers).count()
+    n_u = n_a + n_b - n_i
+    # rse ~ 1/sqrt(k-2) ≈ 6% at k=256; intersection compounds two
+    # sketches, so allow a wider band there
+    assert abs(row.est_purchasers - n_a) / n_a < 0.25
+    assert abs(row.est_clickers - n_b) / n_b < 0.25
+    assert abs(row.est_union - n_u) / n_u < 0.25
+    assert abs(row.est_intersection - n_i) / max(n_i, 1) < 0.40
+    assert abs(row.est_jaccard - n_i / n_u) < 0.25
+
+
+def test_event_type_lead_lag_semantics(spark):
+    from .conftest import SF_DIR_MED
+
+    rows = {r.lag: r for r in plans.QUERIES["event_type_lead_lag"](
+        spark, SF_DIR_MED).collect()}
+    assert set(rows) == {-3, -2, -1, 0, 1, 2, 3}
+    for r in rows.values():
+        assert r.n > 0
+        if r.xcorr is not None:
+            assert -1.0 - 1e-9 <= r.xcorr <= 1.0 + 1e-9
+    # hand-computed lag-0 correlation on collected day sums
+    import math
+
+    e = plans.load(spark, SF_DIR_MED, "events").filter(
+        "event_type in ('click','purchase')"
+    )
+    day = e.groupBy(
+        F.to_date("ts").alias("d"), "event_type"
+    ).agg(F.round(F.sum("value"), 4).alias("v")).collect()
+    xs = {r.d: r.v for r in day if r.event_type == "click"}
+    ys = {r.d: r.v for r in day if r.event_type == "purchase"}
+    common = sorted(set(xs) & set(ys))
+    n = len(common)
+    sx = sum(xs[d] for d in common); sy = sum(ys[d] for d in common)
+    sxy = sum(xs[d] * ys[d] for d in common)
+    sxx = sum(xs[d] ** 2 for d in common); syy = sum(ys[d] ** 2 for d in common)
+    ref = (n * sxy - sx * sy) / math.sqrt(
+        (n * sxx - sx * sx) * (n * syy - sy * sy)
+    )
+    assert abs(rows[0].xcorr - ref) < 1e-3
+    assert rows[0].n == n
