@@ -5813,3 +5813,287 @@ def event_type_lead_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("xcorr"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 8: Markov removal-effect attribution
+# ---------------------------------------------------------------------------
+
+_MK_ROUNDS = 16
+_MK_CHANNELS = ("click", "error", "signup", "view")  # non-conversion types
+
+
+def _markov_attr_oracle_sql() -> str:
+    chan_list = ", ".join(f"'{c}'" for c in _MK_CHANNELS)
+    variants = " UNION ALL ".join(
+        ["SELECT 'none' AS variant"]
+        + [f"SELECT '{c}'" for c in _MK_CHANNELS]
+    )
+    rounds = []
+    for t in range(_MK_ROUNDS):
+        rounds.append(
+            f"""v{t + 1} AS MATERIALIZED (
+      SELECT s.variant, s.state,
+             CASE WHEN s.state = 'CONV' THEN 1.0
+                  WHEN s.state = 'NULL' THEN 0.0
+                  ELSE round(coalesce(sum(tr.p * v.val), 0.0), 9)
+             END AS val
+      FROM states s
+      LEFT JOIN trans tr ON tr.variant = s.variant AND tr.f = s.state
+      LEFT JOIN v{t} v ON v.variant = tr.variant AND v.state = tr.t
+      GROUP BY s.variant, s.state
+    )"""
+        )
+    rounds_sql = ",\n    ".join(rounds)
+    return (
+        f"""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    ),
+    firstp AS (
+      SELECT user_id, min(rn) AS prn FROM seq
+      WHERE event_type = 'purchase' GROUP BY user_id
+    ),
+    path AS (
+      SELECT s.user_id, s.rn,
+             CASE WHEN s.event_type = 'purchase' THEN 'CONV'
+                  ELSE s.event_type END AS state,
+             f.prn
+      FROM seq s LEFT JOIN firstp f USING (user_id)
+      WHERE f.prn IS NULL OR s.rn <= f.prn
+    ),
+    steps AS (
+      SELECT user_id, state,
+             coalesce(lag(state) OVER (PARTITION BY user_id ORDER BY rn),
+                      'START') AS prev,
+             rn,
+             max(rn) OVER (PARTITION BY user_id) AS last_rn
+      FROM path
+    ),
+    raw AS (
+      SELECT prev AS f, state AS t FROM steps
+      UNION ALL
+      SELECT state, 'NULL' FROM steps
+      WHERE rn = last_rn AND state <> 'CONV'
+    ),
+    cnt AS (SELECT f, t, count(*) AS n FROM raw GROUP BY f, t),
+    base AS (
+      SELECT f, t,
+             round(n * 1.0 / sum(n) OVER (PARTITION BY f), 9) AS p
+      FROM cnt
+    ),
+    variants AS ({variants}),
+    trans AS MATERIALIZED (
+      SELECT variant, f,
+             CASE WHEN t = variant THEN 'NULL' ELSE t END AS t,
+             round(sum(p), 9) AS p
+      FROM variants CROSS JOIN base
+      GROUP BY 1, 2, 3
+    ),
+    states AS MATERIALIZED (
+      SELECT DISTINCT variant, state FROM (
+        SELECT variant, f AS state FROM trans
+        UNION SELECT variant, t FROM trans
+        UNION SELECT variant, 'START' FROM variants
+        UNION SELECT variant, 'CONV' FROM variants
+        UNION SELECT variant, 'NULL' FROM variants
+      )
+    ),
+    v0 AS MATERIALIZED (
+      SELECT variant, state,
+             CASE WHEN state = 'CONV' THEN 1.0 ELSE 0.0 END AS val
+      FROM states
+    ),
+    {rounds_sql},
+    pconv AS (
+      SELECT variant, val FROM v{_MK_ROUNDS} WHERE state = 'START'
+    ),
+    re AS (
+      SELECT c.variant AS channel,
+             round(greatest(0.0, 1.0 - c.val / nullif(b.val, 0)), 6)
+               AS removal_effect
+      FROM pconv c CROSS JOIN (SELECT val FROM pconv
+                               WHERE variant = 'none') b
+      WHERE c.variant IN ({chan_list})
+    )
+    SELECT channel, removal_effect,
+           CASE WHEN sum(removal_effect) OVER () = 0 THEN NULL
+                ELSE round(removal_effect
+                           / sum(removal_effect) OVER (), 6)
+           END AS attribution_share
+    FROM re
+    """
+    )
+
+
+@query("markov_attribution", oracle=_markov_attr_oracle_sql())
+def markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov-chain REMOVAL-EFFECT attribution (Anderl et al. 2014,
+    'Mapping the Customer Journey' — the data-driven alternative to
+    rule-based last-click/linear attribution, public method): model
+    user journeys (event sequences truncated at first purchase) as a
+    first-order Markov chain with START / CONV / NULL absorbing
+    states, compute the conversion (absorption) probability from
+    START, then for each channel redirect its INBOUND transitions to
+    NULL and re-absorb — the channel's removal effect is the relative
+    conversion drop, normalized into attribution shares. Completes
+    the attribution family: `click_attribution` (last-touch) and
+    `attribution_linear` (position-agnostic) are the rule-based
+    baselines this replaces.
+
+    Absorption runs as {_MK_ROUNDS} fixed value-iteration rounds
+    (p(s) <- sum_t P(s->t) p(t); conversion mass reaching START
+    within {_MK_ROUNDS} hops — geometric convergence on an
+    event-type-bounded chain, same fixed-round parity stance as
+    transition_shortest_paths), ALL removal variants iterating
+    together on one variant-keyed table. Floats: transition
+    probabilities and every round's values are rounded to 9dp on both
+    engines, so iteration is an identical fixed-point walk.
+
+    Scale: the event-scale work is ONE user-keyed window pass
+    (sequence + first-purchase truncation); everything after is the
+    (variant x state x state)-bounded transition table — tens of
+    rows regardless of corpus size."""
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "user_id", "event_type", F.row_number().over(w).alias("rn")
+    )
+    firstp = (
+        seq.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("rn").alias("prn"))
+    )
+    path = (
+        seq.join(firstp, "user_id", "left")
+        .filter(F.col("prn").isNull() | (F.col("rn") <= F.col("prn")))
+        .select(
+            "user_id",
+            "rn",
+            F.when(F.col("event_type") == "purchase", "CONV")
+            .otherwise(F.col("event_type"))
+            .alias("state"),
+        )
+    )
+    wp = Window.partitionBy("user_id").orderBy("rn")
+    wu = Window.partitionBy("user_id")
+    steps = path.select(
+        "state",
+        F.coalesce(F.lag("state").over(wp), F.lit("START")).alias("prev"),
+        "rn",
+        F.max("rn").over(wu).alias("last_rn"),
+    )
+    raw = steps.select(
+        F.col("prev").alias("f"), F.col("state").alias("t")
+    ).unionByName(
+        steps.filter(
+            (F.col("rn") == F.col("last_rn")) & (F.col("state") != "CONV")
+        ).select(F.col("state").alias("f"), F.lit("NULL").alias("t"))
+    )
+    cnt = raw.groupBy("f", "t").agg(F.count(F.lit(1)).alias("n"))
+    base = cnt.select(
+        "f",
+        "t",
+        F.round(
+            F.col("n") * 1.0 / F.sum("n").over(Window.partitionBy("f")), 9
+        ).alias("p"),
+    )
+    variants = spark.createDataFrame(
+        [("none",)] + [(c,) for c in _MK_CHANNELS], "variant string"
+    )
+    trans = (
+        variants.crossJoin(base)
+        .groupBy(
+            "variant",
+            "f",
+            F.when(F.col("t") == F.col("variant"), "NULL")
+            .otherwise(F.col("t"))
+            .alias("t"),
+        )
+        .agg(F.round(F.sum("p"), 9).alias("p"))
+        .localCheckpoint(eager=True)
+    )
+    states = (
+        trans.select("variant", F.col("f").alias("state"))
+        .unionByName(trans.select("variant", F.col("t").alias("state")))
+        .unionByName(
+            variants.crossJoin(
+                spark.createDataFrame(
+                    [("START",), ("CONV",), ("NULL",)], "state string"
+                )
+            )
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    v = states.select(
+        "variant",
+        "state",
+        F.when(F.col("state") == "CONV", 1.0).otherwise(0.0).alias("val"),
+    ).localCheckpoint(eager=True)
+    for _ in range(_MK_ROUNDS):
+        joined = states.join(
+            trans,
+            (states.variant == trans.variant) & (trans.f == states.state),
+            "left",
+        ).select(
+            states.variant.alias("sv"), states.state.alias("ss"), "t", "p"
+        )
+        joined = joined.join(
+            v,
+            (joined.sv == v.variant) & (joined.t == v.state),
+            "left",
+        ).select("sv", "ss", "p", "val")
+        v = (
+            joined.groupBy(F.col("sv").alias("variant"), F.col("ss").alias("state"))
+            .agg(
+                F.round(
+                    F.coalesce(F.sum(F.col("p") * F.col("val")), F.lit(0.0)),
+                    9,
+                ).alias("acc")
+            )
+            .select(
+                "variant",
+                "state",
+                F.when(F.col("state") == "CONV", 1.0)
+                .when(F.col("state") == "NULL", 0.0)
+                .otherwise(F.col("acc"))
+                .alias("val"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    pconv = v.filter(F.col("state") == "START").select("variant", "val")
+    baseline = pconv.filter(F.col("variant") == "none").select(
+        F.col("val").alias("bval")
+    )
+    re = (
+        pconv.filter(F.col("variant") != "none")
+        .crossJoin(F.broadcast(baseline))
+        .select(
+            F.col("variant").alias("channel"),
+            F.round(
+                F.greatest(
+                    F.lit(0.0),
+                    1.0
+                    - F.col("val")
+                    / F.when(F.col("bval") != 0, F.col("bval")),
+                ),
+                6,
+            ).alias("removal_effect"),
+        )
+    )
+    tot = Window.partitionBy()
+    return re.select(
+        "channel",
+        "removal_effect",
+        F.when(F.sum("removal_effect").over(tot) == 0, F.lit(None).cast("double"))
+        .otherwise(
+            F.round(
+                F.col("removal_effect") / F.sum("removal_effect").over(tot), 6
+            )
+        )
+        .alias("attribution_share"),
+    )

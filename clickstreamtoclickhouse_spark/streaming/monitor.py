@@ -24,6 +24,7 @@ from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 
 def batch_dq_metrics(
@@ -106,6 +107,114 @@ def streaming_dq_monitor(
         finally:
             if quarantine_dir is not None:
                 batch_df.unpersist()
+
+    return (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+
+
+def histogram_shares(
+    df: DataFrame,
+    value_col: str,
+    lo: float,
+    hi: float,
+    n_bins: int = 10,
+) -> dict[int, float]:
+    """Equal-width histogram shares of `value_col` over [lo, hi),
+    clamped at the edges (bin 1..n_bins, matching width_bucket's
+    convention with out-of-range values folded into the end bins).
+    Returns a driver-side dict of n_bins scalars — the frozen
+    REFERENCE profile for drift monitoring (the same bounded-collect
+    stance as k-means centroids: the profile is the model, not data).
+    """
+    b = F.least(
+        F.greatest(
+            F.width_bucket(F.col(value_col), F.lit(lo), F.lit(hi), F.lit(n_bins)),
+            F.lit(1),
+        ),
+        F.lit(n_bins),
+    )
+    rows = (
+        df.select(b.alias("bin"))
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    total = sum(r.n for r in rows) or 1
+    shares = {i: 0.0 for i in range(1, n_bins + 1)}
+    for r in rows:
+        shares[int(r.bin)] = r.n / total
+    return shares
+
+
+def streaming_drift_monitor(
+    stream: DataFrame,
+    value_col: str,
+    lo: float,
+    hi: float,
+    ref_shares: dict[int, float],
+    metrics_dir: str,
+    checkpoint_dir: str,
+    n_bins: int = 10,
+    psi_alert: float = 0.25,
+):
+    """Continuous distribution-drift monitoring: every micro-batch is
+    binned with the FROZEN reference edges (lo/hi/n_bins must be the
+    ones `histogram_shares` built the reference with), its Population
+    Stability Index against the reference is computed JVM-side, and
+    one metrics row (batch_id, n_rows, psi, alert) appends to
+    `metrics_dir` — the streaming mirror of the batch
+    `value_drift_psi` query, with the standard industry thresholds
+    (psi < 0.1 stable, 0.1-0.25 moderate, > 0.25 shifted; alert fires
+    at `psi_alert`).
+
+    The reference profile rides along as an n_bins-row broadcast —
+    never recomputed, so drift is always measured against the SAME
+    baseline (recomputing per batch would make the monitor blind to
+    slow drift). Shares are floored at 1e-6 before the log ratio, the
+    usual PSI guard for empty bins. At-least-once caveat matches
+    streaming_dq_monitor: keyed (batch_id) reads dedupe replays."""
+    spark = stream.sparkSession
+    ref_rows = [(int(k), float(v)) for k, v in sorted(ref_shares.items())]
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        ref = F.broadcast(
+            spark.createDataFrame(ref_rows, "bin int, ref_share double")
+        )
+        b = F.least(
+            F.greatest(
+                F.width_bucket(
+                    F.col(value_col), F.lit(lo), F.lit(hi), F.lit(n_bins)
+                ),
+                F.lit(1),
+            ),
+            F.lit(n_bins),
+        )
+        n_total = F.sum("n").over(Window.partitionBy())
+        cur = (
+            batch_df.select(b.alias("bin"))
+            .groupBy("bin")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        joined = ref.join(cur, "bin", "left").select(
+            "ref_share",
+            (F.coalesce(F.col("n"), F.lit(0)) * 1.0 / n_total).alias("share"),
+            F.coalesce(F.col("n"), F.lit(0)).alias("n"),
+        )
+        p = F.greatest(F.col("share"), F.lit(1e-6))
+        q = F.greatest(F.col("ref_share"), F.lit(1e-6))
+        row = joined.agg(
+            F.sum("n").cast("long").alias("n_rows"),
+            F.round(F.sum((p - q) * F.log(p / q)), 6).alias("psi"),
+        ).select(
+            F.lit(batch_id).cast("long").alias("batch_id"),
+            "n_rows",
+            "psi",
+            (F.col("psi") > psi_alert).alias("alert"),
+        )
+        row.write.mode("append").parquet(metrics_dir)
 
     return (
         stream.writeStream.foreachBatch(process_batch)

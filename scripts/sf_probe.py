@@ -110,6 +110,8 @@ PROBE_QUERIES = [
     "chunk_dedup",
     "oov_rate_by_lang",
     "split_contamination",
+    # events-scale user window pass + bounded chain iteration
+    "markov_attribution",
 ]
 
 

@@ -916,3 +916,77 @@ def test_incremental_minhash_dedup_null_text_not_readmitted(spark):
     fresh2, _ = incremental_minhash_dedup(b2, idx1)
     # NULL text re-delivery rejected; "" shares the no-content key
     assert fresh2.collect() == []
+
+
+def test_streaming_drift_monitor_flags_shift(spark, tmp_path):
+    import json as _json
+
+    from clickstreamtoclickhouse_spark.streaming import monitor
+
+    # reference: values uniform in [0, 100)
+    ref_df = spark.range(1000).select(
+        (F.col("id") % 100).cast("double").alias("value")
+    )
+    ref = monitor.histogram_shares(ref_df, "value", 0.0, 100.0, n_bins=10)
+    assert abs(sum(ref.values()) - 1.0) < 1e-9
+
+    landing = tmp_path / "drift_in"
+    landing.mkdir()
+    # batch 1: same uniform distribution -> PSI ~ 0
+    with open(landing / "b1.json", "w") as f:
+        for i in range(1000):
+            f.write(_json.dumps({"value": float(i % 100)}) + "\n")
+    stream = spark.readStream.schema("value double").json(str(landing))
+    q = monitor.streaming_drift_monitor(
+        stream,
+        "value",
+        0.0,
+        100.0,
+        ref,
+        str(tmp_path / "drift_metrics"),
+        str(tmp_path / "drift_ckpt"),
+        psi_alert=0.25,
+    )
+    try:
+        q.processAllAvailable()
+        # batch 2: mass collapses into [0, 10) -> large PSI, alert
+        with open(landing / "b2.json", "w") as f:
+            for i in range(1000):
+                f.write(_json.dumps({"value": float(i % 10)}) + "\n")
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = {
+        r.batch_id: r
+        for r in spark.read.parquet(str(tmp_path / "drift_metrics")).collect()
+    }
+    assert rows[0].n_rows == 1000 and rows[1].n_rows == 1000
+    assert rows[0].psi < 0.05 and not rows[0].alert
+    assert rows[1].psi > 0.25 and rows[1].alert
+
+
+def test_markov_attribution_planted_sole_converting_channel(spark, tmp_path):
+    from clickstreamtoclickhouse_spark import plans
+
+    # clicks are the ONLY path to purchase; views never convert
+    rows = []
+    eid = 0
+    for u in range(5):
+        rows.append((eid, f"2026-01-01 00:0{u}:00", u, "click", 1.0)); eid += 1
+        rows.append((eid, f"2026-01-01 00:0{u}:30", u, "purchase", 1.0)); eid += 1
+    for u in range(10, 15):
+        rows.append((eid, f"2026-01-01 00:0{u % 10}:00", u, "view", 1.0)); eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string, value double"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    d = tmp_path / "mkv"
+    df.coalesce(1).write.parquet(str(d / "events.parquet"))
+    out = {r.channel: r for r in plans.QUERIES["markov_attribution"](
+        spark, str(d)).collect()}
+    # removing clicks kills every conversion; removing views changes nothing
+    assert out["click"].removal_effect == 1.0
+    assert out["view"].removal_effect == 0.0
+    assert out["click"].attribution_share == 1.0
+    # channels absent from the data carry zero effect
+    assert out["signup"].removal_effect == 0.0
+    assert out["error"].removal_effect == 0.0
