@@ -1598,3 +1598,138 @@ def filter_cascade_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("n_out"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 8: classifier evaluation report (binned ROC / AUC / calibration)
+# ---------------------------------------------------------------------------
+
+_EVAL_BINS = 20  # logit in [-1, 1] -> 0.1-wide score bins
+
+
+@query(
+    "classifier_eval_report",
+    oracle=f"""
+    WITH {_SQL_HASHED_FEATS_CTES},
+    wt AS (
+      SELECT doc_id, lang, c,
+             ((('0x' || substr(md5(CAST(b AS VARCHAR)), 1, 8))::BIGINT
+               % {_CLS_W_MOD}) - {(_CLS_W_MOD - 1) // 2}) / {(_CLS_W_MOD - 1) // 2}.0
+               AS w
+      FROM dk
+    ),
+    sc AS (
+      SELECT doc_id,
+             max(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS label,
+             round(sum(c * w) / sum(c), 6) AS score
+      FROM wt GROUP BY doc_id
+    ),
+    binned AS (
+      SELECT least(greatest(CAST(floor((score + 1.0) / 0.1) AS INT) + 1, 1),
+                   {_EVAL_BINS}) AS bin,
+             label
+      FROM sc
+    ),
+    per_bin AS (
+      SELECT bin, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(label) AS BIGINT) AS n_pos
+      FROM binned GROUP BY bin
+    ),
+    cum AS (
+      SELECT bin, n, n_pos,
+             sum(n_pos) OVER (ORDER BY bin DESC) AS cp,
+             sum(n - n_pos) OVER (ORDER BY bin DESC) AS cn,
+             sum(n_pos) OVER () AS p,
+             sum(n - n_pos) OVER () AS nn
+      FROM per_bin
+    )
+    SELECT bin, n, n_pos,
+           round(n_pos * 1.0 / n, 6) AS pos_rate,
+           round(cp * 1.0 / nullif(p, 0), 6) AS tpr,
+           round(cn * 1.0 / nullif(nn, 0), 6) AS fpr,
+           round(sum((n - n_pos) * (2 * cp - n_pos)) OVER ()
+                 * 1.0 / nullif(2 * p * nn, 0), 6) AS auc
+    FROM cum
+    """,
+)
+def classifier_eval_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier EVALUATION report — binned ROC curve, AUC, and
+    calibration table for the hashed linear scorer against an
+    'is-English' reference label (lang = 'en'): one row per 0.1-wide
+    score bin with its observed positive rate (the calibration
+    column) and the cumulative TPR/FPR at that score cut (the ROC
+    points), plus the trapezoidal AUC. The label is a substitution
+    point exactly like the classifier's hash-grid weights: swapping
+    in real labels (human QA, LLM judgments) changes one expression,
+    and the whole eval machinery — the readout a filtering team
+    checks before trusting classifier-based selection — stays
+    oracle-verified. Standard binned-ROC method (Fawcett 2006, 'An
+    introduction to ROC analysis', public).
+
+    AUC parity trick: the trapezoid sum stays in INTEGER arithmetic —
+    sum over bins of neg_k * (2*cum_pos_k - pos_k) equals 2 * P * N *
+    AUC exactly — so both engines divide the identical integer by the
+    identical integer; every emitted rate is one rounded division of
+    integer counts. No float accumulates across rows anywhere.
+
+    Scale: reuses the classifier's single corpus pass (one keyed
+    shuffle to doc scores); binning is a pure projection and every
+    window runs over the {_EVAL_BINS}-row bin table."""
+    half = (_CLS_W_MOD - 1) // 2
+    dk = _doc_bucket_counts(widen_scan(load(spark, sf_dir, "documents")))
+    wt = dk.withColumn(
+        "w",
+        ((portable_id_hash(F.col("b")) % _CLS_W_MOD) - F.lit(half))
+        / F.lit(float(half)),
+    )
+    sc = wt.groupBy("doc_id").agg(
+        F.max(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("label"),
+        F.round(
+            F.sum(F.col("c") * F.col("w")) / F.sum("c"), 6
+        ).alias("score"),
+    )
+    bin_col = F.least(
+        F.greatest(
+            F.floor((F.col("score") + 1.0) / 0.1).cast("int") + 1, F.lit(1)
+        ),
+        F.lit(_EVAL_BINS),
+    )
+    per_bin = (
+        sc.select(bin_col.alias("bin"), "label")
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("label").cast("long").alias("n_pos"),
+        )
+    )
+    w_desc = Window.orderBy(F.desc("bin")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wall = Window.partitionBy()
+    cum = per_bin.select(
+        "bin",
+        "n",
+        "n_pos",
+        F.sum("n_pos").over(w_desc).alias("cp"),
+        F.sum(F.col("n") - F.col("n_pos")).over(w_desc).alias("cn"),
+        F.sum("n_pos").over(wall).alias("p"),
+        F.sum(F.col("n") - F.col("n_pos")).over(wall).alias("nn"),
+    )
+    nz = lambda c: F.when(c != 0, c)  # noqa: E731 — nullif twin
+    return cum.select(
+        "bin",
+        "n",
+        "n_pos",
+        F.round(F.col("n_pos") * 1.0 / F.col("n"), 6).alias("pos_rate"),
+        F.round(F.col("cp") * 1.0 / nz(F.col("p")), 6).alias("tpr"),
+        F.round(F.col("cn") * 1.0 / nz(F.col("nn")), 6).alias("fpr"),
+        F.round(
+            F.sum(
+                (F.col("n") - F.col("n_pos"))
+                * (2 * F.col("cp") - F.col("n_pos"))
+            ).over(wall)
+            * 1.0
+            / nz(2 * F.col("p") * F.col("nn")),
+            6,
+        ).alias("auc"),
+    )

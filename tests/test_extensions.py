@@ -1232,3 +1232,29 @@ def test_event_type_lead_lag_semantics(spark):
     )
     assert abs(rows[0].xcorr - ref) < 1e-3
     assert rows[0].n == n
+
+
+def test_classifier_eval_report_binned_roc_invariants(spark):
+    rows = sorted(
+        plans.QUERIES["classifier_eval_report"](spark, SF_DIR).collect(),
+        key=lambda r: -r.bin,
+    )
+    assert rows
+    # cumulative ROC points are monotone non-decreasing from the top
+    # bin down, ending at (1, 1); AUC in [0, 1] and constant
+    assert rows[-1].tpr == 1.0 and rows[-1].fpr == 1.0
+    for a, b in zip(rows, rows[1:]):
+        assert b.tpr >= a.tpr and b.fpr >= a.fpr
+    aucs = {r.auc for r in rows}
+    assert len(aucs) == 1
+    auc = aucs.pop()
+    assert 0.0 <= auc <= 1.0
+    # hand-computed binned AUC from raw counts reproduces the column
+    p = sum(r.n_pos for r in rows)
+    nn = sum(r.n - r.n_pos for r in rows)
+    cp = 0
+    acc = 0
+    for r in rows:  # descending bins
+        cp += r.n_pos
+        acc += (r.n - r.n_pos) * (2 * cp - r.n_pos)
+    assert abs(auc - acc / (2 * p * nn)) < 1e-6
