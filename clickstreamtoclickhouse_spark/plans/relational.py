@@ -5944,19 +5944,33 @@ def markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     `attribution_linear` (position-agnostic) are the rule-based
     baselines this replaces.
 
-    Absorption runs as {_MK_ROUNDS} fixed value-iteration rounds
-    (p(s) <- sum_t P(s->t) p(t); conversion mass reaching START
-    within {_MK_ROUNDS} hops — geometric convergence on an
-    event-type-bounded chain, same fixed-round parity stance as
-    transition_shortest_paths), ALL removal variants iterating
-    together on one variant-keyed table. Floats: transition
-    probabilities and every round's values are rounded to 9dp on both
-    engines, so iteration is an identical fixed-point walk.
+    Execution split: ALL event-scale work is one distributed
+    user-keyed window pass (sequence + first-purchase truncation +
+    transition counts). The chain itself is EVENT-TYPE-BOUNDED
+    (~7 states x ~5 removal variants, tens of probabilities), so the
+    {_MK_ROUNDS}-round value iteration runs DRIVER-SIDE on the
+    collected matrix — the bounded-collect model-fit stance of
+    doc_topic_clusters' centroid rounds; a Spark-iterated version
+    measured ~1 s of scheduler floor PER ROUND on local[32] for
+    35-row joins (16 s total) vs milliseconds here, and on a real
+    cluster the constant-size solve is equally driver-trivia.
 
-    Scale: the event-scale work is ONE user-keyed window pass
-    (sequence + first-purchase truncation); everything after is the
-    (variant x state x state)-bounded transition table — tens of
-    rows regardless of corpus size."""
+    Float parity: transition probabilities are Spark-rounded to 9dp
+    BEFORE collection; each driver round rounds with
+    decimal.ROUND_HALF_UP on repr(x) — bit-matching Spark's
+    java.math.BigDecimal.valueOf(double) HALF_UP semantics (both
+    quantize the shortest decimal representation) — and the DuckDB
+    twin runs the identical unrolled rounds, so all three walk one
+    fixed-point lattice."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    def _rnd(x: float, places: int) -> float:
+        return float(
+            Decimal(repr(x)).quantize(
+                Decimal(1).scaleb(-places), rounding=ROUND_HALF_UP
+            )
+        )
+
     e = load(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     seq = e.select(
@@ -5994,106 +6008,67 @@ def markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).select(F.col("state").alias("f"), F.lit("NULL").alias("t"))
     )
     cnt = raw.groupBy("f", "t").agg(F.count(F.lit(1)).alias("n"))
-    base = cnt.select(
+    base_rows = cnt.select(
         "f",
         "t",
         F.round(
             F.col("n") * 1.0 / F.sum("n").over(Window.partitionBy("f")), 9
         ).alias("p"),
-    )
-    variants = spark.createDataFrame(
-        [("none",)] + [(c,) for c in _MK_CHANNELS], "variant string"
-    )
-    trans = (
-        variants.crossJoin(base)
-        .groupBy(
-            "variant",
-            "f",
-            F.when(F.col("t") == F.col("variant"), "NULL")
-            .otherwise(F.col("t"))
-            .alias("t"),
+    ).collect()  # event-type-bounded: tens of rows at any corpus size
+
+    out_rows = []
+    variants = ["none"] + list(_MK_CHANNELS)
+    pconv: dict[str, float] = {}
+    for variant in variants:
+        # redirect transitions INTO the removed channel to NULL and
+        # re-aggregate (at most two addends merge — exact in doubles,
+        # then the same 9dp round Spark applies)
+        trans: dict[str, dict[str, float]] = {}
+        for r in base_rows:
+            t = "NULL" if r.t == variant else r.t
+            trans.setdefault(r.f, {})
+            trans[r.f][t] = trans[r.f].get(t, 0.0) + r.p
+        trans = {
+            f: {t: _rnd(p, 9) for t, p in ts.items()}
+            for f, ts in trans.items()
+        }
+        states = {"START", "CONV", "NULL"}
+        for f, ts in trans.items():
+            states.add(f)
+            states.update(ts)
+        val = {s: (1.0 if s == "CONV" else 0.0) for s in states}
+        for _ in range(_MK_ROUNDS):
+            nxt = {}
+            for s in states:
+                if s == "CONV":
+                    nxt[s] = 1.0
+                elif s == "NULL":
+                    nxt[s] = 0.0
+                else:
+                    acc = 0.0
+                    for t in sorted(trans.get(s, {})):
+                        acc += trans[s][t] * val[t]
+                    nxt[s] = _rnd(acc, 9)
+            val = nxt
+        pconv[variant] = val.get("START", 0.0)
+
+    base_p = pconv["none"]
+    res = []
+    for c in _MK_CHANNELS:
+        re_c = (
+            _rnd(max(0.0, 1.0 - pconv[c] / base_p), 6) if base_p else None
         )
-        .agg(F.round(F.sum("p"), 9).alias("p"))
-        .localCheckpoint(eager=True)
-    )
-    states = (
-        trans.select("variant", F.col("f").alias("state"))
-        .unionByName(trans.select("variant", F.col("t").alias("state")))
-        .unionByName(
-            variants.crossJoin(
-                spark.createDataFrame(
-                    [("START",), ("CONV",), ("NULL",)], "state string"
-                )
-            )
+        res.append((c, re_c))
+    tot = sum(r for _, r in res if r is not None)
+    out_rows = [
+        (
+            c,
+            re_c,
+            _rnd(re_c / tot, 6) if (re_c is not None and tot) else None,
         )
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
-    v = states.select(
-        "variant",
-        "state",
-        F.when(F.col("state") == "CONV", 1.0).otherwise(0.0).alias("val"),
-    ).localCheckpoint(eager=True)
-    for _ in range(_MK_ROUNDS):
-        joined = states.join(
-            trans,
-            (states.variant == trans.variant) & (trans.f == states.state),
-            "left",
-        ).select(
-            states.variant.alias("sv"), states.state.alias("ss"), "t", "p"
-        )
-        joined = joined.join(
-            v,
-            (joined.sv == v.variant) & (joined.t == v.state),
-            "left",
-        ).select("sv", "ss", "p", "val")
-        v = (
-            joined.groupBy(F.col("sv").alias("variant"), F.col("ss").alias("state"))
-            .agg(
-                F.round(
-                    F.coalesce(F.sum(F.col("p") * F.col("val")), F.lit(0.0)),
-                    9,
-                ).alias("acc")
-            )
-            .select(
-                "variant",
-                "state",
-                F.when(F.col("state") == "CONV", 1.0)
-                .when(F.col("state") == "NULL", 0.0)
-                .otherwise(F.col("acc"))
-                .alias("val"),
-            )
-            .localCheckpoint(eager=True)
-        )
-    pconv = v.filter(F.col("state") == "START").select("variant", "val")
-    baseline = pconv.filter(F.col("variant") == "none").select(
-        F.col("val").alias("bval")
-    )
-    re = (
-        pconv.filter(F.col("variant") != "none")
-        .crossJoin(F.broadcast(baseline))
-        .select(
-            F.col("variant").alias("channel"),
-            F.round(
-                F.greatest(
-                    F.lit(0.0),
-                    1.0
-                    - F.col("val")
-                    / F.when(F.col("bval") != 0, F.col("bval")),
-                ),
-                6,
-            ).alias("removal_effect"),
-        )
-    )
-    tot = Window.partitionBy()
-    return re.select(
-        "channel",
-        "removal_effect",
-        F.when(F.sum("removal_effect").over(tot) == 0, F.lit(None).cast("double"))
-        .otherwise(
-            F.round(
-                F.col("removal_effect") / F.sum("removal_effect").over(tot), 6
-            )
-        )
-        .alias("attribution_share"),
+        for c, re_c in res
+    ]
+    return spark.createDataFrame(
+        out_rows,
+        "channel string, removal_effect double, attribution_share double",
     )
