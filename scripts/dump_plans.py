@@ -70,6 +70,10 @@ HEADLINE = [
     ("simhash_near_dups", "56-bit portable fingerprints, 4x14-bit pigeonhole bands, bit_count verify"),
     ("dedup_clusters", "large-star/small-star connected components over banded candidate pairs"),
     ("corpus_release_report", "ONE scan -> Expand multi-distinct -> 9-row report; no joins anywhere"),
+    ("classifier_eval_report", "one corpus pass -> doc scores -> 20-row bin windows; integer-lattice AUC"),
+    ("kmv_set_operations", "two distinct-hash aggs -> 256-row TakeOrderedAndProject sketches -> semi-join algebra"),
+    ("oov_rate_by_lang", "word-count agg -> top-K TakeOrderedAndProject BROADCAST onto the token stream"),
+    ("chunk_dedup", "scan -> window explode -> md5 -> ONE hash-keyed groupBy (no joins)"),
 ]
 
 
