@@ -742,3 +742,61 @@ def streaming_heavy_hitters(
             timeoutConf="NoTimeout",
         )
     )
+
+
+def streaming_chunk_dedup(
+    docs_stream: DataFrame,
+    index_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_size: int = 64,
+    chunk_stride: int = 32,
+):
+    """Continuous RAG-corpus construction with CHUNK-level exact
+    dedup: the incoming document stream is chunked into overlapping
+    token windows (the plans/llmprep doc_chunking shape — a pure
+    projection + explode, so it composes with Structured Streaming
+    unchanged), and the chunk stream feeds `streaming_corpus_dedup`
+    keyed on the chunk id with the chunk TEXT as dedup content.
+    A re-crawled document under a NEW id therefore contributes zero
+    new chunks (every window hashes into the persisted index), and a
+    boilerplate block shared across distinct documents is stored
+    once — the streaming mirror of the batch `chunk_dedup` query,
+    inheriting streaming_corpus_dedup's index semantics, scale shape,
+    and its documented two-append crash window."""
+    from pyspark.sql import functions as F
+
+    from ..functions.text import words
+
+    ws = words(F.col(text_col))
+    chunked = (
+        docs_stream.filter(F.length(F.trim(F.col(text_col))) > 0)
+        .select(
+            F.col(id_col),
+            ws.alias("_ws"),
+            F.explode(
+                F.sequence(F.lit(0), F.size(ws) - 1, F.lit(chunk_stride))
+            ).alias("_start"),
+        )
+        .select(
+            F.concat_ws(
+                ":", F.col(id_col).cast("string"),
+                F.col("_start").cast("string"),
+            ).alias("chunk_id"),
+            F.col(id_col).alias("src_" + id_col),
+            F.col("_start").cast("long").alias("chunk_start"),
+            F.array_join(
+                F.slice("_ws", F.col("_start") + 1, F.lit(chunk_size)), " "
+            ).alias("chunk_text"),
+        )
+    )
+    return streaming_corpus_dedup(
+        chunked,
+        index_dir,
+        out_dir,
+        checkpoint_dir,
+        id_col="chunk_id",
+        text_col="chunk_text",
+    )

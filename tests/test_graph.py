@@ -158,3 +158,24 @@ def test_part_entity_resolution_links_planted_dirty_records(spark):
     assert len(set(ent.values())) > len(origs) * 0.5
     for r in rows:
         assert r.entity_size >= 2 or r.entity_id == r.rec_id
+
+
+def test_copurchase_edges_session_cache(spark):
+    from clickstreamtoclickhouse_spark.plans.tpch import (
+        _COPURCHASE_CACHE,
+        _copurchase_edges,
+    )
+
+    _COPURCHASE_CACHE.clear()
+    a = _copurchase_edges(spark, SF_DIR)
+    b = _copurchase_edges(spark, SF_DIR)
+    # the trio must share ONE checkpointed build per (app, sf_dir)
+    assert a is b
+    other = _copurchase_edges(spark, "/root/testdata/sf0.01")
+    assert other is not a
+    key_apps = {k[0] for k in _COPURCHASE_CACHE}
+    assert key_apps == {spark.sparkContext.applicationId}
+    # and the cached edge set is the distinct co-order pair relation
+    assert a.columns == ["u", "v"]
+    assert a.filter("u >= v").count() == 0
+    assert a.count() == a.distinct().count()

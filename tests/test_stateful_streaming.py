@@ -990,3 +990,39 @@ def test_markov_attribution_planted_sole_converting_channel(spark, tmp_path):
     # channels absent from the data carry zero effect
     assert out["signup"].removal_effect == 0.0
     assert out["error"].removal_effect == 0.0
+
+
+def test_streaming_chunk_dedup_rejects_recrawled_text(spark, tmp_path):
+    import json as _json
+
+    landing = tmp_path / "chunks_in"
+    landing.mkdir()
+    long_a = " ".join(f"alpha{i}" for i in range(80))
+    long_b = " ".join(f"beta{i}" for i in range(80))
+    with open(landing / "b1.json", "w") as f:
+        f.write(_json.dumps({"doc_id": 1, "text": long_a}) + "\n")
+    stream = spark.readStream.schema("doc_id long, text string").json(
+        str(landing)
+    )
+    q = stateful.streaming_chunk_dedup(
+        stream,
+        str(tmp_path / "chunk_idx"),
+        str(tmp_path / "chunk_corpus"),
+        str(tmp_path / "chunk_ckpt"),
+    )
+    try:
+        q.processAllAvailable()
+        # batch 2: doc 2 re-sends doc 1's TEXT (re-crawl under a new
+        # id) -> zero new chunks; doc 3 is genuinely new -> admitted
+        with open(landing / "b2.json", "w") as f:
+            f.write(_json.dumps({"doc_id": 2, "text": long_a}) + "\n")
+            f.write(_json.dumps({"doc_id": 3, "text": long_b}) + "\n")
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    corpus = spark.read.parquet(str(tmp_path / "chunk_corpus"))
+    srcs = {r.src_doc_id for r in corpus.select("src_doc_id").collect()}
+    assert srcs == {1, 3}, srcs
+    # 80 tokens / stride 32 -> 3 windows per doc, once each
+    assert corpus.count() == 6
+    assert corpus.select("chunk_id").distinct().count() == 6
