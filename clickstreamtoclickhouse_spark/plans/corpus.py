@@ -569,6 +569,12 @@ def embedding_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(_PQ_TRAIN)
         .collect()
     )
+    if len(train_rows) > _PQ_TRAIN:  # LIMIT-bounded by construction
+        raise ValueError(
+            f"pq codebook: training sample returned {len(train_rows)} "
+            f"rows (> {_PQ_TRAIN}); driver-side Lloyd assumes a "
+            "LIMIT-bounded sample"
+        )
     X = np.array([list(r["v"]) for r in train_rows], dtype=np.float64)
     k_eff = min(_PQ_K, len(train_rows))
 

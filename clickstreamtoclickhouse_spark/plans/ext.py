@@ -966,6 +966,12 @@ def doc_topic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(_PKM_K)
         .collect()
     )
+    if len(seed_rows) > _PKM_K:  # LIMIT-bounded by construction
+        raise ValueError(
+            f"doc_topic_clusters: seed collect returned {len(seed_rows)} "
+            f"rows (> k={_PKM_K}); the driver-side seeding assumes a "
+            "LIMIT-bounded sample"
+        )
     centroids: list[list[float]] = [list(r["embedding"]) for r in seed_rows]
     # corpora with fewer than k non-empty docs seed fewer clusters —
     # iterate over what exists (the oracle's LIMIT k does the same)
@@ -1027,6 +1033,14 @@ def doc_topic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .collect()
         )
+        if len(stats) > k_eff:
+            # cl is an argmin index over k_eff centroids — more groups
+            # than centroids means the assignment expression broke;
+            # fail loudly rather than OOM the driver on a bad plan
+            raise ValueError(
+                f"doc_topic_clusters: {len(stats)} cluster-stat rows "
+                f"collected for k={k_eff} centroids"
+            )
         updated = {
             r["cl"]: [r[f"s{i}"] / r["n"] for i in range(_PKM_DIMS)]
             for r in stats
@@ -2057,7 +2071,7 @@ def embedding_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "user_activity_similarity",
+    "user_activity_similarity_uncapped",
     oracle="""
     WITH series AS (
       SELECT user_id, CAST(strftime(ts, '%d') AS INT) AS day, count(*) AS n
@@ -2080,18 +2094,15 @@ def embedding_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE dp / (na.nrm * nb.nrm) >= 0.8
     """,
 )
-def user_activity_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Time-series similarity (SURVEY §2.11): cosine over per-user
-    daily activity vectors, computed RELATIONALLY by
-    ``similarity.sparse_cosine_pairs`` — sparse vectors as (user, day,
-    count) rows, pairwise dot products via an equi-join on the day
-    dimension, norms joined in. No materialized dense vectors, no
-    crossJoin.
-
-    The day-join fan-out is O(users-active-per-day²); the operator's
-    `max_keys_per_dim` cap prunes hot days before the join (tested in
-    test_extensions). The registered query passes None — exact — for
-    oracle parity at test SF."""
+def user_activity_similarity_uncapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNCAPPED sparse cosine — the sf-bounded exact baseline behind
+    the registered `user_activity_similarity` (which prunes hot days
+    before the self-join). The day dimension has at most 31 distinct
+    values, so at any real user count EVERY day is a hot key and the
+    uncapped pair join fans out ~n²/31 — the same k²-per-bucket
+    blowup the capped minhash/jaccard primaries guard against. Keep
+    this form for small-SF recall anchoring only; never run it at
+    scale."""
     e = load(spark, sf_dir, "events")
     series = e.groupBy(
         "user_id", F.dayofmonth("ts").cast("int").alias("day")
@@ -2106,7 +2117,7 @@ def user_activity_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "user_activity_similarity_capped",
+    "user_activity_similarity",
     oracle="""
     WITH series AS (
       SELECT user_id, CAST(strftime(ts, '%d') AS INT) AS day, count(*) AS n
@@ -2133,15 +2144,25 @@ def user_activity_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE dp / (na.nrm * nb.nrm) >= 0.4
     """,
 )
-def user_activity_similarity_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """user_activity_similarity with the hot-dimension guard ACTIVE:
-    max_keys_per_dim=134 drops days on which more than 134 users were
-    active BEFORE the day self-join (at scale a spike day is a
-    quadratic hot key). Norms stay exact, so capping only
+def user_activity_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series similarity PRIMARY (SURVEY §2.11): cosine over
+    per-user daily activity vectors, computed RELATIONALLY by
+    ``similarity.sparse_cosine_pairs`` — sparse vectors as (user, day,
+    count) rows, pairwise dot products via an equi-join on the day
+    dimension, norms joined in. No materialized dense vectors, no
+    crossJoin.
+
+    HOT-DIMENSION GUARD ACTIVE (r9 swap, same pattern as the capped
+    minhash/jaccard primaries): max_keys_per_dim=134 drops days on
+    which more than 134 users were active BEFORE the day self-join.
+    The day dimension has at most 31 distinct values, so uncapped the
+    pair join is ~n²/31 at any real scale — a spike day is a
+    quadratic hot key. Norms stay exact, so capping only
     under-estimates similarity — the threshold is lowered to 0.4 to
-    keep the surviving pair set non-trivial. The oracle applies the
-    identical cap, making the guard itself correctness-checked (same
-    pattern as the capped jaccard_near_dups primary)."""
+    keep the surviving pair set non-trivial at test SF. The oracle
+    applies the identical cap, making the guard itself
+    correctness-checked; `user_activity_similarity_uncapped` remains
+    the sf-bounded exact baseline."""
     e = load(spark, sf_dir, "events")
     series = e.groupBy(
         "user_id", F.dayofmonth("ts").cast("int").alias("day")

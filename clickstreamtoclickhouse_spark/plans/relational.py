@@ -4184,22 +4184,28 @@ def transition_shortest_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     entry event to every reachable event type: edge weight
     -ln(P(to|from)) over the first-order transition graph, so the
     min-cost path is the maximum-likelihood event sequence. Computed
-    as bounded Bellman-Ford relaxation with the round count DERIVED
-    from the data (|V|-1 rounds, V = distinct event types — the
-    classic Bellman-Ford bound; weights are non-negative, so that
-    covers every simple path regardless of vocabulary size); the
-    DuckDB oracle enumerates the same |V|-1-hop paths with a
-    recursive CTE whose bound is the same scalar subquery.
+    as Bellman-Ford relaxation DRIVER-SIDE over the collected
+    event-type-bounded edge table (the markov_attribution stance: ALL
+    event-scale work — the lag window + transition counts — is one
+    distributed pass; the graph itself is |V|² rows at most, guarded
+    at 10k), with the classic |V|-1 round bound AND a deterministic
+    fixpoint early-exit (stop when no distance changed — safe for
+    oracle parity, since further rounds are no-ops; r8 ADVICE: the
+    previous Spark-iterated version paid a ~1 s scheduler floor per
+    round with no early exit). The DuckDB oracle enumerates the same
+    |V|-1-hop paths with a recursive CTE whose UNION dedup gives it
+    the same effective early termination.
 
     Cross-engine float parity: edge weights are rounded to 9 decimals
-    on both engines; float addition is monotone, so the DP min over
-    relaxations equals the oracle's min over enumerated left-
-    associated path sums term-for-term.
+    on both engines; driver relaxation accumulates cost + w in IEEE
+    doubles exactly as the oracle's left-associated path sums, and
+    float addition is monotone, so the DP min over relaxations equals
+    the oracle's min over enumerated path sums term-for-term.
 
     Scale: the transition graph is an event-type-bounded aggregate of
-    one events scan (checkpointed once); each relaxation round is a
-    broadcast-size join on the vocabulary — corpus size only enters
-    the initial count aggregate."""
+    one events scan; corpus size only enters that aggregate — the
+    relaxation itself is O(|V|·|E|) driver arithmetic on tens of
+    rows, with zero per-round job launches."""
     e = load(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     tr = (
@@ -4212,43 +4218,51 @@ def transition_shortest_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n"))
     )
     outw = tr.groupBy("from_type").agg(F.sum("n").cast("long").alias("o"))
-    ew = (
+    edge_rows = (
         tr.join(outw, "from_type")
         .select(
             "from_type",
             "to_type",
             F.round(-F.log(F.col("n") * 1.0 / F.col("o")), 9).alias("w"),
         )
-        .localCheckpoint(eager=True)
+        .collect()
     )
-    src = (
+    if len(edge_rows) > 10_000:
+        raise ValueError(
+            "transition_shortest_paths: transition graph has "
+            f"{len(edge_rows)} edges (> 10,000); the driver-side "
+            "relaxation assumes an event-type-bounded vocabulary — "
+            "bucket event types first"
+        )
+    src_row = (
         e.groupBy("event_type")
         .agg(F.count(F.lit(1)).alias("cnt"))
         .orderBy(F.desc("cnt"), "event_type")
         .limit(1)
+        .collect()
     )
-    dist = src.select("event_type", F.lit(0.0).alias("cost")).localCheckpoint(
-        eager=True
+    dist: dict[str, float] = {src_row[0]["event_type"]: 0.0} if src_row else {}
+    n_types = len(
+        {r.from_type for r in edge_rows} | {r.to_type for r in edge_rows}
+        | set(dist)
     )
-    # |V|-1 Bellman-Ford rounds: a 1-row vocabulary-count aggregate
-    # (bounded driver collect) sizes the loop to the data instead of a
-    # hardcoded hop cap that silently under-relaxes large vocabularies.
-    n_types = e.agg(F.countDistinct("event_type")).collect()[0][0] or 1
-    for _ in range(max(int(n_types) - 1, 1)):
-        relaxed = (
-            dist.join(ew, dist.event_type == ew.from_type)
-            .select(
-                F.col("to_type").alias("event_type"),
-                (F.col("cost") + F.col("w")).alias("cost"),
-            )
-        )
-        dist = (
-            dist.unionByName(relaxed)
-            .groupBy("event_type")
-            .agg(F.min("cost").alias("cost"))
-            .localCheckpoint(eager=True)
-        )
-    return dist.select("event_type", F.round("cost", 6).alias("min_cost"))
+    for _ in range(max(n_types - 1, 1)):
+        changed = False
+        base = dict(dist)
+        for r in edge_rows:
+            c = base.get(r.from_type)
+            if c is None:
+                continue
+            cand = c + r.w
+            if r.to_type not in dist or cand < dist[r.to_type]:
+                dist[r.to_type] = cand
+                changed = True
+        if not changed:
+            break  # fixpoint: every further round is a no-op
+    out = spark.createDataFrame(
+        [(t, c) for t, c in dist.items()], "event_type string, cost double"
+    )
+    return out.select("event_type", F.round("cost", 6).alias("min_cost"))
 
 
 # ---------------------------------------------------------------------------
@@ -5834,10 +5848,11 @@ def _markov_attr_oracle_sql() -> str:
         rounds.append(
             f"""v{t + 1} AS MATERIALIZED (
       SELECT s.variant, s.state,
-             CASE WHEN s.state = 'CONV' THEN 1.0
+             CAST(CASE WHEN s.state = 'CONV' THEN 1.0
                   WHEN s.state = 'NULL' THEN 0.0
-                  ELSE round(coalesce(sum(tr.p * v.val), 0.0), 9)
-             END AS val
+                  ELSE round(coalesce(sum(tr.p * v.val),
+                                      CAST(0 AS DECIMAL(18, 9))), 9)
+             END AS DECIMAL(18, 9)) AS val
       FROM states s
       LEFT JOIN trans tr ON tr.variant = s.variant AND tr.f = s.state
       LEFT JOIN v{t} v ON v.variant = tr.variant AND v.state = tr.t
@@ -5882,14 +5897,15 @@ def _markov_attr_oracle_sql() -> str:
     cnt AS (SELECT f, t, count(*) AS n FROM raw GROUP BY f, t),
     base AS (
       SELECT f, t,
-             round(n * 1.0 / sum(n) OVER (PARTITION BY f), 9) AS p
+             CAST(round(n * 1.0 / sum(n) OVER (PARTITION BY f), 9)
+                  AS DECIMAL(18, 9)) AS p
       FROM cnt
     ),
     variants AS ({variants}),
     trans AS MATERIALIZED (
       SELECT variant, f,
              CASE WHEN t = variant THEN 'NULL' ELSE t END AS t,
-             round(sum(p), 9) AS p
+             CAST(round(sum(p), 9) AS DECIMAL(18, 9)) AS p
       FROM variants CROSS JOIN base
       GROUP BY 1, 2, 3
     ),
@@ -5904,12 +5920,14 @@ def _markov_attr_oracle_sql() -> str:
     ),
     v0 AS MATERIALIZED (
       SELECT variant, state,
-             CASE WHEN state = 'CONV' THEN 1.0 ELSE 0.0 END AS val
+             CAST(CASE WHEN state = 'CONV' THEN 1.0 ELSE 0.0 END
+                  AS DECIMAL(18, 9)) AS val
       FROM states
     ),
     {rounds_sql},
     pconv AS (
-      SELECT variant, val FROM v{_MK_ROUNDS} WHERE state = 'START'
+      SELECT variant, CAST(val AS DOUBLE) AS val
+      FROM v{_MK_ROUNDS} WHERE state = 'START'
     ),
     re AS (
       SELECT c.variant AS channel,
@@ -5956,13 +5974,19 @@ def markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     cluster the constant-size solve is equally driver-trivia.
 
     Float parity: transition probabilities are Spark-rounded to 9dp
-    BEFORE collection; each driver round rounds with
-    decimal.ROUND_HALF_UP on repr(x) — bit-matching Spark's
-    java.math.BigDecimal.valueOf(double) HALF_UP semantics (both
-    quantize the shortest decimal representation) — and the DuckDB
-    twin runs the identical unrolled rounds, so all three walk one
-    fixed-point lattice."""
+    BEFORE collection; the driver-side value iteration then runs in
+    EXACT decimal arithmetic (every p and val is a 9dp decimal, so
+    products and sums are exact and the accumulation is
+    order-INDEPENDENT), rounding each state's new value to 9dp
+    HALF_UP; the DuckDB twin computes the identical unrolled rounds
+    in DECIMAL(18, 9) (exact decimal sums, round half away from zero
+    on non-negative values = HALF_UP), so both engines walk one
+    fixed-point lattice with no float-summation-order hazard
+    (r8 ADVICE: a last-ulp double difference could otherwise flip the
+    9dp round and compound over the rounds x variants)."""
     from decimal import ROUND_HALF_UP, Decimal
+
+    _Q9 = Decimal(1).scaleb(-9)
 
     def _rnd(x: float, places: int) -> float:
         return float(
@@ -6014,43 +6038,52 @@ def markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             F.col("n") * 1.0 / F.sum("n").over(Window.partitionBy("f")), 9
         ).alias("p"),
-    ).collect()  # event-type-bounded: tens of rows at any corpus size
+    ).collect()
+    # event-type-bounded INVARIANT, asserted (not just commented): the
+    # chain has one row per (from, to) state pair, |states|² at most.
+    # On a channel vocabulary that isn't event-type-shaped the
+    # driver-side value iteration would silently become unbounded —
+    # fail loudly instead so the caller knows to bucket channels first.
+    if len(base_rows) > 10_000:
+        raise ValueError(
+            "markov_attribution: transition matrix has "
+            f"{len(base_rows)} rows (> 10,000); the driver-side value "
+            "iteration assumes an event-type-bounded state space — "
+            "bucket the channel vocabulary before attribution"
+        )
 
     out_rows = []
     variants = ["none"] + list(_MK_CHANNELS)
     pconv: dict[str, float] = {}
+    D0, D1 = Decimal(0), Decimal(1)
     for variant in variants:
         # redirect transitions INTO the removed channel to NULL and
-        # re-aggregate (at most two addends merge — exact in doubles,
-        # then the same 9dp round Spark applies)
-        trans: dict[str, dict[str, float]] = {}
+        # re-aggregate — exact decimal sums of 9dp decimals, so the
+        # merge (and every accumulation below) is order-independent
+        trans: dict[str, dict[str, Decimal]] = {}
         for r in base_rows:
             t = "NULL" if r.t == variant else r.t
             trans.setdefault(r.f, {})
-            trans[r.f][t] = trans[r.f].get(t, 0.0) + r.p
-        trans = {
-            f: {t: _rnd(p, 9) for t, p in ts.items()}
-            for f, ts in trans.items()
-        }
+            trans[r.f][t] = trans[r.f].get(t, D0) + Decimal(repr(r.p))
         states = {"START", "CONV", "NULL"}
         for f, ts in trans.items():
             states.add(f)
             states.update(ts)
-        val = {s: (1.0 if s == "CONV" else 0.0) for s in states}
+        val = {s: (D1 if s == "CONV" else D0) for s in states}
         for _ in range(_MK_ROUNDS):
             nxt = {}
             for s in states:
                 if s == "CONV":
-                    nxt[s] = 1.0
+                    nxt[s] = D1
                 elif s == "NULL":
-                    nxt[s] = 0.0
+                    nxt[s] = D0
                 else:
-                    acc = 0.0
-                    for t in sorted(trans.get(s, {})):
+                    acc = D0
+                    for t in trans.get(s, {}):
                         acc += trans[s][t] * val[t]
-                    nxt[s] = _rnd(acc, 9)
+                    nxt[s] = acc.quantize(_Q9, rounding=ROUND_HALF_UP)
             val = nxt
-        pconv[variant] = val.get("START", 0.0)
+        pconv[variant] = float(val.get("START", D0))
 
     base_p = pconv["none"]
     res = []

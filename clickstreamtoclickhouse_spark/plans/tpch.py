@@ -1148,7 +1148,13 @@ def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     the order's line count (<= 7 in TPC-H-shaped data), so the build
     is linear in lineitem; the checkpoint materializes the m-row edge
     list once for every downstream graph query in the session."""
-    key = (spark.sparkContext.applicationId, sf_dir)
+    app_id = spark.sparkContext.applicationId
+    # evict entries from stopped applications: a long-lived Python
+    # process that restarts Spark sessions would otherwise accumulate
+    # stale DataFrames (and their localCheckpoint references) forever
+    for k in [k for k in _COPURCHASE_CACHE if k[0] != app_id]:
+        del _COPURCHASE_CACHE[k]
+    key = (app_id, sf_dir)
     cached = _COPURCHASE_CACHE.get(key)
     if cached is not None:
         return cached

@@ -128,6 +128,12 @@ def histogram_shares(
     Returns a driver-side dict of n_bins scalars — the frozen
     REFERENCE profile for drift monitoring (the same bounded-collect
     stance as k-means centroids: the profile is the model, not data).
+
+    NULL values are EXCLUDED from the profile (width_bucket(NULL)
+    yields a NULL bin, which would otherwise survive the groupBy and
+    crash the driver-side dict build); the streaming monitor applies
+    the same filter, so reference and live shares are computed over
+    identical populations.
     """
     b = F.least(
         F.greatest(
@@ -137,7 +143,8 @@ def histogram_shares(
         F.lit(n_bins),
     )
     rows = (
-        df.select(b.alias("bin"))
+        df.filter(F.col(value_col).isNotNull())
+        .select(b.alias("bin"))
         .groupBy("bin")
         .agg(F.count(F.lit(1)).alias("n"))
         .collect()
@@ -174,8 +181,11 @@ def streaming_drift_monitor(
     never recomputed, so drift is always measured against the SAME
     baseline (recomputing per batch would make the monitor blind to
     slow drift). Shares are floored at 1e-6 before the log ratio, the
-    usual PSI guard for empty bins. At-least-once caveat matches
-    streaming_dq_monitor: keyed (batch_id) reads dedupe replays."""
+    usual PSI guard for empty bins. NULL-valued rows are excluded
+    from both the profile and n_rows (same filter as
+    histogram_shares, so the two populations stay identical).
+    At-least-once caveat matches streaming_dq_monitor: keyed
+    (batch_id) reads dedupe replays."""
     spark = stream.sparkSession
     ref_rows = [(int(k), float(v)) for k, v in sorted(ref_shares.items())]
 
@@ -193,8 +203,11 @@ def streaming_drift_monitor(
             F.lit(n_bins),
         )
         n_total = F.sum("n").over(Window.partitionBy())
+        # NULL values are excluded from the profile, mirroring
+        # histogram_shares — n_rows counts only binned (non-NULL) rows
         cur = (
-            batch_df.select(b.alias("bin"))
+            batch_df.filter(F.col(value_col).isNotNull())
+            .select(b.alias("bin"))
             .groupBy("bin")
             .agg(F.count(F.lit(1)).alias("n"))
         )

@@ -54,7 +54,7 @@ PROBE_QUERIES = [
     "doc_topic_clusters",
     "embedding_ivf_topk",
     "embedding_lsh_near_dups",
-    "user_activity_similarity_capped",
+    "user_activity_similarity",
     "embedding_pq_topk",
     "bpe_merges",
     "bloom_dedup_docs",

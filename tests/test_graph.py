@@ -175,6 +175,14 @@ def test_copurchase_edges_session_cache(spark):
     assert other is not a
     key_apps = {k[0] for k in _COPURCHASE_CACHE}
     assert key_apps == {spark.sparkContext.applicationId}
+    # stale entries from stopped applications are evicted on call —
+    # a session-restarting process must not accumulate checkpoints
+    _COPURCHASE_CACHE[("app-from-a-stopped-session", SF_DIR)] = a
+    _copurchase_edges(spark, SF_DIR)
+    assert ("app-from-a-stopped-session", SF_DIR) not in _COPURCHASE_CACHE
+    assert {k[0] for k in _COPURCHASE_CACHE} == {
+        spark.sparkContext.applicationId
+    }
     # and the cached edge set is the distinct co-order pair relation
     assert a.columns == ["u", "v"]
     assert a.filter("u >= v").count() == 0

@@ -247,8 +247,15 @@ def test_gopher_filters_are_pure_projection(spark):
     # would substitute that InMemoryRelation and mask the pruning.)
     spark.catalog.clearCache()
     txt = plan_text(spark, "gopher_quality_filters")
-    assert count_exchanges(txt) == 1
-    assert "REPARTITION_BY_NUM" in txt
+    # widen_scan's runtime branch only fires when defaultParallelism
+    # exceeds the scan's split count — on a low-core host (or a
+    # multi-split fixture) the widen is a no-op and ZERO exchanges is
+    # the correct plan; when the exchange IS present it must be the
+    # user-explicit fan-out, never a keyed shuffle
+    n_ex = count_exchanges(txt)
+    assert n_ex <= 1
+    if n_ex == 1:
+        assert "REPARTITION_BY_NUM" in txt
     assert "doc_id" in txt and "text" in txt
     assert "n_chars" not in txt.split("ReadSchema")[-1]  # unused cols pruned
 
@@ -648,9 +655,14 @@ def test_filter_cascade_report_bounded_report_reduce(spark):
     txt = plan_text(spark, "filter_cascade_report")
     assert "CartesianProduct" not in txt
     assert "BroadcastNestedLoopJoin" not in txt or "BuildRight" in txt
-    # <= 4 keyed shuffles + the widen_scan fan-out (REPARTITION_BY_NUM)
-    assert count_exchanges(txt) <= 5
-    assert "REPARTITION_BY_NUM" in txt
+    # <= 4 keyed shuffles + (on under-partitioned hosts) the
+    # widen_scan fan-out; the fan-out exchange, when present, must be
+    # the user-explicit REPARTITION_BY_NUM, and without it the keyed
+    # bound tightens by one
+    if "REPARTITION_BY_NUM" in txt:
+        assert count_exchanges(txt) <= 5
+    else:
+        assert count_exchanges(txt) <= 4
 
 
 def test_sliding_actives_no_range_self_join(spark):

@@ -965,6 +965,50 @@ def test_streaming_drift_monitor_flags_shift(spark, tmp_path):
     assert rows[1].psi > 0.25 and rows[1].alert
 
 
+def test_drift_monitor_excludes_nulls_consistently(spark, tmp_path):
+    # NULL values must not crash the profile build (width_bucket(NULL)
+    # used to yield a NULL bin that broke int(r.bin)) and must be
+    # excluded IDENTICALLY on the reference and streaming sides
+    import json as _json
+
+    from clickstreamtoclickhouse_spark.streaming import monitor
+
+    ref_df = spark.createDataFrame(
+        [(float(i % 100),) for i in range(500)] + [(None,)] * 50,
+        "value double",
+    )
+    ref = monitor.histogram_shares(ref_df, "value", 0.0, 100.0, n_bins=10)
+    assert abs(sum(ref.values()) - 1.0) < 1e-9
+    assert all(abs(v - 0.1) < 1e-9 for v in ref.values())  # NULLs excluded
+
+    landing = tmp_path / "drift_null_in"
+    landing.mkdir()
+    with open(landing / "b1.json", "w") as f:
+        for i in range(500):
+            f.write(_json.dumps({"value": float(i % 100)}) + "\n")
+        for _ in range(50):
+            f.write(_json.dumps({"value": None}) + "\n")
+    stream = spark.readStream.schema("value double").json(str(landing))
+    q = monitor.streaming_drift_monitor(
+        stream,
+        "value",
+        0.0,
+        100.0,
+        ref,
+        str(tmp_path / "drift_null_metrics"),
+        str(tmp_path / "drift_null_ckpt"),
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = spark.read.parquet(str(tmp_path / "drift_null_metrics")).collect()
+    assert len(rows) == 1
+    # n_rows counts only binned (non-NULL) rows; same-population PSI ~ 0
+    assert rows[0].n_rows == 500
+    assert rows[0].psi < 0.01 and not rows[0].alert
+
+
 def test_markov_attribution_planted_sole_converting_channel(spark, tmp_path):
     from clickstreamtoclickhouse_spark import plans
 
@@ -990,6 +1034,31 @@ def test_markov_attribution_planted_sole_converting_channel(spark, tmp_path):
     # channels absent from the data carry zero effect
     assert out["signup"].removal_effect == 0.0
     assert out["error"].removal_effect == 0.0
+
+
+def test_markov_attribution_rejects_unbounded_state_space(spark, tmp_path):
+    # the driver-side value iteration assumes an event-type-bounded
+    # transition matrix; a channel vocabulary dense enough to exceed
+    # the 10k-row collect bound must raise, not silently OOM the driver
+    import itertools
+
+    import pytest
+
+    from clickstreamtoclickhouse_spark import plans
+
+    types = [f"ch{i:03d}" for i in range(110)]
+    rows = []
+    for i, (a, b) in enumerate(itertools.product(types, types)):
+        rows.append((2 * i, "2026-01-01 00:00:00", i, a, 1.0))
+        rows.append((2 * i + 1, "2026-01-01 00:01:00", i, b, 1.0))
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id long, event_type string, value double",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    d = tmp_path / "mkv_wide"
+    df.coalesce(4).write.parquet(str(d / "events.parquet"))
+    with pytest.raises(ValueError, match="transition matrix"):
+        plans.QUERIES["markov_attribution"](spark, str(d))
 
 
 def test_streaming_chunk_dedup_rejects_recrawled_text(spark, tmp_path):
