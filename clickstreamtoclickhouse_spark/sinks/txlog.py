@@ -129,6 +129,17 @@ class TxLogTable:
             )
         ]
 
+    def last_txn_version(self, app: str) -> int:
+        """Highest idempotence-token version committed for writer
+        `app` (-1 if none) — the Delta txnAppId/txnVersion mechanism:
+        a replayed writer checks this before re-appending."""
+        best = -1
+        for e in self._log_entries():
+            t = e.get("txn")
+            if t and t.get("app") == app:
+                best = max(best, int(t["ver"]))
+        return best
+
     def _commit(
         self,
         version: int,
@@ -136,6 +147,7 @@ class TxLogTable:
         removes: list[str],
         schema_json: str,
         stats: dict[str, dict] | None = None,
+        txn: tuple[str, int] | None = None,
     ) -> None:
         """Atomically publish `version`; raises CommitConflict if a
         concurrent writer took it."""
@@ -146,6 +158,8 @@ class TxLogTable:
             "schema": schema_json,
             "stats": stats or {},
         }
+        if txn is not None:
+            entry["txn"] = {"app": txn[0], "ver": int(txn[1])}
         tmp = self.log_dir / f".tmp-{uuid.uuid4().hex}.json"
         tmp.write_text(json.dumps(entry, indent=1))
         final = self.log_dir / f"{version:020d}.json"
@@ -241,15 +255,34 @@ class TxLogTable:
             .parquet(*[str(self.path / f) for f in files])
         )
 
-    def append(self, df: DataFrame, _max_retries: int = 10) -> int:
+    def append(
+        self,
+        df: DataFrame,
+        _max_retries: int = 10,
+        txn: tuple[str, int] | None = None,
+    ) -> int:
         """Append-commit (blind adds commute, so conflicts just retry
-        with the next version number). Returns the committed version."""
+        with the next version number). Returns the committed version.
+
+        `txn=(app, ver)` makes the append IDEMPOTENT per writer (the
+        Delta txnAppId/txnVersion pattern): if the log already holds a
+        commit for `app` at `ver` or later, the append is skipped and
+        the current latest version is returned — this is how an
+        at-least-once micro-batch replay achieves exactly-once output
+        (key the token on (checkpoint identity, batch_id))."""
+        if txn is not None and self.last_txn_version(txn[0]) >= txn[1]:
+            return self.latest_version()
         adds, stats = self._write_files(df)
         schema_json = df.schema.json()
         for _ in range(_max_retries):
+            if txn is not None and self.last_txn_version(txn[0]) >= txn[1]:
+                # a concurrent replay committed this token while we
+                # were writing files; abandon ours (never referenced
+                # by any commit, reclaimed by vacuum)
+                return self.latest_version()
             v = self.latest_version() + 1
             try:
-                self._commit(v, adds, [], schema_json, stats)
+                self._commit(v, adds, [], schema_json, stats, txn=txn)
                 return v
             except CommitConflict:
                 continue

@@ -572,19 +572,25 @@ def streaming_embedding_dedup(
     under this write order) is ignored: without vectors nothing can
     be verified.
 
-    Output-sink caveat: `out_dir` is appended BEFORE the vector
-    index, so a crash in the window between the out_dir append and
-    the vectors append leaves the batch absent from the index; on
-    micro-batch replay it is re-admitted and re-written, DUPLICATING
-    those rows in out_dir (the index itself stays exactly-once by the
-    recovery above). Readers needing exactly-once output should
-    dedup out_dir on `id_col` or route the output through the txlog
-    sink's single atomic commit, as the text variant notes."""
+    Output sink is EXACTLY-ONCE (r9): `out_dir` is a txlog table
+    (sinks/txlog.TxLogTable — read survivors back with
+    ``TxLogTable(out_dir).read(spark)``, not a bare parquet read) and
+    the survivor append carries an idempotence token
+    (txn=(checkpoint_dir, batch_id), the Delta txnAppId/txnVersion
+    pattern). out_dir is still appended BEFORE the vector index, so a
+    crash in that window replays the batch against an unchanged index
+    — survivors recompute identically — but the token makes the
+    replayed out append a NO-OP instead of a duplication; the index
+    appends then complete normally. A replay AFTER the vectors append
+    recomputes zero survivors (they are in the index now), so every
+    crash point lands exactly-once on both sinks."""
     from ..functions.similarity import incremental_lsh_dedup, lsh_portable_buckets
+    from ..sinks.txlog import TxLogTable
 
     spark = vec_stream.sparkSession
     buckets_dir = f"{index_dir}/buckets"
     vectors_dir = f"{index_dir}/vectors"
+    out_table = TxLogTable(out_dir)
 
     def load_index():
         from ..util import try_read_parquet
@@ -615,9 +621,12 @@ def streaming_embedding_dedup(
                 num_tables=num_tables, bits=bits,
                 id_col=id_col, vec_col=vec_col,
             )
-            (
-                batch_df.join(fresh, id_col, "left_semi")
-                .write.mode("append").parquet(out_dir)
+            # single-commit survivor append with a per-(stream, batch)
+            # idempotence token: a replayed batch (crash before the
+            # vectors append below) skips instead of duplicating
+            out_table.append(
+                batch_df.join(fresh, id_col, "left_semi"),
+                txn=(checkpoint_dir, batch_id),
             )
             # vectors FIRST: they are the recoverable source of truth
             fresh_v.write.mode("append").parquet(vectors_dir)

@@ -703,7 +703,11 @@ def test_streaming_embedding_dedup(spark, tmp_path):
     finally:
         q.stop()
 
-    ids = sorted(r["vec_id"] for r in spark.read.parquet(out_dir).collect())
+    from clickstreamtoclickhouse_spark.sinks.txlog import TxLogTable
+
+    ids = sorted(
+        r["vec_id"] for r in TxLogTable(out_dir).read(spark).collect()
+    )
     assert ids == [1, 2, 11]
     idx_v = spark.read.parquet(f"{index_dir}/vectors")
     assert sorted(r["vec_id"] for r in idx_v.collect()) == [1, 2, 11]
@@ -888,12 +892,74 @@ def test_streaming_embedding_dedup_heals_torn_index(spark, tmp_path):
         q.processAllAvailable()
     finally:
         q.stop()
-    ids = sorted(r["vec_id"] for r in spark.read.parquet(out_dir).collect())
+    from clickstreamtoclickhouse_spark.sinks.txlog import TxLogTable
+
+    ids = sorted(
+        r["vec_id"] for r in TxLogTable(out_dir).read(spark).collect()
+    )
     assert ids == [1, 21]  # the exact re-send was still rejected
     idx_b = spark.read.parquet(f"{index_dir}/buckets")
     # regenerated bucket rows cover the new admit (vector 1's rows
     # regenerate again next batch — idempotent union, never data loss)
     assert {r["vec_id"] for r in idx_b.select("vec_id").collect()} == {21}
+
+
+def test_streaming_embedding_dedup_out_dir_crash_replay_no_dups(
+    spark, tmp_path
+):
+    """THE OTHER crash window (r8 VERDICT ask): out_dir appended, then
+    a crash BEFORE the vectors append. On micro-batch replay the
+    survivors recompute identically against the unchanged index; the
+    txn idempotence token must make the replayed out append a no-op —
+    zero duplicated output rows — while the index appends complete."""
+    import json as _json
+    import shutil
+
+    from clickstreamtoclickhouse_spark.sinks.txlog import TxLogTable
+
+    landing = tmp_path / "vec_stream3"
+    landing.mkdir()
+    index_dir = str(tmp_path / "vec_index3")
+    out_dir = str(tmp_path / "vec_corpus3")
+    ckpt = str(tmp_path / "ckpt_vec3")
+
+    def base_vec(axis, dim=8):
+        return [1.0 if i == axis else 0.0 for i in range(dim)]
+
+    with open(landing / "b1.json", "w") as f:
+        for r in (
+            {"vec_id": 1, "embedding": base_vec(0)},
+            {"vec_id": 2, "embedding": base_vec(1)},
+        ):
+            f.write(_json.dumps(r) + "\n")
+
+    def run_stream():
+        stream = spark.readStream.schema(
+            "vec_id long, embedding array<float>"
+        ).json(str(landing))
+        q = stateful.streaming_embedding_dedup(
+            stream, index_dir, out_dir, ckpt, dim=8
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    run_stream()
+    # simulate the crash window for batch 0: out_dir committed (txn
+    # recorded) but the index appends never landed, and neither did
+    # the streaming commit — the engine will replay the SAME batch
+    shutil.rmtree(index_dir)
+    shutil.rmtree(ckpt)
+    run_stream()
+    out_ids = sorted(
+        r["vec_id"] for r in TxLogTable(out_dir).read(spark).collect()
+    )
+    assert out_ids == [1, 2]  # exactly once, despite full replay
+    idx_v = spark.read.parquet(f"{index_dir}/vectors")
+    assert sorted(r["vec_id"] for r in idx_v.collect()) == [1, 2]
+    idx_b = spark.read.parquet(f"{index_dir}/buckets")
+    assert {r["vec_id"] for r in idx_b.select("vec_id").collect()} == {1, 2}
 
 
 def test_incremental_minhash_dedup_null_text_not_readmitted(spark):

@@ -22,6 +22,29 @@ def test_append_and_read_roundtrip(spark, tmp_path):
     assert got == [(1, 10), (2, 20), (3, 30)]
 
 
+def test_idempotent_txn_append_skips_replay(spark, tmp_path):
+    # Delta txnAppId/txnVersion semantics: a replayed (app, ver)
+    # append is a no-op; a HIGHER ver for the same app lands; an
+    # independent app is unaffected by the first app's tokens
+    t = TxLogTable(str(tmp_path / "t"))
+    t.append(_df(spark, [(1, 10)]), txn=("stream-a", 0))
+    assert t.last_txn_version("stream-a") == 0
+    v_before = t.latest_version()
+    t.append(_df(spark, [(1, 10)]), txn=("stream-a", 0))  # replay
+    assert t.latest_version() == v_before  # no new commit
+    assert [r["id"] for r in t.read(spark).collect()] == [1]
+    t.append(_df(spark, [(2, 20)]), txn=("stream-a", 1))
+    t.append(_df(spark, [(3, 30)]), txn=("stream-b", 0))
+    assert t.last_txn_version("stream-a") == 1
+    assert t.last_txn_version("stream-b") == 0
+    assert t.last_txn_version("stream-c") == -1
+    got = sorted(r["id"] for r in t.read(spark).collect())
+    assert got == [1, 2, 3]
+    # stale token (ver <= already-committed) is also skipped
+    t.append(_df(spark, [(9, 90)]), txn=("stream-a", 0))
+    assert sorted(r["id"] for r in t.read(spark).collect()) == [1, 2, 3]
+
+
 def test_time_travel_and_overwrite_isolation(spark, tmp_path):
     t = TxLogTable(str(tmp_path / "t"))
     t.append(_df(spark, [(1, 10)]))
