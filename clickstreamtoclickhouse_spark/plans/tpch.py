@@ -1399,6 +1399,57 @@ _LP_NEIGHBOR_CAP = 40  # per-node wedge fan bound (deterministic)
 _LP_TOPK = 50
 
 
+def _link_prediction_stages(spark: SparkSession, sf_dir: str) -> dict:
+    """part_link_prediction's pipeline, exposed stage-by-stage so the
+    scale probe (scripts/sf_probe.py) can attribute shuffle bytes to
+    each stage at base vs 10x rows — edge build / capped wedge join /
+    existing-edge anti-join / final aggregate. The query itself
+    consumes only `cand`; keeping ONE builder stops the probed plan
+    and the registered plan from drifting apart."""
+    edges = _copurchase_edges(spark, sf_dir)
+    from pyspark.sql.window import Window as W
+
+    und = edges.select(F.col("u").alias("z"), F.col("v").alias("nb")).unionByName(
+        edges.select(F.col("v").alias("z"), F.col("u").alias("nb"))
+    )
+    deg = und.groupBy("z").agg(F.count(F.lit(1)).cast("long").alias("d"))
+    capped = (
+        und.withColumn(
+            "r", F.row_number().over(W.partitionBy("z").orderBy("nb"))
+        )
+        .filter(F.col("r") <= _LP_NEIGHBOR_CAP)
+        .select("z", "nb")
+    )
+    ca, cb = capped.alias("ca"), capped.alias("cb")
+    wedges = ca.join(
+        cb,
+        (F.col("ca.z") == F.col("cb.z")) & (F.col("ca.nb") < F.col("cb.nb")),
+    ).select(
+        F.col("ca.nb").alias("pa"),
+        F.col("cb.nb").alias("pb"),
+        F.col("ca.z").alias("z"),
+    )
+    non_edges = wedges.join(
+        edges,
+        (wedges.pa == edges.u) & (wedges.pb == edges.v),
+        "left_anti",
+    )
+    cand = (
+        non_edges.join(deg, "z")
+        .groupBy("pa", "pb")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("common_neighbors"),
+            F.round(F.sum(1.0 / F.log(F.col("d"))), 6).alias("adamic_adar"),
+        )
+    )
+    return {
+        "edges": edges,
+        "wedges": wedges,
+        "non_edges": non_edges,
+        "cand": cand,
+    }
+
+
 @query(
     "part_link_prediction",
     oracle=f"""
@@ -1460,44 +1511,9 @@ def part_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate anti-join excludes existing edges; the final top-k is
     TakeOrderedAndProject, never a global sort. The edge build is the
     shared `_copurchase_edges` session-cached checkpoint."""
-    edges = _copurchase_edges(spark, sf_dir)
-    from pyspark.sql.window import Window as W
-
-    und = edges.select(F.col("u").alias("z"), F.col("v").alias("nb")).unionByName(
-        edges.select(F.col("v").alias("z"), F.col("u").alias("nb"))
-    )
-    deg = und.groupBy("z").agg(F.count(F.lit(1)).cast("long").alias("d"))
-    capped = (
-        und.withColumn(
-            "r", F.row_number().over(W.partitionBy("z").orderBy("nb"))
-        )
-        .filter(F.col("r") <= _LP_NEIGHBOR_CAP)
-        .select("z", "nb")
-    )
-    ca, cb = capped.alias("ca"), capped.alias("cb")
-    wedges = ca.join(
-        cb,
-        (F.col("ca.z") == F.col("cb.z")) & (F.col("ca.nb") < F.col("cb.nb")),
-    ).select(
-        F.col("ca.nb").alias("pa"),
-        F.col("cb.nb").alias("pb"),
-        F.col("ca.z").alias("z"),
-    )
-    non_edges = wedges.join(
-        edges,
-        (wedges.pa == edges.u) & (wedges.pb == edges.v),
-        "left_anti",
-    )
-    cand = (
-        non_edges.join(deg, "z")
-        .groupBy("pa", "pb")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("common_neighbors"),
-            F.round(F.sum(1.0 / F.log(F.col("d"))), 6).alias("adamic_adar"),
-        )
-    )
+    stages = _link_prediction_stages(spark, sf_dir)
     return (
-        cand.select(
+        stages["cand"].select(
             F.col("pa").alias("part_a"),
             F.col("pb").alias("part_b"),
             "common_neighbors",

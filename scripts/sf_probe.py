@@ -112,6 +112,13 @@ PROBE_QUERIES = [
     "split_contamination",
     # events-scale user window pass + bounded chain iteration
     "markov_attribution",
+    # round-9: the three bench heavies that had no probe entry.
+    # part_entity_resolution runs on a generator part table with a
+    # planted degenerate (brand,type,size) block growing ~10x at 10x
+    # rows — the _ER_BLOCK_CAP hot-block guard must absorb it.
+    "part_entity_resolution",
+    "perplexity_buckets",
+    "classifier_eval_report",
 ]
 
 
@@ -228,6 +235,58 @@ def gen_tables(scale: int, rng: np.random.Generator, words, lens, out: Path):
         out / "lineitem.parquet",
     )
 
+    # Part records for entity resolution. Two design points mirror
+    # the Heaps'-law stances above: (1) the block-key domain (brand)
+    # GROWS with scale so typical (brand,type,size) blocks keep a
+    # ~constant df (~5 records) at both sizes — a fixed domain would
+    # densify every block 10x and measure recall collapse, not guard
+    # behavior; (2) a PLANTED DEGENERATE BLOCK — a constant 2%
+    # fraction of parts share ONE (Brand#0, PROMO, 0) block — whose
+    # record count grows ~10x at 10x rows (800 -> 8000 records after
+    # the query's raw+dirty doubling). Uncapped, that one block is a
+    # k^2 candidate hot key (~0.3M levenshtein pairs at base, ~32M at
+    # x10 — a 100x pair explosion); _ER_BLOCK_CAP must drop it at
+    # BOTH sizes so the probe ratio stays linear.
+    n_parts_er = BASE_PARTS * scale
+    adjs = np.array(
+        ["large", "hot", "blue", "old", "cold", "dim", "fast",
+         "slim", "dark", "tiny"]
+    )
+    nouns = np.array(
+        ["ring", "bolt", "plate", "cap", "disk", "rod", "gear",
+         "pin", "nut", "cone"]
+    )
+    p_names = np.char.add(
+        np.char.add(rng.choice(adjs, n_parts_er), " "),
+        rng.choice(nouns, n_parts_er),
+    )
+    p_brands = np.char.add(
+        "Brand#", rng.integers(1, 25 * scale + 1, n_parts_er).astype(str)
+    )
+    p_types = rng.choice(
+        ["ECONOMY", "LARGE", "SMALL", "STANDARD", "MEDIUM", "PROMO"],
+        size=n_parts_er,
+    )
+    p_sizes = rng.integers(1, 51, n_parts_er).astype(np.int32)
+    hot_parts = rng.random(n_parts_er) < 0.02
+    p_brands = p_brands.astype("U16")
+    p_brands[hot_parts] = "Brand#0"
+    p_types = p_types.astype("U16")
+    p_types[hot_parts] = "PROMO"
+    p_sizes[hot_parts] = 0
+    pq.write_table(
+        pa.table(
+            {
+                "p_partkey": np.arange(n_parts_er, dtype=np.int64),
+                "p_name": p_names,
+                "p_brand": p_brands,
+                "p_type": p_types,
+                "p_size": p_sizes,
+            }
+        ),
+        out / "part.parquet",
+    )
+
     n_ev = BASE_EVENTS * scale
     ts0 = np.datetime64("2024-01-01T00:00:00")
     ts = ts0 + (rng.integers(0, 30 * 86_400_000_000, n_ev)).astype(
@@ -282,7 +341,7 @@ def main() -> None:
     results: dict[str, dict] = {}
     for tag, sf_dir in (("base", OUT / "base"), ("x10", OUT / "x10")):
         # warm the scans once so file listing isn't in the first timing
-        for t in ("documents", "embeddings", "events", "lineitem"):
+        for t in ("documents", "embeddings", "events", "lineitem", "part"):
             plans.load(spark, str(sf_dir), t).count()
         for name in PROBE_QUERIES:
             best, sh = float("inf"), -1
@@ -309,6 +368,46 @@ def main() -> None:
                   f"{sh/1e6:.1f}MB" if sh >= 0 else
                   f"# {tag} {name}: {best:.2f}s shuffle n/a",
                   file=sys.stderr, flush=True)
+
+    # ---- diagnostics (r9 VERDICT asks) -------------------------------
+    # (a) jaccard_near_dups candidate-pair COUNTS at both sizes: pins
+    #     the shuffle-ratio story (AQE broadcast artifact) with data —
+    #     the pair set must stay ~flat or shrink at 10x rows.
+    # (b) part_link_prediction per-stage shuffle decomposition: each
+    #     stage noop-writes from the SHARED edge checkpoint, so its
+    #     delta isolates that stage's pipeline (stages re-execute
+    #     their upstream from the checkpoint — attribute growth by
+    #     comparing consecutive stages across sizes).
+    from clickstreamtoclickhouse_spark.functions.dedup_text import (
+        _shingle_pair_candidates,
+    )
+    from clickstreamtoclickhouse_spark.plans.ext import _near_dup_corpus
+    from clickstreamtoclickhouse_spark.plans.tpch import (
+        _COPURCHASE_CACHE,
+        _link_prediction_stages,
+    )
+
+    diag: dict = {"jaccard_candidate_pairs": {},
+                  "link_prediction_stage_shuffle_mb": {}}
+    for tag, sf_dir in (("base", OUT / "base"), ("x10", OUT / "x10")):
+        corpus = _near_dup_corpus(plans.load(spark, str(sf_dir), "documents"))
+        diag["jaccard_candidate_pairs"][tag] = _shingle_pair_candidates(
+            corpus, 3, "doc_id", "text", 4, None
+        ).count()
+        _COPURCHASE_CACHE.clear()  # re-measure the edge build itself
+        stages = _link_prediction_stages(spark, str(sf_dir))
+        per: dict = {}
+        for sname in ("edges", "wedges", "non_edges", "cand"):
+            s0 = shuffle_write_bytes(app_base)
+            stages[sname].write.format("noop").mode("overwrite").save()
+            s1 = shuffle_write_bytes(app_base)
+            per[sname] = (
+                round((s1 - s0) / 1e6, 1) if (s0 >= 0 and s1 >= 0) else None
+            )
+        diag["link_prediction_stage_shuffle_mb"][tag] = per
+        print(f"# {tag} diagnostics: jaccard pairs "
+              f"{diag['jaccard_candidate_pairs'][tag]}, lp stages {per}",
+              file=sys.stderr, flush=True)
 
     probe = {}
     for name, r in results.items():
@@ -350,8 +449,24 @@ def main() -> None:
             "threshold and the linear-in-corpus shingle aggregation "
             "shuffle appears; the candidate-pair set itself SHRANK "
             "because vocabulary grows with corpus (Heaps; r5 "
-            "analysis, unchanged)."
+            "analysis, unchanged) — r9: that claim is now MEASURED, "
+            "see diagnostics.jaccard_candidate_pairs (base vs x10 "
+            "counts with the cap active). r9 additions: "
+            "part_entity_resolution probes on a generator part table "
+            "with a planted degenerate (brand,type,size) block whose "
+            "record count grows ~10x at 10x rows (~0.3M levenshtein "
+            "pairs at base / ~32M at x10 if uncapped) — the "
+            "_ER_BLOCK_CAP=64 guard drops it at both sizes, so a "
+            "linear probe ratio here is direct evidence the guard "
+            "absorbs degenerate blocks; perplexity_buckets and "
+            "classifier_eval_report close the unprobed-heavies gap; "
+            "diagnostics.link_prediction_stage_shuffle_mb decomposes "
+            "the r8 33x shuffle-growth watch item per stage (each "
+            "stage noop-writes from the shared edge checkpoint; "
+            "stages re-run their upstream, so attribute growth by "
+            "consecutive-stage differences across sizes)."
         ),
+        "diagnostics": diag,
         "queries": probe,
     }
     Path(__file__).resolve().parent.parent.joinpath("SF1_PROBE.json").write_text(
