@@ -74,6 +74,10 @@ HEADLINE = [
     ("kmv_set_operations", "two distinct-hash aggs -> 256-row TakeOrderedAndProject sketches -> semi-join algebra"),
     ("oov_rate_by_lang", "word-count agg -> top-K TakeOrderedAndProject BROADCAST onto the token stream"),
     ("chunk_dedup", "scan -> window explode -> md5 -> ONE hash-keyed groupBy (no joins)"),
+    # round-9 additions: the remaining top-cost queries a reader could
+    # not inspect without rerunning (#2 and #11 by r8 bench cost)
+    ("part_copurchase_communities", "shared edge checkpoint; per-round neighbor-key join + (node,label) count + WindowGroupLimit argmax, fixed rounds"),
+    ("part_entity_resolution", "raw+dirty union -> block-df cap (hot blocks dropped pre-join) -> within-block levenshtein -> star-contraction components"),
 ]
 
 

@@ -223,6 +223,79 @@ def test_streaming_batches_unpersist(spark, tmp_path):
     assert not res.cached
 
 
+class _DerbyDialectWarehouse(ch.ClickHouseWarehouse):
+    """ClickHouseWarehouse with the CH-specific DDL renderers swapped
+    for Derby's ANSI dialect (Derby is the embeddable JDBC target
+    bundled with Spark). Every piece of MACHINERY — connect/_execute/
+    _query_pairs, the evolve loop, executor-parallel jdbc appends —
+    is the production code; only the SQL strings differ, and those
+    are contract-tested separately (test_clickhouse_ddl_contract)."""
+
+    QUOTE = '"'
+    PROBE_SQL = "VALUES 1"
+
+    def _sql_type(self, dtype) -> str:
+        # strings map to CLOB, matching Spark's DerbyDialect: the jdbc
+        # writer binds NULL strings as setNull(CLOB), which a VARCHAR
+        # column rejects (ERROR 22005) — surfaced by the pipeline
+        # fan-out test, whose tables carry NULL string cells
+        return {
+            T.LongType: "BIGINT",
+            T.IntegerType: "INTEGER",
+            T.DoubleType: "DOUBLE",
+            T.BooleanType: "SMALLINT",
+            T.TimestampType: "TIMESTAMP",
+        }.get(type(dtype), "CLOB")
+
+    def _swallow_exists(self, sql: str) -> None:
+        from py4j.protocol import Py4JJavaError
+
+        try:
+            self._execute(sql)
+        except Py4JJavaError as e:  # Derby lacks IF NOT EXISTS
+            if "already exists" not in str(e):
+                raise
+
+    def create_schema(self, schema: str) -> None:
+        self._swallow_exists(f'CREATE SCHEMA "{schema}"')
+
+    def create_table(self, schema, table, column_types, non_null_columns=()):
+        cols = ", ".join(
+            f'"{c}" {self._sql_type(t)}' for c, t in column_types.items()
+        )
+        self._swallow_exists(
+            f"CREATE TABLE {self._qualified(schema, table)} ({cols})"
+        )
+
+    def describe_table(self, schema, table):
+        pairs = self._query_pairs(
+            "SELECT c.COLUMNNAME, c.COLUMNDATATYPE FROM SYS.SYSCOLUMNS c "
+            "JOIN SYS.SYSTABLES t ON c.REFERENCEID = t.TABLEID "
+            "JOIN SYS.SYSSCHEMAS s ON t.SCHEMAID = s.SCHEMAID "
+            f"WHERE t.TABLENAME = '{table}' AND s.SCHEMANAME = '{schema}'"
+        )
+
+        def back(tp: str):
+            tp = tp.upper()
+            if tp.startswith("BIGINT"):
+                return T.LongType()
+            if tp.startswith("INTEGER"):
+                return T.IntegerType()
+            if tp.startswith("DOUBLE"):
+                return T.DoubleType()
+            if tp.startswith("TIMESTAMP"):
+                return T.TimestampType()
+            return T.StringType()
+
+        return {n: back(tp) for n, tp in pairs}
+
+    def add_column(self, schema, table, column, column_type):
+        self._execute(
+            f"ALTER TABLE {self._qualified(schema, table)} "
+            f'ADD COLUMN "{column}" {self._sql_type(column_type)}'
+        )
+
+
 def test_jdbc_write_path_against_embedded_derby(spark, tmp_path):
     # no ClickHouse server exists in this environment, but Derby
     # (bundled with Spark for the Hive metastore) is an embeddable
@@ -275,71 +348,10 @@ def test_schema_evolution_e2e_against_embedded_derby(spark, tmp_path):
     _execute/_query_pairs, reconcile_types, add_missing_columns, the
     jdbc writes — is the production code. The ClickHouse DDL STRINGS
     themselves are contract-tested in test_clickhouse_ddl_contract."""
-    from py4j.protocol import Py4JJavaError
-
     from clickstreamtoclickhouse_spark.app import store_table
 
-    class DerbyEvolveWarehouse(ch.ClickHouseWarehouse):
-        QUOTE = '"'
-        PROBE_SQL = "VALUES 1"
-
-        def _sql_type(self, dtype) -> str:
-            return {
-                T.LongType: "BIGINT",
-                T.IntegerType: "INTEGER",
-                T.DoubleType: "DOUBLE",
-                T.BooleanType: "SMALLINT",
-                T.TimestampType: "TIMESTAMP",
-            }.get(type(dtype), "VARCHAR(512)")
-
-        def _swallow_exists(self, sql: str) -> None:
-            try:
-                self._execute(sql)
-            except Py4JJavaError as e:  # Derby lacks IF NOT EXISTS
-                if "already exists" not in str(e):
-                    raise
-
-        def create_schema(self, schema: str) -> None:
-            self._swallow_exists(f'CREATE SCHEMA "{schema}"')
-
-        def create_table(self, schema, table, column_types, non_null_columns=()):
-            cols = ", ".join(
-                f'"{c}" {self._sql_type(t)}' for c, t in column_types.items()
-            )
-            self._swallow_exists(
-                f"CREATE TABLE {self._qualified(schema, table)} ({cols})"
-            )
-
-        def describe_table(self, schema, table):
-            pairs = self._query_pairs(
-                "SELECT c.COLUMNNAME, c.COLUMNDATATYPE FROM SYS.SYSCOLUMNS c "
-                "JOIN SYS.SYSTABLES t ON c.REFERENCEID = t.TABLEID "
-                "JOIN SYS.SYSSCHEMAS s ON t.SCHEMAID = s.SCHEMAID "
-                f"WHERE t.TABLENAME = '{table}' AND s.SCHEMANAME = '{schema}'"
-            )
-
-            def back(tp: str):
-                tp = tp.upper()
-                if tp.startswith("BIGINT"):
-                    return T.LongType()
-                if tp.startswith("INTEGER"):
-                    return T.IntegerType()
-                if tp.startswith("DOUBLE"):
-                    return T.DoubleType()
-                if tp.startswith("TIMESTAMP"):
-                    return T.TimestampType()
-                return T.StringType()
-
-            return {n: back(tp) for n, tp in pairs}
-
-        def add_column(self, schema, table, column, column_type):
-            self._execute(
-                f"ALTER TABLE {self._qualified(schema, table)} "
-                f'ADD COLUMN "{column}" {self._sql_type(column_type)}'
-            )
-
     url = f"jdbc:derby:{tmp_path}/derbyevo;create=true"
-    wh = DerbyEvolveWarehouse(
+    wh = _DerbyDialectWarehouse(
         spark, jdbc_url=url, user="app", password="",
         driver="org.apache.derby.iapi.jdbc.AutoloadedDriver",
     )
@@ -379,6 +391,96 @@ def test_schema_evolution_e2e_against_embedded_derby(spark, tmp_path):
     assert (m.message_id, m.table_name, m.column_name, m.column_value) == (
         "m2", "tracks", "n", "not-a-number"
     )
+    wh.close()
+
+
+def test_pipeline_event_fanout_e2e_against_embedded_derby(spark, tmp_path):
+    """The per-event dynamic-table fan-out (send_to_warehouse.py:
+    214-232) driven over a REAL JDBC connection — the last
+    reference-pipeline semantic that only ran against in-memory
+    fakes: each distinct normalized track event name gets its OWN
+    table (DDL issued at first sight), a name colliding with a
+    default table gets the esc_ prefix, the common `tracks` table
+    keeps base columns only (no properties_*), and a cross-batch type
+    conflict inside a per-event table quarantines into a REAL misfits
+    table."""
+    from clickstreamtoclickhouse_spark.app import store_result
+
+    url = f"jdbc:derby:{tmp_path}/derbyfan;create=true"
+    wh = _DerbyDialectWarehouse(
+        spark, jdbc_url=url, user="app", password="",
+        driver="org.apache.derby.iapi.jdbc.AutoloadedDriver",
+    )
+    wh.connect()
+
+    base = {
+        "anonymousId": "a-1", "channel": "mobile", "userId": "u-1",
+        "writeKey": "wk", "receivedAt": "2026-01-02T03:04:06Z",
+        "timestamp": "2026-01-02T03:04:05Z",
+    }
+    batch1 = [
+        {**base, "messageId": "m-t1", "type": "track",
+         "event": "Checkout Started", "properties": {"qty": 5}},
+        # normalized name collides with the default `users` table ->
+        # the esc_ escape prefix (send_to_warehouse.py:219-223)
+        {**base, "messageId": "m-t2", "type": "track", "event": "users",
+         "properties": {"qty": 1}},
+        {**base, "messageId": "m-i1", "type": "identify",
+         "traits": {"plan": "pro"}},
+    ]
+    # batch 2: qty arrives as an uncastable STRING against the BIGINT
+    # column batch 1 created inside checkout_started -> nulled in the
+    # clean append + quarantined
+    batch2 = [
+        {**base, "messageId": "m-t3", "type": "track",
+         "event": "Checkout Started", "properties": {"qty": "oops"}},
+    ]
+    d1, d2 = tmp_path / "fan1", tmp_path / "fan2"
+    d1.mkdir(), d2.mkdir()
+    _write_ndjson(d1, "b1.json", batch1)
+    _write_ndjson(d2, "b2.json", batch2)
+
+    pipe = EventPipeline(spark, namespace="fanNs")
+    for d in (d1, d2):
+        res = pipe.ingest_json_dir(str(d))
+        try:
+            store_result(res, [wh], pipe.namespace)
+        finally:
+            res.unpersist()
+
+    def read_back(table):
+        return (
+            spark.read.format("jdbc")
+            .option("url", url)
+            .option("dbtable", f'"fan_ns"."{table}"')
+            .load()
+        )
+
+    # per-event dynamic tables, with properties retained
+    cs = {r.message_id: r.properties_qty for r in read_back(
+        "checkout_started").collect()}
+    assert cs == {"m-t1": 5, "m-t3": None}
+    esc = read_back("esc_users").collect()
+    assert [r.message_id for r in esc] == ["m-t2"]
+    # the common tracks table holds ALL track rows, no properties_*
+    tracks = read_back("tracks")
+    assert sorted(r.message_id for r in tracks.collect()) == [
+        "m-t1", "m-t2", "m-t3"
+    ]
+    assert not [c for c in tracks.columns if c.startswith("properties_")]
+    # identities + derived users landed too
+    assert [r.message_id for r in read_back("identities").collect()] == [
+        "m-i1"
+    ]
+    users = read_back("users").collect()
+    assert len(users) == 1 and users[0].user_id == "u-1"
+    # the type conflict quarantined into a REAL misfits table
+    mis = read_back("misfits").collect()
+    assert len(mis) == 1
+    assert (
+        mis[0].message_id, mis[0].table_name,
+        mis[0].column_name, mis[0].column_value,
+    ) == ("m-t3", "checkout_started", "properties_qty", "oops")
     wh.close()
 
 
