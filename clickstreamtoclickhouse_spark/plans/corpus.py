@@ -1739,3 +1739,107 @@ def classifier_eval_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("auc"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 9: inter-classifier agreement (Cohen's kappa)
+# ---------------------------------------------------------------------------
+
+_KAPPA_Q_MIN = 0.7  # classifier A: composite quality threshold
+_KAPPA_SW_MIN = 3   # classifier B: distinct-en-stopword threshold
+
+
+@query(
+    "classifier_agreement_kappa",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             length(text) AS n_chars,
+             {tx.sql_token_count_ws('text')} AS n_words,
+             length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
+               AS n_punct,
+             {tx.sql_lang_score('text', 'en')} AS sw
+      FROM documents
+    ),
+    lab AS (
+      SELECT CASE WHEN round(
+               0.4 * least(n_words / 100.0, 1.0)
+             + 0.3 * (CASE WHEN n_words > 0
+                            AND n_chars * 1.0 / n_words BETWEEN 3 AND 12
+                           THEN 1.0 ELSE 0.5 END)
+             + 0.3 * (1.0 - least((CASE WHEN n_chars = 0 THEN 0.0
+                                        ELSE n_punct * 1.0 / n_chars END)
+                                  * 4, 1.0)), 4) >= {_KAPPA_Q_MIN}
+             THEN 1 ELSE 0 END AS a,
+             CASE WHEN sw >= {_KAPPA_SW_MIN} THEN 1 ELSE 0 END AS b
+      FROM t
+    ),
+    c AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(a * b) AS BIGINT) AS n11,
+             CAST(sum(a * (1 - b)) AS BIGINT) AS n10,
+             CAST(sum((1 - a) * b) AS BIGINT) AS n01,
+             CAST(sum((1 - a) * (1 - b)) AS BIGINT) AS n00
+      FROM lab
+    )
+    SELECT n, n11, n10, n01, n00,
+           round((n11 + n00) * 1.0 / n, 6) AS p_observed,
+           round(((n11 + n10) * (n11 + n01)
+                + (n01 + n00) * (n10 + n00)) * 1.0 / (n * n), 6)
+             AS p_expected,
+           CASE WHEN ((n11 + n10) * (n11 + n01)
+                    + (n01 + n00) * (n10 + n00)) = n * n THEN NULL
+                ELSE round(
+                  ((n11 + n00) * 1.0 / n
+                   - ((n11 + n10) * (n11 + n01)
+                    + (n01 + n00) * (n10 + n00)) * 1.0 / (n * n))
+                  / (1.0 - ((n11 + n10) * (n11 + n01)
+                          + (n01 + n00) * (n10 + n00)) * 1.0 / (n * n)),
+                  6)
+           END AS kappa
+    FROM c
+    """,
+)
+def classifier_agreement_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa agreement between two independent document
+    classifiers (Cohen 1960, the standard chance-corrected agreement
+    statistic; used to validate weak labelers / annotator pools
+    before trusting either for curation): classifier A = composite
+    quality score >= {_KAPPA_Q_MIN}, classifier B = distinct English
+    stopword count >= {_KAPPA_SW_MIN}. kappa = (p_o - p_e) / (1 -
+    p_e) with p_e from the marginal label rates; NULL when chance
+    agreement is exact (p_e = 1, kappa undefined).
+
+    Scale: ONE corpus scan -> per-doc binary labels -> a 4-cell
+    integer confusion aggregate (map-side combinable); the kappa
+    algebra runs on that single exact-integer row, so there is no
+    float-summation-order hazard anywhere."""
+    d = load(spark, sf_dir, "documents")
+    lab = d.select(
+        (tx.quality_score(F.col("text")) >= _KAPPA_Q_MIN)
+        .cast("int")
+        .alias("a"),
+        (tx.lang_score(F.col("text"), "en") >= _KAPPA_SW_MIN)
+        .cast("int")
+        .alias("b"),
+    )
+    c = lab.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("a") * F.col("b")).cast("long").alias("n11"),
+        F.sum(F.col("a") * (1 - F.col("b"))).cast("long").alias("n10"),
+        F.sum((1 - F.col("a")) * F.col("b")).cast("long").alias("n01"),
+        F.sum((1 - F.col("a")) * (1 - F.col("b"))).cast("long").alias("n00"),
+    )
+    pe_num = (F.col("n11") + F.col("n10")) * (F.col("n11") + F.col("n01")) + (
+        F.col("n01") + F.col("n00")
+    ) * (F.col("n10") + F.col("n00"))
+    po = (F.col("n11") + F.col("n00")) * 1.0 / F.col("n")
+    pe = pe_num * 1.0 / (F.col("n") * F.col("n"))
+    return c.select(
+        "n", "n11", "n10", "n01", "n00",
+        F.round(po, 6).alias("p_observed"),
+        F.round(pe, 6).alias("p_expected"),
+        F.when(pe_num == F.col("n") * F.col("n"), F.lit(None).cast("double"))
+        .otherwise(F.round((po - pe) / (1.0 - pe), 6))
+        .alias("kappa"),
+    )

@@ -497,3 +497,174 @@ def mixture_epoch_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("alloc") * 1.0 / F.col("n_tokens"), 4).alias("epochs"),
         F.when(F.col("alloc") >= cap, 1).otherwise(0).cast("int").alias("at_cap"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 9: leave-one-source-out ablation report
+# ---------------------------------------------------------------------------
+
+# The doc_quality formula inlined for SQL (same expression as the
+# doc_quality oracle — the per-doc score is 4dp-rounded, then scaled
+# to an INTEGER milli-score so every per-source sum is exact and the
+# ablation algebra below is float-order-independent).
+_SQL_Q_MILLI = """CAST(round(round(
+        0.4 * least(n_words / 100.0, 1.0)
+      + 0.3 * (CASE WHEN n_words > 0
+                     AND n_chars * 1.0 / n_words BETWEEN 3 AND 12
+                    THEN 1.0 ELSE 0.5 END)
+      + 0.3 * (1.0 - least((CASE WHEN n_chars = 0 THEN 0.0
+                                 ELSE n_punct * 1.0 / n_chars END) * 4,
+                           1.0)), 4) * 10000, 0) AS BIGINT)"""
+
+
+@query(
+    "source_ablation_report",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, source,
+             length(text) AS n_chars,
+             {tx.sql_token_count_ws('text')} AS n_words,
+             length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
+               AS n_punct,
+             md5(coalesce(text, '')) AS h
+      FROM documents
+    ),
+    per_doc AS (
+      SELECT source, h,
+             {_SQL_Q_MILLI} AS q,
+             CAST(n_words AS BIGINT) AS t
+      FROM base
+    ),
+    src AS (
+      SELECT source,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(q) AS BIGINT) AS sum_q,
+             CAST(sum(t) AS BIGINT) AS sum_t
+      FROM per_doc GROUP BY source
+    ),
+    tot AS (
+      SELECT CAST(sum(n_docs) AS BIGINT) AS n_tot,
+             CAST(sum(sum_q) AS BIGINT) AS q_tot,
+             CAST(sum(sum_t) AS BIGINT) AS t_tot
+      FROM src
+    ),
+    hs AS (
+      SELECT h, source, CAST(count(*) AS BIGINT) AS c_hs
+      FROM per_doc GROUP BY h, source
+    ),
+    htot AS (SELECT h, CAST(sum(c_hs) AS BIGINT) AS c_h FROM hs GROUP BY h),
+    dupbase AS (
+      SELECT CAST(sum(CASE WHEN c_h > 1 THEN c_h ELSE 0 END) AS BIGINT)
+               AS dup_docs
+      FROM htot
+    ),
+    delta AS (
+      SELECT hs.source,
+             CAST(sum(
+               (CASE WHEN ht.c_h - hs.c_hs > 1 THEN ht.c_h - hs.c_hs
+                     ELSE 0 END)
+             - (CASE WHEN ht.c_h > 1 THEN ht.c_h ELSE 0 END)
+             ) AS BIGINT) AS d
+      FROM hs JOIN htot ht USING (h)
+      GROUP BY hs.source
+    )
+    SELECT s.source,
+           s.n_docs AS n_docs_removed,
+           CAST(t.n_tot - s.n_docs AS BIGINT) AS remaining_docs,
+           round(s.sum_t * 1.0 / t.t_tot, 6) AS token_share_removed,
+           round((t.q_tot - s.sum_q) * 1.0
+                 / ((t.n_tot - s.n_docs) * 10000.0), 6)
+             AS ablated_mean_quality,
+           round((db.dup_docs + coalesce(d.d, 0)) * 1.0
+                 / (t.n_tot - s.n_docs), 6) AS ablated_dup_rate,
+           round((t.q_tot - s.sum_q) * 1.0
+                 / ((t.n_tot - s.n_docs) * 10000.0)
+                 - t.q_tot * 1.0 / (t.n_tot * 10000.0), 6)
+             AS delta_mean_quality
+    FROM src s
+    CROSS JOIN tot t
+    CROSS JOIN dupbase db
+    LEFT JOIN delta d ON d.source = s.source
+    """,
+)
+def source_ablation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-source-out data ablation: for EVERY source, the
+    corpus-level metrics of the corpus WITHOUT it — mean quality,
+    exact-duplicate rate, token share removed — computed by window
+    ALGEBRA over bounded aggregates, never by re-scanning the corpus
+    per source (the mixture analog of markov_attribution's removal
+    effect; data-ablation-by-source is the standard first pass of
+    mixture tuning, cf. The Pile / Dolma ablations, public method).
+
+    The dup-rate ablation is the subtle part: removing source s can
+    turn a cross-source duplicate group UNIQUE, so per-source dup
+    counts don't subtract linearly. Identity used: with c_h = docs
+    holding hash h and c_hs = those in source s, the remaining dup
+    count is sum_h f(c_h - c_hs) with f(x) = x if x > 1 else 0 =
+    BASELINE + sum over s's own (h, s) pairs of [f(c_h - c_hs) -
+    f(c_h)] — one (hash, source) aggregate plus a per-hash join,
+    corpus scanned ONCE.
+
+    Float-order independence: the per-doc quality score (4dp) is
+    scaled to an integer milli-score, token counts are integers, and
+    every per-source/total sum is an exact BIGINT; only the final
+    per-row scalar divisions are floats (deterministic on both
+    engines given identical integers)."""
+    d = load(spark, sf_dir, "documents")
+    per_doc = d.select(
+        "source",
+        F.md5(F.coalesce(F.col("text"), F.lit(""))).alias("h"),
+        F.round(tx.quality_score(F.col("text")) * 10000, 0)
+        .cast("long")
+        .alias("q"),
+        tx.token_count_ws(F.col("text")).cast("long").alias("t"),
+    )
+    src = per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("q").cast("long").alias("sum_q"),
+        F.sum("t").cast("long").alias("sum_t"),
+    )
+    hs = per_doc.groupBy("h", "source").agg(
+        F.count(F.lit(1)).cast("long").alias("c_hs")
+    )
+    htot = hs.groupBy("h").agg(F.sum("c_hs").cast("long").alias("c_h"))
+    f_ch = F.when(F.col("c_h") > 1, F.col("c_h")).otherwise(F.lit(0))
+    rem = F.col("c_h") - F.col("c_hs")
+    f_rem = F.when(rem > 1, rem).otherwise(F.lit(0))
+    dupbase = htot.agg(F.sum(f_ch).cast("long").alias("dup_docs"))
+    delta = (
+        hs.join(htot, "h")
+        .groupBy("source")
+        .agg(F.sum(f_rem - f_ch).cast("long").alias("d"))
+    )
+    # totals/baseline are 1-row aggregates of the ~|sources|-row table
+    tot = src.agg(
+        F.sum("n_docs").cast("long").alias("n_tot"),
+        F.sum("sum_q").cast("long").alias("q_tot"),
+        F.sum("sum_t").cast("long").alias("t_tot"),
+    )
+    rep = (
+        src.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(dupbase))
+        .join(delta, "source", "left")
+    )
+    rem_docs = F.col("n_tot") - F.col("n_docs")
+    abl_q = (F.col("q_tot") - F.col("sum_q")) * 1.0 / (rem_docs * 10000.0)
+    return rep.select(
+        "source",
+        F.col("n_docs").alias("n_docs_removed"),
+        rem_docs.cast("long").alias("remaining_docs"),
+        F.round(F.col("sum_t") * 1.0 / F.col("t_tot"), 6).alias(
+            "token_share_removed"
+        ),
+        F.round(abl_q, 6).alias("ablated_mean_quality"),
+        F.round(
+            (F.col("dup_docs") + F.coalesce(F.col("d"), F.lit(0)))
+            * 1.0
+            / rem_docs,
+            6,
+        ).alias("ablated_dup_rate"),
+        F.round(
+            abl_q - F.col("q_tot") * 1.0 / (F.col("n_tot") * 10000.0), 6
+        ).alias("delta_mean_quality"),
+    )

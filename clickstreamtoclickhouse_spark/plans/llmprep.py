@@ -567,3 +567,122 @@ def mlm_masked_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ' ') as labels_text""",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 9: memorization span audit (longest verbatim benchmark overlap)
+# ---------------------------------------------------------------------------
+
+_MEM_SPAN_MIN = 8  # tokens: spans at/above flag as memorization risk
+_MEM_GRAM = " || ' ' || ".join(
+    f"ws[p+{j}]" if j else "ws[p]" for j in range(CONTAM_N)
+)
+
+
+@query(
+    "memorization_span_report",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {tx.SQL_WORDS.format(t='lower(text)')} AS ws
+      FROM documents WHERE length(trim(text)) > 0
+    ),
+    pos AS (
+      SELECT doc_id, ws, unnest(range(1, len(ws) - {CONTAM_N - 2})) AS p
+      FROM toks WHERE len(ws) >= {CONTAM_N}
+    ),
+    grams AS (SELECT doc_id, p, {_MEM_GRAM} AS gram FROM pos),
+    bench AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 25 = 0),
+    hits AS (
+      SELECT g.doc_id, g.p
+      FROM grams g JOIN bench b USING (gram)
+      WHERE g.doc_id % 25 <> 0
+    ),
+    isl AS (
+      SELECT doc_id, p,
+             p - row_number() OVER (PARTITION BY doc_id ORDER BY p) AS grp
+      FROM hits
+    ),
+    runs AS (
+      SELECT doc_id, count(*) AS run_len FROM isl GROUP BY doc_id, grp
+    ),
+    per_doc AS (
+      SELECT doc_id,
+             max(run_len) + {CONTAM_N - 1} AS max_span,
+             sum(run_len) AS n_hits
+      FROM runs GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           CAST(coalesce(p.n_hits, 0) AS BIGINT) AS n_hit_grams,
+           CAST(coalesce(p.max_span, 0) AS BIGINT) AS max_span_tokens,
+           CAST(CASE WHEN coalesce(p.max_span, 0) >= {_MEM_SPAN_MIN}
+                     THEN 1 ELSE 0 END AS BIGINT) AS memorization_risk
+    FROM toks t LEFT JOIN per_doc p USING (doc_id)
+    WHERE t.doc_id % 25 <> 0
+    """,
+)
+def memorization_span_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Memorization-span audit: for every corpus document, the
+    LONGEST VERBATIM token span it shares with the held-out benchmark
+    split (doc_id % 25 = 0, as in benchmark_contamination) — the
+    standard generation-memorization check (Carlini et al. 2021/2023
+    measure extraction by verbatim k-token overlap; eval cards report
+    "no N-token overlap with test sets"). Where benchmark_contamination
+    flags ANY {CONTAM_N}-gram collision, this measures HOW LONG the
+    collision runs: positional {CONTAM_N}-grams are matched against
+    the benchmark gram set, and maximal runs of consecutive matching
+    positions are recovered with a gaps-and-islands window (a run of
+    k consecutive matching {CONTAM_N}-gram positions = a verbatim
+    span of k+{CONTAM_N - 1} tokens). Spans >= {_MEM_SPAN_MIN} tokens
+    flag `memorization_risk`.
+
+    Scale: the benchmark gram set is eval-sized and broadcasts; the
+    corpus side is one posexplode + broadcast semi-join, then the
+    islands window shuffles ONLY the matched positions keyed by
+    doc_id (hit-volume, not corpus-volume). No self-joins, no global
+    windows."""
+    from pyspark.sql.window import Window
+
+    d = widen_scan(load(spark, sf_dir, "documents")).filter(
+        F.length(F.trim(F.col("text"))) > 0
+    )
+    grams = d.select(
+        "doc_id",
+        F.posexplode(
+            tx._ngrams(tx.words(F.lower(F.col("text"))), CONTAM_N)
+        ).alias("p0", "gram"),
+    ).select("doc_id", (F.col("p0") + 1).alias("p"), "gram")
+    bench = (
+        grams.filter(F.col("doc_id") % 25 == 0).select("gram").distinct()
+    )
+    hits = (
+        grams.filter(F.col("doc_id") % 25 != 0)
+        .join(F.broadcast(bench), "gram")
+        .select("doc_id", "p")
+    )
+    w = Window.partitionBy("doc_id").orderBy("p")
+    runs = (
+        hits.withColumn("grp", F.col("p") - F.row_number().over(w))
+        .groupBy("doc_id", "grp")
+        .agg(F.count(F.lit(1)).alias("run_len"))
+    )
+    per_doc = runs.groupBy("doc_id").agg(
+        (F.max("run_len") + (CONTAM_N - 1)).alias("max_span"),
+        F.sum("run_len").alias("n_hits"),
+    )
+    return (
+        d.filter(F.col("doc_id") % 25 != 0)
+        .select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_hits"), F.lit(0))
+            .cast("bigint")
+            .alias("n_hit_grams"),
+            F.coalesce(F.col("max_span"), F.lit(0))
+            .cast("bigint")
+            .alias("max_span_tokens"),
+            (F.coalesce(F.col("max_span"), F.lit(0)) >= _MEM_SPAN_MIN)
+            .cast("bigint")
+            .alias("memorization_risk"),
+        )
+    )

@@ -6105,3 +6105,139 @@ def markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         out_rows,
         "channel string, removal_effect double, attribution_share double",
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 9: seasonality strength (variance explained by calendar profile)
+# ---------------------------------------------------------------------------
+
+def _season_oracle_dim(dim_name: str, bucket_sql: str) -> str:
+    return f"""
+    SELECT '{dim_name}' AS dimension,
+           CAST(n_buckets AS BIGINT) AS n_buckets,
+           CASE WHEN CAST(q_tot AS DOUBLE)
+                     - CAST(s_tot AS DOUBLE) * CAST(s_tot AS DOUBLE)
+                       / CAST(n_tot AS DOUBLE) = 0 THEN NULL
+                ELSE round(
+                  (CAST(b_tot AS DOUBLE)
+                   - CAST(s_tot AS DOUBLE) * CAST(s_tot AS DOUBLE)
+                     / CAST(n_tot AS DOUBLE))
+                / (CAST(q_tot AS DOUBLE)
+                   - CAST(s_tot AS DOUBLE) * CAST(s_tot AS DOUBLE)
+                     / CAST(n_tot AS DOUBLE)), 6)
+           END AS strength,
+           CAST(b AS INT) AS peak_bucket,
+           round(CAST(s AS DOUBLE) / CAST(s_tot AS DOUBLE), 6)
+             AS peak_share
+    FROM (
+      SELECT b, n, s,
+             count(*) OVER () AS n_buckets,
+             sum(n) OVER () AS n_tot,
+             sum(s) OVER () AS s_tot,
+             sum(q) OVER () AS q_tot,
+             sum(CAST(round(CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n, 4)
+                      AS DECIMAL(28, 4))) OVER () AS b_tot,
+             row_number() OVER (
+               ORDER BY CAST(s AS DOUBLE) / n DESC, b) AS r
+      FROM (
+        SELECT {bucket_sql} AS b,
+               CAST(count(*) AS BIGINT) AS n,
+               sum(CAST(round(value * 100, 0) AS BIGINT)) AS s,
+               sum(CAST(round(value * 100, 0) AS BIGINT)
+                   * CAST(round(value * 100, 0) AS BIGINT)) AS q
+        FROM events WHERE value IS NOT NULL
+        GROUP BY 1
+      )
+    ) WHERE r = 1"""
+
+
+@query(
+    "seasonal_strength_report",
+    oracle=(
+        _season_oracle_dim(
+            "hour_of_day", "CAST(strftime(ts, '%H') AS INT)"
+        )
+        + "\n    UNION ALL\n"
+        + _season_oracle_dim(
+            "day_of_week", "CAST(strftime(ts, '%w') AS INT) + 1"
+        )
+    ),
+)
+def seasonal_strength_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonality strength of event VALUE along calendar dimensions
+    (hour-of-day, day-of-week): the share of total variance explained
+    by the per-bucket means — SS_between / SS_total, the eta-squared
+    of a one-way layout (Hyndman & Athanasopoulos FPP3 define
+    seasonal strength the same way on the decomposition components,
+    public method). strength ~ 0 means the calendar profile is flat
+    (drop the feature); ~ 1 means value is almost a pure calendar
+    function. Each dimension also reports its peak bucket and the
+    peak's share of total value.
+
+    Float parity stance (the verify-skill sufficient-statistic rule):
+    values are 2dp, so cents = round(value*100) is an exact integer;
+    per-bucket n / sum(cents) / sum(cents²) accumulate as exact
+    integers (decimal sums, overflow-proof); the only float sum —
+    SS_between's <= 24 per-bucket terms — is rounded to 4dp and
+    summed in DECIMAL(28,4), so no accumulation order can flip a
+    digit. All remaining arithmetic is scalar IEEE on identical
+    inputs.
+
+    Scale: one map-side-combinable groupBy per dimension (24- and
+    7-row outputs); the windows run on those bounded tables, never
+    the event stream."""
+    e = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+
+    def dim_report(dim_name: str, bucket: F.Column) -> DataFrame:
+        c = F.round(F.col("value") * 100, 0).cast("long")
+        g = e.select(bucket.alias("b"), c.alias("c")).groupBy("b").agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.col("c").cast("decimal(38,0)")).alias("s"),
+            F.sum((F.col("c") * F.col("c")).cast("decimal(38,0)")).alias(
+                "q"
+            ),
+        )
+        w = Window.partitionBy()
+        term = F.round(
+            F.col("s").cast("double") * F.col("s").cast("double")
+            / F.col("n"),
+            4,
+        ).cast("decimal(28,4)")
+        ranked = g.select(
+            "b", "n", "s",
+            F.sum("n").over(w).alias("n_tot"),
+            F.sum("s").over(w).alias("s_tot"),
+            F.sum("q").over(w).alias("q_tot"),
+            F.sum(term).over(w).alias("b_tot"),
+            F.count(F.lit(1)).over(w).alias("n_buckets"),
+            F.row_number()
+            .over(
+                Window.orderBy(
+                    (F.col("s").cast("double") / F.col("n")).desc(), "b"
+                )
+            )
+            .alias("r"),
+        ).filter(F.col("r") == 1)
+        s2n = (
+            F.col("s_tot").cast("double")
+            * F.col("s_tot").cast("double")
+            / F.col("n_tot").cast("double")
+        )
+        ss_tot = F.col("q_tot").cast("double") - s2n
+        return ranked.select(
+            F.lit(dim_name).alias("dimension"),
+            F.col("n_buckets").cast("long").alias("n_buckets"),
+            F.when(ss_tot == 0, F.lit(None).cast("double"))
+            .otherwise(
+                F.round((F.col("b_tot").cast("double") - s2n) / ss_tot, 6)
+            )
+            .alias("strength"),
+            F.col("b").cast("int").alias("peak_bucket"),
+            F.round(
+                F.col("s").cast("double") / F.col("s_tot").cast("double"), 6
+            ).alias("peak_share"),
+        )
+
+    return dim_report("hour_of_day", F.hour("ts")).unionByName(
+        dim_report("day_of_week", F.dayofweek("ts"))
+    )

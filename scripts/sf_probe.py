@@ -119,6 +119,9 @@ PROBE_QUERIES = [
     "part_entity_resolution",
     "perplexity_buckets",
     "classifier_eval_report",
+    # round-9 new family (doc-scale gram window / hash-source algebra)
+    "memorization_span_report",
+    "source_ablation_report",
 ]
 
 

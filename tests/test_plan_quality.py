@@ -1046,3 +1046,24 @@ def test_lpa_and_entity_resolution_plan_shapes(spark):
     txt = plan_text(spark, "part_entity_resolution")
     assert "CartesianProduct" not in txt
     assert "BroadcastNestedLoopJoin" not in txt
+
+
+def test_round9_family_plan_shapes(spark):
+    # memorization: benchmark gram set must BROADCAST (corpus never
+    # shuffles on the gram); islands window is doc_id-keyed
+    txt = plan_text(spark, "memorization_span_report")
+    assert "BroadcastHashJoin" in txt
+    assert "CartesianProduct" not in txt
+    # ablation: corpus scanned for per-doc metrics, then algebra over
+    # bounded aggregates; the totals/baseline 1-row cross joins must
+    # be broadcast NLJs, never a real cartesian
+    txt = plan_text(spark, "source_ablation_report")
+    assert "CartesianProduct" not in txt
+    # kappa: ONE scan -> one 4-cell aggregate; no joins at all
+    txt = plan_text(spark, "classifier_agreement_kappa")
+    assert "Join" not in txt
+    assert count_exchanges(txt) <= 1  # the single-row final aggregate
+    # seasonality: two bucket aggregates + bounded-table windows; no
+    # joins, no corpus-wide window (windows sit above 24/7-row aggs)
+    txt = plan_text(spark, "seasonal_strength_report")
+    assert "Join" not in txt

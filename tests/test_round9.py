@@ -1,0 +1,178 @@
+"""Behavioral tests (planted positives/negatives) for the round-9
+query family: memorization spans, source ablation, classifier
+agreement, seasonality strength."""
+
+from __future__ import annotations
+
+from clickstreamtoclickhouse_spark import plans
+
+
+def _write(spark, tmp_path, table, rows, schema):
+    spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{tmp_path}/{table}.parquet")
+
+
+DOC_SCHEMA = "doc_id long, text string, lang string, source string"
+
+
+def test_memorization_span_planted(spark, tmp_path):
+    """A 12-token verbatim copy of a benchmark span must report
+    max_span_tokens=12 (risk=1 at the 8-token threshold); a single
+    isolated 5-gram overlap reports exactly 5 (risk=0); a clean doc
+    reports 0."""
+    bench = ("alpha bravo charlie delta echo foxtrot golf hotel "
+             "india juliet kilo lima")
+    rows = [
+        (0, bench, "en", "s0"),  # doc_id % 25 == 0 -> benchmark split
+        (1, f"noise1 noise2 {bench} noise3 noise4", "en", "s1"),
+        (2, "alpha bravo charlie delta echo zulu1 zulu2 zulu3 zulu4",
+         "en", "s1"),
+        (3, "pear plum fig date kiwi mango guava papaya melon",
+         "en", "s1"),
+    ]
+    _write(spark, tmp_path, "documents", rows, DOC_SCHEMA)
+    out = {
+        r.doc_id: r
+        for r in plans.QUERIES["memorization_span_report"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert set(out) == {1, 2, 3}
+    assert (out[1].max_span_tokens, out[1].memorization_risk) == (12, 1)
+    # 8 consecutive matching 5-gram positions inside the copied span
+    assert out[1].n_hit_grams == 8
+    assert (out[2].max_span_tokens, out[2].memorization_risk) == (5, 0)
+    assert out[2].n_hit_grams == 1
+    assert (out[3].n_hit_grams, out[3].max_span_tokens) == (0, 0)
+
+
+def test_source_ablation_dup_rate_identity(spark, tmp_path):
+    """Removing a source can make a cross-source duplicate group
+    UNIQUE — the per-source correction must capture that: sA holds
+    two copies of X plus Y, sB holds one X plus Z. Ablating sA leaves
+    [X, Z] (dup rate 0); ablating sB leaves [X, X, Y] (dup rate 2/3)."""
+    x = "the same exact duplicated text body repeated verbatim here"
+    rows = [
+        (1, x, "en", "sA"),
+        (2, x, "en", "sA"),
+        (3, "unique words only in source a entirely", "en", "sA"),
+        (4, x, "en", "sB"),
+        (5, "completely different other text in source b", "en", "sB"),
+    ]
+    _write(spark, tmp_path, "documents", rows, DOC_SCHEMA)
+    out = {
+        r.source: r
+        for r in plans.QUERIES["source_ablation_report"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert out["sA"].n_docs_removed == 3
+    assert out["sA"].remaining_docs == 2
+    assert out["sA"].ablated_dup_rate == 0.0  # X became unique
+    assert out["sB"].remaining_docs == 3
+    assert out["sB"].ablated_dup_rate == round(2 / 3, 6)
+    # full-corpus dup rate is 3/5; deltas must reconstruct it:
+    # ablated == full + delta is NOT asserted for dup (nonlinear), but
+    # quality deltas must sum-shape: ablated = full + delta exactly
+    for r in out.values():
+        assert r.delta_mean_quality == round(
+            r.ablated_mean_quality
+            - (out["sA"].ablated_mean_quality
+               - out["sA"].delta_mean_quality),
+            6,
+        )
+
+
+def test_kappa_hand_computed_confusion(spark, tmp_path):
+    """Planted 2x2 confusion with hand-computed kappa. Classifier A =
+    quality >= 0.7 (clean no-punct text: 0.6 + 0.4*min(nw/100, 1), so
+    A=1 iff nw >= 25); classifier B = >= 3 distinct en stopwords."""
+    long_sw = " ".join(["the and of"] + [f"word{i}" for i in range(27)])
+    long_plain = " ".join(f"word{i}" for i in range(30))
+    short_sw = "the and of word1 word2"
+    short_plain = "word1 word2 word3 word4 word5"
+    rows = (
+        [(i, long_sw, "en", "s") for i in range(4)]            # n11 x4
+        + [(10 + i, long_plain, "en", "s") for i in range(2)]  # n10 x2
+        + [(20 + i, short_sw, "en", "s") for i in range(1)]    # n01 x1
+        + [(30 + i, short_plain, "en", "s") for i in range(3)] # n00 x3
+    )
+    _write(spark, tmp_path, "documents", rows, DOC_SCHEMA)
+    r = plans.QUERIES["classifier_agreement_kappa"](
+        spark, str(tmp_path)
+    ).collect()[0]
+    assert (r.n, r.n11, r.n10, r.n01, r.n00) == (10, 4, 2, 1, 3)
+    po = 7 / 10
+    pe = (6 * 5 + 4 * 5) / 100
+    assert r.p_observed == round(po, 6)
+    assert r.p_expected == round(pe, 6)
+    assert r.kappa == round((po - pe) / (1 - pe), 6)
+
+
+def test_kappa_degenerate_chance_agreement_is_null(spark, tmp_path):
+    """All docs labeled identically by both classifiers: p_e = 1 and
+    kappa is undefined -> NULL, not a division blow-up."""
+    long_sw = " ".join(["the and of"] + [f"word{i}" for i in range(27)])
+    rows = [(i, long_sw, "en", "s") for i in range(5)]
+    _write(spark, tmp_path, "documents", rows, DOC_SCHEMA)
+    r = plans.QUERIES["classifier_agreement_kappa"](
+        spark, str(tmp_path)
+    ).collect()[0]
+    assert (r.n11, r.p_expected) == (5, 1.0)
+    assert r.kappa is None
+
+
+EV_SCHEMA = "event_id long, ts timestamp, user_id long, event_type string, value double"
+
+
+def test_seasonal_strength_pure_vs_flat(spark, tmp_path):
+    """A value that is a PURE function of hour-of-day must score
+    strength ~1 on the hour dimension; a constant-by-hour value
+    scores strength 0 (flat profile). Peak bucket is the argmax-mean
+    hour."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)  # a Monday
+    rows = []
+    eid = 0
+    for day in range(4):
+        for h in range(24):
+            for k in range(3):
+                # value = 100 + hour*10: pure hourly profile
+                rows.append(
+                    (eid, t0 + dt.timedelta(days=day, hours=h, minutes=k),
+                     k, "click", 100.0 + h * 10)
+                )
+                eid += 1
+    _write(spark, tmp_path, "events", rows, EV_SCHEMA)
+    out = {
+        r.dimension: r
+        for r in plans.QUERIES["seasonal_strength_report"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    hr = out["hour_of_day"]
+    assert hr.n_buckets == 24
+    assert hr.strength is not None and hr.strength > 0.999
+    assert hr.peak_bucket == 23  # mean is monotone in hour
+    # every full day sees the identical hourly profile -> day-of-week
+    # explains nothing
+    dw = out["day_of_week"]
+    assert dw.n_buckets == 4  # 4 distinct days planted
+    assert dw.strength is not None and dw.strength < 1e-6
+
+
+def test_seasonal_strength_constant_value_is_null(spark, tmp_path):
+    """Zero total variance -> strength undefined -> NULL."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        (i, t0 + dt.timedelta(hours=i), i, "click", 7.0) for i in range(30)
+    ]
+    _write(spark, tmp_path, "events", rows, EV_SCHEMA)
+    out = plans.QUERIES["seasonal_strength_report"](
+        spark, str(tmp_path)
+    ).collect()
+    assert all(r.strength is None for r in out)
