@@ -3460,6 +3460,47 @@ def k_anonymity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_LDIV_L = 3
+
+
+@query(
+    "l_diversity_report",
+    oracle=f"""
+    SELECT event_type,
+           strftime(ts, '%Y-%m-%d') AS event_date,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS l,
+           CAST(CASE WHEN count(DISTINCT user_id) < {_LDIV_L}
+                     THEN 1 ELSE 0 END AS INT) AS l_violation
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def l_diversity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit (Machanavajjhala et al. 2007, the standard
+    strengthening of k-anonymity, public method): within each
+    quasi-identifier class (event_type, event_date), the SENSITIVE
+    attribute (user_id) must take at least l={_LDIV_L} distinct
+    values — a class passing k-anonymity on size can still leak
+    identity when all its rows belong to one or two users ("every
+    purchase on 2024-03-01 is user 42"). Companion to
+    `k_anonymity_report` in the pre-release governance gate.
+
+    Scale: one groupBy on the quasi-identifier tuple with a distinct
+    count (Spark's two-phase partial-distinct expand); output is
+    class-cardinality (types x days), never event-cardinality."""
+    e = load(spark, sf_dir, "events")
+    return e.groupBy(
+        "event_type", F.date_format("ts", "yyyy-MM-dd").alias("event_date")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.countDistinct("user_id").cast("long").alias("l"),
+        (F.countDistinct("user_id") < _LDIV_L).cast("int").alias(
+            "l_violation"
+        ),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Round 6: near-dup-aware dataset split + MinHash cross-corpus decontamination
 # ---------------------------------------------------------------------------
@@ -4819,4 +4860,158 @@ def media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             "(a, i) -> a + cast(ascii(substring("
             "cast(frame_bytes as string), i, 1)) as bigint))"
         ).cast("long").alias("byte_sum"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round 9: Matryoshka truncation recall (embedding-dim ablation)
+# ---------------------------------------------------------------------------
+
+_MRL_DIMS = (8, 16, 32)
+_MRL_K = 5
+_MRL_ANCHORS = 20
+
+
+def _mrl_variant_sql(m: int) -> str:
+    if m == 0:
+        qv, cv = "qv", "cv"
+    else:
+        qv, cv = f"qv[1:{m}]", f"cv[1:{m}]"
+    return (
+        f"SELECT query_id, neighbor_id, {m} AS m, "
+        f"list_dot_product({qv}, {cv}) / "
+        f"(sqrt(list_dot_product({qv}, {qv})) * "
+        f"sqrt(list_dot_product({cv}, {cv}))) AS sim FROM pairs"
+    )
+
+
+@query(
+    "matryoshka_recall_report",
+    oracle=f"""
+    WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM emb
+          WHERE vec_id < {_MRL_ANCHORS}),
+    pairs AS MATERIALIZED (
+      SELECT q.query_id, c.vec_id AS neighbor_id, q.qv, c.v AS cv
+      FROM q, emb c WHERE c.vec_id <> q.query_id
+    ),
+    sims AS ({" UNION ALL ".join(_mrl_variant_sql(m) for m in (0,) + _MRL_DIMS)}),
+    ranked AS MATERIALIZED (
+      SELECT query_id, neighbor_id, m,
+             row_number() OVER (PARTITION BY query_id, m
+                                ORDER BY round(sim, 9) DESC, neighbor_id)
+               AS r
+      FROM sims
+    ),
+    topk AS (SELECT query_id, neighbor_id, m FROM ranked WHERE r <= {_MRL_K}),
+    fullk AS (SELECT query_id, neighbor_id FROM topk WHERE m = 0),
+    fl AS (
+      SELECT t.m, CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(sum(CASE WHEN f.neighbor_id IS NOT NULL
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_hits
+      FROM topk t LEFT JOIN fullk f
+        ON f.query_id = t.query_id AND f.neighbor_id = t.neighbor_id
+      WHERE t.m > 0 GROUP BY t.m
+    )
+    SELECT CAST(m AS INT) AS m_dims,
+           CAST(n_rows / {_MRL_K} AS BIGINT) AS n_anchors,
+           round(n_hits * 1.0 / n_rows, 6) AS mean_recall_at_5
+    FROM fl
+    """,
+)
+def matryoshka_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-dimension ablation: mean recall@{_MRL_K} of cosine
+    top-k under PREFIX-TRUNCATED embeddings ({_MRL_DIMS} dims) against
+    the full-dimension ranking — the decision table for
+    Matryoshka-style dimension reduction (Kusupati et al. 2022 MRL,
+    public method: nested prefixes trade dims for recall; a pipeline
+    picks the cheapest prefix whose recall clears its bar).
+
+    Anchors are the bounded vec_id < {_MRL_ANCHORS} sample (the
+    embedding_topk stance: brute-force exact is the sf-bounded
+    ORACLE-CHECKED baseline; at production scale the same report runs
+    over the LSH/IVF candidate sets). Recall is an exact integer
+    ratio — hit counts over {_MRL_K} x anchors — so no
+    float-summation hazard; similarities themselves keep the
+    term-identical fold/association shape of the ANN family, and
+    ranks tie-break on round(sim, 9) then neighbor id.
+
+    Scale: broadcast anchors x ONE corpus scan; all four variants'
+    dot products ride the same pair row (inline-expanded), so the
+    corpus is scanned and joined once, and the rank windows are keyed
+    by (query, variant)."""
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+
+    def norms(prefix: str):
+        cols = [similarity.norm(F.col("v")).alias(f"{prefix}n0")]
+        for m in _MRL_DIMS:
+            cols.append(
+                similarity.norm(F.slice(F.col("v"), 1, m)).alias(
+                    f"{prefix}n{m}"
+                )
+            )
+        return cols
+
+    q = F.broadcast(
+        emb.filter(F.col("vec_id") < _MRL_ANCHORS).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("v").alias("qv"),
+            *norms("q"),
+        )
+    )
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("v").alias("cv"),
+        *norms("c"),
+    )
+    pairs = q.join(c, F.col("query_id") != F.col("neighbor_id"))
+
+    def sim_expr(m: int) -> F.Column:
+        if m == 0:
+            d = similarity.dot(F.col("qv"), F.col("cv"))
+            return d / (F.col("qn0") * F.col("cn0"))
+        d = similarity.dot(
+            F.slice(F.col("qv"), 1, m), F.slice(F.col("cv"), 1, m)
+        )
+        return d / (F.col(f"qn{m}") * F.col(f"cn{m}"))
+
+    variants = F.array(
+        *[
+            F.struct(F.lit(m).alias("m"), sim_expr(m).alias("sim"))
+            for m in (0,) + _MRL_DIMS
+        ]
+    )
+    sims = pairs.select(
+        "query_id", "neighbor_id", F.inline(variants)
+    )
+    w = Window.partitionBy("query_id", "m").orderBy(
+        F.round(F.col("sim"), 9).desc(), "neighbor_id"
+    )
+    topk = (
+        sims.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= _MRL_K)
+        .select("query_id", "neighbor_id", "m")
+    )
+    fullk = topk.filter(F.col("m") == 0).select(
+        "query_id", "neighbor_id", F.lit(1).alias("hit")
+    )
+    fl = (
+        topk.filter(F.col("m") > 0)
+        .join(fullk, ["query_id", "neighbor_id"], "left")
+        .groupBy("m")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0)))
+            .cast("long")
+            .alias("n_hits"),
+        )
+    )
+    return fl.select(
+        F.col("m").cast("int").alias("m_dims"),
+        (F.col("n_rows") / _MRL_K).cast("long").alias("n_anchors"),
+        F.round(F.col("n_hits") * 1.0 / F.col("n_rows"), 6).alias(
+            "mean_recall_at_5"
+        ),
     )

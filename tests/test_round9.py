@@ -176,3 +176,55 @@ def test_seasonal_strength_constant_value_is_null(spark, tmp_path):
         spark, str(tmp_path)
     ).collect()
     assert all(r.strength is None for r in out)
+
+
+def test_l_diversity_flags_single_user_class(spark, tmp_path):
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 3, 1, 10, 0, 0)
+    rows = (
+        # (click, 2024-03-01): 5 events, ONE user -> l=1, violation
+        [(i, t0 + dt.timedelta(minutes=i), 42, "click", 1.0)
+         for i in range(5)]
+        # (view, 2024-03-01): 4 events, 4 users -> l=4, pass
+        + [(10 + u, t0 + dt.timedelta(minutes=u), u, "view", 1.0)
+           for u in range(4)]
+    )
+    _write(spark, tmp_path, "events", rows, EV_SCHEMA)
+    out = {
+        (r.event_type, r.event_date): r
+        for r in plans.QUERIES["l_diversity_report"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    click = out[("click", "2024-03-01")]
+    assert (click.n_events, click.l, click.l_violation) == (5, 1, 1)
+    view = out[("view", "2024-03-01")]
+    assert (view.n_events, view.l, view.l_violation) == (4, 4, 0)
+
+
+def test_matryoshka_recall_perfect_when_info_in_prefix(spark, tmp_path):
+    """Vectors whose information lives entirely in the first 8 dims:
+    every truncation ranks identically to the full ranking, so
+    recall@5 must be exactly 1.0 at every truncation width."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    rows = [
+        (i, [float(x) for x in rng.normal(0, 1, 8)] + [0.0] * 56, int(i % 3))
+        for i in range(40)
+    ]
+    _write(
+        spark, tmp_path, "embeddings", rows,
+        "vec_id long, embedding array<double>, label int",
+    )
+    out = {
+        r.m_dims: r
+        for r in plans.QUERIES["matryoshka_recall_report"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert set(out) == {8, 16, 32}
+    for r in out.values():
+        assert r.n_anchors == 20
+        assert r.mean_recall_at_5 == 1.0
