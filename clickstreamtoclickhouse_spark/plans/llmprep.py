@@ -639,7 +639,11 @@ def memorization_span_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus side is one posexplode + broadcast semi-join, then the
     islands window shuffles ONLY the matched positions keyed by
     doc_id (hit-volume, not corpus-volume). No self-joins, no global
-    windows."""
+    windows. widen_scan opt-in measured (r9 interleaved min-of-2 at
+    sf0.1: 0.88 s widened vs 1.11 s plain — the gram explode is
+    CPU-bound and the bench join is an EXPLICIT broadcast, so the
+    AQE-broadcast hazard that makes widening net-negative for
+    join-heavy consumers does not apply here)."""
     from pyspark.sql.window import Window
 
     d = widen_scan(load(spark, sf_dir, "documents")).filter(

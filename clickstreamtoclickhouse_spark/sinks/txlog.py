@@ -288,15 +288,21 @@ class TxLogTable:
                 continue
         raise CommitConflict(f"gave up after {_max_retries} retries")
 
-    def overwrite(self, df: DataFrame) -> int:
+    def overwrite(self, df: DataFrame, txn: tuple[str, int] | None = None) -> int:
         """Replace the table contents in ONE commit: readers see the
         old or the new snapshot, never an in-between state (unlike
         mode('overwrite') on a plain directory, which deletes before
-        it writes)."""
+        it writes). `txn` carries the same idempotence token as
+        `append` — a replayed overwrite for an already-committed
+        (app, ver) is skipped, which is what lets incremental view
+        maintenance advance its high-water mark ATOMICALLY with the
+        data it derives from (operators/incremental.py)."""
+        if txn is not None and self.last_txn_version(txn[0]) >= txn[1]:
+            return self.latest_version()
         base = self.snapshot()
         adds, stats = self._write_files(df)
         v = base.version + 1
-        self._commit(v, adds, list(base.files), df.schema.json(), stats)
+        self._commit(v, adds, list(base.files), df.schema.json(), stats, txn=txn)
         return v
 
     def merge_upsert(

@@ -1161,3 +1161,124 @@ def test_streaming_chunk_dedup_rejects_recrawled_text(spark, tmp_path):
     # 80 tokens / stride 32 -> 3 windows per doc, once each
     assert corpus.count() == 6
     assert corpus.select("chunk_id").distinct().count() == 6
+
+
+def test_streaming_late_arrival_monitor_accounts_both_sides(
+    spark, tmp_path
+):
+    """Rows older than max(event_time) - delay must land VERBATIM in
+    the late quarantine (not silently vanish, as the engine's own
+    watermark would make them); on-time rows fold into event-time
+    window counts."""
+    import json as _json
+
+    from clickstreamtoclickhouse_spark.streaming import monitor
+
+    landing = tmp_path / "late_in"
+    landing.mkdir()
+    with open(landing / "b1.json", "w") as f:
+        f.write(_json.dumps({"ts": "2024-01-01 09:10:00", "v": 1}) + "\n")
+        f.write(_json.dumps({"ts": "2024-01-01 10:00:00", "v": 2}) + "\n")
+    stream = (
+        spark.readStream.schema("ts timestamp, v long")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(landing))
+    )
+    q = monitor.streaming_late_arrival_monitor(
+        stream,
+        "ts",
+        str(tmp_path / "late_counts"),
+        str(tmp_path / "late_rows"),
+        str(tmp_path / "late_state"),
+        str(tmp_path / "late_ckpt"),
+        delay="1 hour",
+        window="1 hour",
+    )
+    try:
+        q.processAllAvailable()
+        # batch 2: 08:30 is older than 10:00 - 1h -> late; 10:30 on-time
+        with open(landing / "b2.json", "w") as f:
+            f.write(
+                _json.dumps({"ts": "2024-01-01 08:30:00", "v": 3}) + "\n"
+            )
+            f.write(
+                _json.dumps({"ts": "2024-01-01 10:30:00", "v": 4}) + "\n"
+            )
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    late = spark.read.parquet(str(tmp_path / "late_rows")).collect()
+    assert [r.v for r in late] == [3]
+    assert str(late[0]._watermark) == "2024-01-01 09:00:00"
+    counts = spark.read.parquet(str(tmp_path / "late_counts"))
+    total = {
+        str(r.window_start): 0 for r in counts.collect()
+    }
+    for r in counts.collect():
+        total[str(r.window_start)] += r.n_rows
+    assert total == {
+        "2024-01-01 09:00:00": 1,
+        "2024-01-01 10:00:00": 2,  # v=2 (batch 1) + v=4 (batch 2)
+    }
+
+
+def test_streaming_late_monitor_replay_uses_previous_watermark(
+    spark, tmp_path
+):
+    """A REPLAYED batch (same batch_id as the persisted state) must
+    classify against prev_max — the watermark its original attempt
+    used — not the advanced cur_max, so at-least-once redelivery
+    cannot flip a row from on-time to late."""
+    import json as _json
+
+    from clickstreamtoclickhouse_spark.streaming import monitor
+
+    def micros(s):
+        import datetime as dt
+
+        return int(
+            dt.datetime.fromisoformat(s).timestamp() * 1_000_000
+        )
+
+    state_dir = tmp_path / "replay_state"
+    state_dir.mkdir()
+    # pretend batch 0 already ran with prev_max 10:00 but the state
+    # advanced to cur_max 20:00 before the crash
+    (state_dir / "watermark.json").write_text(
+        _json.dumps(
+            {
+                "batch_id": 0,
+                "prev_max": micros("2024-01-01 10:00:00+00:00"),
+                "cur_max": micros("2024-01-01 20:00:00+00:00"),
+            }
+        )
+    )
+    landing = tmp_path / "replay_in"
+    landing.mkdir()
+    # 09:30: on-time under prev_max (wm 09:00), LATE under cur_max
+    with open(landing / "b1.json", "w") as f:
+        f.write(_json.dumps({"ts": "2024-01-01 09:30:00", "v": 9}) + "\n")
+    stream = spark.readStream.schema("ts timestamp, v long").json(
+        str(landing)
+    )
+    q = monitor.streaming_late_arrival_monitor(
+        stream,
+        "ts",
+        str(tmp_path / "replay_counts"),
+        str(tmp_path / "replay_late"),
+        str(state_dir),
+        str(tmp_path / "replay_ckpt"),
+        delay="1 hour",
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    import os
+
+    assert not os.path.exists(str(tmp_path / "replay_late")) or (
+        spark.read.parquet(str(tmp_path / "replay_late")).count() == 0
+    )
+    counts = spark.read.parquet(str(tmp_path / "replay_counts")).collect()
+    assert sum(r.n_rows for r in counts) == 1
