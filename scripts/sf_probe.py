@@ -398,15 +398,26 @@ def main() -> None:
             corpus, 3, "doc_id", "text", 4, None
         ).count()
         _COPURCHASE_CACHE.clear()  # re-measure the edge build itself
+        # the edge build's lazy localCheckpoint calls .rdd, which under
+        # AQE materializes every intermediate shuffle stage AT
+        # CONSTRUCTION — so the edges measurement must bracket the
+        # stages() call itself, not just the noop write
+        import time as _time
+
+        s_pre = shuffle_write_bytes(app_base)
         stages = _link_prediction_stages(spark, str(sf_dir))
         per: dict = {}
+        prev = s_pre
         for sname in ("edges", "wedges", "non_edges", "cand"):
-            s0 = shuffle_write_bytes(app_base)
             stages[sname].write.format("noop").mode("overwrite").save()
+            _time.sleep(1)  # let the UI listener flush stage metrics
             s1 = shuffle_write_bytes(app_base)
             per[sname] = (
-                round((s1 - s0) / 1e6, 1) if (s0 >= 0 and s1 >= 0) else None
+                round((s1 - prev) / 1e6, 1)
+                if (prev >= 0 and s1 >= 0)
+                else None
             )
+            prev = s1
         diag["link_prediction_stage_shuffle_mb"][tag] = per
         print(f"# {tag} diagnostics: jaccard pairs "
               f"{diag['jaccard_candidate_pairs'][tag]}, lp stages {per}",
@@ -448,13 +459,20 @@ def main() -> None:
             "work (symmetric at base and x10, ratios unaffected). "
             "jaccard_near_dups' large SHUFFLE ratio is adaptive "
             "broadcast behavior, not a pair explosion: at base AQE "
-            "broadcasts the shingle side, at x10 it exceeds the "
-            "threshold and the linear-in-corpus shingle aggregation "
-            "shuffle appears; the candidate-pair set itself SHRANK "
-            "because vocabulary grows with corpus (Heaps; r5 "
-            "analysis, unchanged) — r9: that claim is now MEASURED, "
-            "see diagnostics.jaccard_candidate_pairs (base vs x10 "
-            "counts with the cap active). r9 additions: "
+            "broadcasts the shingle side (0.3 MB), at x10 it exceeds "
+            "the threshold and the linear-in-corpus shingle "
+            "aggregation shuffle appears (215.8 MB). r9 MEASURED the "
+            "candidate-pair set itself "
+            "(diagnostics.jaccard_candidate_pairs): 1,068 pairs at "
+            "base -> 412,068 at x10. That 386x step CORRECTS the r5 "
+            "'pair set shrinks' claim: what actually happens is that "
+            "vocabulary dilution at x10 pushes most shingles' doc "
+            "frequency UNDER the df<=4 cap, so shingles the cap "
+            "DROPPED at base are admitted at x10 — a one-time "
+            "cap-crossing step, not a quadratic: candidate volume is "
+            "bounded by C(4,2)=6 pairs per admitted shingle, i.e. "
+            "linear in corpus size once dilution settles, which the "
+            "3.7x time ratio reflects. r9 additions: "
             "part_entity_resolution probes on a generator part table "
             "with a planted degenerate (brand,type,size) block whose "
             "record count grows ~10x at 10x rows (~0.3M levenshtein "
@@ -464,10 +482,17 @@ def main() -> None:
             "absorbs degenerate blocks; perplexity_buckets and "
             "classifier_eval_report close the unprobed-heavies gap; "
             "diagnostics.link_prediction_stage_shuffle_mb decomposes "
-            "the r8 33x shuffle-growth watch item per stage (each "
-            "stage noop-writes from the shared edge checkpoint; "
-            "stages re-run their upstream, so attribute growth by "
-            "consecutive-stage differences across sizes)."
+            "the r8 33x shuffle-growth watch item per stage "
+            "(INCREMENTAL deltas: edges = the checkpoint build "
+            "itself, later stages re-run from that checkpoint). "
+            "Reading: the growth concentrates in the anti-join + "
+            "final pair aggregate, and the base side is small "
+            "because AQE broadcasts the edge relation under the "
+            "threshold at base while x10 falls back to shuffled "
+            "sort-merge — the same broadcast-at-base artifact as "
+            "jaccard; wedge volume itself is neighbor-capped (40), "
+            "so per-stage bytes grow ~linearly past the plan "
+            "transition."
         ),
         "diagnostics": diag,
         "queries": probe,
