@@ -1,0 +1,340 @@
+"""Lexical retrieval + hybrid rank fusion, round 9: BM25 top-k and
+reciprocal-rank-fusion search over the documents table.
+
+The similarity family already covers the DENSE side of a retrieval
+stack (brute-force / LSH / IVF / PQ cosine over embeddings, hashed
+BoW as the text bridge). This module adds the LEXICAL side every
+production retrieval pipeline pairs with it:
+
+- BM25 scoring (Robertson & Sparck Jones probabilistic relevance /
+  Robertson et al. TREC-3 Okapi, public method; k1 = 1.2, b = 0.75 —
+  the Lucene/Elasticsearch defaults) as pure relational algebra:
+  term frequencies, document lengths, and document frequencies are
+  one explode + three map-side-combinable aggregates; scoring is an
+  equi-join of the (tiny, broadcastable) query-term table against
+  the per-(doc, term) tf table — the corpus is never self-joined and
+  never shuffled on anything but its own keys.
+- Reciprocal Rank Fusion (Cormack, Clarke & Buettcher SIGIR 2009,
+  public method; k = 60): the standard zero-tuning way to combine a
+  lexical and a semantic ranking — score(d) = sum over rankings of
+  1 / (k + rank_r(d)). The semantic arm here is EXACT sparse TF
+  cosine (integer dot products over the shared-term equi-join), so
+  the fused ranking is float-hazard-free: every rank is an integer
+  and 1/(60+rank) sums over at most two addends.
+
+Float parity stance: per-(query, doc) BM25 term contributions are
+rounded to 6dp and summed in DECIMAL(18,6) (exact, order-free — the
+markov/seasonality pattern); tf / dl / df / N are exact BIGINTs, so
+idf and the length normalizer are identical doubles on both engines.
+
+Queries are the first three documents (doc_id < 3): their leading
+five tokens form the lexical query, their full tf vector the
+semantic query — deterministic, engine-portable, and self-excluded
+from the candidate set.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions import text as tx
+from .registry import load, query
+
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+_RRF_K = 60
+_N_QUERY_DOCS = 3
+_N_QUERY_TERMS = 5
+_LEX_TOPK = 10
+_SEM_TOPK = 10
+_RRF_TOPK = 5
+
+_SQL_LWORDS = tx.SQL_WORDS.format(t="lower(text)")
+
+# Shared oracle CTEs: corpus statistics + the two per-query rankings.
+_SQL_RETRIEVAL_CTES = f"""toks AS (
+      SELECT doc_id, unnest({_SQL_LWORDS}) AS w
+      FROM documents WHERE length(trim(text)) > 0
+    ),
+    tf AS (
+      SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf
+      FROM toks GROUP BY doc_id, w
+    ),
+    dl AS (
+      SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id
+    ),
+    stats AS (
+      SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(dl) AS BIGINT) AS sdl
+      FROM dl
+    ),
+    df AS (SELECT w, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY w),
+    qdocs AS (
+      SELECT doc_id AS query_id, {_SQL_LWORDS} AS ws
+      FROM documents
+      WHERE doc_id < {_N_QUERY_DOCS} AND length(trim(text)) > 0
+    ),
+    qterms AS (
+      SELECT DISTINCT query_id, unnest(ws[1:{_N_QUERY_TERMS}]) AS w
+      FROM qdocs
+    ),
+    contrib AS (
+      SELECT q.query_id, t.doc_id,
+             CAST(round(
+               ln(CAST(1 AS DOUBLE)
+                  + (s.n - d.df + CAST(0.5 AS DOUBLE))
+                    / (d.df + CAST(0.5 AS DOUBLE)))
+               * (t.tf * (CAST({_BM25_K1} AS DOUBLE) + 1))
+                 / (t.tf + CAST({_BM25_K1} AS DOUBLE)
+                    * (1 - CAST({_BM25_B} AS DOUBLE)
+                       + CAST({_BM25_B} AS DOUBLE) * l.dl
+                         / (CAST(s.sdl AS DOUBLE) / s.n))),
+               6) AS DECIMAL(18, 6)) AS c
+      FROM qterms q
+      JOIN tf t USING (w)
+      JOIN df d USING (w)
+      JOIN dl l ON l.doc_id = t.doc_id
+      CROSS JOIN stats s
+      WHERE t.doc_id <> q.query_id
+    ),
+    lexscore AS (
+      SELECT query_id, doc_id, sum(c) AS score
+      FROM contrib GROUP BY query_id, doc_id
+    ),
+    lexrank AS (
+      SELECT query_id, doc_id, score,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY score DESC, doc_id) AS r
+      FROM lexscore
+    ),
+    qtf AS (
+      SELECT q.query_id, t.w, t.tf
+      FROM (SELECT DISTINCT query_id FROM qterms) q
+      JOIN tf t ON t.doc_id = q.query_id
+    ),
+    qnorm AS (
+      SELECT query_id, sqrt(CAST(sum(tf * tf) AS DOUBLE)) AS nq
+      FROM qtf GROUP BY query_id
+    ),
+    dnorm AS (
+      SELECT doc_id, sqrt(CAST(sum(tf * tf) AS DOUBLE)) AS nd
+      FROM tf GROUP BY doc_id
+    ),
+    dots AS (
+      SELECT q.query_id, t.doc_id, CAST(sum(q.tf * t.tf) AS BIGINT) AS dp
+      FROM qtf q JOIN tf t USING (w)
+      WHERE t.doc_id <> q.query_id
+      GROUP BY q.query_id, t.doc_id
+    ),
+    semrank AS (
+      SELECT query_id, doc_id,
+             row_number() OVER (
+               PARTITION BY query_id
+               ORDER BY round(dp / (qn.nq * dn.nd), 9) DESC, doc_id) AS r,
+             round(dp / (qn.nq * dn.nd), 6) AS sim
+      FROM dots
+      JOIN qnorm qn USING (query_id)
+      JOIN dnorm dn USING (doc_id)
+    )"""
+
+
+@query(
+    "bm25_topk_docs",
+    oracle=f"""
+    WITH {_SQL_RETRIEVAL_CTES}
+    SELECT query_id, doc_id, CAST(r AS INT) AS rank,
+           round(CAST(score AS DOUBLE), 6) AS score
+    FROM lexrank WHERE r <= {_LEX_TOPK}
+    """,
+)
+def bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-{_LEX_TOPK} per query (queries = the first
+    {_N_QUERY_DOCS} docs' leading {_N_QUERY_TERMS} tokens). See the
+    module docstring for the method and parity stance.
+
+    Scale: corpus statistics are three keyed aggregates over one
+    token explode; the query-term table is O(queries x terms) and
+    broadcasts into the tf equi-join, so scoring touches only
+    postings of query terms (the inverted-index access pattern,
+    expressed relationally); ranking is a per-query window over the
+    matched candidates, never the corpus."""
+    lex, _ = _retrieval_rankings(spark, sf_dir)
+    return lex.filter(F.col("r") <= _LEX_TOPK).select(
+        "query_id",
+        "doc_id",
+        F.col("r").cast("int").alias("rank"),
+        F.round(F.col("score").cast("double"), 6).alias("score"),
+    )
+
+
+def _retrieval_rankings(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """(lexical BM25 ranking, semantic TF-cosine ranking) — the Spark
+    twin of _SQL_RETRIEVAL_CTES, shared by bm25_topk_docs and
+    hybrid_search_rrf so the two registered queries cannot drift."""
+    d = load(spark, sf_dir, "documents").filter(
+        F.length(F.trim(F.col("text"))) > 0
+    )
+    toks = d.select(
+        "doc_id", F.explode(tx.words(F.lower(F.col("text")))).alias("w")
+    )
+    tf = toks.groupBy("doc_id", "w").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    )
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").cast("long").alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("dl").cast("long").alias("sdl"),
+    )
+    dfreq = tf.groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    qdocs = d.filter(F.col("doc_id") < _N_QUERY_DOCS).select(
+        F.col("doc_id").alias("query_id"),
+        tx.words(F.lower(F.col("text"))).alias("ws"),
+    )
+    qterms = (
+        qdocs.select(
+            "query_id",
+            F.explode(F.slice("ws", 1, _N_QUERY_TERMS)).alias("w"),
+        )
+        .distinct()
+    )
+    k1 = F.lit(float(_BM25_K1))
+    b = F.lit(float(_BM25_B))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    tfpart = (F.col("tf") * (k1 + 1)) / (
+        F.col("tf")
+        + k1
+        * (
+            F.lit(1.0)
+            - b
+            + b * F.col("dl") / (F.col("sdl").cast("double") / F.col("n"))
+        )
+    )
+    contrib = (
+        F.broadcast(qterms)
+        .join(tf, "w")
+        .join(dfreq, "w")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .filter(F.col("doc_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "doc_id",
+            F.round(idf * tfpart, 6).cast("decimal(18,6)").alias("c"),
+        )
+    )
+    lexscore = contrib.groupBy("query_id", "doc_id").agg(
+        F.sum("c").alias("score")
+    )
+    wl = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), "doc_id"
+    )
+    lexrank = lexscore.withColumn("r", F.row_number().over(wl))
+
+    qtf = (
+        qdocs.select("query_id")
+        .join(tf, tf.doc_id == F.col("query_id"))
+        .select("query_id", "w", "tf")
+    )
+    qnorm = qtf.groupBy("query_id").agg(
+        F.sqrt(F.sum(F.col("tf") * F.col("tf")).cast("double")).alias("nq")
+    )
+    dnorm = tf.groupBy("doc_id").agg(
+        F.sqrt(F.sum(F.col("tf") * F.col("tf")).cast("double")).alias("nd")
+    )
+    dots = (
+        F.broadcast(qtf.select("query_id", "w", F.col("tf").alias("qtf")))
+        .join(tf, "w")
+        .filter(F.col("doc_id") != F.col("query_id"))
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum(F.col("qtf") * F.col("tf")).cast("long").alias("dp"))
+    )
+    sim = F.col("dp") / (F.col("nq") * F.col("nd"))
+    ws = Window.partitionBy("query_id").orderBy(
+        F.round(sim, 9).desc(), "doc_id"
+    )
+    semrank = (
+        dots.join(F.broadcast(qnorm), "query_id")
+        .join(dnorm, "doc_id")
+        .select(
+            "query_id",
+            "doc_id",
+            F.round(sim, 6).alias("sim"),
+            F.row_number().over(ws).alias("r"),
+        )
+    )
+    return lexrank, semrank
+
+
+@query(
+    "hybrid_search_rrf",
+    oracle=f"""
+    WITH {_SQL_RETRIEVAL_CTES},
+    lex AS (SELECT query_id, doc_id, r FROM lexrank WHERE r <= {_LEX_TOPK}),
+    sem AS (SELECT query_id, doc_id, r FROM semrank WHERE r <= {_SEM_TOPK}),
+    fused AS (
+      SELECT coalesce(l.query_id, s.query_id) AS query_id,
+             coalesce(l.doc_id, s.doc_id) AS doc_id,
+             round(coalesce(CAST(1 AS DOUBLE) / ({_RRF_K} + l.r), 0)
+                   + coalesce(CAST(1 AS DOUBLE) / ({_RRF_K} + s.r), 0), 6)
+               AS rrf_score,
+             CAST(l.r AS INT) AS lex_rank,
+             CAST(s.r AS INT) AS sem_rank
+      FROM lex l
+      FULL OUTER JOIN sem s
+        ON s.query_id = l.query_id AND s.doc_id = l.doc_id
+    )
+    SELECT query_id, doc_id,
+           CAST(row_number() OVER (PARTITION BY query_id
+                                   ORDER BY rrf_score DESC, doc_id) AS INT)
+             AS rrf_rank,
+           rrf_score, lex_rank, sem_rank
+    FROM fused
+    QUALIFY rrf_rank <= {_RRF_TOPK}
+    """,
+)
+def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid search: Reciprocal Rank Fusion (k={_RRF_K}) of the BM25
+    lexical top-{_LEX_TOPK} and the exact sparse TF-cosine semantic
+    top-{_SEM_TOPK}, emitting the fused top-{_RRF_TOPK} per query
+    with both source ranks for auditability. RRF needs no score
+    calibration between the two arms — only ranks — which is exactly
+    why it is the production default for lexical+vector fusion.
+
+    Scale: both rankings reuse the broadcast-query-side equi-join
+    shape (corpus shuffled only on its own keys); the fusion itself
+    is a full outer join of two <= queries x k row tables."""
+    lex, sem = _retrieval_rankings(spark, sf_dir)
+    l = lex.filter(F.col("r") <= _LEX_TOPK).select(
+        "query_id", "doc_id", F.col("r").alias("lr")
+    )
+    s = sem.filter(F.col("r") <= _SEM_TOPK).select(
+        "query_id", "doc_id", F.col("r").alias("sr")
+    )
+    fused = l.join(s, ["query_id", "doc_id"], "full_outer").select(
+        "query_id",
+        "doc_id",
+        F.round(
+            F.coalesce(F.lit(1.0) / (_RRF_K + F.col("lr")), F.lit(0.0))
+            + F.coalesce(F.lit(1.0) / (_RRF_K + F.col("sr")), F.lit(0.0)),
+            6,
+        ).alias("rrf_score"),
+        F.col("lr").cast("int").alias("lex_rank"),
+        F.col("sr").cast("int").alias("sem_rank"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("rrf_score").desc(), "doc_id"
+    )
+    return (
+        fused.withColumn("rrf_rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rrf_rank") <= _RRF_TOPK)
+        .select(
+            "query_id", "doc_id", "rrf_rank", "rrf_score",
+            "lex_rank", "sem_rank",
+        )
+    )

@@ -122,6 +122,9 @@ PROBE_QUERIES = [
     # round-9 new family (doc-scale gram window / hash-source algebra)
     "memorization_span_report",
     "source_ablation_report",
+    # retrieval: BM25 + TF-cosine + fusion (broadcast query side vs
+    # the corpus tf table — growth must stay on the corpus aggregates)
+    "hybrid_search_rrf",
 ]
 
 

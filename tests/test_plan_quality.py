@@ -1067,3 +1067,14 @@ def test_round9_family_plan_shapes(spark):
     # joins, no corpus-wide window (windows sit above 24/7-row aggs)
     txt = plan_text(spark, "seasonal_strength_report")
     assert "Join" not in txt
+
+
+def test_retrieval_family_plan_shapes(spark):
+    # BM25: the query-term and corpus-stats sides must broadcast (the
+    # corpus tf table is only ever shuffled on its own keys); no
+    # cartesian anywhere — the 1-row stats crossJoin must be a
+    # broadcast NLJ
+    for name in ("bm25_topk_docs", "hybrid_search_rrf"):
+        txt = plan_text(spark, name)
+        assert "CartesianProduct" not in txt
+        assert "BroadcastHashJoin" in txt

@@ -278,3 +278,59 @@ def test_txlog_incremental_rollup_log_diff(spark, tmp_path):
     src.optimize(spark)
     with pytest.raises(ValueError, match="rebuild"):
         txlog_incremental_rollup(spark, src, roll)
+
+
+def test_bm25_planted_relevance_ordering(spark, tmp_path):
+    """Coverage and idf invariants on a planted corpus: the doc
+    matching ALL query terms outranks partial matches; matching a
+    RARE term outranks matching a COMMON one at equal tf and length;
+    the query doc itself is excluded."""
+    rows = [
+        (0, "apple banana cherry", "en", "q"),           # the query
+        (10, "apple banana cherry pad1 pad2", "en", "s"),  # all terms
+        (11, "apple pad3 pad4 pad5 pad6", "en", "s"),      # common term
+        (12, "apple pad7 pad8 pad9 pad10", "en", "s"),
+        (13, "apple pad11 pad12 pad13 pad14", "en", "s"),
+        (15, "cherry pad15 pad16 pad17 pad18", "en", "s"),  # rare term
+        (16, "pad19 pad20 pad21 pad22 pad23", "en", "s"),   # no overlap
+    ]
+    _write(spark, tmp_path, "documents", rows, DOC_SCHEMA)
+    out = plans.QUERIES["bm25_topk_docs"](spark, str(tmp_path)).collect()
+    assert all(r.query_id == 0 for r in out)
+    by_rank = {r.rank: r.doc_id for r in out}
+    ranked_docs = set(by_rank.values())
+    assert 0 not in ranked_docs      # self excluded
+    assert 16 not in ranked_docs     # no shared term -> no candidate
+    assert by_rank[1] == 10          # full coverage wins
+    scores = {r.doc_id: r.score for r in out}
+    # cherry (df 3: docs 0,10,15) is rarer than apple (df 5) ->
+    # at identical tf and dl the rare-term doc scores higher
+    assert scores[15] > scores[11]
+    assert scores[11] == scores[12] == scores[13]  # symmetric docs tie
+
+
+def test_hybrid_rrf_fuses_both_rankings(spark, tmp_path):
+    """A doc ranked top by BOTH arms must fuse above docs carried by
+    one arm only, and the audit columns must show which arm ranked
+    what (NULL where an arm didn't)."""
+    rows = [
+        (0, "apple banana cherry", "en", "q"),
+        (10, "apple banana cherry pad1 pad2", "en", "s"),
+        (11, "apple pad3 pad4 pad5 pad6", "en", "s"),
+        (16, "pad19 pad20 pad21 pad22 pad23", "en", "s"),
+    ]
+    _write(spark, tmp_path, "documents", rows, DOC_SCHEMA)
+    out = {
+        r.rrf_rank: r
+        for r in plans.QUERIES["hybrid_search_rrf"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    top = out[1]
+    assert top.doc_id == 10
+    assert top.lex_rank == 1 and top.sem_rank == 1
+    assert top.rrf_score == round(1 / 61 + 1 / 61, 6)
+    second = out[2]
+    assert second.doc_id == 11
+    assert second.rrf_score == round(1 / 62 + 1 / 62, 6)
+    assert 16 not in {r.doc_id for r in out.values()}
