@@ -338,3 +338,123 @@ def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
             "lex_rank", "sem_rank",
         )
     )
+
+
+_SNIP_LEN = 16  # snippet window, tokens
+_SNIP_DOCS = 3  # snippet the lexical top-3 per query
+
+
+@query(
+    "search_snippets",
+    oracle=f"""
+    WITH {_SQL_RETRIEVAL_CTES},
+    top3 AS (
+      SELECT query_id, doc_id, r FROM lexrank WHERE r <= {_SNIP_DOCS}
+    ),
+    dwords AS (
+      SELECT doc_id, {_SQL_LWORDS} AS ws
+      FROM documents WHERE length(trim(text)) > 0
+    ),
+    pos AS (
+      SELECT t.query_id, t.r, d.doc_id, d.ws,
+             unnest(range(1, len(d.ws) + 1)) AS p
+      FROM top3 t JOIN dwords d USING (doc_id)
+    ),
+    hits AS (
+      SELECT pos.query_id, pos.r, pos.doc_id, pos.ws, pos.p
+      FROM pos JOIN qterms q
+        ON q.query_id = pos.query_id AND q.w = pos.ws[CAST(p AS BIGINT)]
+    ),
+    winned AS (
+      SELECT query_id, r, doc_id, ws, p,
+             CAST(count(*) OVER (
+               PARTITION BY query_id, doc_id ORDER BY p
+               RANGE BETWEEN CURRENT ROW AND {_SNIP_LEN - 1} FOLLOWING
+             ) AS BIGINT) AS n_hits
+      FROM hits
+    ),
+    best AS (
+      SELECT *, row_number() OVER (
+               PARTITION BY query_id, doc_id
+               ORDER BY n_hits DESC, p) AS b
+      FROM winned
+    )
+    SELECT query_id, doc_id, CAST(r AS INT) AS rank,
+           CAST(p AS BIGINT) AS snippet_start, n_hits,
+           array_to_string(
+             ws[CAST(p AS BIGINT) : CAST(p + {_SNIP_LEN - 1} AS BIGINT)],
+             ' ') AS snippet_text
+    FROM best WHERE b = 1
+    """,
+)
+def search_snippets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Search-result snippets: for each query's lexical top-{_SNIP_DOCS}
+    documents, the {_SNIP_LEN}-token window containing the MOST query
+    -term occurrences (earliest window on ties) — the highlight/
+    keyword-in-context step every search UI runs after ranking.
+
+    Relational shape: the candidate set is queries x {_SNIP_DOCS}
+    docs (top-k output, tiny), so the positional token explode and
+    the query-term match run over a BOUNDED relation, never the
+    corpus; the best window is a RANGE frame over match POSITIONS
+    (count of hits in [p, p+{_SNIP_LEN - 1}]) + an argmax window —
+    both keyed by (query, doc). No corpus-wide work beyond the
+    rankings it reuses from `_retrieval_rankings`."""
+    lex, _ = _retrieval_rankings(spark, sf_dir)
+    top3 = lex.filter(F.col("r") <= _SNIP_DOCS).select(
+        "query_id", "doc_id", "r"
+    )
+    d = load(spark, sf_dir, "documents").filter(
+        F.length(F.trim(F.col("text"))) > 0
+    )
+    dwords = d.select(
+        "doc_id", tx.words(F.lower(F.col("text"))).alias("ws")
+    )
+    pos = (
+        top3.join(dwords, "doc_id")
+        .select(
+            "query_id", "r", "doc_id", "ws",
+            F.posexplode("ws").alias("p0", "w"),
+        )
+        .select(
+            "query_id", "r", "doc_id", "ws",
+            (F.col("p0") + 1).alias("p"), "w",
+        )
+    )
+    qdocs = d.filter(F.col("doc_id") < _N_QUERY_DOCS).select(
+        F.col("doc_id").alias("query_id"),
+        tx.words(F.lower(F.col("text"))).alias("qws"),
+    )
+    qterms = (
+        qdocs.select(
+            "query_id",
+            F.explode(F.slice("qws", 1, _N_QUERY_TERMS)).alias("w"),
+        )
+        .distinct()
+    )
+    hits = pos.join(F.broadcast(qterms), ["query_id", "w"], "left_semi")
+    wr = (
+        Window.partitionBy("query_id", "doc_id")
+        .orderBy("p")
+        .rangeBetween(0, _SNIP_LEN - 1)
+    )
+    winned = hits.withColumn(
+        "n_hits", F.count(F.lit(1)).over(wr).cast("long")
+    )
+    wb = Window.partitionBy("query_id", "doc_id").orderBy(
+        F.col("n_hits").desc(), "p"
+    )
+    return (
+        winned.withColumn("b", F.row_number().over(wb))
+        .filter(F.col("b") == 1)
+        .select(
+            "query_id",
+            "doc_id",
+            F.col("r").cast("int").alias("rank"),
+            F.col("p").cast("long").alias("snippet_start"),
+            "n_hits",
+            F.array_join(
+                F.slice("ws", F.col("p"), F.lit(_SNIP_LEN)), " "
+            ).alias("snippet_text"),
+        )
+    )

@@ -334,3 +334,30 @@ def test_hybrid_rrf_fuses_both_rankings(spark, tmp_path):
     assert second.doc_id == 11
     assert second.rrf_score == round(1 / 62 + 1 / 62, 6)
     assert 16 not in {r.doc_id for r in out.values()}
+
+
+def test_search_snippets_finds_densest_window(spark, tmp_path):
+    """The snippet must anchor at the window with the MOST query-term
+    hits (earliest on ties), not the first match."""
+    pads = " ".join(f"pad{i}" for i in range(16))  # 16 filler tokens
+    rows = [
+        (0, "apple banana cherry", "en", "q"),
+        # isolated 'apple' at pos 1, dense cluster at pos 18-20
+        (10, "apple " + pads + " apple banana cherry", "en", "s"),
+        # two isolated singles -> earliest window wins the tie
+        (11, "pad_a apple " + pads + " apple", "en", "s"),
+    ]
+    _write(spark, tmp_path, "documents", rows, DOC_SCHEMA)
+    out = {
+        r.doc_id: r
+        for r in plans.QUERIES["search_snippets"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    dense = out[10]
+    assert dense.n_hits == 3
+    assert dense.snippet_start == 18
+    assert dense.snippet_text.startswith("apple banana cherry")
+    single = out[11]
+    assert single.n_hits == 1
+    assert single.snippet_start == 2  # earliest of the two 1-hit windows
