@@ -78,6 +78,11 @@ HEADLINE = [
     # not inspect without rerunning (#2 and #11 by r8 bench cost)
     ("part_copurchase_communities", "shared edge checkpoint; per-round neighbor-key join + (node,label) count + WindowGroupLimit argmax, fixed rounds"),
     ("part_entity_resolution", "raw+dirty union -> block-df cap (hot blocks dropped pre-join) -> within-block levenshtein -> star-contraction components"),
+    # round-9 retrieval family
+    ("bm25_topk_docs", "broadcast query terms vs the corpus tf table (inverted-index access); exact-int stats; decimal-summed scores; per-query rank window"),
+    ("hybrid_search_rrf", "RRF full-outer join of the BM25 and TF-cosine top-k tables (queries x k rows each); both arms share one ranking builder"),
+    ("memorization_span_report", "broadcast benchmark grams; islands window over MATCHED positions only (hit-volume, never corpus-volume)"),
+    ("source_ablation_report", "ONE corpus scan -> exact-integer per-source aggregates; ablation by window algebra + a (hash,source) dup correction"),
 ]
 
 
