@@ -5015,3 +5015,139 @@ def matryoshka_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mean_recall_at_5"
         ),
     )
+
+
+_TCLOSE_T = 0.2      # EMD threshold (Li et al.'s canonical example value)
+_TCLOSE_BINS = 10    # ordinal sensitive-attribute buckets
+_TCLOSE_W = 50.0     # bucket width over `value`
+
+
+@query(
+    "t_closeness_report",
+    oracle=f"""
+    WITH ev AS (
+      SELECT event_type,
+             strftime(ts, '%Y-%m-%d') AS event_date,
+             least(greatest(CAST(floor(value / {_TCLOSE_W}) AS INT) + 1, 1),
+                   {_TCLOSE_BINS}) AS b
+      FROM events WHERE value IS NOT NULL
+    ),
+    g AS (SELECT b, CAST(count(*) AS BIGINT) AS gc FROM ev GROUP BY b),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM ev),
+    cls AS (
+      SELECT event_type, event_date, CAST(count(*) AS BIGINT) AS nc
+      FROM ev GROUP BY 1, 2
+    ),
+    cb AS (
+      SELECT event_type, event_date, b, CAST(count(*) AS BIGINT) AS cc
+      FROM ev GROUP BY 1, 2, 3
+    ),
+    grid AS (
+      SELECT c.event_type, c.event_date, c.nc, bb.b,
+             coalesce(cb.cc, 0) AS cc, coalesce(g.gc, 0) AS gc
+      FROM cls c
+      CROSS JOIN (SELECT unnest(range(1, {_TCLOSE_BINS} + 1)) AS b) bb
+      LEFT JOIN cb ON cb.event_type = c.event_type
+                  AND cb.event_date = c.event_date AND cb.b = bb.b
+      LEFT JOIN g ON g.b = bb.b
+    ),
+    cum AS (
+      SELECT event_type, event_date, nc, b,
+             sum(cc * t.n - gc * nc) OVER (
+               PARTITION BY event_type, event_date ORDER BY b) AS run,
+             t.n
+      FROM grid CROSS JOIN tot t
+    )
+    SELECT event_type, event_date,
+           CAST(nc AS BIGINT) AS n_rows,
+           round(CAST(sum(abs(run)) AS DOUBLE)
+                 / (CAST(nc AS DOUBLE) * n * ({_TCLOSE_BINS} - 1)), 6)
+             AS emd,
+           CAST(CASE WHEN CAST(sum(abs(run)) AS DOUBLE)
+                          / (CAST(nc AS DOUBLE) * n
+                             * ({_TCLOSE_BINS} - 1)) > {_TCLOSE_T}
+                     THEN 1 ELSE 0 END AS INT) AS t_violation
+    FROM cum GROUP BY event_type, event_date, nc, n
+    """,
+)
+def t_closeness_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit (Li, Li & Venkatasubramanian ICDE 2007 — the
+    strengthening of l-diversity, public method): a quasi-identifier
+    class leaks even with many DISTINCT sensitive values if its
+    sensitive DISTRIBUTION deviates from the table-wide one ("every
+    event in this class is high-value"). Per class (event_type,
+    event_date), the Earth Mover's Distance between the class's and
+    the global ordinal value-bucket distributions — for ordered bins,
+    EMD = sum over bins of |cumulative(p - q)| / (bins - 1). Flags
+    classes with EMD > t={_TCLOSE_T}. Completes the release-gate
+    privacy triad: `k_anonymity_report` (class size) ->
+    `l_diversity_report` (distinct sensitive values) -> this
+    (sensitive distribution).
+
+    Float parity by INTEGER LATTICE: p_i - q_i = c_i/n_c - g_i/N =
+    (c_i*N - g_i*n_c) / (n_c*N), so the running sums and their
+    absolute values accumulate as EXACT BIGINTs; the single division
+    by n_c*N*(bins-1) happens once per class at the end — no float
+    summation anywhere.
+
+    Scale: two keyed aggregates over one scan plus a classes x
+    {_TCLOSE_BINS} grid (class-cardinality, zero-filled via a range
+    cross join); windows run on that bounded grid."""
+    e = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    b = F.least(
+        F.greatest(
+            F.floor(F.col("value") / _TCLOSE_W).cast("int") + 1, F.lit(1)
+        ),
+        F.lit(_TCLOSE_BINS),
+    )
+    ev = e.select(
+        "event_type",
+        F.date_format("ts", "yyyy-MM-dd").alias("event_date"),
+        b.alias("b"),
+    )
+    g = ev.groupBy("b").agg(F.count(F.lit(1)).cast("long").alias("gc"))
+    tot = ev.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    cls = ev.groupBy("event_type", "event_date").agg(
+        F.count(F.lit(1)).cast("long").alias("nc")
+    )
+    cb = ev.groupBy("event_type", "event_date", "b").agg(
+        F.count(F.lit(1)).cast("long").alias("cc")
+    )
+    bins = ev.sparkSession.range(1, _TCLOSE_BINS + 1).select(
+        F.col("id").cast("int").alias("b")
+    )
+    grid = (
+        cls.crossJoin(F.broadcast(bins))
+        .join(cb, ["event_type", "event_date", "b"], "left")
+        .join(F.broadcast(g), "b", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "event_type", "event_date", "nc", "b", "n",
+            F.coalesce(F.col("cc"), F.lit(0)).alias("cc"),
+            F.coalesce(F.col("gc"), F.lit(0)).alias("gc"),
+        )
+    )
+    wc = (
+        Window.partitionBy("event_type", "event_date")
+        .orderBy("b")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = grid.withColumn(
+        "run", F.sum(F.col("cc") * F.col("n") - F.col("gc") * F.col("nc")).over(wc)
+    )
+    emd = F.sum(F.abs(F.col("run"))).cast("double") / (
+        F.col("nc").cast("double") * F.col("n") * (_TCLOSE_BINS - 1)
+    )
+    # the flag compares the UNROUNDED ratio on both engines (the
+    # oracle's CASE does the same) — comparing a rounded value against
+    # the threshold could disagree with the oracle at the boundary
+    return cum.groupBy("event_type", "event_date", "nc", "n").agg(
+        F.round(emd, 6).alias("emd"),
+        (emd > _TCLOSE_T).cast("int").alias("t_violation"),
+    ).select(
+        "event_type",
+        "event_date",
+        F.col("nc").cast("long").alias("n_rows"),
+        "emd",
+        "t_violation",
+    )

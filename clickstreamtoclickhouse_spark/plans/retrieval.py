@@ -458,3 +458,108 @@ def search_snippets(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("snippet_text"),
         )
     )
+
+
+_EVAL_K = 10  # evaluate the lexical ranking at cutoff 10
+
+
+@query(
+    "retrieval_eval_report",
+    oracle=f"""
+    WITH {_SQL_RETRIEVAL_CTES},
+    lex AS (SELECT query_id, doc_id, r FROM lexrank WHERE r <= {_EVAL_K}),
+    sem AS (SELECT query_id, doc_id, r FROM semrank WHERE r <= {_EVAL_K}),
+    judged AS (
+      SELECT l.query_id, l.r AS lex_r,
+             coalesce({_EVAL_K} + 1 - s.r, 0) AS rel
+      FROM lex l
+      LEFT JOIN sem s
+        ON s.query_id = l.query_id AND s.doc_id = l.doc_id
+    ),
+    idcg AS (
+      SELECT sum(CAST(round(({_EVAL_K} + 1 - i)
+                            / log2(CAST(i + 1 AS DOUBLE)), 6)
+                      AS DECIMAL(18, 6))) AS v
+      FROM (SELECT unnest(range(1, {_EVAL_K} + 1)) AS i)
+    ),
+    per_q AS (
+      SELECT query_id,
+             CAST(sum(CASE WHEN rel > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_hits,
+             sum(CAST(round(rel / log2(CAST(lex_r + 1 AS DOUBLE)), 6)
+                      AS DECIMAL(18, 6))) AS dcg,
+             min(CASE WHEN rel > 0 THEN lex_r END) AS first_rel
+      FROM judged GROUP BY query_id
+    )
+    SELECT query_id,
+           round(n_hits * 1.0 / {_EVAL_K}, 6) AS recall_at_{_EVAL_K},
+           round(coalesce(CAST(1 AS DOUBLE) / first_rel, 0), 6) AS mrr,
+           round(CAST(dcg AS DOUBLE) / CAST(i.v AS DOUBLE), 6)
+             AS ndcg_at_{_EVAL_K}
+    FROM per_q CROSS JOIN idcg i
+    """,
+)
+def retrieval_eval_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking-quality metrics for the BM25 arm against the exact
+    TF-cosine top-{_EVAL_K} as graded ground truth (rel = {_EVAL_K}+1
+    - semantic rank, 0 outside): recall@{_EVAL_K}, MRR, and
+    nDCG@{_EVAL_K} per query — the standard eval loop run before
+    trusting a cheap lexical ranker to pre-filter for an expensive
+    semantic stage (Jarvelin & Kekalainen 2002 define nDCG; public
+    methods). With graded truth fixed at {_EVAL_K} levels the ideal
+    DCG is the same constant for every query, computed relationally
+    on both engines.
+
+    Float parity: hit counts and first-relevant ranks are exact
+    integers; each DCG term (rel / log2(rank+1)) rounds to 6dp and
+    sums in DECIMAL(18,6) — order-free — and the one nDCG division
+    happens on identical doubles.
+
+    Scale: consumes the two queries x {_EVAL_K} rank tables from
+    `_retrieval_rankings`; everything here is bounded-table algebra."""
+    lex, sem = _retrieval_rankings(spark, sf_dir)
+    l = lex.filter(F.col("r") <= _EVAL_K).select(
+        "query_id", "doc_id", F.col("r").alias("lex_r")
+    )
+    s = sem.filter(F.col("r") <= _EVAL_K).select(
+        "query_id", "doc_id", F.col("r").alias("sem_r")
+    )
+    judged = l.join(s, ["query_id", "doc_id"], "left").select(
+        "query_id",
+        "lex_r",
+        F.coalesce(_EVAL_K + 1 - F.col("sem_r"), F.lit(0)).alias("rel"),
+    )
+    idcg = (
+        spark.range(1, _EVAL_K + 1)
+        .select(
+            F.round(
+                (_EVAL_K + 1 - F.col("id"))
+                / F.log2((F.col("id") + 1).cast("double")),
+                6,
+            )
+            .cast("decimal(18,6)")
+            .alias("t")
+        )
+        .agg(F.sum("t").alias("v"))
+    )
+    per_q = judged.groupBy("query_id").agg(
+        F.sum((F.col("rel") > 0).cast("int")).cast("long").alias("n_hits"),
+        F.sum(
+            F.round(
+                F.col("rel") / F.log2((F.col("lex_r") + 1).cast("double")), 6
+            ).cast("decimal(18,6)")
+        ).alias("dcg"),
+        F.min(F.when(F.col("rel") > 0, F.col("lex_r"))).alias("first_rel"),
+    )
+    return per_q.crossJoin(F.broadcast(idcg)).select(
+        "query_id",
+        F.round(F.col("n_hits") * 1.0 / _EVAL_K, 6).alias(
+            f"recall_at_{_EVAL_K}"
+        ),
+        F.round(
+            F.coalesce(F.lit(1.0) / F.col("first_rel"), F.lit(0.0)), 6
+        ).alias("mrr"),
+        F.round(
+            F.col("dcg").cast("double") / F.col("v").cast("double"), 6
+        ).alias(f"ndcg_at_{_EVAL_K}"),
+    )

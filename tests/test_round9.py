@@ -361,3 +361,66 @@ def test_search_snippets_finds_densest_window(spark, tmp_path):
     single = out[11]
     assert single.n_hits == 1
     assert single.snippet_start == 2  # earliest of the two 1-hit windows
+
+
+def test_t_closeness_planted_distributions(spark, tmp_path):
+    """Classes matching the global value distribution pass; a class
+    concentrated in one bucket violates. Hand-computed EMDs on a
+    3-class plant (buckets of width 50 over value)."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 5, 1, 12, 0, 0)
+    rows, eid = [], 0
+    # d1 and d2: one event per bucket (values 25, 75, ..., 475)
+    for day in (1, 2):
+        for i in range(10):
+            rows.append(
+                (eid, t0 + dt.timedelta(days=day), eid, "click",
+                 25.0 + 50.0 * i)
+            )
+            eid += 1
+    # d3: ten events all in the top bucket
+    for _ in range(10):
+        rows.append((eid, t0 + dt.timedelta(days=3), eid, "click", 475.0))
+        eid += 1
+    _write(spark, tmp_path, "events", rows, EV_SCHEMA)
+    out = {
+        r.event_date: r
+        for r in plans.QUERIES["t_closeness_report"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    # d1/d2 vs global (2 per bucket 1-9, 12 in bucket 10):
+    # EMD = (sum_{i=1..9} i/30) / 9 = 1.5/9
+    assert out["2024-05-02"].emd == round(1.5 / 9, 6)
+    assert out["2024-05-02"].t_violation == 0
+    assert out["2024-05-03"].emd == out["2024-05-02"].emd
+    # d3 all-in-one-bucket: EMD = (sum_{i=1..9} i/15) / 9 = 3/9
+    d3 = out["2024-05-04"]
+    assert d3.emd == round(3 / 9, 6)
+    assert d3.t_violation == 1
+
+
+def test_retrieval_eval_planted_agreement(spark, tmp_path):
+    """When the lexical and semantic candidate sets coincide, the
+    top lexical doc is semantically relevant (MRR 1.0) and recall@10
+    counts exactly the shared candidates."""
+    rows = [
+        (0, "apple banana cherry", "en", "q"),
+        (10, "apple banana cherry pad1 pad2", "en", "s"),
+        (11, "apple pad3 pad4 pad5 pad6", "en", "s"),
+        (12, "apple pad7 pad8 pad9 pad10", "en", "s"),
+        (13, "apple pad11 pad12 pad13 pad14", "en", "s"),
+        (15, "cherry pad15 pad16 pad17 pad18", "en", "s"),
+        (16, "pad19 pad20 pad21 pad22 pad23", "en", "s"),
+    ]
+    _write(spark, tmp_path, "documents", rows, DOC_SCHEMA)
+    out = plans.QUERIES["retrieval_eval_report"](
+        spark, str(tmp_path)
+    ).collect()
+    assert len(out) == 1 and out[0].query_id == 0
+    r = out[0]
+    # 5 docs share a query term -> both arms rank exactly those 5
+    assert r.recall_at_10 == 0.5
+    assert r.mrr == 1.0  # lex rank-1 (doc 10) is semantically relevant
+    assert 0.0 < r.ndcg_at_10 <= 1.0
