@@ -1078,3 +1078,15 @@ def test_retrieval_family_plan_shapes(spark):
         txt = plan_text(spark, name)
         assert "CartesianProduct" not in txt
         assert "BroadcastHashJoin" in txt
+
+
+def test_privacy_and_eval_plan_shapes(spark):
+    # t-closeness: two keyed aggregates + bounded-grid windows; the
+    # bin/total cross joins must be broadcast, never a real cartesian
+    txt = plan_text(spark, "t_closeness_report")
+    assert "CartesianProduct" not in txt
+    # retrieval eval: bounded rank-table algebra over the shared
+    # ranking builder — no cartesian, query side broadcast
+    txt = plan_text(spark, "retrieval_eval_report")
+    assert "CartesianProduct" not in txt
+    assert "BroadcastHashJoin" in txt
