@@ -5151,3 +5151,84 @@ def t_closeness_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         "emd",
         "t_violation",
     )
+
+
+_DP_EPS = 1.0  # reference privacy budget for the noise-scale columns
+
+
+@query(
+    "dp_sensitivity_report",
+    oracle=f"""
+    WITH per_user AS (
+      SELECT event_type, user_id,
+             CAST(count(*) AS BIGINT) AS ur,
+             CAST(sum(coalesce(CAST(round(value * 100, 0) AS BIGINT), 0))
+               AS BIGINT) AS uc
+      FROM events GROUP BY event_type, user_id
+    )
+    SELECT event_type,
+           CAST(sum(ur) AS BIGINT) AS n_rows,
+           CAST(count(*) AS BIGINT) AS n_users,
+           CAST(max(ur) AS BIGINT) AS count_sensitivity,
+           CAST(max(abs(uc)) AS BIGINT) AS sum_sensitivity_cents,
+           round(CAST(max(ur) AS DOUBLE)
+                 / ({_DP_EPS} * sum(ur)), 9) AS rel_count_noise,
+           CASE WHEN sum(uc) = 0 THEN NULL
+                ELSE round(CAST(max(abs(uc)) AS DOUBLE)
+                           / ({_DP_EPS} * abs(sum(uc))), 9)
+           END AS rel_sum_noise
+    FROM per_user GROUP BY event_type
+    """,
+)
+def dp_sensitivity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differential-privacy sensitivity audit (Dwork et al. 2006 /
+    Dwork & Roth 2014 'Algorithmic Foundations of DP', public method):
+    for each per-event-type release of COUNT(*) and SUM(value), the
+    USER-LEVEL L1 sensitivity — the largest change any single user's
+    removal can cause — which is max rows-per-user for the count and
+    max |per-user value total| for the sum. The Laplace mechanism
+    calibrates noise scale b = sensitivity / epsilon, so the report
+    also emits the noise-to-signal ratios at epsilon={_DP_EPS}
+    (b_count / true_count, b_sum / |true_sum|): the budget-planning
+    numbers a release gate reads to decide whether a statistic
+    survives privatization. Extends the release-gate privacy family
+    past auditing (`k_anonymity_report` -> `l_diversity_report` ->
+    `t_closeness_report`) into MECHANISM CALIBRATION. Deterministic
+    by construction — it reports the noise SCALE, it never samples
+    noise.
+
+    Float parity: value is fixed to integer cents before any
+    aggregate (the attribution_linear stance), so every sensitivity
+    and total is an exact BIGINT; the two ratios are single
+    bigint/bigint double divisions rounded to 9dp.
+
+    Scale: two map-side-combinable keyed aggregates over one scan —
+    (event_type, user_id) then event_type; the max-over-users reduce
+    is a partial aggregate, so no user-level rows ever shuffle to one
+    place, and output is event-type-cardinality."""
+    e = load(spark, sf_dir, "events")
+    cents = F.coalesce(
+        F.round(F.col("value") * 100, 0).cast("bigint"), F.lit(0)
+    )
+    per_user = e.groupBy("event_type", "user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("ur"),
+        F.sum(cents).cast("long").alias("uc"),
+    )
+    rel_count = F.round(
+        F.max("ur").cast("double") / (F.lit(_DP_EPS) * F.sum("ur")), 9
+    )
+    rel_sum = F.when(F.sum("uc") == 0, F.lit(None).cast("double")).otherwise(
+        F.round(
+            F.max(F.abs(F.col("uc"))).cast("double")
+            / (F.lit(_DP_EPS) * F.abs(F.sum("uc"))),
+            9,
+        )
+    )
+    return per_user.groupBy("event_type").agg(
+        F.sum("ur").cast("long").alias("n_rows"),
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.max("ur").cast("long").alias("count_sensitivity"),
+        F.max(F.abs(F.col("uc"))).cast("long").alias("sum_sensitivity_cents"),
+        rel_count.alias("rel_count_noise"),
+        rel_sum.alias("rel_sum_noise"),
+    )

@@ -424,3 +424,41 @@ def test_retrieval_eval_planted_agreement(spark, tmp_path):
     assert r.recall_at_10 == 0.5
     assert r.mrr == 1.0  # lex rank-1 (doc 10) is semantically relevant
     assert 0.0 < r.ndcg_at_10 <= 1.0
+
+
+def test_dp_sensitivity_planted(spark, tmp_path):
+    """Hand-computed user-level L1 sensitivities: the heaviest user
+    sets count_sensitivity; the largest |per-user cents total| sets
+    sum_sensitivity; NULL values count as 0 cents but still count
+    rows; a zero-sum release gets NULL rel_sum_noise."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        # click: user 1 -> 4 rows (one NULL value), cents 800;
+        #        user 2 -> 1 row, cents 10000
+        (0, t0, 1, "click", 10.00),
+        (1, t0, 1, "click", -2.50),
+        (2, t0, 1, "click", 0.50),
+        (3, t0, 1, "click", None),
+        (4, t0, 2, "click", 100.00),
+        # view: +500 and -500 cents -> total 0
+        (5, t0, 5, "view", 5.00),
+        (6, t0, 6, "view", -5.00),
+    ]
+    _write(spark, tmp_path, "events", rows, EV_SCHEMA)
+    out = {
+        r.event_type: r
+        for r in plans.QUERIES["dp_sensitivity_report"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    click = out["click"]
+    assert (click.n_rows, click.n_users) == (5, 2)
+    assert click.count_sensitivity == 4
+    assert click.sum_sensitivity_cents == 10000
+    assert click.rel_count_noise == 0.8  # 4 / (1.0 * 5)
+    assert abs(click.rel_sum_noise - round(10000 / 10800, 9)) < 1e-12
+    view = out["view"]
+    assert (view.count_sensitivity, view.sum_sensitivity_cents) == (1, 500)
+    assert view.rel_sum_noise is None  # zero-sum release: undefined
