@@ -168,12 +168,12 @@ def bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _retrieval_rankings(
+def _tf_tables(
     spark: SparkSession, sf_dir: str
-) -> tuple[DataFrame, DataFrame]:
-    """(lexical BM25 ranking, semantic TF-cosine ranking) — the Spark
-    twin of _SQL_RETRIEVAL_CTES, shared by bm25_topk_docs and
-    hybrid_search_rrf so the two registered queries cannot drift."""
+) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame, DataFrame]:
+    """(documents, per-(doc,term) tf, doc lengths, query docs, query
+    terms) — the corpus-statistics base of _SQL_RETRIEVAL_CTES,
+    shared by the rankings builder and prf_query_expansion."""
     d = load(spark, sf_dir, "documents").filter(
         F.length(F.trim(F.col("text"))) > 0
     )
@@ -184,11 +184,6 @@ def _retrieval_rankings(
         F.count(F.lit(1)).cast("long").alias("tf")
     )
     dl = tf.groupBy("doc_id").agg(F.sum("tf").cast("long").alias("dl"))
-    stats = dl.agg(
-        F.count(F.lit(1)).cast("long").alias("n"),
-        F.sum("dl").cast("long").alias("sdl"),
-    )
-    dfreq = tf.groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("df"))
     qdocs = d.filter(F.col("doc_id") < _N_QUERY_DOCS).select(
         F.col("doc_id").alias("query_id"),
         tx.words(F.lower(F.col("text"))).alias("ws"),
@@ -200,6 +195,21 @@ def _retrieval_rankings(
         )
         .distinct()
     )
+    return d, tf, dl, qdocs, qterms
+
+
+def _retrieval_rankings(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """(lexical BM25 ranking, semantic TF-cosine ranking) — the Spark
+    twin of _SQL_RETRIEVAL_CTES, shared by bm25_topk_docs and
+    hybrid_search_rrf so the two registered queries cannot drift."""
+    d, tf, dl, qdocs, qterms = _tf_tables(spark, sf_dir)
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("dl").cast("long").alias("sdl"),
+    )
+    dfreq = tf.groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("df"))
     k1 = F.lit(float(_BM25_K1))
     b = F.lit(float(_BM25_B))
     idf = F.log(
@@ -562,4 +572,101 @@ def retrieval_eval_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             F.col("dcg").cast("double") / F.col("v").cast("double"), 6
         ).alias(f"ndcg_at_{_EVAL_K}"),
+    )
+
+
+_PRF_DOCS = 5  # pseudo-relevance feedback depth (lexical top-5)
+_PRF_TERMS = 10  # expansion terms emitted per query
+
+
+@query(
+    "prf_query_expansion",
+    oracle=f"""
+    WITH {{ctes}},
+    fb AS (
+      SELECT query_id, doc_id FROM lexrank WHERE r <= {_PRF_DOCS}
+    ),
+    cand AS (
+      SELECT f.query_id, t.w, t.doc_id,
+             CAST(round(t.tf * 1.0 / l.dl, 9) AS DECIMAL(18, 9)) AS a
+      FROM fb f
+      JOIN tf t USING (doc_id)
+      JOIN dl l ON l.doc_id = t.doc_id
+    ),
+    scored AS (
+      SELECT query_id, w, sum(a) AS wsum,
+             CAST(count(DISTINCT doc_id) AS BIGINT) AS n_fb_docs
+      FROM cand
+      WHERE NOT EXISTS (SELECT 1 FROM qterms q
+                        WHERE q.query_id = cand.query_id
+                          AND q.w = cand.w)
+      GROUP BY query_id, w
+    )
+    SELECT query_id, w AS term,
+           round(CAST(wsum AS DOUBLE), 6) AS rm_weight,
+           n_fb_docs,
+           CAST(row_number() OVER (PARTITION BY query_id
+                                   ORDER BY wsum DESC, w) AS INT) AS rank
+    FROM scored
+    QUALIFY rank <= {_PRF_TERMS}
+    """.format(ctes=_SQL_RETRIEVAL_CTES),
+)
+def prf_query_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pseudo-relevance-feedback query expansion (Lavrenko & Croft
+    SIGIR 2001 relevance models, public method — RM1 with uniform
+    feedback-document weights): treat each query's BM25
+    top-{_PRF_DOCS} as relevant, estimate the relevance language
+    model P(w|R) = sum over feedback docs of tf(w,d)/|d|, and emit
+    the top-{_PRF_TERMS} NEW terms (original query terms excluded)
+    per query — the expansion step a retrieval stack runs between
+    first-pass ranking and re-retrieval. Completes the retrieval
+    family's loop: rank (bm25/hybrid) -> evaluate (retrieval_eval)
+    -> improve (this).
+
+    Float parity: tf and dl are exact BIGINTs, so each tf/dl addend
+    is an identical double; addends round to 9dp and sum in
+    DECIMAL(18,9) — order-free — with one final 6dp display round.
+
+    Scale: the feedback relation is queries x {_PRF_DOCS} doc ids
+    (top-k output, tiny) and broadcasts into the tf equi-join, so
+    term scoring touches only the feedback docs' postings; the
+    original-term exclusion is a broadcast anti-join against the
+    (queries x {_N_QUERY_TERMS})-row term table, and the final
+    ranking is a window over the bounded candidate set — no
+    corpus-wide work beyond the rankings it reuses."""
+    lex, _ = _retrieval_rankings(spark, sf_dir)
+    _, tf, dl, _, qterms = _tf_tables(spark, sf_dir)
+    fb = lex.filter(F.col("r") <= _PRF_DOCS).select("query_id", "doc_id")
+    cand = (
+        F.broadcast(fb)
+        .join(tf, "doc_id")
+        .join(dl, "doc_id")
+        .select(
+            "query_id",
+            "w",
+            "doc_id",
+            F.round(F.col("tf") * 1.0 / F.col("dl"), 9)
+            .cast("decimal(18,9)")
+            .alias("a"),
+        )
+    )
+    scored = (
+        cand.join(F.broadcast(qterms), ["query_id", "w"], "left_anti")
+        .groupBy("query_id", "w")
+        .agg(
+            F.sum("a").alias("wsum"),
+            F.countDistinct("doc_id").cast("long").alias("n_fb_docs"),
+        )
+    )
+    wr = Window.partitionBy("query_id").orderBy(F.col("wsum").desc(), "w")
+    return (
+        scored.withColumn("rank", F.row_number().over(wr).cast("int"))
+        .filter(F.col("rank") <= _PRF_TERMS)
+        .select(
+            "query_id",
+            F.col("w").alias("term"),
+            F.round(F.col("wsum").cast("double"), 6).alias("rm_weight"),
+            "n_fb_docs",
+            "rank",
+        )
     )

@@ -1090,3 +1090,13 @@ def test_privacy_and_eval_plan_shapes(spark):
     txt = plan_text(spark, "retrieval_eval_report")
     assert "CartesianProduct" not in txt
     assert "BroadcastHashJoin" in txt
+
+
+def test_prf_expansion_plan_shape(spark):
+    # feedback-doc and query-term sides must broadcast into the tf
+    # equi-join (postings-only access); the exclusion anti-join must
+    # also be broadcast; no cartesian anywhere
+    txt = plan_text(spark, "prf_query_expansion")
+    assert "CartesianProduct" not in txt
+    assert "BroadcastHashJoin" in txt
+    assert "BroadcastHashJoin" in txt and "LeftAnti" in txt

@@ -462,3 +462,32 @@ def test_dp_sensitivity_planted(spark, tmp_path):
     view = out["view"]
     assert (view.count_sensitivity, view.sum_sensitivity_cents) == (1, 500)
     assert view.rel_sum_noise is None  # zero-sum release: undefined
+
+
+def test_prf_expansion_planted_terms(spark, tmp_path):
+    """Expansion terms come only from feedback (BM25-matched) docs,
+    original query terms are excluded, and weights are the exact
+    sum of tf/dl across feedback docs (zebra: 2/5 + 1/5 = 0.6)."""
+    rows = [
+        (0, "apple banana cherry", "en", "q"),             # the query
+        (10, "apple banana cherry zebra zebra", "en", "s"),
+        (11, "apple yak zebra pad1 pad2", "en", "s"),
+        (16, "pad19 pad20 pad21 pad22 pad23", "en", "s"),  # no overlap
+    ]
+    _write(spark, tmp_path, "documents", rows, DOC_SCHEMA)
+    out = plans.QUERIES["prf_query_expansion"](
+        spark, str(tmp_path)
+    ).collect()
+    assert all(r.query_id == 0 for r in out)
+    terms = {r.term: r for r in out}
+    # original query terms never expand; non-feedback docs contribute
+    # nothing
+    assert not {"apple", "banana", "cherry"} & set(terms)
+    assert not {"pad19", "pad20"} & set(terms)
+    z = terms["zebra"]
+    assert (z.rank, z.n_fb_docs) == (1, 2)
+    assert z.rm_weight == 0.6  # 2/5 from doc 10 + 1/5 from doc 11
+    assert terms["yak"].rm_weight == 0.2
+    # equal weights tie-break by term ascending
+    eq = [r.term for r in sorted(out, key=lambda r: r.rank)[1:]]
+    assert eq == sorted(eq)
