@@ -6241,3 +6241,251 @@ def seasonal_strength_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dim_report("hour_of_day", F.hour("ts")).unionByName(
         dim_report("day_of_week", F.dayofweek("ts"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 9: Shapley-value attribution (game-theoretic, exact over the
+# channel-subset lattice)
+# ---------------------------------------------------------------------------
+
+
+def _shapley_weight_str(pc: int, n: int) -> str:
+    """s!(n-1-s)!/n! as a 12dp decimal string (HALF_UP), interpolated
+    VERBATIM as the weight literal into BOTH engines so the lattice
+    weights are bit-identical (1/12-style fractions do not terminate
+    in decimal; sharing one rounded literal kills the hazard)."""
+    from decimal import ROUND_HALF_UP, Decimal
+    from math import factorial
+
+    w = Decimal(factorial(pc) * factorial(n - 1 - pc)) / Decimal(
+        factorial(n)
+    )
+    return str(w.quantize(Decimal(1).scaleb(-12), rounding=ROUND_HALF_UP))
+
+
+def _shapley_attr_oracle_sql() -> str:
+    n = len(_MK_CHANNELS)
+    chan_list = ", ".join(f"'{c}'" for c in _MK_CHANNELS)
+    bit_case = " ".join(
+        f"WHEN '{c}' THEN {1 << i}" for i, c in enumerate(_MK_CHANNELS)
+    )
+    chan_values = ", ".join(
+        f"('{c}', {i})" for i, c in enumerate(_MK_CHANNELS)
+    )
+    pc_expr = " + ".join(f"((m >> {i}) & 1)" for i in range(n))
+    w_case = " ".join(
+        f"WHEN {pc} THEN CAST('{_shapley_weight_str(pc, n)}'"
+        " AS DECIMAL(18,12))"
+        for pc in range(n)
+    )
+    dz = "CAST(0 AS DECIMAL(18,12))"
+    return f"""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    ),
+    firstp AS (
+      SELECT user_id, min(rn) AS prn FROM seq
+      WHERE event_type = 'purchase' GROUP BY user_id
+    ),
+    touched AS (
+      SELECT DISTINCT s.user_id, s.event_type AS channel
+      FROM seq s LEFT JOIN firstp f USING (user_id)
+      WHERE s.event_type IN ({chan_list})
+        AND (f.prn IS NULL OR s.rn < f.prn)
+    ),
+    tm AS (
+      SELECT user_id,
+             CAST(sum(CASE channel {bit_case} END) AS BIGINT) AS m
+      FROM touched GROUP BY user_id
+    ),
+    umask AS (
+      SELECT u.user_id, coalesce(tm.m, 0) AS m,
+             CASE WHEN f.user_id IS NULL THEN 0 ELSE 1 END AS conv
+      FROM (SELECT DISTINCT user_id FROM events) u
+      LEFT JOIN tm USING (user_id)
+      LEFT JOIN firstp f USING (user_id)
+    ),
+    vtab AS (
+      SELECT m, CAST(round(sum(conv) * 1.0 / count(*), 12)
+                     AS DECIMAL(18,12)) AS v
+      FROM umask GROUP BY m
+    ),
+    chans AS (SELECT * FROM (VALUES {chan_values}) AS c(channel, bit)),
+    masks AS (
+      SELECT CAST(range AS BIGINT) AS m, {pc_expr} AS pc
+      FROM range(0, {1 << n})
+    ),
+    marg AS (
+      SELECT c.channel,
+             (CASE mk.pc {w_case} END)
+               * (coalesce(vw.v, {dz}) - coalesce(vo.v, {dz})) AS a
+      FROM chans c
+      JOIN masks mk ON ((mk.m >> c.bit) & 1) = 0
+      LEFT JOIN vtab vo ON vo.m = mk.m
+      LEFT JOIN vtab vw ON vw.m = mk.m + (1 << c.bit)
+    ),
+    phi AS (SELECT channel, sum(a) AS p FROM marg GROUP BY channel),
+    nt AS (
+      SELECT channel, CAST(count(*) AS BIGINT) AS n_touched_users
+      FROM touched GROUP BY channel
+    )
+    SELECT p.channel,
+           CAST(coalesce(nt.n_touched_users, 0) AS BIGINT)
+             AS n_touched_users,
+           round(CAST(p.p AS DOUBLE), 9) AS shapley_value,
+           CASE WHEN t.tot = 0 THEN NULL
+                ELSE round(CAST(p.p AS DOUBLE) / CAST(t.tot AS DOUBLE), 6)
+           END AS attribution_share
+    FROM phi p
+    LEFT JOIN nt USING (channel)
+    CROSS JOIN (SELECT sum(p) AS tot FROM phi) t
+    """
+
+
+@query("shapley_attribution", oracle=_shapley_attr_oracle_sql())
+def shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shapley-value attribution (Shapley 1953; applied to ad/channel
+    attribution by Dalessandro et al. 2012 and Zhao, Mahboobi &
+    Bagheri 2018 — public methods): each channel's credit is its
+    average marginal contribution to conversion over every ordering
+    of the channel coalition. Characteristic function v(S) =
+    observed conversion rate among users whose PRE-CONVERSION touched
+    channel set is exactly S (0 for unobserved sets); journeys
+    truncate at first purchase with the same window pass as
+    `markov_attribution`, so the family's three data-driven models —
+    last-touch (`click_attribution`), position-agnostic
+    (`attribution_linear`), removal-effect (`markov_attribution`),
+    and this order-averaged one — all read one journey definition.
+
+    EXACT, no sampling: phi_i = sum over subsets S not containing i
+    of |S|!(n-1-|S|)!/n! * (v(S+i) - v(S)), evaluated over the full
+    2^n mask lattice. n = len(_MK_CHANNELS) is event-type-bounded
+    (compile-time 4 here, 16 masks); the lattice is generated
+    relationally (range + bit ops) and the whole computation stays
+    in DataFrame algebra — no driver-side iteration. A channel
+    vocabulary wide enough to make 2^n hostile (n > ~20) needs
+    sampled-permutation Shapley instead; this operator's contract is
+    the small-n exact form.
+
+    Float parity: v rates are round(conv/tot, 12) on exact BIGINTs ->
+    DECIMAL(18,12); lattice weights are shared 12dp decimal string
+    literals (see _shapley_weight_str); each addend w * (v(S+i) -
+    v(S)) is an EXACT decimal product (scale 24) summed exactly, so
+    the only rounding anywhere is the two final display rounds —
+    HALF_UP = half-away-from-zero on both engines, signs included.
+
+    Scale: event-scale work is ONE user-keyed window pass plus two
+    map-side-combinable keyed aggregates (the markov shape); the
+    mask lattice is (2^n x n) rows joined via broadcasts against the
+    <= 2^n-row exact-set rate table — bounded algebra, zero shuffles
+    beyond the journey aggregation."""
+    n = len(_MK_CHANNELS)
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "user_id", "event_type", F.row_number().over(w).alias("rn")
+    )
+    firstp = (
+        seq.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("rn").alias("prn"))
+    )
+    touched = (
+        seq.join(firstp, "user_id", "left")
+        .filter(
+            F.col("event_type").isin(list(_MK_CHANNELS))
+            & (F.col("prn").isNull() | (F.col("rn") < F.col("prn")))
+        )
+        .select("user_id", F.col("event_type").alias("channel"))
+        .distinct()
+    )
+    bit_expr = None
+    for i, c in enumerate(_MK_CHANNELS):
+        clause = (F.col("channel") == c, F.lit(1 << i))
+        bit_expr = (
+            F.when(*clause) if bit_expr is None else bit_expr.when(*clause)
+        )
+    tm = touched.groupBy("user_id").agg(
+        F.sum(bit_expr).cast("long").alias("m")
+    )
+    umask = (
+        e.select("user_id")
+        .distinct()
+        .join(tm, "user_id", "left")
+        .join(firstp, "user_id", "left")
+        .select(
+            F.coalesce(F.col("m"), F.lit(0)).alias("m"),
+            F.col("prn").isNotNull().cast("int").alias("conv"),
+        )
+    )
+    vtab = umask.groupBy("m").agg(
+        F.round(F.sum("conv") * 1.0 / F.count(F.lit(1)), 12)
+        .cast("decimal(18,12)")
+        .alias("v")
+    )
+    chans = spark.createDataFrame(
+        [(c, i) for i, c in enumerate(_MK_CHANNELS)],
+        "channel string, bit int",
+    )
+    pc_col = None
+    for i in range(n):
+        t = F.shiftright(F.col("mk"), i).bitwiseAND(F.lit(1))
+        pc_col = t if pc_col is None else pc_col + t
+    masks = spark.range(0, 1 << n).select(
+        F.col("id").cast("long").alias("mk"), pc_col.cast("int").alias("pc")
+    )
+    w_col = None
+    for pc in range(n):
+        lit = F.lit(_shapley_weight_str(pc, n)).cast("decimal(18,12)")
+        w_col = (
+            F.when(F.col("pc") == pc, lit)
+            if w_col is None
+            else w_col.when(F.col("pc") == pc, lit)
+        )
+    lat = (
+        F.broadcast(chans)
+        .crossJoin(F.broadcast(masks))
+        .filter(F.expr("(shiftright(mk, bit) & 1) = 0"))
+        .withColumn("mw", F.col("mk") + F.expr("shiftleft(CAST(1 AS BIGINT), bit)"))
+    )
+    vo = vtab.select(F.col("m").alias("mk"), F.col("v").alias("vo"))
+    vw = vtab.select(F.col("m").alias("mw"), F.col("v").alias("vw"))
+    dz = F.lit("0").cast("decimal(18,12)")
+    marg = (
+        lat.join(F.broadcast(vo), "mk", "left")
+        .join(F.broadcast(vw), "mw", "left")
+        .select(
+            "channel",
+            (
+                w_col
+                * (F.coalesce(F.col("vw"), dz) - F.coalesce(F.col("vo"), dz))
+            ).alias("a"),
+        )
+    )
+    phi = marg.groupBy("channel").agg(F.sum("a").alias("p"))
+    tot = phi.agg(F.sum("p").alias("tot"))
+    nt = touched.groupBy("channel").agg(
+        F.count(F.lit(1)).cast("long").alias("n_touched_users")
+    )
+    return (
+        phi.join(F.broadcast(nt), "channel", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "channel",
+            F.coalesce(F.col("n_touched_users"), F.lit(0))
+            .cast("long")
+            .alias("n_touched_users"),
+            F.round(F.col("p").cast("double"), 9).alias("shapley_value"),
+            F.when(F.col("tot") == 0, F.lit(None).cast("double"))
+            .otherwise(
+                F.round(
+                    F.col("p").cast("double") / F.col("tot").cast("double"),
+                    6,
+                )
+            )
+            .alias("attribution_share"),
+        )
+    )

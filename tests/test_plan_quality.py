@@ -1100,3 +1100,13 @@ def test_prf_expansion_plan_shape(spark):
     assert "CartesianProduct" not in txt
     assert "BroadcastHashJoin" in txt
     assert "BroadcastHashJoin" in txt and "LeftAnti" in txt
+
+
+def test_shapley_attribution_plan_shape(spark):
+    # the 2^n mask lattice and the exact-set rate table must join via
+    # broadcasts (bounded algebra); the only real shuffle is the
+    # user-keyed journey pass — and the tiny crossJoins must never
+    # degrade to a CartesianProduct
+    txt = plan_text(spark, "shapley_attribution")
+    assert "CartesianProduct" not in txt
+    assert "BroadcastHashJoin" in txt

@@ -491,3 +491,46 @@ def test_prf_expansion_planted_terms(spark, tmp_path):
     # equal weights tie-break by term ascending
     eq = [r.term for r in sorted(out, key=lambda r: r.rank)[1:]]
     assert eq == sorted(eq)
+
+
+def test_shapley_attribution_planted_synergy(spark, tmp_path):
+    """Hand-computed exact-lattice Shapley (n=4, weights w0=0.25,
+    w1=w2=1/12@12dp): click converts alone (v({c})=0.5) and with view
+    (v({c,v})=1.0), view never converts alone -> click's credit
+    0.25*0.5 + (1/12)*1.0 = 0.208333333; view's (1/12)*0.5 =
+    0.041666667; untouched channels pick up the negative
+    all-coalition marginals -(1/12)*1.5 = -0.125."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def ev(eid, user, typ, minute):
+        return (eid, t0 + dt.timedelta(minutes=minute), user, typ, 1.0)
+
+    rows = [
+        # {click}, converts
+        ev(0, 1, "click", 0), ev(1, 1, "purchase", 1),
+        # {click}, no conversion
+        ev(2, 2, "click", 0),
+        # {click, view}, converts (both orders)
+        ev(3, 3, "click", 0), ev(4, 3, "view", 1), ev(5, 3, "purchase", 2),
+        ev(6, 4, "view", 0), ev(7, 4, "click", 1), ev(8, 4, "purchase", 2),
+        # {view}, no conversion x2
+        ev(9, 5, "view", 0),
+        ev(10, 6, "view", 0),
+    ]
+    _write(spark, tmp_path, "events", rows, EV_SCHEMA)
+    out = {
+        r.channel: r
+        for r in plans.QUERIES["shapley_attribution"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert set(out) == {"click", "error", "signup", "view"}
+    assert out["click"].shapley_value == 0.208333333
+    assert out["view"].shapley_value == 0.041666667
+    assert out["error"].shapley_value == -0.125
+    assert out["signup"].shapley_value == -0.125
+    assert out["click"].n_touched_users == 4
+    assert out["view"].n_touched_users == 4
+    assert out["error"].n_touched_users == 0
