@@ -690,3 +690,116 @@ def memorization_span_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("memorization_risk"),
         )
     )
+
+
+_CURR_BAND_W = 16  # difficulty-band width, tokens
+_CURR_MAX_BAND = 7  # bands 0..7 (token counts cap at band 7)
+
+
+@query(
+    "curriculum_data_order",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, CAST(len({_SQL_WS}) AS BIGINT) AS difficulty
+      FROM documents WHERE length(trim(text)) > 0
+    ),
+    sharded AS (
+      SELECT doc_id, difficulty,
+             CAST(least(difficulty // {_CURR_BAND_W}, {_CURR_MAX_BAND})
+                  AS INT) AS band,
+             ('0x' || substr(md5('curr:' || CAST(doc_id AS VARCHAR)),
+                             1, 8))::BIGINT AS h
+      FROM toks
+    ),
+    stepped AS (
+      SELECT doc_id, difficulty, band,
+             CAST(h % {N_SHARDS} AS INT) AS shard,
+             CAST(row_number() OVER (
+               PARTITION BY band, h % {N_SHARDS}
+               ORDER BY h, doc_id) AS BIGINT) AS step,
+             CAST(count(*) OVER (
+               PARTITION BY band, h % {N_SHARDS}) AS BIGINT) AS bs_n
+      FROM sharded
+    ),
+    offs AS (
+      SELECT band, shard,
+             CAST(coalesce(sum(bs_n) OVER (
+               PARTITION BY shard ORDER BY band
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS off
+      FROM (SELECT DISTINCT band, shard, bs_n FROM stepped)
+    )
+    SELECT s.doc_id, s.difficulty, s.band, s.shard, s.step,
+           CAST(o.off + s.step AS BIGINT) AS shard_pos
+    FROM stepped s JOIN offs o USING (band, shard)
+    """,
+)
+def curriculum_data_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum data ordering (Bengio et al. ICML 2009 curriculum
+    learning; length-based difficulty per Spitkovsky et al. 2010
+    'baby steps' — public methods): order the corpus easy -> hard by
+    token-count difficulty bands (width {_CURR_BAND_W}, capped at
+    band {_CURR_MAX_BAND}), deterministically hash-shuffled WITHIN a
+    band so each band is decorrelated, and sharded for {N_SHARDS}
+    parallel readers. `shard_pos` is the document's position in its
+    shard's band-ordered stream — what a curriculum-aware loader
+    seeks by. Complements `epoch_shuffle` (order without difficulty)
+    and `mixture_epoch_allocation` (composition without order).
+
+    Scale: the step counter windows on (band, shard) — {N_SHARDS}x
+    finer than a per-band sort, and shards sort in parallel (the
+    epoch_shuffle stance: never a corpus-global window). Band
+    offsets come from the bounded bands x shards count table, cumsum
+    over <= {_CURR_MAX_BAND + 1} rows per shard, broadcast back.
+    Hash order is md5-derived (portable_id_hash), so any retry or
+    engine migration reproduces the identical curriculum."""
+    from pyspark.sql.window import Window
+
+    from ..util import portable_id_hash
+
+    d = load(spark, sf_dir, "documents").filter(
+        F.length(F.trim(F.col("text"))) > 0
+    )
+    sharded = d.select(
+        "doc_id",
+        F.size(tx.words(F.col("text"))).cast("long").alias("difficulty"),
+    ).select(
+        "doc_id",
+        "difficulty",
+        F.least(
+            F.expr(f"difficulty div {_CURR_BAND_W}"),
+            F.lit(_CURR_MAX_BAND).cast("long"),
+        )
+        .cast("int")
+        .alias("band"),
+        portable_id_hash(
+            F.concat(F.lit("curr:"), F.col("doc_id").cast("string"))
+        ).alias("h"),
+    ).withColumn("shard", F.pmod(F.col("h"), F.lit(N_SHARDS)).cast("int"))
+    ws = Window.partitionBy("band", "shard").orderBy("h", "doc_id")
+    stepped = sharded.withColumn(
+        "step", F.row_number().over(ws).cast("long")
+    )
+    counts = stepped.groupBy("band", "shard").agg(
+        F.count(F.lit(1)).cast("long").alias("bs_n")
+    )
+    wo = (
+        Window.partitionBy("shard")
+        .orderBy("band")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = counts.select(
+        "band",
+        "shard",
+        F.coalesce(F.sum("bs_n").over(wo), F.lit(0))
+        .cast("long")
+        .alias("off"),
+    )
+    return stepped.join(F.broadcast(offs), ["band", "shard"]).select(
+        "doc_id",
+        "difficulty",
+        "band",
+        "shard",
+        "step",
+        (F.col("off") + F.col("step")).cast("long").alias("shard_pos"),
+    )

@@ -1110,3 +1110,11 @@ def test_shapley_attribution_plan_shape(spark):
     txt = plan_text(spark, "shapley_attribution")
     assert "CartesianProduct" not in txt
     assert "BroadcastHashJoin" in txt
+
+
+def test_curriculum_order_plan_shape(spark):
+    # per-(band, shard) windows only — never a corpus-global sort;
+    # band offsets broadcast back; no cartesian
+    txt = plan_text(spark, "curriculum_data_order")
+    assert "CartesianProduct" not in txt
+    assert "BroadcastHashJoin" in txt

@@ -534,3 +534,32 @@ def test_shapley_attribution_planted_synergy(spark, tmp_path):
     assert out["click"].n_touched_users == 4
     assert out["view"].n_touched_users == 4
     assert out["error"].n_touched_users == 0
+
+
+def test_curriculum_order_band_monotone_and_contiguous(spark, tmp_path):
+    """Within every shard: positions are contiguous 1..n and the
+    difficulty BAND is monotone in shard_pos (easy bands stream
+    first); difficulty is the exact token count."""
+    rows = [
+        (i, " ".join(f"w{j}" for j in range(n)), "en", "s")
+        for i, n in enumerate([5, 8, 12, 20, 25, 30, 40, 45, 50, 70,
+                               90, 130, 3, 18, 33, 66])
+    ]
+    _write(spark, tmp_path, "documents", rows, DOC_SCHEMA)
+    out = plans.QUERIES["curriculum_data_order"](
+        spark, str(tmp_path)
+    ).collect()
+    assert len(out) == len(rows)
+    toks = {i: n for i, n in enumerate([5, 8, 12, 20, 25, 30, 40, 45,
+                                        50, 70, 90, 130, 3, 18, 33, 66])}
+    for r in out:
+        assert r.difficulty == toks[r.doc_id]
+        assert r.band == min(r.difficulty // 16, 7)
+    by_shard = {}
+    for r in out:
+        by_shard.setdefault(r.shard, []).append(r)
+    for shard, rs in by_shard.items():
+        rs.sort(key=lambda r: r.shard_pos)
+        assert [r.shard_pos for r in rs] == list(range(1, len(rs) + 1))
+        bands = [r.band for r in rs]
+        assert bands == sorted(bands)  # curriculum: easy before hard
