@@ -6489,3 +6489,176 @@ def shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("attribution_share"),
         )
     )
+
+
+_UPLIFT_MAX_BUCKET = 12  # engagement-score buckets 0..12
+
+
+@query(
+    "uplift_qini_report",
+    oracle=f"""
+    WITH assign AS (
+      SELECT user_id,
+             CASE WHEN ('0x' || substr(md5(CAST(user_id AS VARCHAR)),
+                                       1, 8))::BIGINT % 2 = 0
+                  THEN 1 ELSE 0 END AS treated
+      FROM (SELECT DISTINCT user_id FROM events)
+    ),
+    clicks AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS nclk
+      FROM events WHERE event_type = 'click' GROUP BY user_id
+    ),
+    conv AS (
+      SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+    ),
+    per_user AS (
+      SELECT a.treated,
+             CAST(least(coalesce(c.nclk, 0), {_UPLIFT_MAX_BUCKET})
+                  AS INT) AS bucket,
+             CASE WHEN v.user_id IS NULL THEN 0 ELSE 1 END AS cv
+      FROM assign a
+      LEFT JOIN clicks c USING (user_id)
+      LEFT JOIN conv v ON v.user_id = a.user_id
+    ),
+    b AS (
+      SELECT bucket,
+             CAST(sum(treated) AS BIGINT) AS n_t,
+             CAST(sum(1 - treated) AS BIGINT) AS n_c,
+             CAST(sum(treated * cv) AS BIGINT) AS k_t,
+             CAST(sum((1 - treated) * cv) AS BIGINT) AS k_c
+      FROM per_user GROUP BY bucket
+    ),
+    cum AS (
+      SELECT bucket, n_t, n_c, k_t, k_c,
+             CAST(sum(k_t) OVER w AS BIGINT) AS ck_t,
+             CAST(sum(k_c) OVER w AS BIGINT) AS ck_c,
+             CAST(sum(n_t) OVER w AS BIGINT) AS cn_t,
+             CAST(sum(n_c) OVER w AS BIGINT) AS cn_c
+      FROM b
+      WINDOW w AS (ORDER BY bucket DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT CAST(bucket AS INT) AS score_bucket,
+           n_t AS n_treated, n_c AS n_control,
+           k_t AS conv_treated, k_c AS conv_control,
+           CASE WHEN n_t = 0 OR n_c = 0 THEN NULL
+                ELSE round(k_t * 1.0 / n_t - k_c * 1.0 / n_c, 6)
+           END AS uplift,
+           CASE WHEN cn_c = 0 THEN NULL
+                ELSE round(ck_t - ck_c * 1.0 * cn_t / cn_c, 6)
+           END AS cum_qini
+    FROM cum
+    """,
+)
+def uplift_qini_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uplift-by-segment report with a Qini curve (Radcliffe & Surry
+    1999; Radcliffe 2007 'Using control groups to target on predicted
+    lift' defines the Qini measure — public methods): users are
+    hash-split into treated/control (the ab_test_proportions
+    assignment), segmented by an engagement score (click count,
+    capped at {_UPLIFT_MAX_BUCKET}), and each segment reports its
+    incremental conversion rate uplift = rate_treated - rate_control.
+    `cum_qini` walks the Qini curve over segments in DESCENDING score
+    order — cumulative treated conversions minus control conversions
+    scaled to the treated exposure (ck_t - ck_c * cn_t / cn_c) — the
+    number an uplift-targeting policy reads to pick a cutoff.
+    Completes the experimentation family: ab_test_{{proportions,
+    welch,cuped}} measure the average effect; this localizes WHERE
+    the effect concentrates.
+
+    Float parity: all counts are exact BIGINTs; uplift and Qini are
+    single-expression double algebra over them, mirrored
+    term-for-term (including evaluation order) and rounded to 6dp.
+
+    Scale: one event scan -> per-user keyed aggregates (clicks,
+    conversion flag, hash assignment) -> one bucket-keyed aggregate;
+    the Qini cumulative window runs on the bounded
+    {_UPLIFT_MAX_BUCKET + 1}-row bucket table."""
+    from ..util import portable_id_hash
+
+    e = load(spark, sf_dir, "events")
+    users = e.select("user_id").distinct()
+    assign = users.select(
+        "user_id",
+        (
+            F.pmod(portable_id_hash(F.col("user_id").cast("string")), 2) == 0
+        )
+        .cast("int")
+        .alias("treated"),
+    )
+    clicks = (
+        e.filter(F.col("event_type") == "click")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("nclk"))
+    )
+    conv = (
+        e.filter(F.col("event_type") == "purchase")
+        .select("user_id")
+        .distinct()
+        .withColumn("cv", F.lit(1))
+    )
+    per_user = (
+        assign.join(clicks, "user_id", "left")
+        .join(conv, "user_id", "left")
+        .select(
+            "treated",
+            F.least(
+                F.coalesce(F.col("nclk"), F.lit(0)),
+                F.lit(_UPLIFT_MAX_BUCKET).cast("long"),
+            )
+            .cast("int")
+            .alias("bucket"),
+            F.coalesce(F.col("cv"), F.lit(0)).alias("cv"),
+        )
+    )
+    b = per_user.groupBy("bucket").agg(
+        F.sum("treated").cast("long").alias("n_t"),
+        F.sum(1 - F.col("treated")).cast("long").alias("n_c"),
+        F.sum(F.col("treated") * F.col("cv")).cast("long").alias("k_t"),
+        F.sum((1 - F.col("treated")) * F.col("cv"))
+        .cast("long")
+        .alias("k_c"),
+    )
+    w = (
+        Window.orderBy(F.col("bucket").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = b.select(
+        "bucket",
+        "n_t",
+        "n_c",
+        "k_t",
+        "k_c",
+        F.sum("k_t").over(w).cast("long").alias("ck_t"),
+        F.sum("k_c").over(w).cast("long").alias("ck_c"),
+        F.sum("n_t").over(w).cast("long").alias("cn_t"),
+        F.sum("n_c").over(w).cast("long").alias("cn_c"),
+    )
+    return cum.select(
+        F.col("bucket").cast("int").alias("score_bucket"),
+        F.col("n_t").alias("n_treated"),
+        F.col("n_c").alias("n_control"),
+        F.col("k_t").alias("conv_treated"),
+        F.col("k_c").alias("conv_control"),
+        F.when(
+            (F.col("n_t") == 0) | (F.col("n_c") == 0),
+            F.lit(None).cast("double"),
+        )
+        .otherwise(
+            F.round(
+                F.col("k_t") * 1.0 / F.col("n_t")
+                - F.col("k_c") * 1.0 / F.col("n_c"),
+                6,
+            )
+        )
+        .alias("uplift"),
+        F.when(F.col("cn_c") == 0, F.lit(None).cast("double"))
+        .otherwise(
+            F.round(
+                F.col("ck_t")
+                - F.col("ck_c") * 1.0 * F.col("cn_t") / F.col("cn_c"),
+                6,
+            )
+        )
+        .alias("cum_qini"),
+    )

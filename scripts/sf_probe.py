@@ -125,6 +125,13 @@ PROBE_QUERIES = [
     # retrieval: BM25 + TF-cosine + fusion (broadcast query side vs
     # the corpus tf table — growth must stay on the corpus aggregates)
     "hybrid_search_rrf",
+    # round-9 finale: privacy grid algebra (classes x bins windows),
+    # feedback-postings expansion, journey pass + bounded Shapley
+    # lattice, per-(band,shard) curriculum windows
+    "t_closeness_report",
+    "prf_query_expansion",
+    "shapley_attribution",
+    "curriculum_data_order",
 ]
 
 

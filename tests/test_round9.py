@@ -563,3 +563,50 @@ def test_curriculum_order_band_monotone_and_contiguous(spark, tmp_path):
         assert [r.shard_pos for r in rs] == list(range(1, len(rs) + 1))
         bands = [r.band for r in rs]
         assert bands == sorted(bands)  # curriculum: easy before hard
+
+
+def test_uplift_qini_planted(spark, tmp_path):
+    """Hand-computed uplift lattice (md5 assignment: users 1,3,6,9
+    treated; 2,4,5 control): bucket 3 = perfect uplift 1.0; bucket 0
+    = no effect 0.0; a control-free bucket reports NULL uplift; the
+    Qini walk in descending score order is 2.0 -> 3.0 -> 3.0."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows, eid = [], 0
+
+    def emit(user, typ, minute):
+        nonlocal eid
+        rows.append((eid, t0 + dt.timedelta(minutes=minute), user, typ, 1.0))
+        eid += 1
+
+    for u in (1, 3):     # treated, 3 clicks, convert
+        for m in range(3):
+            emit(u, "click", m)
+        emit(u, "purchase", 9)
+    for u in (2, 4):     # control, 3 clicks, no conversion
+        for m in range(3):
+            emit(u, "click", m)
+    emit(9, "click", 0)  # treated-only bucket 1, converts
+    emit(9, "purchase", 5)
+    emit(6, "view", 0)   # treated, bucket 0, no conversion
+    emit(5, "view", 0)   # control, bucket 0, no conversion
+    _write(spark, tmp_path, "events", rows, EV_SCHEMA)
+    out = {
+        r.score_bucket: r
+        for r in plans.QUERIES["uplift_qini_report"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert set(out) == {0, 1, 3}
+    b3 = out[3]
+    assert (b3.n_treated, b3.n_control) == (2, 2)
+    assert (b3.conv_treated, b3.conv_control) == (2, 0)
+    assert b3.uplift == 1.0
+    assert b3.cum_qini == 2.0
+    b1 = out[1]
+    assert b1.uplift is None  # no control exposure in the bucket
+    assert b1.cum_qini == 3.0
+    b0 = out[0]
+    assert b0.uplift == 0.0
+    assert b0.cum_qini == 3.0
