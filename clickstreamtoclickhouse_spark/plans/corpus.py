@@ -1843,3 +1843,199 @@ def classifier_agreement_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.round((po - pe) / (1.0 - pe), 6))
         .alias("kappa"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 9: corpus-health scaling laws — Zipf rank-frequency fit and
+# Good-Turing unseen-mass estimate
+# ---------------------------------------------------------------------------
+
+_ZIPF_K = 100  # fit over the top-K vocabulary ranks
+
+_SQL_TFREQ = f"""toks AS (
+      SELECT unnest({tx.SQL_WORDS.format(t='lower(text)')}) AS w
+      FROM documents WHERE length(trim(text)) > 0
+    ),
+    tfreq AS (
+      SELECT w, CAST(count(*) AS BIGINT) AS f FROM toks GROUP BY w
+    )"""
+
+
+@query(
+    "zipf_law_fit",
+    oracle=f"""
+    WITH {_SQL_TFREQ},
+    topk AS (SELECT w, f FROM tfreq ORDER BY f DESC, w LIMIT {_ZIPF_K}),
+    ranked AS (
+      SELECT f, CAST(row_number() OVER (ORDER BY f DESC, w) AS BIGINT) AS r
+      FROM topk
+    ),
+    pts AS (
+      SELECT CAST(round(ln(CAST(r AS DOUBLE)), 9) AS DECIMAL(18, 9)) AS x,
+             CAST(round(ln(CAST(f AS DOUBLE)), 9) AS DECIMAL(18, 9)) AS y
+      FROM ranked
+    ),
+    s AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
+             sum(x * x) AS sxx, sum(y * y) AS syy
+      FROM pts
+    )
+    SELECT n AS k_terms,
+           CASE WHEN n * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) = 0
+                THEN NULL
+                ELSE round((n * CAST(sxy AS DOUBLE)
+                            - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                           / (n * CAST(sxx AS DOUBLE)
+                              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)),
+                           6)
+           END AS zipf_slope,
+           CASE WHEN n * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) = 0
+                THEN NULL
+                ELSE round((CAST(sy AS DOUBLE)
+                            - (n * CAST(sxy AS DOUBLE)
+                               - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                              / (n * CAST(sxx AS DOUBLE)
+                                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                              * CAST(sx AS DOUBLE)) / n, 6)
+           END AS intercept,
+           CASE WHEN (n * CAST(sxx AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                     * (n * CAST(syy AS DOUBLE)
+                        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) = 0
+                THEN NULL
+                ELSE round((n * CAST(sxy AS DOUBLE)
+                            - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                           * (n * CAST(sxy AS DOUBLE)
+                              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                           / ((n * CAST(sxx AS DOUBLE)
+                               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                              * (n * CAST(syy AS DOUBLE)
+                                 - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))),
+                           6)
+           END AS r2
+    FROM s
+    """,
+)
+def zipf_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf rank-frequency fit (Zipf 1949; standard corpus-health
+    diagnostic — natural text fits ln(freq) ~ intercept + slope *
+    ln(rank) with slope near -1 and high r2; template/synthetic spam
+    flattens the curve): OLS over the top-{_ZIPF_K} vocabulary ranks
+    on the log-log scale, emitting slope, intercept, and r2.
+
+    Float parity: the top-K cutoff is a TOTAL order (freq DESC, term)
+    so both engines pick identical terms; ln(rank)/ln(freq) round to
+    9dp (killing libm last-ulp skew) and every OLS sufficient
+    statistic is an exact DECIMAL sum of those rounded points — the
+    closed-form slope/r2 algebra then runs on identical doubles (the
+    ab_test_welch rounded-sufficient-statistics stance).
+
+    Scale: term frequencies are one map-side-combinable vocab-keyed
+    aggregate; the top-K is TakeOrdered (per-partition heaps, never a
+    full vocabulary sort); ranking and OLS run on the {_ZIPF_K}-row
+    table."""
+    d = load(spark, sf_dir, "documents").filter(
+        F.length(F.trim(F.col("text"))) > 0
+    )
+    tfreq = (
+        d.select(F.explode(tx.words(F.lower(F.col("text")))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("f"))
+    )
+    topk = tfreq.orderBy(F.col("f").desc(), "w").limit(_ZIPF_K)
+    wr = Window.orderBy(F.col("f").desc(), "w")
+    pts = topk.select(
+        F.round(F.log(F.row_number().over(wr).cast("double")), 9)
+        .cast("decimal(18,9)")
+        .alias("x"),
+        F.round(F.log(F.col("f").cast("double")), 9)
+        .cast("decimal(18,9)")
+        .alias("y"),
+    )
+    s = pts.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    n = F.col("n")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    syy = F.col("syy").cast("double")
+    dxx = n * sxx - sx * sx
+    dyy = n * syy - sy * sy
+    cov = n * sxy - sx * sy
+    slope = cov / dxx
+    return s.select(
+        n.alias("k_terms"),
+        F.when(dxx == 0, F.lit(None).cast("double"))
+        .otherwise(F.round(slope, 6))
+        .alias("zipf_slope"),
+        F.when(dxx == 0, F.lit(None).cast("double"))
+        .otherwise(F.round((sy - slope * sx) / n, 6))
+        .alias("intercept"),
+        F.when(dxx * dyy == 0, F.lit(None).cast("double"))
+        .otherwise(F.round(cov * cov / (dxx * dyy), 6))
+        .alias("r2"),
+    )
+
+
+@query(
+    "good_turing_unseen_mass",
+    oracle=f"""
+    WITH {_SQL_TFREQ}
+    SELECT CAST(sum(f) AS BIGINT) AS n_tokens,
+           CAST(count(*) AS BIGINT) AS vocab_size,
+           CAST(sum(CASE WHEN f = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS singleton_types,
+           CAST(sum(CASE WHEN f = 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS doubleton_types,
+           round(sum(CASE WHEN f = 1 THEN 1 ELSE 0 END) * 1.0 / sum(f), 9)
+             AS unseen_mass
+    FROM tfreq
+    """,
+)
+def good_turing_unseen_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Good-Turing missing-mass estimate (Good 1953, public method):
+    the probability the NEXT token drawn is an unseen word type is
+    estimated by n1/N — singleton types over total tokens — the
+    standard answer to "is this corpus big enough for its domain, or
+    is the vocabulary still growing?" (high unseen mass = more data
+    keeps adding new words; near zero = vocabulary saturated).
+    Doubleton counts are emitted for the GT-smoothed singleton mass
+    (2*n2/N) a consumer may derive. Companion to `zipf_law_fit` in
+    the corpus scaling-law pair.
+
+    Float parity: every statistic is an exact BIGINT; unseen_mass is
+    one bigint/bigint double division rounded to 9dp.
+
+    Scale: one token explode -> one vocab-keyed count -> one global
+    1-row reduce (all map-side combinable)."""
+    d = load(spark, sf_dir, "documents").filter(
+        F.length(F.trim(F.col("text"))) > 0
+    )
+    tfreq = (
+        d.select(F.explode(tx.words(F.lower(F.col("text")))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("f"))
+    )
+    return tfreq.agg(
+        F.sum("f").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("vocab_size"),
+        F.sum((F.col("f") == 1).cast("int")).cast("long").alias(
+            "singleton_types"
+        ),
+        F.sum((F.col("f") == 2).cast("int")).cast("long").alias(
+            "doubleton_types"
+        ),
+        F.round(
+            F.sum((F.col("f") == 1).cast("int")) * 1.0 / F.sum("f"), 9
+        ).alias("unseen_mass"),
+    )

@@ -610,3 +610,30 @@ def test_uplift_qini_planted(spark, tmp_path):
     b0 = out[0]
     assert b0.uplift == 0.0
     assert b0.cum_qini == 3.0
+
+
+def test_zipf_fit_exact_power_law(spark, tmp_path):
+    """Frequencies 12/6/4/3 at ranks 1..4 are an exact f = 12/r law:
+    the log-log OLS must recover slope -1, intercept ln(12), r2 1."""
+    text = " ".join(["a"] * 12 + ["b"] * 6 + ["c"] * 4 + ["d"] * 3)
+    _write(spark, tmp_path, "documents", [(0, text, "en", "s")], DOC_SCHEMA)
+    r = plans.QUERIES["zipf_law_fit"](spark, str(tmp_path)).collect()[0]
+    assert r.k_terms == 4
+    assert r.zipf_slope == -1.0
+    assert r.intercept == 2.484907  # ln(12) @ 6dp
+    assert r.r2 == 1.0
+
+
+def test_good_turing_singleton_mass(spark, tmp_path):
+    """'a a a b b c d': 7 tokens, 2 singleton types -> unseen mass
+    2/7; doubleton count covers the GT-smoothed derivation."""
+    _write(
+        spark, tmp_path, "documents",
+        [(0, "a a a b b c d", "en", "s")], DOC_SCHEMA,
+    )
+    r = plans.QUERIES["good_turing_unseen_mass"](
+        spark, str(tmp_path)
+    ).collect()[0]
+    assert (r.n_tokens, r.vocab_size) == (7, 4)
+    assert (r.singleton_types, r.doubleton_types) == (2, 1)
+    assert r.unseen_mass == round(2 / 7, 9)
