@@ -83,6 +83,12 @@ HEADLINE = [
     ("hybrid_search_rrf", "RRF full-outer join of the BM25 and TF-cosine top-k tables (queries x k rows each); both arms share one ranking builder"),
     ("memorization_span_report", "broadcast benchmark grams; islands window over MATCHED positions only (hit-volume, never corpus-volume)"),
     ("source_ablation_report", "ONE corpus scan -> exact-integer per-source aggregates; ablation by window algebra + a (hash,source) dup correction"),
+    # round-9 finale additions
+    ("shapley_attribution", "one user-keyed journey window pass; 2^n mask lattice + exact-set rate table joined via broadcasts (bounded algebra)"),
+    ("prf_query_expansion", "broadcast feedback-doc list onto the tf table (postings-only); broadcast anti-join excludes original terms; bounded rank window"),
+    ("curriculum_data_order", "per-(band, shard) windows only — no corpus-global sort; bounded band-offset cumsum broadcast back"),
+    ("zipf_law_fit", "vocab-keyed count -> TakeOrderedAndProject top-K -> 100-row OLS reduce"),
+    ("uplift_qini_report", "per-user keyed aggregates -> bounded bucket table -> Qini cumulative window on <= 13 rows"),
 ]
 
 
