@@ -168,12 +168,27 @@ def bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _tf_tables(
-    spark: SparkSession, sf_dir: str
-) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame, DataFrame]:
-    """(documents, per-(doc,term) tf, doc lengths, query docs, query
-    terms) — the corpus-statistics base of _SQL_RETRIEVAL_CTES,
-    shared by the rankings builder and prf_query_expansion."""
+# The per-(doc, term) tf table is the corpus-scale base every
+# retrieval query (bm25 / hybrid / snippets / eval / prf) rebuilds:
+# one token explode + one keyed count over the whole documents table.
+# Cache it per (applicationId, sf_dir) behind a LAZY localCheckpoint —
+# the _copurchase_edges pattern — so a session running the family pays
+# for the explode-aggregate once. Keyed on applicationId so a stopped
+# session's stale checkpoint is never served to a new app; assumes the
+# input dir is immutable for the app's lifetime (the same contract
+# registry.load testdata already has).
+_TF_CACHE: dict = {}
+_TF_CACHE_ENABLED = True
+
+
+def _corpus_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    app_id = spark.sparkContext.applicationId
+    for k in [k for k in _TF_CACHE if k[0] != app_id]:
+        del _TF_CACHE[k]
+    key = (app_id, sf_dir)
+    cached = _TF_CACHE.get(key)
+    if cached is not None:
+        return cached
     d = load(spark, sf_dir, "documents").filter(
         F.length(F.trim(F.col("text"))) > 0
     )
@@ -183,6 +198,23 @@ def _tf_tables(
     tf = toks.groupBy("doc_id", "w").agg(
         F.count(F.lit(1)).cast("long").alias("tf")
     )
+    if not _TF_CACHE_ENABLED:
+        return tf
+    tf = tf.localCheckpoint(eager=False)
+    _TF_CACHE[key] = tf
+    return tf
+
+
+def _tf_tables(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame, DataFrame]:
+    """(documents, per-(doc,term) tf, doc lengths, query docs, query
+    terms) — the corpus-statistics base of _SQL_RETRIEVAL_CTES,
+    shared by the rankings builder and prf_query_expansion."""
+    d = load(spark, sf_dir, "documents").filter(
+        F.length(F.trim(F.col("text"))) > 0
+    )
+    tf = _corpus_tf(spark, sf_dir)
     dl = tf.groupBy("doc_id").agg(F.sum("tf").cast("long").alias("dl"))
     qdocs = d.filter(F.col("doc_id") < _N_QUERY_DOCS).select(
         F.col("doc_id").alias("query_id"),

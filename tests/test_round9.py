@@ -637,3 +637,29 @@ def test_good_turing_singleton_mass(spark, tmp_path):
     assert (r.n_tokens, r.vocab_size) == (7, 4)
     assert (r.singleton_types, r.doubleton_types) == (2, 1)
     assert r.unseen_mass == round(2 / 7, 9)
+
+
+def test_retrieval_tf_session_cache(spark, tmp_path):
+    """The retrieval family shares ONE checkpointed tf build per
+    (app, sf_dir); stale entries from stopped apps are evicted."""
+    from clickstreamtoclickhouse_spark.plans.retrieval import (
+        _TF_CACHE,
+        _corpus_tf,
+    )
+
+    rows = [(0, "apple banana", "en", "s"), (1, "banana cherry", "en", "s")]
+    _write(spark, tmp_path, "documents", rows, DOC_SCHEMA)
+    _TF_CACHE.clear()
+    a = _corpus_tf(spark, str(tmp_path))
+    b = _corpus_tf(spark, str(tmp_path))
+    assert a is b
+    other = _corpus_tf(spark, "/root/testdata/sf0.001")
+    assert other is not a
+    _TF_CACHE[("app-from-a-stopped-session", str(tmp_path))] = a
+    _corpus_tf(spark, str(tmp_path))
+    assert ("app-from-a-stopped-session", str(tmp_path)) not in _TF_CACHE
+    assert {k[0] for k in _TF_CACHE} == {spark.sparkContext.applicationId}
+    # and the cached relation is the per-(doc, term) tf table
+    got = {(r.doc_id, r.w): r.tf for r in a.collect()}
+    assert got == {(0, "apple"): 1, (0, "banana"): 1,
+                   (1, "banana"): 1, (1, "cherry"): 1}
