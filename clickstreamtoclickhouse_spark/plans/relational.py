@@ -6662,3 +6662,165 @@ def uplift_qini_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("cum_qini"),
     )
+
+
+_SMD_BALANCED = 0.1  # |SMD| threshold (Austin 2009 rule of thumb)
+
+
+@query(
+    "ab_covariate_balance",
+    oracle=f"""
+    WITH per_user AS (
+      SELECT user_id,
+             CASE WHEN ('0x' || substr(md5(CAST(user_id AS VARCHAR)),
+                                       1, 8))::BIGINT % 2 = 0
+                  THEN 'A' ELSE 'B' END AS variant,
+             CAST(count(*) AS BIGINT) AS n_events,
+             CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_clicks,
+             round(sum(coalesce(value, 0)), 6) AS value_sum
+      FROM events GROUP BY user_id
+    ),
+    stats AS (
+      SELECT variant, CAST(count(*) AS BIGINT) AS n,
+             round(CAST(sum(n_events) AS DOUBLE), 4) AS s1,
+             round(CAST(sum(n_events * n_events) AS DOUBLE), 4) AS ss1,
+             round(CAST(sum(n_clicks) AS DOUBLE), 4) AS s2,
+             round(CAST(sum(n_clicks * n_clicks) AS DOUBLE), 4) AS ss2,
+             round(sum(value_sum), 4) AS s3,
+             round(sum(value_sum * value_sum), 4) AS ss3
+      FROM per_user GROUP BY variant
+    ),
+    long AS (
+      SELECT variant, n, 'n_events' AS covariate, s1 AS sx, ss1 AS sxx
+      FROM stats
+      UNION ALL
+      SELECT variant, n, 'n_clicks', s2, ss2 FROM stats
+      UNION ALL
+      SELECT variant, n, 'value_sum', s3, ss3 FROM stats
+    ),
+    wide AS (
+      SELECT covariate,
+             max(CASE WHEN variant = 'A' THEN n END) AS n_a,
+             max(CASE WHEN variant = 'B' THEN n END) AS n_b,
+             max(CASE WHEN variant = 'A' THEN sx END) AS sx_a,
+             max(CASE WHEN variant = 'B' THEN sx END) AS sx_b,
+             max(CASE WHEN variant = 'A' THEN sxx END) AS sxx_a,
+             max(CASE WHEN variant = 'B' THEN sxx END) AS sxx_b
+      FROM long GROUP BY covariate
+    )
+    SELECT covariate, n_a, n_b,
+           round(sx_a / n_a, 6) AS mean_a,
+           round(sx_b / n_b, 6) AS mean_b,
+           CASE WHEN ((sxx_a - sx_a * sx_a / n_a) / (n_a - 1)
+                      + (sxx_b - sx_b * sx_b / n_b) / (n_b - 1)) / 2 <= 0
+                THEN NULL
+                ELSE round((sx_a / n_a - sx_b / n_b)
+                           / sqrt(((sxx_a - sx_a * sx_a / n_a) / (n_a - 1)
+                                   + (sxx_b - sx_b * sx_b / n_b)
+                                     / (n_b - 1)) / 2), 6)
+           END AS smd,
+           CASE WHEN ((sxx_a - sx_a * sx_a / n_a) / (n_a - 1)
+                      + (sxx_b - sx_b * sx_b / n_b) / (n_b - 1)) / 2 <= 0
+                THEN NULL
+                ELSE CAST(abs((sx_a / n_a - sx_b / n_b)
+                              / sqrt(((sxx_a - sx_a * sx_a / n_a)
+                                      / (n_a - 1)
+                                      + (sxx_b - sx_b * sx_b / n_b)
+                                        / (n_b - 1)) / 2))
+                          < {_SMD_BALANCED} AS INT)
+           END AS balanced
+    FROM wide
+    """,
+)
+def ab_covariate_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Covariate-balance diagnostics for the hash-split experiment:
+    standardized mean difference (SMD = (mean_A - mean_B) / pooled
+    SD; Austin 2009's |SMD| < {_SMD_BALANCED} rule — public method)
+    for each pre-treatment user covariate (event count, click count,
+    value total). A randomization check run BEFORE reading any AB
+    result: an imbalanced covariate means the split is confounded
+    and ab_test_welch/cuped deltas can't be read causally. Completes
+    the experimentation family's diagnostics side.
+
+    Float parity: the ab_test_cuped rounded-sufficient-statistics
+    stance — per-variant n/sum/sum-of-squares rounded to 4dp, all
+    downstream algebra mirrored term-for-term on identical doubles;
+    the balanced flag compares the UNROUNDED |SMD| on both engines.
+
+    Scale: one user-keyed aggregate over the event scan, one
+    variant-keyed reduce (2 rows), then a stack/pivot over the
+    bounded covariate table — no second data pass, no joins."""
+    e = load(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum((F.col("event_type") == "click").cast("int"))
+        .cast("long")
+        .alias("n_clicks"),
+        F.round(F.sum(F.coalesce(F.col("value"), F.lit(0.0))), 6).alias(
+            "value_sum"
+        ),
+    )
+    from ..util import portable_id_hash
+
+    stats = per_user.withColumn(
+        "variant",
+        F.when(
+            F.pmod(portable_id_hash(F.col("user_id").cast("string")), 2)
+            == 0,
+            "A",
+        ).otherwise("B"),
+    ).groupBy("variant").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.round(F.sum("n_events").cast("double"), 4).alias("s1"),
+        F.round(
+            F.sum(F.col("n_events") * F.col("n_events")).cast("double"), 4
+        ).alias("ss1"),
+        F.round(F.sum("n_clicks").cast("double"), 4).alias("s2"),
+        F.round(
+            F.sum(F.col("n_clicks") * F.col("n_clicks")).cast("double"), 4
+        ).alias("ss2"),
+        F.round(F.sum("value_sum"), 4).alias("s3"),
+        F.round(F.sum(F.col("value_sum") * F.col("value_sum")), 4).alias(
+            "ss3"
+        ),
+    )
+    long = stats.select(
+        "variant",
+        "n",
+        F.expr(
+            "stack(3, 'n_events', s1, ss1, 'n_clicks', s2, ss2, "
+            "'value_sum', s3, ss3) AS (covariate, sx, sxx)"
+        ),
+    )
+    wide = long.groupBy("covariate").agg(
+        F.max(F.when(F.col("variant") == "A", F.col("n"))).alias("n_a"),
+        F.max(F.when(F.col("variant") == "B", F.col("n"))).alias("n_b"),
+        F.max(F.when(F.col("variant") == "A", F.col("sx"))).alias("sx_a"),
+        F.max(F.when(F.col("variant") == "B", F.col("sx"))).alias("sx_b"),
+        F.max(F.when(F.col("variant") == "A", F.col("sxx"))).alias("sxx_a"),
+        F.max(F.when(F.col("variant") == "B", F.col("sxx"))).alias("sxx_b"),
+    )
+    var_a = (F.col("sxx_a") - F.col("sx_a") * F.col("sx_a") / F.col("n_a")) / (
+        F.col("n_a") - 1
+    )
+    var_b = (F.col("sxx_b") - F.col("sx_b") * F.col("sx_b") / F.col("n_b")) / (
+        F.col("n_b") - 1
+    )
+    pooled = (var_a + var_b) / 2
+    smd = (
+        F.col("sx_a") / F.col("n_a") - F.col("sx_b") / F.col("n_b")
+    ) / F.sqrt(pooled)
+    return wide.select(
+        "covariate",
+        "n_a",
+        "n_b",
+        F.round(F.col("sx_a") / F.col("n_a"), 6).alias("mean_a"),
+        F.round(F.col("sx_b") / F.col("n_b"), 6).alias("mean_b"),
+        F.when(pooled <= 0, F.lit(None).cast("double"))
+        .otherwise(F.round(smd, 6))
+        .alias("smd"),
+        F.when(pooled <= 0, F.lit(None).cast("int"))
+        .otherwise((F.abs(smd) < _SMD_BALANCED).cast("int"))
+        .alias("balanced"),
+    )

@@ -663,3 +663,43 @@ def test_retrieval_tf_session_cache(spark, tmp_path):
     got = {(r.doc_id, r.w): r.tf for r in a.collect()}
     assert got == {(0, "apple"): 1, (0, "banana"): 1,
                    (1, "banana"): 1, (1, "cherry"): 1}
+
+
+def test_ab_covariate_balance_planted(spark, tmp_path):
+    """Hand-computed SMDs (users 1,3 hash to A; 2,4 to B): event
+    counts balance exactly (SMD 0); clicks differ by 1 over pooled SD
+    sqrt(0.5) -> 1.414214; value sums are flagrantly imbalanced
+    (SMD 7)."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        # user 1 (A): 4 events, 2 clicks, value 10
+        (0, t0, 1, "click", 2.5), (1, t0, 1, "click", 2.5),
+        (2, t0, 1, "view", 2.5), (3, t0, 1, "view", 2.5),
+        # user 3 (A): 2 events, 1 click, value 10
+        (4, t0, 3, "click", 5.0), (5, t0, 3, "view", 5.0),
+        # user 2 (B): 3 events, 1 click, value 2
+        (6, t0, 2, "click", 1.0), (7, t0, 2, "view", 0.5),
+        (8, t0, 2, "view", 0.5),
+        # user 4 (B): 3 events, 0 clicks, value 4
+        (9, t0, 4, "view", 2.0), (10, t0, 4, "view", 1.0),
+        (11, t0, 4, "view", 1.0),
+    ]
+    _write(spark, tmp_path, "events", rows, EV_SCHEMA)
+    out = {
+        r.covariate: r
+        for r in plans.QUERIES["ab_covariate_balance"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert set(out) == {"n_events", "n_clicks", "value_sum"}
+    ev = out["n_events"]
+    assert (ev.n_a, ev.n_b, ev.mean_a, ev.mean_b) == (2, 2, 3.0, 3.0)
+    assert (ev.smd, ev.balanced) == (0.0, 1)
+    ck = out["n_clicks"]
+    assert ck.smd == round(1 / (0.5 ** 0.5), 6)  # 1.414214
+    assert ck.balanced == 0
+    vs = out["value_sum"]
+    assert (vs.mean_a, vs.mean_b) == (10.0, 3.0)
+    assert (vs.smd, vs.balanced) == (7.0, 0)
