@@ -6558,6 +6558,10 @@ def uplift_qini_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     assignment), segmented by an engagement score (click count,
     capped at {_UPLIFT_MAX_BUCKET}), and each segment reports its
     incremental conversion rate uplift = rate_treated - rate_control.
+    In a REAL experiment the segmentation covariate must be measured
+    pre-exposure; this synthetic corpus has no exposure timestamp, so
+    the click count stands in as a deterministic proxy (documented
+    simplification — swap in a pre-period covariate on real data).
     `cum_qini` walks the Qini curve over segments in DESCENDING score
     order — cumulative treated conversions minus control conversions
     scaled to the treated exposure (ck_t - ck_c * cn_t / cn_c) — the
@@ -6740,7 +6744,10 @@ def ab_covariate_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     for each pre-treatment user covariate (event count, click count,
     value total). A randomization check run BEFORE reading any AB
     result: an imbalanced covariate means the split is confounded
-    and ab_test_welch/cuped deltas can't be read causally. Completes
+    and ab_test_welch/cuped deltas can't be read causally. (Balance
+    checks require PRE-treatment covariates; this corpus has no
+    exposure timestamp, so whole-history aggregates stand in — on
+    real data restrict the aggregation to the pre-period.) Completes
     the experimentation family's diagnostics side.
 
     Float parity: the ab_test_cuped rounded-sufficient-statistics
