@@ -6336,7 +6336,7 @@ def _shapley_attr_oracle_sql() -> str:
            CAST(coalesce(nt.n_touched_users, 0) AS BIGINT)
              AS n_touched_users,
            round(CAST(p.p AS DOUBLE), 9) AS shapley_value,
-           CASE WHEN t.tot = 0 THEN NULL
+           CASE WHEN abs(CAST(t.tot AS DOUBLE)) < 1e-9 THEN NULL
                 ELSE round(CAST(p.p AS DOUBLE) / CAST(t.tot AS DOUBLE), 6)
            END AS attribution_share
     FROM phi p
@@ -6381,7 +6381,13 @@ def shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side-combinable keyed aggregates (the markov shape); the
     mask lattice is (2^n x n) rows joined via broadcasts against the
     <= 2^n-row exact-set rate table — bounded algebra, zero shuffles
-    beyond the journey aggregation."""
+    beyond the journey aggregation.
+
+    attribution_share is NULL when |sum of Shapley values| < 1e-9: by
+    efficiency the total telescopes to v(grand) - v(empty), and when
+    that is ~0 the normalized shares are sign-noise (a 1e-12 total
+    would print shares of +-1e11) — the markov_attribution zero-sum
+    NULL stance, widened to near-zero."""
     n = len(_MK_CHANNELS)
     e = load(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
@@ -6479,7 +6485,10 @@ def shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("n_touched_users"),
             F.round(F.col("p").cast("double"), 9).alias("shapley_value"),
-            F.when(F.col("tot") == 0, F.lit(None).cast("double"))
+            F.when(
+            F.abs(F.col("tot").cast("double")) < 1e-9,
+            F.lit(None).cast("double"),
+        )
             .otherwise(
                 F.round(
                     F.col("p").cast("double") / F.col("tot").cast("double"),

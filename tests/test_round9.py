@@ -703,3 +703,32 @@ def test_ab_covariate_balance_planted(spark, tmp_path):
     vs = out["value_sum"]
     assert (vs.mean_a, vs.mean_b) == (10.0, 3.0)
     assert (vs.smd, vs.balanced) == (7.0, 0)
+
+
+def test_shapley_share_null_when_total_vanishes(spark, tmp_path):
+    """The planted synergy lattice telescopes to a ~5e-13 Shapley
+    total (v(grand)=v(empty)=0) — normalized shares would be
+    +-4e11 sign-noise, so every attribution_share must be NULL
+    while the raw shapley_value column stays fully populated."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows, eid = [], 0
+
+    def ev(user, typ, minute):
+        nonlocal eid
+        rows.append((eid, t0 + dt.timedelta(minutes=minute), user, typ, 1.0))
+        eid += 1
+
+    ev(1, "click", 0); ev(1, "purchase", 1)
+    ev(2, "click", 0)
+    ev(3, "click", 0); ev(3, "view", 1); ev(3, "purchase", 2)
+    ev(4, "view", 0); ev(4, "click", 1); ev(4, "purchase", 2)
+    ev(5, "view", 0)
+    ev(6, "view", 0)
+    _write(spark, tmp_path, "events", rows, EV_SCHEMA)
+    out = plans.QUERIES["shapley_attribution"](
+        spark, str(tmp_path)
+    ).collect()
+    assert all(r.attribution_share is None for r in out)
+    assert all(r.shapley_value is not None for r in out)
