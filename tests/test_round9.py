@@ -732,3 +732,160 @@ def test_shapley_share_null_when_total_vanishes(spark, tmp_path):
     ).collect()
     assert all(r.attribution_share is None for r in out)
     assert all(r.shapley_value is not None for r in out)
+
+
+def test_shapley_matches_independent_python_reference(spark, tmp_path):
+    """Seeded random journeys, checked against a from-scratch Python
+    Shapley implementation (exact Decimal lattice with the query's
+    documented rounding contract: v = 12dp rates, 12dp weight
+    literals, exact addends, 9dp HALF_UP result). Oracle parity can't
+    catch both-engines-wrong; this can."""
+    import datetime as dt
+    import random
+    from decimal import ROUND_HALF_UP, Decimal
+    from math import factorial
+
+    channels = ("click", "error", "signup", "view")
+    n = len(channels)
+    rng = random.Random(1234)
+    t0 = dt.datetime(2024, 1, 1)
+    rows, eid = [], 0
+    journeys = {}
+    for user in range(1, 41):
+        k = rng.randint(0, 4)
+        touches = rng.sample(channels, k) if k else []
+        rng.shuffle(touches)
+        converts = rng.random() < 0.5
+        journeys[user] = (frozenset(touches), converts)
+        minute = 0
+        for c in touches:
+            rows.append((eid, t0 + dt.timedelta(minutes=minute), user, c, 1.0))
+            eid += 1
+            minute += 1
+        if converts:
+            rows.append(
+                (eid, t0 + dt.timedelta(minutes=minute), user, "purchase", 1.0)
+            )
+            eid += 1
+        elif not touches:
+            # every user must emit something; a lone post-journey
+            # channel event keeps the set unchanged (still counted —
+            # non-converters truncate nowhere)
+            extra = rng.choice(channels)
+            journeys[user] = (frozenset([extra]), False)
+            rows.append((eid, t0, user, extra, 1.0))
+            eid += 1
+    _write(spark, tmp_path, "events", rows, EV_SCHEMA)
+
+    # independent reference
+    bit = {c: 1 << i for i, c in enumerate(channels)}
+    agg = {}
+    for tset, conv in journeys.values():
+        m = sum(bit[c] for c in tset)
+        tot, cv = agg.get(m, (0, 0))
+        agg[m] = (tot + 1, cv + (1 if conv else 0))
+    q12 = Decimal(1).scaleb(-12)
+    v = {
+        m: (Decimal(cv) / Decimal(tot)).quantize(q12, ROUND_HALF_UP)
+        for m, (tot, cv) in agg.items()
+    }
+    w = {
+        pc: (
+            Decimal(factorial(pc) * factorial(n - 1 - pc))
+            / Decimal(factorial(n))
+        ).quantize(q12, ROUND_HALF_UP)
+        for pc in range(n)
+    }
+    expected = {}
+    for c in channels:
+        phi = Decimal(0)
+        for m in range(1 << n):
+            if m & bit[c]:
+                continue
+            pc = bin(m).count("1")
+            phi += w[pc] * (
+                v.get(m | bit[c], Decimal(0)) - v.get(m, Decimal(0))
+            )
+        expected[c] = float(
+            phi.quantize(Decimal(1).scaleb(-9), ROUND_HALF_UP)
+        )
+    out = {
+        r.channel: r
+        for r in plans.QUERIES["shapley_attribution"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    for c in channels:
+        assert out[c].shapley_value == expected[c], c
+    # and the touch audit matches the journey definition
+    for c in channels:
+        want = sum(1 for tset, _ in journeys.values() if c in tset)
+        assert out[c].n_touched_users == want, c
+
+
+def test_bm25_matches_independent_python_reference(spark, tmp_path):
+    """Seeded random corpus, checked against a from-scratch Python
+    BM25 (k1=1.2, b=0.75, the query's documented rounding contract:
+    6dp HALF_UP per-(query,doc,term) contributions summed exactly).
+    Both engines share hand-mirrored formulas, so only an independent
+    reimplementation can catch a transcription error in them."""
+    import random
+    from decimal import ROUND_HALF_UP, Decimal
+    from math import log
+
+    rng = random.Random(77)
+    vocab = [f"w{i}" for i in range(30)]
+    docs = {}
+    for doc_id in range(25):
+        k = rng.randint(3, 20)
+        docs[doc_id] = [rng.choice(vocab) for _ in range(k)]
+    rows = [(i, " ".join(ws), "en", "s") for i, ws in docs.items()]
+    _write(spark, tmp_path, "documents", rows, DOC_SCHEMA)
+
+    tf = {d: {} for d in docs}
+    for d, ws in docs.items():
+        for w in ws:
+            tf[d][w] = tf[d].get(w, 0) + 1
+    dl = {d: len(ws) for d, ws in docs.items()}
+    big_n = len(docs)
+    avgdl = sum(dl.values()) / big_n
+    df = {}
+    for d in docs:
+        for w in tf[d]:
+            df[w] = df.get(w, 0) + 1
+    q6 = Decimal(1).scaleb(-6)
+
+    def rnd6(x):
+        return Decimal(repr(x)).quantize(q6, ROUND_HALF_UP)
+
+    expected = {}
+    for qid in range(3):
+        qws = list(dict.fromkeys(docs[qid][:5]))
+        scores = {}
+        for d in docs:
+            if d == qid:
+                continue
+            s = Decimal(0)
+            hit = False
+            for w in qws:
+                if w not in tf[d]:
+                    continue
+                hit = True
+                idf = log(1 + (big_n - df[w] + 0.5) / (df[w] + 0.5))
+                t = tf[d][w]
+                part = (t * (1.2 + 1)) / (
+                    t + 1.2 * (1 - 0.75 + 0.75 * dl[d] / avgdl)
+                )
+                s += rnd6(idf * part)
+            if hit:
+                scores[d] = s
+        ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+        expected[qid] = [
+            (d, r + 1, float(rnd6(float(s)))) for r, (d, s) in enumerate(ranked)
+        ]
+    out = {}
+    for r in plans.QUERIES["bm25_topk_docs"](spark, str(tmp_path)).collect():
+        out.setdefault(r.query_id, []).append((r.doc_id, r.rank, r.score))
+    for qid in expected:
+        got = sorted(out.get(qid, []), key=lambda t: t[1])
+        assert got == expected[qid], f"query {qid}"
