@@ -889,3 +889,22 @@ def test_bm25_matches_independent_python_reference(spark, tmp_path):
     for qid in expected:
         got = sorted(out.get(qid, []), key=lambda t: t[1])
         assert got == expected[qid], f"query {qid}"
+
+
+def test_curriculum_order_real_data_invariants(spark):
+    """On real testdata: every non-empty doc appears exactly once,
+    every shard's positions are contiguous 1..n, and bands are
+    monotone in shard_pos within every shard."""
+    out = plans.QUERIES["curriculum_data_order"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert len(out) == len({r.doc_id for r in out})
+    by_shard = {}
+    for r in out:
+        by_shard.setdefault(r.shard, []).append(r)
+    assert set(by_shard) <= set(range(8))
+    for rs in by_shard.values():
+        rs.sort(key=lambda r: r.shard_pos)
+        assert [r.shard_pos for r in rs] == list(range(1, len(rs) + 1))
+        bands = [r.band for r in rs]
+        assert bands == sorted(bands)
