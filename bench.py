@@ -94,7 +94,7 @@ def main() -> None:
         # regeneration (new parquet files, timestamp[ns]->[us]) on a
         # microVM whose DAMON reclaim already causes run-to-run
         # stalls. Treat r4/r5 numbers as the new baseline.
-        "notes": "r9: 223 queries (+6: memorization_span_report, source_ablation_report, classifier_agreement_kappa, seasonal_strength_report, l_diversity_report, matryoshka_recall_report — together ~4.3s). transition_shortest_paths moved driver-side with a fixpoint early-exit (0.73s; the |V|-1 Spark rounds each paid ~1s scheduler floor). user_activity_similarity primary is now the CAPPED sparse cosine (0.41s) with the old exact form benched alongside as _uncapped (2.03s) — see BENCH_NOTES_r09.md for the same-session rename A/B. Host noise is +/-20% between sessions; only compare within one BENCH_FULL.json. r3->r4 drift was a uniform host/testdata-layout shift (median x1.43); no plan regressions since.",
+        "notes": "r9 closed at 236 queries (219 -> 236 over the round: retrieval family BM25/RRF/snippets/eval/RM1, lattice Shapley, uplift/Qini, covariate balance, seasonality, curriculum ordering, memorization spans, source ablation, kappa/Zipf/Good-Turing, l-diversity/Matryoshka/t-closeness/DP-sensitivity, txlog IVM, late-arrival accounting). transition_shortest_paths moved driver-side with a fixpoint early-exit (0.73s; the |V|-1 Spark rounds each paid ~1s scheduler floor). user_activity_similarity primary is now the CAPPED sparse cosine (0.41s) with the old exact form benched alongside as _uncapped (2.03s) — see BENCH_NOTES_r09.md for the same-session rename A/B. Host noise is +/-20% between sessions; only compare within one BENCH_FULL.json. r3->r4 drift was a uniform host/testdata-layout shift (median x1.43); no plan regressions since.",
     }
     # attach the 10x-rows scale probe if scripts/sf_probe.py has run
     probe_path = Path(__file__).resolve().parent / "SF1_PROBE.json"

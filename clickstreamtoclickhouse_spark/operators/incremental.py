@@ -173,8 +173,12 @@ def txlog_incremental_rollup(
         # the next refresh re-derives the same empty diff)
         return last, 0
     if fresh is None:
-        merged = base  # only the high-water mark advances
-    elif base is None:
+        # only the high-water mark advances: a metadata-only commit
+        # carries the token and keeps the prior snapshot's files —
+        # kilobytes, never an O(table) rollup rewrite
+        rollup.commit_txn((app, v_now))
+        return v_now, 0
+    if base is None:
         merged = fresh
     else:
         merged = (

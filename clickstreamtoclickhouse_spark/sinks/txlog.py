@@ -43,10 +43,13 @@ the mechanism is identical.
 from __future__ import annotations
 
 import json
+import logging
 import os
 import uuid
 from dataclasses import dataclass
 from pathlib import Path
+
+logger = logging.getLogger(__name__)
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
@@ -139,6 +142,31 @@ class TxLogTable:
             if t and t.get("app") == app:
                 best = max(best, int(t["ver"]))
         return best
+
+    def _txn_already_applied(self, txn: tuple[str, int]) -> bool:
+        """True if a commit for this (app, ver) token — or a LATER ver
+        for the same app — already exists, i.e. the write is a replay
+        to skip. Logs a warning when `ver` arrives FAR below the app's
+        high-water mark: tokens persist in the log forever, so if a
+        stream's checkpoint directory is deleted and the query
+        restarted with the SAME app id, batch ids reset to 0 and
+        genuinely new batches would be silently skipped as replays
+        (the Delta txnAppId contract: never reuse an app id with reset
+        versions — use a fresh app id per checkpoint incarnation)."""
+        last = self.last_txn_version(txn[0])
+        if last < txn[1]:
+            return False
+        if txn[1] < last:
+            logger.warning(
+                "txlog %s: txn token (%s, %d) arrived below the app's "
+                "high-water mark %d — treating as a replay and SKIPPING "
+                "the write. If this writer's checkpoint was reset (batch "
+                "ids restarted from 0), this silently drops new data: "
+                "never reuse an app id with reset versions; use a fresh "
+                "app id per checkpoint incarnation.",
+                self.path, txn[0], txn[1], last,
+            )
+        return True
 
     def _commit(
         self,
@@ -269,8 +297,16 @@ class TxLogTable:
         commit for `app` at `ver` or later, the append is skipped and
         the current latest version is returned — this is how an
         at-least-once micro-batch replay achieves exactly-once output
-        (key the token on (checkpoint identity, batch_id))."""
-        if txn is not None and self.last_txn_version(txn[0]) >= txn[1]:
+        (key the token on (checkpoint identity, batch_id)).
+
+        CAVEAT (same as Delta's txnAppId contract): tokens persist in
+        the log forever. If a stream's checkpoint directory is deleted
+        and the query restarted with the SAME app id, batch ids reset
+        to 0 and genuinely new batches are skipped as replays — silent
+        data loss. Never reuse an app id with reset versions; key the
+        app id on the checkpoint incarnation. A token arriving below
+        the app's high-water mark logs a warning."""
+        if txn is not None and self._txn_already_applied(txn):
             return self.latest_version()
         adds, stats = self._write_files(df)
         schema_json = df.schema.json()
@@ -296,14 +332,44 @@ class TxLogTable:
         `append` — a replayed overwrite for an already-committed
         (app, ver) is skipped, which is what lets incremental view
         maintenance advance its high-water mark ATOMICALLY with the
-        data it derives from (operators/incremental.py)."""
-        if txn is not None and self.last_txn_version(txn[0]) >= txn[1]:
+        data it derives from (operators/incremental.py). The append()
+        token-reuse caveat applies identically: an app id whose
+        versions reset (deleted checkpoint, same app id) silently
+        skips new overwrites — a below-high-water token logs a
+        warning."""
+        if txn is not None and self._txn_already_applied(txn):
             return self.latest_version()
         base = self.snapshot()
         adds, stats = self._write_files(df)
         v = base.version + 1
         self._commit(v, adds, list(base.files), df.schema.json(), stats, txn=txn)
         return v
+
+    def commit_txn(
+        self, txn: tuple[str, int], _max_retries: int = 10
+    ) -> int:
+        """Metadata-ONLY commit: advance the idempotence token for
+        `txn` without touching any data files (empty adds/removes; the
+        prior snapshot's file set and schema are untouched). This is
+        how incremental view maintenance advances its high-water mark
+        when the source gained commits but no data files — a
+        kilobyte-sized log entry instead of rewriting the whole rollup
+        (O(table) read+write that `overwrite` would cost). Returns the
+        committed (or already-current) version."""
+        if self._txn_already_applied(txn):
+            return self.latest_version()
+        for _ in range(_max_retries):
+            snap = self.snapshot()
+            try:
+                self._commit(
+                    snap.version + 1, [], [], snap.schema_json, {}, txn=txn
+                )
+                return snap.version + 1
+            except CommitConflict:
+                if self._txn_already_applied(txn):
+                    return self.latest_version()
+                continue
+        raise CommitConflict(f"gave up after {_max_retries} retries")
 
     def merge_upsert(
         self,

@@ -255,7 +255,11 @@ def streaming_late_arrival_monitor(
     on-time rows fold into per-event-time-window counts appended to
     `out_dir`; late rows are quarantined VERBATIM (all columns +
     batch_id + the watermark that rejected them) to `late_dir`, so
-    they can be audited or replayed through a backfill.
+    they can be audited or replayed through a backfill. Rows with a
+    NULL event time can never be counted (there is no window to fold
+    them into), so they are quarantined too — with a NULL
+    `_watermark` when no watermark exists yet — keeping the
+    accounting total: every input row is counted or quarantined.
 
     Watermark state is a tiny JSON high-water mark persisted with an
     atomic tmp+rename, and it records (batch_id, prev_max, cur_max):
@@ -293,20 +297,26 @@ def streaming_late_arrival_monitor(
         batch_df = batch_df.cache()
         try:
             ts = F.col(ts_col)
+            # A NULL event time can never be counted (no window to fold
+            # into), so it is quarantined alongside late rows — every
+            # input row is either counted on-time or lands in late_dir.
             if base is not None:
                 wm = F.expr(
                     f"timestamp_micros({base}) - {delay_expr}"
                 )
-                late = batch_df.filter(ts < wm)
-                ontime = batch_df.filter(~(ts < wm))  # NULL ts stays on-time
-                (
-                    late.withColumn("_batch_id", F.lit(batch_id).cast("long"))
-                    .withColumn("_watermark", wm)
-                    .write.mode("append")
-                    .parquet(late_dir)
-                )
+                quarantined = batch_df.filter(ts.isNull() | (ts < wm))
+                ontime = batch_df.filter(ts.isNotNull() & ~(ts < wm))
             else:
-                ontime = batch_df  # first data: no watermark yet
+                wm = F.lit(None).cast("timestamp")  # no watermark yet
+                quarantined = batch_df.filter(ts.isNull())
+                ontime = batch_df.filter(ts.isNotNull())
+            (
+                quarantined
+                .withColumn("_batch_id", F.lit(batch_id).cast("long"))
+                .withColumn("_watermark", wm)
+                .write.mode("append")
+                .parquet(late_dir)
+            )
             (
                 ontime.filter(ts.isNotNull())
                 .groupBy(F.window(ts, window).alias("w"))
