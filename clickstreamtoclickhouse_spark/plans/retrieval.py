@@ -205,6 +205,25 @@ def _corpus_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tf
 
 
+def evict_corpus_tf(sf_dir: str | None = None) -> int:
+    """Explicit unpersist hook for the session tf cache: a LONG-LIVED
+    application iterating over many sf_dirs accumulates one
+    materialized localCheckpoint per dir (the dead-appId sweep in
+    `_corpus_tf` only reclaims OTHER apps' entries). Call with a dir
+    to release that dir's checkpoint blocks, or with no argument to
+    drop them all. Returns the number of entries evicted."""
+    n = 0
+    for k in list(_TF_CACHE):
+        if sf_dir is None or k[1] == sf_dir:
+            df = _TF_CACHE.pop(k)
+            try:
+                df.unpersist()
+            except Exception:  # noqa: BLE001 — app already stopped:
+                pass           # its checkpoint blocks are gone anyway
+            n += 1
+    return n
+
+
 def _tf_tables(
     spark: SparkSession, sf_dir: str
 ) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame, DataFrame]:

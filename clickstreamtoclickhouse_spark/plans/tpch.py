@@ -1180,6 +1180,23 @@ def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return edges
 
 
+def evict_copurchase_edges(sf_dir: str | None = None) -> int:
+    """Explicit unpersist hook (twin of retrieval.evict_corpus_tf):
+    releases the edge checkpoints a long-lived app accumulated across
+    sf_dirs — the dead-appId sweep above only reclaims OTHER apps'
+    entries. Returns the number of entries evicted."""
+    n = 0
+    for k in list(_COPURCHASE_CACHE):
+        if sf_dir is None or k[1] == sf_dir:
+            df = _COPURCHASE_CACHE.pop(k)
+            try:
+                df.unpersist()
+            except Exception:  # noqa: BLE001 — app already stopped:
+                pass           # its checkpoint blocks are gone anyway
+            n += 1
+    return n
+
+
 @query(
     "part_copurchase_triangles",
     oracle="""

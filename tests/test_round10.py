@@ -162,3 +162,50 @@ def test_txlog_commit_txn_metadata_only(spark, tmp_path):
     empty = TxLogTable(str(tmp_path / "meta_empty"))
     assert empty.commit_txn(("boot", 0)) == 0
     assert empty.last_txn_version("boot") == 0
+
+
+# -- verdict r9 #6: explicit unpersist hooks for the session caches --
+
+
+def test_session_cache_unpersist_hooks(spark, tmp_path):
+    """A long-lived app iterating over many sf_dirs accumulates one
+    localCheckpoint per dir (the dead-appId sweep only reclaims OTHER
+    apps' entries) — the evict hooks must release per-dir or all, and
+    the next call must rebuild fresh."""
+    from clickstreamtoclickhouse_spark.plans import tpch
+    from clickstreamtoclickhouse_spark.plans.retrieval import (
+        _TF_CACHE,
+        _corpus_tf,
+        evict_corpus_tf,
+    )
+
+    rows = [(0, "apple banana", "en", "s"), (1, "banana cherry", "en", "s")]
+    schema = "doc_id long, text string, lang string, source string"
+    d1 = tmp_path / "dir1"
+    d2 = tmp_path / "dir2"
+    for d in (d1, d2):
+        spark.createDataFrame(rows, schema).write.parquet(
+            str(d / "documents.parquet")
+        )
+    _TF_CACHE.clear()
+    a1 = _corpus_tf(spark, str(d1))
+    a2 = _corpus_tf(spark, str(d2))
+    a1.count(), a2.count()  # materialize the checkpoints
+    assert len(_TF_CACHE) == 2
+    # per-dir eviction releases only that dir; rebuild is a new object
+    assert evict_corpus_tf(str(d1)) == 1
+    assert len(_TF_CACHE) == 1
+    assert _corpus_tf(spark, str(d2)) is a2
+    assert _corpus_tf(spark, str(d1)) is not a1
+    # evict-all clears the rest
+    assert evict_corpus_tf() == 2
+    assert _TF_CACHE == {}
+
+    # the copurchase twin exposes the same hook
+    tpch._COPURCHASE_CACHE.clear()
+    e = tpch._copurchase_edges(spark, "/root/testdata/sf0.001")
+    assert len(tpch._COPURCHASE_CACHE) == 1
+    assert tpch.evict_copurchase_edges("/root/testdata/sf0.001") == 1
+    assert tpch._COPURCHASE_CACHE == {}
+    assert tpch._copurchase_edges(spark, "/root/testdata/sf0.001") is not e
+    tpch.evict_copurchase_edges()
