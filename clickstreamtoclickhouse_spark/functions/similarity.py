@@ -621,25 +621,20 @@ def lsh_topk(
     )
 
 
-def lsh_portable_buckets(
-    emb: DataFrame,
-    dim: int,
-    num_tables: int = 6,
-    bits: int = 8,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
+def portable_planes(
+    spark, dim: int, num_tables: int, bits: int
 ) -> DataFrame:
-    """Portable hyperplane-LSH bucket table: (id, t, bucket) — one row
-    per vector per table. Plane components derive from md5 literals
-    (bit-reproducible in any engine); projections round at 6 dp before
-    the sign test so summation-order ULPs cannot flip a bit. Shared
-    front end for same-corpus pairing (``lsh_portable_near_dup_pairs``)
-    and cross-corpus membership (semantic decontamination)."""
-    spark = emb.sparkSession
+    """(t, b, d, p) hyperplane-component table with md5-derived
+    components (bit-reproducible in any engine — the DuckDB twin is
+    ('0x' || substr(md5('pl:' || t || ':' || b || ':' || d), 1, 8))
+    ::BIGINT / 2147483648.0 - 1.0). Tiny (num_tables x bits x dim
+    rows) — always broadcast it into the projection join. Shared by
+    ``lsh_portable_buckets`` (dense vectors) and the retrieval
+    family's hashed-BoW bucketing (sparse cells)."""
     t_ = spark.range(num_tables).select(F.col("id").alias("t"))
     b_ = spark.range(bits).select(F.col("id").alias("b"))
     d_ = spark.range(dim).select(F.col("id").alias("d"))
-    planes = (
+    return (
         t_.crossJoin(b_)
         .crossJoin(d_)
         .withColumn(
@@ -655,6 +650,23 @@ def lsh_portable_buckets(
             - 1.0,
         )
     )
+
+
+def lsh_portable_buckets(
+    emb: DataFrame,
+    dim: int,
+    num_tables: int = 6,
+    bits: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Portable hyperplane-LSH bucket table: (id, t, bucket) — one row
+    per vector per table. Plane components derive from md5 literals
+    (bit-reproducible in any engine); projections round at 6 dp before
+    the sign test so summation-order ULPs cannot flip a bit. Shared
+    front end for same-corpus pairing (``lsh_portable_near_dup_pairs``)
+    and cross-corpus membership (semantic decontamination)."""
+    planes = portable_planes(emb.sparkSession, dim, num_tables, bits)
     rel = emb.select(
         F.col(id_col), F.posexplode(vec_col).alias("d", "xf")
     ).select(id_col, "d", F.col("xf").cast("double").alias("x"))

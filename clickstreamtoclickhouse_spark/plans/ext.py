@@ -3292,29 +3292,12 @@ def _recall_report_oracle() -> str:
     """
 
 
-@query("dedup_recall_report", oracle=_recall_report_oracle())
-def dedup_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approx-dedup EVALUATION: precision/recall of the two portable
-    candidate generators (MinHash+LSH at est>=0.5; SimHash 4x14-bit
-    bands at hamming<=3) against exact n-gram Jaccard>=0.5 ground
-    truth, all over the same near-dup corpus — the calibration table a
-    pipeline team publishes before swapping an exact dedup for a
-    banded one at scale. MinHash recall here reflects signature
-    estimation error at the threshold boundary; SimHash measures how
-    a hamming cutoff maps onto a Jaccard one (different similarity,
-    hence the visible precision gap).
-
-    Scale: each pair set is the corresponding operator's plan
-    (banded equi-joins, never all-pairs); the report reduces them to
-    three counts each via two-column equi-joins of pair KEYS only.
-    Truth generation was the one quadratic-risk input — the shipped
-    report therefore uses the CAPPED exact Jaccard
-    (max_shingle_freq=4, same guard and value as
-    the capped jaccard_near_dups primary, replicated in the oracle) as its truth
-    set by default, so the whole harness is scale-safe; the uncapped
-    exact form remains available as the sf-bounded library baseline
-    (jaccard_pairs with max_shingle_freq=None)."""
-    corpus = _near_dup_corpus(load(spark, sf_dir, "documents"))
+def _recall_pair_sets(corpus: DataFrame) -> dict[str, DataFrame]:
+    """The three pair sets dedup_recall_report composes (capped-exact
+    truth, MinHash candidates, SimHash candidates), built from ONE
+    shared (doc, shingle, hash) table. Factored out so the scale probe
+    (scripts/sf_probe.py) counts EXACTLY the report's pair sets at
+    base vs 10x rows — the per-stage data behind its shuffle ratio."""
     # all three methods consume the SAME (doc, shingle, hash) table —
     # build it once (one explode + one char-fold pass) and share it; a
     # lazy localCheckpoint materializes it on first action so the three
@@ -3350,6 +3333,34 @@ def dedup_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .localCheckpoint(eager=False)
     )
+    return {"truth": truth, "minhash": mh, "simhash": sh}
+
+
+@query("dedup_recall_report", oracle=_recall_report_oracle())
+def dedup_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approx-dedup EVALUATION: precision/recall of the two portable
+    candidate generators (MinHash+LSH at est>=0.5; SimHash 4x14-bit
+    bands at hamming<=3) against exact n-gram Jaccard>=0.5 ground
+    truth, all over the same near-dup corpus — the calibration table a
+    pipeline team publishes before swapping an exact dedup for a
+    banded one at scale. MinHash recall here reflects signature
+    estimation error at the threshold boundary; SimHash measures how
+    a hamming cutoff maps onto a Jaccard one (different similarity,
+    hence the visible precision gap).
+
+    Scale: each pair set is the corresponding operator's plan
+    (banded equi-joins, never all-pairs); the report reduces them to
+    three counts each via two-column equi-joins of pair KEYS only.
+    Truth generation was the one quadratic-risk input — the shipped
+    report therefore uses the CAPPED exact Jaccard
+    (max_shingle_freq=4, same guard and value as
+    the capped jaccard_near_dups primary, replicated in the oracle) as its truth
+    set by default, so the whole harness is scale-safe; the uncapped
+    exact form remains available as the sf-bounded library baseline
+    (jaccard_pairs with max_shingle_freq=None)."""
+    corpus = _near_dup_corpus(load(spark, sf_dir, "documents"))
+    sets = _recall_pair_sets(corpus)
+    truth, mh, sh = sets["truth"], sets["minhash"], sets["simhash"]
 
     def stat_row(method: str, cand: DataFrame) -> DataFrame:
         nt = truth.agg(F.count("*").alias("n_truth"))

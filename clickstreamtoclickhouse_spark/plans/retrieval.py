@@ -332,13 +332,68 @@ def _retrieval_rankings(
     return lexrank, semrank
 
 
-@query(
-    "hybrid_search_rrf",
-    oracle=f"""
-    WITH {_SQL_RETRIEVAL_CTES},
-    lex AS (SELECT query_id, doc_id, r FROM lexrank WHERE r <= {_LEX_TOPK}),
-    sem AS (SELECT query_id, doc_id, r FROM semrank WHERE r <= {_SEM_TOPK}),
-    fused AS (
+# Bucketed dense arm (the r10 scale-path primary): hashed-BoW tf-idf
+# projections through portable hyperplane LSH — candidate generation
+# by (table, bucket) equi-join, exact TF-cosine re-rank on candidates
+# ONLY. The exact arm scores every doc sharing ANY term with the
+# query doc (stopwords make that ~the whole corpus); the bucketed arm
+# touches only bucket-colliding docs' postings.
+_HB_DIMS = 64    # hashing-trick BoW dimensions (md5(w) % dims)
+_HB_TABLES = 10  # OR across tables (recall)
+_HB_BITS = 8     # AND within a table (precision / candidate volume)
+# Tuned on the r10 sweep (BENCH_NOTES_r10.md): this synthetic corpus
+# is LSH's worst case (500 docs, template vocabulary, TF-cosine
+# neighbor margin ~0.1), giving recall@10 = 0.83 vs the exact arm at
+# ~45% candidate fraction. On a real corpus the vocabulary diversity
+# widens the margin and the fraction drops; BITS is the documented
+# scale lever (candidates ~ n / 2^bits per table).
+
+_SQL_BUCKETED_SEM_CTES = f"""posting AS (
+      SELECT t.doc_id,
+             CAST(('0x' || substr(md5(t.w), 1, 4))::BIGINT % {_HB_DIMS}
+                  AS INT) AS d,
+             t.tf * ln(CAST(1 AS DOUBLE) + CAST(s.n AS DOUBLE) / d2.df) AS x
+      FROM tf t JOIN df d2 USING (w) CROSS JOIN stats s
+    ),
+    hplanes AS (
+      SELECT t, b, d,
+             ('0x' || substr(md5('pl:' || t || ':' || b || ':' || d), 1, 8))
+               ::BIGINT / 2147483648.0 - 1.0 AS p
+      FROM range({_HB_TABLES}) r1(t), range({_HB_BITS}) r2(b),
+           range({_HB_DIMS}) r3(d)
+    ),
+    hproj AS (
+      SELECT doc_id, t, b, round(sum(x * p), 6) AS s
+      FROM posting JOIN hplanes USING (d) GROUP BY 1, 2, 3
+    ),
+    hbkt AS (
+      SELECT doc_id, t,
+             CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b)
+                           ELSE 0 END) AS BIGINT) AS bucket
+      FROM hproj GROUP BY 1, 2
+    ),
+    hcand AS (
+      SELECT DISTINCT q.doc_id AS query_id, c.doc_id AS doc_id
+      FROM hbkt q JOIN hbkt c ON q.t = c.t AND q.bucket = c.bucket
+      WHERE q.doc_id < {_N_QUERY_DOCS} AND q.doc_id <> c.doc_id
+    ),
+    bdots AS (
+      SELECT q.query_id, t.doc_id, CAST(sum(q.tf * t.tf) AS BIGINT) AS dp
+      FROM qtf q JOIN tf t USING (w)
+      JOIN hcand h ON h.query_id = q.query_id AND h.doc_id = t.doc_id
+      GROUP BY 1, 2
+    ),
+    bsem AS (
+      SELECT query_id, doc_id,
+             row_number() OVER (
+               PARTITION BY query_id
+               ORDER BY round(dp / (qn.nq * dn.nd), 9) DESC, doc_id) AS r
+      FROM bdots
+      JOIN qnorm qn USING (query_id)
+      JOIN dnorm dn USING (doc_id)
+    )"""
+
+_SQL_RRF_FUSE = f"""fused AS (
       SELECT coalesce(l.query_id, s.query_id) AS query_id,
              coalesce(l.doc_id, s.doc_id) AS doc_id,
              round(coalesce(CAST(1 AS DOUBLE) / ({_RRF_K} + l.r), 0)
@@ -356,21 +411,110 @@ def _retrieval_rankings(
              AS rrf_rank,
            rrf_score, lex_rank, sem_rank
     FROM fused
-    QUALIFY rrf_rank <= {_RRF_TOPK}
-    """,
-)
-def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hybrid search: Reciprocal Rank Fusion (k={_RRF_K}) of the BM25
-    lexical top-{_LEX_TOPK} and the exact sparse TF-cosine semantic
-    top-{_SEM_TOPK}, emitting the fused top-{_RRF_TOPK} per query
-    with both source ranks for auditability. RRF needs no score
-    calibration between the two arms — only ranks — which is exactly
-    why it is the production default for lexical+vector fusion.
+    QUALIFY rrf_rank <= {_RRF_TOPK}"""
 
-    Scale: both rankings reuse the broadcast-query-side equi-join
-    shape (corpus shuffled only on its own keys); the fusion itself
-    is a full outer join of two <= queries x k row tables."""
-    lex, sem = _retrieval_rankings(spark, sf_dir)
+
+def _bucketed_sem_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-path semantic ranking: tf-idf-weighted hashed-BoW
+    projections (hashing trick, Weinberger et al. 2009) through the
+    md5-portable hyperplane planes (similarity.portable_planes),
+    bucket = per-table sign pattern; candidates share any (table,
+    bucket) cell with a query doc; exact integer TF-cosine re-ranks
+    ONLY candidate postings. The projection is ONE sum over posting
+    rows (no dense-vector intermediate), rounded at 6 dp before the
+    sign test — the lsh_portable_buckets float stance."""
+    from ..functions import similarity
+
+    d, tf, dl, qdocs, qterms = _tf_tables(spark, sf_dir)
+    dfreq = tf.groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    nstats = dl.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    dim = (
+        F.conv(F.substring(F.md5("w"), 1, 4), 16, 10).cast("long") % _HB_DIMS
+    ).cast("int")
+    posting = (
+        tf.join(dfreq, "w")
+        .crossJoin(F.broadcast(nstats))
+        .select(
+            "doc_id",
+            dim.alias("d"),
+            (
+                F.col("tf")
+                * F.log(
+                    F.lit(1.0)
+                    + F.col("n").cast("double") / F.col("df")
+                )
+            ).alias("x"),
+        )
+    )
+    planes = similarity.portable_planes(spark, _HB_DIMS, _HB_TABLES, _HB_BITS)
+    proj = (
+        posting.join(F.broadcast(planes), "d")
+        .groupBy("doc_id", "t", "b")
+        .agg(F.round(F.sum(F.col("x") * F.col("p")), 6).alias("s"))
+    )
+    buckets = proj.groupBy("doc_id", "t").agg(
+        F.sum(
+            F.when(
+                F.col("s") > 0,
+                F.expr("shiftleft(CAST(1 AS BIGINT), CAST(b AS INT))"),
+            ).otherwise(F.lit(0).cast("long"))
+        )
+        .cast("long")
+        .alias("bucket")
+    )
+    qb = buckets.filter(F.col("doc_id") < _N_QUERY_DOCS).select(
+        F.col("doc_id").alias("query_id"), "t", "bucket"
+    )
+    cand = (
+        F.broadcast(qb)
+        .join(buckets, ["t", "bucket"])
+        .filter(F.col("doc_id") != F.col("query_id"))
+        .select("query_id", "doc_id")
+        .dropDuplicates(["query_id", "doc_id"])
+    )
+    qtf = (
+        qdocs.select("query_id")
+        .join(tf, tf.doc_id == F.col("query_id"))
+        .select("query_id", "w", F.col("tf").alias("qtf"))
+    )
+    # postings of CANDIDATE docs only — the re-rank never touches the
+    # rest of the corpus (vs the exact arm's every-shared-term scan)
+    cand_tf = cand.join(tf, "doc_id")
+    dots = (
+        cand_tf.join(F.broadcast(qtf), ["query_id", "w"])
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum(F.col("qtf") * F.col("tf")).cast("long").alias("dp"))
+    )
+    qnorm = (
+        qtf.groupBy("query_id")
+        .agg(
+            F.sqrt(F.sum(F.col("qtf") * F.col("qtf")).cast("double")).alias(
+                "nq"
+            )
+        )
+    )
+    dnorm = tf.groupBy("doc_id").agg(
+        F.sqrt(F.sum(F.col("tf") * F.col("tf")).cast("double")).alias("nd")
+    )
+    sim = F.col("dp") / (F.col("nq") * F.col("nd"))
+    ws = Window.partitionBy("query_id").orderBy(
+        F.round(sim, 9).desc(), "doc_id"
+    )
+    return (
+        dots.join(F.broadcast(qnorm), "query_id")
+        .join(dnorm, "doc_id")
+        .select(
+            "query_id",
+            "doc_id",
+            F.round(sim, 6).alias("sim"),
+            F.row_number().over(ws).alias("r"),
+        )
+    )
+
+
+def _rrf_fuse(lex: DataFrame, sem: DataFrame) -> DataFrame:
+    """RRF fusion + fused top-k (shared by the bucketed primary and
+    the exact baseline so the two registrations cannot drift)."""
     l = lex.filter(F.col("r") <= _LEX_TOPK).select(
         "query_id", "doc_id", F.col("r").alias("lr")
     )
@@ -399,6 +543,58 @@ def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
             "lex_rank", "sem_rank",
         )
     )
+
+
+@query(
+    "hybrid_search_rrf",
+    oracle=f"""
+    WITH {_SQL_RETRIEVAL_CTES},
+    {_SQL_BUCKETED_SEM_CTES},
+    lex AS (SELECT query_id, doc_id, r FROM lexrank WHERE r <= {_LEX_TOPK}),
+    sem AS (SELECT query_id, doc_id, r FROM bsem WHERE r <= {_SEM_TOPK}),
+    {_SQL_RRF_FUSE}
+    """,
+)
+def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid search: Reciprocal Rank Fusion (k={_RRF_K}) of the BM25
+    lexical top-{_LEX_TOPK} and the BUCKETED semantic top-{_SEM_TOPK}
+    (hashed-BoW tf-idf vectors through portable hyperplane LSH,
+    exact TF-cosine re-rank on bucket-colliding candidates only —
+    `_bucketed_sem_rank`), emitting the fused top-{_RRF_TOPK} per
+    query with both source ranks for auditability.
+
+    r10 primary swap (the r8 user_activity_similarity pattern): the
+    old dense arm scored every document sharing ANY term with the
+    query doc — with stopwords, effectively the whole corpus per
+    query. This primary generates candidates by a (table, bucket)
+    equi-join against the LSH index (corpus bucketed once, query side
+    broadcast) and re-ranks only candidate postings; the full-scan
+    form remains registered as `hybrid_search_rrf_exact`, the
+    sf-bounded recall baseline (tests pin bucketed-vs-exact recall).
+    Every bucketing constant is replicated in the oracle."""
+    lex, _ = _retrieval_rankings(spark, sf_dir)
+    sem = _bucketed_sem_rank(spark, sf_dir)
+    return _rrf_fuse(lex, sem)
+
+
+@query(
+    "hybrid_search_rrf_exact",
+    oracle=f"""
+    WITH {_SQL_RETRIEVAL_CTES},
+    lex AS (SELECT query_id, doc_id, r FROM lexrank WHERE r <= {_LEX_TOPK}),
+    sem AS (SELECT query_id, doc_id, r FROM semrank WHERE r <= {_SEM_TOPK}),
+    {_SQL_RRF_FUSE}
+    """,
+)
+def hybrid_search_rrf_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The EXACT-dense-arm hybrid baseline (the pre-r10 primary):
+    semantic top-{_SEM_TOPK} by exact sparse TF-cosine over every doc
+    sharing a term with the query doc. Kept registered as the
+    sf-bounded recall/quality baseline for `hybrid_search_rrf`'s
+    bucketed arm — the `user_activity_similarity_uncapped` stance:
+    correct at any scale, affordable only at benchmark scale."""
+    lex, sem = _retrieval_rankings(spark, sf_dir)
+    return _rrf_fuse(lex, sem)
 
 
 _SNIP_LEN = 16  # snippet window, tokens

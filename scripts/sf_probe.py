@@ -132,6 +132,16 @@ PROBE_QUERIES = [
     "prf_query_expansion",
     "shapley_attribution",
     "curriculum_data_order",
+    # round-10: the remaining unprobed near-top-cost queries (VERDICT
+    # r9 ask #5). incremental_embedding_dedup screens a FIXED-id-range
+    # corpus/batch (r7 excluded it for that reason) — probing it
+    # MEASURES the bounded-work claim instead of arguing it: the ratio
+    # should sit near 1x (only the pre-filter scan grows).
+    # matryoshka_recall_report's anchor set is bounded the same way;
+    # bpe_tokenize grows with documents and must stay linear.
+    "incremental_embedding_dedup",
+    "matryoshka_recall_report",
+    "bpe_tokenize",
 ]
 
 
@@ -400,13 +410,27 @@ def main() -> None:
         _link_prediction_stages,
     )
 
+    from clickstreamtoclickhouse_spark.plans.ext import _recall_pair_sets
+
     diag: dict = {"jaccard_candidate_pairs": {},
-                  "link_prediction_stage_shuffle_mb": {}}
+                  "link_prediction_stage_shuffle_mb": {},
+                  "dedup_recall_pair_counts": {}}
     for tag, sf_dir in (("base", OUT / "base"), ("x10", OUT / "x10")):
         corpus = _near_dup_corpus(plans.load(spark, str(sf_dir), "documents"))
         diag["jaccard_candidate_pairs"][tag] = _shingle_pair_candidates(
             corpus, 3, "doc_id", "text", 4, None
         ).count()
+        # (c) dedup_recall_report's 92.8x probe shuffle ratio, pinned
+        #     with data (r9 VERDICT ask #3): count EACH of the report's
+        #     three pair sets (capped-exact truth / MinHash / SimHash
+        #     candidates) at both sizes — if the pair volumes step the
+        #     way jaccard's did (df<=4 cap-crossing at x10) and stay
+        #     bounded-per-shingle, the shuffle ratio is the same
+        #     broadcast-at-base + cap-dilution story, not a quadratic.
+        diag["dedup_recall_pair_counts"][tag] = {
+            name: df.count()
+            for name, df in _recall_pair_sets(corpus).items()
+        }
         _COPURCHASE_CACHE.clear()  # re-measure the edge build itself
         # the edge build's lazy localCheckpoint calls .rdd, which under
         # AQE materializes every intermediate shuffle stage AT
@@ -430,7 +454,8 @@ def main() -> None:
             prev = s1
         diag["link_prediction_stage_shuffle_mb"][tag] = per
         print(f"# {tag} diagnostics: jaccard pairs "
-              f"{diag['jaccard_candidate_pairs'][tag]}, lp stages {per}",
+              f"{diag['jaccard_candidate_pairs'][tag]}, lp stages {per}, "
+              f"recall pair sets {diag['dedup_recall_pair_counts'][tag]}",
               file=sys.stderr, flush=True)
 
     probe = {}
@@ -502,7 +527,23 @@ def main() -> None:
             "sort-merge — the same broadcast-at-base artifact as "
             "jaccard; wedge volume itself is neighbor-capped (40), "
             "so per-stage bytes grow ~linearly past the plan "
-            "transition."
+            "transition. r10 additions: "
+            "diagnostics.dedup_recall_pair_counts pins the "
+            "dedup_recall_report 92.8x shuffle-ratio watch item with "
+            "data — the report's three pair sets (capped-exact truth, "
+            "MinHash candidates, SimHash candidates) counted at base "
+            "and x10; expected reading: the truth set steps with the "
+            "same df<=4 cap-dilution mechanism as "
+            "jaccard_candidate_pairs (same generator, same cap) while "
+            "staying C(4,2)-bounded per admitted shingle, and the "
+            "banded candidate sets grow ~linearly, so the shuffle "
+            "ratio is broadcast-at-base + the one-time cap-crossing "
+            "step, not a pair-volume quadratic. Three new probe "
+            "entries close the unprobed near-top-cost gap: "
+            "incremental_embedding_dedup (fixed-id-range corpus — the "
+            "near-1x ratio MEASURES the bounded-work claim), "
+            "matryoshka_recall_report (bounded anchors), bpe_tokenize "
+            "(linear in documents)."
         ),
         "diagnostics": diag,
         "queries": probe,

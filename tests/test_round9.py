@@ -312,7 +312,11 @@ def test_bm25_planted_relevance_ordering(spark, tmp_path):
 def test_hybrid_rrf_fuses_both_rankings(spark, tmp_path):
     """A doc ranked top by BOTH arms must fuse above docs carried by
     one arm only, and the audit columns must show which arm ranked
-    what (NULL where an arm didn't)."""
+    what (NULL where an arm didn't). Runs on the EXACT form (shared
+    _rrf_fuse with the r10 bucketed primary): a 4-doc corpus is below
+    LSH's operating regime, so the fusion mechanics are pinned where
+    the semantic arm is deterministic; the bucketed arm's recall is
+    pinned separately in test_round10."""
     rows = [
         (0, "apple banana cherry", "en", "q"),
         (10, "apple banana cherry pad1 pad2", "en", "s"),
@@ -322,7 +326,7 @@ def test_hybrid_rrf_fuses_both_rankings(spark, tmp_path):
     _write(spark, tmp_path, "documents", rows, DOC_SCHEMA)
     out = {
         r.rrf_rank: r
-        for r in plans.QUERIES["hybrid_search_rrf"](
+        for r in plans.QUERIES["hybrid_search_rrf_exact"](
             spark, str(tmp_path)
         ).collect()
     }
