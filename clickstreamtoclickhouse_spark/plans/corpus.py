@@ -2039,3 +2039,107 @@ def good_turing_unseen_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum((F.col("f") == 1).cast("int")) * 1.0 / F.sum("f"), 9
         ).alias("unseen_mass"),
     )
+
+
+# ---------------------------------------------------------------------------
+# PMI collocations (round 10)
+# ---------------------------------------------------------------------------
+
+_PMI_MIN_COUNT = 5   # bigram support floor (kills ln(tiny-count) noise)
+_PMI_TOPK = 50
+
+
+@query(
+    "pmi_collocations",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({tx.SQL_WORDS.format(t="lower(text)")}) AS w
+      FROM documents WHERE length(trim(text)) > 0
+    ),
+    uni AS (SELECT w, CAST(count(*) AS BIGINT) AS n_w FROM toks GROUP BY w),
+    nu AS (SELECT CAST(count(*) AS BIGINT) AS n_uni FROM toks),
+    ws_t AS (
+      SELECT {tx.SQL_WORDS.format(t="lower(text)")} AS ws
+      FROM documents WHERE length(trim(text)) > 0
+    ),
+    big AS (
+      SELECT unnest({tx.sql_ngrams("ws", 2)}) AS bg FROM ws_t
+    ),
+    bgc AS (SELECT bg, CAST(count(*) AS BIGINT) AS n_ab FROM big GROUP BY bg),
+    nb AS (SELECT CAST(sum(n_ab) AS BIGINT) AS n_bi FROM bgc),
+    scored AS (
+      SELECT split_part(bg, ' ', 1) AS w1,
+             split_part(bg, ' ', 2) AS w2,
+             n_ab,
+             ln((CAST(n_ab AS DOUBLE) * n_uni * n_uni)
+                / (CAST(n_bi AS DOUBLE) * a.n_w * b.n_w)) AS pmi
+      FROM bgc
+      JOIN uni a ON a.w = split_part(bg, ' ', 1)
+      JOIN uni b ON b.w = split_part(bg, ' ', 2)
+      CROSS JOIN nu CROSS JOIN nb
+      WHERE n_ab >= {_PMI_MIN_COUNT}
+    )
+    SELECT w1, w2, n_ab, round(pmi, 6) AS pmi
+    FROM scored
+    ORDER BY round(pmi, 9) DESC, w1, w2
+    LIMIT {_PMI_TOPK}
+    """,
+)
+def pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation extraction by pointwise mutual information (Church
+    & Hanks 1990, public method): adjacent-bigram PMI =
+    ln(P(ab) / (P(a)P(b))) with unigram probabilities over the token
+    stream and bigram probabilities over adjacent positions, support
+    floor n_ab >= {_PMI_MIN_COUNT}, global top-{_PMI_TOPK} — the
+    phrase-mining/tokenizer-merge-candidate step of a corpus pipeline
+    (BPE merges rank by raw pair count; PMI surfaces *statistically
+    surprising* pairs instead).
+
+    Float stance: all counts are exact BIGINTs; the PMI ratio is ONE
+    double expression tree (products round deterministically — no
+    sum-order hazard) feeding ONE ln per row, rounded at 6 dp (ranked
+    at 9 dp, id tie-broken) — the BM25-idf precedent for cross-engine
+    libm calls.
+
+    Scale: two map-side-combinable count aggregates (unigrams keyed
+    by word, bigrams by pair) + keyed joins of the bigram table to
+    the unigram table; 1-row totals broadcast. The global top-k is
+    TakeOrderedAndProject, never a full sort."""
+    d = load(spark, sf_dir, "documents").filter(
+        F.length(F.trim(F.col("text"))) > 0
+    )
+    toks = d.select(F.explode(tx.words(F.lower(F.col("text")))).alias("w"))
+    uni = toks.groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("n_w"))
+    nu = toks.agg(F.count(F.lit(1)).cast("long").alias("n_uni"))
+    big = d.select(
+        F.explode(tx._ngrams(tx.words(F.lower(F.col("text"))), 2)).alias("bg")
+    )
+    bgc = big.groupBy("bg").agg(
+        F.count(F.lit(1)).cast("long").alias("n_ab")
+    )
+    nb = bgc.agg(F.sum("n_ab").cast("long").alias("n_bi"))
+    pairs = (
+        bgc.filter(F.col("n_ab") >= _PMI_MIN_COUNT)
+        .withColumn("w1", F.split_part(F.col("bg"), F.lit(" "), F.lit(1)))
+        .withColumn("w2", F.split_part(F.col("bg"), F.lit(" "), F.lit(2)))
+    )
+    a = uni.select(F.col("w").alias("w1"), F.col("n_w").alias("n_a"))
+    b = uni.select(F.col("w").alias("w2"), F.col("n_w").alias("n_b"))
+    pmi = F.log(
+        (F.col("n_ab").cast("double") * F.col("n_uni") * F.col("n_uni"))
+        / (F.col("n_bi").cast("double") * F.col("n_a") * F.col("n_b"))
+    )
+    return (
+        pairs.join(a, "w1")
+        .join(b, "w2")
+        .crossJoin(F.broadcast(nu))
+        .crossJoin(F.broadcast(nb))
+        .select(
+            "w1", "w2", "n_ab",
+            F.round(pmi, 6).alias("pmi"),
+            F.round(pmi, 9).alias("_r9"),
+        )
+        .orderBy(F.col("_r9").desc(), "w1", "w2")
+        .limit(_PMI_TOPK)
+        .drop("_r9")
+    )

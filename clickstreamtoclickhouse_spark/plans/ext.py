@@ -4955,44 +4955,78 @@ def matryoshka_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
 
-    def norms(prefix: str):
-        cols = [similarity.norm(F.col("v")).alias(f"{prefix}n0")]
-        for m in _MRL_DIMS:
-            cols.append(
-                similarity.norm(F.slice(F.col("v"), 1, m)).alias(
-                    f"{prefix}n{m}"
+    # ONE squares array per row, bound with _let so the four prefix
+    # norms read it once (the interpreted HOF path has no CSE — the
+    # pre-r10 form re-sliced and re-squared `v` per prefix; the r10
+    # probe flagged the per-pair cost). Prefix sums run left-to-right
+    # over slices of the BOUND array, so each equals the oracle's
+    # list_dot_product(v[1:m], v[1:m]) bit-for-bit.
+    def norms(prefix: str) -> F.Column:
+        def with_sq(sq):
+            fields = [
+                F.sqrt(
+                    F.aggregate(sq, F.lit(0.0), lambda a, x: a + x)
+                ).alias(f"{prefix}n0")
+            ]
+            for m in _MRL_DIMS:
+                fields.append(
+                    F.sqrt(
+                        F.aggregate(
+                            F.slice(sq, 1, m), F.lit(0.0),
+                            lambda a, x: a + x,
+                        )
+                    ).alias(f"{prefix}n{m}")
                 )
-            )
-        return cols
+            return F.struct(*fields)
+
+        return tx._let(F.transform(F.col("v"), lambda x: x * x), with_sq)
 
     q = F.broadcast(
-        emb.filter(F.col("vec_id") < _MRL_ANCHORS).select(
+        emb.filter(F.col("vec_id") < _MRL_ANCHORS)
+        .select(
             F.col("vec_id").alias("query_id"),
             F.col("v").alias("qv"),
-            *norms("q"),
+            norms("q").alias("qn"),
         )
+        .select("query_id", "qv", "qn.*")
     )
-    c = emb.select(
+    # widen the corpus side: the heavy per-pair HOF projection is
+    # pipelined ON TOP of the scan task(s), and driver testdata
+    # parquet is single-row-group — without the fan-out the whole
+    # anchors x corpus compute serializes on 1-2 cores (r10 A/B:
+    # x10 5.7 s -> 1.5 s; broadcast of the anchor side is explicit,
+    # so the widen cannot break an AQE runtime broadcast here)
+    c = widen_scan(emb).select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("v").alias("cv"),
-        *norms("c"),
-    )
+        norms("c").alias("cn"),
+    ).select("neighbor_id", "cv", "cn.*")
     pairs = q.join(c, F.col("query_id") != F.col("neighbor_id"))
 
-    def sim_expr(m: int) -> F.Column:
-        if m == 0:
-            d = similarity.dot(F.col("qv"), F.col("cv"))
-            return d / (F.col("qn0") * F.col("cn0"))
-        d = similarity.dot(
-            F.slice(F.col("qv"), 1, m), F.slice(F.col("cv"), 1, m)
-        )
-        return d / (F.col(f"qn{m}") * F.col(f"cn{m}"))
+    # likewise ONE products array per pair, shared by all four dots
+    def with_prods(p):
+        def d(m: int):
+            if m == 0:
+                return F.aggregate(p, F.lit(0.0), lambda a, x: a + x)
+            return F.aggregate(
+                F.slice(p, 1, m), F.lit(0.0), lambda a, x: a + x
+            )
 
-    variants = F.array(
-        *[
-            F.struct(F.lit(m).alias("m"), sim_expr(m).alias("sim"))
-            for m in (0,) + _MRL_DIMS
-        ]
+        return F.array(
+            *[
+                F.struct(
+                    F.lit(m).alias("m"),
+                    (
+                        d(m) / (F.col(f"qn{m}") * F.col(f"cn{m}"))
+                    ).alias("sim"),
+                )
+                for m in (0,) + _MRL_DIMS
+            ]
+        )
+
+    variants = tx._let(
+        F.zip_with(F.col("qv"), F.col("cv"), lambda x, y: x * y),
+        with_prods,
     )
     sims = pairs.select(
         "query_id", "neighbor_id", F.inline(variants)
@@ -5242,4 +5276,128 @@ def dp_sensitivity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(F.abs(F.col("uc"))).cast("long").alias("sum_sensitivity_cents"),
         rel_count.alias("rel_count_noise"),
         rel_sum.alias("rel_sum_noise"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Leakage-safe out-of-fold target encoding (round 10)
+# ---------------------------------------------------------------------------
+
+_TE_FOLDS = 5
+_TE_SMOOTH = 100  # smoothing pseudo-count (rows of prior)
+
+
+@query(
+    "target_encoding_oof",
+    oracle=f"""
+    WITH e AS (
+      SELECT event_type,
+             CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8))
+                  ::BIGINT % {_TE_FOLDS} AS INT) AS fold,
+             CAST(round(value * 100, 0) AS BIGINT) AS c
+      FROM events WHERE value IS NOT NULL
+    ),
+    cell AS (
+      SELECT event_type, fold,
+             CAST(count(*) AS BIGINT) AS n, CAST(sum(c) AS BIGINT) AS s
+      FROM e GROUP BY 1, 2
+    ),
+    g AS (
+      SELECT *,
+             CAST(sum(n) OVER (PARTITION BY event_type) AS BIGINT) AS n_t,
+             CAST(sum(s) OVER (PARTITION BY event_type) AS BIGINT) AS s_t,
+             CAST(sum(n) OVER (PARTITION BY fold) AS BIGINT) AS n_f,
+             CAST(sum(s) OVER (PARTITION BY fold) AS BIGINT) AS s_f,
+             CAST(sum(n) OVER () AS BIGINT) AS n_g,
+             CAST(sum(s) OVER () AS BIGINT) AS s_g
+      FROM cell
+    )
+    SELECT event_type, fold,
+           CAST(n_t - n AS BIGINT) AS n_oof,
+           CASE WHEN n_t > n THEN
+             round(CAST(s_t - s AS DOUBLE) / (100.0 * (n_t - n)), 6)
+           END AS te_mean_value,
+           CASE WHEN n_g > n_f THEN
+             round((CAST(s_t - s AS DOUBLE)
+                    + {_TE_SMOOTH}.0
+                      * (CAST(s_g - s_f AS DOUBLE) / (n_g - n_f)))
+                   / (100.0 * ((n_t - n) + {_TE_SMOOTH}.0)), 6)
+           END AS te_mean_value_smoothed
+    FROM g
+    """,
+)
+def target_encoding_oof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe OUT-OF-FOLD target encoding (Micci-Barreca 2001
+    smoothing, K-fold leave-out — the standard categorical feature
+    for gradient-boosted / linear models): for category `event_type`
+    and fold f (fold = portable id hash of the row id mod
+    {_TE_FOLDS}), the encoded value is the target mean computed over
+    every OTHER fold's rows of that category — a row never sees its
+    own target, which is what separates this from plain (leaky)
+    category means. The smoothed column shrinks small categories
+    toward the GLOBAL out-of-fold mean with {_TE_SMOOTH} pseudo-rows
+    (the prior itself excludes fold f, so smoothing re-introduces no
+    leakage).
+
+    Exactness: fold sums live on the integer cents lattice (BIGINT);
+    every OOF statistic is a two-BIGINT difference; the only doubles
+    are one division per output column with an identical expression
+    tree in the oracle. NULL when a category exists in one fold only
+    (no out-of-fold rows) — emitted, not dropped, so the feature
+    builder sees the gap.
+
+    Scale: ONE map-side-combinable (category, fold) aggregate over
+    the fact scan; everything after runs on the categories x
+    {_TE_FOLDS} cell table (windows over a bounded relation). The
+    encode-apply step is a broadcast join of this output back onto
+    the facts — never a second fact shuffle."""
+    from ..util import portable_id_hash
+
+    e = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    fold = F.pmod(
+        portable_id_hash(F.col("event_id")), F.lit(_TE_FOLDS)
+    ).cast("int")
+    cents = F.round(F.col("value") * 100, 0).cast("bigint")
+    cell = (
+        e.select(F.col("event_type"), fold.alias("fold"), cents.alias("c"))
+        .groupBy("event_type", "fold")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("c").cast("long").alias("s"),
+        )
+    )
+    wt = Window.partitionBy("event_type")
+    wf = Window.partitionBy("fold")
+    wg = Window.partitionBy()
+    g = (
+        cell.withColumn("n_t", F.sum("n").over(wt))
+        .withColumn("s_t", F.sum("s").over(wt))
+        .withColumn("n_f", F.sum("n").over(wf))
+        .withColumn("s_f", F.sum("s").over(wf))
+        .withColumn("n_g", F.sum("n").over(wg))
+        .withColumn("s_g", F.sum("s").over(wg))
+    )
+    s_oof = (F.col("s_t") - F.col("s")).cast("double")
+    n_oof = F.col("n_t") - F.col("n")
+    prior = (F.col("s_g") - F.col("s_f")).cast("double") / (
+        F.col("n_g") - F.col("n_f")
+    )
+    te = F.when(
+        F.col("n_t") > F.col("n"),
+        F.round(s_oof / (F.lit(100.0) * n_oof), 6),
+    )
+    te_sm = F.when(
+        F.col("n_g") > F.col("n_f"),
+        F.round(
+            (s_oof + F.lit(float(_TE_SMOOTH)) * prior)
+            / (F.lit(100.0) * (n_oof + F.lit(float(_TE_SMOOTH)))),
+            6,
+        ),
+    )
+    return g.select(
+        "event_type",
+        "fold",
+        n_oof.cast("bigint").alias("n_oof"),
+        te.alias("te_mean_value"),
+        te_sm.alias("te_mean_value_smoothed"),
     )

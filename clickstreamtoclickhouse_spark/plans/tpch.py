@@ -1754,3 +1754,98 @@ def part_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("component").cast("long").alias("entity_id"),
         F.col("cluster_size").cast("long").alias("entity_size"),
     )
+
+
+# ---------------------------------------------------------------------------
+# HITS hubs/authorities on the customer-part purchase bipartite graph
+# ---------------------------------------------------------------------------
+
+_HITS_TOPK = 20
+
+
+@query(
+    "part_hits_authorities",
+    oracle=f"""
+    WITH edges AS (
+      SELECT DISTINCT o.o_custkey AS u, l.l_partkey AS p
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    ),
+    a1 AS (SELECT p, CAST(count(*) AS BIGINT) AS a FROM edges GROUP BY p),
+    h1 AS (
+      SELECT u, CAST(sum(a) AS BIGINT) AS h
+      FROM edges JOIN a1 USING (p) GROUP BY u
+    ),
+    a2 AS (
+      SELECT p, CAST(sum(h) AS BIGINT) AS a
+      FROM edges JOIN h1 USING (u) GROUP BY p
+    ),
+    ranked AS (
+      SELECT p, a,
+             CAST(max(a) OVER () AS BIGINT) AS amax,
+             row_number() OVER (ORDER BY a DESC, p) AS r
+      FROM a2
+    )
+    SELECT CAST(p AS BIGINT) AS l_partkey,
+           CAST(r AS INT) AS rank,
+           a AS authority_raw,
+           round(CAST(a AS DOUBLE) / amax, 6) AS authority
+    FROM ranked WHERE r <= {_HITS_TOPK}
+    """,
+)
+def part_hits_authorities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs/authorities (Kleinberg, JACM 1999 — public method)
+    on the customer->part purchase BIPARTITE graph: customers are
+    hubs, parts authorities. Two mutual-reinforcement rounds from
+    h0 = 1 — a1(p) = in-degree, h1(u) = sum of a1 over u's parts,
+    a2(p) = sum of h1 over p's buyers — so an authoritative part is
+    one bought by customers who buy many well-bought parts, which is
+    exactly the signal plain purchase counts (top_parts-style) miss.
+
+    Exactness: a FIXED round count with UNNORMALIZED integer scores —
+    every iterate is a BIGINT keyed sum, so both engines walk an
+    identical integer lattice (the markov/value-iteration float-drift
+    problem never arises); the single normalization (divide by the
+    max) happens once at the end, rounded at 6 dp. Overflow headroom:
+    a2 <= max_parts_per_customer x max_part_degree x buyers — at
+    TPC-H shapes orders of magnitude under 2^63.
+
+    Scale: each round is one keyed equi-join + one map-side-
+    combinable keyed sum over the distinct edge table (built once);
+    the round count is a compile-time constant (2), not a
+    convergence loop — no lineage growth, no driver fixpoint. Top-k
+    is a bounded window over the part-score table."""
+    from pyspark.sql.window import Window
+
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    edges = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(F.col("o_custkey").alias("u"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    a1 = edges.groupBy("p").agg(F.count(F.lit(1)).cast("long").alias("a"))
+    h1 = (
+        edges.join(a1, "p")
+        .groupBy("u")
+        .agg(F.sum("a").cast("long").alias("h"))
+    )
+    a2 = (
+        edges.join(h1, "u")
+        .groupBy("p")
+        .agg(F.sum("h").cast("long").alias("a"))
+    )
+    w = Window.orderBy(F.col("a").desc(), "p")
+    ranked = a2.select(
+        "p",
+        "a",
+        F.max("a").over(Window.partitionBy()).alias("amax"),
+        F.row_number().over(w).alias("r"),
+    )
+    return ranked.filter(F.col("r") <= _HITS_TOPK).select(
+        F.col("p").cast("bigint").alias("l_partkey"),
+        F.col("r").cast("int").alias("rank"),
+        F.col("a").alias("authority_raw"),
+        F.round(F.col("a").cast("double") / F.col("amax"), 6).alias(
+            "authority"
+        ),
+    )

@@ -248,3 +248,142 @@ def test_bucketed_sem_arm_recall_vs_exact(spark):
               ["query_id", "doc_id"])
     )
     assert joined.filter(F.col("bs") != F.col("sim")).count() == 0
+
+
+# -- round-10 additions: planted tests with independent references ----
+
+
+def _write(spark, tmp_path, table, rows, schema):
+    spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{tmp_path}/{table}.parquet")
+
+
+def test_target_encoding_oof_independent_reference(spark, tmp_path):
+    """OOF means recomputed by a pure-Python reference that shares
+    NOTHING with the Spark plan (hashlib md5 folds, Fraction-exact
+    arithmetic). Also pins the leakage property directly: a fold's
+    encoding never includes its own rows."""
+    import hashlib
+    from fractions import Fraction
+
+    from clickstreamtoclickhouse_spark import plans
+    from clickstreamtoclickhouse_spark.plans.ext import (
+        _TE_FOLDS,
+        _TE_SMOOTH,
+    )
+
+    rows = [
+        (i, "2024-01-01 00:00:00", i % 7,
+         "click" if i % 3 else "purchase", float(i) + 0.25, "{}")
+        for i in range(1, 61)
+    ]
+    schema = ("event_id long, ts string, user_id long, event_type string, "
+              "value double, props string")
+    _write(spark, tmp_path, "events", rows, schema)
+
+    def fold(eid):
+        return int(hashlib.md5(str(eid).encode()).hexdigest()[:8], 16) \
+            % _TE_FOLDS
+
+    cells: dict = {}
+    for eid, _, _, et, v, _ in rows:
+        f = fold(eid)
+        n, s = cells.get((et, f), (0, 0))
+        cells[(et, f)] = (n + 1, s + round(v * 100))
+    tot = {}
+    ftot = {}
+    g_n = g_s = 0
+    for (et, f), (n, s) in cells.items():
+        tn, ts = tot.get(et, (0, 0))
+        tot[et] = (tn + n, ts + s)
+        fn, fs = ftot.get(f, (0, 0))
+        ftot[f] = (fn + n, fs + s)
+        g_n += n
+        g_s += s
+
+    out = {
+        (r.event_type, r.fold): r
+        for r in plans.QUERIES["target_encoding_oof"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert set(out) == set(cells)
+    for (et, f), (n, s) in cells.items():
+        tn, ts = tot[et]
+        r = out[(et, f)]
+        assert r.n_oof == tn - n
+        if tn > n:
+            # the reference subtracts the fold's OWN rows before the
+            # mean — matching it IS the leakage-safety property
+            exp = Fraction(ts - s, 100 * (tn - n))
+            assert abs(r.te_mean_value - float(exp)) < 1.5e-6
+        fn, fs = ftot[f]
+        prior = (g_s - fs) / (g_n - fn)
+        exp_sm = ((ts - s) + _TE_SMOOTH * prior) / (
+            100.0 * ((tn - n) + _TE_SMOOTH)
+        )
+        assert abs(r.te_mean_value_smoothed - exp_sm) < 1.5e-6
+
+
+def test_pmi_collocations_planted(spark, tmp_path):
+    """A bigram that ALWAYS co-occurs must out-score bigrams of
+    frequent-but-independent words; a pair under the support floor
+    must not appear; PMI values match a hand computation."""
+    import math
+
+    from clickstreamtoclickhouse_spark import plans
+
+    # 'zyx qwv' occurs 6x and those words never appear apart;
+    # 'the cat' occurs 6x but 'the'/'cat' are everywhere;
+    # 'rare pair' occurs only 4x -> under the floor (5)
+    docs = []
+    for i in range(6):
+        docs.append((i, "zyx qwv", "en", "s"))
+        docs.append((10 + i, "the cat", "en", "s"))
+        docs.append((20 + i, "the dog ate the cat food now", "en", "s"))
+    for i in range(4):
+        docs.append((30 + i, "rare pair", "en", "s"))
+    _write(spark, tmp_path, "documents", docs,
+           "doc_id long, text string, lang string, source string")
+
+    out = plans.QUERIES["pmi_collocations"](spark, str(tmp_path)).collect()
+    got = {(r.w1, r.w2): r for r in out}
+    assert ("rare", "pair") not in got          # support floor
+    assert ("zyx", "qwv") in got and ("the", "cat") in got
+    assert got[("zyx", "qwv")].pmi > got[("the", "cat")].pmi
+    # hand computation: N_uni = 6*2 + 6*2 + 6*7 + 4*2 = 74,
+    # N_bi = 6*1 + 6*1 + 6*6 + 4*1 = 52
+    n_uni, n_bi = 74, 52
+    exp = math.log((6 * n_uni * n_uni) / (n_bi * 6 * 6))
+    assert abs(got[("zyx", "qwv")].pmi - round(exp, 6)) < 2e-6
+    # ranking is by pmi desc; the filler sentence's word-pairs (e.g.
+    # 'dog ate', also 6x-exclusive) TIE with zyx/qwv and break on w1,
+    # so pin the property, not a single winner: the top row carries
+    # the maximal (always-together) PMI
+    assert out[0].pmi == got[("zyx", "qwv")].pmi
+
+
+def test_part_hits_authorities_planted(spark, tmp_path):
+    """Hand-computed two-round HITS on a 3-customer bipartite graph:
+    a part bought by well-connected customers must out-rank a part
+    with the same raw purchase count but weaker buyers."""
+    from clickstreamtoclickhouse_spark import plans
+
+    # C1 -> {P1, P2}; C2 -> {P1}; C3 -> {P1, P3}
+    orders = [(100, 1), (200, 2), (300, 3)]
+    lineitem = [(100, 1), (100, 2), (200, 1), (300, 1), (300, 3)]
+    _write(spark, tmp_path, "orders", orders,
+           "o_orderkey long, o_custkey long")
+    _write(spark, tmp_path, "lineitem", lineitem,
+           "l_orderkey long, l_partkey long")
+
+    out = {r.l_partkey: r for r in plans.QUERIES["part_hits_authorities"](
+        spark, str(tmp_path)).collect()}
+    # a1: P1=3 P2=1 P3=1; h1: C1=4 C2=3 C3=4; a2: P1=11 P2=4 P3=4
+    assert out[1].authority_raw == 11
+    assert out[2].authority_raw == 4 and out[3].authority_raw == 4
+    assert out[1].rank == 1
+    assert out[2].rank == 2 and out[3].rank == 3  # tie -> part id order
+    assert out[1].authority == 1.0
+    assert out[2].authority == round(4 / 11, 6)
