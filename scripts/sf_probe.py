@@ -142,6 +142,10 @@ PROBE_QUERIES = [
     "incremental_embedding_dedup",
     "matryoshka_recall_report",
     "bpe_tokenize",
+    # round-10 additions: bigram-count joins (doc-scale) and the
+    # two-round bipartite HITS (lineitem-scale keyed joins)
+    "pmi_collocations",
+    "part_hits_authorities",
 ]
 
 
