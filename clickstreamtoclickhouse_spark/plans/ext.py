@@ -17,7 +17,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..functions import dedup_text, graph, multimodal, similarity, text as tx
-from ..util import widen_scan
+from ..util import SessionDFCache, widen_scan
 from .registry import load, query
 
 EMB_DIM = 64
@@ -1172,6 +1172,30 @@ def jaccard_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# The chain-corpus pairs -> connected-components build is consumed by
+# BOTH dedup_clusters and dedup_cluster_representatives (7.3 s
+# combined at sf0.1 when each rebuilt it — r10 A/B); one
+# SessionDFCache entry runs the shingle join + CC fixpoint once per
+# (app, sf_dir).
+_CHAIN_ASSIGN_CACHE = SessionDFCache()
+
+
+def _chain_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def build() -> DataFrame:
+        corpus = _chain_corpus(load(spark, sf_dir, "documents"))
+        pairs = dedup_text.jaccard_pairs(corpus, threshold=0.5, n=3)
+        return graph.cluster_assignments(
+            corpus, pairs, id_col="doc_id", pair_a="doc_a", pair_b="doc_b"
+        )
+
+    return _CHAIN_ASSIGN_CACHE.get_or_build(spark, sf_dir, build)
+
+
+def evict_chain_assignments(sf_dir: str | None = None) -> int:
+    """Explicit unpersist hook (the evict_copurchase_edges twin)."""
+    return _CHAIN_ASSIGN_CACHE.evict(sf_dir)
+
+
 @query(
     "dedup_clusters",
     oracle=f"""
@@ -1233,11 +1257,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregation — a different algorithm arriving at the same fixed
     point, which is exactly what makes this a strong cross-engine
     check."""
-    corpus = _chain_corpus(load(spark, sf_dir, "documents"))
-    pairs = dedup_text.jaccard_pairs(corpus, threshold=0.5, n=3)
-    return graph.cluster_assignments(
-        corpus, pairs, id_col="doc_id", pair_a="doc_a", pair_b="doc_b"
-    )
+    return _chain_assignments(spark, sf_dir)
 
 
 @query(
@@ -1314,10 +1334,7 @@ def dedup_cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame
     from pyspark.sql.window import Window as W
 
     corpus = _chain_corpus(load(spark, sf_dir, "documents"))
-    pairs = dedup_text.jaccard_pairs(corpus, threshold=0.5, n=3)
-    assign = graph.cluster_assignments(
-        corpus, pairs, id_col="doc_id", pair_a="doc_a", pair_b="doc_b"
-    )
+    assign = _chain_assignments(spark, sf_dir)
     toks = corpus.select(
         "doc_id", tx.token_count_ws(F.col("text")).cast("bigint").alias("n_tokens")
     )

@@ -40,6 +40,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..functions import text as tx
+from ..util import SessionDFCache
 from .registry import load, query
 
 _BM25_K1 = 1.2
@@ -171,57 +172,40 @@ def bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # The per-(doc, term) tf table is the corpus-scale base every
 # retrieval query (bm25 / hybrid / snippets / eval / prf) rebuilds:
 # one token explode + one keyed count over the whole documents table.
-# Cache it per (applicationId, sf_dir) behind a LAZY localCheckpoint —
-# the _copurchase_edges pattern — so a session running the family pays
-# for the explode-aggregate once. Keyed on applicationId so a stopped
-# session's stale checkpoint is never served to a new app; assumes the
-# input dir is immutable for the app's lifetime (the same contract
-# registry.load testdata already has).
-_TF_CACHE: dict = {}
+# Cached per (applicationId, sf_dir) behind a LAZY localCheckpoint —
+# util.SessionDFCache (dead-app sweep + explicit unpersist hook) — so
+# a session running the family pays for the explode-aggregate once;
+# assumes the input dir is immutable for the app's lifetime (the same
+# contract registry.load testdata already has).
+_TF_CACHE = SessionDFCache()
 _TF_CACHE_ENABLED = True
 
 
 def _corpus_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    app_id = spark.sparkContext.applicationId
-    for k in [k for k in _TF_CACHE if k[0] != app_id]:
-        del _TF_CACHE[k]
-    key = (app_id, sf_dir)
-    cached = _TF_CACHE.get(key)
-    if cached is not None:
-        return cached
-    d = load(spark, sf_dir, "documents").filter(
-        F.length(F.trim(F.col("text"))) > 0
-    )
-    toks = d.select(
-        "doc_id", F.explode(tx.words(F.lower(F.col("text")))).alias("w")
-    )
-    tf = toks.groupBy("doc_id", "w").agg(
-        F.count(F.lit(1)).cast("long").alias("tf")
-    )
+    def build() -> DataFrame:
+        d = load(spark, sf_dir, "documents").filter(
+            F.length(F.trim(F.col("text"))) > 0
+        )
+        toks = d.select(
+            "doc_id", F.explode(tx.words(F.lower(F.col("text")))).alias("w")
+        )
+        return toks.groupBy("doc_id", "w").agg(
+            F.count(F.lit(1)).cast("long").alias("tf")
+        )
+
     if not _TF_CACHE_ENABLED:
-        return tf
-    tf = tf.localCheckpoint(eager=False)
-    _TF_CACHE[key] = tf
-    return tf
+        return build()
+    return _TF_CACHE.get_or_build(spark, sf_dir, build)
 
 
 def evict_corpus_tf(sf_dir: str | None = None) -> int:
     """Explicit unpersist hook for the session tf cache: a LONG-LIVED
     application iterating over many sf_dirs accumulates one
-    materialized localCheckpoint per dir (the dead-appId sweep in
-    `_corpus_tf` only reclaims OTHER apps' entries). Call with a dir
-    to release that dir's checkpoint blocks, or with no argument to
-    drop them all. Returns the number of entries evicted."""
-    n = 0
-    for k in list(_TF_CACHE):
-        if sf_dir is None or k[1] == sf_dir:
-            df = _TF_CACHE.pop(k)
-            try:
-                df.unpersist()
-            except Exception:  # noqa: BLE001 — app already stopped:
-                pass           # its checkpoint blocks are gone anyway
-            n += 1
-    return n
+    materialized localCheckpoint per dir (the dead-appId sweep only
+    reclaims OTHER apps' entries). Call with a dir to release that
+    dir's checkpoint blocks, or with no argument to drop them all.
+    Returns the number of entries evicted."""
+    return _TF_CACHE.evict(sf_dir)
 
 
 def _tf_tables(

@@ -29,6 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..util import SessionDFCache
 from .registry import load, query
 
 
@@ -1132,13 +1133,11 @@ def order_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # One co-purchase edge build shared by the graph family (triangles /
 # k-core / link prediction all consume the identical distinct
-# lineitem self-join). Cached per (application, sf_dir) behind a LAZY
-# localCheckpoint — the dedup_recall_report shingle pattern lifted to
-# session scope — so a session running the whole family pays for the
-# lineitem scan + co-order self-join + distinct exactly once. Keyed
-# on applicationId (not the Python session object) so a stopped
-# session's stale checkpoint can never be served to a new app.
-_COPURCHASE_CACHE: dict = {}
+# lineitem self-join), cached per (application, sf_dir) behind a LAZY
+# localCheckpoint — util.SessionDFCache (dead-app sweep + explicit
+# unpersist hook) — so a session running the whole family pays for
+# the lineitem scan + co-order self-join + distinct exactly once.
+_COPURCHASE_CACHE = SessionDFCache()
 
 
 def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1148,53 +1147,36 @@ def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     the order's line count (<= 7 in TPC-H-shaped data), so the build
     is linear in lineitem; the checkpoint materializes the m-row edge
     list once for every downstream graph query in the session."""
-    app_id = spark.sparkContext.applicationId
-    # evict entries from stopped applications: a long-lived Python
-    # process that restarts Spark sessions would otherwise accumulate
-    # stale DataFrames (and their localCheckpoint references) forever
-    for k in [k for k in _COPURCHASE_CACHE if k[0] != app_id]:
-        del _COPURCHASE_CACHE[k]
-    key = (app_id, sf_dir)
-    cached = _COPURCHASE_CACHE.get(key)
-    if cached is not None:
-        return cached
-    li2 = (
-        load(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
-    a, b = li2.alias("a"), li2.alias("b")
-    edges = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+
+    def build() -> DataFrame:
+        li2 = (
+            load(spark, sf_dir, "lineitem")
+            .select("l_orderkey", "l_partkey")
+            .distinct()
         )
-        .select(
-            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
+        a, b = li2.alias("a"), li2.alias("b")
+        return (
+            a.join(
+                b,
+                (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+                & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+            )
+            .select(
+                F.col("a.l_partkey").alias("u"),
+                F.col("b.l_partkey").alias("v"),
+            )
+            .distinct()
         )
-        .distinct()
-        .localCheckpoint(eager=False)
-    )
-    _COPURCHASE_CACHE[key] = edges
-    return edges
+
+    return _COPURCHASE_CACHE.get_or_build(spark, sf_dir, build)
 
 
 def evict_copurchase_edges(sf_dir: str | None = None) -> int:
     """Explicit unpersist hook (twin of retrieval.evict_corpus_tf):
     releases the edge checkpoints a long-lived app accumulated across
-    sf_dirs — the dead-appId sweep above only reclaims OTHER apps'
+    sf_dirs — the dead-appId sweep only reclaims OTHER apps'
     entries. Returns the number of entries evicted."""
-    n = 0
-    for k in list(_COPURCHASE_CACHE):
-        if sf_dir is None or k[1] == sf_dir:
-            df = _COPURCHASE_CACHE.pop(k)
-            try:
-                df.unpersist()
-            except Exception:  # noqa: BLE001 — app already stopped:
-                pass           # its checkpoint blocks are gone anyway
-            n += 1
-    return n
+    return _COPURCHASE_CACHE.evict(sf_dir)
 
 
 @query(

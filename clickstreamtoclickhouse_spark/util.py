@@ -5,6 +5,48 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 
+class SessionDFCache(dict):
+    """Session-scoped cache of expensive shared builds, keyed
+    (applicationId, sf_dir) -> lazily-localCheckpointed DataFrame —
+    the ONE implementation behind the co-purchase edge, retrieval tf,
+    and dedup cluster-assignment caches (three divergent copies of
+    this pattern would be the portable_id_hash mistake all over).
+
+    Contract: the input dir is IMMUTABLE for the application's
+    lifetime (the registry.load testdata contract); keys from stopped
+    applications are swept on every access so a long-lived Python
+    process restarting Spark sessions cannot accumulate stale
+    DataFrames; `evict()` is the explicit unpersist hook for a
+    long-lived app iterating over many sf_dirs (the sweep only
+    reclaims OTHER apps' entries). Plain dict subclass so tests can
+    inspect/plant entries directly."""
+
+    def get_or_build(self, spark: SparkSession, sf_dir: str, builder):
+        app_id = spark.sparkContext.applicationId
+        for k in [k for k in self if k[0] != app_id]:
+            del self[k]
+        key = (app_id, sf_dir)
+        cached = self.get(key)
+        if cached is not None:
+            return cached
+        df = builder().localCheckpoint(eager=False)
+        self[key] = df
+        return df
+
+    def evict(self, sf_dir: str | None = None) -> int:
+        """Release entries for `sf_dir` (or all); returns the count."""
+        n = 0
+        for k in list(self):
+            if sf_dir is None or k[1] == sf_dir:
+                df = self.pop(k)
+                try:
+                    df.unpersist()
+                except Exception:  # noqa: BLE001 — app already stopped:
+                    pass           # its checkpoint blocks are gone anyway
+                n += 1
+        return n
+
+
 def is_path_not_found(e: Exception) -> bool:
     """True iff an AnalysisException means 'no data here yet' — the
     path does not exist, OR it exists but holds no parquet footers

@@ -1118,3 +1118,25 @@ def test_curriculum_order_plan_shape(spark):
     txt = plan_text(spark, "curriculum_data_order")
     assert "CartesianProduct" not in txt
     assert "BroadcastHashJoin" in txt
+
+
+def test_round10_additions_plan_shapes(spark):
+    # PMI: global top-k must be TakeOrderedAndProject, never a full
+    # sort; totals broadcast; no cartesian
+    txt = plan_text(spark, "pmi_collocations")
+    assert "TakeOrderedAndProject" in txt
+    assert "CartesianProduct" not in txt
+    # OOF target encoding: ONE fact shuffle (the (category, fold)
+    # aggregate); everything downstream runs on the bounded cell
+    # table (window exchanges are over ~categories x folds rows)
+    txt = plan_text(spark, "target_encoding_oof")
+    assert "CartesianProduct" not in txt and "Join" not in txt
+    # HITS: keyed joins over the edge table only — no cartesian, and
+    # the rank/max window sits above a keyed aggregate
+    txt = plan_text(spark, "part_hits_authorities")
+    assert "CartesianProduct" not in txt
+    # hybrid bucketed arm: plane table + query buckets + query tf all
+    # broadcast; no cartesian
+    txt = plan_text(spark, "hybrid_search_rrf")
+    assert "CartesianProduct" not in txt
+    assert "BroadcastHashJoin" in txt
