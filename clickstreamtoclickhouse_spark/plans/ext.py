@@ -70,6 +70,25 @@ _SQL_NEAR_DUP_CORPUS = f"""
   FROM documents
 """
 
+# The (did, shingle, h) 3-gram table of the near-dup corpus is the
+# front end of SEVEN registered queries (jaccard capped/uncapped,
+# minhash capped/uncapped, containment, leakage_safe_split,
+# dedup_recall_report) — each paid the normalize + explode + distinct
+# + hash pass itself before r10. One SessionDFCache build serves the
+# family; per-query caps/bands apply downstream of the shared table,
+# so every oracle is untouched.
+_ND_SHINGLE_CACHE = SessionDFCache()
+
+
+def _near_dup_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def build() -> DataFrame:
+        corpus = _near_dup_corpus(load(spark, sf_dir, "documents"))
+        return dedup_text._doc_shingles(
+            corpus, "doc_id", "text", 3
+        ).withColumn("h", dedup_text._portable_hash(F.col("shingle")))
+
+    return _ND_SHINGLE_CACHE.get_or_build(spark, sf_dir, build)
+
 
 def _light_edit_corpus(docs: DataFrame) -> DataFrame:
     """documents ∪ copies with two appended words: each copy differs
@@ -1117,7 +1136,10 @@ def jaccard_near_dups_uncapped(spark: SparkSession, sf_dir: str) -> DataFrame:
     this form is for oracle anchoring and small-corpus audits only —
     at 100 TB use the capped primary."""
     corpus = _near_dup_corpus(load(spark, sf_dir, "documents"))
-    return dedup_text.jaccard_pairs(corpus, threshold=0.5, n=3)
+    return dedup_text.jaccard_pairs(
+        corpus, threshold=0.5, n=3,
+        shingles=_near_dup_shingles(spark, sf_dir),
+    )
 
 
 @query(
@@ -1168,7 +1190,8 @@ def jaccard_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     (original, 80%-truncation) pair lands around jaccard ≈ 0.8."""
     corpus = _near_dup_corpus(load(spark, sf_dir, "documents"))
     return dedup_text.jaccard_pairs(
-        corpus, threshold=0.5, n=3, max_shingle_freq=4
+        corpus, threshold=0.5, n=3, max_shingle_freq=4,
+        shingles=_near_dup_shingles(spark, sf_dir),
     )
 
 
@@ -2724,6 +2747,7 @@ def minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_text.minhash_portable_pairs(
         corpus, threshold=0.5, n=3, num_bands=_MH_BANDS,
         max_bucket_size=_MH_CAP,
+        shingles=_near_dup_shingles(spark, sf_dir),
     )
 
 
@@ -2747,7 +2771,8 @@ def minhash_near_dups_uncapped(spark: SparkSession, sf_dir: str) -> DataFrame:
     checkability (it pins recall behavior, not just survivors)."""
     corpus = _near_dup_corpus(load(spark, sf_dir, "documents"))
     return dedup_text.minhash_portable_pairs(
-        corpus, threshold=0.5, n=3, num_bands=_MH_BANDS
+        corpus, threshold=0.5, n=3, num_bands=_MH_BANDS,
+        shingles=_near_dup_shingles(spark, sf_dir),
     )
 
 
@@ -3309,23 +3334,29 @@ def _recall_report_oracle() -> str:
     """
 
 
-def _recall_pair_sets(corpus: DataFrame) -> dict[str, DataFrame]:
+def _recall_pair_sets(
+    corpus: DataFrame, shingles: DataFrame | None = None
+) -> dict[str, DataFrame]:
     """The three pair sets dedup_recall_report composes (capped-exact
     truth, MinHash candidates, SimHash candidates), built from ONE
     shared (doc, shingle, hash) table. Factored out so the scale probe
     (scripts/sf_probe.py) counts EXACTLY the report's pair sets at
-    base vs 10x rows — the per-stage data behind its shuffle ratio."""
+    base vs 10x rows — the per-stage data behind its shuffle ratio.
+    `shingles` injects the session-cached table (the registered query
+    passes _near_dup_shingles); None builds one here (probe corpora
+    are per-call)."""
     # all three methods consume the SAME (doc, shingle, hash) table —
     # build it once (one explode + one char-fold pass) and share it; a
     # lazy localCheckpoint materializes it on first action so the three
     # pipelines read the checkpoint instead of re-deriving it. At scale
     # this is the difference between one pass over corpus characters
     # and three.
-    shingles = (
-        dedup_text._doc_shingles(corpus, "doc_id", "text", 3)
-        .withColumn("h", dedup_text._portable_hash(F.col("shingle")))
-        .localCheckpoint(eager=False)
-    )
+    if shingles is None:
+        shingles = (
+            dedup_text._doc_shingles(corpus, "doc_id", "text", 3)
+            .withColumn("h", dedup_text._portable_hash(F.col("shingle")))
+            .localCheckpoint(eager=False)
+        )
     # each pair set feeds 2-4 aggregates below; a LAZY localCheckpoint
     # runs every pipeline exactly once on first action while keeping
     # DataFrame construction side-effect-free (eager would execute all
@@ -3376,7 +3407,9 @@ def dedup_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact form remains available as the sf-bounded library baseline
     (jaccard_pairs with max_shingle_freq=None)."""
     corpus = _near_dup_corpus(load(spark, sf_dir, "documents"))
-    sets = _recall_pair_sets(corpus)
+    sets = _recall_pair_sets(
+        corpus, shingles=_near_dup_shingles(spark, sf_dir)
+    )
     truth, mh, sh = sets["truth"], sets["minhash"], sets["simhash"]
 
     def stat_row(method: str, cand: DataFrame) -> DataFrame:
@@ -3724,7 +3757,10 @@ def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..util import portable_id_hash
 
     corpus = _near_dup_corpus(load(spark, sf_dir, "documents"))
-    pairs = dedup_text.jaccard_pairs(corpus, threshold=0.5, n=3)
+    pairs = dedup_text.jaccard_pairs(
+        corpus, threshold=0.5, n=3,
+        shingles=_near_dup_shingles(spark, sf_dir),
+    )
     comp = graph.cluster_assignments(
         corpus, pairs, id_col="doc_id", pair_a="doc_a", pair_b="doc_b"
     ).select("doc_id", "component")
@@ -4768,7 +4804,10 @@ def containment_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (never all-pairs) with the same hot-shingle cap available on the
     library function for the 100 TB path."""
     corpus = _near_dup_corpus(load(spark, sf_dir, "documents"))
-    return dedup_text.containment_pairs(corpus, threshold=0.9, n=3)
+    return dedup_text.containment_pairs(
+        corpus, threshold=0.9, n=3,
+        shingles=_near_dup_shingles(spark, sf_dir),
+    )
 
 
 @query(

@@ -212,6 +212,20 @@ def test_session_cache_unpersist_hooks(spark, tmp_path):
     tpch.evict_copurchase_edges()
 
 
+def test_near_dup_shingle_cache_shared(spark):
+    """Seven registered queries consume the near-dup corpus's 3-gram
+    shingle table; the session cache must serve ONE build per
+    (app, sf_dir) and keep the (did, shingle, h) contract."""
+    from clickstreamtoclickhouse_spark.plans import ext
+
+    ext._ND_SHINGLE_CACHE.clear()
+    a = ext._near_dup_shingles(spark, "/root/testdata/sf0.001")
+    b = ext._near_dup_shingles(spark, "/root/testdata/sf0.001")
+    assert a is b
+    assert set(a.columns) == {"did", "shingle", "h"}
+    assert ext._ND_SHINGLE_CACHE.evict() == 1
+
+
 # -- verdict r9 #4: hybrid RRF bucketed dense arm ---------------------
 
 
