@@ -5457,3 +5457,133 @@ def target_encoding_oof(spark: SparkSession, sf_dir: str) -> DataFrame:
         te.alias("te_mean_value"),
         te_sm.alias("te_mean_value_smoothed"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-dimension embedding drift (round 10)
+# ---------------------------------------------------------------------------
+
+_EDRIFT_SMD = 0.1  # standard small-effect threshold (Cohen's d scale)
+
+
+@query(
+    "embedding_drift_report",
+    oracle=f"""
+    WITH emb AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ),
+    rel AS (
+      SELECT CAST(vec_id % 2 AS INT) AS grp,
+             unnest(range(0, {EMB_DIM})) AS d, unnest(v) AS x
+      FROM emb
+    ),
+    stats AS (
+      SELECT d, grp, CAST(count(*) AS BIGINT) AS n,
+             round(sum(x), 4) AS sx, round(sum(x * x), 4) AS sxx
+      FROM rel GROUP BY d, grp
+    ),
+    wide AS (
+      SELECT r.d,
+             r.n AS n_ref, r.sx AS sx_r, r.sxx AS sxx_r,
+             c.n AS n_cur, c.sx AS sx_c, c.sxx AS sxx_c
+      FROM stats r JOIN stats c ON c.d = r.d
+      WHERE r.grp = 0 AND c.grp = 1
+    ),
+    derived AS (
+      SELECT d, n_ref, n_cur,
+             sx_r / n_ref AS m_r, sx_c / n_cur AS m_c,
+             (sxx_r - sx_r * sx_r / n_ref) / (n_ref - 1) AS v_r,
+             (sxx_c - sx_c * sx_c / n_cur) / (n_cur - 1) AS v_c
+      FROM wide
+    ),
+    scored AS (
+      SELECT d, n_ref, n_cur, m_r, m_c,
+             sqrt((v_r * (n_ref - 1) + v_c * (n_cur - 1))
+                  / (n_ref + n_cur - 2)) AS pooled
+      FROM derived
+    )
+    SELECT CAST(d AS INT) AS dim,
+           CAST(n_ref AS BIGINT) AS n_ref,
+           CAST(n_cur AS BIGINT) AS n_cur,
+           round(m_r, 6) AS mean_ref,
+           round(m_c, 6) AS mean_cur,
+           CASE WHEN pooled > 1e-12
+                THEN round(abs(m_r - m_c) / pooled, 6) END AS smd,
+           CAST(CASE WHEN pooled > 1e-12
+                          AND abs(m_r - m_c) / pooled > {_EDRIFT_SMD}
+                     THEN 1 ELSE 0 END AS INT) AS drifted
+    FROM scored
+    """,
+)
+def embedding_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PER-DIMENSION embedding drift: standardized mean difference
+    (Cohen's d scale, |SMD| > {_EDRIFT_SMD} = drifted) between a
+    reference and a current embedding population, one row per
+    dimension — the monitor a pipeline runs when the upstream encoder
+    is retrained or an ingest mix shifts (value_drift_psi covers
+    scalar features; embeddings drift per-DIMENSION, and a single
+    global statistic hides which subspace moved). Populations here
+    are the deterministic even/odd vec_id split (a self-calibration
+    baseline: expected no-drift, so any flagged dim is a false-alarm
+    probe — swap in yesterday's table for the real deployment).
+
+    Float stance: the ab_covariate_balance pattern — ROUNDED
+    sufficient statistics (count, round(sum x, 4), round(sum x^2, 4))
+    then scalar algebra with identical expression trees, so both
+    engines do bit-identical arithmetic on identical inputs; SMD is
+    NULL when the pooled SD collapses (guard threshold identical in
+    the oracle).
+
+    Scale: one posexplode pass -> ONE map-side-combinable (dim, grp)
+    aggregate (2 x {EMB_DIM} cells); everything downstream is
+    algebra on the bounded cell table."""
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    rel = emb.select(
+        F.pmod(F.col("vec_id"), F.lit(2)).cast("int").alias("grp"),
+        F.posexplode("v").alias("d", "x"),
+    )
+    stats = rel.groupBy("d", "grp").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.round(F.sum("x"), 4).alias("sx"),
+        F.round(F.sum(F.col("x") * F.col("x")), 4).alias("sxx"),
+    )
+    r = stats.filter(F.col("grp") == 0).select(
+        "d",
+        F.col("n").alias("n_ref"),
+        F.col("sx").alias("sx_r"),
+        F.col("sxx").alias("sxx_r"),
+    )
+    c = stats.filter(F.col("grp") == 1).select(
+        "d",
+        F.col("n").alias("n_cur"),
+        F.col("sx").alias("sx_c"),
+        F.col("sxx").alias("sxx_c"),
+    )
+    w = r.join(c, "d")
+    m_r = F.col("sx_r") / F.col("n_ref")
+    m_c = F.col("sx_c") / F.col("n_cur")
+    v_r = (F.col("sxx_r") - F.col("sx_r") * F.col("sx_r") / F.col("n_ref")) / (
+        F.col("n_ref") - 1
+    )
+    v_c = (F.col("sxx_c") - F.col("sx_c") * F.col("sx_c") / F.col("n_cur")) / (
+        F.col("n_cur") - 1
+    )
+    pooled = F.sqrt(
+        (v_r * (F.col("n_ref") - 1) + v_c * (F.col("n_cur") - 1))
+        / (F.col("n_ref") + F.col("n_cur") - 2)
+    )
+    smd_raw = F.abs(m_r - m_c) / pooled
+    return w.select(
+        F.col("d").cast("int").alias("dim"),
+        F.col("n_ref"),
+        F.col("n_cur"),
+        F.round(m_r, 6).alias("mean_ref"),
+        F.round(m_c, 6).alias("mean_cur"),
+        F.when(pooled > 1e-12, F.round(smd_raw, 6)).alias("smd"),
+        F.when(pooled > 1e-12, (smd_raw > _EDRIFT_SMD).cast("int"))
+        .otherwise(F.lit(0))
+        .cast("int")
+        .alias("drifted"),
+    )

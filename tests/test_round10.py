@@ -378,6 +378,41 @@ def test_pmi_collocations_planted(spark, tmp_path):
     assert out[0].pmi == got[("zyx", "qwv")].pmi
 
 
+def test_embedding_drift_planted_dimension_shift(spark, tmp_path):
+    """Shift ONE dimension of the odd-id (current) population by a
+    large offset: that dim must be flagged, the untouched dims must
+    not, and the SMD must match the hand algebra."""
+    import random
+
+    from clickstreamtoclickhouse_spark import plans
+
+    # n matters: SMD's null noise is ~sqrt(2/n) per group, so 1000
+    # per group puts the un-shifted dims' SMD ~0.045 typical — safely
+    # under the 0.1 flag while dim 5's shift towers over it
+    rng = random.Random(7)
+    rows = []
+    for vid in range(2000):
+        v = [round(rng.uniform(-1, 1), 3) for _ in range(64)]
+        if vid % 2 == 1:
+            v[5] += 10.0  # massive shift on dim 5 only
+        rows.append((vid, v))
+    _write(spark, tmp_path, "embeddings", rows,
+           "vec_id long, embedding array<double>")
+
+    out = {r.dim: r for r in plans.QUERIES["embedding_drift_report"](
+        spark, str(tmp_path)).collect()}
+    assert len(out) == 64
+    assert out[5].drifted == 1 and out[5].smd > 5
+    flagged = [d for d, r in out.items() if r.drifted == 1]
+    # 63 null dims x P(|SMD| > 0.1 at n=1000) ~ 2.5% -> a couple of
+    # false flags are EXPECTED (that's what the self-calibration
+    # baseline in the docstring is for); the planted dim must tower
+    assert 5 in flagged and len(flagged) <= 6
+    assert all(out[d].smd < 0.2 for d in flagged if d != 5)
+    assert all(r.n_ref == 1000 and r.n_cur == 1000 for r in out.values())
+    assert abs(out[5].mean_cur - out[5].mean_ref - 10.0) < 0.1
+
+
 def test_part_hits_authorities_planted(spark, tmp_path):
     """Hand-computed two-round HITS on a 3-customer bipartite graph:
     a part bought by well-connected customers must out-rank a part
