@@ -146,6 +146,7 @@ PROBE_QUERIES = [
     # two-round bipartite HITS (lineitem-scale keyed joins)
     "pmi_collocations",
     "part_hits_authorities",
+    "embedding_drift_report",
 ]
 
 
