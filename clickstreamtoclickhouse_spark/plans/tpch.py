@@ -1816,18 +1816,23 @@ def part_hits_authorities(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("p")
         .agg(F.sum("h").cast("long").alias("a"))
     )
+    # top-k FIRST via orderBy+limit (TakeOrderedAndProject — a
+    # distributed per-partition top-k reduce, never a global sort),
+    # THEN the rank window over the 20 surviving rows; the max rides
+    # a 1-row broadcast. An unbounded row_number window here would
+    # single-partition-sort the whole part-score table.
+    amax = a2.agg(F.max("a").alias("amax"))
+    top = a2.orderBy(F.col("a").desc(), "p").limit(_HITS_TOPK)
     w = Window.orderBy(F.col("a").desc(), "p")
-    ranked = a2.select(
-        "p",
-        "a",
-        F.max("a").over(Window.partitionBy()).alias("amax"),
-        F.row_number().over(w).alias("r"),
-    )
-    return ranked.filter(F.col("r") <= _HITS_TOPK).select(
-        F.col("p").cast("bigint").alias("l_partkey"),
-        F.col("r").cast("int").alias("rank"),
-        F.col("a").alias("authority_raw"),
-        F.round(F.col("a").cast("double") / F.col("amax"), 6).alias(
-            "authority"
-        ),
+    return (
+        top.crossJoin(F.broadcast(amax))
+        .withColumn("r", F.row_number().over(w))
+        .select(
+            F.col("p").cast("bigint").alias("l_partkey"),
+            F.col("r").cast("int").alias("rank"),
+            F.col("a").alias("authority_raw"),
+            F.round(F.col("a").cast("double") / F.col("amax"), 6).alias(
+                "authority"
+            ),
+        )
     )

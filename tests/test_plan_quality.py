@@ -1131,10 +1131,12 @@ def test_round10_additions_plan_shapes(spark):
     # table (window exchanges are over ~categories x folds rows)
     txt = plan_text(spark, "target_encoding_oof")
     assert "CartesianProduct" not in txt and "Join" not in txt
-    # HITS: keyed joins over the edge table only — no cartesian, and
-    # the rank/max window sits above a keyed aggregate
+    # HITS: keyed joins over the edge table only — no cartesian; the
+    # top-k must be TakeOrderedAndProject (never a global sort /
+    # unbounded single-partition rank window over the part table)
     txt = plan_text(spark, "part_hits_authorities")
     assert "CartesianProduct" not in txt
+    assert "TakeOrderedAndProject" in txt
     # hybrid bucketed arm: plane table + query buckets + query tf all
     # broadcast; no cartesian
     txt = plan_text(spark, "hybrid_search_rrf")
