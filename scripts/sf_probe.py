@@ -263,6 +263,22 @@ def gen_tables(scale: int, rng: np.random.Generator, words, lens, out: Path):
         out / "lineitem.parquet",
     )
 
+    # Orders for the bipartite HITS family: customer domain grows
+    # with scale (same Heaps stance — a fixed customer set at 10x
+    # orders would densify every hub customer 10x and grow the TRUE
+    # authority mass superlinearly in the data).
+    pq.write_table(
+        pa.table(
+            {
+                "o_orderkey": np.arange(n_orders, dtype=np.int64),
+                "o_custkey": rng.integers(
+                    0, BASE_USERS * scale, n_orders
+                ).astype(np.int64),
+            }
+        ),
+        out / "orders.parquet",
+    )
+
     # Part records for entity resolution. Two design points mirror
     # the Heaps'-law stances above: (1) the block-key domain (brand)
     # GROWS with scale so typical (brand,type,size) blocks keep a
@@ -369,7 +385,7 @@ def main() -> None:
     results: dict[str, dict] = {}
     for tag, sf_dir in (("base", OUT / "base"), ("x10", OUT / "x10")):
         # warm the scans once so file listing isn't in the first timing
-        for t in ("documents", "embeddings", "events", "lineitem", "part"):
+        for t in ("documents", "embeddings", "events", "lineitem", "part", "orders"):
             plans.load(spark, str(sf_dir), t).count()
         for name in PROBE_QUERIES:
             best, sh = float("inf"), -1
