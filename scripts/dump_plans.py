@@ -80,7 +80,7 @@ HEADLINE = [
     ("part_entity_resolution", "raw+dirty union -> block-df cap (hot blocks dropped pre-join) -> within-block levenshtein -> star-contraction components"),
     # round-9 retrieval family
     ("bm25_topk_docs", "broadcast query terms vs the corpus tf table (inverted-index access); exact-int stats; decimal-summed scores; per-query rank window"),
-    ("hybrid_search_rrf", "RRF full-outer join of the BM25 and TF-cosine top-k tables (queries x k rows each); both arms share one ranking builder"),
+    ("hybrid_search_rrf", "RRF full-outer join of the BM25 and BUCKETED semantic top-k tables; dense candidates via the session-cached hashed-BoW LSH index (broadcast query buckets), exact TF-cosine re-rank on candidate postings only"),
     ("memorization_span_report", "broadcast benchmark grams; islands window over MATCHED positions only (hit-volume, never corpus-volume)"),
     ("source_ablation_report", "ONE corpus scan -> exact-integer per-source aggregates; ablation by window algebra + a (hash,source) dup correction"),
     # round-9 finale additions
@@ -89,6 +89,12 @@ HEADLINE = [
     ("curriculum_data_order", "per-(band, shard) windows only — no corpus-global sort; bounded band-offset cumsum broadcast back"),
     ("zipf_law_fit", "vocab-keyed count -> TakeOrderedAndProject top-K -> 100-row OLS reduce"),
     ("uplift_qini_report", "per-user keyed aggregates -> bounded bucket table -> Qini cumulative window on <= 13 rows"),
+    # round-10 additions
+    ("target_encoding_oof", "ONE (category, fold) fact aggregate; OOF algebra via windows over the bounded cell table; NULL when a category has no out-of-fold rows"),
+    ("pmi_collocations", "two keyed count aggregates + bigram->unigram equi-joins; 1-row totals broadcast; global top-k = TakeOrderedAndProject"),
+    ("part_hits_authorities", "two integer mutual-reinforcement rounds, each one keyed equi-join + map-side-combinable sum over the distinct bipartite edge table; top-k = TakeOrderedAndProject, max = 1-row broadcast"),
+    ("embedding_drift_report", "one posexplode -> (dim, grp) map-side aggregate; SMD algebra on the 2x64 cell table from rounded sufficient statistics"),
+    ("matryoshka_recall_report", "broadcast anchors x widened corpus scan; _let-bound shared products/squares arrays feed all four prefix variants through one inline()"),
 ]
 
 
