@@ -2105,8 +2105,14 @@ def pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     by word, bigrams by pair) + keyed joins of the bigram table to
     the unigram table; 1-row totals broadcast. The global top-k is
     TakeOrderedAndProject, never a full sort."""
-    d = load(spark, sf_dir, "documents").filter(
-        F.length(F.trim(F.col("text"))) > 0
+    # widened by A/B (r10, BENCH_NOTES_r10.md): the token/bigram
+    # explodes pipeline onto the single-row-group scan task(s) and
+    # serialize before the first shuffle — x10 probe 6.2 s -> 2.0 s
+    # widened; no AQE-broadcast consumer downstream to break
+    d = widen_scan(
+        load(spark, sf_dir, "documents").filter(
+            F.length(F.trim(F.col("text"))) > 0
+        )
     )
     toks = d.select(F.explode(tx.words(F.lower(F.col("text")))).alias("w"))
     uni = toks.groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("n_w"))
