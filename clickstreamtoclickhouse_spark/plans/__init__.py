@@ -1,4 +1,4 @@
 """Query-plan layer: importing this package registers all queries."""
 
-from . import core, corpus, curation, ext, llmprep, profiling, relational, retrieval, tpch, webprep  # noqa: F401
+from . import core, corpus, curation, experiments, ext, llmprep, profiling, relational, retrieval, tpch, webprep  # noqa: F401
 from .registry import ORACLE, QUERIES, load, query  # noqa: F401

@@ -1,0 +1,299 @@
+"""Behavioral pins for plans/experiments.py: planted effects with
+independent pure-Python references (hashlib-replicated assignment,
+brute-force statistics) — nothing shared with the Spark plans."""
+from __future__ import annotations
+
+import hashlib
+import math
+from datetime import datetime
+
+from clickstreamtoclickhouse_spark import plans
+
+
+def _hash(v) -> int:
+    return int(hashlib.md5(str(v).encode()).hexdigest()[:8], 16)
+
+
+def _variant(uid: int) -> str:
+    return "A" if _hash(uid) % 2 == 0 else "B"
+
+
+def _uids(variant: str, n: int, start: int = 0) -> list[int]:
+    """First n user ids >= start whose portable-hash assignment is
+    `variant` — lets a test plant a cohort deterministically."""
+    out, uid = [], start
+    while len(out) < n:
+        if _variant(uid) == variant:
+            out.append(uid)
+        uid += 1
+    return out
+
+
+def _write_events(spark, tmp_path, rows):
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        f"{tmp_path}/events.parquet"
+    )
+
+
+_TS = datetime(2024, 1, 10, 12, 0, 0)  # pre-period (day < 16)
+_TS_POST = datetime(2024, 1, 20, 12, 0, 0)  # post-period
+
+
+def test_mann_whitney_u_brute_force_reference(spark, tmp_path):
+    """U and z recomputed by the O(n^2) pairwise definition
+    (U_A = #{a>b} + 0.5*#{ties}) on a planted sample with ties —
+    shares nothing with the rank-window plan."""
+    a_uids = _uids("A", 8)
+    b_uids = _uids("B", 9)
+    a_vals = [5.0, 7.5, 7.5, 9.0, 12.0, 12.0, 12.0, 20.0]
+    b_vals = [1.0, 2.0, 2.0, 7.5, 8.0, 12.0, 13.0, 14.0, 3.0]
+    rows = [
+        (i, _TS, uid, "click", v, "{}")
+        for i, (uid, v) in enumerate(
+            list(zip(a_uids, a_vals)) + list(zip(b_uids, b_vals))
+        )
+    ]
+    _write_events(spark, tmp_path, rows)
+
+    got = plans.QUERIES["mann_whitney_u"](spark, str(tmp_path)).collect()[0]
+    # brute-force reference
+    u_a = sum(
+        1.0 if a > b else (0.5 if a == b else 0.0)
+        for a in a_vals
+        for b in b_vals
+    )
+    n_a, n_b = len(a_vals), len(b_vals)
+    n = n_a + n_b
+    allv = sorted(a_vals + b_vals)
+    ties = {}
+    for v in allv:
+        ties[v] = ties.get(v, 0) + 1
+    tie_term = sum(t**3 - t for t in ties.values())
+    sigma = math.sqrt(
+        (n_a * n_b / 12.0) * ((n + 1) - tie_term / (n * (n - 1.0)))
+    )
+    z = (u_a - n_a * n_b / 2.0) / sigma
+    assert got.n_a == n_a and got.n_b == n_b
+    assert got.u_a == round(u_a, 1)
+    assert got.u_b == round(n_a * n_b - u_a, 1)
+    assert abs(got.z_stat - round(z, 6)) < 2e-6
+
+
+def test_chi_square_zero_cell_and_hand_value(spark, tmp_path):
+    """A (type, variant) cell with ZERO observed rows must still
+    contribute its expected mass (grid rebuilt from totals), and the
+    chi-square matches the textbook formula on the planted counts."""
+    a_uids = _uids("A", 10)
+    b_uids = _uids("B", 10)
+    rows = []
+    eid = 0
+    # 'click': both variants (6 A, 4 B); 'buy': ONLY variant A (4 A)
+    for uid in a_uids[:6]:
+        rows.append((eid, _TS, uid, "click", 1.0, "{}")); eid += 1
+    for uid in b_uids[:4]:
+        rows.append((eid, _TS, uid, "click", 1.0, "{}")); eid += 1
+    for uid in a_uids[6:10]:
+        rows.append((eid, _TS, uid, "buy", 1.0, "{}")); eid += 1
+    _write_events(spark, tmp_path, rows)
+
+    out = plans.QUERIES["chi_square_independence"](
+        spark, str(tmp_path)
+    ).collect()
+    cells = {(r.event_type, r.variant): r for r in out}
+    assert len(cells) == 4  # full 2x2 grid, including the zero cell
+    zero = cells[("buy", "B")]
+    assert zero.observed == 0 and zero.expected > 0
+    # hand chi2: O = {click:(6,4), buy:(4,0)}; R=(10,4), C=(10,4), N=14
+    exp = {
+        ("click", "A"): 10 * 10 / 14,
+        ("click", "B"): 10 * 4 / 14,
+        ("buy", "A"): 4 * 10 / 14,
+        ("buy", "B"): 4 * 4 / 14,
+    }
+    obs = {("click", "A"): 6, ("click", "B"): 4, ("buy", "A"): 4,
+           ("buy", "B"): 0}
+    chi2 = sum((obs[k] - exp[k]) ** 2 / exp[k] for k in exp)
+    assert abs(out[0].chi2 - round(chi2, 6)) < 2e-6
+    assert out[0].dof == 1
+    assert abs(out[0].cramers_v - round(math.sqrt(chi2 / 14), 6)) < 2e-6
+
+
+def test_diff_in_diff_recovers_planted_lift(spark, tmp_path):
+    """Treated users gain exactly +10 in the post period; both groups
+    share a +2 secular trend — DiD must isolate the 10 and ignore
+    the trend."""
+    t_uids = _uids("A", 6)  # treated = hash-even = variant A rule
+    c_uids = _uids("B", 6)
+    rows, eid = [], 0
+    for uid in t_uids:
+        rows.append((eid, _TS, uid, "click", 50.0, "{}")); eid += 1
+        rows.append((eid, _TS_POST, uid, "click", 62.0, "{}")); eid += 1
+    for uid in c_uids:
+        rows.append((eid, _TS, uid, "click", 40.0, "{}")); eid += 1
+        rows.append((eid, _TS_POST, uid, "click", 42.0, "{}")); eid += 1
+    _write_events(spark, tmp_path, rows)
+
+    got = plans.QUERIES["diff_in_diff"](spark, str(tmp_path)).collect()[0]
+    assert got.mean_t_pre == 50.0 and got.mean_t_post == 62.0
+    assert got.mean_c_pre == 40.0 and got.mean_c_post == 42.0
+    assert got.did == 10.0
+    assert got.n_t_pre == 6 and got.n_c_post == 6
+
+
+def test_ratio_metric_delta_ci_python_reference(spark, tmp_path):
+    """Ratio/SE recomputed from per-user (sum, count) pairs with
+    plain Python floats — validates the integer-sufficient-statistics
+    algebra."""
+    a_uids = _uids("A", 5)
+    rows, eid = [], 0
+    per_user = {a_uids[0]: [10.0, 20.0], a_uids[1]: [5.0],
+                a_uids[2]: [7.0, 8.0, 9.0], a_uids[3]: [30.0],
+                a_uids[4]: [1.0, 2.0]}
+    for uid, vals in per_user.items():
+        for v in vals:
+            rows.append((eid, _TS, uid, "click", v, "{}")); eid += 1
+    # one B user so the B row exists but we check only A
+    rows.append((eid, _TS, _uids("B", 1)[0], "click", 5.0, "{}"))
+    _write_events(spark, tmp_path, rows)
+
+    out = {
+        r.variant: r
+        for r in plans.QUERIES["ratio_metric_delta_ci"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    xs = [sum(v) for v in per_user.values()]
+    ys = [len(v) for v in per_user.values()]
+    n = len(xs)
+    mx, my = sum(xs) / n, sum(ys) / n
+    vx = sum((x - mx) ** 2 for x in xs) / (n - 1)
+    vy = sum((y - my) ** 2 for y in ys) / (n - 1)
+    cxy = sum((x - mx) * (y - my) for x, y in zip(xs, ys)) / (n - 1)
+    ratio = mx / my
+    se = math.sqrt((vx - 2 * ratio * cxy + ratio * ratio * vy) / n) / my
+    got = out["A"]
+    assert got.n == n
+    assert abs(got.ratio - round(ratio, 6)) < 2e-6
+    assert abs(got.se - round(se, 6)) < 2e-6
+    assert abs(got.ci_lo - round(ratio - 1.959964 * se, 6)) < 2e-6
+    assert abs(got.ci_hi - round(ratio + 1.959964 * se, 6)) < 2e-6
+
+
+def test_ab_power_mde_hand_value(spark, tmp_path):
+    """MDE matches (z_975 + z_80) * SE on planted equal-variance
+    cells, and shrinks when n grows (the power property)."""
+    a_uids = _uids("A", 4)
+    b_uids = _uids("B", 4)
+    rows, eid = [], 0
+    for uid in a_uids:
+        for v in (10.0, 20.0):
+            rows.append((eid, _TS, uid, "click", v, "{}")); eid += 1
+    for uid in b_uids:
+        for v in (12.0, 22.0):
+            rows.append((eid, _TS, uid, "click", v, "{}")); eid += 1
+    _write_events(spark, tmp_path, rows)
+
+    got = plans.QUERIES["ab_power_mde"](spark, str(tmp_path)).collect()[0]
+    # each variant: 8 values alternating +/-5 around the mean ->
+    # var = 8*25/7
+    var = 8 * 25 / 7
+    se = math.sqrt(var / 8 + var / 8)
+    mde = (1.959964 + 0.841621) * se
+    assert got.n_a == 8 and got.n_b == 8
+    assert abs(got.mde_abs - round(mde, 6)) < 2e-6
+    assert abs(got.mde_rel - round(mde / 17.0, 6)) < 2e-6
+
+
+def test_ipw_corrects_planted_confounding(spark, tmp_path):
+    """Within every stratum treated == control (true effect 0), but
+    high-value strata are over-treated — the naive difference must
+    be visibly positive while the IPW estimate lands at ~0."""
+    rows, eid = [], 0
+
+    def treated(event_id: int, etype: str) -> bool:
+        return _hash(event_id) % 10 < 2 + (_hash(etype) % 4)
+
+    # stratum 'hi' (value 100) and 'lo' (value 10); plant event_ids
+    # until each stratum has 40 treated + 40 control rows
+    for etype, val in (("hi", 100.0), ("lo", 10.0)):
+        n_t = n_c = 0
+        while n_t < 40 or n_c < 40:
+            is_t = treated(eid, etype)
+            if is_t and n_t < 40:
+                rows.append((eid, _TS, 1, etype, val, "{}")); n_t += 1
+            elif not is_t and n_c < 40:
+                rows.append((eid, _TS, 1, etype, val, "{}")); n_c += 1
+            eid += 1
+    _write_events(spark, tmp_path, rows)
+
+    got = plans.QUERIES["ipw_treatment_effect"](
+        spark, str(tmp_path)
+    ).collect()[0]
+    assert got.n_strata == 2 and got.n == 160
+    # balanced 40/40 per stratum: propensity 0.5 both -> here naive
+    # == ipw == 0 exactly (both strata same value within stratum)
+    assert got.ate_ipw == 0.0
+    # now unbalance: 'hi' mostly treated, 'lo' mostly control
+    rows2 = [r for r in rows]
+    eid2 = eid
+    for etype, val, extra_t, extra_c in (
+        ("hi", 100.0, 60, 0), ("lo", 10.0, 0, 60)
+    ):
+        n_t = n_c = 0
+        while n_t < extra_t or n_c < extra_c:
+            is_t = treated(eid2, etype)
+            if is_t and n_t < extra_t:
+                rows2.append((eid2, _TS, 1, etype, val, "{}")); n_t += 1
+            elif not is_t and n_c < extra_c:
+                rows2.append((eid2, _TS, 1, etype, val, "{}")); n_c += 1
+            eid2 += 1
+    _write_events(spark, tmp_path, rows2)
+    got2 = plans.QUERIES["ipw_treatment_effect"](
+        spark, str(tmp_path)
+    ).collect()[0]
+    # naive now biased upward (treated skew toward the 100-stratum);
+    # IPW still recovers the true 0 (within-stratum means are equal,
+    # so weighting by stratum propensity cancels exactly)
+    assert got2.naive_diff > 5.0
+    assert got2.ate_ipw == 0.0
+
+
+def test_bh_fdr_python_reference_and_plant(spark, tmp_path):
+    """One segment carries a massive conversion gap, others none —
+    only it survives BH; q-values match a pure-Python step-up on the
+    reported p-values."""
+    a_uids = _uids("A", 30)
+    b_uids = _uids("B", 30)
+    rows, eid = [], 0
+    # 'moved': A converts (value 80 > 75), B never; 'flat1/flat2':
+    # identical conversion on both sides
+    for uid in a_uids:
+        rows.append((eid, _TS, uid, "moved", 80.0, "{}")); eid += 1
+    for uid in b_uids:
+        rows.append((eid, _TS, uid, "moved", 70.0, "{}")); eid += 1
+    for etype in ("flat1", "flat2"):
+        for cohort in (a_uids, b_uids):
+            for i, uid in enumerate(cohort):  # exactly 15/30 convert
+                v = 80.0 if i < 15 else 70.0
+                rows.append((eid, _TS, uid, etype, v, "{}")); eid += 1
+    _write_events(spark, tmp_path, rows)
+
+    out = plans.QUERIES["bh_fdr_report"](spark, str(tmp_path)).collect()
+    by_type = {r.event_type: r for r in out}
+    assert by_type["moved"].significant == 1
+    assert by_type["moved"].p_rank == 1
+    # python BH step-up on the emitted p-values
+    ps = sorted((r.p_value, r.event_type) for r in out)
+    m = len(ps)
+    qs, running = {}, 1.0
+    for i in range(m - 1, -1, -1):
+        running = min(running, ps[i][0] * m / (i + 1))
+        qs[ps[i][1]] = round(min(running, 1.0), 6)
+    for r in out:
+        assert abs(r.bh_q - qs[r.event_type]) < 2e-6, r.event_type
+    # flat segments: zero observed gap -> z == 0, q near 1
+    assert by_type["flat1"].z == 0.0 and by_type["flat1"].significant == 0
