@@ -910,3 +910,145 @@ def bh_fdr_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(bh_q, 6).alias("bh_q"),
         F.when(bh_q < _BH_ALPHA, 1).otherwise(0).alias("significant"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Granger-style lag regression between two daily series
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "granger_lag_test",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS d,
+             CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+               AS BIGINT) AS x,
+             CAST(coalesce(sum(CASE WHEN event_type = 'purchase'
+                   THEN CAST(round(value * 100) AS BIGINT) END), 0)
+               AS BIGINT) AS y
+      FROM events WHERE ts IS NOT NULL GROUP BY d
+    ),
+    lagged AS (
+      SELECT y,
+             lag(y) OVER (ORDER BY d) AS a,
+             lag(x) OVER (ORDER BY d) AS b
+      FROM daily
+    ),
+    mom AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             sum(a) AS sa, sum(b) AS sb, sum(y) AS sy,
+             sum(a * a) AS saa, sum(b * b) AS sbb, sum(a * b) AS sab,
+             sum(a * y) AS say, sum(b * y) AS sby, sum(y * y) AS syy
+      FROM lagged WHERE a IS NOT NULL
+    ),
+    cen AS (
+      SELECT n,
+             saa - sa * 1.0 * sa / n AS caa,
+             sbb - sb * 1.0 * sb / n AS cbb,
+             sab - sa * 1.0 * sb / n AS cab,
+             say - sa * 1.0 * sy / n AS cay,
+             sby - sb * 1.0 * sy / n AS cby,
+             syy - sy * 1.0 * sy / n AS cyy
+      FROM mom
+    ),
+    fit AS (
+      SELECT n, cay, cby, cyy, caa,
+             (cbb * cay - cab * cby) / nullif(caa * cbb - cab * cab, 0)
+               AS beta_a,
+             (caa * cby - cab * cay) / nullif(caa * cbb - cab * cab, 0)
+               AS beta_b
+      FROM cen
+    )
+    SELECT n AS n_days,
+           round(beta_a, 6) AS beta_ylag,
+           round(beta_b / 100.0, 6) AS beta_xlag,
+           round(1 - (cyy - cay * cay / nullif(caa, 0)) / nullif(cyy, 0), 6)
+             AS r2_restricted,
+           round(1 - (cyy - beta_a * cay - beta_b * cby) / nullif(cyy, 0), 6)
+             AS r2_full,
+           round(((cyy - cay * cay / nullif(caa, 0))
+                  - (cyy - beta_a * cay - beta_b * cby)) * (n - 3)
+                 / nullif(cyy - beta_a * cay - beta_b * cby, 0), 4)
+             AS f_stat
+    FROM fit
+    """,
+)
+def granger_lag_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Granger-style lag-1 predictive test between two daily series
+    (Granger 1969, public method): does yesterday's CLICK volume
+    predict today's PURCHASE revenue beyond what yesterday's revenue
+    already does? Restricted model y_t ~ y_{t-1} vs full model
+    y_t ~ y_{t-1} + x_{t-1}; reports both R^2 and the nested-model
+    F statistic (1 added regressor, n-3 residual dof). beta_xlag is
+    emitted in value units per click (the cents lattice divides out).
+
+    Determinism: daily series are exact BIGINTs (counts and
+    integer-cents sums), all 9 regression moments are exact integer
+    sums, and the closed-form two-regressor OLS (normal equations
+    via centered moments) is fixed scalar algebra over them —
+    identical doubles in both engines.
+
+    Scale: one map-side-combinable aggregate to the per-day table
+    (365 rows/year regardless of event count); the lag window and
+    the regression run over that bounded series."""
+    e = load(spark, sf_dir, "events").where(F.col("ts").isNotNull())
+    daily = (
+        e.groupBy(F.col("ts").cast("date").alias("d"))
+        .agg(
+            F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+            .cast("long")
+            .alias("x"),
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("event_type") == "purchase",
+                        F.round(F.col("value") * 100).cast("long"),
+                    )
+                ),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("y"),
+        )
+    )
+    w = Window.orderBy("d")
+    lagged = daily.select(
+        "y", F.lag("y").over(w).alias("a"), F.lag("x").over(w).alias("b")
+    ).where(F.col("a").isNotNull())
+    mom = lagged.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("a").alias("sa"),
+        F.sum("b").alias("sb"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("a") * F.col("a")).alias("saa"),
+        F.sum(F.col("b") * F.col("b")).alias("sbb"),
+        F.sum(F.col("a") * F.col("b")).alias("sab"),
+        F.sum(F.col("a") * F.col("y")).alias("say"),
+        F.sum(F.col("b") * F.col("y")).alias("sby"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    n = F.col("n")
+    caa = F.col("saa") - F.col("sa") * 1.0 * F.col("sa") / n
+    cbb = F.col("sbb") - F.col("sb") * 1.0 * F.col("sb") / n
+    cab = F.col("sab") - F.col("sa") * 1.0 * F.col("sb") / n
+    cay = F.col("say") - F.col("sa") * 1.0 * F.col("sy") / n
+    cby = F.col("sby") - F.col("sb") * 1.0 * F.col("sy") / n
+    cyy = F.col("syy") - F.col("sy") * 1.0 * F.col("sy") / n
+    det = F.nullif(caa * cbb - cab * cab, F.lit(0.0))
+    beta_a = (cbb * cay - cab * cby) / det
+    beta_b = (caa * cby - cab * cay) / det
+    rss_r = cyy - cay * cay / F.nullif(caa, F.lit(0.0))
+    rss_f = cyy - beta_a * cay - beta_b * cby
+    return mom.select(
+        n.alias("n_days"),
+        F.round(beta_a, 6).alias("beta_ylag"),
+        F.round(beta_b / 100.0, 6).alias("beta_xlag"),
+        F.round(1 - rss_r / F.nullif(cyy, F.lit(0.0)), 6).alias(
+            "r2_restricted"
+        ),
+        F.round(1 - rss_f / F.nullif(cyy, F.lit(0.0)), 6).alias("r2_full"),
+        F.round(
+            (rss_r - rss_f) * (n - 3) / F.nullif(rss_f, F.lit(0.0)), 4
+        ).alias("f_stat"),
+    )

@@ -1739,6 +1739,188 @@ def part_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Fellegi-Sunter match/unmatch weights over the ER candidate pairs
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "fellegi_sunter_weights",
+    oracle=f"""
+    WITH records AS MATERIALIZED (
+      SELECT p_partkey AS rec_id, p_name AS name, CAST(floor(p_retailprice / 100) AS BIGINT) AS band,
+             p_brand || '|' || p_type || '|' || CAST(p_size AS VARCHAR) AS blk
+      FROM part
+      UNION ALL
+      SELECT p_partkey + {_ER_OFFSET} AS rec_id,
+             substr(p_name, 1, CAST(p_partkey % length(p_name) AS INT))
+             || substr(p_name,
+                       CAST(p_partkey % length(p_name) AS INT) + 2,
+                       length(p_name)) AS name,
+             CAST(floor(p_retailprice / 100) AS BIGINT) AS band,
+             p_brand || '|' || p_type || '|' || CAST(p_size AS VARCHAR) AS blk
+      FROM part
+    ),
+    freq AS (SELECT blk, count(*) AS df FROM records GROUP BY blk),
+    blocked AS (
+      SELECT rec_id, name, band, blk FROM records JOIN freq USING (blk)
+      WHERE df <= {_ER_BLOCK_CAP}
+    ),
+    cmp AS (
+      SELECT CASE WHEN b.rec_id - a.rec_id = {_ER_OFFSET}
+                  THEN 1 ELSE 0 END AS is_match,
+             CASE WHEN a.name = b.name THEN 1 ELSE 0 END AS name_exact,
+             CASE WHEN split_part(a.name, ' ', 1)
+                       = split_part(b.name, ' ', 1)
+                  THEN 1 ELSE 0 END AS name_first_token,
+             CASE WHEN levenshtein(a.name, b.name) <= {_ER_MAX_EDIT}
+                  THEN 1 ELSE 0 END AS name_lev2,
+             CASE WHEN a.band = b.band THEN 1 ELSE 0 END AS price_band
+      FROM blocked a JOIN blocked b
+        ON a.blk = b.blk AND a.rec_id < b.rec_id
+    ),
+    long AS (
+      SELECT is_match, f.field, f.agree FROM cmp,
+      LATERAL (VALUES ('name_exact', name_exact),
+                      ('name_first_token', name_first_token),
+                      ('name_lev2', name_lev2),
+                      ('price_band', price_band)) AS f(field, agree)
+    ),
+    mu AS (
+      SELECT field,
+             CAST(sum(is_match) AS BIGINT) AS n_match,
+             CAST(sum(1 - is_match) AS BIGINT) AS n_nonmatch,
+             round(sum(CASE WHEN is_match = 1 THEN agree ELSE 0 END)
+                   * 1.0 / sum(is_match), 6) AS m,
+             round(sum(CASE WHEN is_match = 0 THEN agree ELSE 0 END)
+                   * 1.0 / sum(1 - is_match), 6) AS u
+      FROM long GROUP BY field
+    )
+    SELECT field, n_match, n_nonmatch, m, u,
+           round(log2(nullif(m, 0) / nullif(u, 0)), 4) AS w_agree,
+           round(log2(nullif(1 - m, 0) / nullif(1 - u, 0)), 4) AS w_disagree
+    FROM mu
+    """,
+)
+def fellegi_sunter_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fellegi-Sunter (1969, public method) probabilistic record-
+    linkage weights over part_entity_resolution's blocked candidate
+    pairs: for each comparison field, m = P(agree | true match) and
+    u = P(agree | non-match), with the log2 agreement/disagreement
+    weights a linkage classifier sums per pair. The planted dirty
+    duplicates supply ground truth (rec_id offset), standing in for
+    the labeled pairs / EM estimates of a production linker — swap
+    the label expression and everything downstream is unchanged.
+
+    Field choices exercise the full m/u spectrum on purpose:
+    name_exact has m = 0 (the planted typo always fires — agreement
+    weight NULL, the degenerate-field case a linker must tolerate),
+    name_lev2 has m = 1 (disagreement weight NULL), name_first_token
+    sits strictly inside (0,1) (typo position varies), and price_band
+    is an untouched structured field (floor(retailprice/100)) (m = 1, small u).
+
+    Scale: candidate pairs come from the SAME capped blocking as
+    part_entity_resolution (never all-pairs; _ER_BLOCK_CAP bounds
+    per-block fan-out); comparisons stack to long form and collapse
+    in one bounded-key aggregate (4 fields). m/u are ratios of exact
+    integer counts rounded at 6dp, so the weight algebra is identical
+    scalar arithmetic in both engines."""
+    cols = ("p_brand", "p_type", "p_size")
+    p = load(spark, sf_dir, "part").select(
+        "p_partkey", "p_name", "p_retailprice", *cols
+    )
+    blk = F.concat_ws("|", *[F.col(c).cast("string") for c in cols]).alias(
+        "blk"
+    )
+    dirty = p.select(
+        (F.col("p_partkey") + _ER_OFFSET).alias("rec_id"),
+        F.concat(
+            F.expr("substr(p_name, 1, pmod(p_partkey, length(p_name)))"),
+            F.expr(
+                "substr(p_name, cast(pmod(p_partkey, length(p_name)) as int)"
+                " + 2, length(p_name))"
+            ),
+        ).alias("name"),
+        F.floor(F.col("p_retailprice") / 100).cast("long").alias("band"),
+        blk,
+    )
+    records = p.select(
+        F.col("p_partkey").alias("rec_id"),
+        F.col("p_name").alias("name"),
+        F.floor(F.col("p_retailprice") / 100).cast("long").alias("band"),
+        blk,
+    ).unionByName(dirty)
+    freq = records.groupBy("blk").agg(F.count(F.lit(1)).alias("df"))
+    blocked = (
+        records.join(freq, "blk")
+        .filter(F.col("df") <= _ER_BLOCK_CAP)
+        .select("rec_id", "name", "band", "blk")
+    )
+    a, b = blocked.alias("a"), blocked.alias("b")
+    flag = lambda c: F.when(c, 1).otherwise(0)  # noqa: E731
+    cmp = a.join(
+        b,
+        (F.col("a.blk") == F.col("b.blk"))
+        & (F.col("a.rec_id") < F.col("b.rec_id")),
+    ).select(
+        flag(F.col("b.rec_id") - F.col("a.rec_id") == _ER_OFFSET).alias(
+            "is_match"
+        ),
+        flag(F.col("a.name") == F.col("b.name")).alias("name_exact"),
+        flag(
+            F.expr("split_part(a.name, ' ', 1)")
+            == F.expr("split_part(b.name, ' ', 1)")
+        ).alias("name_first_token"),
+        flag(
+            F.levenshtein(F.col("a.name"), F.col("b.name")) <= _ER_MAX_EDIT
+        ).alias("name_lev2"),
+        flag(F.col("a.band") == F.col("b.band")).alias("price_band"),
+    )
+    long = cmp.select(
+        "is_match",
+        F.expr(
+            "stack(4, 'name_exact', name_exact,"
+            " 'name_first_token', name_first_token,"
+            " 'name_lev2', name_lev2, 'price_band', price_band)"
+        ).alias("field", "agree"),
+    )
+    mu = long.groupBy("field").agg(
+        F.sum("is_match").cast("long").alias("n_match"),
+        F.sum(1 - F.col("is_match")).cast("long").alias("n_nonmatch"),
+        F.round(
+            F.sum(F.when(F.col("is_match") == 1, F.col("agree")).otherwise(0))
+            * 1.0
+            / F.sum("is_match"),
+            6,
+        ).alias("m"),
+        F.round(
+            F.sum(F.when(F.col("is_match") == 0, F.col("agree")).otherwise(0))
+            * 1.0
+            / F.sum(1 - F.col("is_match")),
+            6,
+        ).alias("u"),
+    )
+    return mu.select(
+        "field",
+        "n_match",
+        "n_nonmatch",
+        "m",
+        "u",
+        F.round(
+            F.log2(F.nullif("m", F.lit(0.0)) / F.nullif("u", F.lit(0.0))), 4
+        ).alias(
+            "w_agree"
+        ),
+        F.round(
+            F.log2(
+                F.nullif(1 - F.col("m"), F.lit(0.0))
+                / F.nullif(1 - F.col("u"), F.lit(0.0))
+            ),
+            4,
+        ).alias("w_disagree"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # HITS hubs/authorities on the customer-part purchase bipartite graph
 # ---------------------------------------------------------------------------
 

@@ -297,3 +297,94 @@ def test_bh_fdr_python_reference_and_plant(spark, tmp_path):
         assert abs(r.bh_q - qs[r.event_type]) < 2e-6, r.event_type
     # flat segments: zero observed gap -> z == 0, q near 1
     assert by_type["flat1"].z == 0.0 and by_type["flat1"].significant == 0
+
+
+def test_fellegi_sunter_planted_mu(spark, tmp_path):
+    """Planted dirty pairs pin the m/u spectrum: the typo always
+    fires (name_exact m=0, agreement weight NULL), levenshtein<=2
+    always holds on true pairs (m=1, disagreement weight NULL),
+    price_band is untouched (m=1), and u values match hand counts on
+    a crafted 3-record block."""
+    # one block (same brand/type/size), 3 parts -> records = 3 raw +
+    # 3 dirty = 6, pairs = C(6,2) = 15, of which 3 are true matches
+    parts = [
+        (1, "alpha widget", "B1", "T1", 5, 100.0),
+        (2, "alpha gadget", "B1", "T1", 5, 100.0),
+        (3, "bravo widget", "B1", "T1", 5, 250.0),
+    ]
+    spark.createDataFrame(
+        parts,
+        "p_partkey long, p_name string, p_brand string, p_type string, "
+        "p_size int, p_retailprice double",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        f"{tmp_path}/part.parquet"
+    )
+    from clickstreamtoclickhouse_spark import plans
+
+    out = {
+        r.field: r
+        for r in plans.QUERIES["fellegi_sunter_weights"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert set(out) == {
+        "name_exact", "name_first_token", "name_lev2", "price_band"
+    }
+    r = out["name_lev2"]
+    assert r.n_match == 3 and r.n_nonmatch == 12
+    assert r.m == 1.0 and r.w_disagree is None
+    assert out["name_exact"].m == 0.0
+    assert out["name_exact"].w_agree is None
+    assert out["price_band"].m == 1.0
+    # price bands: parts 1,2 -> band 1; part 3 -> band 2 (raw+dirty
+    # agree within a part). Non-match pairs with agreeing band: all
+    # pairs among {1,2} records except the 2 true matches: C(4,2)-2=4;
+    # plus band-2 non-match pair (3raw,3dirty) is a MATCH, so none.
+    assert out["price_band"].u == round(4 / 12, 6)
+
+
+def test_granger_recovers_planted_lag_dependence(spark, tmp_path):
+    """Daily purchase revenue planted as 2*clicks_yesterday plus a
+    varying residual; r2/f recomputed independently with numpy
+    lstsq — and the clean lag dependence makes the full model beat
+    the restricted one decisively."""
+    import numpy as np
+
+    clicks = [3, 7, 2, 9, 5, 8, 1, 6, 4, 10, 2, 7]
+    resid = [0.11, -0.07, 0.05, 0.13, -0.19, 0.02, 0.23, -0.29,
+             0.03, 0.17, -0.05, 0.07]
+    rows, eid = [], 0
+    for d, c in enumerate(clicks):
+        day = datetime(2024, 1, 1 + d, 12, 0, 0)
+        for _ in range(c):
+            rows.append((eid, day, 1, "click", 1.0, "{}")); eid += 1
+        if d > 0:
+            y = 2.0 * clicks[d - 1] + resid[d]
+            rows.append((eid, day, 1, "purchase", y, "{}")); eid += 1
+    _write_events(spark, tmp_path, rows)
+
+    got = plans.QUERIES["granger_lag_test"](spark, str(tmp_path)).collect()[0]
+    # independent reference on the planted daily series (cents, as
+    # the plan defines it)
+    y = [0.0] + [
+        round((2.0 * clicks[d - 1] + resid[d]) * 100) for d in
+        range(1, len(clicks))
+    ]
+    x = [float(c) for c in clicks]
+    a = y[:-1]   # y lagged
+    b = x[:-1]   # x lagged
+    t = y[1:]
+    n = len(t)
+    Xf = np.column_stack([np.ones(n), a, b])
+    Xr = np.column_stack([np.ones(n), a])
+    bf, *_ = np.linalg.lstsq(Xf, t, rcond=None)
+    br, *_ = np.linalg.lstsq(Xr, t, rcond=None)
+    rss_f = float(np.sum((t - Xf @ bf) ** 2))
+    rss_r = float(np.sum((t - Xr @ br) ** 2))
+    tss = float(np.sum((t - np.mean(t)) ** 2))
+    assert got.n_days == n
+    assert abs(got.beta_xlag - bf[2] / 100.0) < 1e-4
+    assert abs(got.r2_full - (1 - rss_f / tss)) < 1e-5
+    assert abs(got.r2_restricted - (1 - rss_r / tss)) < 1e-5
+    assert abs(got.f_stat - (rss_r - rss_f) * (n - 3) / rss_f) < 0.01
+    assert got.r2_full > got.r2_restricted + 0.2
