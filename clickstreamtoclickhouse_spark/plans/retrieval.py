@@ -922,3 +922,231 @@ def prf_query_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rank",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# MMR-diversified top-k (round 10)
+# ---------------------------------------------------------------------------
+
+_MMR_LAMBDA = 0.7  # relevance weight; keep 0.3 a LITERAL on both sides
+_MMR_MU = 0.3      # (1 - 0.7 in Python is 0.30000000000000004 — never derive)
+_MMR_K = 5
+
+
+def _sql_mmr() -> str:
+    """Unrolled greedy MMR oracle: K-1 argmax steps over MATERIALIZED
+    CTEs (the k-core inlining guard — selall{k} is referenced three
+    times per step, so un-materialized CTEs would expand the BM25
+    pipeline 3^K times)."""
+    lam, mu = _MMR_LAMBDA, _MMR_MU
+    parts = [
+        f"""cands AS MATERIALIZED (
+      SELECT query_id, doc_id,
+             round(CAST(score AS DOUBLE)
+                   / max(CAST(score AS DOUBLE))
+                       OVER (PARTITION BY query_id), 6) AS rel
+      FROM lexrank WHERE r <= {_LEX_TOPK}
+    ),
+    ctf AS MATERIALIZED (
+      SELECT c.query_id, c.doc_id, t.w, t.tf
+      FROM cands c JOIN tf t USING (doc_id)
+    ),
+    cpair AS MATERIALIZED (
+      SELECT a.query_id, a.doc_id AS da, b.doc_id AS db,
+             round(CAST(sum(a.tf * b.tf) AS BIGINT)
+                   / (na.nd * nb.nd), 6) AS sim
+      FROM ctf a JOIN ctf b
+        ON a.query_id = b.query_id AND a.w = b.w
+           AND a.doc_id <> b.doc_id
+      JOIN dnorm na ON na.doc_id = a.doc_id
+      JOIN dnorm nb ON nb.doc_id = b.doc_id
+      GROUP BY a.query_id, a.doc_id, b.doc_id, na.nd, nb.nd
+    ),
+    sel1 AS MATERIALIZED (
+      SELECT query_id, doc_id, rel,
+             CAST({lam} AS DOUBLE) * rel AS mmr, 1 AS rk
+      FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+              ORDER BY rel DESC, doc_id) AS rn FROM cands)
+      WHERE rn = 1
+    ),
+    selall1 AS MATERIALIZED (SELECT * FROM sel1)"""
+    ]
+    for k in range(2, _MMR_K + 1):
+        parts.append(
+            f"""pool{k} AS MATERIALIZED (
+      SELECT c.query_id, c.doc_id, c.rel,
+             CAST({lam} AS DOUBLE) * c.rel
+               - CAST({mu} AS DOUBLE)
+                 * coalesce(mx.msim, CAST(0 AS DOUBLE)) AS mmr
+      FROM cands c
+      LEFT JOIN (
+        SELECT p.query_id, s.da AS doc_id, max(s.sim) AS msim
+        FROM selall{k - 1} p
+        JOIN cpair s ON s.query_id = p.query_id AND s.db = p.doc_id
+        GROUP BY p.query_id, s.da
+      ) mx ON mx.query_id = c.query_id AND mx.doc_id = c.doc_id
+      WHERE NOT EXISTS (SELECT 1 FROM selall{k - 1} q
+                        WHERE q.query_id = c.query_id
+                          AND q.doc_id = c.doc_id)
+    ),
+    sel{k} AS MATERIALIZED (
+      SELECT query_id, doc_id, rel, mmr, {k} AS rk
+      FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+              ORDER BY mmr DESC, doc_id) AS rn FROM pool{k})
+      WHERE rn = 1
+    ),
+    selall{k} AS MATERIALIZED (
+      SELECT * FROM selall{k - 1} UNION ALL SELECT * FROM sel{k}
+    )"""
+        )
+    return (
+        ",\n    ".join(parts)
+        + f"""
+    SELECT query_id, doc_id, CAST(rk AS INT) AS mmr_rank, rel,
+           round(mmr, 6) AS mmr_score
+    FROM selall{_MMR_K}"""
+    )
+
+
+@query(
+    "mmr_diverse_topk",
+    oracle=f"""
+    WITH {_SQL_RETRIEVAL_CTES},
+    {_sql_mmr()}
+    """,
+)
+def mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance diversified top-{_MMR_K} (Carbonell
+    & Goldstein SIGIR'98, public method): greedily re-rank the BM25
+    top-{_LEX_TOPK} so each pick maximizes lambda*rel(d) -
+    (1-lambda)*max_sim(d, selected) — the de-duplicating re-rank a
+    RAG pipeline applies so the context window isn't {_MMR_K} copies
+    of the same boilerplate. rel is BM25 normalized per query to
+    (0, 1]; sim is exact TF-cosine between CANDIDATES only.
+
+    Scale split (the transition_shortest_paths stance): candidate
+    relevances and pairwise sims are computed DISTRIBUTED (the BM25
+    arm reuses the session tf build; the sim matrix is an equi-join
+    on shared terms restricted to candidate postings — at most
+    queries x pool^2 pairs by construction), then the greedy argmax
+    chain — inherently sequential, {_MMR_K - 1} dependent steps over
+    <= {3 * _LEX_TOPK} rows — runs driver-side instead of paying
+    ~1 s/round of Spark stage-launch floor for sub-40-row joins.
+    Both collects are hard-bounded with loud-failure guards.
+
+    Cross-engine determinism: rel and sim are F.round/round(x, 6) of
+    identical doubles (exact-integer dots over full-double norms);
+    the greedy recurrence lam*rel - mu*max_sim uses the same IEEE
+    literals in Python and SQL (mu is a LITERAL 0.3 — deriving
+    1 - 0.7 in Python yields 0.30000000000000004); the output score
+    is re-rounded HALF_UP via Decimal (bit-matching DuckDB's round,
+    verify-skill pattern)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    lexrank, _ = _retrieval_rankings(spark, sf_dir)
+    wmax = Window.partitionBy("query_id")
+    cands = (
+        lexrank.filter(F.col("r") <= _LEX_TOPK)
+        .select(
+            "query_id",
+            "doc_id",
+            F.round(
+                F.col("score").cast("double")
+                / F.max(F.col("score").cast("double")).over(wmax),
+                6,
+            ).alias("rel"),
+        )
+    )
+    cand_rows = cands.collect()
+    max_cands = _N_QUERY_DOCS * _LEX_TOPK
+    if len(cand_rows) > max_cands:  # loud-failure bound on the collect
+        raise RuntimeError(
+            f"mmr candidate pool {len(cand_rows)} exceeds {max_cands}"
+        )
+
+    # Rebuild the candidate set from the COLLECTED rows: reusing the
+    # lazy `cands` plan here would re-run the whole BM25 arm inside
+    # the sim-matrix job (measured 4.6 s warm -> ~1 s). The isin
+    # filter pushes the <=30 candidate ids into the tf scan, so the
+    # self-join touches candidate postings only.
+    cand_df = spark.createDataFrame(
+        [(r.query_id, r.doc_id) for r in cand_rows],
+        "query_id long, doc_id long",
+    )
+    doc_ids = sorted({r.doc_id for r in cand_rows})
+    tf = _corpus_tf(spark, sf_dir)
+    cand_tf = tf.filter(F.col("doc_id").isin(doc_ids))
+    dnorm = cand_tf.groupBy("doc_id").agg(
+        F.sqrt(F.sum(F.col("tf") * F.col("tf")).cast("double")).alias("nd")
+    )
+    ctf = cand_tf.join(F.broadcast(cand_df), "doc_id")
+    a = ctf.alias("a")
+    b = ctf.alias("b")
+    na = dnorm.alias("na")
+    nb = dnorm.alias("nb")
+    cpair = (
+        a.join(
+            b,
+            (F.col("a.query_id") == F.col("b.query_id"))
+            & (F.col("a.w") == F.col("b.w"))
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.query_id").alias("query_id"),
+            F.col("a.doc_id").alias("da"),
+            F.col("b.doc_id").alias("db"),
+        )
+        .agg(F.sum(F.col("a.tf") * F.col("b.tf")).cast("long").alias("dp"))
+        .join(na, F.col("da") == F.col("na.doc_id"))
+        .join(nb, F.col("db") == F.col("nb.doc_id"))
+        .select(
+            "query_id",
+            "da",
+            "db",
+            F.round(
+                F.col("dp") / (F.col("na.nd") * F.col("nb.nd")), 6
+            ).alias("sim"),
+        )
+    )
+    pair_rows = cpair.collect()
+    max_pairs = max_cands * _LEX_TOPK
+    if len(pair_rows) > max_pairs:  # bounded by queries x pool^2
+        raise RuntimeError(
+            f"mmr sim matrix {len(pair_rows)} exceeds {max_pairs}"
+        )
+
+    sim = {(r.query_id, r.da, r.db): r.sim for r in pair_rows}
+    by_q: dict[int, list] = {}
+    for r in cand_rows:
+        by_q.setdefault(r.query_id, []).append((r.doc_id, r.rel))
+    out = []
+    for qid in sorted(by_q):
+        pool = dict(by_q[qid])
+        selected: list[int] = []
+        for rk in range(1, _MMR_K + 1):
+            best = None
+            for doc_id in sorted(pool):
+                rel = pool[doc_id]
+                msim = max(
+                    (sim.get((qid, doc_id, s), 0.0) for s in selected),
+                    default=0.0,
+                )
+                mmr = _MMR_LAMBDA * rel - _MMR_MU * msim
+                if best is None or mmr > best[1]:
+                    best = (doc_id, mmr, rel)
+            if best is None:
+                break
+            doc_id, mmr, rel = best
+            score = float(
+                Decimal(repr(mmr)).quantize(
+                    Decimal("0.000001"), rounding=ROUND_HALF_UP
+                )
+            )
+            out.append((qid, doc_id, rk, rel, score))
+            selected.append(doc_id)
+            del pool[doc_id]
+    return spark.createDataFrame(
+        out,
+        "query_id long, doc_id long, mmr_rank int, rel double, "
+        "mmr_score double",
+    )

@@ -436,3 +436,47 @@ def test_part_hits_authorities_planted(spark, tmp_path):
     assert out[2].rank == 2 and out[3].rank == 3  # tie -> part id order
     assert out[1].authority == 1.0
     assert out[2].authority == round(4 / 11, 6)
+
+
+def test_mmr_demotes_exact_duplicate(spark, tmp_path):
+    """The MMR property on a crafted pool: an EXACT duplicate of an
+    already-selected doc (sim = 1, rel TIED with its twin) must fall
+    below a less-relevant but novel doc; the relevance-disjoint doc
+    (zero sim to everything selected) wins rank 1 outright."""
+    docs = [
+        (0, "alpha beta gamma delta epsilon", "en", "s", 30),  # query
+        (1, "zz1 zz2 zz3 zz4 zz5", "en", "s", 20),
+        (2, "yy1 yy2 yy3 yy4 yy5", "en", "s", 20),
+        (10, "alpha beta alpha beta", "en", "s", 20),
+        (11, "alpha beta alpha beta", "en", "s", 20),  # exact dup of 10
+        (12, "gamma delta epsilon", "en", "s", 20),
+        (13, "gamma beta", "en", "s", 10),
+    ]
+    spark.createDataFrame(
+        docs,
+        "doc_id long, text string, lang string, source string, "
+        "n_chars long",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        f"{tmp_path}/documents.parquet"
+    )
+    from clickstreamtoclickhouse_spark import plans
+
+    out = sorted(
+        (
+            r
+            for r in plans.QUERIES["mmr_diverse_topk"](
+                spark, str(tmp_path)
+            ).collect()
+            if r.query_id == 0
+        ),
+        key=lambda r: r.mmr_rank,
+    )
+    order = [r.doc_id for r in out]
+    assert order == [12, 10, 13, 11]
+    rel = {r.doc_id: r.rel for r in out}
+    assert rel[11] == rel[10]          # the dup TIES on relevance...
+    assert rel[13] < rel[11]           # ...13 is strictly less relevant
+    # ...yet MMR puts 13 ahead of 11: pure-rel ranking would not
+    # greedy scores decrease along the selection order
+    scores = [r.mmr_score for r in out]
+    assert scores == sorted(scores, reverse=True)
