@@ -1052,3 +1052,122 @@ def granger_lag_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             (rss_r - rss_f) * (n - 3) / F.nullif(rss_f, F.lit(0.0)), 4
         ).alias("f_stat"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Always-valid inference: mixture SPRT p-value
+# ---------------------------------------------------------------------------
+
+_MSPRT_TAU2 = 0.01  # mixture (prior) variance on the effect size
+
+
+@query(
+    "ab_sequential_msprt",
+    oracle=f"""
+    WITH assign AS (
+      SELECT {_SQL_VARIANT} AS variant,
+             CAST(round(value * 100) AS BIGINT) AS v_c
+      FROM events WHERE value IS NOT NULL
+    ),
+    stats AS (
+      SELECT variant, CAST(count(*) AS BIGINT) AS n,
+             sum(v_c) AS s, sum(v_c * v_c) AS ss
+      FROM assign GROUP BY variant
+    ),
+    derived AS (
+      SELECT variant, n, s / 100.0 / n AS mean,
+             (ss / 10000.0 - (s / 100.0) * (s / 100.0) / n)
+               / nullif(n - 1, 0) AS var
+      FROM stats
+    ),
+    wide AS (
+      SELECT max(CASE WHEN variant = 'A' THEN n END) AS n_a,
+             max(CASE WHEN variant = 'B' THEN n END) AS n_b,
+             max(CASE WHEN variant = 'A' THEN mean END) AS mean_a,
+             max(CASE WHEN variant = 'B' THEN mean END) AS mean_b,
+             max(CASE WHEN variant = 'A' THEN var END) AS var_a,
+             max(CASE WHEN variant = 'B' THEN var END) AS var_b
+      FROM derived
+    ),
+    lam AS (
+      SELECT n_a, n_b,
+             mean_a - mean_b AS delta,
+             var_a / n_a + var_b / n_b AS v
+      FROM wide
+    )
+    SELECT n_a, n_b, round(delta, 6) AS delta,
+           round(sqrt(v / (v + {_MSPRT_TAU2}))
+                 * exp(delta * delta * {_MSPRT_TAU2}
+                       / (2.0 * v * (v + {_MSPRT_TAU2}))), 6)
+             AS likelihood_ratio,
+           round(least(1.0, 1.0
+                 / (sqrt(v / (v + {_MSPRT_TAU2}))
+                    * exp(delta * delta * {_MSPRT_TAU2}
+                          / (2.0 * v * (v + {_MSPRT_TAU2}))))), 6)
+             AS p_always_valid
+    FROM lam
+    """,
+)
+def ab_sequential_msprt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Always-valid p-value via the mixture Sequential Probability
+    Ratio Test (Johari, Koomen, Pekelis & Walsh, KDD'17 'Peeking at
+    A/B Tests', public method): the inference that stays valid under
+    CONTINUOUS MONITORING — an experimenter peeking every day inflates
+    fixed-horizon false positives, while p_always_valid = min(1,
+    1/Lambda_n) is a supermartingale bound at every n. Lambda_n is
+    the normal mixture likelihood ratio with prior effect variance
+    tau^2 = {_MSPRT_TAU2}: sqrt(V/(V+tau^2)) *
+    exp(delta^2 tau^2 / (2 V (V+tau^2))), V = var_a/n_a + var_b/n_b.
+
+    Determinism: cent-exact integer sufficient statistics (the
+    ab_power_mde stance); Lambda is one fixed scalar formula over
+    them — exp/sqrt evaluate identical doubles in both engines and
+    the result rounds at 6dp.
+
+    Scale: one aggregate to 2 variant rows; 1-row output."""
+    e = load(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    stats = (
+        e.select(
+            _variant(), F.round(F.col("value") * 100).cast("long").alias("v_c")
+        )
+        .groupBy("variant")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("v_c").alias("s"),
+            F.sum(F.col("v_c") * F.col("v_c")).alias("ss"),
+        )
+    )
+    derived = stats.select(
+        "variant",
+        "n",
+        (F.col("s") / 100.0 / F.col("n")).alias("mean"),
+        (
+            (
+                F.col("ss") / 10000.0
+                - (F.col("s") / 100.0) * (F.col("s") / 100.0) / F.col("n")
+            )
+            / F.nullif(F.col("n") - 1, F.lit(0))
+        ).alias("var"),
+    )
+    wide = derived.agg(
+        *[
+            F.max(F.when(F.col("variant") == v, F.col(c))).alias(
+                f"{c}_{v.lower()}"
+            )
+            for c in ("n", "mean", "var")
+            for v in ("A", "B")
+        ]
+    )
+    delta = F.col("mean_a") - F.col("mean_b")
+    v = F.col("var_a") / F.col("n_a") + F.col("var_b") / F.col("n_b")
+    tau2 = F.lit(_MSPRT_TAU2)
+    lam = F.sqrt(v / (v + tau2)) * F.exp(
+        delta * delta * tau2 / (2.0 * v * (v + tau2))
+    )
+    return wide.select(
+        "n_a",
+        "n_b",
+        F.round(delta, 6).alias("delta"),
+        F.round(lam, 6).alias("likelihood_ratio"),
+        F.round(F.least(F.lit(1.0), 1.0 / lam), 6).alias("p_always_valid"),
+    )

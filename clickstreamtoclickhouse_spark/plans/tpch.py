@@ -2018,3 +2018,93 @@ def part_hits_authorities(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Degree assortativity of the co-purchase graph (round 10)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "part_degree_assortativity",
+    oracle="""
+    WITH li2 AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    edges AS (
+      SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      FROM li2 a JOIN li2 b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    deg AS (
+      SELECT node, CAST(count(*) AS BIGINT) AS d FROM (
+        SELECT u AS node FROM edges UNION ALL SELECT v FROM edges
+      ) GROUP BY node
+    ),
+    ends AS (
+      SELECT du.d AS dj, dv.d AS dk FROM edges e
+      JOIN deg du ON du.node = e.u
+      JOIN deg dv ON dv.node = e.v
+      UNION ALL
+      SELECT dv.d AS dj, du.d AS dk FROM edges e
+      JOIN deg du ON du.node = e.u
+      JOIN deg dv ON dv.node = e.v
+    ),
+    mom AS (
+      SELECT CAST(count(*) AS BIGINT) AS m2,
+             sum(dj) AS sj, sum(dj * dj) AS sjj, sum(dj * dk) AS sjk
+      FROM ends
+    )
+    SELECT CAST(m2 / 2 AS BIGINT) AS n_edges,
+           round(sj * 1.0 / m2, 6) AS mean_end_degree,
+           round((sjk * 1.0 / m2 - (sj * 1.0 / m2) * (sj * 1.0 / m2))
+                 / nullif(sjj * 1.0 / m2 - (sj * 1.0 / m2)
+                          * (sj * 1.0 / m2), 0), 6) AS assortativity
+    FROM mom
+    """,
+)
+def part_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity coefficient of the part co-purchase graph
+    (Newman 2002, 'Assortative mixing in networks', public): the
+    Pearson correlation of end-degrees over edges — positive means
+    hub parts co-purchase with other hubs (rich-club carts), negative
+    means hubs pair with leaves (staple + accessory carts). The
+    symmetrized form (each edge contributes both orientations) makes
+    the two end-degree marginals identical, so r needs only three
+    moments (sum d, sum d^2, sum dj*dk).
+
+    Determinism: degrees and all three moments are exact BIGINTs
+    (dj*dk products of integer degrees), so r is fixed scalar algebra
+    over identical integers in both engines.
+
+    Scale: reuses the session-checkpointed `_copurchase_edges` build
+    (one bounded per-order self-join); degrees are one keyed count;
+    the end-join is two broadcast-or-shuffle equi-joins on node keys
+    and one 1-row reduce. Linear in edges, no windows."""
+    edges = _copurchase_edges(spark, sf_dir)
+    deg = (
+        edges.select(F.col("u").alias("node"))
+        .unionAll(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("d"))
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("d").alias("dju"))
+    dv = deg.select(F.col("node").alias("v"), F.col("d").alias("djv"))
+    joined = edges.join(du, "u").join(dv, "v")
+    ends = joined.select(
+        F.col("dju").alias("dj"), F.col("djv").alias("dk")
+    ).unionAll(
+        joined.select(F.col("djv").alias("dj"), F.col("dju").alias("dk"))
+    )
+    mom = ends.agg(
+        F.count(F.lit(1)).cast("long").alias("m2"),
+        F.sum("dj").alias("sj"),
+        F.sum(F.col("dj") * F.col("dj")).alias("sjj"),
+        F.sum(F.col("dj") * F.col("dk")).alias("sjk"),
+    )
+    mean = F.col("sj") * 1.0 / F.col("m2")
+    var = F.col("sjj") * 1.0 / F.col("m2") - mean * mean
+    cov = F.col("sjk") * 1.0 / F.col("m2") - mean * mean
+    return mom.select(
+        (F.col("m2") / 2).cast("long").alias("n_edges"),
+        F.round(mean, 6).alias("mean_end_degree"),
+        F.round(cov / F.nullif(var, F.lit(0.0)), 6).alias("assortativity"),
+    )

@@ -147,6 +147,18 @@ PROBE_QUERIES = [
     "pmi_collocations",
     "part_hits_authorities",
     "embedding_drift_report",
+    # round-10 second wave: rank statistic over the tie table (events
+    # scale — the window input is the distinct-value table, which
+    # grows sublinearly), per-user sufficient statistics (events ->
+    # users shuffle), FS weights over the SAME capped ER blocking
+    # (the planted degenerate block must stay absorbed), end-degree
+    # joins over the copurchase edges, and the MMR sim matrix (must
+    # stay bounded at queries x pool^2 regardless of corpus size)
+    "mann_whitney_u",
+    "ratio_metric_delta_ci",
+    "fellegi_sunter_weights",
+    "part_degree_assortativity",
+    "mmr_diverse_topk",
 ]
 
 

@@ -388,3 +388,81 @@ def test_granger_recovers_planted_lag_dependence(spark, tmp_path):
     assert abs(got.r2_restricted - (1 - rss_r / tss)) < 1e-5
     assert abs(got.f_stat - (rss_r - rss_f) * (n - 3) / rss_f) < 0.01
     assert got.r2_full > got.r2_restricted + 0.2
+
+
+def test_assortativity_star_and_cycle(spark, tmp_path):
+    """A star co-purchase graph is perfectly disassortative
+    (r = -1); a cycle is degree-regular (zero variance -> NULL r).
+    Both pinned against the closed-form values."""
+    # star: order i holds parts {0, i} for i = 1..8
+    rows = [(i, 0) for i in range(1, 9)] + [(i, i) for i in range(1, 9)]
+    spark.createDataFrame(
+        rows, "l_orderkey long, l_partkey long"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        f"{tmp_path}/star/lineitem.parquet"
+    )
+    from clickstreamtoclickhouse_spark import plans
+
+    got = plans.QUERIES["part_degree_assortativity"](
+        spark, f"{tmp_path}/star"
+    ).collect()[0]
+    assert got.n_edges == 8
+    assert got.assortativity == -1.0
+
+    # cycle over parts 1..6: order i holds {i, i % 6 + 1}
+    rows = [(i, i) for i in range(1, 7)] + [
+        (i, i % 6 + 1) for i in range(1, 7)
+    ]
+    spark.createDataFrame(
+        rows, "l_orderkey long, l_partkey long"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        f"{tmp_path}/cycle/lineitem.parquet"
+    )
+    got = plans.QUERIES["part_degree_assortativity"](
+        spark, f"{tmp_path}/cycle"
+    ).collect()[0]
+    assert got.n_edges == 6
+    assert got.mean_end_degree == 2.0
+    assert got.assortativity is None  # regular graph: var(d) = 0
+
+
+def test_msprt_planted_effect_drives_p_to_zero(spark, tmp_path):
+    """A massive planted lift makes the mixture likelihood ratio
+    explode and the always-valid p collapse; a perfectly null plant
+    keeps p = 1. Values recomputed from the closed form on the
+    planted moments."""
+    a_uids = _uids("A", 10)
+    b_uids = _uids("B", 10)
+
+    def build(lift):
+        rows, eid = [], 0
+        for uid in a_uids:
+            for v in (50.0 + lift, 52.0 + lift):
+                rows.append((eid, _TS, uid, "click", v, "{}")); eid += 1
+        for uid in b_uids:
+            for v in (50.0, 52.0):
+                rows.append((eid, _TS, uid, "click", v, "{}")); eid += 1
+        _write_events(spark, tmp_path, rows)
+        return plans.QUERIES["ab_sequential_msprt"](
+            spark, str(tmp_path)
+        ).collect()[0]
+
+    null = build(0.0)
+    assert null.delta == 0.0
+    assert null.p_always_valid == 1.0
+    assert null.likelihood_ratio < 1.0  # sqrt(V/(V+tau^2)) < 1 at delta=0
+
+    moved = build(25.0)
+    # closed form on the planted cells: each variant has 20 values
+    # alternating +/-1 around its mean -> var = 20/19
+    var = 20 / 19
+    v = var / 20 + var / 20
+    tau2 = 0.01
+    lam = math.sqrt(v / (v + tau2)) * math.exp(
+        25.0 * 25.0 * tau2 / (2 * v * (v + tau2))
+    )
+    assert moved.delta == 25.0
+    assert moved.p_always_valid == 0.0  # lam astronomically large
+    assert abs(moved.likelihood_ratio - round(lam, 6)) <= max(
+        1e-4 * lam, 2e-6
+    )

@@ -1142,3 +1142,47 @@ def test_round10_additions_plan_shapes(spark):
     txt = plan_text(spark, "hybrid_search_rrf")
     assert "CartesianProduct" not in txt
     assert "BroadcastHashJoin" in txt
+
+
+def test_experiments_family_plan_shapes(spark):
+    # Mann-Whitney: ONE events scan; the only sort feeds the rank
+    # window over the per-distinct-value tie table (post-aggregate),
+    # never over raw events
+    txt = plan_text(spark, "mann_whitney_u")
+    scans = [l for l in txt.splitlines()
+             if l.strip().startswith("(") and "Scan parquet" in l]
+    assert len(scans) == 1
+    assert "CartesianProduct" not in txt
+    # the window must sit ABOVE the tie-table aggregate: formatted
+    # plans list children before parents, so the first HashAggregate
+    # appears before the Window node
+    lines = [l for l in txt.splitlines() if l.strip().startswith("(")]
+    agg_idx = next(i for i, l in enumerate(lines) if "HashAggregate" in l)
+    win_idx = next(i for i, l in enumerate(lines) if "Window" in l)
+    assert agg_idx < win_idx
+    # chi-square: grid rebuilt via BROADCAST crosses of tiny total
+    # tables — every join must be broadcast, no SortMergeJoin
+    txt = plan_text(spark, "chi_square_independence")
+    assert "SortMergeJoin" not in txt
+    assert "BroadcastNestedLoopJoin" in txt or "BroadcastHashJoin" in txt
+    # ratio CI: exactly two shuffles on the fact path (to per-user
+    # grain, then to 2 variant rows) + the final single-partition
+    # gather; no joins at all
+    txt = plan_text(spark, "ratio_metric_delta_ci")
+    assert "Join" not in txt
+    # IPW / MDE / mSPRT / BH: single-scan aggregate pipelines
+    for name in ("ipw_treatment_effect", "ab_power_mde",
+                 "ab_sequential_msprt", "bh_fdr_report"):
+        txt = plan_text(spark, name)
+        scans = [l for l in txt.splitlines()
+                 if l.strip().startswith("(") and "Scan parquet" in l]
+        assert len(scans) == 1, name
+        assert "CartesianProduct" not in txt, name
+
+
+def test_assortativity_plan_shape(spark):
+    # keyed equi-joins on the edge/degree tables only; the 1-row
+    # moment reduce must not introduce a cartesian or a global sort
+    txt = plan_text(spark, "part_degree_assortativity")
+    assert "CartesianProduct" not in txt
+    assert "GlobalLimit" not in txt or "Sort" not in txt
