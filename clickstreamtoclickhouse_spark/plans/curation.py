@@ -668,3 +668,84 @@ def source_ablation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             abl_q - F.col("q_tot") * 1.0 / (F.col("n_tot") * 10000.0), 6
         ).alias("delta_mean_quality"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Skyline (Pareto front) multi-criteria document selection (round 10)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "doc_pareto_front",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, CAST(n_chars AS BIGINT) AS x,
+             CAST(len(list_distinct(
+               {tx.SQL_WORDS.format(t="lower(text)")})) AS BIGINT) AS y
+      FROM documents WHERE length(trim(text)) > 0
+    ),
+    perx AS (
+      SELECT x, max(y) AS my FROM scored GROUP BY x
+    ),
+    runx AS (
+      SELECT x, my,
+             max(my) OVER (ORDER BY x DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS run_max
+      FROM perx
+    )
+    SELECT s.doc_id, s.x AS n_chars, s.y AS distinct_words
+    FROM scored s JOIN runx r USING (x)
+    WHERE s.y = r.my AND (r.run_max IS NULL OR r.run_max < s.y)
+    ORDER BY s.x DESC, s.doc_id
+    """,
+)
+def doc_pareto_front(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline (Pareto front) operator (Borzsony, Kossmann &
+    Stocker ICDE'01, public method) over two maximize-criteria —
+    document size (n_chars) and lexical richness (distinct words):
+    the documents no other document beats on BOTH axes, i.e. the
+    frontier a multi-criteria curation pass keeps when it refuses to
+    pick a single weighting. Strict dominance: equal-on-both ties
+    both survive.
+
+    The naive skyline is an all-pairs dominance anti-join; the 2D
+    sort-based form used here is linear-relational: one aggregate to
+    per-x maxima, ONE running-max window over the distinct-x table
+    (domain-bounded: x is a length in characters, not a row count),
+    and an equi-join back — a doc is on the front iff it holds its
+    x-class maximum and strictly beats every y seen at larger x.
+    At 100 TB the window input is still only |distinct lengths| rows.
+
+    Determinism: both criteria are exact integers; no floats
+    anywhere."""
+    d = load(spark, sf_dir, "documents").filter(
+        F.length(F.trim(F.col("text"))) > 0
+    )
+    scored = d.select(
+        "doc_id",
+        F.col("n_chars").cast("long").alias("x"),
+        F.size(F.array_distinct(tx.words(F.lower(F.col("text")))))
+        .cast("long")
+        .alias("y"),
+    )
+    perx = scored.groupBy("x").agg(F.max("y").alias("my"))
+    wx = Window.orderBy(F.desc("x")).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    runx = perx.select(
+        "x", "my", F.max("my").over(wx).alias("run_max")
+    )
+    return (
+        scored.join(runx, "x")
+        .where(
+            (F.col("y") == F.col("my"))
+            & (F.col("run_max").isNull() | (F.col("run_max") < F.col("y")))
+        )
+        .select(
+            "doc_id",
+            F.col("x").alias("n_chars"),
+            F.col("y").alias("distinct_words"),
+        )
+        .orderBy(F.desc("n_chars"), "doc_id")
+    )

@@ -1171,3 +1171,124 @@ def ab_sequential_msprt(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(lam, 6).alias("likelihood_ratio"),
         F.round(F.least(F.lit(1.0), 1.0 / lam), 6).alias("p_always_valid"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Autocorrelation function of the daily revenue series
+# ---------------------------------------------------------------------------
+
+_ACF_MAX_LAG = 7
+
+
+@query(
+    "daily_acf",
+    oracle=f"""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS d,
+             CAST(coalesce(sum(CAST(round(value * 100) AS BIGINT)), 0)
+               AS BIGINT) AS y
+      FROM events WHERE ts IS NOT NULL AND value IS NOT NULL GROUP BY d
+    ),
+    mom AS (
+      SELECT CAST(count(*) AS BIGINT) AS n, sum(y) AS s, sum(y * y) AS ss
+      FROM daily
+    ),
+    lagk AS (
+      SELECT l.lag, d.y AS y0,
+             lead(d.y, CAST(l.lag AS INT))
+               OVER (PARTITION BY l.lag ORDER BY d.d) AS yk
+      FROM daily d CROSS JOIN
+           (SELECT unnest(range(1, {_ACF_MAX_LAG} + 1)) AS lag) l
+    ),
+    num AS (
+      SELECT lag, CAST(count(*) AS BIGINT) AS n_pairs,
+             sum(y0 * yk) AS sxy, sum(y0) AS sy0, sum(yk) AS syk
+      FROM lagk WHERE yk IS NOT NULL GROUP BY lag
+    )
+    SELECT CAST(num.lag AS INT) AS lag, num.n_pairs,
+           round((sxy - (s * 1.0 / n) * sy0 - (s * 1.0 / n) * syk
+                  + n_pairs * (s * 1.0 / n) * (s * 1.0 / n))
+                 / nullif(ss - s * 1.0 * s / n, 0), 6) AS acf
+    FROM num CROSS JOIN mom
+    ORDER BY lag
+    """,
+)
+def daily_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation function of daily revenue at lags 1..7 — the
+    seasonality/momentum fingerprint read before fitting any forecast
+    (Box & Jenkins, public method). Standard ACF estimator with the
+    GLOBAL mean and variance: r_k = sum_(t<=n-k) (y_t - ybar)
+    (y_(t+k) - ybar) / sum (y_t - ybar)^2, expanded algebraically to
+    sxy - ybar*sy0 - ybar*syk + n_k*ybar^2 so every input is an
+    EXACT integer moment (sxy, sy0, syk, s, ss are BIGINT sums of
+    integer-cents daily totals) and both engines run identical scalar
+    algebra. Lag pairs use lead() over the observed series in both
+    engines, so a missing day contributes no spurious zero.
+
+    Scale: one map-side-combinable aggregate to the bounded daily
+    table, a {_ACF_MAX_LAG}x broadcast replicate of THAT table
+    (365 x {_ACF_MAX_LAG} rows/year at any event volume), per-lag
+    lead windows over it, one keyed reduce."""
+    e = load(spark, sf_dir, "events").where(
+        F.col("ts").isNotNull() & F.col("value").isNotNull()
+    )
+    daily = e.groupBy(F.col("ts").cast("date").alias("d")).agg(
+        F.coalesce(
+            F.sum(F.round(F.col("value") * 100).cast("long")), F.lit(0)
+        )
+        .cast("long")
+        .alias("y")
+    )
+    mom = daily.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("y").alias("s"),
+        F.sum(F.col("y") * F.col("y")).alias("ss"),
+    )
+    lags = spark.range(1, _ACF_MAX_LAG + 1).select(
+        F.col("id").cast("int").alias("lag")
+    )
+    wlag = Window.partitionBy("lag").orderBy("d")
+    # lead() needs a literal offset: evaluate one lead per lag value
+    # over the (daily x lags) replicate and pick the matching one —
+    # all windows share the single tiny partition-by-lag sort
+    lead_k = F.coalesce(
+        *[
+            F.when(F.col("lag") == k, F.lead("y", k).over(wlag))
+            for k in range(1, _ACF_MAX_LAG + 1)
+        ]
+    )
+    lagk = daily.crossJoin(F.broadcast(lags)).select(
+        "lag", F.col("y").alias("y0"), lead_k.alias("yk")
+    )
+    num = (
+        lagk.where(F.col("yk").isNotNull())
+        .groupBy("lag")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.sum(F.col("y0") * F.col("yk")).alias("sxy"),
+            F.sum("y0").alias("sy0"),
+            F.sum("yk").alias("syk"),
+        )
+    )
+    ybar = F.col("s") * 1.0 / F.col("n")
+    denom = F.nullif(
+        F.col("ss") - F.col("s") * 1.0 * F.col("s") / F.col("n"), F.lit(0.0)
+    )
+    return (
+        num.crossJoin(F.broadcast(mom))
+        .select(
+            F.col("lag").cast("int").alias("lag"),
+            "n_pairs",
+            F.round(
+                (
+                    F.col("sxy")
+                    - ybar * F.col("sy0")
+                    - ybar * F.col("syk")
+                    + F.col("n_pairs") * ybar * ybar
+                )
+                / denom,
+                6,
+            ).alias("acf"),
+        )
+        .orderBy("lag")
+    )

@@ -159,6 +159,9 @@ PROBE_QUERIES = [
     "fellegi_sunter_weights",
     "part_degree_assortativity",
     "mmr_diverse_topk",
+    # skyline: the running-max window input is |distinct n_chars|,
+    # which must stay domain-bounded as docs grow 10x
+    "doc_pareto_front",
 ]
 
 

@@ -466,3 +466,71 @@ def test_msprt_planted_effect_drives_p_to_zero(spark, tmp_path):
     assert abs(moved.likelihood_ratio - round(lam, 6)) <= max(
         1e-4 * lam, 2e-6
     )
+
+
+def test_daily_acf_numpy_reference_alternating_series(spark, tmp_path):
+    """A period-2 alternating daily series must give acf(1) near -1
+    and acf(2) near +1; every lag's value recomputed with numpy on
+    the planted series."""
+    import numpy as np
+
+    vals = [10.0, 20.0] * 8  # 16 days alternating
+    rows = [
+        (d, datetime(2024, 1, 1 + d, 9, 0, 0), 1, "purchase", v, "{}")
+        for d, v in enumerate(vals)
+    ]
+    _write_events(spark, tmp_path, rows)
+
+    out = {
+        r.lag: r
+        for r in plans.QUERIES["daily_acf"](spark, str(tmp_path)).collect()
+    }
+    assert set(out) == set(range(1, 8))
+    y = np.array([v * 100 for v in vals])  # integer cents, as the plan
+    ybar = y.mean()
+    denom = ((y - ybar) ** 2).sum()
+    for k in range(1, 8):
+        ref = float(((y[:-k] - ybar) * (y[k:] - ybar)).sum() / denom)
+        assert abs(out[k].acf - round(ref, 6)) < 2e-6, k
+        assert out[k].n_pairs == len(vals) - k
+    assert out[1].acf < -0.8 and out[2].acf > 0.8
+
+
+def test_pareto_front_brute_force_reference(spark, tmp_path):
+    """Front recomputed by the O(n^2) strict-dominance definition on
+    a plant that exercises every tie case: duplicate (x,y) points
+    (both survive), same-x-higher-y dominance, and
+    higher-x-equal-y dominance."""
+    def doc(i, n_words, n_chars):
+        # n_words distinct words; n_chars via the n_chars column
+        text = " ".join(f"w{i}x{j}" for j in range(n_words))
+        return (i, text, "en", "s", n_chars)
+
+    docs = [
+        doc(1, 5, 100),   # front (highest x, its y class max)
+        doc(2, 8, 80),    # front
+        doc(3, 8, 80),    # duplicate of 2 -> both on front (tie)
+        doc(4, 6, 80),    # dominated by 2 (same x, higher y)
+        doc(5, 8, 60),    # dominated by 2 (higher x, equal y)
+        doc(6, 12, 40),   # front (best y)
+        doc(7, 3, 90),    # dominated by 1
+    ]
+    spark.createDataFrame(
+        docs,
+        "doc_id long, text string, lang string, source string, "
+        "n_chars long",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        f"{tmp_path}/documents.parquet"
+    )
+    out = plans.QUERIES["doc_pareto_front"](spark, str(tmp_path)).collect()
+    got = sorted(r.doc_id for r in out)
+
+    pts = {d[0]: (d[4], len(d[1].split())) for d in docs}
+    front = [
+        i for i, (x, y) in pts.items()
+        if not any(
+            (x2 >= x and y2 >= y and (x2 > x or y2 > y))
+            for j, (x2, y2) in pts.items() if j != i
+        )
+    ]
+    assert got == sorted(front) == [1, 2, 3, 6]
