@@ -2149,3 +2149,91 @@ def pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(_PMI_TOPK)
         .drop("_r9")
     )
+
+
+# ---------------------------------------------------------------------------
+# Readability report (round 10)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "readability_by_source",
+    oracle=f"""
+    WITH scored AS (
+      SELECT source,
+             CAST(len({tx.SQL_WORDS.format(t="text")}) AS BIGINT) AS words,
+             CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+               AS BIGINT) AS sentences,
+             CAST(greatest(len(regexp_extract_all(lower(text),
+               '[aeiouy]+')), 1) AS BIGINT) AS syllables
+      FROM documents WHERE length(trim(text)) > 0
+    ),
+    agg AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             sum(words) AS w, sum(sentences) AS s, sum(syllables) AS sy
+      FROM scored GROUP BY source
+    )
+    SELECT source, n_docs,
+           round(w * 1.0 / s, 4) AS words_per_sentence,
+           round(sy * 1.0 / w, 4) AS syllables_per_word,
+           round(206.835 - 1.015 * (w * 1.0 / s)
+                 - 84.6 * (sy * 1.0 / w), 4) AS flesch_reading_ease,
+           round(0.39 * (w * 1.0 / s) + 11.8 * (sy * 1.0 / w) - 15.59, 4)
+             AS fk_grade
+    FROM agg ORDER BY source
+    """,
+)
+def readability_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source readability report — Flesch reading ease and
+    Flesch-Kincaid grade (Flesch 1948 / Kincaid 1975, public
+    formulas), the curation signal that separates legalese and
+    machine-generated boilerplate from conversational text. Syllables
+    use the standard vowel-group approximation (runs of [aeiouy]),
+    sentences the terminal-punctuation-run count, both with a floor
+    of 1 so fragments don't divide by zero; the SAME regexes run in
+    both engines (regexp_count / regexp_extract_all parity pinned by
+    the oracle).
+
+    The corpus-level ratio convention (sum words / sum sentences, as
+    in the original readability literature) keeps everything in
+    integer sums — no per-doc float averages to order-drift.
+
+    Scale: one linear scan with three regexp counters fused into the
+    projection, one map-side-combinable aggregate on the bounded
+    source key."""
+    d = load(spark, sf_dir, "documents").filter(
+        F.length(F.trim(F.col("text"))) > 0
+    )
+    scored = d.select(
+        "source",
+        F.size(tx.words(F.col("text"))).cast("long").alias("words"),
+        F.greatest(
+            F.regexp_count(F.col("text"), F.lit(r"[.!?]+")), F.lit(1)
+        )
+        .cast("long")
+        .alias("sentences"),
+        F.greatest(
+            F.regexp_count(F.lower(F.col("text")), F.lit(r"[aeiouy]+")),
+            F.lit(1),
+        )
+        .cast("long")
+        .alias("syllables"),
+    )
+    agg = scored.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("words").alias("w"),
+        F.sum("sentences").alias("s"),
+        F.sum("syllables").alias("sy"),
+    )
+    wps = F.col("w") * 1.0 / F.col("s")
+    spw = F.col("sy") * 1.0 / F.col("w")
+    return agg.select(
+        "source",
+        "n_docs",
+        F.round(wps, 4).alias("words_per_sentence"),
+        F.round(spw, 4).alias("syllables_per_word"),
+        F.round(206.835 - 1.015 * wps - 84.6 * spw, 4).alias(
+            "flesch_reading_ease"
+        ),
+        F.round(0.39 * wps + 11.8 * spw - 15.59, 4).alias("fk_grade"),
+    ).orderBy("source")

@@ -1292,3 +1292,148 @@ def daily_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lag")
     )
+
+# ---------------------------------------------------------------------------
+# Split-conformal prediction interval with held-out coverage audit
+# ---------------------------------------------------------------------------
+
+_CONF_ALPHA = 0.1  # target 90% coverage
+
+
+@query(
+    "conformal_interval_report",
+    oracle=f"""
+    WITH base AS (
+      SELECT event_type,
+             CAST(round(value * 100) AS BIGINT) AS v_c,
+             {portable_id_hash_duck("CAST(event_id AS VARCHAR)")} % 4
+               AS fold
+      FROM events WHERE value IS NOT NULL
+    ),
+    model AS (
+      SELECT event_type, sum(v_c) AS s, CAST(count(*) AS BIGINT) AS n
+      FROM base WHERE fold <= 1 GROUP BY event_type
+    ),
+    resid AS (
+      SELECT b.fold, abs(b.v_c - m.s * 1.0 / m.n) AS r
+      FROM base b JOIN model m USING (event_type)
+      WHERE b.fold >= 2
+    ),
+    calib AS (
+      SELECT r, CAST(count(*) AS BIGINT) AS c FROM resid
+      WHERE fold = 2 GROUP BY r
+    ),
+    ktab AS (
+      SELECT CAST(sum(c) AS BIGINT) AS n_calib,
+             CAST(ceil((sum(c) + 1) * (1.0 - {_CONF_ALPHA})) AS BIGINT)
+               AS k
+      FROM calib
+    ),
+    q AS (
+      SELECT min(r) AS q_cents FROM (
+        SELECT r, sum(c) OVER (ORDER BY r
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        FROM calib
+      ) CROSS JOIN ktab WHERE cum >= k
+    ),
+    test AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_test,
+             CAST(sum(CASE WHEN r <= q.q_cents THEN 1 ELSE 0 END)
+               AS BIGINT) AS covered
+      FROM resid CROSS JOIN q WHERE fold = 3
+    )
+    SELECT k.n_calib, t.n_test,
+           round(q.q_cents / 100.0, 4) AS interval_halfwidth,
+           round(t.covered * 1.0 / t.n_test, 6) AS test_coverage,
+           {1.0 - _CONF_ALPHA} AS target_coverage
+    FROM ktab k CROSS JOIN q CROSS JOIN test t
+    """,
+)
+def conformal_interval_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal prediction interval (Vovk et al.; Lei et al.
+    JASA'18 form, public method) with a held-out coverage audit — the
+    distribution-free uncertainty wrapper a scoring pipeline puts
+    around ANY point predictor: fit on folds 0-1 (here a per-
+    event-type mean, the substitution point for a real model), take
+    the k-th smallest absolute calibration residual with k =
+    ceil((n_calib+1)*(1-alpha)) on fold 2, and report the interval
+    half-width plus the EMPIRICAL coverage on untouched fold 3 —
+    which conformal theory guarantees >= {1 - _CONF_ALPHA} in
+    expectation.
+
+    Determinism: folds are portable-hash; residuals are exact
+    rationals |cents - s/n| evaluated identically; the order
+    statistic comes from per-residual-value counts + one cumulative
+    window over the distinct-residual table (the mann_whitney_u
+    stance — never a row-level global sort), so k-th-smallest is an
+    exact table lookup in both engines.
+
+    Scale: one scan feeding three fold-filtered aggregates; the only
+    window runs over the distinct-residual-value table (bounded by
+    the cents x event-type domain)."""
+    e = load(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    base = e.select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("v_c"),
+        F.pmod(portable_id_hash("event_id"), F.lit(4)).alias("fold"),
+    )
+    model = (
+        base.where(F.col("fold") <= 1)
+        .groupBy("event_type")
+        .agg(
+            F.sum("v_c").alias("s"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+        )
+    )
+    resid = (
+        base.where(F.col("fold") >= 2)
+        .join(F.broadcast(model), "event_type")
+        .select(
+            "fold",
+            F.abs(F.col("v_c") - F.col("s") * 1.0 / F.col("n")).alias("r"),
+        )
+    )
+    calib = (
+        resid.where(F.col("fold") == 2)
+        .groupBy("r")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    ktab = calib.agg(
+        F.sum("c").cast("long").alias("n_calib"),
+        F.ceil((F.sum("c") + 1) * (1.0 - _CONF_ALPHA))
+        .cast("long")
+        .alias("k"),
+    )
+    wcum = Window.orderBy("r").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    q = (
+        calib.select("r", F.sum("c").over(wcum).alias("cum"))
+        .crossJoin(F.broadcast(ktab))
+        .where(F.col("cum") >= F.col("k"))
+        .agg(F.min("r").alias("q_cents"))
+    )
+    test = (
+        resid.where(F.col("fold") == 3)
+        .crossJoin(F.broadcast(q))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_test"),
+            F.sum(F.when(F.col("r") <= F.col("q_cents"), 1).otherwise(0))
+            .cast("long")
+            .alias("covered"),
+        )
+    )
+    return (
+        ktab.select("n_calib")
+        .crossJoin(F.broadcast(q))
+        .crossJoin(F.broadcast(test))
+        .select(
+            "n_calib",
+            "n_test",
+            F.round(F.col("q_cents") / 100.0, 4).alias("interval_halfwidth"),
+            F.round(F.col("covered") * 1.0 / F.col("n_test"), 6).alias(
+                "test_coverage"
+            ),
+            F.lit(1.0 - _CONF_ALPHA).alias("target_coverage"),
+        )
+    )

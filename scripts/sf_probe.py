@@ -162,6 +162,10 @@ PROBE_QUERIES = [
     # skyline: the running-max window input is |distinct n_chars|,
     # which must stay domain-bounded as docs grow 10x
     "doc_pareto_front",
+    # three fused regexp counters over the doc scan (linear) and the
+    # conformal distinct-residual window (cents x type domain-bounded)
+    "readability_by_source",
+    "conformal_interval_report",
 ]
 
 
