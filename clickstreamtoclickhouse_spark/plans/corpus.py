@@ -2237,3 +2237,150 @@ def readability_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.round(0.39 * wps + 11.8 * spw - 15.59, 4).alias("fk_grade"),
     ).orderBy("source")
+
+
+# ---------------------------------------------------------------------------
+# Isotonic calibration map (round 10)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "isotonic_calibration_map",
+    oracle=f"""
+    WITH {_SQL_HASHED_FEATS_CTES},
+    wt AS (
+      SELECT doc_id, lang, c,
+             ((('0x' || substr(md5(CAST(b AS VARCHAR)), 1, 8))::BIGINT
+               % {_CLS_W_MOD}) - {(_CLS_W_MOD - 1) // 2}) / {(_CLS_W_MOD - 1) // 2}.0
+               AS w
+      FROM dk
+    ),
+    sc AS (
+      SELECT doc_id,
+             max(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS label,
+             round(sum(c * w) / sum(c), 6) AS score
+      FROM wt GROUP BY doc_id
+    ),
+    per_bin AS (
+      SELECT least(greatest(CAST(floor((score + 1.0) / 0.1) AS INT) + 1, 1),
+                   {_EVAL_BINS}) AS bin,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(label) AS BIGINT) AS n_pos
+      FROM sc GROUP BY bin
+    ),
+    pre AS (
+      SELECT bin, n, n_pos,
+             sum(n) OVER (ORDER BY bin) AS cn,
+             sum(n_pos) OVER (ORDER BY bin) AS cp
+      FROM per_bin
+    ),
+    intervals AS (
+      SELECT a.bin AS bi, b.bin AS bj,
+             (b.cp - a.cp + a.n_pos) * 1.0 / (b.cn - a.cn + a.n) AS avgr
+      FROM pre a JOIN pre b ON a.bin <= b.bin
+    ),
+    minj AS (
+      SELECT i.bi, k.bin AS k, min(i.avgr) AS mn
+      FROM intervals i JOIN per_bin k
+        ON i.bi <= k.bin AND k.bin <= i.bj
+      GROUP BY i.bi, k.bin
+    ),
+    iso AS (
+      SELECT k AS bin, max(mn) AS iso_raw FROM minj GROUP BY k
+    )
+    SELECT p.bin, p.n, p.n_pos,
+           round(p.n_pos * 1.0 / p.n, 6) AS raw_rate,
+           round(iso.iso_raw, 6) AS iso_rate
+    FROM per_bin p JOIN iso USING (bin)
+    ORDER BY p.bin
+    """,
+)
+def isotonic_calibration_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic (monotone non-decreasing) calibration of the hashed
+    linear classifier's score bins — pool-adjacent-violators via the
+    closed-form minimax identity iso_k = max_(i<=k) min_(j>=k)
+    weightedmean(pos, [i..j]) (Robertson, Wright & Dykstra 1988,
+    public; the calibration map Platt-vs-isotonic comparisons use).
+    Unlike the raw per-bin rates of classifier_eval_report, iso_rate
+    is guaranteed monotone in the score and is what a selection
+    pipeline thresholds on.
+
+    The minimax form turns the sequential PAV pooling loop into pure
+    relational algebra over the BOUNDED bin table: interval means
+    from two cumulative sums ({_EVAL_BINS} x {_EVAL_BINS} / 2
+    intervals), one (interval x bin) containment join
+    (~{_EVAL_BINS}**3 / 2 rows — constants, independent of corpus
+    size), min then max. Every interval mean is an exact integer
+    ratio, so both engines compare identical doubles.
+
+    Scale: the corpus pass is the classifier's single keyed shuffle;
+    everything after runs on <= {_EVAL_BINS} rows."""
+    half = (_CLS_W_MOD - 1) // 2
+    dk = _doc_bucket_counts(widen_scan(load(spark, sf_dir, "documents")))
+    wt = dk.withColumn(
+        "w",
+        ((portable_id_hash(F.col("b")) % _CLS_W_MOD) - F.lit(half))
+        / F.lit(float(half)),
+    )
+    sc = wt.groupBy("doc_id").agg(
+        F.max(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("label"),
+        F.round(F.sum(F.col("c") * F.col("w")) / F.sum("c"), 6).alias(
+            "score"
+        ),
+    )
+    bin_col = F.least(
+        F.greatest(
+            F.floor((F.col("score") + 1.0) / 0.1).cast("int") + 1, F.lit(1)
+        ),
+        F.lit(_EVAL_BINS),
+    )
+    per_bin = (
+        sc.select(bin_col.alias("bin"), "label")
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("label").cast("long").alias("n_pos"),
+        )
+    )
+    wc = Window.orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    pre = per_bin.select(
+        "bin",
+        "n",
+        "n_pos",
+        F.sum("n").over(wc).alias("cn"),
+        F.sum("n_pos").over(wc).alias("cp"),
+    )
+    a, b = pre.alias("a"), pre.alias("b")
+    intervals = a.join(b, F.col("a.bin") <= F.col("b.bin")).select(
+        F.col("a.bin").alias("bi"),
+        F.col("b.bin").alias("bj"),
+        (
+            (F.col("b.cp") - F.col("a.cp") + F.col("a.n_pos")) * 1.0
+            / (F.col("b.cn") - F.col("a.cn") + F.col("a.n"))
+        ).alias("avgr"),
+    )
+    ks = per_bin.select(F.col("bin").alias("k"))
+    minj = (
+        intervals.join(
+            F.broadcast(ks),
+            (F.col("bi") <= F.col("k")) & (F.col("k") <= F.col("bj")),
+        )
+        .groupBy("bi", "k")
+        .agg(F.min("avgr").alias("mn"))
+    )
+    iso = minj.groupBy(F.col("k").alias("bin")).agg(
+        F.max("mn").alias("iso_raw")
+    )
+    return (
+        per_bin.join(iso, "bin")
+        .select(
+            "bin",
+            "n",
+            "n_pos",
+            F.round(F.col("n_pos") * 1.0 / F.col("n"), 6).alias("raw_rate"),
+            F.round("iso_raw", 6).alias("iso_rate"),
+        )
+        .orderBy("bin")
+    )

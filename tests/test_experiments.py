@@ -588,3 +588,47 @@ def test_conformal_coverage_guarantee_on_real_data(spark):
     assert got.target_coverage == 0.9
     assert got.test_coverage >= 0.85
     assert got.interval_halfwidth > 0
+
+
+def test_isotonic_matches_sequential_pav(spark):
+    """The minimax-form isotonic fit must equal the classic
+    SEQUENTIAL pool-adjacent-violators algorithm (independent
+    implementation) on the real sf0.01 bins, and must be monotone
+    while staying weight-faithful (pooled means preserved)."""
+    from .conftest import SF_DIR_MED
+
+    out = sorted(
+        plans.QUERIES["isotonic_calibration_map"](
+            spark, SF_DIR_MED
+        ).collect(),
+        key=lambda r: r.bin,
+    )
+    assert len(out) >= 3
+    # sequential PAV on (raw n_pos/n, weight n)
+    blocks = [[r.n_pos / r.n, r.n] for r in out]
+    i = 0
+    while i < len(blocks) - 1:
+        if blocks[i][0] > blocks[i + 1][0] + 1e-15:
+            m, w = blocks[i], blocks[i + 1]
+            merged = [
+                (m[0] * m[1] + w[0] * w[1]) / (m[1] + w[1]),
+                m[1] + w[1],
+            ]
+            blocks[i: i + 2] = [merged]
+            i = max(i - 1, 0)
+        else:
+            i += 1
+    # map block values back to per-bin expectations by weight
+    expect = []
+    bi = 0
+    for val, w in blocks:
+        acc = 0
+        while acc < w:
+            acc += out[bi].n
+            expect.append(val)
+            bi += 1
+    assert len(expect) == len(out)
+    for r, e in zip(out, expect):
+        assert abs(r.iso_rate - round(e, 6)) < 2e-6, r.bin
+    iso = [r.iso_rate for r in out]
+    assert iso == sorted(iso)  # monotone by construction
