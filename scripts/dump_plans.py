@@ -95,6 +95,18 @@ HEADLINE = [
     ("part_hits_authorities", "two integer mutual-reinforcement rounds, each one keyed equi-join + map-side-combinable sum over the distinct bipartite edge table; top-k = TakeOrderedAndProject, max = 1-row broadcast"),
     ("embedding_drift_report", "one posexplode -> (dim, grp) map-side aggregate; SMD algebra on the 2x64 cell table from rounded sufficient statistics"),
     ("matryoshka_recall_report", "broadcast anchors x widened corpus scan; _let-bound shared products/squares arrays feed all four prefix variants through one inline()"),
+    # round-10 second wave
+    ("mann_whitney_u", "one events scan -> tie-table aggregate; rank window over the distinct-value table only; 1-row integer algebra"),
+    ("ratio_metric_delta_ci", "two shuffles total (per-user grain, then 2 variant rows of integer sufficient statistics); no joins"),
+    ("chi_square_independence", "grid rebuilt from broadcast total crosses; windows over the type x variant grid only"),
+    ("ipw_treatment_effect", "one stratum-keyed aggregate -> 1-row Hajek fold; single scan"),
+    ("fellegi_sunter_weights", "capped ER blocking self-join; 4-field stack -> bounded-key aggregate"),
+    ("part_degree_assortativity", "session edge checkpoint -> keyed degree joins -> 1-row moment reduce"),
+    ("mmr_diverse_topk", "BM25 arm + candidate-pushdown sim matrix (isin filter reaches the tf scan); greedy runs driver-side on bounded collects"),
+    ("doc_pareto_front", "per-length maxima + ONE running-max window over the distinct-length table; equi-join back (skyline without all-pairs dominance)"),
+    ("conformal_interval_report", "fold-filtered aggregates off one scan; k-th order statistic via the distinct-residual count table"),
+    ("isotonic_calibration_map", "classifier's single keyed shuffle; PAV minimax as interval algebra over the bounded bin table"),
+    ("daily_acf", "events -> bounded daily table; 7x broadcast replicate + per-lag lead windows over it"),
 ]
 
 
