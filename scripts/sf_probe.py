@@ -345,6 +345,11 @@ def gen_tables(scale: int, rng: np.random.Generator, words, lens, out: Path):
                 "p_brand": p_brands,
                 "p_type": p_types,
                 "p_size": p_sizes,
+                # price distribution matched to TPC-H's ~900-2100 band;
+                # fellegi_sunter_weights bands on floor(price/100)
+                "p_retailprice": np.round(
+                    900 + rng.random(n_parts_er) * 1200, 2
+                ),
             }
         ),
         out / "part.parquet",
