@@ -1437,3 +1437,78 @@ def conformal_interval_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(1.0 - _CONF_ALPHA).alias("target_coverage"),
         )
     )
+
+# ---------------------------------------------------------------------------
+# Quantile treatment effects (distributional A/B readout)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "quantile_treatment_effects",
+    oracle=f"""
+    WITH assign AS (
+      SELECT {_SQL_VARIANT} AS variant, value, event_id
+      FROM events WHERE value IS NOT NULL
+    ),
+    d AS (
+      SELECT variant, value,
+             ntile(10) OVER (PARTITION BY variant
+                             ORDER BY value, event_id) AS decile
+      FROM assign
+    ),
+    bounds AS (
+      SELECT variant, decile, max(value) AS q,
+             CAST(count(*) AS BIGINT) AS n
+      FROM d GROUP BY variant, decile
+    )
+    SELECT a.decile,
+           a.n AS n_a, b.n AS n_b,
+           round(a.q, 2) AS q_a, round(b.q, 2) AS q_b,
+           round(a.q - b.q, 2) AS qte
+    FROM bounds a JOIN bounds b
+      ON a.decile = b.decile AND a.variant = 'A' AND b.variant = 'B'
+    ORDER BY a.decile
+    """,
+)
+def quantile_treatment_effects(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile treatment effects — the DISTRIBUTIONAL A/B readout
+    (Koenker & Bassett quantile framing, public): the per-decile
+    boundary difference q_A(tau) - q_B(tau) between experiment arms,
+    which catches effects the mean hides (a treatment that lifts the
+    tail while thinning the middle nets to zero in ab_test_welch but
+    shows a signed QTE profile here).
+
+    Boundaries come from ntile over the deterministic (value,
+    event_id) total order — the value_deciles stance: even when a tie
+    straddles a bucket edge, the boundary max is the tie VALUE, so
+    the emitted quantiles are engine-stable. Exact-oracle baseline;
+    the at-scale path swaps in sampled cut points exactly as
+    value_deciles_approx demonstrates.
+
+    Scale: one scan, one per-variant sort window (bounded by the
+    larger arm at test SF; see above), a 10x2-row bounds table, and a
+    broadcast-sized decile join."""
+    e = load(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    assign = e.select(_variant(), "value", "event_id")
+    w = Window.partitionBy("variant").orderBy("value", "event_id")
+    d = assign.select(
+        "variant", "value", F.ntile(10).over(w).alias("decile")
+    )
+    bounds = d.groupBy("variant", "decile").agg(
+        F.max("value").alias("q"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    a = bounds.where(F.col("variant") == "A").alias("a")
+    b = bounds.where(F.col("variant") == "B").alias("b")
+    return (
+        a.join(b, F.col("a.decile") == F.col("b.decile"))
+        .select(
+            F.col("a.decile").alias("decile"),
+            F.col("a.n").alias("n_a"),
+            F.col("b.n").alias("n_b"),
+            F.round(F.col("a.q"), 2).alias("q_a"),
+            F.round(F.col("b.q"), 2).alias("q_b"),
+            F.round(F.col("a.q") - F.col("b.q"), 2).alias("qte"),
+        )
+        .orderBy("decile")
+    )

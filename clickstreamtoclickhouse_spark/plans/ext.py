@@ -5587,3 +5587,124 @@ def embedding_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("drifted"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Language-ID confusion matrix + per-class precision/recall/F1 (round 10)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "lang_id_confusion",
+    oracle=f"""
+    WITH pred AS (
+      SELECT lang AS lang_true, {_sql_lang_case()} AS lang_pred
+      FROM documents
+    ),
+    cells AS (
+      SELECT lang_true, lang_pred, CAST(count(*) AS BIGINT) AS n
+      FROM pred GROUP BY lang_true, lang_pred
+    ),
+    tp AS (
+      SELECT lang_true AS cls,
+             CAST(sum(CASE WHEN lang_pred = lang_true THEN n ELSE 0 END)
+               AS BIGINT) AS tp,
+             CAST(sum(n) AS BIGINT) AS support
+      FROM cells GROUP BY lang_true
+    ),
+    pr AS (
+      SELECT lang_pred AS cls, CAST(sum(n) AS BIGINT) AS n_pred
+      FROM cells GROUP BY lang_pred
+    ),
+    tot AS (
+      SELECT CAST(sum(n) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN lang_pred = lang_true THEN n ELSE 0 END)
+               AS BIGINT) AS n_correct
+      FROM cells
+    )
+    SELECT t.cls AS lang, t.support, coalesce(p.n_pred, 0) AS n_pred,
+           t.tp,
+           round(t.tp * 1.0 / nullif(p.n_pred, 0), 6) AS precision,
+           round(t.tp * 1.0 / t.support, 6) AS recall,
+           round(2.0 * t.tp / nullif(coalesce(p.n_pred, 0) + t.support, 0),
+                 6) AS f1,
+           round(o.n_correct * 1.0 / o.n, 6) AS overall_accuracy
+    FROM tp t LEFT JOIN pr p ON p.cls = t.cls CROSS JOIN tot o
+    ORDER BY t.cls
+    """,
+)
+def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID EVALUATION against the corpus's lang label: per-
+    class support / predicted count / true positives with precision,
+    recall, and F1 (F1 in the count form 2*TP/(pred+support), exact
+    integers), plus overall accuracy repeated per row — the
+    multiclass-eval readout any classifier audit produces, here
+    closing the loop on lang_id_distribution the way
+    classifier_eval_report closes it for the hashed scorer. Like that
+    query, the label is a substitution point: the synthetic corpus
+    shares one vocabulary across langs, so ABSOLUTE accuracy is not
+    the test — the machinery is.
+
+    Determinism: everything is exact integer counts; ratios round at
+    6dp. A class never predicted gets NULL precision (nullif), the
+    standard sklearn zero-division posture.
+
+    Scale: one scan -> bounded (true, pred) grid; all joins are over
+    the language domain."""
+    d = load(spark, sf_dir, "documents")
+    cells = (
+        d.select(
+            F.col("lang").alias("lang_true"),
+            tx.lang_id(F.col("text")).alias("lang_pred"),
+        )
+        .groupBy("lang_true", "lang_pred")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    tp = cells.groupBy(F.col("lang_true").alias("cls")).agg(
+        F.sum(
+            F.when(F.col("lang_pred") == F.col("lang_true"), F.col("n"))
+            .otherwise(0)
+        )
+        .cast("long")
+        .alias("tp"),
+        F.sum("n").cast("long").alias("support"),
+    )
+    pr = cells.groupBy(F.col("lang_pred").alias("cls")).agg(
+        F.sum("n").cast("long").alias("n_pred")
+    )
+    tot = cells.agg(
+        F.sum("n").cast("long").alias("n"),
+        F.sum(
+            F.when(F.col("lang_pred") == F.col("lang_true"), F.col("n"))
+            .otherwise(0)
+        )
+        .cast("long")
+        .alias("n_correct"),
+    )
+    return (
+        tp.join(F.broadcast(pr), "cls", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("cls").alias("lang"),
+            "support",
+            F.coalesce(F.col("n_pred"), F.lit(0)).alias("n_pred"),
+            "tp",
+            F.round(
+                F.col("tp") * 1.0 / F.nullif("n_pred", F.lit(0)), 6
+            ).alias("precision"),
+            F.round(F.col("tp") * 1.0 / F.col("support"), 6).alias("recall"),
+            F.round(
+                2.0
+                * F.col("tp")
+                / F.nullif(
+                    F.coalesce(F.col("n_pred"), F.lit(0)) + F.col("support"),
+                    F.lit(0),
+                ),
+                6,
+            ).alias("f1"),
+            F.round(
+                F.col("n_correct") * 1.0 / F.col("n"), 6
+            ).alias("overall_accuracy"),
+        )
+        .orderBy("lang")
+    )

@@ -632,3 +632,77 @@ def test_isotonic_matches_sequential_pav(spark):
         assert abs(r.iso_rate - round(e, 6)) < 2e-6, r.bin
     iso = [r.iso_rate for r in out]
     assert iso == sorted(iso)  # monotone by construction
+
+
+def test_lang_id_confusion_planted(spark, tmp_path):
+    """Planted docs with KNOWN stopword signatures: confusion cells,
+    precision/recall/F1, and accuracy match hand counts, including a
+    never-predicted class (NULL precision) and the sklearn count-form
+    F1."""
+    # 'the and is' -> en signature; 'der und die' -> de signature.
+    # 4 true-en docs (3 look en, 1 looks de), 2 true-de docs that
+    # BOTH look en -> de never predicted correctly, 'fr' never
+    # predicted at all
+    docs = [
+        (1, "the cat and the dog is here", "en", "s", 10),
+        (2, "the and is", "en", "s", 10),
+        (3, "is the and", "en", "s", 10),
+        (4, "der hund und die katze", "en", "s", 10),  # en mislabeled de
+        (5, "the quick and brown is fox", "de", "s", 10),  # de looks en
+        (6, "and the is it", "de", "s", 10),               # de looks en
+        (7, "the is and", "fr", "s", 10),                  # fr looks en
+    ]
+    spark.createDataFrame(
+        docs,
+        "doc_id long, text string, lang string, source string, "
+        "n_chars long",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        f"{tmp_path}/documents.parquet"
+    )
+    out = {
+        r.lang: r
+        for r in plans.QUERIES["lang_id_confusion"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    en, de, fr = out["en"], out["de"], out["fr"]
+    assert en.support == 4 and de.support == 2 and fr.support == 1
+    # predictions: docs 1,2,3 -> en; 4 -> de; 5,6,7 -> en
+    assert en.n_pred == 6 and de.n_pred == 1 and fr.n_pred == 0
+    assert en.tp == 3 and de.tp == 0 and fr.tp == 0
+    assert en.precision == round(3 / 6, 6)
+    assert en.recall == round(3 / 4, 6)
+    assert en.f1 == round(2 * 3 / (6 + 4), 6)
+    assert fr.precision is None          # never predicted
+    assert de.f1 == 0.0
+    assert en.overall_accuracy == round(3 / 7, 6)
+
+
+def test_qte_detects_planted_tail_lift(spark, tmp_path):
+    """A treatment that lifts ONLY the top decile shows qte ~0 in
+    low deciles and a large positive qte at decile 10 — the effect
+    ab_test_welch's mean dilutes."""
+    a_uids = _uids("A", 10)
+    b_uids = _uids("B", 10)
+    rows, eid = [], 0
+    base = [float(10 * k) for k in range(1, 11)]  # 10..100
+    for uid in a_uids:
+        for i, v in enumerate(base):
+            lifted = v + (500.0 if i == 9 else 0.0)  # top value 5x'd
+            rows.append((eid, _TS, uid, "click", lifted, "{}")); eid += 1
+    for uid in b_uids:
+        for v in base:
+            rows.append((eid, _TS, uid, "click", v, "{}")); eid += 1
+    _write_events(spark, tmp_path, rows)
+
+    out = {
+        r.decile: r
+        for r in plans.QUERIES["quantile_treatment_effects"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert len(out) == 10
+    for d in range(1, 9):
+        assert abs(out[d].qte) < 1e-9, d
+    assert out[10].qte == 500.0
+    assert out[10].n_a == 10 and out[10].n_b == 10
