@@ -2108,3 +2108,123 @@ def part_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(mean, 6).alias("mean_end_degree"),
         F.round(cov / F.nullif(var, F.lit(0.0)), 6).alias("assortativity"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Local clustering coefficient profile (round 10)
+# ---------------------------------------------------------------------------
+
+_CC_DEG_CAP = 8  # degree bands 2..8+, bounded output
+
+
+@query(
+    "part_clustering_coefficient",
+    oracle=f"""
+    WITH li2 AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    edges AS MATERIALIZED (
+      SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      FROM li2 a JOIN li2 b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    tri AS (
+      SELECT e1.u AS a, e1.v AS b, e2.v AS c
+      FROM edges e1
+      JOIN edges e2 ON e2.u = e1.v
+      JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v
+    ),
+    corners AS (
+      SELECT a AS p FROM tri
+      UNION ALL SELECT b FROM tri
+      UNION ALL SELECT c FROM tri
+    ),
+    ntri AS (
+      SELECT p, CAST(count(*) AS BIGINT) AS t FROM corners GROUP BY p
+    ),
+    deg AS (
+      SELECT node, CAST(count(*) AS BIGINT) AS d FROM (
+        SELECT u AS node FROM edges UNION ALL SELECT v FROM edges
+      ) GROUP BY node
+    ),
+    cc AS (
+      SELECT least(deg.d, {_CC_DEG_CAP}) AS band, deg.d,
+             coalesce(ntri.t, 0) AS t,
+             round(coalesce(ntri.t, 0) * 2.0
+                   / (deg.d * (deg.d - 1)), 6) AS c
+      FROM deg LEFT JOIN ntri ON ntri.p = deg.node
+      WHERE deg.d >= 2
+    ),
+    gtot AS (
+      SELECT sum(t) / 3 AS n_tri,
+             sum(d * (d - 1)) / 2 AS n_wedges
+      FROM cc
+    )
+    SELECT CAST(cc.band AS INT) AS degree_band,
+           CAST(count(*) AS BIGINT) AS n_nodes,
+           round(avg(cc.c), 6) AS avg_local_cc,
+           round(g.n_tri * 3.0 / g.n_wedges, 6) AS global_transitivity
+    FROM cc CROSS JOIN gtot g
+    GROUP BY cc.band, g.n_tri, g.n_wedges
+    ORDER BY degree_band
+    """,
+)
+def part_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficient profile of the co-purchase graph
+    (Watts & Strogatz 1998, public): per degree band (2..{_CC_DEG_CAP}+,
+    capped so output stays bounded), the mean of c(v) = 2*tri(v) /
+    (d(v)(d(v)-1)) — how 'cliquish' carts are around parts of each
+    connectivity level — plus the global transitivity 3*T / wedges
+    repeated per row. Composes the registered per-node triangle
+    counts (degree-ordered O(m^1.5) intersection — see
+    part_copurchase_triangles) with the degree table; a node in no
+    triangle contributes c = 0, which a bare join would drop (LEFT
+    join + coalesce is load-bearing).
+
+    Determinism: tri/degree are exact integers; per-node c is one
+    exact-rational division rounded at 6dp; band means average <=
+    thousands of identical 6dp doubles (round-6 safe, the
+    embedding_label_cohesion stance). Wedge/triangle totals are
+    integer sums.
+
+    Scale: adds one keyed count and a broadcast-sized band aggregate
+    on top of the triangle pipeline's bound; the session edge
+    checkpoint is shared with the whole graph family."""
+    ntri = part_copurchase_triangles(spark, sf_dir).withColumnRenamed(
+        "l_partkey", "node"
+    )
+    edges = _copurchase_edges(spark, sf_dir)
+    deg = (
+        edges.select(F.col("u").alias("node"))
+        .unionByName(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("d"))
+    )
+    cc = (
+        deg.where(F.col("d") >= 2)
+        .join(ntri, "node", "left")
+        .select(
+            F.least(F.col("d"), F.lit(_CC_DEG_CAP)).alias("band"),
+            "d",
+            F.coalesce(F.col("n_triangles"), F.lit(0)).alias("t"),
+            F.round(
+                F.coalesce(F.col("n_triangles"), F.lit(0)) * 2.0
+                / (F.col("d") * (F.col("d") - 1)),
+                6,
+            ).alias("c"),
+        )
+    )
+    glob = cc.agg(
+        (F.sum("t") / 3).alias("n_tri"),
+        (F.sum(F.col("d") * (F.col("d") - 1)) / 2).alias("n_wedges"),
+    )
+    return (
+        cc.crossJoin(F.broadcast(glob))
+        .groupBy(F.col("band").cast("int").alias("degree_band"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_nodes"),
+            F.round(F.avg("c"), 6).alias("avg_local_cc"),
+            F.round(
+                F.max(F.col("n_tri") * 3.0 / F.col("n_wedges")), 6
+            ).alias("global_transitivity"),
+        )
+        .orderBy("degree_band")
+    )

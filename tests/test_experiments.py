@@ -706,3 +706,33 @@ def test_qte_detects_planted_tail_lift(spark, tmp_path):
         assert abs(out[d].qte) < 1e-9, d
     assert out[10].qte == 500.0
     assert out[10].n_a == 10 and out[10].n_b == 10
+
+
+def test_clustering_coefficient_closed_forms(spark, tmp_path):
+    """A 4-clique has c(v) = 1 everywhere (transitivity 1); adding a
+    pendant vertex makes its neighbor's c drop to the closed-form
+    2*3/(4*3) = 0.5 while the pendant itself (degree 1) is excluded."""
+    # orders encode edges: clique on parts 1-4 (6 edges) + pendant 5-1
+    edges = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (1, 5)]
+    rows = []
+    for oid, (u, v) in enumerate(edges):
+        rows.append((oid, u)); rows.append((oid, v))
+    spark.createDataFrame(
+        rows, "l_orderkey long, l_partkey long"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        f"{tmp_path}/lineitem.parquet"
+    )
+    out = {
+        r.degree_band: r
+        for r in plans.QUERIES["part_clustering_coefficient"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    # degrees: node1 = 4, nodes 2-4 = 3, node5 = 1 (excluded)
+    # triangles: the 4 clique triangles -> t(1)=t(2)=t(3)=t(4)=3
+    # c(2..4) = 2*3/(3*2) = 1.0; c(1) = 2*3/(4*3) = 0.5
+    assert out[3].n_nodes == 3 and out[3].avg_local_cc == 1.0
+    assert out[4].n_nodes == 1 and out[4].avg_local_cc == 0.5
+    # transitivity: 3*4 / (sum d(d-1)/2 = (12 + 3*6)/2 = 15) = 0.8
+    for r in out.values():
+        assert r.global_transitivity == 0.8
