@@ -1512,3 +1512,71 @@ def quantile_treatment_effects(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("decile")
     )
+
+# ---------------------------------------------------------------------------
+# Count-model overdispersion diagnostic
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "user_event_overdispersion",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS k
+      FROM events GROUP BY user_id
+    ),
+    mom AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             sum(k) AS s, sum(k * k) AS ss
+      FROM per_user
+    )
+    SELECT n AS n_users,
+           round(s * 1.0 / n, 6) AS mean_events,
+           round((ss - s * 1.0 * s / n) / nullif(n - 1, 0), 6)
+             AS var_events,
+           round(((ss - s * 1.0 * s / n) / nullif(n - 1, 0))
+                 / nullif(s * 1.0 / n, 0), 6) AS dispersion_index,
+           round(((ss - s * 1.0 * s / n) / (s * 1.0 / n) - (n - 1))
+                 / sqrt(2.0 * (n - 1)), 4) AS poisson_z
+    FROM mom
+    """,
+)
+def user_event_overdispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overdispersion diagnostic for per-user event counts — the
+    check run before choosing Poisson vs negative-binomial for any
+    count model (rate limiting, LTV, anomaly thresholds): the
+    variance/mean dispersion index (1 under Poisson) and the
+    standardized dispersion statistic ((n-1)*D - (n-1)) / sqrt(2(n-1))
+    from the chi-square approximation of sum (k - kbar)^2 / kbar
+    (Fisher's dispersion test, public). Index >> 1 means bursty/
+    heavy-tailed users — Poisson thresholds would over-alarm.
+
+    Determinism: per-user counts are exact integers; n, sum k,
+    sum k^2 are exact BIGINTs; both statistics are fixed scalar
+    algebra over them.
+
+    Scale: one map-side-combinable aggregate to users, one 1-row
+    reduce. Nothing else."""
+    e = load(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("k")
+    )
+    mom = per_user.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("k").alias("s"),
+        F.sum(F.col("k") * F.col("k")).alias("ss"),
+    )
+    n, s, ss = F.col("n"), F.col("s"), F.col("ss")
+    mean = s * 1.0 / n
+    var = (ss - s * 1.0 * s / n) / F.nullif(n - 1, F.lit(0))
+    disp = var / F.nullif(mean, F.lit(0.0))
+    chi = (ss - s * 1.0 * s / n) / mean  # = (n-1) * D
+    return mom.select(
+        n.alias("n_users"),
+        F.round(mean, 6).alias("mean_events"),
+        F.round(var, 6).alias("var_events"),
+        F.round(disp, 6).alias("dispersion_index"),
+        F.round((chi - (n - 1)) / F.sqrt(2.0 * (n - 1)), 4).alias(
+            "poisson_z"
+        ),
+    )

@@ -166,6 +166,14 @@ PROBE_QUERIES = [
     # conformal distinct-residual window (cents x type domain-bounded)
     "readability_by_source",
     "conformal_interval_report",
+    # third wave: QTE's per-variant sort window is the registry's one
+    # remaining events-scale exact-quantile baseline — probe it so the
+    # sf-bounded claim is measured; clustering coefficient rides the
+    # triangle pipeline's O(m^1.5) bound and must stay there
+    "quantile_treatment_effects",
+    "part_clustering_coefficient",
+    "lang_id_confusion",
+    "isotonic_calibration_map",
 ]
 
 

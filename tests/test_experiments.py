@@ -736,3 +736,43 @@ def test_clustering_coefficient_closed_forms(spark, tmp_path):
     # transitivity: 3*4 / (sum d(d-1)/2 = (12 + 3*6)/2 = 15) = 0.8
     for r in out.values():
         assert r.global_transitivity == 0.8
+
+
+def test_overdispersion_poisson_vs_bursty(spark, tmp_path):
+    """Hand-computed moments: a planted equidispersed profile sits at
+    index ~1 while a bursty profile (one heavy user) pushes the index
+    and z far above — values pinned against pure-Python algebra."""
+    def build(counts):
+        rows, eid = [], 0
+        for uid, k in enumerate(counts):
+            for _ in range(k):
+                rows.append((eid, _TS, uid, "click", 1.0, "{}")); eid += 1
+        _write_events(spark, tmp_path, rows)
+        return plans.QUERIES["user_event_overdispersion"](
+            spark, str(tmp_path)
+        ).collect()[0]
+
+    def ref(counts):
+        n = len(counts)
+        s, ss = sum(counts), sum(k * k for k in counts)
+        mean = s / n
+        var = (ss - s * s / n) / (n - 1)
+        chi = (ss - s * s / n) / mean
+        return mean, var, var / mean, (chi - (n - 1)) / math.sqrt(
+            2 * (n - 1)
+        )
+
+    flat = [3, 4, 3, 4, 3, 4, 3, 4]
+    got = build(flat)
+    m, v, d, z = ref(flat)
+    assert got.n_users == 8
+    assert abs(got.dispersion_index - round(d, 6)) < 2e-6
+    assert abs(got.poisson_z - round(z, 4)) < 2e-4
+    assert got.dispersion_index < 0.2  # alternating plant: underdispersed
+
+    bursty = [1, 1, 1, 1, 1, 1, 1, 50]
+    got2 = build(bursty)
+    m2, v2, d2, z2 = ref(bursty)
+    assert abs(got2.dispersion_index - round(d2, 6)) < 2e-6
+    assert got2.dispersion_index > 30
+    assert got2.poisson_z > got.poisson_z
