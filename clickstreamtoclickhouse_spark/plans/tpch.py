@@ -1138,6 +1138,9 @@ def order_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
 # unpersist hook) — so a session running the whole family pays for
 # the lineitem scan + co-order self-join + distinct exactly once.
 _COPURCHASE_CACHE = SessionDFCache()
+# per-node triangle counts: shared by part_copurchase_triangles and
+# part_clustering_coefficient (which composes on top of them)
+_TRIANGLE_CACHE = SessionDFCache()
 
 
 def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1175,8 +1178,10 @@ def evict_copurchase_edges(sf_dir: str | None = None) -> int:
     """Explicit unpersist hook (twin of retrieval.evict_corpus_tf):
     releases the edge checkpoints a long-lived app accumulated across
     sf_dirs — the dead-appId sweep only reclaims OTHER apps'
-    entries. Returns the number of entries evicted."""
-    return _COPURCHASE_CACHE.evict(sf_dir)
+    entries. Also drops the DERIVED per-node triangle counts for the
+    same dirs (they checkpoint off the edge build and must not
+    outlive it). Returns the number of entries evicted."""
+    return _COPURCHASE_CACHE.evict(sf_dir) + _TRIANGLE_CACHE.evict(sf_dir)
 
 
 @query(
@@ -1235,6 +1240,16 @@ def part_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     docstring); degree ordering bounds in-degrees by O(sqrt(m)), so
     no adjacency array exceeds that and the per-edge intersection
     cost keeps the O(m^1.5) total bound even on hub parts."""
+    def build() -> DataFrame:
+        return _triangle_counts_build(spark, sf_dir)
+
+    return _TRIANGLE_CACHE.get_or_build(spark, sf_dir, build)
+
+
+def _triangle_counts_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The O(m^1.5) degree-ordered intersection pipeline (see
+    part_copurchase_triangles' docstring); factored out so the cached
+    wrapper stays readable."""
     pairs = _copurchase_edges(spark, sf_dir)
     # Degree of each endpoint over the undirected edge set; rank key
     # (degree, id) packed into one bigint so the orientation

@@ -107,6 +107,10 @@ HEADLINE = [
     ("conformal_interval_report", "fold-filtered aggregates off one scan; k-th order statistic via the distinct-residual count table"),
     ("isotonic_calibration_map", "classifier's single keyed shuffle; PAV minimax as interval algebra over the bounded bin table"),
     ("daily_acf", "events -> bounded daily table; 7x broadcast replicate + per-lag lead windows over it"),
+    ("quantile_treatment_effects", "per-variant ntile over deterministic order (exact baseline); 10x2 bounds table + broadcast decile join"),
+    ("lang_id_confusion", "one scan -> bounded (true, pred) grid; all joins over the language domain"),
+    ("part_clustering_coefficient", "triangle pipeline + keyed degree count; LEFT join keeps zero-triangle nodes; band aggregate"),
+    ("user_event_overdispersion", "one user-keyed aggregate -> 1-row moment reduce"),
 ]
 
 
