@@ -803,3 +803,177 @@ def curriculum_data_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         "step",
         (F.col("off") + F.col("step")).cast("long").alias("shard_pos"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary coverage curve + dedup impact (round 10)
+# ---------------------------------------------------------------------------
+
+_COV_KS = (256, 1024, 4096, 16384)
+
+
+@query(
+    "vocab_coverage_curve",
+    oracle=f"""
+    WITH toks AS (
+      SELECT unnest({tx.SQL_WORDS.format(t="lower(text)")}) AS w
+      FROM documents WHERE length(trim(text)) > 0
+    ),
+    vocab AS (
+      SELECT w, CAST(count(*) AS BIGINT) AS c FROM toks GROUP BY w
+    ),
+    ranked AS (
+      SELECT c, row_number() OVER (ORDER BY c DESC, w) AS r,
+             sum(c) OVER (ORDER BY c DESC, w
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             sum(c) OVER () AS total,
+             count(*) OVER () AS v
+      FROM vocab
+    )
+    SELECT k.k,
+           CAST(least(k.k, max(v)) AS BIGINT) AS vocab_size,
+           round(max(CASE WHEN r <= k.k THEN cum END) * 1.0
+                 / max(total), 6) AS token_coverage
+    FROM ranked CROSS JOIN
+         (SELECT unnest([{", ".join(str(k) for k in _COV_KS)}]) AS k) k
+    GROUP BY k.k ORDER BY k.k
+    """,
+)
+def vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage curve — the share of corpus TOKENS covered
+    by the top-k most frequent types for k in {_COV_KS}: the readout
+    that sizes a tokenizer vocabulary (where the curve flattens,
+    bigger vocab buys nothing) and quantifies OOV pressure at each
+    budget. Zipf's law says coverage grows ~log(k); the curve is the
+    empirical check.
+
+    Determinism: counts and cumulative sums are exact BIGINTs over
+    the deterministic (count DESC, word) order; coverage is one
+    rounded integer ratio per k.
+
+    Scale: one map-side-combinable vocab count; the rank/cumsum
+    window runs over the VOCABULARY table (Heaps-law-bounded, the
+    vocab_induction / zipf_law_fit stance), never over tokens; the
+    k-grid is a 4-row broadcast."""
+    from pyspark.sql.window import Window
+
+    d = load(spark, sf_dir, "documents").filter(
+        F.length(F.trim(F.col("text"))) > 0
+    )
+    vocab = (
+        d.select(F.explode(tx.words(F.lower(F.col("text")))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    worder = Window.orderBy(F.desc("c"), "w")
+    wall = Window.partitionBy()
+    ranked = vocab.select(
+        "c",
+        F.row_number().over(worder).alias("r"),
+        F.sum("c")
+        .over(worder.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("cum"),
+        F.sum("c").over(wall).alias("total"),
+        F.count(F.lit(1)).over(wall).alias("v"),
+    )
+    ks = spark.createDataFrame([(k,) for k in _COV_KS], "k int")
+    return (
+        ranked.crossJoin(F.broadcast(ks))
+        .groupBy("k")
+        .agg(
+            F.least(F.max("k"), F.max("v")).cast("long").alias("vocab_size"),
+            F.round(
+                F.max(F.when(F.col("r") <= F.col("k"), F.col("cum")))
+                * 1.0
+                / F.max("total"),
+                6,
+            ).alias("token_coverage"),
+        )
+        .orderBy("k")
+    )
+
+
+@query(
+    "dedup_impact_by_source",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, source, md5(text) AS h,
+             CAST(len({tx.SQL_WORDS.format(t="text")}) AS BIGINT)
+               AS n_tokens
+      FROM documents WHERE length(trim(text)) > 0
+    ),
+    keepers AS (
+      SELECT min(doc_id) AS keeper FROM base GROUP BY h
+    ),
+    marked AS (
+      SELECT b.source, b.n_tokens,
+             CASE WHEN k.keeper IS NULL THEN 1 ELSE 0 END AS removed
+      FROM base b
+      LEFT JOIN keepers k ON k.keeper = b.doc_id
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(removed) AS BIGINT) AS n_removed,
+           CAST(sum(n_tokens) AS BIGINT) AS tokens_total,
+           CAST(sum(CASE WHEN removed = 1 THEN n_tokens ELSE 0 END)
+             AS BIGINT) AS tokens_removed,
+           round(sum(CASE WHEN removed = 1 THEN n_tokens ELSE 0 END)
+                 * 1.0 / sum(n_tokens), 6) AS token_removal_share
+    FROM marked GROUP BY source ORDER BY source
+    """,
+)
+def dedup_impact_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup IMPACT report — what exact dedup would delete, broken
+    down by source: document and token counts removed plus the token
+    removal share. This is the before/after accounting a pipeline
+    publishes with every dedup run (and the per-source skew is the
+    interesting part: crawl dumps dedup away, curated sources
+    don't). Keeper = min doc_id per content hash — the exact_dedup
+    operator's rule, recomputed here so the report and the operator
+    can't disagree.
+
+    Determinism: all counts exact integers; one rounded ratio.
+
+    Scale: one (hash, id) shuffle for keepers (exact_dedup's own
+    bound), a keeper semi-structure via LEFT join, one bounded-key
+    source aggregate."""
+    from ..functions.dedup_text import exact_dedup_groups
+
+    d = load(spark, sf_dir, "documents").filter(
+        F.length(F.trim(F.col("text"))) > 0
+    )
+    base = d.select(
+        "doc_id",
+        "source",
+        F.size(tx.words(F.col("text"))).cast("long").alias("n_tokens"),
+    )
+    keepers = exact_dedup_groups(d).select(
+        F.col("keeper_id").alias("keeper")
+    )
+    marked = base.join(
+        keepers, base.doc_id == keepers.keeper, "left"
+    ).select(
+        "source",
+        "n_tokens",
+        F.when(F.col("keeper").isNull(), 1).otherwise(0).alias("removed"),
+    )
+    return (
+        marked.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("removed").cast("long").alias("n_removed"),
+            F.sum("n_tokens").cast("long").alias("tokens_total"),
+            F.sum(F.when(F.col("removed") == 1, F.col("n_tokens")).otherwise(0))
+            .cast("long")
+            .alias("tokens_removed"),
+            F.round(
+                F.sum(
+                    F.when(F.col("removed") == 1, F.col("n_tokens")).otherwise(0)
+                )
+                * 1.0
+                / F.sum("n_tokens"),
+                6,
+            ).alias("token_removal_share"),
+        )
+        .orderBy("source")
+    )

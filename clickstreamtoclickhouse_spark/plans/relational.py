@@ -6840,3 +6840,78 @@ def ab_covariate_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise((F.abs(smd) < _SMD_BALANCED).cast("int"))
         .alias("balanced"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Rolling-origin forecast backtest (round 10)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "forecast_backtest_mae",
+    oracle=f"""
+    WITH ewma_q AS (__EWMA_ORACLE__),
+    seq AS (
+      SELECT d, actual, ewma,
+             lag(ewma) OVER (ORDER BY d) AS fc_ewma,
+             lag(actual) OVER (ORDER BY d) AS fc_naive,
+             row_number() OVER (ORDER BY d) AS i,
+             count(*) OVER () AS n
+      FROM ewma_q
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_eval,
+           round(avg(abs(actual - fc_ewma)), 6) AS mae_ewma,
+           round(avg(abs(actual - fc_naive)), 6) AS mae_naive,
+           round(avg(abs(actual - fc_ewma))
+                 / nullif(avg(abs(actual - fc_naive)), 0), 6) AS mase
+    FROM seq WHERE i > n / 2
+    """,
+)
+def forecast_backtest_mae(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-origin one-step forecast backtest (Hyndman &
+    Athanasopoulos, public method): because EWMA's one-step-ahead
+    forecast for day t IS the smoothed state through t-1, the entire
+    backtest is a lag over daily_value_ewma's already-registered
+    output — forecast error |v_t - s_{{t-1}}| vs the naive
+    random-walk |v_t - v_{{t-1}}|, evaluated on the second half of
+    the series (the first half is burn-in), with MASE = MAE_model /
+    MAE_naive as the scale-free verdict (< 1 = beats naive).
+
+    Composes the REGISTERED ewma query on both sides (the Spark
+    callable and its oracle string), so the two backtests can never
+    drift from the forecaster they evaluate.
+
+    Determinism: inputs are the ewma query's 4dp/6dp-rounded grid
+    points; errors are differences of grid points; the final MAEs
+    average a handful of bounded-magnitude doubles (round-6 safe).
+
+    Scale: everything after the day rollup runs on the calendar-
+    bounded daily table."""
+    base = daily_value_ewma(spark, sf_dir)
+    w = Window.orderBy("d")
+    wall = Window.partitionBy()
+    seq = base.select(
+        "d",
+        "actual",
+        F.lag("ewma").over(w).alias("fc_ewma"),
+        F.lag("actual").over(w).alias("fc_naive"),
+        F.row_number().over(w).alias("i"),
+        F.count(F.lit(1)).over(wall).alias("n"),
+    ).where(F.col("i") > F.col("n") / 2)
+    mae_e = F.avg(F.abs(F.col("actual") - F.col("fc_ewma")))
+    mae_n = F.avg(F.abs(F.col("actual") - F.col("fc_naive")))
+    return seq.agg(
+        F.count(F.lit(1)).cast("long").alias("n_eval"),
+        F.round(mae_e, 6).alias("mae_ewma"),
+        F.round(mae_n, 6).alias("mae_naive"),
+        F.round(mae_e / F.nullif(mae_n, F.lit(0.0)), 6).alias("mase"),
+    )
+
+
+# Splice the REGISTERED ewma oracle into the backtest oracle so the
+# evaluated forecaster and the evaluator share one SQL source.
+from .registry import ORACLE as _ORACLE_REG  # noqa: E402
+
+_ORACLE_REG["forecast_backtest_mae"] = _ORACLE_REG[
+    "forecast_backtest_mae"
+].replace("__EWMA_ORACLE__", _ORACLE_REG["daily_value_ewma"])

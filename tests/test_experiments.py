@@ -776,3 +776,99 @@ def test_overdispersion_poisson_vs_bursty(spark, tmp_path):
     assert abs(got2.dispersion_index - round(d2, 6)) < 2e-6
     assert got2.dispersion_index > 30
     assert got2.poisson_z > got.poisson_z
+
+
+def test_forecast_backtest_smooth_vs_noisy(spark, tmp_path):
+    """On a smooth trend the EWMA one-step forecast beats naive on a
+    planted SAW-TOOTH (where yesterday's value is the worst guess);
+    numbers recomputed with a pure-Python EWMA recurrence."""
+    vals = [100.0, 10.0] * 10  # saw-tooth: naive is maximally wrong
+    rows = [
+        (d, datetime(2024, 1, 1 + d, 9, 0, 0), 1, "purchase", v, "{}")
+        for d, v in enumerate(vals)
+    ]
+    _write_events(spark, tmp_path, rows)
+    got = plans.QUERIES["forecast_backtest_mae"](
+        spark, str(tmp_path)
+    ).collect()[0]
+
+    # python EWMA (alpha=0.3) on the rounded daily sums
+    s = vals[0]
+    ewma = [s]
+    for v in vals[1:]:
+        s = round(0.3 * v + 0.7 * s, 6)  # query emits 6dp grid points
+        ewma.append(s)
+    n = len(vals)
+    idx = [i for i in range(n) if (i + 1) > n / 2]
+    mae_e = sum(abs(vals[i] - ewma[i - 1]) for i in idx) / len(idx)
+    mae_n = sum(abs(vals[i] - vals[i - 1]) for i in idx) / len(idx)
+    assert got.n_eval == len(idx)
+    assert abs(got.mae_naive - round(mae_n, 6)) < 2e-6
+    # ewma state hovers mid-range: |err| ~ 45 < naive's 90
+    assert got.mae_ewma < got.mae_naive
+    assert abs(got.mae_ewma - round(mae_e, 6)) < 1e-3  # grid rounding slack
+    assert got.mase < 1.0
+
+
+def test_vocab_coverage_monotone_and_exact(spark, tmp_path):
+    """Hand-computable corpus: coverage at each k matches exact
+    token shares and is monotone in k; k beyond |V| saturates at 1."""
+    # 'a' x 6, 'b' x 3, 'c' x 1 -> coverage(top-1)=0.6 ... but the
+    # k grid starts at 256 > |V|=3, so every row saturates: pin that
+    # and the vocab_size clamp
+    docs = [(1, "a a a b b c", "en", "s", 11), (2, "a a a b", "en", "s", 7)]
+    spark.createDataFrame(
+        docs,
+        "doc_id long, text string, lang string, source string, "
+        "n_chars long",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        f"{tmp_path}/documents.parquet"
+    )
+    out = plans.QUERIES["vocab_coverage_curve"](
+        spark, str(tmp_path)
+    ).collect()
+    assert [r.k for r in out] == [256, 1024, 4096, 16384]
+    for r in out:
+        assert r.vocab_size == 3          # clamped to |V|
+        assert r.token_coverage == 1.0    # saturated
+    # real-data property: monotone non-decreasing coverage
+    from .conftest import SF_DIR_MED
+
+    cov = [
+        r.token_coverage
+        for r in plans.QUERIES["vocab_coverage_curve"](
+            spark, SF_DIR_MED
+        ).collect()
+    ]
+    assert cov == sorted(cov) and cov[-1] <= 1.0
+
+
+def test_dedup_impact_hand_counts(spark, tmp_path):
+    """Planted duplicates: per-source removal counts and token shares
+    match hand arithmetic; the keeper rule (min doc_id) decides which
+    source 'pays' for a cross-source duplicate."""
+    docs = [
+        (1, "x y z", "en", "crawl", 5),     # keeper of hash(x y z)
+        (2, "x y z", "en", "crawl", 5),     # removed (3 tokens)
+        (3, "x y z", "en", "curated", 5),   # removed — cross-source dup
+        (4, "unique text here", "en", "curated", 16),
+    ]
+    spark.createDataFrame(
+        docs,
+        "doc_id long, text string, lang string, source string, "
+        "n_chars long",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        f"{tmp_path}/documents.parquet"
+    )
+    out = {
+        r.source: r
+        for r in plans.QUERIES["dedup_impact_by_source"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    crawl, cur = out["crawl"], out["curated"]
+    assert crawl.n_docs == 2 and crawl.n_removed == 1
+    assert crawl.tokens_removed == 3 and crawl.tokens_total == 6
+    assert crawl.token_removal_share == 0.5
+    assert cur.n_docs == 2 and cur.n_removed == 1
+    assert cur.tokens_removed == 3 and cur.tokens_total == 6
