@@ -174,6 +174,11 @@ PROBE_QUERIES = [
     "part_clustering_coefficient",
     "lang_id_confusion",
     "isotonic_calibration_map",
+    # closing wave: the vocab rank window must stay Heaps-bounded as
+    # tokens grow 10x; dedup impact rides exact_dedup's (hash,id)
+    # shuffle bound
+    "vocab_coverage_curve",
+    "dedup_impact_by_source",
 ]
 
 

@@ -202,13 +202,26 @@ def test_session_cache_unpersist_hooks(spark, tmp_path):
     assert evict_corpus_tf() == 2
     assert _TF_CACHE == {}
 
-    # the copurchase twin exposes the same hook
+    # the copurchase twin exposes the same hook — which also drops the
+    # DERIVED triangle-count cache (r10: it checkpoints off the edge
+    # build and must not outlive it)
     tpch._COPURCHASE_CACHE.clear()
+    tpch._TRIANGLE_CACHE.clear()
     e = tpch._copurchase_edges(spark, "/root/testdata/sf0.001")
     assert len(tpch._COPURCHASE_CACHE) == 1
     assert tpch.evict_copurchase_edges("/root/testdata/sf0.001") == 1
     assert tpch._COPURCHASE_CACHE == {}
     assert tpch._copurchase_edges(spark, "/root/testdata/sf0.001") is not e
+    # with triangle counts materialized, the hook evicts BOTH layers
+    from clickstreamtoclickhouse_spark import plans
+
+    t = plans.QUERIES["part_copurchase_triangles"](
+        spark, "/root/testdata/sf0.001"
+    )
+    t.count()
+    assert len(tpch._TRIANGLE_CACHE) == 1
+    assert tpch.evict_copurchase_edges("/root/testdata/sf0.001") == 2
+    assert tpch._TRIANGLE_CACHE == {} and tpch._COPURCHASE_CACHE == {}
     tpch.evict_copurchase_edges()
 
 
