@@ -94,7 +94,7 @@ def main() -> None:
         # regeneration (new parquet files, timestamp[ns]->[us]) on a
         # microVM whose DAMON reclaim already causes run-to-run
         # stalls. Treat r4/r5 numbers as the new baseline.
-        "notes": "r10 final: 262 queries. Second+third waves (+21): experimentation/causal family (mann_whitney_u, chi_square_independence, diff_in_diff, ratio_metric_delta_ci, ab_power_mde, ipw_treatment_effect, bh_fdr_report, ab_sequential_msprt, granger_lag_test, daily_acf, conformal_interval_report), fellegi_sunter_weights, mmr_diverse_topk, part_degree_assortativity, doc_pareto_front, readability_by_source, isotonic_calibration_map, lang_id_confusion, quantile_treatment_effects, part_clustering_coefficient, user_event_overdispersion — all with exact-integer or rounded-moment determinism, all DuckDB-oracled, planted/brute-force behavioral tests, plan pins, and probe entries for the heavy ones. First wave (+5 to 241): target_encoding_oof, pmi_collocations, part_hits_authorities, embedding_drift_report, hybrid_search_rrf_exact. hybrid_search_rrf primary SWAPPED to the LSH-bucketed dense arm (hashed-BoW tf-idf portable hyperplanes; candidates by (table,bucket) equi-join, exact TF-cosine re-rank on candidates only; recall 0.83 vs the exact arm, pinned) with the bucket index session-cached — warm 1.2s vs the exact form's 1.0s, index build amortized across the query stream (BENCH_NOTES_r10.md). matryoshka_recall_report _let-shares its prefix dot/norm arrays and widens the corpus scan (1.63s -> ~1.0s; the r10 probe's 16.3x flag is fixed, clean ratio ~1.2x). Session caches unified behind util.SessionDFCache and extended: dedup_clusters+representatives share one CC build (7.3s -> 0.4s warm), seven near-dup queries share one shingle table (jaccard 1.5s -> 0.4s, recall report 4.9s -> 3.3s). Graph trio re-measured at r8 levels after the r10 alternating-tree A/B showed the r9 inflation was host/measurement, not plan regression. --- r9 history: closed at 236 queries (219 -> 236 over the round: retrieval family BM25/RRF/snippets/eval/RM1, lattice Shapley, uplift/Qini, covariate balance, seasonality, curriculum ordering, memorization spans, source ablation, kappa/Zipf/Good-Turing, l-diversity/Matryoshka/t-closeness/DP-sensitivity, txlog IVM, late-arrival accounting). transition_shortest_paths moved driver-side with a fixpoint early-exit (0.73s; the |V|-1 Spark rounds each paid ~1s scheduler floor). user_activity_similarity primary is now the CAPPED sparse cosine (0.41s) with the old exact form benched alongside as _uncapped (2.03s) — see BENCH_NOTES_r09.md for the same-session rename A/B. Host noise is +/-20% between sessions; only compare within one BENCH_FULL.json. r3->r4 drift was a uniform host/testdata-layout shift (median x1.43); no plan regressions since.",
+        "notes": "r10 final: 265 queries. Second+third waves (+21): experimentation/causal family (mann_whitney_u, chi_square_independence, diff_in_diff, ratio_metric_delta_ci, ab_power_mde, ipw_treatment_effect, bh_fdr_report, ab_sequential_msprt, granger_lag_test, daily_acf, conformal_interval_report), fellegi_sunter_weights, mmr_diverse_topk, part_degree_assortativity, doc_pareto_front, readability_by_source, isotonic_calibration_map, lang_id_confusion, quantile_treatment_effects, part_clustering_coefficient, user_event_overdispersion, forecast_backtest_mae, vocab_coverage_curve, dedup_impact_by_source — all with exact-integer or rounded-moment determinism, all DuckDB-oracled, planted/brute-force behavioral tests, plan pins, and probe entries for the heavy ones. First wave (+5 to 241): target_encoding_oof, pmi_collocations, part_hits_authorities, embedding_drift_report, hybrid_search_rrf_exact. hybrid_search_rrf primary SWAPPED to the LSH-bucketed dense arm (hashed-BoW tf-idf portable hyperplanes; candidates by (table,bucket) equi-join, exact TF-cosine re-rank on candidates only; recall 0.83 vs the exact arm, pinned) with the bucket index session-cached — warm 1.2s vs the exact form's 1.0s, index build amortized across the query stream (BENCH_NOTES_r10.md). matryoshka_recall_report _let-shares its prefix dot/norm arrays and widens the corpus scan (1.63s -> ~1.0s; the r10 probe's 16.3x flag is fixed, clean ratio ~1.2x). Session caches unified behind util.SessionDFCache and extended: dedup_clusters+representatives share one CC build (7.3s -> 0.4s warm), seven near-dup queries share one shingle table (jaccard 1.5s -> 0.4s, recall report 4.9s -> 3.3s). Graph trio re-measured at r8 levels after the r10 alternating-tree A/B showed the r9 inflation was host/measurement, not plan regression. --- r9 history: closed at 236 queries (219 -> 236 over the round: retrieval family BM25/RRF/snippets/eval/RM1, lattice Shapley, uplift/Qini, covariate balance, seasonality, curriculum ordering, memorization spans, source ablation, kappa/Zipf/Good-Turing, l-diversity/Matryoshka/t-closeness/DP-sensitivity, txlog IVM, late-arrival accounting). transition_shortest_paths moved driver-side with a fixpoint early-exit (0.73s; the |V|-1 Spark rounds each paid ~1s scheduler floor). user_activity_similarity primary is now the CAPPED sparse cosine (0.41s) with the old exact form benched alongside as _uncapped (2.03s) — see BENCH_NOTES_r09.md for the same-session rename A/B. Host noise is +/-20% between sessions; only compare within one BENCH_FULL.json. r3->r4 drift was a uniform host/testdata-layout shift (median x1.43); no plan regressions since.",
     }
     # attach the 10x-rows scale probe if scripts/sf_probe.py has run
     probe_path = Path(__file__).resolve().parent / "SF1_PROBE.json"
