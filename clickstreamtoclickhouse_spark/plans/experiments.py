@@ -587,7 +587,8 @@ def ratio_metric_delta_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     derived AS (
       SELECT variant, n, s / 100.0 / n AS mean,
-             (ss / 10000.0 - (s / 100.0) * (s / 100.0) / n) / (n - 1) AS var
+             (ss / 10000.0 - (s / 100.0) * (s / 100.0) / n)
+               / nullif(n - 1, 0) AS var
       FROM stats
     ),
     wide AS (
@@ -641,7 +642,9 @@ def ab_power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("ss") / 10000.0
                 - (F.col("s") / 100.0) * (F.col("s") / 100.0) / F.col("n")
             )
-            / (F.col("n") - 1)
+            # 1-row variants: variance undefined, not a crash (ANSI-safe;
+            # same nullif stance as ab_sequential_msprt).
+            / F.nullif(F.col("n") - 1, F.lit(0))
         ).alias("var"),
     )
     wide = derived.agg(
@@ -688,8 +691,13 @@ def ab_power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
              sum(CASE WHEN treated = 0 THEN v_c ELSE 0 END) AS s_c
       FROM obs GROUP BY event_type
     ),
+    kept AS (
+      SELECT * FROM strata WHERE n_t > 0 AND n_t < n
+    ),
     folded AS (
-      SELECT CAST(count(*) AS BIGINT) AS n_strata,
+      SELECT CAST((SELECT count(*) FROM strata) - count(*) AS BIGINT)
+               AS n_strata_dropped,
+             CAST(count(*) AS BIGINT) AS n_strata,
              CAST(sum(n) AS BIGINT) AS n,
              CAST(sum(n_t) AS BIGINT) AS n_treated,
              sum((s_t / 100.0) / (n_t * 1.0 / n)) AS wy_t,
@@ -697,9 +705,9 @@ def ab_power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
              sum((s_c / 100.0) / (1.0 - n_t * 1.0 / n)) AS wy_c,
              sum((n - n_t) / (1.0 - n_t * 1.0 / n)) AS w_c,
              sum(s_t) / 100.0 AS sum_t, sum(s_c) / 100.0 AS sum_c
-      FROM strata
+      FROM kept
     )
-    SELECT n, n_treated, n_strata,
+    SELECT n, n_treated, n_strata, n_strata_dropped,
            round(wy_t / w_t - wy_c / w_c, 6) AS ate_ipw,
            round(sum_t / n_treated - sum_c / (n - n_treated), 6)
              AS naive_diff
@@ -719,6 +727,11 @@ def ipw_treatment_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Also emits the naive (confounded) difference so the report shows
     what the weighting corrected.
+
+    Positivity/overlap: strata that are all-control or all-treated
+    (estimated propensity 0 or 1) are excluded from BOTH estimators —
+    the standard overlap restriction — and `n_strata_dropped` reports
+    how many were excluded, so the estimand change is visible.
 
     Determinism: per-stratum cent-exact integer sums; Hájek folding
     is scalar arithmetic over the n_event_types-row strata table in
@@ -749,21 +762,35 @@ def ipw_treatment_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     prop = F.col("n_t") * 1.0 / F.col("n")
+    # Positivity/overlap restriction: a stratum that is all-control
+    # (n_t=0, prop=0) or all-treated (n_t=n, 1-prop=0) has no valid
+    # IPW contribution and would divide by zero under ANSI — drop it
+    # and report the dropped count so the estimand restriction is
+    # visible in the output (standard overlap assumption).
+    ok = (F.col("n_t") > 0) & (F.col("n_t") < F.col("n"))
     folded = strata.agg(
-        F.count(F.lit(1)).cast("long").alias("n_strata"),
-        F.sum("n").cast("long").alias("n"),
-        F.sum("n_t").cast("long").alias("n_treated"),
-        F.sum((F.col("s_t") / 100.0) / prop).alias("wy_t"),
-        F.sum(F.col("n_t") / prop).alias("w_t"),
-        F.sum((F.col("s_c") / 100.0) / (1.0 - prop)).alias("wy_c"),
-        F.sum((F.col("n") - F.col("n_t")) / (1.0 - prop)).alias("w_c"),
-        (F.sum("s_t") / 100.0).alias("sum_t"),
-        (F.sum("s_c") / 100.0).alias("sum_c"),
+        F.sum(F.when(ok, 0).otherwise(1)).cast("long").alias(
+            "n_strata_dropped"
+        ),
+        F.sum(F.when(ok, 1).otherwise(0)).cast("long").alias("n_strata"),
+        F.sum(F.when(ok, F.col("n"))).cast("long").alias("n"),
+        F.sum(F.when(ok, F.col("n_t"))).cast("long").alias("n_treated"),
+        F.sum(F.when(ok, (F.col("s_t") / 100.0) / prop)).alias("wy_t"),
+        F.sum(F.when(ok, F.col("n_t") / prop)).alias("w_t"),
+        F.sum(F.when(ok, (F.col("s_c") / 100.0) / (1.0 - prop))).alias(
+            "wy_c"
+        ),
+        F.sum(F.when(ok, (F.col("n") - F.col("n_t")) / (1.0 - prop))).alias(
+            "w_c"
+        ),
+        (F.sum(F.when(ok, F.col("s_t"))) / 100.0).alias("sum_t"),
+        (F.sum(F.when(ok, F.col("s_c"))) / 100.0).alias("sum_c"),
     )
     return folded.select(
         "n",
         "n_treated",
         "n_strata",
+        "n_strata_dropped",
         F.round(F.col("wy_t") / F.col("w_t") - F.col("wy_c") / F.col("w_c"), 6)
         .alias("ate_ipw"),
         F.round(
@@ -829,7 +856,7 @@ _BH_ALPHA = 0.05
            CASE WHEN least(min(p_value * m * 1.0 / p_rank)
                    OVER (ORDER BY p_rank DESC
                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
-                 1.0) < {_BH_ALPHA} THEN 1 ELSE 0 END AS significant
+                 1.0) <= {_BH_ALPHA} THEN 1 ELSE 0 END AS significant
     FROM ranked
     """,
 )
@@ -908,7 +935,9 @@ def bh_fdr_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p_value",
         "p_rank",
         F.round(bh_q, 6).alias("bh_q"),
-        F.when(bh_q < _BH_ALPHA, 1).otherwise(0).alias("significant"),
+        # Standard BH step-up rejects at p_(i) <= alpha*i/m, i.e. q <= alpha
+        # (boundary inclusive), mirrored in the oracle.
+        F.when(bh_q <= _BH_ALPHA, 1).otherwise(0).alias("significant"),
     )
 
 

@@ -1185,4 +1185,9 @@ def test_assortativity_plan_shape(spark):
     # moment reduce must not introduce a cartesian or a global sort
     txt = plan_text(spark, "part_degree_assortativity")
     assert "CartesianProduct" not in txt
-    assert "GlobalLimit" not in txt or "Sort" not in txt
+    # the 1-row moment reduce needs no GLOBAL ordering: SortMergeJoin's
+    # local per-partition Sorts are fine, but a global sort would show
+    # up as a rangepartitioning Exchange (and a TakeOrdered/GlobalLimit
+    # over a Sort) — forbid both, separately and assertably
+    assert "rangepartitioning" not in txt
+    assert "TakeOrderedAndProject" not in txt
