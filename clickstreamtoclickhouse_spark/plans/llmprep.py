@@ -810,6 +810,7 @@ def curriculum_data_order(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _COV_KS = (256, 1024, 4096, 16384)
+_COV_SALT = 32  # salt buckets for the distributed top-k prune
 
 
 @query(
@@ -851,10 +852,14 @@ def vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     the deterministic (count DESC, word) order; coverage is one
     rounded integer ratio per k.
 
-    Scale: one map-side-combinable vocab count; the rank/cumsum
-    window runs over the VOCABULARY table (Heaps-law-bounded, the
-    vocab_induction / zipf_law_fit stance), never over tokens; the
-    k-grid is a 4-row broadcast."""
+    Scale: one map-side-combinable vocab count; the curve only needs
+    the top max(_COV_KS)=16384 types, so the global rank/cumsum
+    window NEVER sees the full (Heaps-law-growing) vocabulary —
+    candidates are pruned first by a salted per-bucket top-k
+    (partitioned window, <= _COV_SALT*kmax survivors by
+    construction: any global top-kmax type is in its bucket's
+    top-kmax), and corpus totals come from a separate one-row
+    aggregate broadcast back in. The k-grid is a 4-row broadcast."""
     from pyspark.sql.window import Window
 
     d = load(spark, sf_dir, "documents").filter(
@@ -865,20 +870,34 @@ def vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("w")
         .agg(F.count(F.lit(1)).cast("long").alias("c"))
     )
+    kmax = max(_COV_KS)
+    # Salted distributed top-k: per-bucket top-kmax under a partitioned
+    # window (scale-safe), then the global window runs over a table
+    # bounded by _COV_SALT*kmax rows regardless of corpus size. The
+    # salt only prunes candidates — it never affects the result.
+    wloc = Window.partitionBy("b").orderBy(F.desc("c"), "w")
+    survivors = (
+        vocab.withColumn("b", F.pmod(F.hash("w"), F.lit(_COV_SALT)))
+        .withColumn("lr", F.row_number().over(wloc))
+        .filter(F.col("lr") <= kmax)
+        .drop("b", "lr")
+    )
     worder = Window.orderBy(F.desc("c"), "w")
-    wall = Window.partitionBy()
-    ranked = vocab.select(
+    ranked = survivors.select(
         "c",
         F.row_number().over(worder).alias("r"),
         F.sum("c")
         .over(worder.rowsBetween(Window.unboundedPreceding, Window.currentRow))
         .alias("cum"),
-        F.sum("c").over(wall).alias("total"),
-        F.count(F.lit(1)).over(wall).alias("v"),
+    ).filter(F.col("r") <= kmax)
+    totals = vocab.agg(
+        F.sum("c").cast("long").alias("total"),
+        F.count(F.lit(1)).cast("long").alias("v"),
     )
     ks = spark.createDataFrame([(k,) for k in _COV_KS], "k int")
     return (
-        ranked.crossJoin(F.broadcast(ks))
+        ranked.crossJoin(F.broadcast(totals))
+        .crossJoin(F.broadcast(ks))
         .groupBy("k")
         .agg(
             F.least(F.max("k"), F.max("v")).cast("long").alias("vocab_size"),

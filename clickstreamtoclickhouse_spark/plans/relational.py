@@ -4839,9 +4839,10 @@ def user_value_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     float ops are the two final divisions on identical integers.
 
     Scale: the rank window runs over the USER AGGREGATE (entities,
-    not events) — the same sf-bounded stance as rfm_segments, with
-    the same two-phase sampled-cut-points escape documented there if
-    the entity table itself outgrows a sort."""
+    not events) — an sf-bounded exact BASELINE, kept for parity like
+    rfm_segments / value_deciles; `user_value_gini_approx` is the
+    at-scale twin (sampled-cut-point binned Lorenz, no global
+    window over users)."""
     e = load(spark, sf_dir, "events")
     per_user = e.groupBy("user_id").agg(
         F.sum(F.round(F.col("value") * 100, 0).cast("bigint"))
@@ -4865,6 +4866,191 @@ def user_value_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
             - (F.max("n") + 1.0) / F.max("n"),
             6,
         ).alias("gini"),
+    )
+
+
+_GINI_SAMPLE_K = 2000  # deterministic user sample; cut error ~1/sqrt(k)
+_GINI_BINS = 20  # equal-frequency Lorenz bins; grouped-Gini bias ~O(1/B^2)
+
+
+@query(
+    "user_value_gini_approx",
+    oracle=f"""
+    WITH per_user AS (
+      SELECT user_id,
+             CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM events GROUP BY user_id
+    ),
+    hh AS (
+      SELECT user_id, cents,
+             ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT
+               AS h
+      FROM per_user
+    ),
+    samp AS (
+      SELECT user_id, cents FROM (
+        SELECT *, row_number() OVER (ORDER BY h, user_id) AS rn FROM hh
+      ) WHERE rn <= {_GINI_SAMPLE_K}
+    ),
+    sr AS (
+      SELECT cents AS cv, user_id AS cuid,
+             row_number() OVER (ORDER BY cents, user_id) AS srn
+      FROM samp
+    ),
+    sc AS (SELECT count(*) AS s FROM samp),
+    cuts AS (
+      SELECT js.j, sr.cv, sr.cuid
+      FROM sc
+      CROSS JOIN (SELECT unnest(generate_series(1, {_GINI_BINS - 1})) AS j)
+        js
+      JOIN sr ON sr.srn = (js.j * sc.s + {_GINI_BINS - 1}) // {_GINI_BINS}
+    ),
+    assigned AS (
+      SELECT p.cents,
+             1 + (SELECT count(*) FROM cuts c
+                  WHERE p.cents > c.cv
+                     OR (p.cents = c.cv AND p.user_id > c.cuid)) AS bin
+      FROM per_user p
+    ),
+    bins AS (
+      SELECT bin, CAST(count(*) AS BIGINT) AS n_b,
+             CAST(sum(cents) AS BIGINT) AS s_b
+      FROM assigned GROUP BY bin
+    ),
+    lorenz AS (
+      SELECT n_b, s_b,
+             CAST(sum(s_b) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED
+                                 PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS cums,
+             CAST(sum(n_b) OVER () AS BIGINT) AS n,
+             CAST(sum(s_b) OVER () AS BIGINT) AS s
+      FROM bins
+    ),
+    terms AS (
+      SELECT n, s,
+             CAST(round(n_b * 1000000000.0 / n, 0) AS BIGINT)
+             * (CAST(round((cums - s_b) * 1000000000.0 / s, 0) AS BIGINT)
+                + CAST(round(cums * 1000000000.0 / s, 0) AS BIGINT)) AS t
+      FROM lorenz
+    )
+    SELECT CAST(max(n) AS BIGINT) AS n_users,
+           round(max(s) / 100.0, 2) AS total_value,
+           round(1.0 - CAST(sum(t) AS BIGINT) / 1e18, 6) AS gini_approx
+    FROM terms
+    """,
+)
+def user_value_gini_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """user_value_gini's at-scale twin: grouped (binned-Lorenz) Gini
+    from {_GINI_BINS} equal-frequency bins whose cut points come from
+    a fixed-size deterministic user sample — the standard
+    grouped-data trapezoid G = 1 - sum_b p_b * (L_(b-1) + L_b)
+    (Gastwirth 1972), a lower-bound estimate whose bias shrinks as
+    O(1/B^2).
+
+    Why this survives 100×: the exact twin funnels EVERY user through
+    one single-partition rank/cumsum window; here the
+    full-cardinality side is scan -> broadcast-join -> 19-element
+    array filter -> {_GINI_BINS}-row aggregate, the sample is
+    TakeOrderedAndProject (per-partition top-k merge, never a full
+    sort — the rfm_segments_approx pattern), and the only windows run
+    over the <= {_GINI_BINS}-row bin table.
+
+    Determinism: bins, counts, and cent sums are exact integers; the
+    trapezoid terms are 1e9-scaled BIGINT products of rounds of
+    identical double quotients (both engines round-half-up on
+    non-negative doubles), so the final sum is exact integer algebra
+    with ONE float division at the end."""
+    e = load(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(
+        F.sum(F.round(F.col("value") * 100, 0).cast("bigint"))
+        .cast("bigint")
+        .alias("cents")
+    )
+    # sample + assignment + totals all consume per_user; AQE does not
+    # reuse the exchange across branches (rfm_segments_approx note)
+    pu = per_user.localCheckpoint(eager=True)
+    samp = (
+        pu.withColumn("h", _portable_id_hash("user_id"))
+        .orderBy("h", "user_id")
+        .limit(_GINI_SAMPLE_K)
+        .drop("h")
+    )
+    b = _GINI_BINS
+    cut_arr = (
+        samp.agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("cents").alias("cv"),
+                        F.col("user_id").alias("cuid"),
+                    )
+                )
+            ).alias("a"),
+            F.count("*").alias("s"),
+        )
+        .select(
+            F.transform(
+                F.sequence(F.lit(1), F.lit(b - 1)),
+                lambda j: F.element_at(
+                    "a", F.floor((j * F.col("s") + (b - 1)) / b).cast("int")
+                ),
+            ).alias("cuts")
+        )
+    )
+    assigned = pu.crossJoin(F.broadcast(cut_arr)).select(
+        "cents",
+        (
+            F.lit(1)
+            + F.size(
+                F.filter(
+                    F.col("cuts"),
+                    lambda c: (F.col("cents") > c["cv"])
+                    | (
+                        (F.col("cents") == c["cv"])
+                        & (F.col("user_id") > c["cuid"])
+                    ),
+                )
+            )
+        ).alias("bin"),
+    )
+    bins = assigned.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("long").alias("n_b"),
+        F.sum("cents").cast("long").alias("s_b"),
+    )
+    worder = Window.orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wall = Window.partitionBy()
+    lorenz = bins.select(
+        "n_b",
+        "s_b",
+        F.sum("s_b").over(worder).cast("long").alias("cums"),
+        F.sum("n_b").over(wall).cast("long").alias("n"),
+        F.sum("s_b").over(wall).cast("long").alias("s"),
+    )
+    scale = 1000000000.0
+    terms = lorenz.select(
+        "n",
+        "s",
+        (
+            F.round(F.col("n_b") * scale / F.col("n"), 0).cast("bigint")
+            * (
+                F.round(
+                    (F.col("cums") - F.col("s_b")) * scale / F.col("s"), 0
+                ).cast("bigint")
+                + F.round(F.col("cums") * scale / F.col("s"), 0).cast(
+                    "bigint"
+                )
+            )
+        ).alias("t"),
+    )
+    return terms.agg(
+        F.max("n").cast("long").alias("n_users"),
+        F.round(F.max("s") / 100.0, 2).alias("total_value"),
+        F.round(1.0 - F.sum("t").cast("long") / F.lit(1e18), 6).alias(
+            "gini_approx"
+        ),
     )
 
 

@@ -1191,3 +1191,123 @@ def test_assortativity_plan_shape(spark):
     # over a Sort) — forbid both, separately and assertably
     assert "rangepartitioning" not in txt
     assert "TakeOrderedAndProject" not in txt
+
+
+# ---------------------------------------------------------------------------
+# Registry-wide unpartitioned-window guard (round 11)
+# ---------------------------------------------------------------------------
+#
+# An unpartitioned Window funnels its ENTIRE input through one task —
+# "fine at sf0.1, killer at 100x" unless the input is bounded by
+# construction (a calendar/domain aggregate, a top-k-pruned table, a
+# fixed bin/bucket/fold grid, ...). Every query that legitimately uses
+# one must be allowlisted here WITH the reason its window input is
+# bounded; anything new fails loudly until its scale story is written
+# down (or the window is re-partitioned/pruned). The two round-10
+# offenders (vocab_coverage_curve over the full vocab,
+# user_value_gini without a scale twin) were found by grep — this
+# test makes the class unrepresentable.
+
+_BOUNDED_GLOBAL_WINDOWS = {
+    # calendar / time-bucket aggregates (days, hours, weekday slots)
+    "daily_trend_mann_kendall": "calendar-day aggregate",
+    "daily_trend_theil_sen": "calendar-day aggregate",
+    "daily_value_cusum": "calendar-day aggregate",
+    "daily_value_ewma": "calendar-day aggregate",
+    "daily_value_holt": "calendar-day aggregate",
+    "daily_value_holt_winters": "calendar-day aggregate",
+    "forecast_backtest_mae": "calendar-day aggregate",
+    "granger_lag_test": "calendar-day aggregate",
+    "seasonal_strength_report": "24-hour / 7-weekday aggregates",
+    "km_time_to_purchase": "per-hour life table bounded by horizon",
+    "km_logrank_by_variant": "per-hour life table bounded by horizon",
+    "nelson_aalen_hazard": "per-hour life table bounded by horizon",
+    # segment/type/domain aggregates (event types, variants, languages)
+    "benford_value_audit": "9-row leading-digit table",
+    "bh_fdr_report": "n_event_types segment table",
+    "chi_square_independence": "segment x variant grid",
+    "segment_revenue_share": "segment aggregate",
+    "mixture_epoch_allocation": "language-bounded token aggregate",
+    "temperature_sampling_weights": "language-bounded token aggregate",
+    "transition_pagerank": "event-type transition matrix",
+    "session_paths": "path-cardinality aggregate counts",
+    "part_hits_authorities": "top-k window over bounded score table",
+    # value-domain / bin / fold / threshold grids
+    "mann_whitney_u": "distinct-cents tie table (2dp value domain)",
+    "value_ks_drift_test": "distinct-cents table (2dp value domain)",
+    "conformal_interval_report": "distinct-residual (cents x type) table",
+    "value_quantile_sketch": "fixed <=100-bin histogram",
+    "isotonic_calibration_map": "fixed eval-bin table",
+    "classifier_eval_report": "fixed threshold/confusion grid",
+    "target_encoding_oof": "categories x folds cell table",
+    "uplift_qini_report": "fixed uplift-bucket table",
+    "user_value_gini_approx": "20-row Lorenz bin table",
+    "purchase_mean_bootstrap_ci": "fixed bootstrap-replicate table",
+    "doc_pareto_front": "distinct-length (domain-bounded) table",
+    # top-k-pruned tables (never the full relation)
+    "vocab_coverage_curve": "salted top-16384 vocab prune",
+    "vocab_induction": "top-k-pruned vocab",
+    "zipf_law_fit": "top-k-pruned vocab",
+    "weighted_sample_docs": "TakeOrdered top-k sample",
+    "training_data_selection": "distinct-n_tokens group table",
+    # documented sf-bounded exact BASELINES with an at-scale twin
+    "user_value_gini": "exact baseline; twin: user_value_gini_approx",
+    "rfm_segments": "exact baseline; twin: rfm_segments_approx",
+}
+
+
+def _first_spec_arg(s: str, start: int) -> str:
+    """First top-level comma-separated argument of the
+    windowspecdefinition( beginning at `start` (paren-aware)."""
+    depth, i, buf = 0, start, []
+    while i < len(s):
+        ch = s[i]
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            if depth == 0:
+                break
+            depth -= 1
+        elif ch == "," and depth == 0:
+            break
+        buf.append(ch)
+        i += 1
+    return "".join(buf).strip()
+
+
+def unpartitioned_window_specs(txt: str) -> list[str]:
+    """windowspecdefinition occurrences whose partition clause is
+    empty: the first argument is either the frame itself or an
+    ordering expression (ASC/DESC) rather than a partition column."""
+    import re
+
+    out = []
+    for m in re.finditer(r"windowspecdefinition\(", txt):
+        a = _first_spec_arg(txt, m.end())
+        if (
+            a.startswith("specifiedwindowframe(")
+            or " ASC NULLS" in a
+            or " DESC NULLS" in a
+        ):
+            out.append(a)
+    return out
+
+
+def test_no_unlisted_unpartitioned_windows(spark):
+    offenders, stale = [], []
+    for name in sorted(plans.QUERIES):
+        txt = plan_text(spark, name)
+        has_unpart = bool(unpartitioned_window_specs(txt))
+        if has_unpart and name not in _BOUNDED_GLOBAL_WINDOWS:
+            offenders.append(name)
+        elif not has_unpart and name in _BOUNDED_GLOBAL_WINDOWS:
+            stale.append(name)
+    assert not offenders, (
+        "unpartitioned Window over a potentially unbounded input — "
+        "either re-partition/prune the plan or allowlist it here WITH "
+        f"its boundedness reason: {offenders}"
+    )
+    assert not stale, (
+        "allowlisted queries no longer carry an unpartitioned window — "
+        f"drop them from _BOUNDED_GLOBAL_WINDOWS: {stale}"
+    )
