@@ -145,6 +145,12 @@ def main() -> None:
             separators=(",", ":"),
         )
     )
+    # registry-wide cache teardown: release every session cache's
+    # localCheckpoints before stopping (the documented memory-ceiling
+    # contract for multi-dir sessions; see util.evict_session_caches)
+    from clickstreamtoclickhouse_spark.util import evict_session_caches
+
+    evict_session_caches()
     spark.stop()
 
 

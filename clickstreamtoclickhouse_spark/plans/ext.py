@@ -77,7 +77,7 @@ _SQL_NEAR_DUP_CORPUS = f"""
 # + hash pass itself before r10. One SessionDFCache build serves the
 # family; per-query caps/bands apply downstream of the shared table,
 # so every oracle is untouched.
-_ND_SHINGLE_CACHE = SessionDFCache()
+_ND_SHINGLE_CACHE = SessionDFCache("near_dup_shingles")
 
 
 def _near_dup_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1200,7 +1200,7 @@ def jaccard_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 # combined at sf0.1 when each rebuilt it — r10 A/B); one
 # SessionDFCache entry runs the shingle join + CC fixpoint once per
 # (app, sf_dir).
-_CHAIN_ASSIGN_CACHE = SessionDFCache()
+_CHAIN_ASSIGN_CACHE = SessionDFCache("chain_assignments")
 
 
 def _chain_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -177,7 +177,7 @@ def bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # a session running the family pays for the explode-aggregate once;
 # assumes the input dir is immutable for the app's lifetime (the same
 # contract registry.load testdata already has).
-_TF_CACHE = SessionDFCache()
+_TF_CACHE = SessionDFCache("corpus_tf")
 _TF_CACHE_ENABLED = True
 
 
@@ -403,7 +403,7 @@ _SQL_RRF_FUSE = f"""fused AS (
 # stance), so it rides a SessionDFCache like the tf table it derives
 # from; the bench then measures the amortized per-query cost, which
 # is the number the primary-swap scale story is about.
-_HB_INDEX_CACHE = SessionDFCache()
+_HB_INDEX_CACHE = SessionDFCache("hashed_bow_index")
 
 
 def _hashed_bow_bucket_index(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1137,10 +1137,10 @@ def order_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
 # localCheckpoint — util.SessionDFCache (dead-app sweep + explicit
 # unpersist hook) — so a session running the whole family pays for
 # the lineitem scan + co-order self-join + distinct exactly once.
-_COPURCHASE_CACHE = SessionDFCache()
+_COPURCHASE_CACHE = SessionDFCache("copurchase_edges")
 # per-node triangle counts: shared by part_copurchase_triangles and
 # part_clustering_coefficient (which composes on top of them)
-_TRIANGLE_CACHE = SessionDFCache()
+_TRIANGLE_CACHE = SessionDFCache("triangle_counts")
 
 
 def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -4,6 +4,10 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
+#: every SessionDFCache ever constructed, for registry-wide teardown —
+#: see evict_session_caches().
+_SESSION_CACHES: list["SessionDFCache"] = []
+
 
 class SessionDFCache(dict):
     """Session-scoped cache of expensive shared builds, keyed
@@ -19,7 +23,24 @@ class SessionDFCache(dict):
     DataFrames; `evict()` is the explicit unpersist hook for a
     long-lived app iterating over many sf_dirs (the sweep only
     reclaims OTHER apps' entries). Plain dict subclass so tests can
-    inspect/plant entries directly."""
+    inspect/plant entries directly.
+
+    Memory ceiling: each cache holds ONE materialized localCheckpoint
+    per (app, sf_dir) it has served, so a session's cache footprint is
+    bounded by (number of distinct input dirs) x (sum of the
+    registered caches' per-dir build sizes) — unbounded only if a
+    long-lived app walks unboundedly many dirs WITHOUT calling
+    `evict(dir)` / `evict_session_caches(dir)` when done with one.
+    bench.py and scripts/sf_probe.py call evict_session_caches() in
+    their teardown for exactly this reason. Every instance
+    self-registers in `_SESSION_CACHES` (the `name` is diagnostic), so
+    registry-wide teardown and the registry-wide eviction test cannot
+    silently miss a new cache."""
+
+    def __init__(self, name: str = ""):
+        super().__init__()
+        self.name = name
+        _SESSION_CACHES.append(self)
 
     def get_or_build(self, spark: SparkSession, sf_dir: str, builder):
         app_id = spark.sparkContext.applicationId
@@ -34,17 +55,40 @@ class SessionDFCache(dict):
         return df
 
     def evict(self, sf_dir: str | None = None) -> int:
-        """Release entries for `sf_dir` (or all); returns the count."""
+        """Release entries for `sf_dir` (or all); returns the count.
+
+        A localCheckpointed DataFrame's blocks live on its underlying
+        checkpoint RDD, which `DataFrame.unpersist()` does NOT touch
+        (that only clears cacheManager entries — measured: blocks
+        survive). Release the LogicalRDD's backing RDD directly so
+        storage actually shrinks; the evicted DataFrame object must
+        not be reused afterwards (callers rebuild via get_or_build)."""
         n = 0
         for k in list(self):
             if sf_dir is None or k[1] == sf_dir:
                 df = self.pop(k)
                 try:
-                    df.unpersist()
+                    plan = df._jdf.queryExecution().analyzed()
+                    if plan.getClass().getSimpleName() == "LogicalRDD":
+                        plan.rdd().unpersist(True)
+                    else:
+                        df.unpersist()
                 except Exception:  # noqa: BLE001 — app already stopped:
                     pass           # its checkpoint blocks are gone anyway
                 n += 1
         return n
+
+
+def evict_session_caches(sf_dir: str | None = None) -> int:
+    """Release every registered SessionDFCache's entries for `sf_dir`
+    (or all dirs); returns the total evicted. The one teardown hook a
+    multi-sf_dir session (bench, probe, a long-lived service) calls
+    between dirs so checkpoint storage actually shrinks instead of
+    accumulating one build per cache per dir. NOTE: derived-layer
+    coupling (e.g. the triangle cache checkpointing off the edge
+    build) is already safe here — both layers are registered, so the
+    registry-wide call drops them together."""
+    return sum(c.evict(sf_dir) for c in _SESSION_CACHES)
 
 
 def is_path_not_found(e: Exception) -> bool:

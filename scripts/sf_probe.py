@@ -610,6 +610,12 @@ def main() -> None:
         json.dumps(out, indent=1) + "\n"
     )
     print(json.dumps({k: v["time_ratio"] for k, v in probe.items()}))
+    # registry-wide cache teardown: release every session cache's
+    # localCheckpoints before stopping (the documented memory-ceiling
+    # contract for multi-dir sessions; see util.evict_session_caches)
+    from clickstreamtoclickhouse_spark.util import evict_session_caches
+
+    evict_session_caches()
     spark.stop()
 
 

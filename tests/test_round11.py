@@ -66,3 +66,58 @@ def test_gini_approx_planted_extremes(spark, tmp_path):
         spark, str(tmp_path)
     ).collect()[0]
     assert abs(equal["gini_approx"]) < 0.01, equal
+
+
+# -- verdict r10 #5: registry-wide session-cache eviction -------------
+
+
+def test_session_cache_registry_storage_shrinks(spark, tmp_path):
+    """Every SessionDFCache self-registers; a multi-sf_dir session's
+    checkpoint STORAGE (not just the dict entries) must shrink after
+    evict_session_caches(sf_dir) across ALL registered caches. This
+    is the generalization of the r10 triangle two-layer pin — and the
+    storage assertion is load-bearing: DataFrame.unpersist() alone
+    does NOT free localCheckpoint blocks (measured), evict() has to
+    release the LogicalRDD's backing RDD."""
+    from clickstreamtoclickhouse_spark import plans  # noqa: F401 — registers caches
+    from clickstreamtoclickhouse_spark import util
+
+    caches = util._SESSION_CACHES
+    names = {c.name for c in caches}
+    assert {
+        "copurchase_edges",
+        "triangle_counts",
+        "corpus_tf",
+        "hashed_bow_index",
+        "near_dup_shingles",
+        "chain_assignments",
+    } <= names, names
+
+    def cached_rdds() -> int:
+        return len(spark.sparkContext._jsc.sc().getRDDStorageInfo())
+
+    for c in caches:
+        c.clear()
+    base = cached_rdds()
+    d1, d2 = str(tmp_path / "d1"), str(tmp_path / "d2")
+    for i, c in enumerate(caches):
+        for d in (d1, d2):
+            df = c.get_or_build(
+                spark, d, lambda i=i: spark.range(5 + i).selectExpr(
+                    "id", f"id * {i + 1} as x"
+                )
+            )
+            df.count()  # materialize the checkpoint blocks
+    assert all(len(c) == 2 for c in caches)
+    built = cached_rdds()
+    assert built >= base + 2 * len(caches), (base, built, len(caches))
+    # per-dir eviction releases EVERY cache's d1 entry and its storage
+    n = util.evict_session_caches(d1)
+    assert n == len(caches)
+    assert all(len(c) == 1 for c in caches)
+    after_d1 = cached_rdds()
+    assert after_d1 <= built - len(caches), (built, after_d1)
+    # evict-all drains the rest
+    assert util.evict_session_caches() == len(caches)
+    assert all(len(c) == 0 for c in caches)
+    assert cached_rdds() <= base
