@@ -315,7 +315,7 @@ def registrable_domain(url: Column) -> Column:
     against the multi-label suffix set, keep 3 labels if matched else
     2. The real operator broadcasts the full public-suffix list; the
     comparison topology is identical."""
-    host = F.regexp_extract(url, r"^[a-z]+://([^/]+)", 1)
+    host = F.regexp_extract(url, r"^[a-z]+://([^/?#]+)", 1)
     labels = F.split(host, r"\.", -1)
     last2 = F.concat_ws(".", F.element_at(labels, -2), F.element_at(labels, -1))
     multi = F.array(*[F.lit(s) for s in _MULTI_SUFFIXES])
@@ -340,7 +340,7 @@ _SQL_REG_DOMAIN = """
       SELECT doc_id, {_SQL_REG_DOMAIN} AS registrable_domain
       FROM (
         SELECT doc_id,
-               string_split(regexp_extract(url, '^[a-z]+://([^/]+)', 1), '.') AS labels
+               string_split(regexp_extract(url, '^[a-z]+://([^/?#]+)', 1), '.') AS labels
         FROM u
       )
     ),
@@ -413,4 +413,346 @@ def domain_capped_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return tot.join(kept, "registrable_domain").select(
         "registrable_domain", "n_docs", "n_kept", "kept_md5"
+    )
+
+
+# ---------------------------------------------------------------------------
+# URL canonicalization + domain blocklist (round 11)
+# ---------------------------------------------------------------------------
+#
+# The RefinedWeb/C4-style pre-filter step upstream of domain caps: a
+# crawl's URL column arrives messy (case, default ports, tracking
+# params, fragments, trailing slashes, www.) and the SAME page must
+# collapse to ONE canonical key before URL-level dedup or any domain
+# policy join. As above, the messy corpus is synthesized
+# term-identically in Spark and DuckDB (page identity = doc_id // 3,
+# so canonical collisions are planted by construction), which makes
+# the canonicalization algebra itself the thing the value hash checks.
+
+_SCHEMES = ("https", "HTTPS", "Https")
+_CANON_SUBS = ("", "blog.")
+_REAL_PARAMS = ("", "v=1", "v=2")
+_TRK_PARAMS = ("", "utm_source=feed", "gclid=g123", "fbclid=f9", "ref=rss")
+_FRAGS = ("", "#top", "#sec-2")
+_URL_BLOCKLIST = ("shop.com", "forum.co.uk", "news-site.net")
+
+
+def _hsalt(salt: str, key: Column) -> Column:
+    return portable_id_hash(F.concat(F.lit(salt), key.cast("string")))
+
+
+def _hpick(options: tuple[str, ...], salt: str, key: Column) -> Column:
+    return F.element_at(
+        F.array(*[F.lit(o) for o in options]),
+        (_hsalt(salt, key) % len(options)).cast("int") + 1,
+    )
+
+
+def _sql_hsalt(salt: str, key: str) -> str:
+    return (
+        f"('0x' || substr(md5('{salt}' || CAST({key} AS VARCHAR)), 1, 8))"
+        "::BIGINT"
+    )
+
+
+def _sql_hpick(options: tuple[str, ...], salt: str, key: str) -> str:
+    return (
+        f"(list_value{options!r}[CAST({_sql_hsalt(salt, key)} "
+        f"% {len(options)} AS INT) + 1])"
+    )
+
+
+def _messy_url_corpus(docs: DataFrame) -> DataFrame:
+    """(doc_id, source, url): the url is one of many raw spellings of
+    the page keyed by page = doc_id // 3 — scheme case, host case,
+    optional :443, optional www., trailing slash, tracking params in
+    varying order, and a fragment are all doc-keyed noise; only the
+    subdomain/base/suffix/path/real-param are page-keyed identity."""
+    doc, page = F.col("doc_id"), F.floor(F.col("doc_id") / 3)
+    sub = _hpick(_CANON_SUBS, "sub", page)
+    host = F.concat(
+        F.when(
+            (sub == "") & (_hsalt("www", doc) % 2 == 0), F.lit("www.")
+        ).otherwise(F.lit("")),
+        sub,
+        _hpick(_BASES, "dom", page),
+        F.lit("."),
+        _hpick(_SUFFIXES, "tld", page),
+    )
+    realp = _hpick(_REAL_PARAMS, "q", page)
+    trk = _hpick(_TRK_PARAMS, "trk", doc)
+    qs = F.array_join(
+        F.filter(
+            F.when(
+                _hsalt("ord", doc) % 2 == 0, F.array(realp, trk)
+            ).otherwise(F.array(trk, realp)),
+            lambda p: p != "",
+        ),
+        "&",
+    )
+    url = F.concat(
+        _hpick(_SCHEMES, "sch", doc),
+        F.lit("://"),
+        F.when(_hsalt("case", doc) % 2 == 0, F.upper(host)).otherwise(host),
+        F.when(_hsalt("port", doc) % 3 == 0, F.lit(":443")).otherwise(
+            F.lit("")
+        ),
+        F.lit("/p/"),
+        page.cast("string"),
+        F.when(_hsalt("slash", doc) % 2 == 0, F.lit("/")).otherwise(
+            F.lit("")
+        ),
+        F.when(qs != "", F.concat(F.lit("?"), qs)).otherwise(F.lit("")),
+        _hpick(_FRAGS, "frag", doc),
+    )
+    return docs.select("doc_id", "source", url.alias("url"))
+
+
+_SQL_MESSY_URL_CORPUS = f"""
+  SELECT doc_id, source,
+         {_sql_hpick(_SCHEMES, "sch", "doc_id")} || '://' ||
+         (CASE WHEN {_sql_hsalt("case", "doc_id")} % 2 = 0
+               THEN upper(hostfull) ELSE hostfull END) ||
+         (CASE WHEN {_sql_hsalt("port", "doc_id")} % 3 = 0
+               THEN ':443' ELSE '' END) ||
+         '/p/' || CAST(page AS VARCHAR) ||
+         (CASE WHEN {_sql_hsalt("slash", "doc_id")} % 2 = 0
+               THEN '/' ELSE '' END) ||
+         (CASE WHEN qs <> '' THEN '?' || qs ELSE '' END) ||
+         {_sql_hpick(_FRAGS, "frag", "doc_id")} AS url
+  FROM (
+    SELECT doc_id, source, page,
+           (CASE WHEN sub = '' AND {_sql_hsalt("www", "doc_id")} % 2 = 0
+                 THEN 'www.' ELSE '' END) || sub ||
+           {_sql_hpick(_BASES, "dom", "page")} || '.' ||
+           {_sql_hpick(_SUFFIXES, "tld", "page")} AS hostfull,
+           coalesce(array_to_string(list_filter(
+             CASE WHEN {_sql_hsalt("ord", "doc_id")} % 2 = 0
+                  THEN [realp, trk] ELSE [trk, realp] END,
+             p -> p <> ''), '&'), '') AS qs
+    FROM (
+      SELECT doc_id, source, doc_id // 3 AS page,
+             {_sql_hpick(_CANON_SUBS, "sub", "(doc_id // 3)")} AS sub,
+             {_sql_hpick(_REAL_PARAMS, "q", "(doc_id // 3)")} AS realp,
+             {_sql_hpick(_TRK_PARAMS, "trk", "doc_id")} AS trk
+      FROM documents
+    )
+  )
+"""
+
+
+def canonicalize_url(url: Column) -> Column:
+    """Deterministic URL canonical form: lowercase scheme and host,
+    strip default ports (:80/:443), strip a leading www., strip the
+    fragment, drop trailing slashes from the path, remove tracking
+    params (utm_*, gclid, fbclid, ref) and emit the survivors sorted.
+    http vs https are NOT folded — scheme identity is preserved."""
+    scheme = F.lower(F.regexp_extract(url, r"^([A-Za-z]+)://", 1))
+    hostport = F.lower(F.regexp_extract(url, r"^[A-Za-z]+://([^/?#]+)", 1))
+    host = F.regexp_replace(
+        F.regexp_replace(hostport, r":(80|443)$", ""), r"^www\.", ""
+    )
+    path = F.regexp_replace(
+        F.regexp_extract(url, r"^[A-Za-z]+://[^/?#]+([^?#]*)", 1),
+        r"/+$",
+        "",
+    )
+    qs = F.regexp_extract(url, r"\?([^#]*)", 1)
+    params = F.array_join(
+        F.array_sort(
+            F.filter(
+                F.split(qs, "&", -1),
+                lambda p: (p != "")
+                & ~p.startswith("utm_")
+                & ~p.startswith("gclid=")
+                & ~p.startswith("fbclid=")
+                & ~p.startswith("ref="),
+            )
+        ),
+        "&",
+    )
+    return F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        path,
+        F.when(params != "", F.concat(F.lit("?"), params)).otherwise(
+            F.lit("")
+        ),
+    )
+
+
+def _sql_canonicalize(u: str) -> str:
+    """DuckDB mirror of canonicalize_url (array_to_string of an empty
+    list is NULL in DuckDB — coalesce'd per the repo gotcha)."""
+    params = (
+        "coalesce(array_to_string(list_sort(list_filter(string_split("
+        f"regexp_extract({u}, '\\?([^#]*)', 1), '&'), "
+        "p -> p <> '' AND NOT starts_with(p, 'utm_') "
+        "AND NOT starts_with(p, 'gclid=') "
+        "AND NOT starts_with(p, 'fbclid=') "
+        "AND NOT starts_with(p, 'ref='))), '&'), '')"
+    )
+    return f"""
+      lower(regexp_extract({u}, '^([A-Za-z]+)://', 1)) || '://' ||
+      regexp_replace(regexp_replace(
+        lower(regexp_extract({u}, '^[A-Za-z]+://([^/?#]+)', 1)),
+        ':(80|443)$', ''), '^www\\.', '') ||
+      regexp_replace(
+        regexp_extract({u}, '^[A-Za-z]+://[^/?#]+([^?#]*)', 1),
+        '/+$', '') ||
+      (CASE WHEN {params} <> '' THEN '?' || {params} ELSE '' END)
+    """
+
+
+@query(
+    "url_canonical_dedup",
+    oracle=f"""
+    WITH u AS ({_SQL_MESSY_URL_CORPUS}),
+    c AS (
+      SELECT doc_id, url, {_sql_canonicalize("url")} AS canonical_url
+      FROM u
+    )
+    SELECT canonical_url,
+           CAST(count(*) AS BIGINT) AS n_variants,
+           CAST(count(DISTINCT url) AS BIGINT) AS n_raw_forms,
+           CAST(min(doc_id) AS BIGINT) AS keeper_doc_id
+    FROM c GROUP BY canonical_url HAVING count(*) >= 2
+    """,
+)
+def url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-level dedup key construction: canonicalize every raw URL
+    and report each canonical page reached by >= 2 raw spellings,
+    with the deterministic keeper (min doc_id) a dedup pass would
+    retain. The messy corpus plants 3 raw spellings per page, so the
+    collision machinery is exercised on every row, and the value hash
+    checks the canonical STRINGS, not just counts.
+
+    Scale: pure per-row string algebra (regexp/array ops, no UDFs)
+    into one canonical-keyed map-side-combinable aggregate — the same
+    shuffle shape as exact_dedup. 100 TB-safe by construction."""
+    m = _messy_url_corpus(load(spark, sf_dir, "documents"))
+    return (
+        m.select(
+            "doc_id",
+            "url",
+            canonicalize_url(F.col("url")).alias("canonical_url"),
+        )
+        .groupBy("canonical_url")
+        .agg(
+            F.count("*").cast("bigint").alias("n_variants"),
+            F.countDistinct("url").cast("bigint").alias("n_raw_forms"),
+            F.min("doc_id").cast("bigint").alias("keeper_doc_id"),
+        )
+        .filter(F.col("n_variants") >= 2)
+    )
+
+
+@query(
+    "domain_blocklist_report",
+    oracle=f"""
+    WITH u AS ({_SQL_MESSY_URL_CORPUS}),
+    c AS (
+      SELECT doc_id, source, {_sql_canonicalize("url")} AS curl FROM u
+    ),
+    d AS (
+      SELECT doc_id, source, {_SQL_REG_DOMAIN} AS rd
+      FROM (
+        SELECT doc_id, source,
+               string_split(regexp_extract(curl,
+                 '^[a-z]+://([^/?#]+)', 1), '.') AS labels
+        FROM c
+      )
+    ),
+    flagged AS (
+      SELECT doc_id, source, rd,
+             CASE WHEN rd IN {_URL_BLOCKLIST!r} THEN 1 ELSE 0 END
+               AS blocked
+      FROM d
+    ),
+    ranked AS (
+      SELECT source, blocked,
+             row_number() OVER (
+               PARTITION BY blocked, rd
+               ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                         1, 8))::BIGINT, doc_id) AS rn
+      FROM flagged
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(blocked) AS BIGINT) AS n_blocked,
+           CAST(sum(CASE WHEN blocked = 0 AND rn > {_DOMAIN_CAP}
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_capped_out,
+           CAST(sum(CASE WHEN blocked = 0 AND rn <= {_DOMAIN_CAP}
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           round(sum(CASE WHEN blocked = 0 AND rn <= {_DOMAIN_CAP}
+                     THEN 1 ELSE 0 END) * 1.0 / count(*), 6)
+             AS kept_share
+    FROM ranked GROUP BY source
+    """,
+)
+def domain_blocklist_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed domain-policy pre-filter a web pipeline runs
+    after canonicalization: registrable-domain blocklist (broadcast
+    IN-list; the stand-in for a policy/robots denylist join) plus the
+    per-domain cap of domain_capped_docs, accounted per SOURCE so a
+    corpus owner sees exactly where volume was lost (blocked vs
+    capped vs kept).
+
+    Scale: canonicalize + eTLD+1 are per-row string algebra; the cap
+    rank is a (blocked, domain)-partitioned window, so blocked rows
+    rank within their own domain partitions (never one global NULL
+    bucket) and their rank is ignored downstream; one final
+    source-keyed aggregate. No unpartitioned windows, no collects."""
+    m = _messy_url_corpus(load(spark, sf_dir, "documents"))
+    d = m.select(
+        "doc_id",
+        "source",
+        registrable_domain(canonicalize_url(F.col("url"))).alias("rd"),
+    )
+    blocklist = F.array(*[F.lit(b) for b in _URL_BLOCKLIST])
+    flagged = d.select(
+        "doc_id",
+        "source",
+        "rd",
+        F.when(F.array_contains(blocklist, F.col("rd")), 1)
+        .otherwise(0)
+        .alias("blocked"),
+    )
+    # partition by (blocked, rd) — NOT a null-partition trick, which
+    # would funnel every blocked row of every domain into ONE window
+    # partition; this way each partition stays domain-bounded and the
+    # blocked rows' rank is simply ignored downstream
+    w = Window.partitionBy("blocked", "rd").orderBy(
+        portable_id_hash(F.col("doc_id")), F.col("doc_id")
+    )
+    ranked = flagged.select(
+        "source",
+        "blocked",
+        F.row_number().over(w).alias("rn"),
+    )
+    survivor = F.col("blocked") == 0
+    return ranked.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("blocked").cast("bigint").alias("n_blocked"),
+        F.sum(
+            F.when(survivor & (F.col("rn") > _DOMAIN_CAP), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_capped_out"),
+        F.sum(
+            F.when(survivor & (F.col("rn") <= _DOMAIN_CAP), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_kept"),
+        F.round(
+            F.sum(
+                F.when(
+                    survivor & (F.col("rn") <= _DOMAIN_CAP), 1
+                ).otherwise(0)
+            )
+            * 1.0
+            / F.count("*"),
+            6,
+        ).alias("kept_share"),
     )

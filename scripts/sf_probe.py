@@ -179,6 +179,16 @@ PROBE_QUERIES = [
     # shuffle bound
     "vocab_coverage_curve",
     "dedup_impact_by_source",
+    # round-11: the experimentation heavies that still lacked entries
+    # (VERDICT r10 ask #6) — all single-scan aggregate pipelines whose
+    # post-aggregate tables are segment/grid-bounded, so the ratios
+    # must stay linear; plus the new sampled-Lorenz gini twin, whose
+    # full-cardinality side is scan -> broadcast-join -> 20-bin agg
+    "chi_square_independence",
+    "diff_in_diff",
+    "ipw_treatment_effect",
+    "bh_fdr_report",
+    "user_value_gini_approx",
 ]
 
 

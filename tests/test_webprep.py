@@ -97,3 +97,94 @@ def test_domain_cap_uses_window_group_limit(spark):
     txt = plan_text(spark, "domain_capped_docs")
     assert "WindowGroupLimit" in txt
     assert count_exchanges(txt) <= 3
+
+
+# -- round 11: URL canonicalization -----------------------------------
+
+
+def test_canonicalize_url_planted_cases(spark):
+    from clickstreamtoclickhouse_spark.plans.webprep import (
+        canonicalize_url,
+    )
+
+    cases = [
+        # case + default port + trailing slash + tracking + fragment
+        (
+            "HTTPS://WWW.Example.COM:443/a/b/?utm_source=x&b=2&a=1#frag",
+            "https://example.com/a/b?a=1&b=2",
+        ),
+        # param sort, no path slash strip beyond trailing run
+        (
+            "https://example.com/a/b?b=2&a=1",
+            "https://example.com/a/b?a=1&b=2",
+        ),
+        # http default port; root path collapses to empty
+        ("http://Example.com:80/", "http://example.com"),
+        # non-www subdomain preserved; scheme not folded
+        (
+            "https://blog.example.co.uk/x",
+            "https://blog.example.co.uk/x",
+        ),
+        # tracking-only query drops the '?' entirely
+        (
+            "https://example.com/x?gclid=1&fbclid=2&ref=rss&utm_b=3",
+            "https://example.com/x",
+        ),
+        # :8080 is NOT a default port and must survive
+        ("https://example.com:8080/x", "https://example.com:8080/x"),
+        # utm-prefixed VALUE is kept (only param names are matched)
+        ("https://example.com/x?q=utm_z", "https://example.com/x?q=utm_z"),
+    ]
+    df = spark.createDataFrame(cases, "url string, expected string")
+    got = df.select(
+        "url", "expected", canonicalize_url(F.col("url")).alias("canon")
+    ).collect()
+    for r in got:
+        assert r.canon == r.expected, (r.url, r.canon, r.expected)
+
+
+def test_url_canonical_dedup_plants_collisions(spark):
+    # page identity = doc_id // 3: every complete 3-doc page group
+    # must collapse to ONE canonical url with n_variants == 3, and the
+    # keeper is the smallest doc_id of the group
+    out = {
+        r.canonical_url: r
+        for r in plans.QUERIES["url_canonical_dedup"](
+            spark, SF_DIR
+        ).collect()
+    }
+    assert out, "no collision groups found"
+    for r in out.values():
+        assert 2 <= r.n_variants <= 3
+        assert r.n_raw_forms <= r.n_variants
+        assert r.keeper_doc_id % 3 == 0 or r.n_variants < 3
+        # canonical forms are actually canonical: lowercase scheme,
+        # no tracking params, no fragments, no default ports
+        c = r.canonical_url
+        assert c.startswith("https://")
+        assert "utm_" not in c.split("?")[-1] or "?" not in c
+        assert "#" not in c and ":443" not in c and "www." not in c
+
+
+def test_domain_blocklist_report_accounting(spark):
+    from clickstreamtoclickhouse_spark.plans.webprep import (
+        _URL_BLOCKLIST,
+        _messy_url_corpus,
+        canonicalize_url,
+    )
+
+    rows = plans.QUERIES["domain_blocklist_report"](
+        spark, SF_DIR
+    ).collect()
+    assert rows
+    for r in rows:
+        # exhaustive accounting: every doc is blocked, capped or kept
+        assert r.n_blocked + r.n_capped_out + r.n_kept == r.n_docs
+        assert r.n_blocked > 0  # blocklist actually bites
+    # no blocked domain ever reaches the kept set: recompute directly
+    m = _messy_url_corpus(plans.load(spark, SF_DIR, "documents"))
+    rd = m.select(
+        registrable_domain(canonicalize_url(F.col("url"))).alias("rd")
+    ).distinct()
+    doms = {r.rd for r in rd.collect()}
+    assert set(_URL_BLOCKLIST) <= doms  # the planted domains exist
