@@ -2384,3 +2384,98 @@ def isotonic_calibration_map(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bin")
     )
+
+
+# ---------------------------------------------------------------------------
+# Lexical diversity per source (round 11)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "lexical_diversity_report",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, source, unnest({tx.SQL_WORDS.format(t="lower(text)")})
+               AS w
+      FROM documents WHERE length(trim(text)) > 0
+    ),
+    tf AS (
+      SELECT source, w, CAST(count(*) AS BIGINT) AS c,
+             CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+      FROM toks GROUP BY source, w
+    ),
+    docs AS (
+      SELECT source, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+      FROM toks GROUP BY source
+    )
+    SELECT t.source, d.n_docs,
+           CAST(sum(t.c) AS BIGINT) AS n_tokens,
+           CAST(count(*) AS BIGINT) AS n_types,
+           CAST(sum(CASE WHEN t.c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_hapax,
+           round(count(*) * 1.0 / sum(t.c), 6) AS ttr,
+           round(count(*) * 1.0 / sqrt(sum(t.c)), 6) AS guiraud_r,
+           round(sum(CASE WHEN t.c = 1 THEN 1 ELSE 0 END) * 1.0
+                 / count(*), 6) AS hapax_share,
+           round(sum(CASE WHEN t.df = 1 THEN 1 ELSE 0 END) * 1.0
+                 / count(*), 6) AS single_doc_type_share
+    FROM tf t JOIN docs d USING (source)
+    GROUP BY t.source, d.n_docs
+    """,
+)
+def lexical_diversity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source lexical-diversity readout — the corpus-health
+    metrics a data team checks before mixing sources: type-token
+    ratio, Guiraud's R = types/sqrt(tokens) (the length-corrected TTR
+    — raw TTR shrinks mechanically with corpus size), hapax share
+    (Zipf tail mass: near-zero means templated/duplicated text), and
+    the share of types confined to a single document (template
+    detector's complement: LOW means heavy cross-doc repetition).
+
+    Determinism: all counts are exact integers; the four ratios are
+    single rounded divisions of identical integers.
+
+    Scale: one explode into a (source, word)-keyed
+    map-side-combinable aggregate (countDistinct(doc_id) rides the
+    same shuffle as a two-phase distinct-then-count), then a
+    source-keyed rollup over the vocabulary table. No windows, no
+    full-vocab sorts."""
+    t = (
+        load(spark, sf_dir, "documents")
+        .filter(F.length(F.trim(F.col("text"))) > 0)
+        .select(
+            "doc_id",
+            "source",
+            F.explode(tx.words(F.lower(F.col("text")))).alias("w"),
+        )
+    )
+    tf = t.groupBy("source", "w").agg(
+        F.count(F.lit(1)).cast("long").alias("c"),
+        F.countDistinct("doc_id").cast("long").alias("df"),
+    )
+    docs = t.groupBy("source").agg(
+        F.countDistinct("doc_id").cast("long").alias("n_docs")
+    )
+    hapax = F.sum(F.when(F.col("c") == 1, 1).otherwise(0))
+    return (
+        tf.join(docs, "source")
+        .groupBy("source", "n_docs")
+        .agg(
+            F.sum("c").cast("long").alias("n_tokens"),
+            F.count(F.lit(1)).cast("long").alias("n_types"),
+            hapax.cast("long").alias("n_hapax"),
+            F.round(F.count(F.lit(1)) * 1.0 / F.sum("c"), 6).alias("ttr"),
+            F.round(
+                F.count(F.lit(1)) * 1.0 / F.sqrt(F.sum("c")), 6
+            ).alias("guiraud_r"),
+            F.round(hapax * 1.0 / F.count(F.lit(1)), 6).alias(
+                "hapax_share"
+            ),
+            F.round(
+                F.sum(F.when(F.col("df") == 1, 1).otherwise(0))
+                * 1.0
+                / F.count(F.lit(1)),
+                6,
+            ).alias("single_doc_type_share"),
+        )
+    )

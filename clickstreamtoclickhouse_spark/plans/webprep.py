@@ -756,3 +756,163 @@ def domain_blocklist_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("kept_share"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Robots-style longest-prefix policy filter (round 11)
+# ---------------------------------------------------------------------------
+#
+# The crawl-policy re-filter a corpus owner runs when a domain's
+# robots/usage policy changes AFTER fetch: per-domain prefix rules,
+# most-specific (longest) matching prefix wins (the robots.txt
+# precedence rule; allow wins exact ties). Rules here are synthesized
+# per registrable domain from the portable hash so every branch of the
+# precedence logic is exercised and oracle-checked.
+
+_ROBOTS_PREFIXES = ("/p/", "/p/1", "/p/12")  # beyond the "" default
+
+
+def _robots_rules(doms: DataFrame) -> DataFrame:
+    """(rd, prefix, decision, plen): the '' default-allow rule plus
+    three hash-polarized prefix rules per domain — prefix lengths are
+    unique within a domain, so the longest-match winner is unique."""
+    rd = F.col("rd")
+
+    def pol(salt: str, yes: str, no: str) -> Column:
+        return F.when(_hsalt(salt, rd) % 2 == 0, F.lit(yes)).otherwise(
+            F.lit(no)
+        )
+
+    rules = F.array(
+        F.struct(F.lit("").alias("prefix"), F.lit("allow").alias("decision")),
+        F.struct(
+            F.lit(_ROBOTS_PREFIXES[0]).alias("prefix"),
+            pol("r1", "disallow", "allow").alias("decision"),
+        ),
+        F.struct(
+            F.lit(_ROBOTS_PREFIXES[1]).alias("prefix"),
+            pol("r2", "allow", "disallow").alias("decision"),
+        ),
+        F.struct(
+            F.lit(_ROBOTS_PREFIXES[2]).alias("prefix"),
+            pol("r3", "disallow", "allow").alias("decision"),
+        ),
+    )
+    r = doms.select("rd", F.explode(rules).alias("r"))
+    return r.select(
+        "rd",
+        F.col("r.prefix").alias("prefix"),
+        F.col("r.decision").alias("decision"),
+        F.length("r.prefix").cast("int").alias("plen"),
+    )
+
+
+def _sql_robots_rules(doms_cte: str) -> str:
+    def pol(salt: str, yes: str, no: str) -> str:
+        return (
+            f"CASE WHEN {_sql_hsalt(salt, 'rd')} % 2 = 0 "
+            f"THEN '{yes}' ELSE '{no}' END"
+        )
+
+    p = _ROBOTS_PREFIXES
+    return f"""
+      SELECT rd, '' AS prefix, 'allow' AS decision, 0 AS plen
+      FROM {doms_cte}
+      UNION ALL
+      SELECT rd, '{p[0]}', {pol("r1", "disallow", "allow")}, {len(p[0])}
+      FROM {doms_cte}
+      UNION ALL
+      SELECT rd, '{p[1]}', {pol("r2", "allow", "disallow")}, {len(p[1])}
+      FROM {doms_cte}
+      UNION ALL
+      SELECT rd, '{p[2]}', {pol("r3", "disallow", "allow")}, {len(p[2])}
+      FROM {doms_cte}
+    """
+
+
+@query(
+    "robots_policy_filter",
+    oracle=f"""
+    WITH u AS ({_SQL_MESSY_URL_CORPUS}),
+    c AS (
+      SELECT doc_id, source, {_sql_canonicalize("url")} AS curl FROM u
+    ),
+    d AS (
+      SELECT doc_id, source,
+             regexp_extract(curl, '^[a-z]+://[^/?#]+([^?#]*)', 1)
+               AS path,
+             {_SQL_REG_DOMAIN} AS rd
+      FROM (
+        SELECT doc_id, source, curl,
+               string_split(regexp_extract(curl,
+                 '^[a-z]+://([^/?#]+)', 1), '.') AS labels
+        FROM c
+      )
+    ),
+    doms AS (SELECT DISTINCT rd FROM d),
+    rules AS ({_sql_robots_rules("doms")}),
+    matched AS (
+      SELECT d.doc_id, d.rd, r.decision, r.plen
+      FROM d JOIN rules r
+        ON d.rd = r.rd AND starts_with(d.path, r.prefix)
+    ),
+    win AS (
+      SELECT doc_id, rd,
+             arg_max(decision, plen * 2 +
+                     CASE WHEN decision = 'allow' THEN 1 ELSE 0 END)
+               AS decision
+      FROM matched GROUP BY doc_id, rd
+    )
+    SELECT rd AS registrable_domain,
+           CAST(count(*) AS BIGINT) AS n_urls,
+           CAST(sum(CASE WHEN decision = 'allow' THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_allowed,
+           CAST(sum(CASE WHEN decision = 'disallow' THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_disallowed,
+           round(sum(CASE WHEN decision = 'allow' THEN 1 ELSE 0 END)
+                 * 1.0 / count(*), 6) AS allowed_share
+    FROM win GROUP BY rd
+    """,
+)
+def robots_policy_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest-prefix-match policy join (the robots.txt precedence
+    rule — RFC 9309 §2.2.2: most specific match wins, allow wins
+    ties): every canonical URL against its domain's prefix rules,
+    winner = max by (prefix length, allow-on-tie), reported per
+    domain. The re-filter pass a corpus runs when usage policies
+    change after the crawl.
+
+    Scale: the rules side is (domains x 4) — domain-bounded, BROADCAST
+    into the match join, so the unbounded URL side never shuffles for
+    the join; the winner is one map-side-combinable max_by aggregate
+    keyed on doc_id (<=4 candidate rows per URL by construction), then
+    a domain-keyed rollup. No windows at all."""
+    m = _messy_url_corpus(load(spark, sf_dir, "documents"))
+    curl = canonicalize_url(F.col("url"))
+    d = m.select(
+        "doc_id",
+        "source",
+        F.regexp_extract(curl, r"^[a-z]+://[^/?#]+([^?#]*)", 1).alias(
+            "path"
+        ),
+        registrable_domain(curl).alias("rd"),
+    )
+    rules = _robots_rules(d.select("rd").distinct())
+    matched = d.join(F.broadcast(rules), "rd").filter(
+        F.col("path").startswith(F.col("prefix"))
+    )
+    ordv = F.col("plen") * 2 + F.when(
+        F.col("decision") == "allow", 1
+    ).otherwise(0)
+    win = matched.groupBy("doc_id", "rd").agg(
+        F.max_by("decision", ordv).alias("decision")
+    )
+    allow = F.when(F.col("decision") == "allow", 1).otherwise(0)
+    return win.groupBy(F.col("rd").alias("registrable_domain")).agg(
+        F.count("*").cast("bigint").alias("n_urls"),
+        F.sum(allow).cast("bigint").alias("n_allowed"),
+        F.sum(1 - allow).cast("bigint").alias("n_disallowed"),
+        F.round(F.sum(allow) * 1.0 / F.count("*"), 6).alias(
+            "allowed_share"
+        ),
+    )

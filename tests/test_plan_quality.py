@@ -1311,3 +1311,37 @@ def test_no_unlisted_unpartitioned_windows(spark):
         "allowlisted queries no longer carry an unpartitioned window — "
         f"drop them from _BOUNDED_GLOBAL_WINDOWS: {stale}"
     )
+
+
+def test_vocab_coverage_curve_window_is_pruned(spark):
+    # r10 verdict #1: the global rank/cumsum window must NEVER see the
+    # full vocabulary — the plan must carry the salted per-bucket
+    # top-k prune (a PARTITIONED window + rn filter) feeding the
+    # global window, and the totals must come from a separate
+    # aggregate, not a whole-table window
+    import re
+
+    txt = plan_text(spark, "vocab_coverage_curve")
+    win_blocks = [
+        b for b in txt.split("\n\n")
+        if b.strip() and re.match(r"^\(\d+\) Window\b", b.strip())
+    ]
+    assert len(win_blocks) == 2, txt
+    # exactly one global window (the bounded cumsum) and one
+    # partitioned window (the salt prune)
+    n_unpart = sum(
+        bool(unpartitioned_window_specs(b)) for b in win_blocks
+    )
+    assert n_unpart == 1, win_blocks
+    # the prune actually filters before the global window: the tree
+    # section must show Window -> Filter -> ... -> Window -> Sort,
+    # i.e. the partitioned window's rn filter feeds the global one
+    tree_nodes = [
+        ln.strip() for ln in txt.splitlines()
+        if ln.strip().startswith("(") is False and "+- " in ln
+    ]
+    order = [n for n in tree_nodes if "Window" in n or "Filter" in n]
+    first_window = next(i for i, n in enumerate(order) if "Window" in n)
+    assert any(
+        "Filter" in n for n in order[first_window + 1:]
+    ), order

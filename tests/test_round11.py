@@ -121,3 +121,96 @@ def test_session_cache_registry_storage_shrinks(spark, tmp_path):
     assert util.evict_session_caches() == len(caches)
     assert all(len(c) == 0 for c in caches)
     assert cached_rdds() <= base
+
+
+# -- round 11: robots longest-prefix policy + lexical diversity -------
+
+
+def test_robots_policy_longest_prefix_semantics(spark):
+    """Recompute every URL's decision in Python from the published
+    precedence rule (longest matching prefix wins; '' default-allow)
+    and the portable hash, then compare the per-domain aggregates —
+    the full rule lattice, independently re-derived."""
+    import hashlib
+
+    from clickstreamtoclickhouse_spark import plans
+    from clickstreamtoclickhouse_spark.plans.webprep import (
+        _messy_url_corpus,
+        canonicalize_url,
+        registrable_domain,
+    )
+    from .conftest import SF_DIR
+
+    def h(salt: str, key: str) -> int:
+        return int(
+            hashlib.md5((salt + key).encode()).hexdigest()[:8], 16
+        )
+
+    def decide(rd: str, path: str) -> str:
+        if path.startswith("/p/12"):
+            return "disallow" if h("r3", rd) % 2 == 0 else "allow"
+        if path.startswith("/p/1"):
+            return "allow" if h("r2", rd) % 2 == 0 else "disallow"
+        if path.startswith("/p/"):
+            return "disallow" if h("r1", rd) % 2 == 0 else "allow"
+        return "allow"
+
+    m = _messy_url_corpus(plans.load(spark, SF_DIR, "documents"))
+    curl = canonicalize_url(F.col("url"))
+    rows = m.select(
+        F.regexp_extract(
+            curl, r"^[a-z]+://[^/?#]+([^?#]*)", 1
+        ).alias("path"),
+        registrable_domain(curl).alias("rd"),
+    ).collect()
+    exp: dict[str, list[int]] = {}
+    for r in rows:
+        a = exp.setdefault(r.rd, [0, 0])
+        a[0 if decide(r.rd, r.path) == "allow" else 1] += 1
+    got = {
+        r.registrable_domain: r
+        for r in plans.QUERIES["robots_policy_filter"](
+            spark, SF_DIR
+        ).collect()
+    }
+    assert set(got) == set(exp)
+    for rd, (n_allow, n_dis) in exp.items():
+        assert got[rd].n_allowed == n_allow, rd
+        assert got[rd].n_disallowed == n_dis, rd
+        assert got[rd].n_urls == n_allow + n_dis
+    # precedence must actually bite somewhere: at least one domain has
+    # BOTH decisions present (a blanket rule overridden by a longer one)
+    assert any(r.n_allowed > 0 and r.n_disallowed > 0 for r in got.values())
+
+
+def test_lexical_diversity_planted(spark, tmp_path):
+    from clickstreamtoclickhouse_spark import plans
+
+    docs = [
+        # source a: one type, 8 tokens -> ttr 1/8, zero hapax
+        (1, "x x x x", "en", "a", 7),
+        (2, "x x x x", "en", "a", 7),
+        # source b: all types hapax and single-doc
+        (3, "p q r s", "en", "b", 7),
+        (4, "t u v w", "en", "b", 7),
+    ]
+    spark.createDataFrame(
+        docs,
+        "doc_id long, text string, lang string, source string, "
+        "n_chars long",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        f"{tmp_path}/documents.parquet"
+    )
+    out = {
+        r.source: r
+        for r in plans.QUERIES["lexical_diversity_report"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    a, b = out["a"], out["b"]
+    assert (a.n_tokens, a.n_types, a.n_hapax) == (8, 1, 0)
+    assert a.ttr == 0.125 and a.hapax_share == 0.0
+    assert a.single_doc_type_share == 0.0  # 'x' appears in both docs
+    assert (b.n_tokens, b.n_types, b.n_hapax) == (8, 8, 8)
+    assert b.ttr == 1.0 and b.hapax_share == 1.0
+    assert b.single_doc_type_share == 1.0
