@@ -1609,3 +1609,186 @@ def user_event_overdispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
             "poisson_z"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Krippendorff's alpha (multi-rater agreement with missing ratings)
+# ---------------------------------------------------------------------------
+#
+# The annotation-QA readout for a labeling campaign with >2 raters and
+# incomplete coverage — the regime Cohen's kappa (see
+# classifier_agreement_kappa) cannot handle. Nominal-data alpha
+# (Krippendorff 2004, public method): alpha = 1 - D_o / D_e with
+# D_o the within-unit pairwise disagreement rate and D_e the
+# disagreement expected from the pooled label marginals.
+#
+# Synthetic annotations: 3 deterministic hash-raters label each
+# document against a latent hash-truth with rater-specific noise;
+# rater 3 skips a fifth of the units, so the pairable-unit filter and
+# the m_u=2 vs m_u=3 weighting are both exercised.
+
+_KRIPP_LABELS = ("pos", "neg", "neu")
+_KRIPP_RATERS = 3
+
+
+def _kripp_label(rater: int) -> Column:
+    doc = F.col("doc_id").cast("string")
+    true_ix = F.pmod(portable_id_hash(F.concat(F.lit("true"), doc)), 3)
+    flip = (
+        F.pmod(portable_id_hash(F.concat(F.lit(f"flip{rater}"), doc)), 10)
+        < 1 + rater
+    )
+    alt = F.pmod(portable_id_hash(F.concat(F.lit(f"alt{rater}"), doc)), 2)
+    ix = F.when(flip, F.pmod(true_ix + 1 + alt, 3)).otherwise(true_ix)
+    return F.element_at(
+        F.array(*[F.lit(x) for x in _KRIPP_LABELS]), ix.cast("int") + 1
+    )
+
+
+def _sql_kripp_label(rater: int) -> str:
+    doc = "CAST(doc_id AS VARCHAR)"
+    h_true = portable_id_hash_duck(f"'true' || {doc}")
+    h_flip = portable_id_hash_duck(f"'flip{rater}' || {doc}")
+    h_alt = portable_id_hash_duck(f"'alt{rater}' || {doc}")
+    true_ix = f"({h_true} % 3)"
+    flip = f"({h_flip} % 10) < {1 + rater}"
+    alt = f"({h_alt} % 2)"
+    ix = (
+        f"CASE WHEN {flip} THEN ({true_ix} + 1 + {alt}) % 3 "
+        f"ELSE {true_ix} END"
+    )
+    return f"(list_value{_KRIPP_LABELS!r}[CAST({ix} AS INT) + 1])"
+
+
+@query(
+    "krippendorff_alpha",
+    oracle=f"""
+    WITH ratings AS (
+      SELECT doc_id, 1 AS rater, {_sql_kripp_label(1)} AS label
+      FROM documents
+      UNION ALL
+      SELECT doc_id, 2, {_sql_kripp_label(2)} FROM documents
+      UNION ALL
+      SELECT doc_id, 3, {_sql_kripp_label(3)} FROM documents
+      WHERE {portable_id_hash_duck("'miss' || CAST(doc_id AS VARCHAR)")}
+            % 5 <> 0
+    ),
+    cell AS (
+      SELECT doc_id, label, CAST(count(*) AS BIGINT) AS n_uc
+      FROM ratings GROUP BY doc_id, label
+    ),
+    unit AS (
+      SELECT doc_id, CAST(sum(n_uc) AS BIGINT) AS m,
+             CAST(sum(n_uc * n_uc) AS BIGINT) AS ssq
+      FROM cell GROUP BY doc_id
+    ),
+    pairable AS (SELECT * FROM unit WHERE m >= 2),
+    folded AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_units,
+             CAST(sum(m) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN m = 2 THEN 2 * (4 - ssq)
+                           ELSE 9 - ssq END) AS BIGINT) AS sum_u2
+      FROM pairable
+    ),
+    marg AS (
+      SELECT CAST(sum(n_uc * n_uc) AS BIGINT) AS sum_nc2
+      FROM (
+        SELECT c.label, CAST(sum(c.n_uc) AS BIGINT) AS n_uc
+        FROM cell c JOIN pairable p USING (doc_id)
+        GROUP BY c.label
+      )
+    )
+    SELECT f.n_units, f.n,
+           round(f.sum_u2 / 2.0 / f.n, 6) AS d_observed,
+           round((f.n * f.n - m.sum_nc2) * 1.0
+                 / (f.n * (f.n - 1)), 6) AS d_expected,
+           round(1.0 - (f.sum_u2 * (f.n - 1)) * 1.0
+                       / (2.0 * (f.n * f.n - m.sum_nc2)), 6) AS alpha
+    FROM folded f CROSS JOIN marg m
+    """,
+)
+def krippendorff_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Krippendorff's alpha for nominal labels, 3 raters, missing
+    ratings allowed — the chance-corrected agreement coefficient a
+    labeling campaign reports when Cohen's kappa's two-complete-raters
+    assumption fails. alpha = 1 - D_o/D_e over pairable units
+    (m_u >= 2 ratings).
+
+    Determinism/exactness: every D term reduces to exact BIGINT
+    algebra — per-unit pairwise disagreement (m^2 - sum_c n_uc^2)
+    carries the 1/(m-1) weight as integers (m in {{2,3}} makes
+    2*(m^2-ssq)/(m-1) integral by case analysis), and D_e comes from
+    the squared pooled marginals; ONE float division at the end,
+    mirrored.
+
+    Scale: explode 3 ratings per doc -> (doc, label) keyed aggregate
+    -> doc-keyed unit table -> 1-row fold + label-domain marginals.
+    All map-side combinable; no windows."""
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    miss = (
+        F.pmod(
+            portable_id_hash(
+                F.concat(F.lit("miss"), F.col("doc_id").cast("string"))
+            ),
+            5,
+        )
+        != 0
+    )
+    parts = [
+        docs.select(
+            "doc_id",
+            F.lit(r).alias("rater"),
+            _kripp_label(r).alias("label"),
+        )
+        for r in (1, 2)
+    ] + [
+        docs.filter(miss).select(
+            "doc_id", F.lit(3).alias("rater"), _kripp_label(3).alias("label")
+        )
+    ]
+    ratings = parts[0].unionByName(parts[1]).unionByName(parts[2])
+    cell = ratings.groupBy("doc_id", "label").agg(
+        F.count(F.lit(1)).cast("long").alias("n_uc")
+    )
+    unit = cell.groupBy("doc_id").agg(
+        F.sum("n_uc").cast("long").alias("m"),
+        F.sum(F.col("n_uc") * F.col("n_uc")).cast("long").alias("ssq"),
+    )
+    pairable = unit.filter(F.col("m") >= 2)
+    folded = pairable.agg(
+        F.count(F.lit(1)).cast("long").alias("n_units"),
+        F.sum("m").cast("long").alias("n"),
+        F.sum(
+            F.when(F.col("m") == 2, 2 * (4 - F.col("ssq"))).otherwise(
+                9 - F.col("ssq")
+            )
+        )
+        .cast("long")
+        .alias("sum_u2"),
+    )
+    marg = (
+        cell.join(pairable.select("doc_id"), "doc_id")
+        .groupBy("label")
+        .agg(F.sum("n_uc").cast("long").alias("n_c"))
+        .agg(
+            F.sum(F.col("n_c") * F.col("n_c")).cast("long").alias("sum_nc2")
+        )
+    )
+    return folded.crossJoin(F.broadcast(marg)).select(
+        "n_units",
+        "n",
+        F.round(F.col("sum_u2") / 2.0 / F.col("n"), 6).alias("d_observed"),
+        F.round(
+            (F.col("n") * F.col("n") - F.col("sum_nc2"))
+            * 1.0
+            / (F.col("n") * (F.col("n") - 1)),
+            6,
+        ).alias("d_expected"),
+        F.round(
+            1.0
+            - (F.col("sum_u2") * (F.col("n") - 1))
+            * 1.0
+            / (2.0 * (F.col("n") * F.col("n") - F.col("sum_nc2"))),
+            6,
+        ).alias("alpha"),
+    )

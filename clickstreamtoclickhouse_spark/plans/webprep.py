@@ -849,7 +849,11 @@ def _sql_robots_rules(doms_cte: str) -> str:
         FROM c
       )
     ),
-    doms AS (SELECT DISTINCT rd FROM d),
+    doms AS (
+      SELECT b.b || '.' || sx.s AS rd
+      FROM (SELECT unnest(list_value{_BASES!r}) AS b) b
+      CROSS JOIN (SELECT unnest(list_value{_SUFFIXES!r}) AS s) sx
+    ),
     rules AS ({_sql_robots_rules("doms")}),
     matched AS (
       SELECT d.doc_id, d.rd, r.decision, r.plen
@@ -882,7 +886,8 @@ def robots_policy_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     domain. The re-filter pass a corpus runs when usage policies
     change after the crawl.
 
-    Scale: the rules side is (domains x 4) — domain-bounded, BROADCAST
+    Scale: the rules side is the STATIC 25x4 (base x suffix) literal
+    relation (no corpus scan, no distinct shuffle), BROADCAST
     into the match join, so the unbounded URL side never shuffles for
     the join; the winner is one map-side-combinable max_by aggregate
     keyed on doc_id (<=4 candidate rows per URL by construction), then
@@ -897,7 +902,30 @@ def robots_policy_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         registrable_domain(curl).alias("rd"),
     )
-    rules = _robots_rules(d.select("rd").distinct())
+    # the registrable-domain universe is the static base x suffix cross
+    # (eTLD+1 strips subdomains), so the rules side needs NO corpus
+    # scan or distinct shuffle — it is a 25x4 literal relation
+    doms = (
+        spark.range(1)
+        .select(
+            F.explode(
+                F.flatten(
+                    F.array(
+                        *[
+                            F.array(
+                                *[
+                                    F.lit(f"{b}.{sx}")
+                                    for sx in _SUFFIXES
+                                ]
+                            )
+                            for b in _BASES
+                        ]
+                    )
+                )
+            ).alias("rd")
+        )
+    )
+    rules = _robots_rules(doms)
     matched = d.join(F.broadcast(rules), "rd").filter(
         F.col("path").startswith(F.col("prefix"))
     )

@@ -214,3 +214,62 @@ def test_lexical_diversity_planted(spark, tmp_path):
     assert (b.n_tokens, b.n_types, b.n_hapax) == (8, 8, 8)
     assert b.ttr == 1.0 and b.hapax_share == 1.0
     assert b.single_doc_type_share == 1.0
+
+
+def test_krippendorff_alpha_python_reference(spark):
+    """Independent reference: rebuild the ratings in Python from the
+    portable hash, compute nominal alpha with the textbook formula
+    (coincidence-matrix form), and require agreement to 1e-6 — plus
+    the planted structure: positive agreement well above chance."""
+    import hashlib
+
+    from clickstreamtoclickhouse_spark import plans
+    from .conftest import SF_DIR
+
+    def h(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+    doc_ids = [
+        r.doc_id
+        for r in plans.load(spark, SF_DIR, "documents")
+        .select("doc_id")
+        .collect()
+    ]
+    labels = ["pos", "neg", "neu"]
+    units: dict[int, list[str]] = {}
+    for d in doc_ids:
+        ds = str(d)
+        true_ix = h("true" + ds) % 3
+        for r in (1, 2, 3):
+            if r == 3 and h("miss" + ds) % 5 == 0:
+                continue
+            if h(f"flip{r}" + ds) % 10 < 1 + r:
+                ix = (true_ix + 1 + h(f"alt{r}" + ds) % 2) % 3
+            else:
+                ix = true_ix
+            units.setdefault(d, []).append(labels[ix])
+    pair = {u: ls for u, ls in units.items() if len(ls) >= 2}
+    n = sum(len(ls) for ls in pair.values())
+    # D_o = (1/n) sum_u sum_{c != k} n_uc n_uk / (m_u - 1)
+    do = 0.0
+    from collections import Counter
+
+    for ls in pair.values():
+        m = len(ls)
+        cnt = Counter(ls)
+        ssq = sum(v * v for v in cnt.values())
+        do += (m * m - ssq) / (m - 1)
+    do /= n
+    marg = Counter(x for ls in pair.values() for x in ls)
+    sum_nc2 = sum(v * v for v in marg.values())
+    de = (n * n - sum_nc2) / (n * (n - 1))
+    alpha_ref = 1 - do / de
+
+    got = plans.QUERIES["krippendorff_alpha"](spark, SF_DIR).collect()[0]
+    assert got.n_units == len(pair)
+    assert got.n == n
+    assert abs(got.alpha - alpha_ref) < 1e-6, (got.alpha, alpha_ref)
+    assert abs(got.d_observed - do) < 1e-6
+    assert abs(got.d_expected - de) < 1e-6
+    # raters agree far above chance but below perfection (noise planted)
+    assert 0.3 < got.alpha < 0.95
