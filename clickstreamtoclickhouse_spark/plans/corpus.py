@@ -2479,3 +2479,111 @@ def lexical_diversity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("single_doc_type_share"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Code-vs-prose detection (round 11)
+# ---------------------------------------------------------------------------
+#
+# The mix-separation step before building a code-aware training
+# mixture: prose corpora polluted with source code (or vice versa)
+# skew tokenizer stats and quality filters, so pipelines score each
+# document's "code-ness" from symbol density and keyword hits and
+# route by threshold (public heuristic family: StarCoder/The Stack
+# preprocessing). Pure Column regex algebra, both engines identical.
+
+_CODE_SYMBOLS = r"[{}()\[\];=<>]"
+_CODE_KEYWORDS = (
+    r"\b(def|class|return|import|function|var|const|void|int|for|while"
+    r"|if|else|public|static)\b"
+)
+_CODE_SYMBOL_THR = 0.05  # symbols per char
+_CODE_KW_THR = 2.0  # keyword hits per 100 tokens
+
+
+@query(
+    "code_detection_report",
+    oracle=f"""
+    WITH scored AS (
+      SELECT source,
+             CAST(length(text) AS BIGINT) AS n_chars,
+             CAST(len({tx.SQL_WORDS.format(t="text")}) AS BIGINT)
+               AS n_tokens,
+             CAST(len(regexp_extract_all(text, '{_CODE_SYMBOLS}'))
+               AS BIGINT) AS n_symbols,
+             CAST(len(regexp_extract_all(text, '{_CODE_KEYWORDS}'))
+               AS BIGINT) AS n_keywords
+      FROM documents WHERE length(trim(text)) > 0
+    ),
+    flagged AS (
+      SELECT source, n_chars, n_tokens, n_symbols, n_keywords,
+             CASE WHEN n_symbols * 1.0 / n_chars > {_CODE_SYMBOL_THR}
+                       AND n_keywords * 100.0 / n_tokens > {_CODE_KW_THR}
+                  THEN 1 ELSE 0 END AS is_codeish
+      FROM scored
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(is_codeish) AS BIGINT) AS n_codeish,
+           round(sum(is_codeish) * 1.0 / count(*), 6) AS codeish_share,
+           round(sum(n_symbols) * 1.0 / sum(n_chars), 6)
+             AS symbol_density,
+           round(sum(n_keywords) * 100.0 / sum(n_tokens), 6)
+             AS keywords_per_100_tokens
+    FROM flagged GROUP BY source
+    """,
+)
+def code_detection_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Code-vs-prose routing signal per source: symbol density
+    (braces/brackets/semicolons/operators per char) AND programming-
+    keyword rate per 100 tokens; a document is 'codeish' when both
+    clear their thresholds (conjunctive — prose with heavy
+    punctuation or code-free mentions of 'class' alone do not trip
+    it). The separation step before a code-aware training mixture.
+
+    Determinism: integer regex-hit counts on identical RE2-subset
+    patterns; flags from exact integer ratios; corpus-ratio rollups
+    rounded at 6dp.
+
+    Scale: one scan, per-row regexp counts inside codegen, one
+    source-keyed map-side-combinable aggregate. No joins, no
+    windows."""
+    d = load(spark, sf_dir, "documents").filter(
+        F.length(F.trim(F.col("text"))) > 0
+    )
+    scored = d.select(
+        "source",
+        F.length("text").cast("long").alias("n_chars"),
+        F.size(tx.words(F.col("text"))).cast("long").alias("n_tokens"),
+        F.regexp_count("text", F.lit(_CODE_SYMBOLS))
+        .cast("long")
+        .alias("n_symbols"),
+        F.regexp_count("text", F.lit(_CODE_KEYWORDS))
+        .cast("long")
+        .alias("n_keywords"),
+    )
+    is_codeish = F.when(
+        (F.col("n_symbols") * 1.0 / F.col("n_chars") > _CODE_SYMBOL_THR)
+        & (
+            F.col("n_keywords") * 100.0 / F.col("n_tokens")
+            > _CODE_KW_THR
+        ),
+        1,
+    ).otherwise(0)
+    return (
+        scored.withColumn("is_codeish", is_codeish)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("is_codeish").cast("long").alias("n_codeish"),
+            F.round(F.sum("is_codeish") * 1.0 / F.count(F.lit(1)), 6).alias(
+                "codeish_share"
+            ),
+            F.round(
+                F.sum("n_symbols") * 1.0 / F.sum("n_chars"), 6
+            ).alias("symbol_density"),
+            F.round(
+                F.sum("n_keywords") * 100.0 / F.sum("n_tokens"), 6
+            ).alias("keywords_per_100_tokens"),
+        )
+    )

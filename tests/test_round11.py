@@ -273,3 +273,40 @@ def test_krippendorff_alpha_python_reference(spark):
     assert abs(got.d_expected - de) < 1e-6
     # raters agree far above chance but below perfection (noise planted)
     assert 0.3 < got.alpha < 0.95
+
+
+def test_code_detection_planted(spark, tmp_path):
+    """A code document (symbol-heavy AND keyword-heavy) must trip the
+    conjunctive flag; keyword-free symbol soup and symbol-free
+    keyword mentions must NOT."""
+    from clickstreamtoclickhouse_spark import plans
+
+    code = (
+        "def f(x): return [x]; "
+        "class A { public static void main() { int i = 0; } }"
+    )
+    punct_prose = "wow!!! (really); [yes] = <no> {maybe}; ok then"
+    kw_prose = (
+        "the class will return after the import of new function ideas "
+        "for the public while we wait if else fails"
+    )
+    docs = [
+        (1, code, "en", "code", len(code)),
+        (2, punct_prose, "en", "prose", len(punct_prose)),
+        (3, kw_prose, "en", "prose", len(kw_prose)),
+    ]
+    spark.createDataFrame(
+        docs,
+        "doc_id long, text string, lang string, source string, "
+        "n_chars long",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        f"{tmp_path}/documents.parquet"
+    )
+    out = {
+        r.source: r
+        for r in plans.QUERIES["code_detection_report"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert out["code"].n_codeish == 1
+    assert out["prose"].n_codeish == 0
