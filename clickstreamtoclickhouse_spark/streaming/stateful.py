@@ -809,3 +809,42 @@ def streaming_chunk_dedup(
         id_col="chunk_id",
         text_col="chunk_text",
     )
+
+
+def streaming_url_frontier(
+    urls_stream: DataFrame,
+    index_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    url_col: str = "url",
+):
+    """Streaming crawl-frontier dedup: canonicalize each micro-batch's
+    URLs (plans.webprep.canonicalize_url — case/port/www/fragment/
+    tracking-param normalization) and admit only canonical forms never
+    seen before, against a PERSISTED canonical-hash index. The
+    frontier discipline of a continuous crawl: re-discovered links,
+    tracking-decorated variants, and re-sent files all collapse onto
+    the canonical hash and are rejected.
+
+    Composition: canonicalize_url -> the streaming_corpus_dedup
+    machinery with the canonical string as the dedup text — one
+    implementation of incremental exact dedup serves text, chunks,
+    AND the url frontier (the portable_id_hash single-source rule
+    applied to operators). Same scale/atomicity story as
+    streaming_corpus_dedup: (hash, id)-keyed anti-join per batch,
+    bucketed index at scale, one-batch-wide crash window with plain
+    parquet (txlog/Delta closes it)."""
+    from ..plans.webprep import canonicalize_url
+
+    canon = urls_stream.withColumn(
+        "canonical_url", canonicalize_url(F.col(url_col))
+    )
+    return streaming_corpus_dedup(
+        canon,
+        index_dir,
+        out_dir,
+        checkpoint_dir,
+        id_col=id_col,
+        text_col="canonical_url",
+    )

@@ -1282,3 +1282,53 @@ def test_streaming_late_monitor_replay_uses_previous_watermark(
     )
     counts = spark.read.parquet(str(tmp_path / "replay_counts")).collect()
     assert sum(r.n_rows for r in counts) == 1
+
+
+def test_streaming_url_frontier_collapses_variants(spark, tmp_path):
+    """Crawl-frontier discipline: tracking-decorated / case / port /
+    www / fragment variants of an already-admitted URL are rejected
+    in later batches (and in-batch), genuinely new pages admitted."""
+    import json as _json
+
+    landing = tmp_path / "urls"
+    landing.mkdir()
+    index_dir = str(tmp_path / "uindex")
+    out_dir = str(tmp_path / "frontier")
+    ckpt = str(tmp_path / "ckpt_urls")
+
+    def write_file(name, rows):
+        with open(landing / name, "w") as f:
+            for r in rows:
+                f.write(_json.dumps(r) + "\n")
+
+    # batch 1: two spellings of page /a (in-batch collapse) + page /b
+    write_file("b1.json", [
+        {"doc_id": 1, "url": "https://example.com/a"},
+        {"doc_id": 2, "url": "HTTPS://WWW.Example.com:443/a/?utm_source=x"},
+        {"doc_id": 3, "url": "https://example.com/b"},
+    ])
+    stream = spark.readStream.schema("doc_id long, url string").option(
+        "maxFilesPerTrigger", 1
+    ).json(str(landing))
+    q = stateful.streaming_url_frontier(stream, index_dir, out_dir, ckpt)
+    try:
+        q.processAllAvailable()
+        # batch 2: yet another /a variant + a re-send of /b + new /c
+        write_file("b2.json", [
+            {"doc_id": 10, "url": "https://example.com/a#frag"},
+            {"doc_id": 11, "url": "https://example.com/b?gclid=zz"},
+            {"doc_id": 12, "url": "https://example.com/c"},
+        ])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    frontier = spark.read.parquet(out_dir)
+    ids = sorted(r["doc_id"] for r in frontier.collect())
+    assert ids == [1, 3, 12]
+    # the admitted rows carry the canonical form
+    canon = {
+        r["doc_id"]: r["canonical_url"] for r in frontier.collect()
+    }
+    assert canon[1] == "https://example.com/a"
+    assert canon[3] == "https://example.com/b"
