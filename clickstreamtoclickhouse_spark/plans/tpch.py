@@ -2243,3 +2243,140 @@ def part_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("degree_band")
     )
+
+# ---------------------------------------------------------------------------
+# Deterministic random-walk corpus over the co-purchase graph (round 11)
+# ---------------------------------------------------------------------------
+
+_WALK_K = 2  # walks per start node
+_WALK_L = 3  # steps per walk (4 nodes)
+
+
+def _walks_oracle() -> str:
+    from ..util import portable_id_hash_duck
+
+    steps = []
+    prev = "seeds"
+    for t in range(1, _WALK_L + 1):
+        h = portable_id_hash_duck(
+            "'walk' || ':' || CAST(s.n0 AS VARCHAR) || ':' || "
+            "CAST(s.k AS VARCHAR) || ':' || "
+            f"'{t}' || ':' || CAST(s.n{t - 1} AS VARCHAR) || ':' || "
+            "CAST(a.nbr AS VARCHAR)"
+        )
+        keep = ", ".join(f"s.n{i}" for i in range(t))
+        steps.append(f"""    s{t} AS (
+      SELECT {", ".join(f"n{i}" for i in range(t))}, k, nbr AS n{t}
+      FROM (
+        SELECT {keep}, s.k, a.nbr,
+               row_number() OVER (
+                 PARTITION BY s.n0, s.k
+                 ORDER BY {h}, a.nbr) AS rn
+        FROM {prev} s JOIN adj a ON a.node = s.n{t - 1}
+      ) WHERE rn = 1
+    )""")
+        prev = f"s{t}"
+    path = " || '->' || ".join(
+        f"CAST(n{i} AS VARCHAR)" for i in range(_WALK_L + 1)
+    )
+    klist = ", ".join(str(k) for k in range(1, _WALK_K + 1))
+    steps_sql = ",\n".join(steps)
+    return f"""
+    WITH li2 AS MATERIALIZED (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    edges AS MATERIALIZED (
+      SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      FROM li2 a JOIN li2 b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    adj AS MATERIALIZED (
+      SELECT u AS node, v AS nbr FROM edges
+      UNION ALL
+      SELECT v, u FROM edges
+    ),
+    seeds AS (
+      SELECT DISTINCT node AS n0, k
+      FROM adj CROSS JOIN (SELECT unnest([{klist}]) AS k) ks
+    ),
+{steps_sql}
+    SELECT n0 AS start_node, CAST(k AS BIGINT) AS walk_id,
+           CAST(n{_WALK_L} AS BIGINT) AS end_node,
+           {path} AS path
+    FROM s{_WALK_L}
+    """
+
+
+@query("graph_random_walks", oracle=_walks_oracle())
+def graph_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic random-walk corpus over the co-purchase graph —
+    the sequence-generation step of DeepWalk/node2vec (Perozzi 2014 /
+    Grover-Leskovec 2016, public methods) that turns a graph into
+    walk 'sentences' for a skip-gram embedding trainer. RNG is
+    replaced by the repo's portable content hash (next hop = the
+    neighbor minimizing hash('walk', start, walk_id, step, current,
+    neighbor)), so the walk corpus is REPRODUCIBLE across runs,
+    engines, retries, and partitionings — the property an incremental
+    embedding pipeline needs; same stance as weighted_sample_docs /
+    epoch_shuffle.
+
+    2 walks per start node, 3 hops each; every node of the
+    symmetrized edge set seeds walks, so isolated-node handling never
+    arises (every seed has >= 1 neighbor). Walks may backtrack, as
+    unbiased unweighted walks do.
+
+    Scale: each hop is one keyed equi-join of the (nodes x K)
+    frontier against the session-cached adjacency (fan bounded by
+    sum-of-degrees = 2m per hop -> O(K*L*m) total) followed by a
+    (start, walk)-PARTITIONED top-1 window (WindowGroupLimit shape);
+    the hop count is a compile-time constant — no convergence loop,
+    no lineage growth, no driver round trips."""
+    from pyspark.sql.window import Window
+
+    from ..util import portable_id_hash
+
+    edges = _copurchase_edges(spark, sf_dir)
+    adj = edges.select(
+        F.col("u").alias("node"), F.col("v").alias("nbr")
+    ).unionByName(
+        edges.select(F.col("v").alias("node"), F.col("u").alias("nbr"))
+    )
+    ks = spark.range(1, _WALK_K + 1).select(F.col("id").alias("k"))
+    frontier = (
+        adj.select(F.col("node").alias("n0"))
+        .distinct()
+        .crossJoin(F.broadcast(ks))
+    )
+    for t in range(1, _WALK_L + 1):
+        cur = f"n{t - 1}"
+        h = portable_id_hash(
+            F.concat_ws(
+                ":",
+                F.lit("walk"),
+                F.col("n0").cast("string"),
+                F.col("k").cast("string"),
+                F.lit(str(t)),
+                F.col(cur).cast("string"),
+                F.col("nbr").cast("string"),
+            )
+        )
+        w = Window.partitionBy("n0", "k").orderBy(h, F.col("nbr"))
+        frontier = (
+            frontier.join(adj, F.col(cur) == F.col("node"))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(
+                *[f"n{i}" for i in range(t)],
+                "k",
+                F.col("nbr").alias(f"n{t}"),
+            )
+        )
+    return frontier.select(
+        F.col("n0").alias("start_node"),
+        F.col("k").cast("long").alias("walk_id"),
+        F.col(f"n{_WALK_L}").cast("long").alias("end_node"),
+        F.concat_ws(
+            "->",
+            *[F.col(f"n{i}").cast("string") for i in range(_WALK_L + 1)],
+        ).alias("path"),
+    )

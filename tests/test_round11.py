@@ -310,3 +310,41 @@ def test_code_detection_planted(spark, tmp_path):
     }
     assert out["code"].n_codeish == 1
     assert out["prose"].n_codeish == 0
+
+
+def test_graph_random_walks_valid_and_deterministic(spark):
+    """Every hop must traverse a real (symmetrized) co-purchase edge,
+    every seed gets exactly K walks, and a second invocation yields
+    the identical corpus (hash-driven, no RNG)."""
+    from clickstreamtoclickhouse_spark import plans
+    from clickstreamtoclickhouse_spark.plans import tpch
+    from .conftest import SF_DIR
+
+    edges = {
+        (r.u, r.v)
+        for r in tpch._copurchase_edges(spark, SF_DIR).collect()
+    }
+    sym = edges | {(v, u) for (u, v) in edges}
+    walks = plans.QUERIES["graph_random_walks"](spark, SF_DIR).collect()
+    assert walks
+    starts: dict[int, int] = {}
+    for w in walks:
+        nodes = [int(x) for x in w.path.split("->")]
+        assert len(nodes) == tpch._WALK_L + 1
+        assert nodes[0] == w.start_node and nodes[-1] == w.end_node
+        for a, b in zip(nodes, nodes[1:]):
+            assert (a, b) in sym, (w.path, (a, b))
+        starts[w.start_node] = starts.get(w.start_node, 0) + 1
+    assert set(starts.values()) == {tpch._WALK_K}
+    # reproducibility: identical corpus on a fresh invocation
+    again = {
+        (w.start_node, w.walk_id, w.path)
+        for w in plans.QUERIES["graph_random_walks"](
+            spark, SF_DIR
+        ).collect()
+    }
+    assert again == {(w.start_node, w.walk_id, w.path) for w in walks}
+    # walks actually branch: not every walk is a 2-cycle backtrack
+    assert any(
+        len(set(w.path.split("->"))) > 2 for w in walks
+    )
