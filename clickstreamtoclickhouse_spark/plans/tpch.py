@@ -2331,8 +2331,6 @@ def graph_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     (start, walk)-PARTITIONED top-1 window (WindowGroupLimit shape);
     the hop count is a compile-time constant — no convergence loop,
     no lineage growth, no driver round trips."""
-    from pyspark.sql.window import Window
-
     from ..util import portable_id_hash
 
     edges = _copurchase_edges(spark, sf_dir)
@@ -2360,15 +2358,19 @@ def graph_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("nbr").cast("string"),
             )
         )
-        w = Window.partitionBy("n0", "k").orderBy(h, F.col("nbr"))
+        # min(struct(h, nbr)) instead of a row_number window: the
+        # argmin becomes a map-side-combinable hash aggregate (partial
+        # agg before the shuffle — no per-partition sort), with the
+        # struct's lexicographic order giving the (h, nbr) tie-break
+        # the oracle's ORDER BY h, nbr replicates
+        keys = [f"n{i}" for i in range(t)] + ["k"]
         frontier = (
             frontier.join(adj, F.col(cur) == F.col("node"))
-            .withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select(
-                *[f"n{i}" for i in range(t)],
-                "k",
-                F.col("nbr").alias(f"n{t}"),
+            .groupBy(*keys)
+            .agg(
+                F.min(
+                    F.struct(h.alias("h"), F.col("nbr").alias("nbr"))
+                )["nbr"].alias(f"n{t}")
             )
         )
     return frontier.select(

@@ -189,6 +189,15 @@ PROBE_QUERIES = [
     "ipw_treatment_effect",
     "bh_fdr_report",
     "user_value_gini_approx",
+    # round-11 second wave: messy-URL string algebra + canonical-keyed
+    # dedup aggregate (doc-scale, must stay scan-shaped), the K*L*m
+    # walk joins over the basket-shaped lineitem graph, the 3x-explode
+    # agreement fold, and the (source, word) diversity aggregate
+    "url_canonical_dedup",
+    "robots_policy_filter",
+    "graph_random_walks",
+    "krippendorff_alpha",
+    "lexical_diversity_report",
 ]
 
 
