@@ -5708,3 +5708,89 @@ def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# Dedup threshold sweep (round 11)
+# ---------------------------------------------------------------------------
+
+_SWEEP_THRESHOLDS = (0.5, 0.6, 0.7, 0.8, 0.9)
+
+
+@query(
+    "dedup_threshold_sweep",
+    oracle=f"""
+    WITH corpus AS ({_SQL_NEAR_DUP_CORPUS}),
+    normed AS (
+      SELECT doc_id, {_SQL_WORDS.format(t=_SQL_NORM.format(t='text'))} AS ws
+      FROM corpus
+    ),
+    shingled AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(
+               range(1, len(ws) - 1),
+               i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS shingle
+      FROM normed WHERE len(ws) >= 3
+    ),
+    freq AS (SELECT shingle, count(*) AS df FROM shingled GROUP BY shingle),
+    capped AS (
+      SELECT s.doc_id, s.shingle
+      FROM shingled s JOIN freq USING (shingle) WHERE df <= 4
+    ),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM capped GROUP BY doc_id),
+    pairs AS (
+      SELECT doc_a, doc_b,
+             round(n_common * 1.0 / (sa.sz + sb.sz - n_common), 6)
+               AS jaccard
+      FROM (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+        FROM capped a JOIN capped b USING (shingle)
+        WHERE a.doc_id < b.doc_id
+        GROUP BY 1, 2
+      )
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b
+      WHERE n_common * 1.0 / (sa.sz + sb.sz - n_common) >= 0.5
+    ),
+    grid AS (SELECT unnest([{", ".join(str(t) for t in _SWEEP_THRESHOLDS)}])
+               AS thr)
+    SELECT g.thr,
+           CAST(count(p.doc_a) AS BIGINT) AS n_pairs,
+           CAST(count(DISTINCT CASE WHEN p.jaccard >= g.thr
+                 THEN p.doc_b END) AS BIGINT) AS n_removed_naive
+    FROM grid g LEFT JOIN pairs p ON p.jaccard >= g.thr
+    GROUP BY g.thr
+    """,
+)
+def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The near-dup THRESHOLD-TUNING readout: pair counts and the
+    naive removal count (distinct higher-id members; the pairwise
+    upper bound a transitive-closure pass would refine) at Jaccard
+    cutoffs {_SWEEP_THRESHOLDS} — computed from ONE pass of the
+    capped shingle self-join, so sweeping five thresholds costs one
+    near-dup run plus a 5-row broadcast. This is how a pipeline picks
+    its dedup aggressiveness before committing to a full run.
+
+    Scale: identical candidate generation to the registered
+    jaccard_near_dups primary (hot-shingle cap active); the sweep is
+    a broadcast range-join of the bounded pair table against the
+    5-row grid. LEFT join keeps thresholds with zero pairs visible."""
+    corpus = _near_dup_corpus(load(spark, sf_dir, "documents"))
+    pairs = dedup_text.jaccard_pairs(
+        corpus, threshold=0.5, n=3, max_shingle_freq=4,
+        shingles=_near_dup_shingles(spark, sf_dir),
+    )
+    grid = spark.createDataFrame(
+        [(t,) for t in _SWEEP_THRESHOLDS], "thr double"
+    )
+    j = F.broadcast(grid).join(
+        pairs, pairs["jaccard"] >= F.col("thr"), "left"
+    )
+    return j.groupBy("thr").agg(
+        F.count("doc_a").cast("long").alias("n_pairs"),
+        F.countDistinct(
+            F.when(F.col("jaccard") >= F.col("thr"), F.col("doc_b"))
+        )
+        .cast("long")
+        .alias("n_removed_naive"),
+    )

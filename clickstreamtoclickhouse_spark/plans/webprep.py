@@ -23,6 +23,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..functions import text as tx
 from ..util import portable_id_hash, widen_scan
 from .registry import load, query
 
@@ -943,4 +944,99 @@ def robots_policy_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum(allow) * 1.0 / F.count("*"), 6).alias(
             "allowed_share"
         ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Anchor-text aggregation over a synthetic link graph (round 11)
+# ---------------------------------------------------------------------------
+#
+# The web-graph op behind anchor-text corpora (search ranking and
+# grounded-LLM training both consume "how the web describes page X"):
+# aggregate the anchor strings of all in-links per target page. The
+# link graph is synthesized deterministically (two modular-arithmetic
+# out-links per doc over the page universe), term-identically in both
+# engines; anchors are the source doc's first three words.
+
+_ANCHOR_WORDS = 3
+_LINK_MULTS = ((7, 3), (13, 5))  # two out-links: (a*doc_id + b) mod P
+
+
+@query(
+    "anchor_text_aggregation",
+    oracle=f"""
+    WITH pu AS (
+      SELECT CAST(max(doc_id) // 3 + 1 AS BIGINT) AS p FROM documents
+    ),
+    anchors AS (
+      SELECT doc_id,
+             array_to_string(list_slice(
+               {tx.SQL_WORDS.format(t="lower(text)")}, 1,
+               {_ANCHOR_WORDS}), ' ') AS anchor
+      FROM documents WHERE length(trim(text)) > 0
+    ),
+    links AS (
+      SELECT a.doc_id AS src, (a.doc_id * 7 + 3) % pu.p AS target_page,
+             a.anchor
+      FROM anchors a CROSS JOIN pu
+      UNION ALL
+      SELECT a.doc_id, (a.doc_id * 13 + 5) % pu.p, a.anchor
+      FROM anchors a CROSS JOIN pu
+    ),
+    per_anchor AS (
+      SELECT target_page, anchor, CAST(count(*) AS BIGINT) AS cnt
+      FROM links GROUP BY target_page, anchor
+    )
+    SELECT target_page,
+           CAST(sum(cnt) AS BIGINT) AS n_inlinks,
+           CAST(count(*) AS BIGINT) AS n_unique_anchors,
+           max(struct_pack(cnt := cnt, anchor := anchor)).anchor
+             AS top_anchor,
+           CAST(max(struct_pack(cnt := cnt, anchor := anchor)).cnt
+             AS BIGINT) AS top_anchor_count
+    FROM per_anchor GROUP BY target_page
+    """,
+)
+def anchor_text_aggregation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-target anchor-text rollup over the link graph: in-link
+    count, distinct anchor count, and the dominant anchor (max by
+    (count, anchor) — deterministic tie on the string). 'How the web
+    describes this page' is a ranking/grounding signal the crawl
+    pipeline materializes alongside the page corpus.
+
+    Scale: anchors are a per-row projection; the link explode is a
+    2x UNION (constant fan); two map-side-combinable keyed aggregates
+    ((target, anchor) then target) — the same shuffle discipline as
+    exact_dedup. The dominant-anchor argmax is a struct max INSIDE
+    the aggregate, not a window."""
+    docs = load(spark, sf_dir, "documents").filter(
+        F.length(F.trim(F.col("text"))) > 0
+    )
+    p = load(spark, sf_dir, "documents").agg(
+        (F.floor(F.max("doc_id") / 3) + 1).cast("long").alias("p")
+    )
+    anchors = docs.select(
+        "doc_id",
+        F.array_join(
+            F.slice(tx.words(F.lower(F.col("text"))), 1, _ANCHOR_WORDS), " "
+        ).alias("anchor"),
+    ).crossJoin(F.broadcast(p))
+    links = None
+    for a, b in _LINK_MULTS:
+        part = anchors.select(
+            F.pmod(F.col("doc_id") * a + b, F.col("p")).alias(
+                "target_page"
+            ),
+            "anchor",
+        )
+        links = part if links is None else links.unionByName(part)
+    per_anchor = links.groupBy("target_page", "anchor").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    top = F.max(F.struct(F.col("cnt"), F.col("anchor")))
+    return per_anchor.groupBy("target_page").agg(
+        F.sum("cnt").cast("long").alias("n_inlinks"),
+        F.count(F.lit(1)).cast("long").alias("n_unique_anchors"),
+        top["anchor"].alias("top_anchor"),
+        top["cnt"].cast("long").alias("top_anchor_count"),
     )

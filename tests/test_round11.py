@@ -348,3 +348,63 @@ def test_graph_random_walks_valid_and_deterministic(spark):
     assert any(
         len(set(w.path.split("->"))) > 2 for w in walks
     )
+
+
+def test_dedup_threshold_sweep_monotone(spark):
+    from clickstreamtoclickhouse_spark import plans
+    from clickstreamtoclickhouse_spark.plans.ext import _SWEEP_THRESHOLDS
+    from .conftest import SF_DIR
+
+    rows = sorted(
+        plans.QUERIES["dedup_threshold_sweep"](spark, SF_DIR).collect(),
+        key=lambda r: r.thr,
+    )
+    assert [r.thr for r in rows] == list(_SWEEP_THRESHOLDS)
+    assert rows[0].n_pairs > 0  # planted truncated copies pair up
+    for lo, hi in zip(rows, rows[1:]):
+        assert hi.n_pairs <= lo.n_pairs
+        assert hi.n_removed_naive <= lo.n_removed_naive
+    # the planted corpus pairs sit at jaccard ~0.8: the 0.9 cutoff
+    # must drop (almost) all of them
+    assert rows[-1].n_pairs < rows[0].n_pairs
+
+
+def test_anchor_text_aggregation_planted(spark, tmp_path):
+    """Three docs all linking to the same page with two identical
+    anchors -> the dominant anchor and the counts are exact."""
+    from clickstreamtoclickhouse_spark import plans
+
+    # doc_ids chosen so (7d+3) % P collide: P = max(doc_id)//3+1 = 3
+    # d=0 -> 0, d=3 -> 0, d=6 -> 0 (and 13d+5: 2, 2, 2)
+    docs = [
+        (0, "alpha beta gamma tail words", "en", "s", 10),
+        (3, "alpha beta gamma other", "en", "s", 10),
+        (6, "different anchor here", "en", "s", 10),
+        (9, "pad doc text", "en", "s", 10),  # P = 9//3+1 = 4
+    ]
+    spark.createDataFrame(
+        docs,
+        "doc_id long, text string, lang string, source string, "
+        "n_chars long",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        f"{tmp_path}/documents.parquet"
+    )
+    out = {
+        r.target_page: r
+        for r in plans.QUERIES["anchor_text_aggregation"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    # P=4: link1 targets (7d+3)%4 = d=0->3, 3->0, 6->1, 9->2
+    #      link2 targets (13d+5)%4 = d=0->1, 3->0, 6->3, 9->2
+    # page 0 gets two in-links from doc 3 (both its links):
+    assert out[0].n_inlinks == 2
+    assert out[0].top_anchor == "alpha beta gamma"
+    assert out[0].n_unique_anchors == 1 and out[0].top_anchor_count == 2
+    # page 2 gets both links of doc 9
+    assert out[2].n_inlinks == 2 and out[2].top_anchor == "pad doc text"
+    # page 3: doc 0's link1 + doc 6's link2 -> two distinct anchors,
+    # deterministic tie -> lexicographically LARGER anchor wins
+    assert out[3].n_inlinks == 2 and out[3].n_unique_anchors == 2
+    assert out[3].top_anchor == "different anchor here"
+    assert out[3].top_anchor_count == 1
