@@ -5794,3 +5794,193 @@ def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_removed_naive"),
     )
+
+
+# ---------------------------------------------------------------------------
+# LSH banding sweep (round 11)
+# ---------------------------------------------------------------------------
+
+_SWEEP_BANDINGS = ((2, 8), (4, 4), (8, 2), (16, 1))  # (bands, rows): b*r = 16
+
+
+def _banding_sweep_oracle() -> str:
+    cfg_blocks, selects = [], []
+    for b, r in _SWEEP_BANDINGS:
+        bands_sql = "\n      UNION ALL\n".join(
+            "      SELECT doc_id, {band} AS band, {key} AS bk FROM sig".format(
+                band=i,
+                key=" || '-' || ".join(
+                    f"CAST(m{i * r + j} AS VARCHAR)" for j in range(r)
+                ),
+            )
+            for i in range(b)
+        )
+        capture = round(1 - (1 - 0.8**r) ** b, 6)
+        cfg_blocks.append(f"""    banded0_{b} AS (
+{bands_sql}
+    ),
+    bok_{b} AS (
+      SELECT band, bk FROM banded0_{b}
+      GROUP BY band, bk HAVING count(*) <= {_MH_CAP}
+    ),
+    banded_{b} AS (
+      SELECT x.* FROM banded0_{b} x JOIN bok_{b} USING (band, bk)
+    ),
+    cand_{b} AS MATERIALIZED (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM banded_{b} a
+      JOIN banded_{b} b ON a.band = b.band AND a.bk = b.bk
+                        AND a.doc_id < b.doc_id
+    )""")
+        selects.append(
+            f"""      SELECT {b} AS bands, {r} AS rows_per_band,
+             (SELECT count(*) FROM truth) AS n_truth,
+             (SELECT count(*) FROM cand_{b}) AS n_candidates,
+             (SELECT count(*) FROM cand_{b} c
+              JOIN truth t ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b)
+               AS n_overlap,
+             {capture} AS capture_at_08"""
+        )
+    hashed_shingles = _SQL_HASHED_SHINGLES.replace(
+        "shingled AS (", "shingled AS MATERIALIZED ("
+    )
+    cfg_sql = ",\n".join(cfg_blocks)
+    stats_sql = "\n      UNION ALL\n".join(selects)
+    return f"""
+    WITH corpus AS ({_SQL_NEAR_DUP_CORPUS}),
+    {hashed_shingles},
+    sig AS MATERIALIZED (
+      SELECT doc_id,
+             {_SQL_MH_MINS}
+      FROM hashed GROUP BY doc_id
+    ),
+    tfreq AS (SELECT shingle, count(*) AS df FROM shingled GROUP BY shingle),
+    tcapped AS (
+      SELECT s.doc_id, s.shingle
+      FROM shingled s JOIN tfreq USING (shingle) WHERE df <= 4
+    ),
+    tsizes AS (SELECT doc_id, count(*) AS sz FROM tcapped GROUP BY doc_id),
+    truth AS MATERIALIZED (
+      SELECT doc_a, doc_b
+      FROM (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+        FROM tcapped a JOIN tcapped b USING (shingle)
+        WHERE a.doc_id < b.doc_id
+        GROUP BY 1, 2
+      )
+      JOIN tsizes sa ON sa.doc_id = doc_a
+      JOIN tsizes sb ON sb.doc_id = doc_b
+      WHERE n_common * 1.0 / (sa.sz + sb.sz - n_common) >= 0.5
+    ),
+{cfg_sql},
+    stats AS (
+{stats_sql}
+    )
+    SELECT bands, rows_per_band,
+           CAST(n_truth AS BIGINT) AS n_truth,
+           CAST(n_candidates AS BIGINT) AS n_candidates,
+           CAST(n_overlap AS BIGINT) AS n_overlap,
+           round(CASE WHEN n_truth = 0 THEN 0.0
+                 ELSE n_overlap * 1.0 / n_truth END, 6) AS pair_recall,
+           round(CASE WHEN n_candidates = 0 THEN 0.0
+                 ELSE n_overlap * 1.0 / n_candidates END, 6)
+             AS pair_precision,
+           capture_at_08
+    FROM stats
+    """
+
+
+@query("lsh_banding_sweep", oracle=_banding_sweep_oracle())
+def lsh_banding_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LSH PARAMETER-TUNING readout: candidate recall/precision of
+    MinHash banding at every (bands x rows) factorization of the
+    16-permutation signature — (2x8) precision-biased through (16x1)
+    recall-biased — against the capped exact-Jaccard >= 0.5 truth,
+    plus the theoretical S-curve capture probability
+    1-(1-j^r)^b at j=0.8 for calibration. ONE signature build serves
+    all four configs (bands re-derive from the sig array), and every
+    config runs under the same hot-bucket guard as the registered
+    primary, so the sweep measures the configuration a pipeline would
+    actually ship. Companion of dedup_threshold_sweep: that one tunes
+    the verify threshold, this one tunes candidate generation.
+
+    Scale: one shingle+signature pass; per config one banded
+    self-equi-join (guard-capped, never all-pairs) and three counting
+    joins on pair keys. Config count is a compile-time constant."""
+    corpus = _near_dup_corpus(load(spark, sf_dir, "documents"))
+    sh = _near_dup_shingles(spark, sf_dir)
+    truth = dedup_text.jaccard_pairs(
+        corpus, threshold=0.5, n=3, max_shingle_freq=4, shingles=sh
+    ).select("doc_a", "doc_b")
+    sigs = dedup_text.minhash_portable_bands(
+        corpus, num_bands=16, shingles=sh
+    ).select("did", "sig").dropDuplicates(["did"])
+    out = None
+    for b, r in _SWEEP_BANDINGS:
+        bands = F.array(
+            *[
+                F.struct(
+                    F.lit(i).alias("band"),
+                    F.concat_ws(
+                        "-",
+                        *[
+                            F.element_at("sig", i * r + j + 1).cast("string")
+                            for j in range(r)
+                        ],
+                    ).alias("bk"),
+                )
+                for i in range(b)
+            ]
+        )
+        banded = dedup_text._cap_buckets(
+            sigs.select("did", F.explode(bands).alias("x")).select(
+                "did", F.col("x.band").alias("band"), F.col("x.bk").alias("bk")
+            ),
+            ["band", "bk"],
+            _MH_CAP,
+        )
+        left = banded.select(
+            F.col("did").alias("doc_a"), "band", "bk"
+        )
+        right = banded.select(F.col("did").alias("doc_b"), "band", "bk")
+        cand = (
+            left.join(right, ["band", "bk"])
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .select("doc_a", "doc_b")
+            .distinct()
+        )
+        nt = truth.agg(F.count("*").alias("n_truth"))
+        nc = cand.agg(F.count("*").alias("n_candidates"))
+        no = truth.join(cand, ["doc_a", "doc_b"]).agg(
+            F.count("*").alias("n_overlap")
+        )
+        row = (
+            nt.crossJoin(nc)
+            .crossJoin(no)
+            .select(
+                F.lit(b).alias("bands"),
+                F.lit(r).alias("rows_per_band"),
+                F.col("n_truth").cast("long").alias("n_truth"),
+                F.col("n_candidates").cast("long").alias("n_candidates"),
+                F.col("n_overlap").cast("long").alias("n_overlap"),
+                F.round(
+                    F.when(F.col("n_truth") == 0, F.lit(0.0)).otherwise(
+                        F.col("n_overlap") * 1.0 / F.col("n_truth")
+                    ),
+                    6,
+                ).alias("pair_recall"),
+                F.round(
+                    F.when(
+                        F.col("n_candidates") == 0, F.lit(0.0)
+                    ).otherwise(
+                        F.col("n_overlap") * 1.0 / F.col("n_candidates")
+                    ),
+                    6,
+                ).alias("pair_precision"),
+                F.lit(round(1 - (1 - 0.8**r) ** b, 6)).alias(
+                    "capture_at_08"
+                ),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

@@ -198,6 +198,9 @@ PROBE_QUERIES = [
     "graph_random_walks",
     "krippendorff_alpha",
     "lexical_diversity_report",
+    # four banded self-joins off one signature build; each config is
+    # hot-bucket-guarded, so candidate volume must stay linear
+    "lsh_banding_sweep",
 ]
 
 

@@ -408,3 +408,29 @@ def test_anchor_text_aggregation_planted(spark, tmp_path):
     assert out[3].n_inlinks == 2 and out[3].n_unique_anchors == 2
     assert out[3].top_anchor == "different anchor here"
     assert out[3].top_anchor_count == 1
+
+
+def test_lsh_banding_sweep_s_curve(spark):
+    """The banding trade-off must behave like the theory says: recall
+    non-decreasing in band count, measured recall tracking the
+    1-(1-j^r)^b capture probability at the planted similarity, and
+    the 16x1 config paying for its recall with collapsed precision."""
+    from clickstreamtoclickhouse_spark import plans
+    from .conftest import SF_DIR_MED
+
+    rows = sorted(
+        plans.QUERIES["lsh_banding_sweep"](spark, SF_DIR_MED).collect(),
+        key=lambda r: r.bands,
+    )
+    assert [(r.bands, r.rows_per_band) for r in rows] == [
+        (2, 8), (4, 4), (8, 2), (16, 1)
+    ]
+    recalls = [r.pair_recall for r in rows]
+    assert recalls == sorted(recalls)
+    for r in rows:
+        assert r.n_overlap <= min(r.n_truth, r.n_candidates)
+        assert abs(r.pair_recall - r.capture_at_08) < 0.15, r
+    # the shipped 4x4 primary sits on the S-curve's useful shoulder
+    assert rows[1].pair_recall > 0.7 and rows[1].pair_precision > 0.9
+    # 16x1: single-minimum buckets flood candidates
+    assert rows[3].pair_recall > 0.99 and rows[3].pair_precision < 0.5
