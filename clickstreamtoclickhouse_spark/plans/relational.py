@@ -7101,3 +7101,91 @@ from .registry import ORACLE as _ORACLE_REG  # noqa: E402
 _ORACLE_REG["forecast_backtest_mae"] = _ORACLE_REG[
     "forecast_backtest_mae"
 ].replace("__EWMA_ORACLE__", _ORACLE_REG["daily_value_ewma"])
+
+
+# ---------------------------------------------------------------------------
+# Inter-arrival burstiness (round 11)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "event_burstiness_by_type",
+    oracle="""
+    WITH gaps AS (
+      SELECT event_type,
+             CAST(floor(epoch(ts)) AS BIGINT)
+             - CAST(floor(epoch(lag(ts) OVER (
+                 PARTITION BY user_id, event_type
+                 ORDER BY ts, event_id))) AS BIGINT) AS g
+      FROM events WHERE ts IS NOT NULL
+    ),
+    stats AS (
+      SELECT event_type,
+             CAST(count(g) AS BIGINT) AS n,
+             CAST(sum(g) AS BIGINT) AS s,
+             CAST(sum(g * g) AS BIGINT) AS ss
+      FROM gaps WHERE g IS NOT NULL GROUP BY event_type
+    )
+    SELECT event_type, n,
+           round(s * 1.0 / n, 4) AS mean_gap_sec,
+           round(sqrt(greatest(ss * 1.0 / n - (s * 1.0 / n) * (s * 1.0 / n),
+                 0.0)), 4) AS std_gap_sec,
+           round((sqrt(greatest(ss * 1.0 / n
+                                - (s * 1.0 / n) * (s * 1.0 / n), 0.0))
+                  - s * 1.0 / n)
+                 / nullif(sqrt(greatest(ss * 1.0 / n
+                                - (s * 1.0 / n) * (s * 1.0 / n), 0.0))
+                          + s * 1.0 / n, 0), 6) AS burstiness
+    FROM stats
+    """,
+)
+def event_burstiness_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival burstiness per event type (Goh & Barabasi 2008,
+    public): B = (sigma - mu) / (sigma + mu) over the gaps between a
+    user's consecutive events of that type — B = -1 for perfectly
+    periodic traffic, ~0 for Poisson, -> 1 for heavy-tailed bursts.
+    The traffic-shape readout behind bot detection thresholds and
+    capacity planning, complementing user_event_overdispersion's
+    count-based dispersion with a TIMING-based one.
+
+    Determinism: gaps are exact integer seconds (epoch difference);
+    population sigma/mu derive from exact BIGINT (n, sum, sum-of-
+    squares), so both engines do identical scalar algebra; the
+    all-identical-gaps edge (sigma + mu = 0 only if every gap is 0)
+    is nullif-guarded on both sides.
+
+    Scale: one lag window PARTITIONED by (user, type) riding a single
+    user-keyed exchange, then a map-side-combinable per-type
+    aggregate. No global windows."""
+    e = load(spark, sf_dir, "events").where(F.col("ts").isNotNull())
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        "ts", "event_id"
+    )
+    gaps = e.select(
+        "event_type",
+        (
+            F.unix_timestamp("ts")
+            - F.unix_timestamp(F.lag("ts").over(w))
+        )
+        .cast("long")
+        .alias("g"),
+    ).where(F.col("g").isNotNull())
+    stats = gaps.groupBy("event_type").agg(
+        F.count("g").cast("long").alias("n"),
+        F.sum("g").cast("long").alias("s"),
+        F.sum(F.col("g") * F.col("g")).cast("long").alias("ss"),
+    )
+    mu = F.col("s") * 1.0 / F.col("n")
+    var = F.greatest(
+        F.col("ss") * 1.0 / F.col("n") - mu * mu, F.lit(0.0)
+    )
+    sig = F.sqrt(var)
+    return stats.select(
+        "event_type",
+        "n",
+        F.round(mu, 4).alias("mean_gap_sec"),
+        F.round(sig, 4).alias("std_gap_sec"),
+        F.round(
+            (sig - mu) / F.nullif(sig + mu, F.lit(0.0)), 6
+        ).alias("burstiness"),
+    )

@@ -434,3 +434,36 @@ def test_lsh_banding_sweep_s_curve(spark):
     assert rows[1].pair_recall > 0.7 and rows[1].pair_precision > 0.9
     # 16x1: single-minimum buckets flood candidates
     assert rows[3].pair_recall > 0.99 and rows[3].pair_precision < 0.5
+
+
+def test_event_burstiness_planted(spark, tmp_path):
+    """Perfectly periodic traffic -> B = -1; heavy-tailed bursts ->
+    B > 0 (formula sanity on planted timing, not just parity)."""
+    from datetime import timedelta
+
+    from clickstreamtoclickhouse_spark import plans
+
+    rows = []
+    # user 1, type 'tick': one event every 60s (periodic)
+    for i in range(40):
+        rows.append(
+            (i, _TS + timedelta(seconds=60 * i), 1, "tick", 1.0, None)
+        )
+    # user 2, type 'burst': tight 1s bursts separated by huge gaps
+    t, eid = _TS, 1000
+    for burst in range(5):
+        for j in range(8):
+            rows.append((eid, t, 2, "burst", 1.0, None))
+            eid += 1
+            t += timedelta(seconds=1)
+        t += timedelta(seconds=50_000)
+    _write_events(spark, tmp_path, rows)
+    out = {
+        r.event_type: r
+        for r in plans.QUERIES["event_burstiness_by_type"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert out["tick"].burstiness == -1.0
+    assert out["tick"].std_gap_sec == 0.0
+    assert out["burst"].burstiness > 0.4, out["burst"]
