@@ -996,3 +996,140 @@ def dedup_impact_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary drift report (round 11)
+# ---------------------------------------------------------------------------
+
+_VD_TOP_K = 256  # drift is tested over the top-K types (salted prune)
+_VD_SCALE = 1000000.0  # 1e6-scaled BIGINT chi-square terms (EMD-lattice)
+
+
+@query(
+    "vocab_drift_report",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id % 2 AS half,
+             unnest({tx.SQL_WORDS.format(t="lower(text)")}) AS w
+      FROM documents WHERE length(trim(text)) > 0
+    ),
+    vocab AS (
+      SELECT w, CAST(count(*) AS BIGINT) AS c,
+             CAST(sum(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS a,
+             CAST(sum(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS b
+      FROM toks GROUP BY w
+    ),
+    top AS (
+      SELECT w, a, b FROM (
+        SELECT w, a, b, row_number() OVER (ORDER BY c DESC, w) AS r
+        FROM vocab
+      ) WHERE r <= {_VD_TOP_K}
+    ),
+    tot AS (
+      SELECT CAST(sum(a) AS BIGINT) AS na, CAST(sum(b) AS BIGINT) AS nb
+      FROM top
+    ),
+    terms AS (
+      SELECT t.w, t.a, t.b,
+             round(t.a * 1.0 / x.na, 6) AS share_a,
+             round(t.b * 1.0 / x.nb, 6) AS share_b,
+             CAST(round(
+               (t.a * 1.0 * x.nb - t.b * 1.0 * x.na)
+               * (t.a * 1.0 * x.nb - t.b * 1.0 * x.na)
+               / (x.na * 1.0 * x.nb) / (t.a + t.b) * {_VD_SCALE}, 0)
+               AS BIGINT) AS chi6
+      FROM top t CROSS JOIN tot x
+    )
+    SELECT w AS token, a AS count_a, b AS count_b, share_a, share_b,
+           round(chi6 / {_VD_SCALE}, 6) AS chi2_term,
+           round(CAST((SELECT sum(chi6) FROM terms) AS BIGINT)
+                 / {_VD_SCALE}, 4) AS chi2_total
+    FROM terms
+    """,
+)
+def vocab_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-distribution drift between two corpus halves (doc_id
+    parity stands in for the before/after snapshot key) over the
+    top-{_VD_TOP_K} types — the vocabulary-shift readout a pipeline
+    checks before mixing a new crawl into an existing corpus, the
+    token-level sibling of value_drift_psi. Per-type two-sample
+    chi-square contribution (a*nb - b*na)^2 / (na*nb*(a+b)) plus the
+    corpus-level total.
+
+    Determinism: counts are exact BIGINTs; each chi-square term is
+    ONE rounded scalar of exact integers, 1e6-scaled to a BIGINT
+    before the total sum (the t_closeness EMD-lattice stance), so the
+    cross-type sum is exact integer addition in both engines.
+
+    Scale: one token aggregate; the top-K prune is the
+    vocab_coverage_curve salted pattern writ small (K=256 fits one
+    window comfortably at any corpus size — input is the
+    Heaps-bounded vocab, output bounded by K); terms and totals run
+    over the K-row table."""
+    from pyspark.sql.window import Window
+
+    d = load(spark, sf_dir, "documents").filter(
+        F.length(F.trim(F.col("text"))) > 0
+    )
+    toks = d.select(
+        (F.col("doc_id") % 2).alias("half"),
+        F.explode(tx.words(F.lower(F.col("text")))).alias("w"),
+    )
+    vocab = toks.groupBy("w").agg(
+        F.count(F.lit(1)).cast("long").alias("c"),
+        F.sum(F.when(F.col("half") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("a"),
+        F.sum(F.when(F.col("half") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("b"),
+    )
+    # salted prune before the global top-K window (never a full-vocab
+    # single-partition sort; same two-phase shape as vocab_coverage)
+    wloc = Window.partitionBy("bkt").orderBy(F.desc("c"), "w")
+    survivors = (
+        vocab.withColumn("bkt", F.pmod(F.hash("w"), F.lit(32)))
+        .withColumn("lr", F.row_number().over(wloc))
+        .filter(F.col("lr") <= _VD_TOP_K)
+        .drop("bkt", "lr")
+    )
+    wtop = Window.orderBy(F.desc("c"), "w")
+    top = (
+        survivors.withColumn("r", F.row_number().over(wtop))
+        .filter(F.col("r") <= _VD_TOP_K)
+        .select("w", "a", "b")
+    )
+    tot = top.agg(
+        F.sum("a").cast("long").alias("na"),
+        F.sum("b").cast("long").alias("nb"),
+    )
+    diff = F.col("a") * 1.0 * F.col("nb") - F.col("b") * 1.0 * F.col("na")
+    chi6 = F.round(
+        diff
+        * diff
+        / (F.col("na") * 1.0 * F.col("nb"))
+        / (F.col("a") + F.col("b"))
+        * _VD_SCALE,
+        0,
+    ).cast("long")
+    terms = top.crossJoin(F.broadcast(tot)).select(
+        "w",
+        "a",
+        "b",
+        F.round(F.col("a") * 1.0 / F.col("na"), 6).alias("share_a"),
+        F.round(F.col("b") * 1.0 / F.col("nb"), 6).alias("share_b"),
+        chi6.alias("chi6"),
+    )
+    total = terms.agg(F.sum("chi6").cast("long").alias("chi6_total"))
+    return terms.crossJoin(F.broadcast(total)).select(
+        F.col("w").alias("token"),
+        F.col("a").alias("count_a"),
+        F.col("b").alias("count_b"),
+        "share_a",
+        "share_b",
+        F.round(F.col("chi6") / _VD_SCALE, 6).alias("chi2_term"),
+        F.round(F.col("chi6_total") / _VD_SCALE, 4).alias("chi2_total"),
+    )

@@ -467,3 +467,36 @@ def test_event_burstiness_planted(spark, tmp_path):
     assert out["tick"].burstiness == -1.0
     assert out["tick"].std_gap_sec == 0.0
     assert out["burst"].burstiness > 0.4, out["burst"]
+
+
+def test_vocab_drift_planted(spark, tmp_path):
+    """A token planted only in even-doc_id (half A) documents must
+    carry by far the largest chi-square contribution; balanced filler
+    tokens contribute ~0."""
+    from clickstreamtoclickhouse_spark import plans
+
+    docs = []
+    for i in range(40):
+        base = "alpha beta gamma delta epsilon"
+        if i % 2 == 0:
+            base += " driftword driftword driftword"
+        docs.append((i, base, "en", "s", len(base)))
+    spark.createDataFrame(
+        docs,
+        "doc_id long, text string, lang string, source string, "
+        "n_chars long",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        f"{tmp_path}/documents.parquet"
+    )
+    rows = plans.QUERIES["vocab_drift_report"](
+        spark, str(tmp_path)
+    ).collect()
+    by_tok = {r.token: r for r in rows}
+    dw = by_tok["driftword"]
+    assert dw.count_b == 0 and dw.count_a == 60
+    others = [r.chi2_term for r in rows if r.token != "driftword"]
+    assert dw.chi2_term > 10 * max(others)
+    assert rows[0].chi2_total >= dw.chi2_term
+    # shares are within-half normalized
+    assert abs(sum(r.share_a for r in rows) - 1.0) < 0.001
+    assert abs(sum(r.share_b for r in rows) - 1.0) < 0.001
