@@ -201,6 +201,9 @@ PROBE_QUERIES = [
     # four banded self-joins off one signature build; each config is
     # hot-bucket-guarded, so candidate volume must stay linear
     "lsh_banding_sweep",
+    # events-scale user-keyed lag window + vocab-keyed drift aggregate
+    "event_burstiness_by_type",
+    "vocab_drift_report",
 ]
 
 
