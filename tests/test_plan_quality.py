@@ -1246,6 +1246,7 @@ _BOUNDED_GLOBAL_WINDOWS = {
     "doc_pareto_front": "distinct-length (domain-bounded) table",
     # top-k-pruned tables (never the full relation)
     "vocab_coverage_curve": "salted top-16384 vocab prune",
+    "vocab_drift_report": "salted top-256 vocab prune",
     "vocab_induction": "top-k-pruned vocab",
     "zipf_law_fit": "top-k-pruned vocab",
     "weighted_sample_docs": "TakeOrdered top-k sample",
