@@ -37,7 +37,14 @@ GUARANTEED_PASSES = 2  # always run, budget or not: min-of-2 floor
 MAX_PASSES = int(os.environ.get("BENCH_PASSES", "3"))
 
 
-def run_pass(spark, sf_dir: str, names: list[str], timings: dict[str, float], n: int) -> None:
+def run_pass(
+    spark,
+    sf_dir: str,
+    names: list[str],
+    timings: dict[str, float],
+    passes: dict[str, list[float]],
+    n: int,
+) -> None:
     for name in names:
         t0 = time.perf_counter()
         # noop sink forces full JVM-side execution with zero
@@ -46,6 +53,7 @@ def run_pass(spark, sf_dir: str, names: list[str], timings: dict[str, float], n:
         elapsed = time.perf_counter() - t0
         prev = timings.get(name, float("inf"))
         timings[name] = min(prev, elapsed)
+        passes.setdefault(name, []).append(round(elapsed, 3))
         print(f"# pass{n} {name}: {elapsed:.2f}s (best {timings[name]:.2f}s)",
               file=sys.stderr, flush=True)
 
@@ -62,10 +70,15 @@ def main() -> None:
     deadline = time.perf_counter() + float(os.environ.get("BENCH_BUDGET_SEC", "600"))
     names = sorted(plans.QUERIES)
     timings: dict[str, float] = {}
+    # per-pass history (pass 1 = cold, later = warm): min-of-N collapses
+    # exactly the signal that exposes a session-cache failure (a cached
+    # query whose warm pass costs as much as its cold one), so the full
+    # artifact keeps every pass — see the r11 hybrid_search_rrf post-mortem
+    passes: dict[str, list[float]] = {}
     for p in range(1, MAX_PASSES + 1):
         if p > GUARANTEED_PASSES and time.perf_counter() > deadline:
             break
-        run_pass(spark, sf_dir, names, timings, p)
+        run_pass(spark, sf_dir, names, timings, passes, p)
 
     timings = {k: round(v, 3) for k, v in timings.items()}
     total = round(sum(timings.values()), 3)
@@ -82,6 +95,7 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "passes": passes,
         "sf": sf_val,
         # Root cause of the r3->r4 drift (round-5 analysis): the ~31%
         # slowdown on unchanged queries is a UNIFORM multiplicative
@@ -130,6 +144,18 @@ def main() -> None:
             break
         inline = candidate
 
+    # registry-wide cache teardown: release every session cache's
+    # localCheckpoints before stopping (the documented memory-ceiling
+    # contract for multi-dir sessions; see util.evict_session_caches).
+    # This MUST happen before the final JSON print: the unpersist emits
+    # JVM WARN lines on stderr/stdout, and in round 11 those lines landed
+    # AFTER the JSON, pushing it out of the driver's fixed-size tail
+    # capture (BENCH_r11.json came back with "parsed": null).
+    from clickstreamtoclickhouse_spark.util import evict_session_caches
+
+    evict_session_caches()
+    spark.stop()
+
     print(
         json.dumps(
             {
@@ -145,13 +171,6 @@ def main() -> None:
             separators=(",", ":"),
         )
     )
-    # registry-wide cache teardown: release every session cache's
-    # localCheckpoints before stopping (the documented memory-ceiling
-    # contract for multi-dir sessions; see util.evict_session_caches)
-    from clickstreamtoclickhouse_spark.util import evict_session_caches
-
-    evict_session_caches()
-    spark.stop()
 
 
 if __name__ == "__main__":
