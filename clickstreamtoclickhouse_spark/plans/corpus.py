@@ -2518,7 +2518,8 @@ _CODE_KW_THR = 2.0  # keyword hits per 100 tokens
     flagged AS (
       SELECT source, n_chars, n_tokens, n_symbols, n_keywords,
              CASE WHEN n_symbols * 1.0 / n_chars > {_CODE_SYMBOL_THR}
-                       AND n_keywords * 100.0 / n_tokens > {_CODE_KW_THR}
+                       AND n_keywords * 100.0 / nullif(n_tokens, 0)
+                           > {_CODE_KW_THR}
                   THEN 1 ELSE 0 END AS is_codeish
       FROM scored
     )
@@ -2528,7 +2529,7 @@ _CODE_KW_THR = 2.0  # keyword hits per 100 tokens
            round(sum(is_codeish) * 1.0 / count(*), 6) AS codeish_share,
            round(sum(n_symbols) * 1.0 / sum(n_chars), 6)
              AS symbol_density,
-           round(sum(n_keywords) * 100.0 / sum(n_tokens), 6)
+           round(sum(n_keywords) * 100.0 / nullif(sum(n_tokens), 0), 6)
              AS keywords_per_100_tokens
     FROM flagged GROUP BY source
     """,
@@ -2562,10 +2563,17 @@ def code_detection_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_keywords"),
     )
+    # nullif on n_tokens: a doc that is non-blank after trim can still
+    # tokenize to ZERO words (symbol-only text, e.g. "{};;"), and x/0
+    # is NaN/Inf under Spark's non-ANSI division but an error or NULL
+    # elsewhere — NULL-ing the ratio makes the conjunctive flag a
+    # deterministic 0 in both engines (same stance as ab_power_mde)
     is_codeish = F.when(
         (F.col("n_symbols") * 1.0 / F.col("n_chars") > _CODE_SYMBOL_THR)
         & (
-            F.col("n_keywords") * 100.0 / F.col("n_tokens")
+            F.col("n_keywords")
+            * 100.0
+            / F.nullif(F.col("n_tokens"), F.lit(0))
             > _CODE_KW_THR
         ),
         1,
@@ -2583,7 +2591,10 @@ def code_detection_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sum("n_symbols") * 1.0 / F.sum("n_chars"), 6
             ).alias("symbol_density"),
             F.round(
-                F.sum("n_keywords") * 100.0 / F.sum("n_tokens"), 6
+                F.sum("n_keywords")
+                * 100.0
+                / F.nullif(F.sum("n_tokens"), F.lit(0)),
+                6,
             ).alias("keywords_per_100_tokens"),
         )
     )
