@@ -5773,8 +5773,9 @@ def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: identical candidate generation to the registered
     jaccard_near_dups primary (hot-shingle cap active); the sweep is
-    a broadcast range-join of the bounded pair table against the
-    5-row grid. LEFT join keeps thresholds with zero pairs visible."""
+    an inner theta-join of the bounded pair table against the
+    BROADCAST 5-row grid, then a left join back onto the grid so
+    thresholds with zero pairs stay visible at n_pairs = 0."""
     corpus = _near_dup_corpus(load(spark, sf_dir, "documents"))
     pairs = dedup_text.jaccard_pairs(
         corpus, threshold=0.5, n=3, max_shingle_freq=4,
@@ -5783,16 +5784,25 @@ def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     grid = spark.createDataFrame(
         [(t,) for t in _SWEEP_THRESHOLDS], "thr double"
     )
-    j = F.broadcast(grid).join(
-        pairs, pairs["jaccard"] >= F.col("thr"), "left"
+    # INNER theta-join against the broadcast grid: an inner
+    # BroadcastNestedLoopJoin can build either side, so the hint on the
+    # 5-row grid is honored. (The previous left-outer form put the hint
+    # on the LEFT side, which a left-outer BNLJ cannot build — Spark
+    # silently broadcast the data-dependent pairs table instead.) A
+    # left join back onto the grid keeps zero-pair thresholds visible.
+    matched = pairs.join(
+        F.broadcast(grid), pairs["jaccard"] >= F.col("thr"), "inner"
     )
-    return j.groupBy("thr").agg(
+    agg = matched.groupBy("thr").agg(
         F.count("doc_a").cast("long").alias("n_pairs"),
-        F.countDistinct(
-            F.when(F.col("jaccard") >= F.col("thr"), F.col("doc_b"))
-        )
-        .cast("long")
-        .alias("n_removed_naive"),
+        F.countDistinct("doc_b").cast("long").alias("n_removed_naive"),
+    )
+    return grid.join(F.broadcast(agg), "thr", "left").select(
+        "thr",
+        F.coalesce("n_pairs", F.lit(0).cast("long")).alias("n_pairs"),
+        F.coalesce("n_removed_naive", F.lit(0).cast("long")).alias(
+            "n_removed_naive"
+        ),
     )
 
 
