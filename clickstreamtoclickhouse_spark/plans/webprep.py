@@ -700,11 +700,20 @@ def domain_blocklist_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus owner sees exactly where volume was lost (blocked vs
     capped vs kept).
 
-    Scale: canonicalize + eTLD+1 are per-row string algebra; the cap
-    rank is a (blocked, domain)-partitioned window, so blocked rows
-    rank within their own domain partitions (never one global NULL
-    bucket) and their rank is ignored downstream; one final
-    source-keyed aggregate. No unpartitioned windows, no collects."""
+    Scale: canonicalize + eTLD+1 are per-row string algebra. The cap
+    membership is decided by a per-domain THRESHOLD tuple, not by
+    ranking every row: a rank-filtered window (rn <= cap, which
+    Spark's WindowGroupLimit prunes map-side to at most cap rows per
+    domain per shuffle partition) yields the cap-th smallest
+    (hash, doc_id) per surviving domain; the main path then
+    broadcast-joins that bounded table (one row per distinct domain)
+    and a row is kept iff its tuple <= threshold. The full corpus is
+    never shuffled or sorted by domain — the old form consumed
+    rn > cap rows (n_capped_out), so WindowGroupLimit could not prune
+    it and each domain partition sorted O(N/domains) rows in one
+    task. Cost: a second scan of the corpus, which at scale is far
+    cheaper than the full-row domain shuffle it replaces. One final
+    source-keyed map-side-combinable aggregate. No collects."""
     m = _messy_url_corpus(load(spark, sf_dir, "documents"))
     d = m.select(
         "doc_id",
@@ -720,41 +729,34 @@ def domain_blocklist_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0)
         .alias("blocked"),
     )
-    # partition by (blocked, rd) — NOT a null-partition trick, which
-    # would funnel every blocked row of every domain into ONE window
-    # partition; this way each partition stays domain-bounded and the
-    # blocked rows' rank is simply ignored downstream
-    w = Window.partitionBy("blocked", "rd").orderBy(
+    key = F.struct(
+        portable_id_hash(F.col("doc_id")).alias("h"),
+        F.col("doc_id").alias("id"),
+    )
+    # blocked is a pure function of rd, so thresholds are only needed
+    # (and only computed) for surviving domains
+    w = Window.partitionBy("rd").orderBy(
         portable_id_hash(F.col("doc_id")), F.col("doc_id")
     )
-    ranked = flagged.select(
-        "source",
-        "blocked",
-        F.row_number().over(w).alias("rn"),
+    thr = (
+        flagged.filter(F.col("blocked") == 0)
+        .select("rd", key.alias("k"), F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= _DOMAIN_CAP)
+        .groupBy("rd")
+        .agg(F.max("k").alias("thr"))
     )
+    joined = flagged.join(F.broadcast(thr), "rd", "left")
     survivor = F.col("blocked") == 0
-    return ranked.groupBy("source").agg(
+    kept = survivor & (key <= F.col("thr"))
+    return joined.groupBy("source").agg(
         F.count("*").cast("bigint").alias("n_docs"),
         F.sum("blocked").cast("bigint").alias("n_blocked"),
-        F.sum(
-            F.when(survivor & (F.col("rn") > _DOMAIN_CAP), 1).otherwise(0)
-        )
+        F.sum(F.when(survivor & ~kept, 1).otherwise(0))
         .cast("bigint")
         .alias("n_capped_out"),
-        F.sum(
-            F.when(survivor & (F.col("rn") <= _DOMAIN_CAP), 1).otherwise(0)
-        )
-        .cast("bigint")
-        .alias("n_kept"),
+        F.sum(F.when(kept, 1).otherwise(0)).cast("bigint").alias("n_kept"),
         F.round(
-            F.sum(
-                F.when(
-                    survivor & (F.col("rn") <= _DOMAIN_CAP), 1
-                ).otherwise(0)
-            )
-            * 1.0
-            / F.count("*"),
-            6,
+            F.sum(F.when(kept, 1).otherwise(0)) * 1.0 / F.count("*"), 6
         ).alias("kept_share"),
     )
 

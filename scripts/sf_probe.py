@@ -204,6 +204,11 @@ PROBE_QUERIES = [
     # events-scale user-keyed lag window + vocab-keyed drift aggregate
     "event_burstiness_by_type",
     "vocab_drift_report",
+    # round-12: threshold-tuple domain cap (WindowGroupLimit-pruned
+    # per-domain top-cap + broadcast threshold join — must stay
+    # scan-shaped) and the 5-threshold sweep off one capped pair build
+    "domain_blocklist_report",
+    "dedup_threshold_sweep",
 ]
 
 

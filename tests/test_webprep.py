@@ -99,6 +99,21 @@ def test_domain_cap_uses_window_group_limit(spark):
     assert count_exchanges(txt) <= 3
 
 
+def test_domain_blocklist_report_uses_threshold_tuple(spark):
+    # round 12: the cap decision must come from the per-domain
+    # threshold tuple (WindowGroupLimit-pruned top-cap + broadcast
+    # join), never from ranking the full corpus — the old form
+    # consumed rn > cap rows so WindowGroupLimit could not prune and
+    # each domain partition sorted O(N/domains) rows in one task
+    from .test_plan_quality import count_exchanges, plan_text
+
+    txt = plan_text(spark, "domain_blocklist_report")
+    assert "WindowGroupLimit" in txt
+    assert "BroadcastHashJoin" in txt
+    # window-feeding exchange + two aggregate exchanges, nothing more
+    assert count_exchanges(txt) <= 3
+
+
 # -- round 11: URL canonicalization -----------------------------------
 
 
