@@ -929,6 +929,26 @@ def _bpe_oracle_sql(final: str = "merges") -> str:
            array_to_string(list(sym ORDER BY pos), ' ') AS tokens
     FROM l{_BPE_ROUNDS} GROUP BY word"""
         )
+    if final == "roundtrip":
+        return (
+            "WITH "
+            + ",\n    ".join(ctes)
+            + f"""
+    , per_word AS (
+      SELECT word,
+             CAST(count(*) AS INT) AS n_tokens,
+             array_to_string(list(sym ORDER BY pos), '') AS rebuilt,
+             sum(length(sym)) AS n_sym_chars
+      FROM l{_BPE_ROUNDS} GROUP BY word
+    )
+    SELECT n_tokens,
+           CAST(count(*) AS BIGINT) AS n_words,
+           CAST(sum(CASE WHEN rebuilt = word THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_roundtrip_ok,
+           CAST(sum(length(word)) AS BIGINT) AS n_word_chars,
+           CAST(sum(n_sym_chars) AS BIGINT) AS n_token_chars
+    FROM per_word GROUP BY n_tokens"""
+        )
     union = "\n    UNION ALL\n    ".join(
         f"SELECT {t + 1} AS rank, a AS lhs, b AS rhs, cnt AS pair_count FROM b{t}"
         for t in range(_BPE_ROUNDS)
@@ -1086,6 +1106,43 @@ def bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_tokens",
             "tokens",
         )
+    )
+
+
+@query("bpe_detok_roundtrip", oracle=_bpe_oracle_sql(final="roundtrip"))
+def bpe_detok_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The tokenizer LOSSLESSNESS audit: decode(encode(word)) == word
+    for every vocabulary word — BPE merges only ever concatenate
+    adjacent symbols, so concatenating a word's final symbols in
+    position order must reproduce the word exactly; any miss means
+    the merge-application algebra (run-parity overlap resolution,
+    lag-based row drops) lost or duplicated characters. Reported per
+    final token count: words, round-trip successes, and the
+    character-conservation pair (word chars vs token chars — equal
+    iff lossless at the aggregate level too).
+
+    Scale: the vocab-bounded merge loop of bpe_merges (state shrinks
+    per round, windows partition by word), one per-word fold, one
+    tiny grouped aggregate. Output cardinality <= max word length."""
+    _, l = _bpe_learn(spark, sf_dir)
+    per_word = l.groupBy("word").agg(
+        F.count("*").cast("int").alias("n_tokens"),
+        F.concat_ws(
+            "",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "sym"))),
+                lambda s: s["sym"],
+            ),
+        ).alias("rebuilt"),
+        F.sum(F.length("sym")).cast("long").alias("n_sym_chars"),
+    )
+    return per_word.groupBy("n_tokens").agg(
+        F.count("*").cast("long").alias("n_words"),
+        F.sum(F.when(F.col("rebuilt") == F.col("word"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_roundtrip_ok"),
+        F.sum(F.length("word")).cast("long").alias("n_word_chars"),
+        F.sum("n_sym_chars").cast("long").alias("n_token_chars"),
     )
 
 

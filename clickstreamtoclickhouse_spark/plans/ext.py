@@ -2216,13 +2216,15 @@ def user_activity_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "sequence_packing",
-    oracle=f"""
-    WITH scored AS (
+_PACK_BIN = 2048  # tokens per training bin
+_PACK_SHARDS = 16
+
+# shared by sequence_packing and packing_efficiency_report so the two
+# oracles cannot drift
+_SQL_PACKED_CTES = f"""scored AS (
       SELECT doc_id,
              {tx.sql_token_count_ws('text')} AS n_tokens,
-             CAST(doc_id % 16 AS INT) AS shard
+             CAST(doc_id % {_PACK_SHARDS} AS INT) AS shard
       FROM documents
     ),
     packed AS (
@@ -2231,10 +2233,20 @@ def user_activity_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
                PARTITION BY shard ORDER BY doc_id
                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
       FROM scored
-    )
-    SELECT doc_id, shard, n_tokens, cum_tokens,
-           CAST(floor((cum_tokens - n_tokens) / 2048.0) AS INT) AS bin
-    FROM packed
+    ),
+    binned AS (
+      SELECT doc_id, shard, n_tokens, cum_tokens,
+             CAST(floor((cum_tokens - n_tokens) / {_PACK_BIN}.0) AS INT)
+               AS bin
+      FROM packed
+    )"""
+
+
+@query(
+    "sequence_packing",
+    oracle=f"""
+    WITH {_SQL_PACKED_CTES}
+    SELECT doc_id, shard, n_tokens, cum_tokens, bin FROM binned
     """,
 )
 def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2253,7 +2265,7 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = d.select(
         "doc_id",
         tx.token_count_ws(F.col("text")).alias("n_tokens"),
-        (F.col("doc_id") % 16).cast("int").alias("shard"),
+        (F.col("doc_id") % _PACK_SHARDS).cast("int").alias("shard"),
     )
     w = Window.partitionBy("shard").orderBy("doc_id").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
@@ -2262,8 +2274,75 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("cum_tokens", F.sum("n_tokens").over(w).cast("long"))
         .withColumn(
             "bin",
-            F.floor((F.col("cum_tokens") - F.col("n_tokens")) / 2048.0).cast("int"),
+            F.floor(
+                (F.col("cum_tokens") - F.col("n_tokens")) / float(_PACK_BIN)
+            ).cast("int"),
         )
+    )
+
+
+@query(
+    "packing_efficiency_report",
+    oracle=f"""
+    WITH {_SQL_PACKED_CTES},
+    bins AS (
+      SELECT shard, bin,
+             CAST(sum(n_tokens) AS BIGINT) AS bin_tokens,
+             CAST(count(*) AS BIGINT) AS n_docs
+      FROM binned GROUP BY shard, bin
+    )
+    SELECT shard,
+           CAST(count(*) AS BIGINT) AS n_bins,
+           CAST(sum(n_docs) AS BIGINT) AS n_docs,
+           CAST(sum(bin_tokens) AS BIGINT) AS total_tokens,
+           CAST(count(*) * {_PACK_BIN} AS BIGINT) AS capacity_tokens,
+           CAST(sum(greatest(0, {_PACK_BIN} - bin_tokens)) AS BIGINT)
+             AS padding_tokens,
+           CAST(sum(greatest(0, bin_tokens - {_PACK_BIN})) AS BIGINT)
+             AS overflow_tokens,
+           round((count(*) * {_PACK_BIN}
+                  - sum(greatest(0, {_PACK_BIN} - bin_tokens)))
+                 * 1.0 / (count(*) * {_PACK_BIN}), 6) AS fill_rate
+    FROM bins GROUP BY shard
+    """,
+)
+def packing_efficiency_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The readout that justifies a bin-size choice: per shard, how
+    full sequence_packing's {_PACK_BIN}-token bins actually are —
+    padding waste (tokens of capacity left unfilled in underfull
+    bins) vs overflow (tokens past capacity from boundary-straddling
+    docs, which a tokenizer-side splitter would carry into the next
+    sequence), and the resulting fill rate
+    (filled capacity / total capacity). A corpus whose documents are
+    long relative to the bin drives both numbers up, which is exactly
+    the signal for re-choosing the bin size or enabling splitting.
+
+    Scale: sequence_packing's shard-partitioned running sum, then two
+    map-side-combinable aggregates ((shard, bin) then shard) — output
+    is {_PACK_SHARDS} rows. No new windows, no joins, no collects."""
+    packed = sequence_packing(spark, sf_dir)
+    bins = packed.groupBy("shard", "bin").agg(
+        F.sum("n_tokens").cast("long").alias("bin_tokens"),
+        F.count("*").cast("long").alias("n_docs"),
+    )
+    cap = F.lit(_PACK_BIN).cast("long")
+    filled = F.count("*") * _PACK_BIN - F.sum(
+        F.greatest(F.lit(0).cast("long"), cap - F.col("bin_tokens"))
+    )
+    return bins.groupBy("shard").agg(
+        F.count("*").cast("long").alias("n_bins"),
+        F.sum("n_docs").cast("long").alias("n_docs"),
+        F.sum("bin_tokens").cast("long").alias("total_tokens"),
+        (F.count("*") * _PACK_BIN).cast("long").alias("capacity_tokens"),
+        F.sum(F.greatest(F.lit(0).cast("long"), cap - F.col("bin_tokens")))
+        .cast("long")
+        .alias("padding_tokens"),
+        F.sum(F.greatest(F.lit(0).cast("long"), F.col("bin_tokens") - cap))
+        .cast("long")
+        .alias("overflow_tokens"),
+        F.round(filled * 1.0 / (F.count("*") * _PACK_BIN), 6).alias(
+            "fill_rate"
+        ),
     )
 
 
