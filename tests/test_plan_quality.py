@@ -1255,6 +1255,9 @@ _BOUNDED_GLOBAL_WINDOWS = {
     "user_value_gini": "exact baseline; twin: user_value_gini_approx",
     "rfm_segments": "exact baseline; twin: rfm_segments_approx",
 }
+# The non-calendar/non-grid reasons above are additionally checked
+# with DATA, not prose: test_allowlisted_window_inputs_are_bounded
+# recomputes each claimed bounded table's cardinality at sf0.1.
 
 
 def _first_spec_arg(s: str, start: int) -> str:
@@ -1312,6 +1315,65 @@ def test_no_unlisted_unpartitioned_windows(spark):
         "allowlisted queries no longer carry an unpartitioned window — "
         f"drop them from _BOUNDED_GLOBAL_WINDOWS: {stale}"
     )
+
+
+_SF_BIG = "/root/testdata/sf0.1"
+
+
+def test_allowlisted_window_inputs_are_bounded(spark):
+    """Round 12 (r11 verdict #5): the NON-OBVIOUS allowlist reasons
+    above — value-domain tie tables, distinct-residual tables,
+    distinct-length tables — are asserted against the DATA at sf0.1,
+    not just prose, so a testdata regeneration that changes the value
+    shape (e.g. `value` stops being a 2-decimal metric) cannot
+    silently unbound an allowlisted global window. Calendar/grid
+    entries (days, folds, fixed bins) are bounded by construction and
+    need no data check."""
+    from pyspark.sql import functions as F
+
+    from clickstreamtoclickhouse_spark.functions import text as tx
+
+    e = plans.load(spark, _SF_BIG, "events").where(
+        F.col("value").isNotNull()
+    )
+    d = plans.load(spark, _SF_BIG, "documents").filter(
+        F.length(F.trim(F.col("text"))) > 0
+    )
+    cents = F.round(F.col("value") * 100).cast("long")
+
+    # the MECHANISM behind every cents-domain claim: values sit
+    # exactly on the 2-decimal grid, so distinct cardinality is
+    # bounded by the value RANGE, not the row count
+    off_grid = e.where(F.abs(F.col("value") * 100 - cents) > 1e-6).count()
+    assert off_grid == 0, "events.value left the 2-decimal grid"
+
+    checks = {
+        # allowlist reason -> (window-input cardinality recomputed
+        # from the data, hard ceiling with headroom; sf0.1 measured
+        # values in comments for drift visibility)
+        "mann_whitney_u/value_ks_drift_test distinct-cents tie table": (
+            e.select(cents.alias("c")).distinct().count(),  # 17,792
+            60_000,
+        ),
+        "conformal_interval_report (cents x event_type) residuals": (
+            e.select(cents.alias("c"), "event_type").distinct().count(),
+            300_000,  # 49,089 measured; full grid x 5 types = 280k
+        ),
+        "doc_pareto_front distinct-length table": (
+            d.select("n_chars").distinct().count(),  # 523
+            20_000,
+        ),
+        "training_data_selection distinct token-count groups": (
+            d.select(
+                F.size(tx.words(F.col("text"))).alias("t")
+            )
+            .distinct()
+            .count(),  # 91
+            20_000,
+        ),
+    }
+    for what, (n, ceiling) in checks.items():
+        assert 0 < n <= ceiling, (what, n, ceiling)
 
 
 def test_vocab_coverage_curve_window_is_pruned(spark):
