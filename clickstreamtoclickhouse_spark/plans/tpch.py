@@ -2336,11 +2336,14 @@ def graph_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     unbiased unweighted walks do.
 
     Scale: each hop is one keyed equi-join of the (nodes x K)
-    frontier against the session-cached adjacency (fan bounded by
-    sum-of-degrees = 2m per hop -> O(K*L*m) total) followed by a
-    (start, walk)-PARTITIONED top-1 window (WindowGroupLimit shape);
-    the hop count is a compile-time constant — no convergence loop,
-    no lineage growth, no driver round trips."""
+    frontier against the session-cached CAPPED adjacency (fan bounded
+    by _WALK_NBR_CAP per walk per hop) followed by a per-(start,
+    walk) next-hop argmin computed as a map-side-combinable
+    min(struct) hash AGGREGATE — partial aggregation collapses each
+    walk's candidate fan before the shuffle, which a top-1 window
+    (sort-based, full-fan shuffle) cannot do; the hop count is a
+    compile-time constant — no convergence loop, no lineage growth,
+    no driver round trips."""
     from ..util import portable_id_hash
 
     edges = _copurchase_edges(spark, sf_dir)
