@@ -749,3 +749,312 @@ def doc_pareto_front(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("n_chars"), "doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 12: pairwise source quality duels + Bradley-Terry strengths
+# ---------------------------------------------------------------------------
+#
+# The RM-data diagnostics pair: before trusting a quality score to
+# build preference pairs, a pipeline owner wants (a) the exact
+# pairwise win probability P(q_a > q_b) between sources — the
+# stochastic-dominance matrix — and (b) a single strength scale
+# consistent with those duels (Bradley-Terry 1952; MM fit per Hunter
+# 2004, public methods). Both run on the INTEGER milli quality score
+# (the source_ablation_report scale), so all duel counts are exact
+# BIGINTs computed via the rank-sum grid trick: wins(a,b) =
+# sum_v cnt_a(v) * cum_b(<v) over the DOMAIN-bounded (<= 10001 value)
+# grid — never a doc x doc join.
+
+_BT_ITERS = 5
+
+_SQL_WINRATE_CTES = f"""base AS (
+      SELECT source,
+             length(text) AS n_chars,
+             {tx.sql_token_count_ws('text')} AS n_words,
+             length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
+               AS n_punct
+      FROM documents
+    ),
+    per AS (SELECT source, {_SQL_Q_MILLI} AS q FROM base),
+    sq AS (
+      SELECT source, q, CAST(count(*) AS BIGINT) AS cnt
+      FROM per GROUP BY source, q
+    ),
+    grid AS (SELECT DISTINCT q FROM sq),
+    srcs AS (SELECT DISTINCT source FROM sq),
+    cnts AS (
+      SELECT s.source, g.q, coalesce(sq.cnt, 0) AS cnt
+      FROM srcs s CROSS JOIN grid g
+      LEFT JOIN sq ON sq.source = s.source AND sq.q = g.q
+    ),
+    cum AS (
+      SELECT source, q,
+             CAST(coalesce(sum(cnt) OVER (
+               PARTITION BY source ORDER BY q
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS cum_lt
+      FROM cnts
+    ),
+    wins AS (
+      SELECT a.source AS sa, c.source AS sb,
+             CAST(sum(a.cnt * c.cum_lt) AS BIGINT) AS w
+      FROM sq a JOIN cum c ON c.q = a.q AND c.source <> a.source
+      GROUP BY 1, 2
+    ),
+    tiest AS (
+      SELECT a.source AS sa, b.source AS sb,
+             CAST(sum(a.cnt * b.cnt) AS BIGINT) AS t
+      FROM sq a JOIN sq b ON a.q = b.q AND a.source < b.source
+      GROUP BY 1, 2
+    ),
+    ns AS (SELECT source, CAST(sum(cnt) AS BIGINT) AS n
+           FROM sq GROUP BY source)"""
+
+
+@query(
+    "source_quality_winrates",
+    oracle=f"""
+    WITH {_SQL_WINRATE_CTES},
+    pairsrc AS (
+      SELECT a.source AS sa, b.source AS sb
+      FROM srcs a JOIN srcs b ON a.source < b.source
+    )
+    SELECT p.sa AS source_a, p.sb AS source_b,
+           na.n AS n_a, nb.n AS n_b,
+           CAST(coalesce(w1.w, 0) AS BIGINT) AS wins_a,
+           CAST(na.n * nb.n - coalesce(w1.w, 0) - coalesce(t.t, 0)
+                AS BIGINT) AS wins_b,
+           CAST(coalesce(t.t, 0) AS BIGINT) AS ties,
+           round((coalesce(w1.w, 0) + 0.5 * coalesce(t.t, 0))
+                 / (na.n * nb.n), 6) AS winrate_a
+    FROM pairsrc p
+    JOIN ns na ON na.source = p.sa
+    JOIN ns nb ON nb.source = p.sb
+    LEFT JOIN wins w1 ON w1.sa = p.sa AND w1.sb = p.sb
+    LEFT JOIN tiest t ON t.sa = p.sa AND t.sb = p.sb
+    """,
+)
+def source_quality_winrates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact pairwise quality duels between sources: for every source
+    pair (a, b), the number of document pairs where a's doc outscores
+    b's (on the integer milli quality score), the ties, and
+    P(q_a > q_b) with ties split — the stochastic-dominance matrix an
+    RM-data owner reads before trusting cross-source preference
+    pairs.
+
+    Scale: the rank-sum grid trick — per-(source, value) counts, a
+    source-PARTITIONED cumulative over the (sources x value-grid)
+    table (value domain <= 10001 milli scores, so the grid is
+    DOMAIN-bounded like mann_whitney_u's tie table), then
+    wins(a, b) = sum_v cnt_a(v) * cum_b(<v) as one equi-join on the
+    value — never a doc x doc comparison. Output = source-pair rows."""
+    d = load(spark, sf_dir, "documents")
+    per = d.select(
+        "source",
+        F.round(tx.quality_score(F.col("text")) * 10000, 0)
+        .cast("long")
+        .alias("q"),
+    )
+    sq = per.groupBy("source", "q").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    grid = sq.select("q").distinct()
+    srcs = sq.select("source").distinct()
+    cnts = (
+        srcs.crossJoin(F.broadcast(grid))
+        .join(sq, ["source", "q"], "left")
+        .select(
+            "source", "q", F.coalesce("cnt", F.lit(0)).alias("cnt")
+        )
+    )
+    w = Window.partitionBy("source").orderBy("q").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    cum = cnts.select(
+        F.col("source").alias("sb"),
+        "q",
+        F.coalesce(F.sum("cnt").over(w), F.lit(0))
+        .cast("long")
+        .alias("cum_lt"),
+    )
+    a = sq.select(F.col("source").alias("sa"), "q", "cnt")
+    wins = (
+        a.join(cum, "q")
+        .filter(F.col("sa") != F.col("sb"))
+        .groupBy("sa", "sb")
+        .agg(F.sum(F.col("cnt") * F.col("cum_lt")).cast("long").alias("w"))
+    )
+    b = sq.select(F.col("source").alias("sb"), "q", F.col("cnt").alias("cnt_b"))
+    ties = (
+        a.join(b, "q")
+        .filter(F.col("sa") < F.col("sb"))
+        .groupBy("sa", "sb")
+        .agg(F.sum(F.col("cnt") * F.col("cnt_b")).cast("long").alias("t"))
+    )
+    ns = sq.groupBy("source").agg(F.sum("cnt").cast("long").alias("n"))
+    pairsrc = (
+        srcs.select(F.col("source").alias("sa"))
+        .crossJoin(F.broadcast(srcs.select(F.col("source").alias("sb"))))
+        .filter(F.col("sa") < F.col("sb"))
+    )
+    wins_a = F.coalesce("w", F.lit(0).cast("long"))
+    ties_c = F.coalesce("t", F.lit(0).cast("long"))
+    return (
+        pairsrc.join(ns.select(F.col("source").alias("sa"), F.col("n").alias("n_a")), "sa")
+        .join(ns.select(F.col("source").alias("sb"), F.col("n").alias("n_b")), "sb")
+        .join(wins, ["sa", "sb"], "left")
+        .join(ties, ["sa", "sb"], "left")
+        .select(
+            F.col("sa").alias("source_a"),
+            F.col("sb").alias("source_b"),
+            "n_a",
+            "n_b",
+            wins_a.alias("wins_a"),
+            (F.col("n_a") * F.col("n_b") - wins_a - ties_c)
+            .cast("long")
+            .alias("wins_b"),
+            ties_c.alias("ties"),
+            F.round(
+                (wins_a + 0.5 * ties_c) / (F.col("n_a") * F.col("n_b")), 6
+            ).alias("winrate_a"),
+        )
+    )
+
+
+def _bt_oracle_sql() -> str:
+    """Chained-CTE replication of the {_BT_ITERS}-iteration MM fit,
+    rounding at the identical spots as the Spark loop (the
+    transition_pagerank lockstep stance)."""
+    ctes = [
+        f"""m AS MATERIALIZED (
+      SELECT w.sa AS i, w.sb AS j,
+             2 * w.w + coalesce(t.t, 0) AS wx2,
+             na.n * nb.n AS nij
+      FROM (
+        SELECT p.sa, p.sb, CAST(coalesce(w1.w, 0) AS BIGINT) AS w
+        FROM (SELECT a.source AS sa, b.source AS sb
+              FROM srcs a JOIN srcs b ON a.source <> b.source) p
+        LEFT JOIN wins w1 ON w1.sa = p.sa AND w1.sb = p.sb
+      ) w
+      LEFT JOIN (
+        SELECT sa, sb, t FROM tiest
+        UNION ALL
+        SELECT sb AS sa, sa AS sb, t FROM tiest
+      ) t ON t.sa = w.sa AND t.sb = w.sb
+      JOIN ns na ON na.source = w.sa
+      JOIN ns nb ON nb.source = w.sb
+    ),
+    wtot AS MATERIALIZED (SELECT i, sum(wx2) AS wx2 FROM m GROUP BY i),
+    nsrc AS (SELECT CAST(count(*) AS BIGINT) AS k FROM srcs),
+    it0 AS MATERIALIZED (SELECT source, 1.0 AS p FROM srcs)"""
+    ]
+    for t in range(_BT_ITERS):
+        ctes.append(f"""d{t} AS MATERIALIZED (
+      SELECT m.i, sum(round(m.nij / (pi.p + pj.p), 9)) AS d
+      FROM m JOIN it{t} pi ON pi.source = m.i
+             JOIN it{t} pj ON pj.source = m.j
+      GROUP BY m.i
+    ),
+    praw{t} AS MATERIALIZED (
+      SELECT w.i AS source, round((w.wx2 / 2.0) / d.d, 9) AS praw
+      FROM wtot w JOIN d{t} d ON d.i = w.i
+    ),
+    it{t + 1} AS MATERIALIZED (
+      SELECT source,
+             round(praw * (SELECT k FROM nsrc)
+                   / (SELECT sum(praw) FROM praw{t}), 9) AS p
+      FROM praw{t}
+    )""")
+    chain = ",\n    ".join(ctes)
+    return f"""
+    WITH {_SQL_WINRATE_CTES},
+    {chain}
+    SELECT source, round(p, 6) AS strength,
+           CAST(row_number() OVER (ORDER BY round(p, 6) DESC, source)
+                AS INT) AS rank
+    FROM it{_BT_ITERS}
+    """
+
+
+@query("bt_source_strengths", oracle=_bt_oracle_sql())
+def bt_source_strengths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bradley-Terry strength per source fitted to the exact pairwise
+    quality duels of source_quality_winrates (ties split as half
+    wins) — the single consistent scale behind the winrate matrix,
+    and the standard model under RM/arena-style pairwise data
+    (Bradley & Terry 1952; minorization-maximization fit per Hunter
+    2004, {_BT_ITERS} fixed iterations, strengths normalized to mean
+    1).
+
+    Portability: duel counts are exact BIGINTs; each iteration's
+    denominators, raw strengths and normalized strengths are rounded
+    at 9dp on BOTH engines (the transition_pagerank lockstep stance),
+    so sub-ULP summation-order drift cannot accumulate across
+    iterations.
+
+    Scale: the duel matrix construction is the winrates plan
+    (domain-bounded grid); the MM loop then runs on SOURCE-bounded
+    tables (|sources|^2 pair rows per iteration) with a fixed
+    iteration count — no convergence test, no corpus re-reads, no
+    collects."""
+    wr = source_quality_winrates(spark, sf_dir)
+    both = wr.select(
+        F.col("source_a").alias("i"),
+        F.col("source_b").alias("j"),
+        (2 * F.col("wins_a") + F.col("ties")).cast("long").alias("wx2"),
+        (F.col("n_a") * F.col("n_b")).cast("long").alias("nij"),
+    ).unionByName(
+        wr.select(
+            F.col("source_b").alias("i"),
+            F.col("source_a").alias("j"),
+            (2 * F.col("wins_b") + F.col("ties")).cast("long").alias("wx2"),
+            (F.col("n_a") * F.col("n_b")).cast("long").alias("nij"),
+        )
+    )
+    # eager checkpoint: the duel matrix is referenced by every MM
+    # iteration, and each iteration references the strength table
+    # FOUR times (p_i, p_j, praw, the normalization total) — without a
+    # per-iteration lineage cut the final plan re-enters the winrate
+    # construction O(4^iters) times (measured: 83 s at sf0.01 uncut,
+    # ~3 s cut). Tiny tables: |sources| and |sources|^2 rows.
+    m = both.localCheckpoint(eager=True)
+    wtot = m.groupBy("i").agg(F.sum("wx2").cast("long").alias("wx2"))
+    srcs = m.select(F.col("i").alias("source")).distinct()
+    nsrc = srcs.agg(F.count(F.lit(1)).cast("long").alias("k"))
+    p = srcs.select("source", F.lit(1.0).alias("p"))
+    for _ in range(_BT_ITERS):
+        pi = p.select(F.col("source").alias("i"), F.col("p").alias("p_i"))
+        pj = p.select(F.col("source").alias("j"), F.col("p").alias("p_j"))
+        denom = (
+            m.join(pi, "i")
+            .join(pj, "j")
+            .groupBy("i")
+            .agg(
+                F.sum(
+                    F.round(F.col("nij") / (F.col("p_i") + F.col("p_j")), 9)
+                ).alias("d")
+            )
+        )
+        praw = wtot.join(denom, "i").select(
+            F.col("i").alias("source"),
+            F.round((F.col("wx2") / 2.0) / F.col("d"), 9).alias("praw"),
+        )
+        tot = praw.agg(F.sum("praw").alias("s"))
+        p = (
+            praw.crossJoin(F.broadcast(tot))
+            .crossJoin(F.broadcast(nsrc))
+            .select(
+                "source",
+                F.round(F.col("praw") * F.col("k") / F.col("s"), 9).alias(
+                    "p"
+                ),
+            )
+            .localCheckpoint(eager=True)
+        )
+    w_rank = Window.orderBy(F.desc(F.round("p", 6)), "source")
+    return p.select(
+        "source",
+        F.round("p", 6).alias("strength"),
+        F.row_number().over(w_rank).cast("int").alias("rank"),
+    )

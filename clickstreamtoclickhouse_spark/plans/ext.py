@@ -1219,10 +1219,11 @@ def evict_chain_assignments(sf_dir: str | None = None) -> int:
     return _CHAIN_ASSIGN_CACHE.evict(sf_dir)
 
 
-@query(
-    "dedup_clusters",
-    oracle=f"""
-    WITH RECURSIVE corpus AS ({_SQL_CHAIN_CORPUS}),
+# Shared recursive-CC oracle CTE block (chain corpus -> jaccard pairs
+# -> reachability components) used by dedup_clusters,
+# dedup_cluster_representatives and dedup_cluster_size_histogram so
+# the three oracles cannot drift.
+_SQL_CC_COMP_CTES = f"""corpus AS ({_SQL_CHAIN_CORPUS}),
     normed AS (
       SELECT doc_id, {_SQL_WORDS.format(t=_SQL_NORM.format(t='text'))} AS ws
       FROM corpus
@@ -1260,7 +1261,13 @@ def evict_chain_assignments(sf_dir: str | None = None) -> int:
     ),
     comp AS (
       SELECT node AS doc_id, min(comp) AS component FROM walk GROUP BY node
-    )
+    )"""
+
+
+@query(
+    "dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE {_SQL_CC_COMP_CTES}
     SELECT doc_id, component,
            count(*) OVER (PARTITION BY component) AS cluster_size
     FROM comp
@@ -1286,45 +1293,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "dedup_cluster_representatives",
     oracle=f"""
-    WITH RECURSIVE corpus AS ({_SQL_CHAIN_CORPUS}),
-    normed AS (
-      SELECT doc_id, {_SQL_WORDS.format(t=_SQL_NORM.format(t='text'))} AS ws
-      FROM corpus
-    ),
-    shingled AS (
-      SELECT doc_id,
-             unnest(list_distinct(list_transform(
-               range(1, len(ws) - 1),
-               i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS shingle
-      FROM normed WHERE len(ws) >= 3
-    ),
-    sizes AS (SELECT doc_id, count(*) AS sz FROM shingled GROUP BY doc_id),
-    inter AS (
-      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
-      FROM shingled a JOIN shingled b USING (shingle)
-      WHERE a.doc_id < b.doc_id
-      GROUP BY 1, 2
-    ),
-    pairs AS (
-      SELECT doc_a, doc_b
-      FROM inter
-      JOIN sizes sa ON sa.doc_id = doc_a
-      JOIN sizes sb ON sb.doc_id = doc_b
-      WHERE n_common * 1.0 / (sa.sz + sb.sz - n_common) >= 0.5
-    ),
-    edges AS (
-      SELECT doc_a AS u, doc_b AS v FROM pairs
-      UNION
-      SELECT doc_b AS u, doc_a AS v FROM pairs
-    ),
-    walk(node, comp) AS (
-      SELECT doc_id, doc_id FROM corpus
-      UNION
-      SELECT e.v, w.comp FROM walk w JOIN edges e ON e.u = w.node
-    ),
-    comp AS (
-      SELECT node AS doc_id, min(comp) AS component FROM walk GROUP BY node
-    ),
+    WITH RECURSIVE {_SQL_CC_COMP_CTES},
     sized AS (
       SELECT doc_id, component,
              count(*) OVER (PARTITION BY component) AS cluster_size
@@ -1373,6 +1342,69 @@ def dedup_cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame
             F.col("doc_id").alias("rep_doc_id"),
             "cluster_size",
             "n_tokens",
+        )
+    )
+
+
+@query(
+    "dedup_cluster_size_histogram",
+    oracle=f"""
+    WITH RECURSIVE {_SQL_CC_COMP_CTES},
+    csize AS (
+      SELECT component, CAST(count(*) AS BIGINT) AS cluster_size
+      FROM comp GROUP BY component
+    ),
+    tot AS (SELECT CAST(sum(cluster_size) AS BIGINT) AS n_docs_total
+            FROM csize)
+    SELECT cluster_size,
+           CAST(count(*) AS BIGINT) AS n_clusters,
+           CAST(count(*) * cluster_size AS BIGINT) AS n_docs,
+           CAST(count(*) * (cluster_size - 1) AS BIGINT) AS n_removed,
+           round(count(*) * cluster_size * 1.0
+                 / (SELECT n_docs_total FROM tot), 6) AS doc_share
+    FROM csize GROUP BY cluster_size
+    """,
+)
+def dedup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup DIAGNOSTICS readout over the clustering step: how
+    many near-dup clusters exist at each size, how many documents
+    they hold, and how many a keep-one-representative pass removes —
+    the distribution a corpus owner reads before choosing a dedup
+    threshold (a fat tail of giant clusters means boilerplate or a
+    too-low threshold; all-singletons means the threshold bites
+    nothing).
+
+    Scale: rides the session-cached CC assignment (shared with
+    dedup_clusters / dedup_cluster_representatives — no new pair or
+    fixpoint work), then two map-side-combinable aggregates; output
+    cardinality = number of distinct cluster sizes."""
+    assign = _chain_assignments(spark, sf_dir)
+    per_cluster = assign.groupBy("component").agg(
+        F.count("*").cast("long").alias("cluster_size")
+    )
+    total = per_cluster.agg(
+        F.sum("cluster_size").cast("long").alias("n_docs_total")
+    )
+    return (
+        per_cluster.groupBy("cluster_size")
+        .agg(F.count("*").cast("long").alias("n_clusters"))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "cluster_size",
+            "n_clusters",
+            (F.col("n_clusters") * F.col("cluster_size"))
+            .cast("long")
+            .alias("n_docs"),
+            (F.col("n_clusters") * (F.col("cluster_size") - 1))
+            .cast("long")
+            .alias("n_removed"),
+            F.round(
+                F.col("n_clusters")
+                * F.col("cluster_size")
+                * 1.0
+                / F.col("n_docs_total"),
+                6,
+            ).alias("doc_share"),
         )
     )
 

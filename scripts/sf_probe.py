@@ -209,6 +209,11 @@ PROBE_QUERIES = [
     # scan-shaped) and the 5-threshold sweep off one capped pair build
     "domain_blocklist_report",
     "dedup_threshold_sweep",
+    # rank-sum grid duels: intermediate is (sources x value-grid),
+    # DOMAIN-bounded (<= 10001 milli scores) — must grow sublinearly
+    "source_quality_winrates",
+    # histogram off the shared CC build: two keyed aggregates
+    "dedup_cluster_size_histogram",
 ]
 
 

@@ -1232,6 +1232,7 @@ _BOUNDED_GLOBAL_WINDOWS = {
     "transition_pagerank": "event-type transition matrix",
     "session_paths": "path-cardinality aggregate counts",
     "part_hits_authorities": "top-k window over bounded score table",
+    "bt_source_strengths": "source-bounded strength table (|sources| rows)",
     # value-domain / bin / fold / threshold grids
     "mann_whitney_u": "distinct-cents tie table (2dp value domain)",
     "value_ks_drift_test": "distinct-cents table (2dp value domain)",

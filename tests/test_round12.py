@@ -97,3 +97,110 @@ def test_code_detection_nan_free_on_symbol_only_docs(spark, tmp_path):
             v = row[field]
             assert v is None or math.isfinite(v), (row.source, field, v)
     assert out["soup"].keywords_per_100_tokens == 0.0
+
+
+def test_cluster_size_histogram_accounting(spark):
+    """Histogram agrees with dedup_clusters: per size s, n_clusters
+    counts components of that size, docs/removed follow exactly, and
+    the planted chain corpus ({orig, 80%, 64%} per source doc) must
+    show multi-doc clusters."""
+    from collections import Counter
+
+    from clickstreamtoclickhouse_spark import plans
+
+    assign = plans.QUERIES["dedup_clusters"](spark, SF_DIR).collect()
+    comp_sizes = Counter(r.component for r in assign)
+    by_size = Counter(comp_sizes.values())
+    rows = {
+        r.cluster_size: r
+        for r in plans.QUERIES["dedup_cluster_size_histogram"](
+            spark, SF_DIR
+        ).collect()
+    }
+    assert set(rows) == set(by_size)
+    n_total = len(assign)
+    for s, n_clusters in by_size.items():
+        r = rows[s]
+        assert r.n_clusters == n_clusters
+        assert r.n_docs == n_clusters * s
+        assert r.n_removed == n_clusters * (s - 1)
+        assert abs(r.doc_share - n_clusters * s / n_total) < 1e-6
+    assert any(s >= 3 for s in by_size), "planted chains missing"
+
+
+def _write_docs(spark, tmp_path, rows):
+    spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string, "
+        "n_chars long",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        f"{tmp_path}/documents.parquet"
+    )
+
+
+def _quality_ladder_docs():
+    """Three sources with strictly ordered quality: the composite
+    score is monotone in word count below 100 words (clean prose,
+    no punctuation), so hi > mid > lo on every cross-source duel."""
+    mk = lambda n: " ".join(f"word{i % 7}" for i in range(n))
+    rows = []
+    did = 0
+    for src, n_words, n_docs in (
+        ("lo", 10, 4), ("mid", 50, 5), ("hi", 100, 3),
+    ):
+        for _ in range(n_docs):
+            t = mk(n_words)
+            rows.append((did, t, "en", src, len(t)))
+            did += 1
+    return rows
+
+
+def test_source_winrates_planted_dominance(spark, tmp_path):
+    from clickstreamtoclickhouse_spark import plans
+
+    _write_docs(spark, tmp_path, _quality_ladder_docs())
+    rows = {
+        (r.source_a, r.source_b): r
+        for r in plans.QUERIES["source_quality_winrates"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert len(rows) == 3  # 3 sources -> 3 unordered pairs
+    for (a, b), r in rows.items():
+        # exhaustive accounting on every pair
+        assert r.wins_a + r.wins_b + r.ties == r.n_a * r.n_b
+        assert r.ties == 0  # scores strictly ordered across sources
+    order = {"lo": 0, "mid": 1, "hi": 2}
+    for (a, b), r in rows.items():
+        if order[a] > order[b]:
+            assert r.winrate_a == 1.0 and r.wins_a == r.n_a * r.n_b
+        else:
+            assert r.winrate_a == 0.0 and r.wins_b == r.n_a * r.n_b
+
+
+def test_source_winrates_accounting_on_sf_data(spark):
+    from clickstreamtoclickhouse_spark import plans
+
+    rows = plans.QUERIES["source_quality_winrates"](
+        spark, SF_DIR
+    ).collect()
+    assert rows
+    for r in rows:
+        assert r.wins_a + r.wins_b + r.ties == r.n_a * r.n_b
+        assert 0.0 <= r.winrate_a <= 1.0
+
+
+def test_bt_strengths_recover_planted_order(spark, tmp_path):
+    from clickstreamtoclickhouse_spark import plans
+
+    _write_docs(spark, tmp_path, _quality_ladder_docs())
+    got = {
+        r.source: r
+        for r in plans.QUERIES["bt_source_strengths"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert got["hi"].strength > got["mid"].strength > got["lo"].strength
+    assert [got[s].rank for s in ("hi", "mid", "lo")] == [1, 2, 3]
+    # normalized to mean 1 over k sources
+    assert abs(sum(r.strength for r in got.values()) - 3.0) < 1e-3
