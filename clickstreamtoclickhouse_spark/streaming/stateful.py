@@ -848,3 +848,102 @@ def streaming_url_frontier(
         id_col=id_col,
         text_col="canonical_url",
     )
+
+
+def streaming_source_quota(
+    docs_stream: DataFrame,
+    ledger_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    budget_tokens: int = 10_000,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+):
+    """Continuous per-source token-budget admission — the ONLINE form
+    of the mixture allocators (mixture_epoch_allocation /
+    training_mixture): each micro-batch's documents are admitted in
+    deterministic ({source}, {id}) order until their source's
+    REMAINING budget is exhausted; admitted docs append to `out_dir`
+    and each batch appends its per-source spent-token deltas to the
+    parquet ledger at `ledger_dir`, so later batches continue exactly
+    where this one stopped. The boundary document that would
+    overshoot is rejected (hard cap — the epoch-cap stance), as is
+    everything after it for that source.
+
+    Scale: the ledger read is a source-cardinality aggregate of the
+    append-only delta table (compact it like the band index when
+    batches accumulate); the in-batch cumulative is a window
+    PARTITIONED by source over batch-sized input; admitted text is
+    written once and never reshuffled. State is one counter per
+    source.
+
+    Caveats: the corpus and ledger appends are two non-atomic writes
+    (same one-micro-batch crash window as streaming_corpus_dedup —
+    the txlog sink closes it); admission is by document, so
+    re-DELIVERED documents spend budget twice unless
+    streaming_corpus_dedup runs upstream (at-least-once composition
+    documented, not hidden)."""
+    from pyspark.sql.window import Window
+
+    from ..functions import text as tx
+
+    spark = docs_stream.sparkSession
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        from ..util import try_read_parquet
+
+        batch_df = batch_df.cache()
+        try:
+            ledger = try_read_parquet(spark, ledger_dir)
+            if ledger is not None:
+                spent = ledger.groupBy(source_col).agg(
+                    F.sum("spent_tokens").cast("long").alias("spent")
+                )
+            else:
+                spent = (
+                    batch_df.select(source_col)
+                    .limit(0)
+                    .withColumn("spent", F.lit(0).cast("long"))
+                )
+            w = Window.partitionBy(source_col).orderBy(id_col).rowsBetween(
+                Window.unboundedPreceding, Window.currentRow
+            )
+            scored = batch_df.select(
+                id_col,
+                source_col,
+                tx.token_count_ws(F.col(text_col))
+                .cast("long")
+                .alias("n_tokens"),
+            ).withColumn("cum", F.sum("n_tokens").over(w).cast("long"))
+            admitted = (
+                scored.join(F.broadcast(spent), source_col, "left")
+                .withColumn(
+                    "spent", F.coalesce("spent", F.lit(0).cast("long"))
+                )
+                # a doc is admitted iff EVERYTHING up to and including
+                # it fits — a rejected doc also blocks later in-batch
+                # docs of its source (contiguous-prefix admission keeps
+                # the ledger a single counter per source)
+                .filter(F.col("spent") + F.col("cum") <= budget_tokens)
+            ).cache()
+            (
+                batch_df.join(
+                    admitted.select(id_col), id_col, "left_semi"
+                ).write.mode("append").parquet(out_dir)
+            )
+            (
+                admitted.groupBy(source_col)
+                .agg(F.sum("n_tokens").cast("long").alias("spent_tokens"))
+                .write.mode("append")
+                .parquet(ledger_dir)
+            )
+            admitted.unpersist()
+        finally:
+            batch_df.unpersist()
+
+    return (
+        docs_stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )

@@ -1332,3 +1332,62 @@ def test_streaming_url_frontier_collapses_variants(spark, tmp_path):
     }
     assert canon[1] == "https://example.com/a"
     assert canon[3] == "https://example.com/b"
+
+
+def test_streaming_source_quota(spark, tmp_path):
+    """Per-source token budgets enforced across micro-batches:
+    contiguous-prefix admission in (source, doc_id) order, a source
+    that exhausts its budget admits nothing further, and the ledger
+    totals never exceed the budget."""
+    import json as _json
+
+    landing = tmp_path / "docs"
+    landing.mkdir()
+    ledger_dir = str(tmp_path / "ledger")
+    out_dir = str(tmp_path / "admitted")
+    ckpt = str(tmp_path / "ckpt_quota")
+
+    def write_file(name, rows):
+        with open(landing / name, "w") as f:
+            for r in rows:
+                f.write(_json.dumps(r) + "\n")
+
+    def doc(i, src, n):
+        return {"doc_id": i, "source": src,
+                "text": " ".join(f"w{k}" for k in range(n))}
+
+    # budget 10 tokens/source. batch 1: A spends 7 (4+3); B spends 9
+    write_file("b1.json", [doc(1, "A", 4), doc(2, "A", 3), doc(3, "B", 9)])
+    schema = "doc_id long, source string, text string"
+    stream = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", 1
+    ).json(str(landing))
+    q = stateful.streaming_source_quota(
+        stream, ledger_dir, out_dir, ckpt, budget_tokens=10
+    )
+    try:
+        q.processAllAvailable()
+        # batch 2: A has 3 left -> doc 10 (3 tokens) fits, doc 11 (2)
+        # is blocked (contiguous prefix: 10 then 11 would need 5);
+        # B has 1 left -> doc 12 (2 tokens) rejected; C fresh -> doc
+        # 13 (10) exactly fills, doc 14 (1) rejected
+        write_file("b2.json", [
+            doc(10, "A", 3), doc(11, "A", 2),
+            doc(12, "B", 2),
+            doc(13, "C", 10), doc(14, "C", 1),
+        ])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    ids = sorted(r.doc_id for r in spark.read.parquet(out_dir).collect())
+    assert ids == [1, 2, 3, 10, 13]
+    ledger = (
+        spark.read.parquet(ledger_dir)
+        .groupBy("source")
+        .sum("spent_tokens")
+        .collect()
+    )
+    spent = {r["source"]: r["sum(spent_tokens)"] for r in ledger}
+    assert spent == {"A": 10, "B": 9, "C": 10}
+    assert all(v <= 10 for v in spent.values())
