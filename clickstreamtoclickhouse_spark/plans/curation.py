@@ -856,8 +856,16 @@ def source_quality_winrates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("q"),
     )
-    sq = per.groupBy("source", "q").agg(
-        F.count(F.lit(1)).cast("long").alias("cnt")
+    # eager checkpoint: sq has 7 downstream consumers (grid, srcs,
+    # cnts, both duel sides, ties, ns) and without the cut each one
+    # re-scans the corpus and recomputes the quality score (measured:
+    # 10 parquet scans in the plan, pinned to <= 2 by
+    # test_source_winrates_never_joins_doc_by_doc). The table is
+    # DOMAIN-bounded: <= |sources| x 10001 milli values.
+    sq = (
+        per.groupBy("source", "q")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .localCheckpoint(eager=True)
     )
     grid = sq.select("q").distinct()
     srcs = sq.select("source").distinct()

@@ -1318,6 +1318,24 @@ def test_no_unlisted_unpartitioned_windows(spark):
     )
 
 
+def test_source_winrates_never_joins_doc_by_doc(spark):
+    # round 12: the duel counts must come from the rank-sum grid
+    # (per-(source, value) counts + source-partitioned cumulative),
+    # never a document x document comparison — no cartesian product,
+    # and the only nested-loop joins are against the bounded
+    # srcs/grid/pair sides (broadcast build)
+    txt = plan_text(spark, "source_quality_winrates")
+    assert "CartesianProduct" not in txt
+    scans = sum(
+        1 for l in txt.splitlines()
+        if l.strip().startswith("(") and "Scan parquet" in l
+    )
+    # the documents scan happens ONCE, at the checkpointed sq build —
+    # every downstream consumer reads the bounded (source, value)
+    # count table, never the corpus
+    assert scans <= 2, scans
+
+
 _SF_BIG = "/root/testdata/sf0.1"
 
 
