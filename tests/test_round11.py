@@ -93,13 +93,27 @@ def test_session_cache_registry_storage_shrinks(spark, tmp_path):
         "chain_assignments",
     } <= names, names
 
-    def cached_rdds() -> int:
-        return len(spark.sparkContext._jsc.sc().getRDDStorageInfo())
+    # Assert on the EXACT checkpoint RDD ids of the entries this test
+    # builds, never on global storage counts: the shared session
+    # carries other tests' per-query eager localCheckpoints whose
+    # Python DataFrames are garbage — the ContextCleaner unpersists
+    # them asynchronously, so a global count can shrink mid-test by
+    # unrelated amounts (observed: r12 suite flake, base drifted by 2).
+    def storage_ids() -> set[int]:
+        return {
+            i.id()
+            for i in spark.sparkContext._jsc.sc().getRDDStorageInfo()
+        }
+
+    def ckpt_rdd_id(df) -> int:
+        plan = df._jdf.queryExecution().analyzed()
+        assert plan.getClass().getSimpleName() == "LogicalRDD", plan
+        return plan.rdd().id()
 
     for c in caches:
         c.clear()
-    base = cached_rdds()
     d1, d2 = str(tmp_path / "d1"), str(tmp_path / "d2")
+    ids = {d1: set(), d2: set()}
     for i, c in enumerate(caches):
         for d in (d1, d2):
             df = c.get_or_build(
@@ -108,19 +122,22 @@ def test_session_cache_registry_storage_shrinks(spark, tmp_path):
                 )
             )
             df.count()  # materialize the checkpoint blocks
+            ids[d].add(ckpt_rdd_id(df))
     assert all(len(c) == 2 for c in caches)
-    built = cached_rdds()
-    assert built >= base + 2 * len(caches), (base, built, len(caches))
+    assert len(ids[d1]) == len(ids[d2]) == len(caches)
+    live = storage_ids()
+    assert (ids[d1] | ids[d2]) <= live, (ids, live)
     # per-dir eviction releases EVERY cache's d1 entry and its storage
     n = util.evict_session_caches(d1)
     assert n == len(caches)
     assert all(len(c) == 1 for c in caches)
-    after_d1 = cached_rdds()
-    assert after_d1 <= built - len(caches), (built, after_d1)
+    live = storage_ids()
+    assert ids[d1].isdisjoint(live), (ids[d1], live)
+    assert ids[d2] <= live, (ids[d2], live)
     # evict-all drains the rest
     assert util.evict_session_caches() == len(caches)
     assert all(len(c) == 0 for c in caches)
-    assert cached_rdds() <= base
+    assert ids[d2].isdisjoint(storage_ids())
 
 
 # -- round 11: robots longest-prefix policy + lexical diversity -------
