@@ -2655,3 +2655,132 @@ def code_detection_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("keywords_per_100_tokens"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Confident-learning label-noise report (round 12)
+# ---------------------------------------------------------------------------
+#
+# Northcutt et al. 2021 ("Confident Learning", JAIR — public method):
+# estimate the joint distribution of (noisy label, true label) by
+# counting docs whose per-class score clears that class's
+# self-confidence threshold (the mean score of docs CARRYING the
+# class label), assigning each doc to its highest qualifying class.
+# The off-diagonal mass is the estimated label-noise rate — the label
+# QA readout a pipeline runs before trusting `lang` (or any labeled
+# column) for supervised filtering. Scorer: the engine's stopword
+# lang-ID device (integer type-hit counts), so every threshold
+# comparison is an exact BIGINT cross-multiplication —
+# h * n_class >= sum_class — with no float mean anywhere.
+
+
+def _label_noise_oracle() -> str:
+    arms = "\n      UNION ALL\n".join(
+        f"""      SELECT doc_id, noisy, '{lang}' AS cls,
+             CAST({tx.sql_lang_score('text', lang)} AS BIGINT) AS h
+      FROM d"""
+        for lang in tx.LANGS
+    )
+    return f"""
+    WITH d AS (
+      SELECT doc_id, lang AS noisy, text FROM documents
+      WHERE length(trim(text)) > 0
+    ),
+    long AS (
+{arms}
+    ),
+    thr AS (
+      SELECT cls, CAST(sum(h) AS BIGINT) AS s,
+             CAST(count(*) AS BIGINT) AS n
+      FROM long WHERE noisy = cls GROUP BY cls
+    ),
+    qual AS (
+      SELECT l.doc_id, l.noisy, l.cls, l.h
+      FROM long l JOIN thr t USING (cls)
+      WHERE l.h > 0 AND l.h * t.n >= t.s
+    ),
+    conf AS (
+      SELECT doc_id, noisy, cls FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY doc_id ORDER BY h DESC, cls) AS rn
+        FROM qual
+      ) WHERE rn = 1
+    ),
+    joint AS (
+      SELECT noisy AS noisy_label, cls AS confident_label,
+             CAST(count(*) AS BIGINT) AS n_docs
+      FROM conf GROUP BY 1, 2
+    )
+    SELECT noisy_label, confident_label, n_docs,
+           round(n_docs * 1.0 / sum(n_docs) OVER (
+             PARTITION BY noisy_label), 6) AS share_of_noisy,
+           CAST(CASE WHEN noisy_label <> confident_label
+                THEN 1 ELSE 0 END AS INT) AS is_offdiag
+    FROM joint
+    """
+
+
+@query("label_noise_report", oracle=_label_noise_oracle())
+def label_noise_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confident-joint label-noise estimate over the `lang` labels
+    (see module comment): per (noisy_label, confident_label) cell,
+    the doc count and its share of the noisy label's confidently-
+    assigned mass; is_offdiag flags estimated mislabels. A doc
+    qualifies for class j iff its integer stopword-hit score clears
+    class j's mean self-confidence (exact BIGINT cross-multiply,
+    h * n_j >= s_j, h > 0); among qualifying classes the highest
+    score wins (class name breaks ties).
+
+    Scale: one corpus scan fans out to the 5-class long form (bounded
+    explode), thresholds are a class-keyed aggregate broadcast back,
+    the winner is a doc-partitioned top-1 window (WindowGroupLimit
+    shape, <= |classes| rows per doc), and the joint is one keyed
+    count; the share window is partitioned over the |classes|^2
+    joint. No floats until the final rounded share."""
+    d = load(spark, sf_dir, "documents").filter(
+        F.length(F.trim(F.col("text"))) > 0
+    )
+    scored = d.select(
+        "doc_id",
+        F.col("lang").alias("noisy"),
+        *[
+            tx.lang_score(F.col("text"), lang).cast("long").alias(f"h_{lang}")
+            for lang in tx.LANGS
+        ],
+    )
+    stack = ", ".join(f"'{lang}', h_{lang}" for lang in tx.LANGS)
+    long = scored.selectExpr(
+        "doc_id", "noisy", f"stack({len(tx.LANGS)}, {stack}) AS (cls, h)"
+    )
+    thr = (
+        long.filter(F.col("noisy") == F.col("cls"))
+        .groupBy("cls")
+        .agg(
+            F.sum("h").cast("long").alias("s"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+        )
+    )
+    qual = long.join(F.broadcast(thr), "cls").filter(
+        (F.col("h") > 0) & (F.col("h") * F.col("n") >= F.col("s"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("h"), F.asc("cls"))
+    conf = (
+        qual.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+    )
+    joint = conf.groupBy(
+        F.col("noisy").alias("noisy_label"),
+        F.col("cls").alias("confident_label"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    ws = Window.partitionBy("noisy_label")
+    return joint.select(
+        "noisy_label",
+        "confident_label",
+        "n_docs",
+        F.round(
+            F.col("n_docs") * 1.0 / F.sum("n_docs").over(ws), 6
+        ).alias("share_of_noisy"),
+        (F.col("noisy_label") != F.col("confident_label"))
+        .cast("int")
+        .alias("is_offdiag"),
+    )

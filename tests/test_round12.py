@@ -204,3 +204,35 @@ def test_bt_strengths_recover_planted_order(spark, tmp_path):
     assert [got[s].rank for s in ("hi", "mid", "lo")] == [1, 2, 3]
     # normalized to mean 1 over k sources
     assert abs(sum(r.strength for r in got.values()) - 3.0) < 1e-3
+
+
+def test_label_noise_report_flags_planted_mislabel(spark, tmp_path):
+    """A doc labeled 'de' whose text is plainly English stopword
+    prose must land in the ('de', 'en') off-diagonal cell; clean
+    docs stay on the diagonal."""
+    from clickstreamtoclickhouse_spark import plans
+
+    en = "the cat is not in the hat and it is a cat that sat"
+    de = "der hund ist nicht ein hund und das ist der hund mit"
+    rows = []
+    did = 0
+    for _ in range(5):
+        rows.append((did, en, "en", "s", len(en))); did += 1
+        rows.append((did, de, "de", "s", len(de))); did += 1
+    rows.append((did, en, "de", "s", len(en)))  # the planted mislabel
+    _write_docs(spark, tmp_path, rows)
+    out = {
+        (r.noisy_label, r.confident_label): r
+        for r in plans.QUERIES["label_noise_report"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert ("de", "en") in out and out[("de", "en")].n_docs == 1
+    assert out[("de", "en")].is_offdiag == 1
+    assert out[("en", "en")].n_docs == 5
+    assert out[("de", "de")].n_docs == 5
+    assert out[("de", "de")].is_offdiag == 0
+    # shares within each noisy label sum to 1
+    for lbl in ("de", "en"):
+        tot = sum(r.share_of_noisy for (n, _), r in out.items() if n == lbl)
+        assert abs(tot - 1.0) < 1e-5
