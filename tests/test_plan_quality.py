@@ -1336,6 +1336,22 @@ def test_source_winrates_never_joins_doc_by_doc(spark):
     assert scans <= 2, scans
 
 
+def test_label_noise_report_plan_shape(spark):
+    # round 12: the confident joint must broadcast the class-keyed
+    # threshold table (5 rows) onto the long-form scores, never
+    # cartesian; and the corpus fans out once per arm (scores +
+    # thresholds), not per class
+    txt = plan_text(spark, "label_noise_report")
+    assert "CartesianProduct" not in txt
+    assert "BroadcastHashJoin" in txt
+    scans = sum(
+        1 for l in txt.splitlines()
+        if l.strip().startswith("(") and "Scan parquet" in l
+    )
+    assert scans <= 2, scans
+    assert count_exchanges(txt) <= 5
+
+
 _SF_BIG = "/root/testdata/sf0.1"
 
 
