@@ -152,10 +152,17 @@ def main() -> None:
     # JVM WARN lines on stderr/stdout, and in round 11 those lines landed
     # AFTER the JSON, pushing it out of the driver's fixed-size tail
     # capture (BENCH_r11.json came back with "parsed": null).
+    # Teardown must never suppress the result line: the eviction path is
+    # exactly the WARN-spewing code that motivated the reordering, so a
+    # teardown exception here would lose the stdout artifact entirely.
     from clickstreamtoclickhouse_spark.util import evict_session_caches
 
-    evict_session_caches()
-    spark.stop()
+    try:
+        evict_session_caches()
+        spark.stop()
+    except Exception as e:  # noqa: BLE001 — log and continue to the print
+        print(f"# WARNING: bench teardown failed (result line unaffected): {e}",
+              file=sys.stderr, flush=True)
 
     print(
         json.dumps(

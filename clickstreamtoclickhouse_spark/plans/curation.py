@@ -775,6 +775,7 @@ _SQL_WINRATE_CTES = f"""base AS (
              length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
                AS n_punct
       FROM documents
+      WHERE text IS NOT NULL
     ),
     per AS (SELECT source, {_SQL_Q_MILLI} AS q FROM base),
     sq AS (
@@ -850,7 +851,12 @@ def source_quality_winrates(spark: SparkSession, sf_dir: str) -> DataFrame:
     wins(a, b) = sum_v cnt_a(v) * cum_b(<v) as one equi-join on the
     value — never a doc x doc comparison. Output = source-pair rows."""
     d = load(spark, sf_dir, "documents")
-    per = d.select(
+    # NULL-text docs yield q=NULL: they would be counted in n_a/n_b
+    # (ns sums all cnt rows) yet can never match the null-unsafe
+    # equi-joins on q, silently crediting every such pairing to the
+    # derived wins_b remainder — a bias BOTH engines share, so oracle
+    # parity cannot catch it. Only duel-eligible docs count.
+    per = d.filter(F.col("text").isNotNull()).select(
         "source",
         F.round(tx.quality_score(F.col("text")) * 10000, 0)
         .cast("long")

@@ -713,7 +713,20 @@ def domain_blocklist_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     it and each domain partition sorted O(N/domains) rows in one
     task. Cost: a second scan of the corpus, which at scale is far
     cheaper than the full-row domain shuffle it replaces. One final
-    source-keyed map-side-combinable aggregate. No collects."""
+    source-keyed map-side-combinable aggregate. No collects.
+
+    Domain-cardinality assumption (r12 advice): the broadcast side is
+    one row per distinct SURVIVING eTLD+1 domain, which grows with
+    corpus size — web-scale corpora carry tens of millions of
+    domains, and a forced broadcast of that table would blow the
+    driver/executor broadcast limits even though it is sublinear at
+    the 10x probe. Set
+    ``spark.clickstreamtoclickhouse.domainJoin=shuffle`` to drop the
+    hint and let the optimizer/AQE pick a shuffle hash join when the
+    threshold table is too large to ship; the default stays
+    ``broadcast`` (correct while |domains| x ~40B/row fits the
+    broadcast budget). Both paths are value-identical
+    (test_domain_blocklist_shuffle_fallback_parity)."""
     m = _messy_url_corpus(load(spark, sf_dir, "documents"))
     d = m.select(
         "doc_id",
@@ -745,7 +758,11 @@ def domain_blocklist_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("rd")
         .agg(F.max("k").alias("thr"))
     )
-    joined = flagged.join(F.broadcast(thr), "rd", "left")
+    mode = spark.conf.get(
+        "spark.clickstreamtoclickhouse.domainJoin", "broadcast"
+    )
+    thr_side = F.broadcast(thr) if mode == "broadcast" else thr
+    joined = flagged.join(thr_side, "rd", "left")
     survivor = F.col("blocked") == 0
     kept = survivor & (key <= F.col("thr"))
     return joined.groupBy("source").agg(

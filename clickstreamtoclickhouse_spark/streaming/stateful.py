@@ -878,10 +878,13 @@ def streaming_source_quota(
     written once and never reshuffled. State is one counter per
     source.
 
-    Caveats: the corpus and ledger appends are two non-atomic writes
+    Caveats: the ledger and corpus appends are two non-atomic writes
     (same one-micro-batch crash window as streaming_corpus_dedup —
-    the txlog sink closes it); admission is by document, so
-    re-DELIVERED documents spend budget twice unless
+    the txlog sink closes it). The ledger delta is written FIRST so
+    the failure mode is fail-closed: a crash between the two writes
+    under-admits (budget charged, docs not emitted) instead of
+    over-spending the hard cap on replay. Admission is by document,
+    so re-DELIVERED documents spend budget twice unless
     streaming_corpus_dedup runs upstream (at-least-once composition
     documented, not hidden)."""
     from pyspark.sql.window import Window
@@ -926,19 +929,31 @@ def streaming_source_quota(
                 # docs of its source (contiguous-prefix admission keeps
                 # the ledger a single counter per source)
                 .filter(F.col("spent") + F.col("cum") <= budget_tokens)
-            ).cache()
-            (
-                batch_df.join(
-                    admitted.select(id_col), id_col, "left_semi"
-                ).write.mode("append").parquet(out_dir)
             )
+            # eager lineage cut, NOT .cache(): admitted's lineage
+            # reads ledger_dir, and the ledger append below triggers
+            # CacheManager's recache-by-path, which would silently
+            # REMATERIALIZE a cached `admitted` against the
+            # just-updated ledger (every doc then looks over-budget
+            # and the batch admits nothing). The same recompute
+            # happens under cache eviction at scale. localCheckpoint
+            # freezes the admission decision before either write.
+            admitted = admitted.localCheckpoint(eager=True)
+            # ledger FIRST (fail-closed): a crash between the two
+            # appends leaves the budget charged with no docs emitted
+            # — replay then re-admits nothing for the charged tokens,
+            # so the hard cap is never over-spent (docstring contract)
             (
                 admitted.groupBy(source_col)
                 .agg(F.sum("n_tokens").cast("long").alias("spent_tokens"))
                 .write.mode("append")
                 .parquet(ledger_dir)
             )
-            admitted.unpersist()
+            (
+                batch_df.join(
+                    admitted.select(id_col), id_col, "left_semi"
+                ).write.mode("append").parquet(out_dir)
+            )
         finally:
             batch_df.unpersist()
 

@@ -50,3 +50,21 @@ def test_mirror_sees_identical_registry_as_driver_contract():
     assert set(driver_o) == set(driver_q)
     for name, sql in driver_o.items():
         assert sql == plans.ORACLE[name], name
+
+
+def test_coverage_doc_registry_count_is_exact():
+    """Round 13 (r12 verdict #4): COVERAGE.md's oracled-query count is
+    load-bearing for the 'every query is checked somewhere' provenance
+    argument, and it went stale in round 12 (283 vs 284). Derive it
+    mechanically: the doc's '(N as of round ...' figure must equal
+    len(plans.ORACLE) on every suite run."""
+    import re
+    from pathlib import Path
+
+    text = (Path(__file__).resolve().parents[1] / "COVERAGE.md").read_text()
+    m = re.search(r"\((\d+) as of round", text)
+    assert m, "COVERAGE.md lost its '(N as of round' provenance figure"
+    assert int(m.group(1)) == len(plans.ORACLE), (
+        f"COVERAGE.md says {m.group(1)} oracled queries; registry has "
+        f"{len(plans.ORACLE)} — update the provenance paragraph"
+    )

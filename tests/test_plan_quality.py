@@ -7,6 +7,7 @@ from __future__ import annotations
 
 import contextlib
 import io
+from pathlib import Path
 
 import pytest
 
@@ -1355,6 +1356,11 @@ def test_label_noise_report_plan_shape(spark):
 _SF_BIG = "/root/testdata/sf0.1"
 
 
+@pytest.mark.skipif(
+    not Path(_SF_BIG).exists(),
+    reason="sf0.1 dataset absent on this host — bounded-input audit "
+    "degrades gracefully instead of hard-failing the suite",
+)
 def test_allowlisted_window_inputs_are_bounded(spark):
     """Round 12 (r11 verdict #5): the NON-OBVIOUS allowlist reasons
     above — value-domain tie tables, distinct-residual tables,

@@ -203,3 +203,45 @@ def test_domain_blocklist_report_accounting(spark):
     ).distinct()
     doms = {r.rd for r in rd.collect()}
     assert set(_URL_BLOCKLIST) <= doms  # the planted domains exist
+
+
+def test_domain_blocklist_shuffle_fallback_parity(spark):
+    """Round 13 (r12 advice): at web scale the per-domain threshold
+    table (one row per distinct surviving eTLD+1) can exceed the
+    broadcast budget; the `domainJoin=shuffle` conf drops the hint so
+    the optimizer picks a shuffle join instead of a forced broadcast.
+    Both paths must be value-identical, and the fallback plan must
+    actually lose the forced broadcast."""
+    from .test_plan_quality import plan_text
+
+    key = "spark.clickstreamtoclickhouse.domainJoin"
+    base = sorted(
+        map(tuple, plans.QUERIES["domain_blocklist_report"](spark, SF_DIR).collect())
+    )
+    import contextlib
+    import io
+
+    def analyzed(df):
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("extended")
+        return buf.getvalue()
+
+    spark.conf.set(key, "shuffle")
+    try:
+        alt_df = plans.QUERIES["domain_blocklist_report"](spark, SF_DIR)
+        alt = sorted(map(tuple, alt_df.collect()))
+        alt_plan = analyzed(alt_df)
+    finally:
+        spark.conf.unset(key)
+    assert base == alt
+    # what the conf controls is the FORCED hint: in fallback mode the
+    # logical plan carries no broadcast hint, so the size-based
+    # planner / AQE decides (at tiny SF it still broadcasts from
+    # stats — correct; at web scale the same plan degrades to a
+    # shuffle join instead of blowing the broadcast limits)
+    assert "hint" not in alt_plan.lower()
+    dflt_plan = analyzed(
+        plans.QUERIES["domain_blocklist_report"](spark, SF_DIR)
+    )
+    assert "hint" in dflt_plan.lower()
