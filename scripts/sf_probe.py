@@ -214,6 +214,25 @@ PROBE_QUERIES = [
     "source_quality_winrates",
     # histogram off the shared CC build: two keyed aggregates
     "dedup_cluster_size_histogram",
+    # round-13 (r12 verdict #3): the five checkpointed MM iterations
+    # run on SOURCE-bounded tables after the same grid duels — the
+    # probe must show the iteration cost flat while the duel build
+    # grows linearly; label_noise is one scan + class-bounded fan-out
+    "bt_source_strengths",
+    "label_noise_report",
+]
+
+# round-13 (r12 verdict #1): the queries whose base->x10 SHUFFLE-byte
+# ratios sit far above their time ratios (33x / 105x / 448x on small
+# absolute bases) because of the broadcast-at-base plan transition +
+# pre-saturation cap regimes. A THIRD scale point (30x rows) shows the
+# byte curve bending to ~linear once the plan transition is behind:
+# x30/x10 ratios near 3 = linear, near 9 = still quadratic.
+SATURATION_QUERIES = [
+    "part_link_prediction",
+    "part_copurchase_communities",
+    "dedup_recall_report",
+    "dedup_threshold_sweep",
 ]
 
 
@@ -265,8 +284,18 @@ def gen_tables(scale: int, rng: np.random.Generator, words, lens, out: Path):
         ["en", "de", "zh", "fr", "es"], p=[0.41, 0.14, 0.15, 0.15, 0.15], size=n_docs
     )
     sources = np.char.add("src", rng.integers(0, 20, n_docs).astype(str))
+    # vectorized word sampling (round 13): one searchsorted over the
+    # vocabulary CDF for ALL words at once instead of a per-doc
+    # rng.choice (which rebuilds the CDF per call — O(docs x vocab),
+    # prohibitive at the 30x saturation arm's 150k docs x 30x vocab)
+    wc = wc.astype(np.int64)
+    total_words = int(wc.sum())
+    cdf = np.cumsum(freq)
+    draw = np.searchsorted(cdf, rng.random(total_words), side="right")
+    sampled = vocab[np.minimum(draw, len(vocab) - 1)]
+    bounds = np.concatenate(([0], np.cumsum(wc)))
     texts = [
-        " ".join(rng.choice(vocab, size=int(k), p=freq)) for k in wc
+        " ".join(sampled[bounds[i]:bounds[i + 1]]) for i in range(n_docs)
     ]
     pq.write_table(
         pa.table(
@@ -446,6 +475,8 @@ def main() -> None:
     words, lens = empirical_profile()
     gen_tables(1, np.random.default_rng(42), words, lens, OUT / "base")
     gen_tables(10, np.random.default_rng(43), words, lens, OUT / "x10")
+    # 30x arm for the shuffle-saturation story (r12 verdict #1)
+    gen_tables(30, np.random.default_rng(44), words, lens, OUT / "x30")
 
     spark = get_spark(app_name="sf_probe", extra_conf={"spark.ui.enabled": "true"})
     # use THIS session's bound UI url + app id — a hardcoded :4040
@@ -455,11 +486,15 @@ def main() -> None:
     app_base = f"{ui}/api/v1/applications/{app_id}"
 
     results: dict[str, dict] = {}
-    for tag, sf_dir in (("base", OUT / "base"), ("x10", OUT / "x10")):
+    for tag, sf_dir in (
+        ("base", OUT / "base"),
+        ("x10", OUT / "x10"),
+        ("x30", OUT / "x30"),
+    ):
         # warm the scans once so file listing isn't in the first timing
         for t in ("documents", "embeddings", "events", "lineitem", "part", "orders"):
             plans.load(spark, str(sf_dir), t).count()
-        for name in PROBE_QUERIES:
+        for name in PROBE_QUERIES if tag != "x30" else SATURATION_QUERIES:
             best, sh = float("inf"), -1
             for _ in range(2):
                 s0 = shuffle_write_bytes(app_base)
@@ -507,8 +542,13 @@ def main() -> None:
 
     diag: dict = {"jaccard_candidate_pairs": {},
                   "link_prediction_stage_shuffle_mb": {},
+                  "link_prediction_pair_counts": {},
                   "dedup_recall_pair_counts": {}}
-    for tag, sf_dir in (("base", OUT / "base"), ("x10", OUT / "x10")):
+    for tag, sf_dir in (
+        ("base", OUT / "base"),
+        ("x10", OUT / "x10"),
+        ("x30", OUT / "x30"),
+    ):
         corpus = _near_dup_corpus(plans.load(spark, str(sf_dir), "documents"))
         diag["jaccard_candidate_pairs"][tag] = _shingle_pair_candidates(
             corpus, 3, "doc_id", "text", 4, None
@@ -546,6 +586,17 @@ def main() -> None:
             )
             prev = s1
         diag["link_prediction_stage_shuffle_mb"][tag] = per
+        # r12 verdict #1: the DATA behind the wedge budget — total
+        # wedge volume is bounded by sum_z C(min(deg_z, CAP), 2); once
+        # hub degrees pass the cap their per-node contribution freezes
+        # at C(CAP,2), so wedge/candidate counts must bend to ~linear
+        # in |V| across base -> x10 -> x30 (the exact-equality form of
+        # this budget is pinned by test_link_prediction_wedge_budget)
+        diag["link_prediction_pair_counts"][tag] = {
+            "edges": stages["edges"].count(),
+            "wedges": stages["wedges"].count(),
+            "cand_groups": stages["cand"].count(),
+        }
         print(f"# {tag} diagnostics: jaccard pairs "
               f"{diag['jaccard_candidate_pairs'][tag]}, lp stages {per}, "
               f"recall pair sets {diag['dedup_recall_pair_counts'][tag]}",
@@ -569,10 +620,44 @@ def main() -> None:
             "shuffle_ratio": sh_ratio,
             "superlinear": ratio > 15,
         }
+        if "x30" in r:
+            # saturation arm: x30/x10 over a 3x row step — ~3 = linear,
+            # ~9 = quadratic. This is the post-plan-transition regime
+            # (both sides shuffle, caps saturated), so these ratios are
+            # the honest scale read for the flagged queries.
+            probe[name]["x30_sec"] = r["x30"]["sec"]
+            probe[name]["x30_shuffle_mb"] = r["x30"]["shuffle_mb"]
+            probe[name]["x30_over_x10_time_ratio"] = round(
+                r["x30"]["sec"] / max(r["x10"]["sec"], 1e-9), 1
+            )
+            probe[name]["x30_over_x10_shuffle_ratio"] = (
+                round(
+                    r["x30"]["shuffle_mb"] / max(r["x10"]["shuffle_mb"], 0.1),
+                    1,
+                )
+                if r["x30"]["shuffle_mb"] is not None
+                and r["x10"]["shuffle_mb"] is not None
+                else None
+            )
     out = {
         "what": "10x-rows scale probe on generator data (see scripts/sf_probe.py); time_ratio <= ~10 = linear, > 15 flags a hidden quadratic",
         "notes": (
-            "r8: the registered jaccard_near_dups / minhash_near_dups "
+            "r13: a THIRD scale point (x30 rows, SATURATION_QUERIES) "
+            "settles the r12 shuffle-byte watch items "
+            "(part_link_prediction 33x bytes at 10x rows, "
+            "dedup_recall_report, part_copurchase_communities, "
+            "dedup_threshold_sweep): base->x10 ratios straddle the "
+            "broadcast-at-base -> shuffle plan transition AND the "
+            "cap-dilution step, so they overstate growth; x30/x10 is "
+            "measured entirely in the post-transition regime where "
+            "~3x = linear and ~9x = quadratic (see "
+            "x30_over_x10_shuffle_ratio per query and "
+            "diagnostics.link_prediction_pair_counts for the wedge "
+            "budget data — the exact sum_z C(min(deg_z,CAP),2) "
+            "equality is pinned by test_link_prediction_wedge_budget). "
+            "bt_source_strengths and label_noise_report join the "
+            "probe (r12 verdict #3). "
+            "--- r8: the registered jaccard_near_dups / minhash_near_dups "
             "PRIMARIES now run with their hot-shingle / hot-bucket "
             "guards active (r7 measured the uncapped minhash shuffle "
             "growing 81x at 10x rows); minhash_near_dups_uncapped "

@@ -8,7 +8,11 @@ from __future__ import annotations
 import datetime as dt
 import math
 
+from pyspark.sql import functions as F
+
 from clickstreamtoclickhouse_spark import plans
+
+from .conftest import SF_DIR
 
 
 def _write(spark, tmp_path, table, rows, schema):
@@ -616,6 +620,41 @@ def test_link_prediction_planted(spark, tmp_path):
     # no existing edge may appear as a candidate
     edges = {(1, 3), (2, 3), (1, 4), (2, 4), (4, 5), (4, 6)}
     assert all((r.part_a, r.part_b) not in edges for r in out)
+
+
+def test_link_prediction_wedge_budget(spark):
+    """Round 13 (r12 verdict #1): the wedge-count BUDGET behind the
+    shuffle-saturation claim, asserted exactly against data. The
+    capped wedge self-join must emit exactly
+    sum_z C(min(deg_z, CAP), 2) rows — per-node wedge volume freezes
+    at C(CAP,2) once a hub's degree passes the cap, so total wedge
+    (and hence candidate/shuffle) volume is bounded by
+    |V| * C(CAP,2) and grows linearly in node count once hubs
+    saturate. A cap regression (e.g. the filter moving after the
+    self-join) breaks the equality immediately."""
+    from clickstreamtoclickhouse_spark.plans.tpch import (
+        _LP_NEIGHBOR_CAP,
+        _link_prediction_stages,
+    )
+
+    stages = _link_prediction_stages(spark, SF_DIR)
+    wedges = stages["wedges"].count()
+    und = (
+        stages["edges"]
+        .select(F.col("u").alias("z"))
+        .unionByName(stages["edges"].select(F.col("v").alias("z")))
+    )
+    capped_deg = und.groupBy("z").agg(
+        F.least(F.count(F.lit(1)), F.lit(_LP_NEIGHBOR_CAP)).alias("c")
+    )
+    row = capped_deg.agg(
+        F.sum(F.col("c") * (F.col("c") - 1) / 2).cast("long").alias("budget"),
+        F.count(F.lit(1)).alias("nodes"),
+    ).collect()[0]
+    assert wedges == row["budget"], (wedges, row["budget"])
+    assert wedges <= row["nodes"] * (
+        _LP_NEIGHBOR_CAP * (_LP_NEIGHBOR_CAP - 1) // 2
+    )
 
 
 def test_nelson_aalen_consistent_with_km(spark):
