@@ -18,6 +18,7 @@ from pyspark.sql.window import Window
 
 from ..functions import dedup_text, graph, multimodal, similarity, text as tx
 from ..util import SessionDFCache, widen_scan
+from .curation import _SQL_Q_MILLI
 from .registry import load, query
 
 EMB_DIM = 64
@@ -1405,6 +1406,73 @@ def dedup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / F.col("n_docs_total"),
                 6,
             ).alias("doc_share"),
+        )
+    )
+
+
+@query(
+    "dedup_cluster_best_keeper",
+    oracle=f"""
+    WITH RECURSIVE {_SQL_CC_COMP_CTES},
+    q AS (
+      SELECT doc_id, {_SQL_Q_MILLI} AS q_milli
+      FROM (
+        SELECT doc_id,
+               length(text) AS n_chars,
+               {tx.sql_token_count_ws('text')} AS n_words,
+               length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
+                 AS n_punct
+        FROM corpus
+      )
+    ),
+    sized AS (
+      SELECT doc_id, component,
+             CAST(count(*) OVER (PARTITION BY component) AS BIGINT)
+               AS cluster_size
+      FROM comp
+    )
+    SELECT component, doc_id AS keeper_doc_id, cluster_size,
+           q_milli AS keeper_q_milli
+    FROM sized JOIN q USING (doc_id)
+    QUALIFY row_number() OVER (PARTITION BY component
+                               ORDER BY q_milli DESC, doc_id) = 1
+    """,
+)
+def dedup_cluster_best_keeper(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware keeper selection after clustering (r12 verdict
+    #5): one keeper per near-dup cluster chosen by HIGHEST quality
+    score (FineWeb/RefinedWeb practice — real corpus builds keep the
+    best member, not the lowest id), deterministic min-id tie-break.
+    The integer milli quality scale is source_quality_winrates'
+    (shared _SQL_Q_MILLI snippet), so cross-engine float drift cannot
+    flip an argmax.
+
+    Scale: rides the session-cached CC assignment (shared with the
+    whole dedup_clusters family — no new pair or fixpoint work), then
+    ONE max_by aggregate keyed by component with map-side partial
+    aggregation — cheaper than the row_number window the
+    representatives query uses (no per-partition sort materialized),
+    chosen deliberately as the at-scale form."""
+    corpus = _chain_corpus(load(spark, sf_dir, "documents"))
+    assign = _chain_assignments(spark, sf_dir)
+    q = corpus.select(
+        "doc_id",
+        F.round(tx.quality_score(F.col("text")) * 10000, 0)
+        .cast("long")
+        .alias("q_milli"),
+    )
+    # argmax by (q_milli, -doc_id): highest quality, then LOWEST id —
+    # one struct-ordered max_by instead of a window sort
+    ordk = F.struct(
+        F.col("q_milli").alias("q"), (-F.col("doc_id")).alias("nid")
+    )
+    return (
+        assign.join(q, "doc_id")
+        .groupBy("component")
+        .agg(
+            F.max_by("doc_id", ordk).alias("keeper_doc_id"),
+            F.max("cluster_size").cast("long").alias("cluster_size"),
+            F.max("q_milli").alias("keeper_q_milli"),
         )
     )
 
@@ -3246,18 +3314,35 @@ _MANIFEST_SHARDS = 8
 _MANIFEST_CAL_MIN = 0.1  # drop the worst decile per source
 
 
-def _manifest_oracle() -> str:
+def _manifest_oracle(best_keeper: bool = False) -> str:
     grams = tx.sql_ngrams("ws", 5)
     hexpr = (
         "('0x' || substr(md5('0:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT"
     )
-    return f"""
-    WITH nd AS (
+    if best_keeper:
+        # near-dup stage keeps the BEST-QUALITY member of each
+        # verified pair (ties -> lower id, i.e. the min-id rule)
+        nd_ctes = f"""exd AS MATERIALIZED ({_SQL_MANIFEST_EX}),
+    losers AS MATERIALIZED (
+      SELECT DISTINCT CASE WHEN qa.quality < qb.quality THEN p.doc_a
+                           ELSE p.doc_b END AS doc_id
+      FROM ({_minhash_pairs_oracle(_SQL_MANIFEST_EX, cap=_MH_CAP)}) p
+      JOIN exd qa ON qa.doc_id = p.doc_a
+      JOIN exd qb ON qb.doc_id = p.doc_b
+    ),
+    nd AS (
+      SELECT e.* FROM exd e
+      WHERE NOT EXISTS (SELECT 1 FROM losers l WHERE l.doc_id = e.doc_id)
+    ),"""
+    else:
+        nd_ctes = f"""nd AS (
       SELECT e.* FROM ({_SQL_MANIFEST_EX}) e
       WHERE NOT EXISTS (
         SELECT 1 FROM ({_minhash_pairs_oracle(_SQL_MANIFEST_EX, cap=_MH_CAP)}) p
         WHERE p.doc_b = e.doc_id)
-    ),
+    ),"""
+    return f"""
+    WITH {nd_ctes}
     bgrams AS (
       SELECT DISTINCT unnest(list_distinct({grams})) AS gram
       FROM (SELECT {tx.SQL_WORDS.format(t='lower(text)')} AS ws
@@ -3297,7 +3382,9 @@ def _manifest_oracle() -> str:
 
 
 @query("corpus_build_manifest", oracle=_manifest_oracle())
-def corpus_build_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+def corpus_build_manifest(
+    spark: SparkSession, sf_dir: str, nd_keeper: str = "min_id"
+) -> DataFrame:
     """THE END-TO-END CORPUS BUILD — one query chaining the stages a
     training-data team actually runs, every stage an operator this
     engine ships individually, and the WHOLE composition under one
@@ -3305,7 +3392,9 @@ def corpus_build_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     the eval split), (2) quality gate at 0.5, (3) exact dedup (min-id
     keeper per content hash), (4) MinHash-LSH near-dup dedup with the
     hot-bucket guard active (one-pass drop of any doc with a
-    smaller-id verified pair — the incremental keeper rule),
+    smaller-id verified pair — the incremental keeper rule;
+    ``nd_keeper="best_quality"`` keeps each pair's higher-QUALITY
+    member instead, registered as corpus_build_manifest_best_keeper),
     (5) 5-gram benchmark decontamination, (6) per-source percentile
     calibration dropping the worst decile, (7) the training manifest:
     deterministic epoch-0 reader-shard + step assignment and token
@@ -3341,11 +3430,35 @@ def corpus_build_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         num_bands=_MH_BANDS,
         max_bucket_size=_MH_CAP,
     )
-    nd = ex.join(
-        pairs.select(F.col("doc_b").alias("doc_id")).distinct(),
-        "doc_id",
-        "left_anti",
-    )
+    if nd_keeper == "best_quality":
+        # keep the BEST-QUALITY member of each verified pair
+        # (FineWeb/RefinedWeb practice; r12 verdict #5): the loser is
+        # the lower-quality side, ties -> the higher id (so tie
+        # behavior matches the min-id rule). Quality is the 4dp-
+        # rounded score carried by `ex`, identical on both engines.
+        qa = ex.select(
+            F.col("doc_id").alias("doc_a"), F.col("quality").alias("q_a")
+        )
+        qb = ex.select(
+            F.col("doc_id").alias("doc_b"), F.col("quality").alias("q_b")
+        )
+        losers = (
+            pairs.join(qa, "doc_a")
+            .join(qb, "doc_b")
+            .select(
+                F.when(F.col("q_a") < F.col("q_b"), F.col("doc_a"))
+                .otherwise(F.col("doc_b"))
+                .alias("doc_id")
+            )
+            .distinct()
+        )
+        nd = ex.join(losers, "doc_id", "left_anti")
+    else:
+        nd = ex.join(
+            pairs.select(F.col("doc_b").alias("doc_id")).distinct(),
+            "doc_id",
+            "left_anti",
+        )
     bench_grams = (
         docs.filter(
             (F.col("doc_id") % 25 == 0)
@@ -3394,6 +3507,21 @@ def corpus_build_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("step", F.row_number().over(wshard).cast("bigint"))
         .select("doc_id", "source", "n_tokens", "shard", "step")
     )
+
+
+@query("corpus_build_manifest_best_keeper", oracle=_manifest_oracle(best_keeper=True))
+def corpus_build_manifest_best_keeper(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """corpus_build_manifest with the near-dup stage keeping the
+    BEST-QUALITY member of each verified pair instead of the lowest
+    id (r12 verdict #5; FineWeb/RefinedWeb keep-best practice, ties
+    -> lower id so tie behavior matches the min-id rule). Exact dedup
+    is unaffected: identical text implies identical quality, so its
+    min-id keeper IS the best-quality keeper. Same plan shape — one
+    extra broadcast-sized pair/quality join on the pair table, which
+    is output-sized."""
+    return corpus_build_manifest(spark, sf_dir, nd_keeper="best_quality")
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,106 @@
+"""Round-13 behavioral pins: quality-aware keeper selection
+(dedup_cluster_best_keeper, corpus_build_manifest_best_keeper) and
+the per-split/per-source decontamination breakdown."""
+from __future__ import annotations
+
+from clickstreamtoclickhouse_spark import plans
+
+from .conftest import SF_DIR
+
+DOC_SCHEMA = "doc_id long, text string, source string"
+
+
+def _write_docs(spark, tmp_path, rows):
+    spark.createDataFrame(rows, DOC_SCHEMA).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+
+
+def test_best_keeper_prefers_quality_over_min_id(spark, tmp_path):
+    """Planted lower-quality duplicate with the LOWER id: doc 1 is the
+    80-word prefix of doc 2's 120-word text (Jaccard 0.66, one chain
+    cluster), so min-id keeps 1 but the quality argmax (length term
+    saturates with words) must keep 2. Docs 10/11 share IDENTICAL
+    text -> identical quality; the tie-break must keep the LOWER id."""
+    words = [f"tok{i}" for i in range(120)]
+    t10 = " ".join(f"zz{i}" for i in range(50))
+    _write_docs(
+        spark,
+        tmp_path,
+        [
+            (1, " ".join(words[:80]), "s"),
+            (2, " ".join(words), "s"),
+            (10, t10, "s"),
+            (11, t10, "s"),
+        ],
+    )
+    out = plans.QUERIES["dedup_cluster_best_keeper"](
+        spark, str(tmp_path)
+    ).collect()
+    by_keeper = {r.keeper_doc_id: r for r in out}
+    assert 2 in by_keeper, out  # quality beats min-id
+    assert 1 not in by_keeper
+    assert by_keeper[2].cluster_size == 6  # 1, 2 + four truncations
+    assert 10 in by_keeper  # tie -> lowest id
+    assert 11 not in by_keeper
+    # keeper quality is the cluster max and matches the doc's score
+    assert by_keeper[2].keeper_q_milli == 10000  # 120 words, no punct
+    # every cluster emits exactly one keeper
+    assign = plans.QUERIES["dedup_clusters"](spark, str(tmp_path)).collect()
+    assert len(out) == len({r.component for r in assign})
+
+
+def test_manifest_best_keeper_flips_near_dup_winner(spark, tmp_path):
+    """The manifest's near-dup stage under nd_keeper difference: doc 1
+    (80-word prefix, lower quality) vs doc 2 (120 words). min_id keeps
+    1 and drops 2; best_quality must keep 2 and drop 1. Filler docs
+    give the calibration stage enough per-source mass that the winner
+    survives the worst-decile cut."""
+    words = [f"tok{i}" for i in range(120)]
+    fillers = [
+        (100 + i, " ".join(f"fil{i}x{j}" for j in range(30 + i)), "s")
+        for i in range(8)
+    ]
+    _write_docs(
+        spark,
+        tmp_path,
+        [(1, " ".join(words[:80]), "s"), (2, " ".join(words), "s")]
+        + fillers,
+    )
+    kept_min = {
+        r.doc_id
+        for r in plans.QUERIES["corpus_build_manifest"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    kept_best = {
+        r.doc_id
+        for r in plans.QUERIES["corpus_build_manifest_best_keeper"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert 1 in kept_min and 2 not in kept_min
+    assert 2 in kept_best and 1 not in kept_best
+    # the two variants differ ONLY in the near-dup keeper choice
+    assert kept_min - {1} == kept_best - {2}
+
+
+def test_manifest_best_keeper_stage_invariants(spark):
+    """The best-keeper manifest keeps every structural invariant of
+    the primary (holdout exclusion, contiguous per-shard steps,
+    positive token counts) and never keeps MORE docs than exact-dedup
+    allows — the keeper rule changes WHICH member survives, not how
+    many clusters survive pairwise."""
+    from collections import defaultdict
+
+    rows = plans.QUERIES["corpus_build_manifest_best_keeper"](
+        spark, SF_DIR
+    ).collect()
+    assert rows
+    assert all(r["doc_id"] % 25 != 0 for r in rows)
+    by_shard = defaultdict(list)
+    for r in rows:
+        by_shard[r["shard"]].append(r["step"])
+    for steps in by_shard.values():
+        assert sorted(steps) == list(range(1, len(steps) + 1))
+    assert all(r["n_tokens"] > 0 for r in rows)
