@@ -3925,6 +3925,104 @@ def minhash_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "minhash_decontamination_by_source",
+    oracle=f"""
+    WITH bench AS (
+      SELECT doc_id, text FROM documents WHERE source = 'src0'
+    ),
+    corpus AS (
+      SELECT doc_id, source, text FROM documents WHERE source <> 'src0'
+      UNION ALL
+      SELECT doc_id + {_COPY_OFFSET} AS doc_id, 'src0' AS source,
+             substr(text, 1, CAST(floor(length(text) * 0.8) AS INT)) AS text
+      FROM documents WHERE source = 'src0'
+    ),
+    {_sql_mh_sig_ctes('bench', '_b')},
+    {_sql_mh_sig_ctes('corpus', '_c')},
+    band_b AS (
+{_sql_mh_bands_from('sig_b', _DECON_BANDS, _DECON_R)}
+    ),
+    band_c AS (
+{_sql_mh_bands_from('sig_c', _DECON_BANDS, _DECON_R)}
+    ),
+    bsplit AS (
+      SELECT DISTINCT 'bench_' || CAST(doc_id % 3 AS VARCHAR) AS split,
+             band, bk
+      FROM band_b
+    ),
+    hits AS (
+      SELECT s.split, c.doc_id,
+             count(DISTINCT c.band) AS nb
+      FROM band_c c JOIN bsplit s ON c.band = s.band AND c.bk = s.bk
+      GROUP BY 1, 2
+    )
+    SELECT h.split, c.source,
+           CAST(count(*) AS BIGINT) AS n_flagged_docs,
+           CAST(sum(h.nb) AS BIGINT) AS n_shared_bands
+    FROM hits h JOIN corpus c ON c.doc_id = h.doc_id
+    GROUP BY 1, 2
+    """,
+)
+def minhash_decontamination_by_source(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """minhash_decontamination's per-(benchmark split x corpus
+    source) breakdown (r12 verdict #6): the fuzzy-leakage readout a
+    data owner acts on — WHICH source leaks into WHICH benchmark
+    split, with flagged-doc and shared-band counts. Benchmark docs
+    are partitioned into three named splits by doc_id % 3; planted
+    80%-truncated leaks carry their origin source ('src0'), so the
+    planted signal must surface entirely under that source.
+
+    Scale: identical band tables to the corpus-wide query (the
+    benchmark side stays broadcastable); the only additions are the
+    split label on the broadcast side and one (split, source)
+    aggregate over the flagged rows — output is split x source
+    bounded."""
+    docs = widen_scan(load(spark, sf_dir, "documents"))
+    bench = docs.filter(F.col("source") == "src0").select("doc_id", "text")
+    corpus = (
+        docs.filter(F.col("source") != "src0")
+        .select("doc_id", "source", "text")
+        .unionByName(
+            bench.select(
+                (F.col("doc_id") + _COPY_OFFSET).alias("doc_id"),
+                F.lit("src0").alias("source"),
+                F.expr(
+                    "substring(text, 1, cast(floor(length(text) * 0.8) as int))"
+                ).alias("text"),
+            )
+        )
+    )
+    band_b = dedup_text.minhash_portable_bands(
+        bench, n=3, num_bands=_DECON_BANDS
+    )
+    bsplit = band_b.select(
+        F.concat(
+            F.lit("bench_"), F.pmod(F.col("did"), F.lit(3)).cast("string")
+        ).alias("split"),
+        "band",
+        "bk",
+    ).distinct()
+    band_c = dedup_text.minhash_portable_bands(
+        corpus.select("doc_id", "text"), n=3, num_bands=_DECON_BANDS
+    ).select(F.col("did").alias("doc_id"), "band", "bk")
+    hits = (
+        band_c.join(F.broadcast(bsplit), ["band", "bk"])
+        .groupBy("split", "doc_id")
+        .agg(F.count_distinct("band").alias("nb"))
+    )
+    return (
+        hits.join(corpus.select("doc_id", "source"), "doc_id")
+        .groupBy("split", "source")
+        .agg(
+            F.count("*").cast("long").alias("n_flagged_docs"),
+            F.sum("nb").cast("long").alias("n_shared_bands"),
+        )
+    )
+
+
+@query(
     "leakage_safe_split",
     oracle=f"""
     WITH RECURSIVE corpus AS ({_SQL_NEAR_DUP_CORPUS}),

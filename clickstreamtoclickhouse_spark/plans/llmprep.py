@@ -167,6 +167,144 @@ def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "contamination_by_split_source",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {tx.SQL_WORDS.format(t='lower(text)')} AS ws
+      FROM documents WHERE length(trim(text)) > 0
+    ),
+    src AS (
+      SELECT d.doc_id, d.source FROM documents d
+      JOIN toks t ON t.doc_id = d.doc_id
+      WHERE d.doc_id % 25 <> 0
+    ),
+    grams AS (
+      SELECT doc_id, unnest(list_distinct({_CONTAM_GRAMS})) AS gram
+      FROM toks
+    ),
+    bsplit AS (
+      SELECT DISTINCT 'bench_' || CAST((doc_id // 25) % 3 AS VARCHAR)
+               AS split, gram
+      FROM grams WHERE doc_id % 25 = 0
+    ),
+    corpus AS (SELECT doc_id, gram FROM grams WHERE doc_id % 25 <> 0),
+    hits AS (
+      SELECT b.split, c.doc_id, count(*) AS n
+      FROM corpus c JOIN bsplit b USING (gram)
+      GROUP BY 1, 2
+    ),
+    persrc AS (
+      SELECT h.split, s.source,
+             CAST(count(*) AS BIGINT) AS n_contaminated_docs,
+             CAST(sum(h.n) AS BIGINT) AS n_gram_hits
+      FROM hits h JOIN src s USING (doc_id)
+      GROUP BY 1, 2
+    ),
+    splits AS (
+      SELECT DISTINCT 'bench_' || CAST((doc_id // 25) % 3 AS VARCHAR)
+               AS split
+      FROM toks WHERE doc_id % 25 = 0
+    ),
+    srcs AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_docs_in_source
+      FROM src GROUP BY source
+    )
+    SELECT sp.split, s.source,
+           CAST(coalesce(p.n_contaminated_docs, 0) AS BIGINT)
+             AS n_contaminated_docs,
+           CAST(coalesce(p.n_gram_hits, 0) AS BIGINT) AS n_gram_hits,
+           s.n_docs_in_source,
+           round(coalesce(p.n_contaminated_docs, 0) * 1.0
+                 / s.n_docs_in_source, 6) AS contaminated_share
+    FROM splits sp CROSS JOIN srcs s
+    LEFT JOIN persrc p ON p.split = sp.split AND p.source = s.source
+    """,
+)
+def contamination_by_split_source(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The decontamination readout a data owner ACTS on (r12 verdict
+    #6): benchmark_contamination flags collisions corpus-wide; this
+    breaks them down per BENCHMARK SPLIT x CORPUS SOURCE — which
+    source leaks into which split, how many documents, how many gram
+    collisions, and what share of that source is affected. Benchmark
+    docs (doc_id % 25 = 0, the family's standing eval stand-in) are
+    partitioned into three named splits by (doc_id // 25) % 3; zero
+    cells stay visible via the bounded splits x sources grid.
+
+    Scale: same shape as benchmark_contamination — per-split gram
+    sets are eval-sized and broadcast; the corpus is shuffled only on
+    (split, doc_id) then (split, source), never on the gram; the
+    final grid is |splits| x |sources| rows."""
+    d = widen_scan(load(spark, sf_dir, "documents")).filter(
+        F.length(F.trim(F.col("text"))) > 0
+    )
+    split_expr = F.concat(
+        F.lit("bench_"),
+        F.pmod(F.floor(F.col("doc_id") / 25).cast("long"), F.lit(3)).cast(
+            "string"
+        ),
+    )
+    grams = d.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                tx._ngrams(tx.words(F.lower(F.col("text"))), CONTAM_N)
+            )
+        ).alias("gram"),
+    )
+    bsplit = (
+        grams.filter(F.col("doc_id") % 25 == 0)
+        .select(split_expr.alias("split"), "gram")
+        .distinct()
+    )
+    corpus = grams.filter(F.col("doc_id") % 25 != 0)
+    src = d.filter(F.col("doc_id") % 25 != 0).select("doc_id", "source")
+    hits = (
+        corpus.join(F.broadcast(bsplit), "gram")
+        .groupBy("split", "doc_id")
+        .agg(F.count("*").alias("n"))
+    )
+    persrc = (
+        hits.join(src, "doc_id")
+        .groupBy("split", "source")
+        .agg(
+            F.count("*").cast("long").alias("n_contaminated_docs"),
+            F.sum("n").cast("long").alias("n_gram_hits"),
+        )
+    )
+    splits = (
+        d.filter(F.col("doc_id") % 25 == 0)
+        .select(split_expr.alias("split"))
+        .distinct()
+    )
+    srcs = src.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs_in_source")
+    )
+    return (
+        splits.crossJoin(F.broadcast(srcs))
+        .join(persrc, ["split", "source"], "left")
+        .select(
+            "split",
+            "source",
+            F.coalesce("n_contaminated_docs", F.lit(0))
+            .cast("long")
+            .alias("n_contaminated_docs"),
+            F.coalesce("n_gram_hits", F.lit(0))
+            .cast("long")
+            .alias("n_gram_hits"),
+            "n_docs_in_source",
+            F.round(
+                F.coalesce("n_contaminated_docs", F.lit(0))
+                * 1.0
+                / F.col("n_docs_in_source"),
+                6,
+            ).alias("contaminated_share"),
+        )
+    )
+
+
 _DUPSPAN_GRAMS = tx.sql_ngrams("ws", DUPSPAN_N)
 
 

@@ -85,6 +85,62 @@ def test_manifest_best_keeper_flips_near_dup_winner(spark, tmp_path):
     assert kept_min - {1} == kept_best - {2}
 
 
+def test_contamination_by_split_source_planted(spark, tmp_path):
+    """Planted per-split leak: corpus doc 7 (source sA) embeds a
+    5-gram of benchmark doc 25 (split bench_1) and nothing else; doc 8
+    (source sB) is clean. The breakdown must attribute the leak to
+    exactly (bench_1, sA), keep every other grid cell at zero, and
+    emit the full splits x sources grid."""
+    _write_docs(
+        spark,
+        tmp_path,
+        [
+            (25, "alpha beta gamma delta epsilon zeta", "bench"),
+            (50, "one two three four five six", "bench"),
+            (75, "p1 p2 p3 p4 p5 p6", "bench"),
+            (7, "xx yy alpha beta gamma delta epsilon qq", "sA"),
+            (8, "clean words only here nothing shared at all", "sB"),
+        ],
+    )
+    rows = plans.QUERIES["contamination_by_split_source"](
+        spark, str(tmp_path)
+    ).collect()
+    grid = {(r.split, r.source): r for r in rows}
+    # full grid: 3 splits x 2 corpus sources
+    assert set(grid) == {
+        (s, src)
+        for s in ("bench_0", "bench_1", "bench_2")
+        for src in ("sA", "sB")
+    }
+    leak = grid[("bench_1", "sA")]  # 25 // 25 = 1 -> bench_1
+    assert leak.n_contaminated_docs == 1
+    assert leak.n_gram_hits == 1  # one shared distinct 5-gram
+    assert leak.n_docs_in_source == 1
+    assert leak.contaminated_share == 1.0
+    for key, r in grid.items():
+        if key != ("bench_1", "sA"):
+            assert r.n_contaminated_docs == 0 and r.n_gram_hits == 0, key
+
+
+def test_minhash_decontamination_by_source_covers_planted_leaks(spark):
+    """The fuzzy by-split breakdown must surface the query's own
+    planted 80%-truncated src0 leaks UNDER source 'src0', label
+    splits from the fixed three-way partition, and account for at
+    least every corpus doc the corpus-wide query flags."""
+    rows = plans.QUERIES["minhash_decontamination_by_source"](
+        spark, SF_DIR
+    ).collect()
+    assert rows
+    assert {r.split for r in rows} <= {"bench_0", "bench_1", "bench_2"}
+    src0 = [r for r in rows if r.source == "src0"]
+    assert src0 and sum(r.n_flagged_docs for r in src0) > 0
+    corpus_wide = plans.QUERIES["minhash_decontamination"](
+        spark, SF_DIR
+    ).count()
+    # a doc counts once per split here, so the split-sum dominates
+    assert sum(r.n_flagged_docs for r in rows) >= corpus_wide
+
+
 def test_manifest_best_keeper_stage_invariants(spark):
     """The best-keeper manifest keeps every structural invariant of
     the primary (holdout exclusion, contiguous per-shard steps,
