@@ -141,6 +141,38 @@ def test_minhash_decontamination_by_source_covers_planted_leaks(spark):
     assert sum(r.n_flagged_docs for r in rows) >= corpus_wide
 
 
+def test_semantic_diversity_rides_topic_cache_and_bounds(spark):
+    """The diversity readout must share doc_topic_clusters' session-
+    cached assignment (one Lloyd build serves both) and satisfy the
+    information-theoretic bounds: 0 <= H <= ln(n_clusters_used),
+    effective_clusters in [1, n_clusters_used], doc counts consistent
+    with the clustering totals."""
+    import math
+
+    from clickstreamtoclickhouse_spark.plans.ext import (
+        _TOPIC_ASSIGN_CACHE,
+    )
+
+    clusters = plans.QUERIES["doc_topic_clusters"](spark, SF_DIR).collect()
+    app_id = spark.sparkContext.applicationId
+    cached = _TOPIC_ASSIGN_CACHE.get((app_id, SF_DIR))
+    assert cached is not None  # the build landed in the shared cache
+    rows = plans.QUERIES["semantic_diversity_by_source"](
+        spark, SF_DIR
+    ).collect()
+    # same cache object still in place: the second query reused it
+    assert _TOPIC_ASSIGN_CACHE.get((app_id, SF_DIR)) is cached
+    assert rows
+    assert sum(r.n_docs for r in rows) == sum(c.n_docs for c in clusters)
+    for r in rows:
+        assert 1 <= r.n_clusters_used
+        assert -1e-9 <= r.entropy_nats <= math.log(r.n_clusters_used) + 1e-6
+        assert 1 - 1e-4 <= r.effective_clusters <= r.n_clusters_used + 1e-4
+        assert 0 < r.top_cluster_share <= 1
+        if r.n_clusters_used == 1:
+            assert r.entropy_nats == 0.0 and r.top_cluster_share == 1.0
+
+
 def test_manifest_best_keeper_stage_invariants(spark):
     """The best-keeper manifest keeps every structural invariant of
     the primary (holdout exclusion, contiguous per-shard steps,
