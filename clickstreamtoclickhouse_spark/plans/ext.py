@@ -4129,6 +4129,136 @@ def minhash_decontamination_by_source(
 
 
 @query(
+    "decontamination_method_agreement",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_SQL_WORDS.format(t='lower(text)')} AS ws
+      FROM documents WHERE length(trim(text)) > 0
+    ),
+    g AS (
+      SELECT doc_id,
+             unnest(list_distinct({tx.sql_ngrams('ws', 5)})) AS gram
+      FROM toks
+    ),
+    bgr AS (SELECT DISTINCT gram FROM g WHERE doc_id % 25 = 0),
+    exact_hit AS (
+      SELECT DISTINCT c.doc_id FROM g c JOIN bgr b USING (gram)
+      WHERE c.doc_id % 25 <> 0
+    ),
+    benchd AS (
+      SELECT doc_id, text FROM documents
+      WHERE doc_id % 25 = 0 AND length(trim(text)) > 0
+    ),
+    corpd AS (
+      SELECT doc_id, text FROM documents
+      WHERE doc_id % 25 <> 0 AND length(trim(text)) > 0
+    ),
+    {_sql_mh_sig_ctes('benchd', '_b')},
+    {_sql_mh_sig_ctes('corpd', '_c')},
+    band_b AS (
+{_sql_mh_bands_from('sig_b', _DECON_BANDS, _DECON_R)}
+    ),
+    band_c AS (
+{_sql_mh_bands_from('sig_c', _DECON_BANDS, _DECON_R)}
+    ),
+    fuzzy_hit AS (
+      SELECT DISTINCT c.doc_id
+      FROM band_c c JOIN band_b b ON c.band = b.band AND c.bk = b.bk
+    ),
+    flags AS (
+      SELECT t.doc_id,
+             CASE WHEN e.doc_id IS NULL THEN 0 ELSE 1 END AS exact_flag,
+             CASE WHEN f.doc_id IS NULL THEN 0 ELSE 1 END AS fuzzy_flag
+      FROM toks t
+      LEFT JOIN exact_hit e ON e.doc_id = t.doc_id
+      LEFT JOIN fuzzy_hit f ON f.doc_id = t.doc_id
+      WHERE t.doc_id % 25 <> 0
+    ),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM flags)
+    SELECT CAST(exact_flag AS INT) AS exact_flag,
+           CAST(fuzzy_flag AS INT) AS fuzzy_flag,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           round(count(*) * 1.0 / (SELECT n FROM tot), 6) AS doc_share
+    FROM flags GROUP BY 1, 2
+    """,
+)
+def decontamination_method_agreement(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Method-agreement matrix for decontamination screens, on ONE
+    consistent benchmark (the doc_id % 25 holdout): every corpus doc
+    is flagged by the exact 5-gram screen, the fuzzy MinHash-band
+    screen (8 recall-biased r=2 bands), both, or neither — the 2x2
+    the team reads to decide whether the cheap exact screen suffices
+    or paraphrase-level leakage demands the banded pass. (The
+    registered minhash_decontamination keeps its own src0 corpus; the
+    point HERE is both methods judging the same docs against the same
+    benchmark.)
+
+    Scale: the benchmark's gram set and band table are both
+    eval-sized broadcasts; each screen reduces to distinct flagged
+    doc ids (hit-volume); the final matrix is a 4-row aggregate. The
+    corpus is scanned twice (token grams / shingle signatures), never
+    shuffled on gram or band key."""
+    d = widen_scan(load(spark, sf_dir, "documents")).filter(
+        F.length(F.trim(F.col("text"))) > 0
+    )
+    grams = d.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                tx._ngrams(tx.words(F.lower(F.col("text"))), 5)
+            )
+        ).alias("gram"),
+    )
+    bgr = grams.filter(F.col("doc_id") % 25 == 0).select("gram").distinct()
+    exact_hit = (
+        grams.filter(F.col("doc_id") % 25 != 0)
+        .join(F.broadcast(bgr), "gram")
+        .select("doc_id")
+        .distinct()
+        .withColumn("e", F.lit(1))
+    )
+    benchd = d.filter(F.col("doc_id") % 25 == 0).select("doc_id", "text")
+    corpd = d.filter(F.col("doc_id") % 25 != 0).select("doc_id", "text")
+    band_b = dedup_text.minhash_portable_bands(
+        benchd, n=3, num_bands=_DECON_BANDS
+    ).select("band", "bk").distinct()
+    band_c = dedup_text.minhash_portable_bands(
+        corpd, n=3, num_bands=_DECON_BANDS
+    ).select(F.col("did").alias("doc_id"), "band", "bk")
+    fuzzy_hit = (
+        band_c.join(F.broadcast(band_b), ["band", "bk"])
+        .select("doc_id")
+        .distinct()
+        .withColumn("f", F.lit(1))
+    )
+    flags = (
+        corpd.select("doc_id")
+        .join(F.broadcast(exact_hit), "doc_id", "left")
+        .join(F.broadcast(fuzzy_hit), "doc_id", "left")
+        .select(
+            F.coalesce("e", F.lit(0)).cast("int").alias("exact_flag"),
+            F.coalesce("f", F.lit(0)).cast("int").alias("fuzzy_flag"),
+        )
+    )
+    tot = flags.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    return (
+        flags.groupBy("exact_flag", "fuzzy_flag")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "exact_flag",
+            "fuzzy_flag",
+            "n_docs",
+            F.round(F.col("n_docs") * 1.0 / F.col("n"), 6).alias(
+                "doc_share"
+            ),
+        )
+    )
+
+
+@query(
     "leakage_safe_split",
     oracle=f"""
     WITH RECURSIVE corpus AS ({_SQL_NEAR_DUP_CORPUS}),

@@ -830,6 +830,128 @@ def memorization_span_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "contamination_span_scrub",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {tx.SQL_WORDS.format(t='lower(text)')} AS ws
+      FROM documents WHERE length(trim(text)) > 0
+    ),
+    pos AS (
+      SELECT doc_id, ws, unnest(range(1, len(ws) - {CONTAM_N - 2})) AS p
+      FROM toks WHERE len(ws) >= {CONTAM_N}
+    ),
+    grams AS (SELECT doc_id, p, {_MEM_GRAM} AS gram FROM pos),
+    bench AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 25 = 0),
+    hits AS (
+      SELECT g.doc_id, g.p
+      FROM grams g JOIN bench b USING (gram)
+      WHERE g.doc_id % 25 <> 0
+    ),
+    covered AS (
+      SELECT DISTINCT doc_id, unnest(range(p, p + {CONTAM_N})) AS tp
+      FROM hits
+    ),
+    tokpos AS (
+      SELECT doc_id, unnest(ws) AS tok,
+             unnest(range(1, len(ws) + 1)) AS tp
+      FROM toks WHERE doc_id % 25 <> 0
+    ),
+    kept AS (
+      SELECT t.doc_id, t.tp, t.tok FROM tokpos t
+      WHERE NOT EXISTS (SELECT 1 FROM covered c
+                        WHERE c.doc_id = t.doc_id AND c.tp = t.tp)
+    ),
+    agg AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens_kept,
+             string_agg(tok, ' ' ORDER BY tp) AS scrubbed_text
+      FROM kept GROUP BY doc_id
+    )
+    SELECT t.doc_id, CAST(len(t.ws) AS BIGINT) AS n_tokens,
+           CAST(len(t.ws) - coalesce(a.n_tokens_kept, 0) AS BIGINT)
+             AS n_tokens_removed,
+           CAST(coalesce(a.n_tokens_kept, 0) AS BIGINT) AS n_tokens_kept,
+           coalesce(a.scrubbed_text, '') AS scrubbed_text
+    FROM toks t LEFT JOIN agg a USING (doc_id)
+    WHERE t.doc_id % 25 <> 0
+    """,
+)
+def contamination_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPAN-LEVEL decontamination: instead of dropping a contaminated
+    document (benchmark_contamination's granularity), remove only the
+    tokens covered by a benchmark-colliding {CONTAM_N}-gram and keep
+    the rest — the data-saving move real corpus builds make when a
+    long document contains one quoted benchmark item. Emits every
+    corpus doc with its scrubbed (whitespace-normalized, lowercased)
+    text and removed/kept token accounting; clean docs pass through
+    with zero removals.
+
+    Scale: the benchmark gram set broadcasts; contaminated doc ids
+    (hit-volume) broadcast too, so CLEAN docs never leave their scan
+    task (per-row re-join of the token array) and DIRTY docs get
+    their covered-position array via one hit-volume aggregate + a
+    broadcast join — the corpus is never shuffled and never exploded
+    to token rows. The scrub itself is a per-row indexed array
+    filter."""
+    d = widen_scan(load(spark, sf_dir, "documents")).filter(
+        F.length(F.trim(F.col("text"))) > 0
+    )
+    toks = d.select("doc_id", tx.words(F.lower(F.col("text"))).alias("ws"))
+    grams = toks.select(
+        "doc_id",
+        F.posexplode(tx._ngrams(F.col("ws"), CONTAM_N)).alias("p0", "gram"),
+    ).select("doc_id", (F.col("p0") + 1).alias("p"), "gram")
+    bench = (
+        grams.filter(F.col("doc_id") % 25 == 0).select("gram").distinct()
+    )
+    hits = (
+        grams.filter(F.col("doc_id") % 25 != 0)
+        .join(F.broadcast(bench), "gram")
+        .select("doc_id", "p")
+    )
+    # covered 1-based token positions per DIRTY doc, as ONE array —
+    # hit-volume aggregate, broadcastable back onto the corpus scan
+    cov = hits.groupBy("doc_id").agg(
+        F.array_distinct(
+            F.flatten(
+                F.collect_list(
+                    F.sequence(F.col("p"), F.col("p") + (CONTAM_N - 1))
+                )
+            )
+        ).alias("cov_tp")
+    )
+    corpus = toks.filter(F.col("doc_id") % 25 != 0)
+    clean = corpus.join(F.broadcast(cov.select("doc_id")), "doc_id", "left_anti").select(
+        "doc_id",
+        F.size("ws").cast("bigint").alias("n_tokens"),
+        F.lit(0).cast("bigint").alias("n_tokens_removed"),
+        F.size("ws").cast("bigint").alias("n_tokens_kept"),
+        F.array_join("ws", " ").alias("scrubbed_text"),
+    )
+    kept_ws = F.filter(
+        F.col("ws"),
+        lambda x, i: ~F.array_contains(F.col("cov_tp"), i + 1),
+    )
+    dirty = (
+        corpus.join(F.broadcast(cov), "doc_id")
+        .select(
+            "doc_id",
+            F.size("ws").cast("bigint").alias("n_tokens"),
+            kept_ws.alias("kw"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            (F.col("n_tokens") - F.size("kw")).cast("bigint").alias(
+                "n_tokens_removed"
+            ),
+            F.size("kw").cast("bigint").alias("n_tokens_kept"),
+            F.array_join("kw", " ").alias("scrubbed_text"),
+        )
+    )
+    return clean.unionByName(dirty)
+
+
 _CURR_BAND_W = 16  # difficulty-band width, tokens
 _CURR_MAX_BAND = 7  # bands 0..7 (token counts cap at band 7)
 

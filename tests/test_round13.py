@@ -173,6 +173,72 @@ def test_semantic_diversity_rides_topic_cache_and_bounds(spark):
             assert r.entropy_nats == 0.0 and r.top_cluster_share == 1.0
 
 
+def test_contamination_span_scrub_planted(spark, tmp_path):
+    """Planted spans: doc 7 embeds benchmark doc 25's single 5-gram
+    (tokens 3..7 covered -> 'x1 x2 y1 y2' survives); doc 9 embeds two
+    OVERLAPPING benchmark grams (covered 2..7); clean doc 8 passes
+    through verbatim with zero removals."""
+    _write_docs(
+        spark,
+        tmp_path,
+        [
+            (25, "b1 b2 b3 b4 b5 b6", "bench"),
+            (7, "x1 x2 b1 b2 b3 b4 b5 y1 y2", "sA"),
+            (9, "z b1 b2 b3 b4 b5 b6 z2", "sA"),
+            (8, "clean doc with no shared grams here", "sB"),
+        ],
+    )
+    rows = {
+        r.doc_id: r
+        for r in plans.QUERIES["contamination_span_scrub"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert set(rows) == {7, 8, 9}
+    assert rows[7].scrubbed_text == "x1 x2 y1 y2"
+    assert rows[7].n_tokens_removed == 5 and rows[7].n_tokens_kept == 4
+    assert rows[9].scrubbed_text == "z z2"
+    assert rows[9].n_tokens_removed == 6 and rows[9].n_tokens_kept == 2
+    assert rows[8].scrubbed_text == "clean doc with no shared grams here"
+    assert rows[8].n_tokens_removed == 0
+    for r in rows.values():
+        assert r.n_tokens_removed + r.n_tokens_kept == r.n_tokens
+
+
+def test_decontamination_method_agreement_consistency(spark, tmp_path):
+    """Planted 2x2 corners: a verbatim benchmark copy lands in
+    (exact=1, fuzzy=1), a clean doc in (0, 0). At SF_DIR the exact
+    margin of the matrix must equal benchmark_contamination's
+    corpus-wide contaminated count, and shares must sum to 1."""
+    bench_text = " ".join(f"bm{i}" for i in range(30))
+    _write_docs(
+        spark,
+        tmp_path,
+        [
+            (25, bench_text, "bench"),
+            (7, bench_text, "sA"),  # verbatim copy: both methods fire
+            (8, "totally unrelated clean words nothing shared", "sB"),
+        ],
+    )
+    cells = {
+        (r.exact_flag, r.fuzzy_flag): r.n_docs
+        for r in plans.QUERIES["decontamination_method_agreement"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert cells.get((1, 1)) == 1 and cells.get((0, 0)) == 1
+    assert sum(cells.values()) == 2
+    # registry-scale consistency: the exact margin == the corpus-wide
+    # exact screen's flag count
+    rows = plans.QUERIES["decontamination_method_agreement"](
+        spark, SF_DIR
+    ).collect()
+    assert abs(sum(r.doc_share for r in rows) - 1.0) < 1e-4
+    exact_margin = sum(r.n_docs for r in rows if r.exact_flag == 1)
+    bc = plans.QUERIES["benchmark_contamination"](spark, SF_DIR)
+    assert exact_margin == bc.filter("contaminated = 1").count()
+
+
 def test_manifest_best_keeper_stage_invariants(spark):
     """The best-keeper manifest keeps every structural invariant of
     the primary (holdout exclusion, contiguous per-shard steps,
