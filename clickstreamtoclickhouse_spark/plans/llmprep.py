@@ -910,7 +910,10 @@ def contamination_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "p")
     )
     # covered 1-based token positions per DIRTY doc, as ONE array —
-    # hit-volume aggregate, broadcastable back onto the corpus scan
+    # hit-volume aggregate, broadcastable back onto the corpus scan.
+    # Lazy checkpoint: BOTH union arms consume cov (anti-join ids /
+    # covered arrays), and without the cut each arm re-runs the gram
+    # explode + bench join — the dominant cost — once.
     cov = hits.groupBy("doc_id").agg(
         F.array_distinct(
             F.flatten(
@@ -919,7 +922,7 @@ def contamination_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             )
         ).alias("cov_tp")
-    )
+    ).localCheckpoint(eager=False)
     corpus = toks.filter(F.col("doc_id") % 25 != 0)
     clean = corpus.join(F.broadcast(cov.select("doc_id")), "doc_id", "left_anti").select(
         "doc_id",

@@ -1449,3 +1449,52 @@ def test_vocab_coverage_curve_window_is_pruned(spark):
     assert any(
         "Filter" in n for n in order[first_window + 1:]
     ), order
+
+
+# -- round 13: plan pins for the new decontamination / keeper family --
+
+
+def test_contamination_span_scrub_never_shuffles_corpus(spark):
+    """The scrub's scale story is 'corpus never shuffled, never
+    token-exploded into rows': the benchmark gram set, the dirty-doc
+    id set and the covered-position arrays all BROADCAST onto the
+    scan; the only exchanges feed the hit-volume aggregates
+    (bench-gram distinct, covered-array groupBy) — never a
+    SortMergeJoin on the corpus."""
+    txt = plan_text(spark, "contamination_span_scrub")
+    assert "SortMergeJoin" not in txt
+    assert "CartesianProduct" not in txt
+    assert txt.count("BroadcastHashJoin") >= 2
+    # every exchange feeds a hit/bench-volume aggregate (distincts,
+    # the covered-array groupBy) — observed 10 with both union arms
+    # printed in full by the lazy-checkpoint static plan
+    assert count_exchanges(txt) <= 10, count_exchanges(txt)
+
+
+def test_decontamination_method_agreement_plan_shape(spark):
+    """Both screens reduce to broadcast hit sets: no corpus-side
+    sort-merge join, no cartesian, exchanges bounded by the
+    hit/bench-sized aggregates and the 4-row matrix aggregate."""
+    txt = plan_text(spark, "decontamination_method_agreement")
+    assert "SortMergeJoin" not in txt
+    assert "CartesianProduct" not in txt
+    # hit-set distincts + the 4-row matrix aggregate; the one BNLJ is
+    # the broadcast single-row total
+    assert count_exchanges(txt) <= 13, count_exchanges(txt)
+
+
+def test_dedup_cluster_best_keeper_plan_shape(spark):
+    """One max_by aggregate off the session-cached assignment: the
+    quality side scans documents for the chain corpus (3 union arms),
+    the assignment side is the cached LogicalRDD (no pair/fixpoint
+    re-derivation), and there is no per-component sort window — the
+    argmax is aggregate-only."""
+    plans.QUERIES["dedup_clusters"](spark, SF_DIR).count()  # warm cache
+    txt = plan_text(spark, "dedup_cluster_best_keeper")
+    assert "CartesianProduct" not in txt
+    scans = sum(
+        1 for l in txt.splitlines()
+        if l.strip().startswith("(") and "Scan parquet" in l
+    )
+    assert scans <= 3, scans  # chain corpus only; assignment is cached
+    assert "Window" not in txt  # max_by, not a row_number window
