@@ -579,9 +579,13 @@ def main() -> None:
             stages[sname].write.format("noop").mode("overwrite").save()
             _time.sleep(1)  # let the UI listener flush stage metrics
             s1 = shuffle_write_bytes(app_base)
+            # a NEGATIVE delta means the REST stage metrics raced a
+            # concurrent eviction/cleanup between the two reads (seen
+            # once at base in r13: cand = -256.8) — record None, not a
+            # bogus number
             per[sname] = (
                 round((s1 - prev) / 1e6, 1)
-                if (prev >= 0 and s1 >= 0)
+                if (prev >= 0 and s1 >= 0 and s1 >= prev)
                 else None
             )
             prev = s1
