@@ -3487,6 +3487,59 @@ def _manifest_oracle(best_keeper: bool = False) -> str:
     """
 
 
+# The manifest's quality-gated, exactly-deduped base and its verified
+# near-dup pair table are identical across the min-id and best-quality
+# keeper variants (and keeper_quality_gain) — share ONE build per
+# (app, sf_dir) through session caches (r13; bench measured ~3-4 s of
+# duplicated stage work per extra consumer without them).
+_MANIFEST_EX_CACHE = SessionDFCache("manifest_ex")
+_MANIFEST_PAIRS_CACHE = SessionDFCache("manifest_pairs")
+
+
+def _manifest_dedup_base(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """(ex, pairs): stages 1-3 of the manifest (holdout + quality gate
+    + exact dedup) and the stage-4 verified near-dup pair table."""
+
+    def build_ex() -> DataFrame:
+        docs = load(spark, sf_dir, "documents")
+        base = docs.filter(
+            (F.length(F.trim(F.col("text"))) > 0)
+            & (F.col("doc_id") % 25 != 0)
+        ).select("doc_id", "source", "text")
+        q = base.withColumn(
+            "quality", tx.quality_score(F.col("text"))
+        ).filter(F.col("quality") >= 0.5)
+        wh = Window.partitionBy(F.md5("text"))
+        return (
+            q.withColumn("__keep", F.min("doc_id").over(wh))
+            .filter(F.col("doc_id") == F.col("__keep"))
+            .drop("__keep")
+        )
+
+    ex = _MANIFEST_EX_CACHE.get_or_build(spark, sf_dir, build_ex)
+
+    def build_pairs() -> DataFrame:
+        return dedup_text.minhash_portable_pairs(
+            ex.select("doc_id", "text"),
+            threshold=0.5,
+            n=3,
+            num_bands=_MH_BANDS,
+            max_bucket_size=_MH_CAP,
+        )
+
+    pairs = _MANIFEST_PAIRS_CACHE.get_or_build(spark, sf_dir, build_pairs)
+    return ex, pairs
+
+
+def evict_manifest_base(sf_dir: str | None = None) -> int:
+    """Explicit unpersist hook (the evict_chain_assignments twin)."""
+    return _MANIFEST_PAIRS_CACHE.evict(sf_dir) + _MANIFEST_EX_CACHE.evict(
+        sf_dir
+    )
+
+
 @query("corpus_build_manifest", oracle=_manifest_oracle())
 def corpus_build_manifest(
     spark: SparkSession, sf_dir: str, nd_keeper: str = "min_id"
@@ -3516,26 +3569,7 @@ def corpus_build_manifest(
     from ..util import portable_id_hash
 
     docs = load(spark, sf_dir, "documents")
-    base = docs.filter(
-        (F.length(F.trim(F.col("text"))) > 0) & (F.col("doc_id") % 25 != 0)
-    ).select("doc_id", "source", "text")
-    q = base.withColumn("quality", tx.quality_score(F.col("text"))).filter(
-        F.col("quality") >= 0.5
-    )
-    wh = Window.partitionBy(F.md5("text"))
-    ex = (
-        q.withColumn("__keep", F.min("doc_id").over(wh))
-        .filter(F.col("doc_id") == F.col("__keep"))
-        .drop("__keep")
-        .localCheckpoint(eager=False)
-    )
-    pairs = dedup_text.minhash_portable_pairs(
-        ex.select("doc_id", "text"),
-        threshold=0.5,
-        n=3,
-        num_bands=_MH_BANDS,
-        max_bucket_size=_MH_CAP,
-    )
+    ex, pairs = _manifest_dedup_base(spark, sf_dir)
     if nd_keeper == "best_quality":
         # keep the BEST-QUALITY member of each verified pair
         # (FineWeb/RefinedWeb practice; r12 verdict #5): the loser is
@@ -3628,6 +3662,88 @@ def corpus_build_manifest_best_keeper(
     extra broadcast-sized pair/quality join on the pair table, which
     is output-sized."""
     return corpus_build_manifest(spark, sf_dir, nd_keeper="best_quality")
+
+
+@query(
+    "keeper_quality_gain",
+    oracle=f"""
+    WITH exd AS MATERIALIZED ({_SQL_MANIFEST_EX}),
+    p AS (
+      SELECT doc_a, doc_b
+      FROM ({_minhash_pairs_oracle(_SQL_MANIFEST_EX, cap=_MH_CAP)})
+    ),
+    g AS (
+      SELECT CAST(round(greatest(qb.quality - qa.quality, 0) * 10000, 0)
+                  AS BIGINT) AS gain_milli
+      FROM p
+      JOIN exd qa ON qa.doc_id = p.doc_a
+      JOIN exd qb ON qb.doc_id = p.doc_b
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(coalesce(sum(CASE WHEN gain_milli > 0 THEN 1 ELSE 0 END),
+                         0) AS BIGINT) AS n_minid_suboptimal,
+           round(sum(CASE WHEN gain_milli > 0 THEN 1 ELSE 0 END) * 1.0
+                 / nullif(count(*), 0), 6) AS share_suboptimal,
+           CAST(coalesce(sum(gain_milli), 0) AS BIGINT)
+             AS total_gain_milli,
+           round(sum(gain_milli) / 10000.0 / nullif(count(*), 0), 6)
+             AS mean_gain,
+           CAST(coalesce(max(gain_milli), 0) AS BIGINT) AS max_gain_milli
+    FROM g
+    """,
+)
+def keeper_quality_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The QUANTIFIED case for best-quality keepers: over the
+    manifest's verified near-dup pairs, how often does the min-id
+    rule keep the WORSE member (the higher-id side has strictly
+    higher quality), and how much quality does switching to the
+    best-quality rule recover per pair — the number a data owner
+    reads before adopting corpus_build_manifest_best_keeper.
+
+    Portability: per-pair gains are INTEGER milli-quality
+    (round((q_b - q_a) * 10000) on 4dp-rounded inputs), so every sum
+    is an exact BIGINT on both engines regardless of order; the two
+    ratio columns divide those exact integers once at the end.
+
+    Scale: rides the session-cached manifest base (ex + pairs shared
+    with both manifest variants — no new signature work); the gain
+    table is pair-volume; output is one row."""
+    ex, pairs = _manifest_dedup_base(spark, sf_dir)
+    qa = ex.select(F.col("doc_id").alias("doc_a"), F.col("quality").alias("q_a"))
+    qb = ex.select(F.col("doc_id").alias("doc_b"), F.col("quality").alias("q_b"))
+    g = (
+        pairs.select("doc_a", "doc_b")
+        .join(qa, "doc_a")
+        .join(qb, "doc_b")
+        .select(
+            F.round(
+                F.greatest(F.col("q_b") - F.col("q_a"), F.lit(0.0)) * 10000,
+                0,
+            )
+            .cast("long")
+            .alias("gain_milli")
+        )
+    )
+    sub = F.sum(F.when(F.col("gain_milli") > 0, 1).otherwise(0))
+    return g.agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.coalesce(sub, F.lit(0)).cast("long").alias("n_minid_suboptimal"),
+        F.round(
+            sub * 1.0 / F.nullif(F.count(F.lit(1)), F.lit(0)), 6
+        ).alias("share_suboptimal"),
+        F.coalesce(F.sum("gain_milli"), F.lit(0))
+        .cast("long")
+        .alias("total_gain_milli"),
+        F.round(
+            F.sum("gain_milli")
+            / 10000.0
+            / F.nullif(F.count(F.lit(1)), F.lit(0)),
+            6,
+        ).alias("mean_gain"),
+        F.coalesce(F.max("gain_milli"), F.lit(0))
+        .cast("long")
+        .alias("max_gain_milli"),
+    )
 
 
 # ---------------------------------------------------------------------------

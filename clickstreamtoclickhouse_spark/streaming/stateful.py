@@ -962,3 +962,84 @@ def streaming_source_quota(
         .option("checkpointLocation", checkpoint_dir)
         .start()
     )
+
+
+def streaming_contamination_screen(
+    docs_stream: DataFrame,
+    bench_dir: str,
+    out_dir: str,
+    quarantine_dir: str,
+    checkpoint_dir: str,
+    n: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Online benchmark decontamination (the streaming form of
+    benchmark_contamination, r13): each micro-batch's documents are
+    screened against the STATIC benchmark n-gram set built ONCE from
+    the parquet documents at `bench_dir`; clean docs append to
+    `out_dir`, contaminated ones to `quarantine_dir` with their
+    hit-gram count — so a corpus under continuous ingestion never
+    admits eval-set leakage, and the quarantine is auditable.
+
+    Scale: the benchmark gram table is eval-sized, materialized once
+    (eager localCheckpoint at stream construction) and BROADCAST into
+    every batch join — per batch the work is one gram explode over
+    batch-sized input plus two appends; nothing shuffles on the gram
+    and no state grows with the stream. The two appends are
+    independent row sets (a doc lands in exactly one), so there is no
+    cross-write consistency window to order."""
+    from ..functions import text as tx
+
+    spark = docs_stream.sparkSession
+    bench_grams = (
+        spark.read.parquet(bench_dir)
+        .filter(F.length(F.trim(F.col(text_col))) > 0)
+        .select(
+            F.explode(
+                F.array_distinct(
+                    tx._ngrams(tx.words(F.lower(F.col(text_col))), n)
+                )
+            ).alias("gram")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df = batch_df.cache()
+        try:
+            hits = (
+                batch_df.select(
+                    id_col,
+                    F.explode(
+                        F.array_distinct(
+                            tx._ngrams(
+                                tx.words(F.lower(F.col(text_col))), n
+                            )
+                        )
+                    ).alias("gram"),
+                )
+                .join(F.broadcast(bench_grams), "gram")
+                .groupBy(id_col)
+                .agg(F.count("*").cast("long").alias("n_hit_grams"))
+                .localCheckpoint(eager=True)
+            )
+            (
+                batch_df.join(hits.select(id_col), id_col, "left_anti")
+                .write.mode("append")
+                .parquet(out_dir)
+            )
+            (
+                batch_df.join(hits, id_col)
+                .write.mode("append")
+                .parquet(quarantine_dir)
+            )
+        finally:
+            batch_df.unpersist()
+
+    return (
+        docs_stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )

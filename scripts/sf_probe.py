@@ -220,6 +220,14 @@ PROBE_QUERIES = [
     # grows linearly; label_noise is one scan + class-bounded fan-out
     "bt_source_strengths",
     "label_noise_report",
+    # round-13 family: corpus-scale gram explode with broadcast-only
+    # joins (scrub), the double screen (grams + signatures) of the
+    # agreement matrix, the per-(split, source) broadcast screen, and
+    # the cluster-keeper argmax riding the shared CC cache
+    "contamination_span_scrub",
+    "decontamination_method_agreement",
+    "contamination_by_split_source",
+    "dedup_cluster_best_keeper",
 ]
 
 # round-13 (r12 verdict #1): the queries whose base->x10 SHUFFLE-byte

@@ -239,6 +239,46 @@ def test_decontamination_method_agreement_consistency(spark, tmp_path):
     assert exact_margin == bc.filter("contaminated = 1").count()
 
 
+def test_manifest_variants_share_dedup_base_cache(spark):
+    """Both manifest variants and keeper_quality_gain consume the SAME
+    session-cached (ex, pairs) build — the second consumer must reuse
+    the first's cache entries, not rebuild stages 1-4."""
+    from clickstreamtoclickhouse_spark.plans.ext import (
+        _MANIFEST_EX_CACHE,
+        _MANIFEST_PAIRS_CACHE,
+    )
+
+    plans.QUERIES["corpus_build_manifest"](spark, SF_DIR).count()
+    app_id = spark.sparkContext.applicationId
+    ex = _MANIFEST_EX_CACHE.get((app_id, SF_DIR))
+    pairs = _MANIFEST_PAIRS_CACHE.get((app_id, SF_DIR))
+    assert ex is not None and pairs is not None
+    plans.QUERIES["corpus_build_manifest_best_keeper"](spark, SF_DIR).count()
+    plans.QUERIES["keeper_quality_gain"](spark, SF_DIR).count()
+    assert _MANIFEST_EX_CACHE.get((app_id, SF_DIR)) is ex
+    assert _MANIFEST_PAIRS_CACHE.get((app_id, SF_DIR)) is pairs
+
+
+def test_keeper_quality_gain_recompute(spark):
+    """The one-row audit agrees with a direct recomputation from the
+    shared pair table and quality scores."""
+    from clickstreamtoclickhouse_spark.plans.ext import (
+        _manifest_dedup_base,
+    )
+
+    row = plans.QUERIES["keeper_quality_gain"](spark, SF_DIR).collect()[0]
+    ex, pairs = _manifest_dedup_base(spark, SF_DIR)
+    q = {r.doc_id: r.quality for r in ex.select("doc_id", "quality").collect()}
+    gains = [
+        round(max(q[r.doc_b] - q[r.doc_a], 0.0) * 10000)
+        for r in pairs.select("doc_a", "doc_b").collect()
+    ]
+    assert row.n_pairs == len(gains)
+    assert row.n_minid_suboptimal == sum(1 for g in gains if g > 0)
+    assert row.total_gain_milli == sum(gains)
+    assert row.max_gain_milli == (max(gains) if gains else 0)
+
+
 def test_manifest_best_keeper_stage_invariants(spark):
     """The best-keeper manifest keeps every structural invariant of
     the primary (holdout exclusion, contiguous per-shard steps,

@@ -1391,3 +1391,58 @@ def test_streaming_source_quota(spark, tmp_path):
     spent = {r["source"]: r["sum(spent_tokens)"] for r in ledger}
     assert spent == {"A": 10, "B": 9, "C": 10}
     assert all(v <= 10 for v in spent.values())
+
+
+def test_streaming_contamination_screen(spark, tmp_path):
+    """Online benchmark screen: docs embedding a benchmark 5-gram are
+    quarantined with their hit count; clean docs land in the corpus.
+    The split is exhaustive and exclusive across micro-batches."""
+    import json as _json
+
+    bench_dir = tmp_path / "bench"
+    bench_dir.mkdir()
+    spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta")],
+        "doc_id long, text string",
+    ).write.mode("overwrite").parquet(str(bench_dir))
+
+    landing = tmp_path / "docs"
+    landing.mkdir()
+    out_dir = str(tmp_path / "clean")
+    quarantine_dir = str(tmp_path / "quarantine")
+    ckpt = str(tmp_path / "ckpt_screen")
+
+    def write_file(name, rows):
+        with open(landing / name, "w") as f:
+            for r in rows:
+                f.write(_json.dumps(r) + "\n")
+
+    write_file("b1.json", [
+        {"doc_id": 10, "text": "xx alpha beta gamma delta epsilon yy"},
+        {"doc_id": 11, "text": "totally clean words nothing shared here"},
+    ])
+    stream = spark.readStream.schema("doc_id long, text string").option(
+        "maxFilesPerTrigger", 1
+    ).json(str(landing))
+    q = stateful.streaming_contamination_screen(
+        stream, str(bench_dir), out_dir, quarantine_dir, ckpt
+    )
+    try:
+        q.processAllAvailable()
+        write_file("b2.json", [
+            # two hit grams: positions 1 and 2 of the bench text
+            {"doc_id": 12, "text": "alpha beta gamma delta epsilon zeta tail"},
+            {"doc_id": 13, "text": "another clean document entirely fresh"},
+        ])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    clean = {r.doc_id for r in spark.read.parquet(out_dir).collect()}
+    quar = {
+        r.doc_id: r.n_hit_grams
+        for r in spark.read.parquet(quarantine_dir).collect()
+    }
+    assert clean == {11, 13}
+    assert set(quar) == {10, 12}
+    assert quar[10] == 1 and quar[12] == 2
