@@ -4315,7 +4315,11 @@ def decontamination_method_agreement(
     eval-sized broadcasts; each screen reduces to distinct flagged
     doc ids (hit-volume); the final matrix is a 4-row aggregate. The
     corpus is scanned twice (token grams / shingle signatures), never
-    shuffled on gram or band key."""
+    shuffled on gram or band key. The hit-id broadcasts assume
+    contamination is rare — set
+    ``spark.clickstreamtoclickhouse.screenJoin=shuffle`` to drop
+    those hints under pathological contamination
+    (util.conf_broadcast)."""
     d = widen_scan(load(spark, sf_dir, "documents")).filter(
         F.length(F.trim(F.col("text"))) > 0
     )
@@ -4349,10 +4353,12 @@ def decontamination_method_agreement(
         .distinct()
         .withColumn("f", F.lit(1))
     )
+    from ..util import conf_broadcast
+
     flags = (
         corpd.select("doc_id")
-        .join(F.broadcast(exact_hit), "doc_id", "left")
-        .join(F.broadcast(fuzzy_hit), "doc_id", "left")
+        .join(conf_broadcast(exact_hit), "doc_id", "left")
+        .join(conf_broadcast(fuzzy_hit), "doc_id", "left")
         .select(
             F.coalesce("e", F.lit(0)).cast("int").alias("exact_flag"),
             F.coalesce("f", F.lit(0)).cast("int").alias("fuzzy_flag"),

@@ -892,7 +892,12 @@ def contamination_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     their covered-position array via one hit-volume aggregate + a
     broadcast join — the corpus is never shuffled and never exploded
     to token rows. The scrub itself is a per-row indexed array
-    filter."""
+    filter. Hit-volume assumption: the forced broadcast of the
+    covered-array table presumes contamination is RARE (the screen's
+    purpose); under pathological contamination set
+    ``spark.clickstreamtoclickhouse.screenJoin=shuffle`` to drop the
+    hint (util.conf_broadcast — the generalized
+    domain_blocklist_report fallback)."""
     d = widen_scan(load(spark, sf_dir, "documents")).filter(
         F.length(F.trim(F.col("text"))) > 0
     )
@@ -923,8 +928,10 @@ def contamination_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("cov_tp")
     ).localCheckpoint(eager=False)
+    from ..util import conf_broadcast
+
     corpus = toks.filter(F.col("doc_id") % 25 != 0)
-    clean = corpus.join(F.broadcast(cov.select("doc_id")), "doc_id", "left_anti").select(
+    clean = corpus.join(conf_broadcast(cov.select("doc_id")), "doc_id", "left_anti").select(
         "doc_id",
         F.size("ws").cast("bigint").alias("n_tokens"),
         F.lit(0).cast("bigint").alias("n_tokens_removed"),
@@ -936,7 +943,7 @@ def contamination_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda x, i: ~F.array_contains(F.col("cov_tp"), i + 1),
     )
     dirty = (
-        corpus.join(F.broadcast(cov), "doc_id")
+        corpus.join(conf_broadcast(cov), "doc_id")
         .select(
             "doc_id",
             F.size("ws").cast("bigint").alias("n_tokens"),

@@ -188,3 +188,22 @@ def widen_scan(df: DataFrame) -> DataFrame:
     if df.rdd.getNumPartitions() < par:
         return df.repartition(par)
     return df
+
+
+def conf_broadcast(
+    df: DataFrame, key: str = "spark.clickstreamtoclickhouse.screenJoin"
+):
+    """F.broadcast(df) unless the session conf `key` is 'shuffle'.
+
+    For joins whose small side is HIT-VOLUME (flagged doc ids,
+    covered-position arrays): bounded in practice — screens assume
+    contamination is rare — but corpus-dependent in the worst case,
+    where a FORCED broadcast would blow the driver/executor broadcast
+    limits (the r12 domain_blocklist_report lesson, generalized).
+    Setting the conf to 'shuffle' drops the hint so the size-based
+    planner / AQE decides; results are identical either way
+    (test_screen_join_shuffle_fallback_parity)."""
+    from pyspark.sql import functions as F
+
+    mode = df.sparkSession.conf.get(key, "broadcast")
+    return F.broadcast(df) if mode == "broadcast" else df

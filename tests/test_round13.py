@@ -279,6 +279,26 @@ def test_keeper_quality_gain_recompute(spark):
     assert row.max_gain_milli == (max(gains) if gains else 0)
 
 
+def test_screen_join_shuffle_fallback_parity(spark):
+    """util.conf_broadcast (the generalized domain_blocklist_report
+    fallback): with screenJoin=shuffle the hit-volume broadcasts in
+    the scrub and agreement queries lose their forced hints, and
+    results are value-identical either way."""
+    key = "spark.clickstreamtoclickhouse.screenJoin"
+    names = ("contamination_span_scrub", "decontamination_method_agreement")
+    base = {
+        n: sorted(map(tuple, plans.QUERIES[n](spark, SF_DIR).collect()))
+        for n in names
+    }
+    spark.conf.set(key, "shuffle")
+    try:
+        for n in names:
+            alt = sorted(map(tuple, plans.QUERIES[n](spark, SF_DIR).collect()))
+            assert alt == base[n], n
+    finally:
+        spark.conf.unset(key)
+
+
 def test_manifest_best_keeper_stage_invariants(spark):
     """The best-keeper manifest keeps every structural invariant of
     the primary (holdout exclusion, contiguous per-shard steps,
