@@ -279,6 +279,33 @@ def test_keeper_quality_gain_recompute(spark):
     assert row.max_gain_milli == (max(gains) if gains else 0)
 
 
+def test_winrates_exclude_null_text_docs(spark, tmp_path):
+    """r12 advice #3: a NULL-text doc yields q=NULL — it used to be
+    counted in n_a/n_b while never matching the q equi-joins, silently
+    crediting its pairings to wins_b ON BOTH ENGINES (oracle parity
+    cannot catch a shared bias; only a planted test can). With the
+    text IS NOT NULL filter, duel counts must cover exactly the
+    eligible docs and the accounting must close."""
+    rows = [
+        (1, "average quality words here", "sA"),
+        (2, None, "sA"),  # NULL text: not duel-eligible
+        (3, "some other words entirely", "sB"),
+        (4, "yet more distinct words", "sB"),
+    ]
+    spark.createDataFrame(rows, DOC_SCHEMA).write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "documents.parquet"))
+    out = plans.QUERIES["source_quality_winrates"](
+        spark, str(tmp_path)
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.source_a, r.source_b) == ("sA", "sB")
+    assert r.n_a == 1  # the NULL-text doc is excluded, not counted
+    assert r.n_b == 2
+    assert r.wins_a + r.wins_b + r.ties == r.n_a * r.n_b
+
+
 def test_screen_join_shuffle_fallback_parity(spark):
     """util.conf_broadcast (the generalized domain_blocklist_report
     fallback): with screenJoin=shuffle the hit-volume broadcasts in
