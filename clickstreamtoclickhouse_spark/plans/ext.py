@@ -3490,10 +3490,12 @@ def _manifest_oracle(best_keeper: bool = False) -> str:
 # The manifest's quality-gated, exactly-deduped base and its verified
 # near-dup pair table are identical across the min-id and best-quality
 # keeper variants (and keeper_quality_gain) — share ONE build per
-# (app, sf_dir) through session caches (r13; bench measured ~3-4 s of
-# duplicated stage work per extra consumer without them).
-_MANIFEST_EX_CACHE = SessionDFCache("manifest_ex")
-_MANIFEST_PAIRS_CACHE = SessionDFCache("manifest_pairs")
+# (app, sf_dir) through a session cache (r13; bench measured ~3-4 s of
+# duplicated stage work per extra consumer without it). ONE group
+# entry holds (ex, pairs): pairs closes over ex's checkpoint, so
+# caching them separately would let a stale pairs entry outlive an
+# evicted ex (checkpoint-block-not-found on first use).
+_MANIFEST_BASE_CACHE = SessionDFCache("manifest_base")
 
 
 def _manifest_dedup_base(
@@ -3502,7 +3504,7 @@ def _manifest_dedup_base(
     """(ex, pairs): stages 1-3 of the manifest (holdout + quality gate
     + exact dedup) and the stage-4 verified near-dup pair table."""
 
-    def build_ex() -> DataFrame:
+    def build_both() -> tuple[DataFrame, DataFrame]:
         docs = load(spark, sf_dir, "documents")
         base = docs.filter(
             (F.length(F.trim(F.col("text"))) > 0)
@@ -3512,32 +3514,30 @@ def _manifest_dedup_base(
             "quality", tx.quality_score(F.col("text"))
         ).filter(F.col("quality") >= 0.5)
         wh = Window.partitionBy(F.md5("text"))
-        return (
+        ex = (
             q.withColumn("__keep", F.min("doc_id").over(wh))
             .filter(F.col("doc_id") == F.col("__keep"))
             .drop("__keep")
+            .localCheckpoint(eager=False)
         )
-
-    ex = _MANIFEST_EX_CACHE.get_or_build(spark, sf_dir, build_ex)
-
-    def build_pairs() -> DataFrame:
-        return dedup_text.minhash_portable_pairs(
+        pairs = dedup_text.minhash_portable_pairs(
             ex.select("doc_id", "text"),
             threshold=0.5,
             n=3,
             num_bands=_MH_BANDS,
             max_bucket_size=_MH_CAP,
         )
+        return ex, pairs
 
-    pairs = _MANIFEST_PAIRS_CACHE.get_or_build(spark, sf_dir, build_pairs)
+    ex, pairs = _MANIFEST_BASE_CACHE.get_or_build_group(
+        spark, sf_dir, build_both
+    )
     return ex, pairs
 
 
 def evict_manifest_base(sf_dir: str | None = None) -> int:
     """Explicit unpersist hook (the evict_chain_assignments twin)."""
-    return _MANIFEST_PAIRS_CACHE.evict(sf_dir) + _MANIFEST_EX_CACHE.evict(
-        sf_dir
-    )
+    return _MANIFEST_BASE_CACHE.evict(sf_dir)
 
 
 @query("corpus_build_manifest", oracle=_manifest_oracle())
@@ -4034,6 +4034,11 @@ def l_diversity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 # positive costs one needlessly-dropped document.
 _DECON_BANDS = 8
 _DECON_R = _MH_K // _DECON_BANDS
+# semantic-screen cosine threshold for the method-agreement matrix —
+# deliberately permissive (the matrix's job is showing where the
+# screens DISAGREE; the release-gate threshold lives in
+# embedding_decontamination at 0.99)
+_SEM_TAU = 0.40
 
 
 def _sql_mh_sig_ctes(corpus_cte: str, suffix: str) -> str:
@@ -4281,21 +4286,37 @@ def minhash_decontamination_by_source(
       SELECT DISTINCT c.doc_id
       FROM band_c c JOIN band_b b ON c.band = b.band AND c.bk = b.bk
     ),
+    vecs AS (
+      SELECT vec_id AS doc_id, embedding::DOUBLE[] AS v,
+             sqrt(list_dot_product(embedding::DOUBLE[],
+                                   embedding::DOUBLE[])) AS nrm
+      FROM embeddings JOIN toks ON vec_id = toks.doc_id
+    ),
+    bvec AS (SELECT * FROM vecs WHERE doc_id % 25 = 0),
+    semantic_hit AS (
+      SELECT DISTINCT c.doc_id
+      FROM vecs c JOIN bvec b
+        ON list_dot_product(c.v, b.v) / (c.nrm * b.nrm) >= {_SEM_TAU}
+      WHERE c.doc_id % 25 <> 0
+    ),
     flags AS (
       SELECT t.doc_id,
              CASE WHEN e.doc_id IS NULL THEN 0 ELSE 1 END AS exact_flag,
-             CASE WHEN f.doc_id IS NULL THEN 0 ELSE 1 END AS fuzzy_flag
+             CASE WHEN f.doc_id IS NULL THEN 0 ELSE 1 END AS fuzzy_flag,
+             CASE WHEN s.doc_id IS NULL THEN 0 ELSE 1 END AS semantic_flag
       FROM toks t
       LEFT JOIN exact_hit e ON e.doc_id = t.doc_id
       LEFT JOIN fuzzy_hit f ON f.doc_id = t.doc_id
+      LEFT JOIN semantic_hit s ON s.doc_id = t.doc_id
       WHERE t.doc_id % 25 <> 0
     ),
     tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM flags)
     SELECT CAST(exact_flag AS INT) AS exact_flag,
            CAST(fuzzy_flag AS INT) AS fuzzy_flag,
+           CAST(semantic_flag AS INT) AS semantic_flag,
            CAST(count(*) AS BIGINT) AS n_docs,
            round(count(*) * 1.0 / (SELECT n FROM tot), 6) AS doc_share
-    FROM flags GROUP BY 1, 2
+    FROM flags GROUP BY 1, 2, 3
     """,
 )
 def decontamination_method_agreement(
@@ -4304,17 +4325,30 @@ def decontamination_method_agreement(
     """Method-agreement matrix for decontamination screens, on ONE
     consistent benchmark (the doc_id % 25 holdout): every corpus doc
     is flagged by the exact 5-gram screen, the fuzzy MinHash-band
-    screen (8 recall-biased r=2 bands), both, or neither — the 2x2
-    the team reads to decide whether the cheap exact screen suffices
-    or paraphrase-level leakage demands the banded pass. (The
+    screen (8 recall-biased r=2 bands), and the semantic
+    embedding screen (max cosine to any benchmark vector >=
+    {_SEM_TAU}) — the 2x2x2 the team reads to decide whether the
+    cheap exact screen suffices, paraphrase-level leakage demands the
+    banded pass, or only embedding distance catches the rewrite. (The
     registered minhash_decontamination keeps its own src0 corpus; the
-    point HERE is both methods judging the same docs against the same
-    benchmark.)
+    point HERE is all three methods judging the same docs against the
+    same benchmark.)
 
-    Scale: the benchmark's gram set and band table are both
+    The semantic arm is the EXACT brute-force screen (corpus x
+    broadcast-benchmark max cosine), not the LSH-bucketed
+    embedding_decontamination: a recall-lossy screen would pollute
+    the disagreement cells this matrix exists to expose. That stays
+    scale-sound because the benchmark side is eval-sized — a
+    broadcast nested-loop SEMI join that early-outs per corpus row
+    at the first qualifying benchmark vector; the corpus is never
+    shuffled for it.
+
+    Scale: the benchmark's gram set, band table, and vectors are all
     eval-sized broadcasts; each screen reduces to distinct flagged
-    doc ids (hit-volume); the final matrix is a 4-row aggregate. The
-    corpus is scanned twice (token grams / shingle signatures), never
+    doc ids (hit-volume); the final matrix is an 8-row aggregate over
+    lazily-checkpointed flags (both the total and the matrix consume
+    ONE execution of the three screens). The corpus is scanned three
+    times (token grams / shingle signatures / vectors), never
     shuffled on gram or band key. The hit-id broadcasts assume
     contamination is rare — set
     ``spark.clickstreamtoclickhouse.screenJoin=shuffle`` to drop
@@ -4353,25 +4387,67 @@ def decontamination_method_agreement(
         .distinct()
         .withColumn("f", F.lit(1))
     )
+
+    def with_vec(df: DataFrame, id_alias: str):
+        v = F.col("embedding").cast("array<double>")
+        nrm = F.sqrt(
+            F.aggregate(
+                F.zip_with(v, v, lambda x, y: x * y),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        )
+        return df.select(
+            F.col("vec_id").alias(id_alias),
+            v.alias(f"v_{id_alias}"),
+            nrm.alias(f"n_{id_alias}"),
+        )
+
+    vecs = load(spark, sf_dir, "embeddings").join(
+        d.select(F.col("doc_id").alias("vec_id")), "vec_id"
+    )
+    bv = with_vec(vecs.filter(F.col("vec_id") % 25 == 0), "bench_id")
+    cv = with_vec(vecs.filter(F.col("vec_id") % 25 != 0), "corpus_id")
+    dot = F.aggregate(
+        F.zip_with("v_corpus_id", "v_bench_id", lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    semantic_hit = (
+        cv.join(
+            F.broadcast(bv),
+            dot / (F.col("n_corpus_id") * F.col("n_bench_id"))
+            >= F.lit(_SEM_TAU),
+            "left_semi",
+        )
+        .select(F.col("corpus_id").alias("doc_id"))
+        .withColumn("s", F.lit(1))
+    )
     from ..util import conf_broadcast
 
+    # lazy lineage cut: tot AND the matrix both consume flags; without
+    # it the full triple screen (gram explode + both band builds + the
+    # semantic NLJ) executes twice (r13 advice)
     flags = (
         corpd.select("doc_id")
         .join(conf_broadcast(exact_hit), "doc_id", "left")
         .join(conf_broadcast(fuzzy_hit), "doc_id", "left")
+        .join(conf_broadcast(semantic_hit), "doc_id", "left")
         .select(
             F.coalesce("e", F.lit(0)).cast("int").alias("exact_flag"),
             F.coalesce("f", F.lit(0)).cast("int").alias("fuzzy_flag"),
+            F.coalesce("s", F.lit(0)).cast("int").alias("semantic_flag"),
         )
-    )
+    ).localCheckpoint(eager=False)
     tot = flags.agg(F.count(F.lit(1)).cast("long").alias("n"))
     return (
-        flags.groupBy("exact_flag", "fuzzy_flag")
+        flags.groupBy("exact_flag", "fuzzy_flag", "semantic_flag")
         .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
         .crossJoin(F.broadcast(tot))
         .select(
             "exact_flag",
             "fuzzy_flag",
+            "semantic_flag",
             "n_docs",
             F.round(F.col("n_docs") * 1.0 / F.col("n"), 6).alias(
                 "doc_share"

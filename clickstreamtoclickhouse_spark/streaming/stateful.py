@@ -894,9 +894,10 @@ def streaming_source_quota(
     spark = docs_stream.sparkSession
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
-        from ..util import try_read_parquet
+        from ..util import release_local_checkpoint, try_read_parquet
 
         batch_df = batch_df.cache()
+        admitted = None
         try:
             ledger = try_read_parquet(spark, ledger_dir)
             if ledger is not None:
@@ -956,6 +957,11 @@ def streaming_source_quota(
             )
         finally:
             batch_df.unpersist()
+            # checkpoint blocks are only GC-reclaimed at driver GC —
+            # release per-batch so a long stream's storage stays
+            # bounded (r13 advice)
+            if admitted is not None:
+                release_local_checkpoint(admitted)
 
     return (
         docs_stream.writeStream.foreachBatch(process_batch)

@@ -54,29 +54,72 @@ class SessionDFCache(dict):
         self[key] = df
         return df
 
+    def get_or_build_group(self, spark: SparkSession, sf_dir: str, builder):
+        """Like get_or_build, but `builder` returns a TUPLE of
+        DataFrames that live and die together — one cache entry, one
+        eviction. Use when a derived DataFrame (e.g. a pair table)
+        closes over a sibling build: caching them separately lets the
+        derived entry outlive an evicted base whose checkpoint blocks
+        are gone, failing with checkpoint-block-not-found on first
+        use. Each element is lazily localCheckpointed; `builder` may
+        chain later elements off earlier ones (an element it already
+        checkpointed itself — plan is a LogicalRDD — is not wrapped
+        again, which would double the stored blocks)."""
+        app_id = spark.sparkContext.applicationId
+        for k in [k for k in self if k[0] != app_id]:
+            del self[k]
+        key = (app_id, sf_dir)
+        cached = self.get(key)
+        if cached is not None:
+            return cached
+
+        def ckpt(df: DataFrame) -> DataFrame:
+            plan = df._jdf.queryExecution().analyzed()
+            if plan.getClass().getSimpleName() == "LogicalRDD":
+                return df
+            return df.localCheckpoint(eager=False)
+
+        dfs = tuple(ckpt(df) for df in builder())
+        self[key] = dfs
+        return dfs
+
     def evict(self, sf_dir: str | None = None) -> int:
         """Release entries for `sf_dir` (or all); returns the count.
 
-        A localCheckpointed DataFrame's blocks live on its underlying
-        checkpoint RDD, which `DataFrame.unpersist()` does NOT touch
-        (that only clears cacheManager entries — measured: blocks
-        survive). Release the LogicalRDD's backing RDD directly so
-        storage actually shrinks; the evicted DataFrame object must
-        not be reused afterwards (callers rebuild via get_or_build)."""
+        The evicted DataFrame objects must not be reused afterwards
+        (callers rebuild via get_or_build); tuple-group entries are
+        released element-wise."""
         n = 0
         for k in list(self):
             if sf_dir is None or k[1] == sf_dir:
-                df = self.pop(k)
-                try:
-                    plan = df._jdf.queryExecution().analyzed()
-                    if plan.getClass().getSimpleName() == "LogicalRDD":
-                        plan.rdd().unpersist(True)
-                    else:
-                        df.unpersist()
-                except Exception:  # noqa: BLE001 — app already stopped:
-                    pass           # its checkpoint blocks are gone anyway
+                entry = self.pop(k)
+                dfs = entry if isinstance(entry, tuple) else (entry,)
+                for df in dfs:
+                    release_local_checkpoint(df)
                 n += 1
         return n
+
+
+def release_local_checkpoint(df: DataFrame) -> None:
+    """Release a localCheckpointed DataFrame's storage blocks NOW.
+
+    The blocks live on the underlying checkpoint RDD, which
+    `DataFrame.unpersist()` does NOT touch (that only clears
+    cacheManager entries — measured: blocks survive) and which the
+    JVM ContextCleaner only reclaims at driver GC — too lazy for a
+    long-running stream checkpointing every micro-batch. Release the
+    LogicalRDD's backing RDD directly so storage actually shrinks;
+    the DataFrame must not be used afterwards. Safe no-op if the app
+    is already stopped (its blocks are gone anyway) or the plan is
+    not a materialized checkpoint."""
+    try:
+        plan = df._jdf.queryExecution().analyzed()
+        if plan.getClass().getSimpleName() == "LogicalRDD":
+            plan.rdd().unpersist(True)
+        else:
+            df.unpersist()
+    except Exception:  # noqa: BLE001
+        pass
 
 
 def evict_session_caches(sf_dir: str | None = None) -> int:

@@ -228,6 +228,18 @@ PROBE_QUERIES = [
     "decontamination_method_agreement",
     "contamination_by_split_source",
     "dedup_cluster_best_keeper",
+    # round-14 (r13 verdict #1): the remaining r13 additions. The
+    # per-source MinHash screen is a second banded build; the other
+    # three are cache-riders — semantic_diversity rides the shared
+    # topic-assignment cache and the manifest pair ride the shared
+    # stages-1-4 group cache, so their probe numbers read as
+    # "cost of one extra consumer", not a rebuild (cold build cost is
+    # attributed to whichever probe entry runs first in the list, the
+    # same posture as doc_topic_clusters).
+    "minhash_decontamination_by_source",
+    "semantic_diversity_by_source",
+    "corpus_build_manifest_best_keeper",
+    "keeper_quality_gain",
 ]
 
 # round-13 (r12 verdict #1): the queries whose base->x10 SHUFFLE-byte
@@ -557,21 +569,30 @@ def main() -> None:
         ("x10", OUT / "x10"),
         ("x30", OUT / "x30"),
     ):
-        corpus = _near_dup_corpus(plans.load(spark, str(sf_dir), "documents"))
-        diag["jaccard_candidate_pairs"][tag] = _shingle_pair_candidates(
-            corpus, 3, "doc_id", "text", 4, None
-        ).count()
-        # (c) dedup_recall_report's 92.8x probe shuffle ratio, pinned
-        #     with data (r9 VERDICT ask #3): count EACH of the report's
-        #     three pair sets (capped-exact truth / MinHash / SimHash
-        #     candidates) at both sizes — if the pair volumes step the
-        #     way jaccard's did (df<=4 cap-crossing at x10) and stay
-        #     bounded-per-shingle, the shuffle ratio is the same
-        #     broadcast-at-base + cap-dilution story, not a quadratic.
-        diag["dedup_recall_pair_counts"][tag] = {
-            name: df.count()
-            for name, df in _recall_pair_sets(corpus).items()
-        }
+        # r13 advice #4: the x30 arm only exists for the wedge-budget
+        # linearity story, so it runs ONLY the link-prediction pair
+        # counts below — the jaccard/recall pair counts and the
+        # per-stage shuffle decomposition were settled at base/x10 and
+        # tripling them at 30x rows is pure probe runtime.
+        if tag != "x30":
+            corpus = _near_dup_corpus(
+                plans.load(spark, str(sf_dir), "documents")
+            )
+            diag["jaccard_candidate_pairs"][tag] = _shingle_pair_candidates(
+                corpus, 3, "doc_id", "text", 4, None
+            ).count()
+            # (c) dedup_recall_report's 92.8x probe shuffle ratio,
+            #     pinned with data (r9 VERDICT ask #3): count EACH of
+            #     the report's three pair sets (capped-exact truth /
+            #     MinHash / SimHash candidates) at both sizes — if the
+            #     pair volumes step the way jaccard's did (df<=4
+            #     cap-crossing at x10) and stay bounded-per-shingle,
+            #     the shuffle ratio is the same broadcast-at-base +
+            #     cap-dilution story, not a quadratic.
+            diag["dedup_recall_pair_counts"][tag] = {
+                name: df.count()
+                for name, df in _recall_pair_sets(corpus).items()
+            }
         _COPURCHASE_CACHE.clear()  # re-measure the edge build itself
         # the edge build's lazy localCheckpoint calls .rdd, which under
         # AQE materializes every intermediate shuffle stage AT
@@ -581,23 +602,24 @@ def main() -> None:
 
         s_pre = shuffle_write_bytes(app_base)
         stages = _link_prediction_stages(spark, str(sf_dir))
-        per: dict = {}
-        prev = s_pre
-        for sname in ("edges", "wedges", "non_edges", "cand"):
-            stages[sname].write.format("noop").mode("overwrite").save()
-            _time.sleep(1)  # let the UI listener flush stage metrics
-            s1 = shuffle_write_bytes(app_base)
-            # a NEGATIVE delta means the REST stage metrics raced a
-            # concurrent eviction/cleanup between the two reads (seen
-            # once at base in r13: cand = -256.8) — record None, not a
-            # bogus number
-            per[sname] = (
-                round((s1 - prev) / 1e6, 1)
-                if (prev >= 0 and s1 >= 0 and s1 >= prev)
-                else None
-            )
-            prev = s1
-        diag["link_prediction_stage_shuffle_mb"][tag] = per
+        if tag != "x30":
+            per: dict = {}
+            prev = s_pre
+            for sname in ("edges", "wedges", "non_edges", "cand"):
+                stages[sname].write.format("noop").mode("overwrite").save()
+                _time.sleep(1)  # let the UI listener flush stage metrics
+                s1 = shuffle_write_bytes(app_base)
+                # a NEGATIVE delta means the REST stage metrics raced a
+                # concurrent eviction/cleanup between the two reads
+                # (seen once at base in r13: cand = -256.8) — record
+                # None, not a bogus number
+                per[sname] = (
+                    round((s1 - prev) / 1e6, 1)
+                    if (prev >= 0 and s1 >= 0 and s1 >= prev)
+                    else None
+                )
+                prev = s1
+            diag["link_prediction_stage_shuffle_mb"][tag] = per
         # r12 verdict #1: the DATA behind the wedge budget — total
         # wedge volume is bounded by sum_z C(min(deg_z, CAP), 2); once
         # hub degrees pass the cap their per-node contribution freezes
@@ -609,9 +631,8 @@ def main() -> None:
             "wedges": stages["wedges"].count(),
             "cand_groups": stages["cand"].count(),
         }
-        print(f"# {tag} diagnostics: jaccard pairs "
-              f"{diag['jaccard_candidate_pairs'][tag]}, lp stages {per}, "
-              f"recall pair sets {diag['dedup_recall_pair_counts'][tag]}",
+        print(f"# {tag} diagnostics: lp pair counts "
+              f"{diag['link_prediction_pair_counts'][tag]}",
               file=sys.stderr, flush=True)
 
     probe = {}

@@ -1472,14 +1472,17 @@ def test_contamination_span_scrub_never_shuffles_corpus(spark):
 
 
 def test_decontamination_method_agreement_plan_shape(spark):
-    """Both screens reduce to broadcast hit sets: no corpus-side
+    """All three screens reduce to broadcast hit sets: no corpus-side
     sort-merge join, no cartesian, exchanges bounded by the
-    hit/bench-sized aggregates and the 4-row matrix aggregate."""
+    hit/bench-sized aggregates and the 8-row matrix aggregate. The
+    semantic arm's broadcast nested-loop SEMI join is intentional
+    (bench-sized build side, early-out per corpus row) — but it must
+    never degrade to a CartesianProduct."""
     txt = plan_text(spark, "decontamination_method_agreement")
     assert "SortMergeJoin" not in txt
     assert "CartesianProduct" not in txt
-    # hit-set distincts + the 4-row matrix aggregate; the one BNLJ is
-    # the broadcast single-row total
+    # hit-set distincts + the 8-row matrix aggregate; BNLJs are the
+    # broadcast single-row total and the bench-side semantic semi join
     assert count_exchanges(txt) <= 13, count_exchanges(txt)
 
 

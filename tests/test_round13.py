@@ -206,28 +206,45 @@ def test_contamination_span_scrub_planted(spark, tmp_path):
 
 
 def test_decontamination_method_agreement_consistency(spark, tmp_path):
-    """Planted 2x2 corners: a verbatim benchmark copy lands in
-    (exact=1, fuzzy=1), a clean doc in (0, 0). At SF_DIR the exact
-    margin of the matrix must equal benchmark_contamination's
-    corpus-wide contaminated count, and shares must sum to 1."""
+    """Planted 2x2x2 corners: a verbatim benchmark copy (near-identical
+    embedding) lands in (exact=1, fuzzy=1, semantic=1); a PARAPHRASE —
+    zero shared 5-grams, zero shared shingles, but an embedding almost
+    parallel to the benchmark's — is caught ONLY by the semantic arm
+    (0, 0, 1); a clean doc with an orthogonal embedding lands in
+    (0, 0, 0). At SF_DIR the exact margin of the matrix must equal
+    benchmark_contamination's corpus-wide contaminated count, and
+    shares must sum to 1."""
     bench_text = " ".join(f"bm{i}" for i in range(30))
     _write_docs(
         spark,
         tmp_path,
         [
             (25, bench_text, "bench"),
-            (7, bench_text, "sA"),  # verbatim copy: both methods fire
+            (7, bench_text, "sA"),  # verbatim copy: all three fire
+            # paraphrase: lexically disjoint, semantically the bench doc
+            (9, "rewritten with entirely fresh vocabulary throughout", "sA"),
             (8, "totally unrelated clean words nothing shared", "sB"),
         ],
     )
+    spark.createDataFrame(
+        [
+            (25, [1.0, 0.0, 0.0, 0.0], 0),
+            (7, [0.99, 0.01, 0.0, 0.0], 0),
+            (9, [0.98, -0.02, 0.01, 0.0], 0),
+            (8, [0.0, 1.0, 0.0, 0.0], 0),
+        ],
+        "vec_id long, embedding array<float>, label int",
+    ).write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
     cells = {
-        (r.exact_flag, r.fuzzy_flag): r.n_docs
+        (r.exact_flag, r.fuzzy_flag, r.semantic_flag): r.n_docs
         for r in plans.QUERIES["decontamination_method_agreement"](
             spark, str(tmp_path)
         ).collect()
     }
-    assert cells.get((1, 1)) == 1 and cells.get((0, 0)) == 1
-    assert sum(cells.values()) == 2
+    assert cells.get((1, 1, 1)) == 1
+    assert cells.get((0, 0, 1)) == 1  # embedding-only catch
+    assert cells.get((0, 0, 0)) == 1
+    assert sum(cells.values()) == 3
     # registry-scale consistency: the exact margin == the corpus-wide
     # exact screen's flag count
     rows = plans.QUERIES["decontamination_method_agreement"](
@@ -241,22 +258,27 @@ def test_decontamination_method_agreement_consistency(spark, tmp_path):
 
 def test_manifest_variants_share_dedup_base_cache(spark):
     """Both manifest variants and keeper_quality_gain consume the SAME
-    session-cached (ex, pairs) build — the second consumer must reuse
-    the first's cache entries, not rebuild stages 1-4."""
+    session-cached (ex, pairs) group build — the second consumer must
+    reuse the first's cache entry, not rebuild stages 1-4. r13 advice:
+    (ex, pairs) live in ONE group entry so the pair table can never
+    outlive the base checkpoint it references."""
     from clickstreamtoclickhouse_spark.plans.ext import (
-        _MANIFEST_EX_CACHE,
-        _MANIFEST_PAIRS_CACHE,
+        _MANIFEST_BASE_CACHE,
     )
 
     plans.QUERIES["corpus_build_manifest"](spark, SF_DIR).count()
     app_id = spark.sparkContext.applicationId
-    ex = _MANIFEST_EX_CACHE.get((app_id, SF_DIR))
-    pairs = _MANIFEST_PAIRS_CACHE.get((app_id, SF_DIR))
-    assert ex is not None and pairs is not None
+    entry = _MANIFEST_BASE_CACHE.get((app_id, SF_DIR))
+    assert entry is not None and len(entry) == 2
+    ex, pairs = entry
     plans.QUERIES["corpus_build_manifest_best_keeper"](spark, SF_DIR).count()
     plans.QUERIES["keeper_quality_gain"](spark, SF_DIR).count()
-    assert _MANIFEST_EX_CACHE.get((app_id, SF_DIR)) is ex
-    assert _MANIFEST_PAIRS_CACHE.get((app_id, SF_DIR)) is pairs
+    entry2 = _MANIFEST_BASE_CACHE.get((app_id, SF_DIR))
+    assert entry2[0] is ex and entry2[1] is pairs
+    # atomic eviction: one evict call releases BOTH members — no
+    # stale pairs entry can survive the base it chains off
+    assert _MANIFEST_BASE_CACHE.evict(SF_DIR) == 1
+    assert _MANIFEST_BASE_CACHE.get((app_id, SF_DIR)) is None
 
 
 def test_keeper_quality_gain_recompute(spark):
