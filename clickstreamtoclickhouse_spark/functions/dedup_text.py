@@ -555,15 +555,38 @@ def minhash_portable_pairs(
     generation INCLUDED — is value-checkable against a SQL oracle
     rather than rows-only. Returns (doc_a, doc_b, est_jaccard),
     doc_a < doc_b."""
-    k = len(MH_AB)
     banded = minhash_portable_bands(
         docs, n, num_bands, id_col, text_col, shingles=shingles
     )
     banded = _cap_buckets(banded, ["band", "bk"], max_bucket_size)
+    return verified_pairs_from_bands(banded, threshold)
+
+
+def verified_pairs_from_bands(
+    banded: DataFrame,
+    threshold: float,
+    right_ids: DataFrame | None = None,
+) -> DataFrame:
+    """Candidate generation + signature verify over an
+    already-capped band table (did, sig, band, bk): band-key
+    equi-join -> doc_a < doc_b -> estimated Jaccard =
+    matching-signature fraction >= threshold. The ONE implementation
+    behind ``minhash_portable_pairs`` and the incremental manifest's
+    fuzzy screen (streaming/manifest.py), so the two can never
+    diverge on pair semantics. `right_ids` (a one-column `did`
+    DataFrame) restricts the doc_b side — the incremental screen
+    passes the arriving batch's ids so only NEW docs are candidates
+    for dropping while the index side still supplies partners."""
+    k = len(MH_AB)
     a = banded.select(
         F.col("did").alias("doc_a"), F.col("sig").alias("sig_a"), "band", "bk"
     )
-    b = banded.select(
+    b_src = (
+        banded
+        if right_ids is None
+        else banded.join(right_ids, "did", "left_semi")
+    )
+    b = b_src.select(
         F.col("did").alias("doc_b"), F.col("sig").alias("sig_b"), "band", "bk"
     )
     cand = (

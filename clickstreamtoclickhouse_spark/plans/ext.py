@@ -3566,8 +3566,6 @@ def corpus_build_manifest(
     new cost is lineage reuse, handled with a lazy checkpoint on the
     deduped base so the pair stage and the anti-join don't re-derive
     it."""
-    from ..util import portable_id_hash
-
     docs = load(spark, sf_dir, "documents")
     ex, pairs = _manifest_dedup_base(spark, sf_dir)
     if nd_keeper == "best_quality":
@@ -3625,27 +3623,20 @@ def corpus_build_manifest(
         .distinct()
     )
     dc = nd.join(contaminated, "doc_id", "left_anti")
-    wsrc = Window.partitionBy("source").orderBy("quality", "doc_id")
-    kept = (
-        dc.withColumn(
-            "calibrated", F.round(F.percent_rank().over(wsrc), 6)
-        )
-        .filter(F.col("calibrated") >= _MANIFEST_CAL_MIN)
-    )
-    keyed = kept.select(
-        "doc_id",
-        "source",
-        tx.token_count_ws(F.col("text")).alias("n_tokens"),
-        portable_id_hash(
-            F.concat_ws(":", F.lit("0"), F.col("doc_id").cast("string"))
-        ).alias("h"),
-    )
-    shard = F.pmod(F.col("h"), F.lit(_MANIFEST_SHARDS)).cast("int")
-    wshard = Window.partitionBy("shard").orderBy("h", "doc_id")
-    return (
-        keyed.withColumn("shard", shard)
-        .withColumn("step", F.row_number().over(wshard).cast("bigint"))
-        .select("doc_id", "source", "n_tokens", "shard", "step")
+    # stages 6-7 through the SAME helper the incremental manifest's
+    # finalize uses (streaming/manifest.py) — the equivalence pin
+    # between the two builds cannot drift on the corpus-global tail
+    from ..streaming.manifest import manifest_calibrate_and_shard
+
+    return manifest_calibrate_and_shard(
+        dc.select(
+            "doc_id",
+            "source",
+            "quality",
+            tx.token_count_ws(F.col("text")).alias("n_tokens"),
+        ),
+        _MANIFEST_CAL_MIN,
+        _MANIFEST_SHARDS,
     )
 
 
@@ -3662,6 +3653,100 @@ def corpus_build_manifest_best_keeper(
     extra broadcast-sized pair/quality join on the pair table, which
     is output-sized."""
     return corpus_build_manifest(spark, sf_dir, nd_keeper="best_quality")
+
+
+# the finalized incremental build, per (app, sf_dir): the ingest runs
+# ONCE per session (cold ~24 s at sf0.1: three full per-batch screen
+# pipelines + nine txlog commits); later consumers read the
+# checkpointed 4-column manifest. bench per-pass history shows the
+# cold/warm split, the corpus_build_manifest posture.
+_INCR_MANIFEST_CACHE = SessionDFCache("incr_manifest")
+
+
+@query("incremental_corpus_build_manifest", oracle=_manifest_oracle())
+def incremental_corpus_build_manifest(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """THE BATCH-EQUIVALENCE PIN AS A DRIVER-GATE QUERY (r13 verdict
+    #1): the corpus is delivered as three ascending doc_id-range
+    micro-batches to the INCREMENTAL manifest build
+    (streaming/manifest.py — quality gate -> persisted exact-dedup
+    hash index -> persisted MinHash band index -> static benchmark
+    gram screen, every batch committed to txlog tables with an
+    idempotence token), then finalized with the shared
+    calibration+shard tail. The oracle is the BATCH manifest's oracle
+    VERBATIM: under monotone delivery the incremental build must
+    reproduce corpus_build_manifest row-for-row, and the driver's
+    hash gate checks exactly that. Mid-stream replay and
+    crash-between-commits recovery are pinned by
+    tests/test_incremental_manifest.py.
+
+    Scale: each arriving batch does O(|batch|) work against
+    arbitrarily large indexes — the hash anti-join is batch-keyed and
+    the band index is first semi-joined down to the batch's touched
+    buckets (batch-sized broadcast) before the capped candidate join;
+    the corpus-global calibration runs once at finalize. The
+    registered form trades ~3x the batch manifest's one-shot cost for
+    the incremental contract; per (app, sf_dir) the build runs once
+    (session cache) and the tables live in a process-temp dir
+    reclaimed after the finalize checkpoint."""
+    from ..streaming import manifest as im
+
+    def build() -> DataFrame:
+        import shutil
+        import tempfile
+
+        from ..util import release_local_checkpoint
+
+        docs = load(spark, sf_dir, "documents")
+        mx = docs.agg(F.max("doc_id")).collect()[0][0]
+        cuts = [0, mx // 3 + 1, 2 * (mx // 3) + 1, mx + 1]
+        bench_grams = (
+            docs.filter(
+                (F.col("doc_id") % 25 == 0)
+                & (F.length(F.trim(F.col("text"))) > 0)
+            )
+            .select(
+                F.explode(
+                    F.array_distinct(
+                        tx._ngrams(tx.words(F.lower(F.col("text"))), 5)
+                    )
+                ).alias("gram")
+            )
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        root = tempfile.mkdtemp(prefix="incr_manifest_")
+        tables = im.ManifestTables(root)
+        try:
+            for i in range(3):
+                batch = docs.filter(
+                    (F.col("doc_id") >= cuts[i])
+                    & (F.col("doc_id") < cuts[i + 1])
+                )
+                im.manifest_batch_ingest(
+                    spark,
+                    tables,
+                    batch,
+                    i,
+                    bench_grams,
+                    quality_min=0.5,
+                    nd_threshold=0.5,
+                    shingle_n=3,
+                    num_bands=_MH_BANDS,
+                    max_bucket_size=_MH_CAP,
+                    contam_n=5,
+                )
+            return im.incremental_manifest_finalize(
+                spark, tables, _MANIFEST_CAL_MIN, _MANIFEST_SHARDS
+            ).localCheckpoint(eager=True)
+        finally:
+            # the finalize checkpoint holds the rows; the txlog tables
+            # are scratch for this registered form
+            shutil.rmtree(root, ignore_errors=True)
+            release_local_checkpoint(bench_grams)
+
+    return _INCR_MANIFEST_CACHE.get_or_build(spark, sf_dir, build)
 
 
 @query(

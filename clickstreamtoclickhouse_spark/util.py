@@ -42,6 +42,16 @@ class SessionDFCache(dict):
         self.name = name
         _SESSION_CACHES.append(self)
 
+    @staticmethod
+    def _ckpt_once(df: DataFrame) -> DataFrame:
+        """Lazy localCheckpoint, skipped when the plan is already a
+        LogicalRDD (an eager/lazy checkpoint the builder made itself)
+        — wrapping again would double the stored blocks."""
+        plan = df._jdf.queryExecution().analyzed()
+        if plan.getClass().getSimpleName() == "LogicalRDD":
+            return df
+        return df.localCheckpoint(eager=False)
+
     def get_or_build(self, spark: SparkSession, sf_dir: str, builder):
         app_id = spark.sparkContext.applicationId
         for k in [k for k in self if k[0] != app_id]:
@@ -50,7 +60,7 @@ class SessionDFCache(dict):
         cached = self.get(key)
         if cached is not None:
             return cached
-        df = builder().localCheckpoint(eager=False)
+        df = self._ckpt_once(builder())
         self[key] = df
         return df
 
@@ -72,14 +82,7 @@ class SessionDFCache(dict):
         cached = self.get(key)
         if cached is not None:
             return cached
-
-        def ckpt(df: DataFrame) -> DataFrame:
-            plan = df._jdf.queryExecution().analyzed()
-            if plan.getClass().getSimpleName() == "LogicalRDD":
-                return df
-            return df.localCheckpoint(eager=False)
-
-        dfs = tuple(ckpt(df) for df in builder())
+        dfs = tuple(self._ckpt_once(df) for df in builder())
         self[key] = dfs
         return dfs
 
