@@ -2487,17 +2487,136 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# BFD oracle: per-shard sequential best-fit-decreasing carried through
+# a LINEAR recursive CTE whose state is the shard's bin-load LIST (the
+# daily_value_holt linear-recursion pattern, integer arithmetic only)
+# — each iteration places each shard's next-longest doc into the
+# FULLEST bin it fits (ties -> lowest bin id), else opens a new bin.
+_SQL_BFD_CTES = f"""scored_b AS (
+      SELECT doc_id,
+             {tx.sql_token_count_ws('text')} AS n_tokens,
+             CAST(doc_id % {_PACK_SHARDS} AS INT) AS shard
+      FROM documents
+    ),
+    ranked_b AS (
+      SELECT shard, doc_id, n_tokens,
+             row_number() OVER (PARTITION BY shard
+                                ORDER BY n_tokens DESC, doc_id) AS rnk
+      FROM scored_b
+    ),
+    pack_b AS (
+      SELECT shard, 0 AS step, CAST([] AS BIGINT[]) AS loads,
+             CAST(NULL AS BIGINT) AS doc_id,
+             CAST(NULL AS BIGINT) AS n_tokens,
+             CAST(NULL AS INT) AS bin
+      FROM (SELECT DISTINCT shard FROM ranked_b)
+      UNION ALL
+      SELECT shard, step,
+             CASE WHEN pick IS NULL THEN list_append(loads, n_tokens)
+                  ELSE list_transform(range(1, len(loads) + 1),
+                         j -> CASE WHEN j = pick THEN loads[j] + n_tokens
+                              ELSE loads[j] END) END,
+             doc_id, n_tokens,
+             CAST(CASE WHEN pick IS NULL THEN len(loads)
+                       ELSE pick - 1 END AS INT)
+      FROM (
+        SELECT p.shard, p.step + 1 AS step, p.loads, r.doc_id,
+               r.n_tokens,
+               CASE WHEN len(cands) = 0 THEN NULL
+                    ELSE -(list_max(list_transform(cands,
+                            i -> [p.loads[i], -i]))[2]) END AS pick
+        FROM pack_b p
+        JOIN ranked_b r ON r.shard = p.shard AND r.rnk = p.step + 1,
+             LATERAL (SELECT list_filter(range(1, len(p.loads) + 1),
+                        i -> p.loads[i] + r.n_tokens <= {_PACK_BIN})
+                      AS cands) c
+      )
+    ),
+    bfd_binned AS (
+      SELECT doc_id, shard, n_tokens, bin FROM pack_b
+      WHERE doc_id IS NOT NULL
+    )"""
+
+
+@query(
+    "sequence_packing_bfd",
+    oracle=f"""
+    WITH RECURSIVE {_SQL_BFD_CTES}
+    SELECT doc_id, shard, n_tokens, bin FROM bfd_binned
+    """,
+)
+def sequence_packing_bfd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Best-fit-decreasing sequence packing (r13 verdict #4) — the
+    second packer real pipelines weigh against the greedy running-sum
+    binner: per shard, docs are sorted by length DESC and each is
+    placed into the FULLEST existing bin it still fits (ties ->
+    lowest bin id), opening a new bin when none fits; a doc longer
+    than the bin opens its own overflow bin (mirroring
+    sequence_packing's boundary-straddle semantics). Lower padding
+    waste than greedy append at the cost of losing arrival order
+    inside a shard.
+
+    BFD is inherently sequential, so the parallel unit is the SHARD:
+    one Arrow applyInPandas kernel per shard runs the integer
+    placement loop (O(docs x open bins) per shard — bounded by the
+    shard's token mass / bin size), and shard count is the scale
+    knob exactly as in sequence_packing. No corpus-global sort or
+    window anywhere (pinned by test_plan_quality); the one exchange
+    is the shard hash partition. The DuckDB oracle replays the SAME
+    integer algorithm through a linear recursive CTE with the bin
+    loads as list state — deterministic tie-breaks make the two
+    engines bit-identical."""
+    d = load(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id",
+        tx.token_count_ws(F.col("text")).alias("n_tokens"),
+        (F.col("doc_id") % _PACK_SHARDS).cast("int").alias("shard"),
+    )
+    cap = _PACK_BIN
+
+    def bfd(pdf):
+        import numpy as np
+
+        pdf = pdf.sort_values(
+            ["n_tokens", "doc_id"], ascending=[False, True]
+        )
+        loads: list[int] = []
+        bins: list[int] = []
+        for n in pdf["n_tokens"].tolist():
+            best, best_load = -1, -1
+            for i, l in enumerate(loads):
+                if l + n <= cap and l > best_load:
+                    best, best_load = i, l
+            if best < 0:
+                loads.append(int(n))
+                bins.append(len(loads) - 1)
+            else:
+                loads[best] += int(n)
+                bins.append(best)
+        return pdf.assign(bin=np.array(bins, dtype="int32"))
+
+    return scored.groupBy("shard").applyInPandas(
+        bfd, schema="doc_id long, n_tokens int, shard int, bin int"
+    ).select("doc_id", "shard", "n_tokens", "bin")
+
+
 @query(
     "packing_efficiency_report",
     oracle=f"""
-    WITH {_SQL_PACKED_CTES},
+    WITH RECURSIVE {_SQL_PACKED_CTES},
+    {_SQL_BFD_CTES},
+    packs AS (
+      SELECT 'greedy' AS packer, shard, bin, n_tokens FROM binned
+      UNION ALL
+      SELECT 'bfd' AS packer, shard, bin, n_tokens FROM bfd_binned
+    ),
     bins AS (
-      SELECT shard, bin,
+      SELECT packer, shard, bin,
              CAST(sum(n_tokens) AS BIGINT) AS bin_tokens,
              CAST(count(*) AS BIGINT) AS n_docs
-      FROM binned GROUP BY shard, bin
+      FROM packs GROUP BY packer, shard, bin
     )
-    SELECT shard,
+    SELECT packer, shard,
            CAST(count(*) AS BIGINT) AS n_bins,
            CAST(sum(n_docs) AS BIGINT) AS n_docs,
            CAST(sum(bin_tokens) AS BIGINT) AS total_tokens,
@@ -2509,25 +2628,38 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
            round((count(*) * {_PACK_BIN}
                   - sum(greatest(0, {_PACK_BIN} - bin_tokens)))
                  * 1.0 / (count(*) * {_PACK_BIN}), 6) AS fill_rate
-    FROM bins GROUP BY shard
+    FROM bins GROUP BY packer, shard
     """,
 )
 def packing_efficiency_report(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The readout that justifies a bin-size choice: per shard, how
-    full sequence_packing's {_PACK_BIN}-token bins actually are —
-    padding waste (tokens of capacity left unfilled in underfull
-    bins) vs overflow (tokens past capacity from boundary-straddling
-    docs, which a tokenizer-side splitter would carry into the next
-    sequence), and the resulting fill rate
-    (filled capacity / total capacity). A corpus whose documents are
-    long relative to the bin drives both numbers up, which is exactly
-    the signal for re-choosing the bin size or enabling splitting.
+    """The readout that justifies a packer AND bin-size choice
+    (extended to compare both packers under one oracle, r13 verdict
+    #4): per (packer, shard), how full the {_PACK_BIN}-token bins
+    actually are — padding waste (tokens of capacity left unfilled in
+    underfull bins) vs overflow (tokens past capacity from
+    boundary-straddling docs, which a tokenizer-side splitter would
+    carry into the next sequence), and the resulting fill rate
+    (filled capacity / total capacity). Reading the greedy row
+    against the bfd row per shard is the padding-vs-arrival-order
+    trade a data team makes before a training run.
 
-    Scale: sequence_packing's shard-partitioned running sum, then two
-    map-side-combinable aggregates ((shard, bin) then shard) — output
-    is {_PACK_SHARDS} rows. No new windows, no joins, no collects."""
-    packed = sequence_packing(spark, sf_dir)
-    bins = packed.groupBy("shard", "bin").agg(
+    Scale: sequence_packing's shard-partitioned running sum and
+    sequence_packing_bfd's per-shard Arrow kernel, unioned long-form,
+    then two map-side-combinable aggregates ((packer, shard, bin)
+    then (packer, shard)) — output is 2 x {_PACK_SHARDS} rows. No
+    new windows, no joins, no collects."""
+    both = (
+        sequence_packing(spark, sf_dir)
+        .select(
+            F.lit("greedy").alias("packer"), "shard", "bin", "n_tokens"
+        )
+        .unionByName(
+            sequence_packing_bfd(spark, sf_dir).select(
+                F.lit("bfd").alias("packer"), "shard", "bin", "n_tokens"
+            )
+        )
+    )
+    bins = both.groupBy("packer", "shard", "bin").agg(
         F.sum("n_tokens").cast("long").alias("bin_tokens"),
         F.count("*").cast("long").alias("n_docs"),
     )
@@ -2535,7 +2667,7 @@ def packing_efficiency_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     filled = F.count("*") * _PACK_BIN - F.sum(
         F.greatest(F.lit(0).cast("long"), cap - F.col("bin_tokens"))
     )
-    return bins.groupBy("shard").agg(
+    return bins.groupBy("packer", "shard").agg(
         F.count("*").cast("long").alias("n_bins"),
         F.sum("n_docs").cast("long").alias("n_docs"),
         F.sum("bin_tokens").cast("long").alias("total_tokens"),

@@ -344,6 +344,19 @@ def test_sequence_packing_window_is_sharded(spark):
     assert "Arguments: SinglePartition" not in txt
 
 
+def test_sequence_packing_bfd_plan_shape(spark):
+    # BFD's sequential placement runs INSIDE the per-shard Arrow
+    # kernel: the plan is scan -> one shard hash exchange ->
+    # FlatMapGroupsInPandas — no corpus-global sort or window, no
+    # single-partition exchange (the length-DESC ordering happens
+    # shard-locally in the kernel, not as a plan Sort over the corpus)
+    txt = plan_text(spark, "sequence_packing_bfd")
+    assert "FlatMapGroupsInPandas" in txt
+    assert "Window" not in txt
+    assert "Arguments: SinglePartition" not in txt
+    assert count_exchanges(txt) <= 1, count_exchanges(txt)
+
+
 def test_shipping_priority_topk_and_pushdown(spark):
     # TPC-H Q3: both date filters and the segment filter must reach
     # the scans, and the top-10 must be TakeOrderedAndProject (per-

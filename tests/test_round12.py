@@ -8,10 +8,12 @@ from .conftest import SF_DIR
 
 
 def test_packing_efficiency_accounting(spark):
-    """Per shard: capacity - padding + overflow == total tokens (each
-    bin contributes min(bin_tokens, cap) + max(0, bin_tokens - cap)),
-    fill_rate in (0, 1], and the report agrees with a direct
-    recomputation from sequence_packing's output."""
+    """Per (packer, shard): capacity - padding + overflow == total
+    tokens (each bin contributes min(bin_tokens, cap) +
+    max(0, bin_tokens - cap)), fill_rate in (0, 1], and the report
+    agrees with a direct recomputation from each packer's own
+    assignment output (long-form since r14: one row per packer per
+    shard)."""
     from collections import defaultdict
 
     from clickstreamtoclickhouse_spark import plans
@@ -21,17 +23,26 @@ def test_packing_efficiency_accounting(spark):
         spark, SF_DIR
     ).collect()
     assert rows
-    packed = plans.QUERIES["sequence_packing"](spark, SF_DIR).collect()
-    bins = defaultdict(int)
-    for r in packed:
-        bins[(r.shard, r.bin)] += r.n_tokens
+    assert {r.packer for r in rows} == {"greedy", "bfd"}
+    packed = {
+        "greedy": plans.QUERIES["sequence_packing"](spark, SF_DIR).collect(),
+        "bfd": plans.QUERIES["sequence_packing_bfd"](
+            spark, SF_DIR
+        ).collect(),
+    }
+    bins: dict = {p: defaultdict(int) for p in packed}
+    for p, rs in packed.items():
+        for r in rs:
+            bins[p][(r.shard, r.bin)] += r.n_tokens
     for r in rows:
         assert r.capacity_tokens == r.n_bins * _PACK_BIN
         # conservation: filled + overflow == total
         assert (r.capacity_tokens - r.padding_tokens + r.overflow_tokens
                 == r.total_tokens)
         assert 0.0 < r.fill_rate <= 1.0
-        shard_bins = {b: t for (s, b), t in bins.items() if s == r.shard}
+        shard_bins = {
+            b: t for (s, b), t in bins[r.packer].items() if s == r.shard
+        }
         assert r.n_bins == len(shard_bins)
         assert r.total_tokens == sum(shard_bins.values())
         assert r.padding_tokens == sum(
