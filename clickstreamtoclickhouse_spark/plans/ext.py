@@ -6982,3 +6982,207 @@ def lsh_banding_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+# ---------------------------------------------------------------------------
+# DoReMi-style domain reweighting (r13 verdict #5)
+# ---------------------------------------------------------------------------
+
+_DOREMI_ITERS = 5
+
+
+def _doremi_oracle() -> str:
+    """Unrolled MW rounds over the source-bounded excess table,
+    DECIMAL(18,9)-latticed at the identical spots as the driver loop
+    (the markov_attribution exact-decimal stance): per-doc LM scores
+    become exact micro-logprob BIGINTs, means/excesses are 9dp
+    doubles from identical double arithmetic, per-round weights are
+    9dp decimals whose sum is exact (order-free), and shares/updates
+    are double ops both engines execute bit-identically."""
+    ctes = [
+        f"""{tx.SQL_UNIGRAM_SCORED_CTES},
+    toksb AS (
+      SELECT doc_id, {tx.SQL_WORDS.format(t='lower(text)')} AS ws
+      FROM documents WHERE length(trim(text)) > 0
+    ),
+    bgt AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(ws)),
+                                   i -> ws[i] || ' ' || ws[i+1])) AS b,
+             unnest(list_transform(range(1, len(ws)), i -> ws[i])) AS w1
+      FROM toksb WHERE len(ws) >= 2
+    ),
+    bc2 AS (SELECT b, count(*) AS cb FROM bgt GROUP BY b),
+    uc2 AS (SELECT w1, count(*) AS cu FROM bgt GROUP BY w1),
+    vocab2 AS (SELECT count(DISTINCT w1) AS v FROM bgt),
+    b6 AS (
+      SELECT g.doc_id,
+             round(avg(ln((bc2.cb + 1.0) / (uc2.cu + v))), 6)
+               AS avg_bigram_logprob
+      FROM bgt g JOIN bc2 ON g.b = bc2.b JOIN uc2 ON g.w1 = uc2.w1, vocab2
+      GROUP BY g.doc_id
+    ),
+    per AS MATERIALIZED (
+      SELECT d.source,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(round(u.avg_logprob * 1000000, 0) AS BIGINT))
+                  AS BIGINT) AS su,
+             CAST(sum(CAST(round(b6.avg_bigram_logprob * 1000000, 0)
+                           AS BIGINT)) AS BIGINT) AS sb
+      FROM documents d
+      JOIN scored u ON u.doc_id = d.doc_id
+      JOIN b6 ON b6.doc_id = d.doc_id
+      GROUP BY d.source
+    ),
+    nk AS (SELECT CAST(count(*) AS BIGINT) AS k FROM per),
+    totdocs AS (SELECT CAST(sum(n) AS BIGINT) AS nd FROM per),
+    ex AS MATERIALIZED (
+      SELECT source, n,
+             round(greatest(0.0,
+               round(CAST(sb AS DOUBLE) / 1000000.0 / n, 9)
+               - round(CAST(su AS DOUBLE) / 1000000.0 / n, 9)), 9)
+               AS excess
+      FROM per
+    ),
+    it0 AS MATERIALIZED (
+      SELECT source, n, excess, 1.0 / (SELECT k FROM nk) AS a FROM ex
+    )"""
+    ]
+    for t in range(_DOREMI_ITERS):
+        ctes.append(f"""w{t} AS MATERIALIZED (
+      SELECT source, n, excess,
+             CAST(round(a * (1.0 + 0.1 * excess), 9) AS DECIMAL(18, 9))
+               AS wgt
+      FROM it{t}
+    ),
+    it{t + 1} AS MATERIALIZED (
+      SELECT source, n, excess,
+             round(0.99 * (CAST(wgt AS DOUBLE)
+                           / (SELECT CAST(sum(wgt) AS DOUBLE) FROM w{t}))
+                   + 0.01 * (1.0 / (SELECT k FROM nk)), 9) AS a
+      FROM w{t}
+    )""")
+    chain = ",\n    ".join(ctes)
+    return f"""
+    WITH {chain}
+    SELECT source,
+           n AS n_docs,
+           round(excess, 6) AS excess_score,
+           round(n * 1.0 / (SELECT nd FROM totdocs), 6) AS baseline_share,
+           round(a, 6) AS weight,
+           CAST(row_number() OVER (ORDER BY round(a, 6) DESC, source)
+                AS INT) AS rank
+    FROM it{_DOREMI_ITERS}
+    """
+
+
+@query("doremi_domain_weights", oracle=_doremi_oracle())
+def doremi_domain_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DoReMi-style domain reweighting (Xie et al. 2023, 'DoReMi:
+    Optimizing Data Mixtures Speeds Up Language Model Pretraining' —
+    public method) with the engine's self-trained LMs standing in for
+    the proxy/reference pair: per source, EXCESS SCORE = clamped gap
+    between the reference model's mean per-doc log-probability
+    (add-one-smoothed bigram LM, the stronger model) and the proxy's
+    (unigram LM) — domains where the stronger model recovers the most
+    likelihood are exactly the reducible-loss domains DoReMi
+    upweights. Then {_DOREMI_ITERS} multiplicative-weights rounds in
+    the linear MW form (w <- a * (1 + eta * excess), eta = 0.1 — no
+    libm exp, so every update is portable arithmetic), each round
+    renormalized and smoothed with the uniform mixture
+    (a <- 0.99 * share + 0.01 / K), DoReMi's uniform-smoothing step.
+    Output: per-source excess, baseline corpus share, the reweighted
+    mixture weight, and the rank a data team reads against
+    baseline_share to see which domains the method up/downweights.
+
+    Portability: per-doc scores enter as exact micro-logprob BIGINTs
+    (6dp-rounded doubles x 1e6 are integer-valued), means/excesses
+    are 9dp doubles from identical double arithmetic, per-round
+    weights live on a DECIMAL(18,9) lattice so the normalizing sum is
+    exact and order-free on both engines (the markov_attribution
+    stance), and the MW recurrence runs driver-side in Decimal over
+    the SOURCE-bounded table (collect guarded at 10k sources) — zero
+    per-round job launches, matching the oracle's unrolled
+    MATERIALIZED CTE rounds.
+
+    Scale: the two LM scorings are the existing vocab-broadcast plans
+    (corpus scanned twice, shuffles keyed on word/bigram/doc_id);
+    everything after is a |sources|-row aggregate."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    def _rnd(x: float, places: int) -> float:
+        return float(
+            Decimal(repr(x)).quantize(
+                Decimal(1).scaleb(-places), rounding=ROUND_HALF_UP
+            )
+        )
+
+    d = load(spark, sf_dir, "documents")
+    u = unigram_lm_quality(spark, sf_dir).select("doc_id", "avg_logprob")
+    b = bigram_lm_quality(spark, sf_dir).select(
+        "doc_id", "avg_bigram_logprob"
+    )
+    per = (
+        d.select("doc_id", "source")
+        .join(u, "doc_id")
+        .join(b, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(
+                F.round(F.col("avg_logprob") * 1000000, 0).cast("long")
+            )
+            .cast("long")
+            .alias("su"),
+            F.sum(
+                F.round(F.col("avg_bigram_logprob") * 1000000, 0).cast(
+                    "long"
+                )
+            )
+            .cast("long")
+            .alias("sb"),
+        )
+        .collect()
+    )
+    if len(per) > 10_000:
+        raise ValueError(
+            f"doremi_domain_weights: {len(per)} sources (> 10,000); the "
+            "driver-side MW loop assumes a source-bounded domain set — "
+            "bucket sources first"
+        )
+    rows = sorted(per, key=lambda r: r.source)
+    k = len(rows)
+    inv_k = 1.0 / k
+    nd = sum(r.n for r in rows)
+    excess = {}
+    for r in rows:
+        mu = _rnd(r.su / 1000000.0 / r.n, 9)
+        mb = _rnd(r.sb / 1000000.0 / r.n, 9)
+        excess[r.source] = _rnd(max(0.0, mb - mu), 9)
+    a = {r.source: inv_k for r in rows}
+    for _ in range(_DOREMI_ITERS):
+        wgt = {
+            s: Decimal(repr(_rnd(a[s] * (1.0 + 0.1 * excess[s]), 9)))
+            for s in a
+        }
+        tot = float(sum(wgt[s] for s in sorted(wgt)))
+        a = {
+            s: _rnd(0.99 * (float(wgt[s]) / tot) + 0.01 * inv_k, 9)
+            for s in a
+        }
+    out = [
+        (
+            r.source,
+            r.n,
+            _rnd(excess[r.source], 6),
+            _rnd(r.n * 1.0 / nd, 6),
+            _rnd(a[r.source], 6),
+        )
+        for r in rows
+    ]
+    out.sort(key=lambda t: (-t[4], t[0]))
+    return spark.createDataFrame(
+        [(s, n, e, bs, w, i + 1) for i, (s, n, e, bs, w) in enumerate(out)],
+        "source string, n_docs long, excess_score double, "
+        "baseline_share double, weight double, rank int",
+    )

@@ -83,3 +83,47 @@ def test_bfd_conservation_and_capacity_invariants(spark):
     for r in rows:
         waste[r.packer] += r.padding_tokens + r.overflow_tokens
     assert waste["bfd"] <= waste["greedy"]
+
+
+def test_doremi_upweights_high_excess_source(spark, tmp_path):
+    """Planted reducible-loss domain: source 'rep' docs are strict
+    two-word alternations, so the bigram reference model recovers
+    almost all the likelihood the unigram proxy loses (excess ~2.6);
+    source 'ctrl' docs draw hash-shuffled words from a small frequent
+    vocabulary — its unigram probabilities are already near the
+    bigram model's conditional ones, so excess is small (~0.15).
+    (Plant design note: rare-word controls do NOT work — add-one
+    bigram smoothing floors at 1/(c+V), which beats a rare word's
+    unigram MLE whenever corpus size >> vocabulary, inflating the
+    control's excess.) DoReMi must upweight 'rep' past both its
+    baseline share and the uniform mixture, with weights summing
+    to 1."""
+    import hashlib
+
+    rep = " ".join(["alpha beta"] * 100)
+
+    def ctrl_doc(i):
+        return " ".join(
+            f"v{int(hashlib.md5(f'{i}-{j}'.encode()).hexdigest(), 16) % 8}"
+            for j in range(512)
+        )
+
+    docs = [(i, rep + f" tail{i} end{i}", "rep") for i in range(3)] + [
+        (100 + i, ctrl_doc(i), "ctrl") for i in range(7)
+    ]
+    _write_docs(spark, tmp_path, docs)
+    rows = {
+        r.source: r
+        for r in plans.QUERIES["doremi_domain_weights"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert set(rows) == {"rep", "ctrl"}
+    assert rows["rep"].excess_score > rows["ctrl"].excess_score + 1.0
+    assert rows["rep"].baseline_share == 0.3
+    assert rows["rep"].weight > 0.5 > rows["ctrl"].weight
+    assert rows["rep"].weight > rows["rep"].baseline_share
+    assert rows["rep"].rank == 1
+    assert abs(rows["rep"].weight + rows["ctrl"].weight - 1.0) < 1e-4
+    # smoothing floor: even a low-excess domain keeps >= c/K weight
+    assert rows["ctrl"].weight >= 0.01 / 2 - 1e-9
