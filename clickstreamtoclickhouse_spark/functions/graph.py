@@ -168,6 +168,10 @@ def cluster_assignments(
         items.select(id_col)
         .join(comp.withColumnRenamed("node", id_col), id_col, "left")
         .withColumn("component", F.coalesce("component", F.col(id_col)))
+        # r14: assigned feeds the size aggregate AND the output join —
+        # unpinned, every caller paid the items scan + component join
+        # twice (guide §3.3). One execution.
+        .localCheckpoint(eager=False)
     )
     sizes = assigned.groupBy("component").agg(F.count("*").alias("cluster_size"))
     return assigned.join(sizes, "component").select(

@@ -177,6 +177,13 @@ def sparse_cosine_pairs(
 
     Returns (key_a, key_b, sim) with key_a < key_b, sim rounded to 6.
     """
+    from ..util import ckpt_once
+
+    # r14: series fans into norms, the dim-frequency guard and BOTH
+    # join sides — unpinned, every caller paid its series build 4x
+    # (guide §3.3). Pin one execution (wrap-once: a caller-checkpointed
+    # series is not wrapped again).
+    series = ckpt_once(series)
     k, d, v = F.col(key_col), F.col(dim_col), F.col(val_col)
     norms = series.groupBy(key_col).agg(F.sqrt(F.sum(v * v)).alias("nrm"))
     s = series
@@ -834,7 +841,13 @@ def lsh_portable_near_dup_pairs(
     broadcast onto the relational (vec, d, x) stream — two keyed
     aggregates to buckets, one (table, bucket) self-equi-join, exact
     verify on candidates only. Never all-pairs."""
-    buckets = lsh_portable_buckets(emb, dim, num_tables, bits, id_col, vec_col)
+    # r14: buckets is BOTH sides of the candidate self-join and vecs
+    # BOTH sides of the verify join — unpinned, the plane-projection
+    # pipeline and the norm pass each ran twice per action (guide
+    # §3.3). One execution each.
+    buckets = lsh_portable_buckets(
+        emb, dim, num_tables, bits, id_col, vec_col
+    ).localCheckpoint(eager=False)
     a = buckets.select(F.col(id_col).alias("id_a"), "t", "bucket")
     b = buckets.select(F.col(id_col).alias("id_b"), "t", "bucket")
     cand = (
@@ -855,7 +868,7 @@ def lsh_portable_near_dup_pairs(
                 lambda acc, x: acc + x,
             )
         ),
-    )
+    ).localCheckpoint(eager=False)
     va = vecs.select(
         F.col(id_col).alias("id_a"), F.col("v").alias("va"), F.col("nrm").alias("na")
     )

@@ -804,9 +804,14 @@ def perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     compare ROUNDED scores to rounded cuts, so a cross-engine ULP
     in the score average cannot flip a boundary doc."""
     d = widen_scan(load(spark, sf_dir, "documents"))
+    # r14: scored feeds the tercile-cut sample AND the bucketed output
+    # — unpinned, the whole LM scoring pass (vocab build + score
+    # aggregate) ran twice (12 scans). Pin the NARROW (doc_id,
+    # n_tokens, score) table once (guide §3.3/§8: decide on light
+    # rows; payload text never enters the checkpoint).
     scored = tx.unigram_scored_docs(d).withColumnRenamed(
         "avg_logprob", "score"
-    )
+    ).localCheckpoint(eager=False)
     # global deterministic sample as orderBy+limit, NOT a row_number
     # window: Spark plans this as TakeOrderedAndProject — per-partition
     # top-k then a k-row merge — whereas an unpartitioned rank window
@@ -2172,14 +2177,23 @@ def pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     toks = d.select(F.explode(tx.words(F.lower(F.col("text")))).alias("w"))
-    uni = toks.groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("n_w"))
-    nu = toks.agg(F.count(F.lit(1)).cast("long").alias("n_uni"))
+    # r14: uni fed BOTH join sides and the token total re-exploded the
+    # corpus a second time; bgc fed the pair table AND the bigram
+    # total — 4 full explode passes per action (10 scans). Pin the
+    # vocab-bounded count tables once and take n_uni = sum(n_w) (the
+    # identical integer — total tokens IS the sum of per-word counts),
+    # so the corpus is exploded exactly twice: once per n-gram order
+    # (guide §2.3 aggregate-before-reuse, §3.3).
+    uni = toks.groupBy("w").agg(
+        F.count(F.lit(1)).cast("long").alias("n_w")
+    ).localCheckpoint(eager=False)
+    nu = uni.agg(F.sum("n_w").cast("long").alias("n_uni"))
     big = d.select(
         F.explode(tx._ngrams(tx.words(F.lower(F.col("text"))), 2)).alias("bg")
     )
     bgc = big.groupBy("bg").agg(
         F.count(F.lit(1)).cast("long").alias("n_ab")
-    )
+    ).localCheckpoint(eager=False)
     nb = bgc.agg(F.sum("n_ab").cast("long").alias("n_bi"))
     pairs = (
         bgc.filter(F.col("n_ab") >= _PMI_MIN_COUNT)
@@ -2398,6 +2412,11 @@ def isotonic_calibration_map(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("long").alias("n"),
             F.sum("label").cast("long").alias("n_pos"),
         )
+        # r14: per_bin (<= _EVAL_BINS rows) feeds pre (BOTH sides of
+        # the interval self-join), ks and the output join — unpinned,
+        # the corpus classifier pass ran 4x (16 scans). One execution
+        # (guide §3.3).
+        .localCheckpoint(eager=False)
     )
     wc = Window.orderBy("bin").rowsBetween(
         Window.unboundedPreceding, Window.currentRow

@@ -284,6 +284,10 @@ def chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.select("event_type", _variant())
         .groupBy("event_type", "variant")
         .agg(F.count(F.lit(1)).cast("long").alias("observed"))
+        # r14: cells feeds row totals, column totals, the grand total
+        # AND the grid join — unpinned, the events aggregate ran 4x
+        # (14 scans). Grid-bounded rows, one execution (guide §3.3).
+        .localCheckpoint(eager=False)
     )
     rows_t = cells.groupBy("event_type").agg(
         F.sum("observed").cast("long").alias("r_tot")
@@ -1406,6 +1410,12 @@ def conformal_interval_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("value") * 100).cast("long").alias("v_c"),
         F.pmod(portable_id_hash("event_id"), F.lit(4)).alias("fold"),
     )
+    # r14: every bounded intermediate below is consumed twice (model by
+    # both resid branches, calib by ktab+q, ktab by q+output, q by
+    # test+output) — unpinned, the final plan re-derived them all the
+    # way from the events scan 12x over (24 scans). Lazy checkpoints on
+    # the SMALL tables only (type-/cents-bounded; never the event-scale
+    # residuals) pin one execution each: 3 scans total (guide §3.3).
     model = (
         base.where(F.col("fold") <= 1)
         .groupBy("event_type")
@@ -1413,6 +1423,7 @@ def conformal_interval_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("v_c").alias("s"),
             F.count(F.lit(1)).cast("long").alias("n"),
         )
+        .localCheckpoint(eager=False)
     )
     resid = (
         base.where(F.col("fold") >= 2)
@@ -1426,13 +1437,14 @@ def conformal_interval_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         resid.where(F.col("fold") == 2)
         .groupBy("r")
         .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .localCheckpoint(eager=False)
     )
     ktab = calib.agg(
         F.sum("c").cast("long").alias("n_calib"),
         F.ceil((F.sum("c") + 1) * (1.0 - _CONF_ALPHA))
         .cast("long")
         .alias("k"),
-    )
+    ).localCheckpoint(eager=False)
     wcum = Window.orderBy("r").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
@@ -1441,6 +1453,7 @@ def conformal_interval_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(ktab))
         .where(F.col("cum") >= F.col("k"))
         .agg(F.min("r").alias("q_cents"))
+        .localCheckpoint(eager=False)
     )
     test = (
         resid.where(F.col("fold") == 3)
@@ -1747,14 +1760,18 @@ def krippendorff_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     ]
     ratings = parts[0].unionByName(parts[1]).unionByName(parts[2])
+    # r14: cell feeds unit AND the marginals join; pairable feeds the
+    # fold AND the marginals semi-filter — unpinned, the 3-way ratings
+    # union re-scanned documents 18x per action. Narrow keyed counts,
+    # one execution each (guide §3.3).
     cell = ratings.groupBy("doc_id", "label").agg(
         F.count(F.lit(1)).cast("long").alias("n_uc")
-    )
+    ).localCheckpoint(eager=False)
     unit = cell.groupBy("doc_id").agg(
         F.sum("n_uc").cast("long").alias("m"),
         F.sum(F.col("n_uc") * F.col("n_uc")).cast("long").alias("ssq"),
     )
-    pairable = unit.filter(F.col("m") >= 2)
+    pairable = unit.filter(F.col("m") >= 2).localCheckpoint(eager=False)
     folded = pairable.agg(
         F.count(F.lit(1)).cast("long").alias("n_units"),
         F.sum("m").cast("long").alias("n"),

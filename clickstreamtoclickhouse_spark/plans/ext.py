@@ -3001,7 +3001,12 @@ def embedding_centroid_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("vec_id", "label", "pos", F.col("xf").cast("double").alias("x"))
     cent = rel.groupBy(F.col("label").alias("clabel"), "pos").agg(
         F.avg("x").alias("c")
-    )
+    ).localCheckpoint(eager=False)
+    # ^ r14: cent (label x dim — tiny) feeds its own norm AND the
+    # broadcast assignment join; unpinned, each consumer re-exploded
+    # the full embedding table to rebuild it (4 explode passes per
+    # action -> 2; the exploded stream itself is deliberately NOT
+    # materialized — heavier than re-scanning parquet). Guide §3.3.
     vnorm = rel.groupBy("vec_id").agg(F.sqrt(F.sum(F.col("x") * F.col("x"))).alias("vn"))
     cnorm = cent.groupBy("clabel").agg(F.sqrt(F.sum(F.col("c") * F.col("c"))).alias("cn"))
     dots = (
@@ -5172,9 +5177,13 @@ def embedding_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     closeness without being leaks. Portable md5-derived planes keep
     both stages — bucketing included — under the DuckDB hash check."""
     emb = load(spark, sf_dir, "embeddings")
+    # r14: bench feeds its bucket build AND the verify side; corpus
+    # likewise — unpinned, each side's scan (+ the perturbed-copy
+    # transform) re-ran per consumer (12 scans). One execution each
+    # (guide §3.3; the incremental_lsh_dedup stance).
     bench = emb.filter(F.col("vec_id") < _EMB_BENCH_MAX).select(
         "vec_id", "embedding"
-    )
+    ).localCheckpoint(eager=False)
     corpus = (
         emb.filter(F.col("vec_id") >= _EMB_BENCH_MAX)
         .select("vec_id", "embedding")
@@ -5186,6 +5195,7 @@ def embedding_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).alias("embedding"),
             )
         )
+        .localCheckpoint(eager=False)
     )
     bb = similarity.lsh_portable_buckets(
         bench, dim=EMB_DIM, num_tables=_LSHP_T, bits=_LSHP_B
@@ -6907,12 +6917,23 @@ def lsh_banding_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     joins on pair keys. Config count is a compile-time constant."""
     corpus = _near_dup_corpus(load(spark, sf_dir, "documents"))
     sh = _near_dup_shingles(spark, sf_dir)
+    # r14: the sweep's consumers re-executed these shared subtrees —
+    # truth 8x (a count + an overlap join per config), the signature
+    # build 4x (one banded join per config) — because each consumer
+    # re-derived them from the raw scan. Lazy localCheckpoints pin ONE
+    # execution of each (guide §3.3: materialize shared intermediates;
+    # the 453 KB / 396-Exchange plan collapses to a few KB, and at
+    # scale 8 corpus passes become 1).
     truth = dedup_text.jaccard_pairs(
         corpus, threshold=0.5, n=3, max_shingle_freq=4, shingles=sh
-    ).select("doc_a", "doc_b")
-    sigs = dedup_text.minhash_portable_bands(
-        corpus, num_bands=16, shingles=sh
-    ).select("did", "sig").dropDuplicates(["did"])
+    ).select("doc_a", "doc_b").localCheckpoint(eager=False)
+    sigs = (
+        dedup_text.minhash_portable_bands(corpus, num_bands=16, shingles=sh)
+        .select("did", "sig")
+        .dropDuplicates(["did"])
+        .localCheckpoint(eager=False)
+    )
+    nt = truth.agg(F.count("*").alias("n_truth"))
     out = None
     for b, r in _SWEEP_BANDINGS:
         bands = F.array(
@@ -6941,13 +6962,15 @@ def lsh_banding_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("did").alias("doc_a"), "band", "bk"
         )
         right = banded.select(F.col("did").alias("doc_b"), "band", "bk")
+        # one execution per config: the candidate table feeds both the
+        # count and the overlap join below
         cand = (
             left.join(right, ["band", "bk"])
             .filter(F.col("doc_a") < F.col("doc_b"))
             .select("doc_a", "doc_b")
             .distinct()
+            .localCheckpoint(eager=False)
         )
-        nt = truth.agg(F.count("*").alias("n_truth"))
         nc = cand.agg(F.count("*").alias("n_candidates"))
         no = truth.join(cand, ["doc_a", "doc_b"]).agg(
             F.count("*").alias("n_overlap")

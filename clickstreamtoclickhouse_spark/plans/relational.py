@@ -2591,6 +2591,10 @@ def transition_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("prev").isNotNull())
         .groupBy(F.col("prev").alias("from_type"), F.col("event_type").alias("to_type"))
         .agg(F.count("*").alias("n"))
+        # r14: tr feeds outw AND the ew join — without pinning, the ew
+        # checkpoint build paid the events window pass twice (guide
+        # §3.3). Type-bounded rows, one execution.
+        .localCheckpoint(eager=False)
     )
     nodes = e.select("event_type").distinct().localCheckpoint(eager=True)
     outw = tr.groupBy("from_type").agg(F.sum("n").cast("long").alias("o"))
@@ -6580,10 +6584,17 @@ def shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     seq = e.select(
         "user_id", "event_type", F.row_number().over(w).alias("rn")
     )
+    # r14: without pinning, the final plan re-derived firstp 2x (via
+    # touched and umask), touched 2x (tm and n_touched), vtab 2x
+    # (vo/vw) and phi 2x (tot and the output join) — 36 parquet scans
+    # of events for a 4-row result (guide §3.3). Lazy localCheckpoints
+    # on the per-user tables (user-bounded) and the tiny lattice-side
+    # tables pin each event-scale pass to ONE execution: 3 scans.
     firstp = (
         seq.filter(F.col("event_type") == "purchase")
         .groupBy("user_id")
         .agg(F.min("rn").alias("prn"))
+        .localCheckpoint(eager=False)
     )
     touched = (
         seq.join(firstp, "user_id", "left")
@@ -6593,6 +6604,7 @@ def shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("user_id", F.col("event_type").alias("channel"))
         .distinct()
+        .localCheckpoint(eager=False)
     )
     bit_expr = None
     for i, c in enumerate(_MK_CHANNELS):
@@ -6617,7 +6629,7 @@ def shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("conv") * 1.0 / F.count(F.lit(1)), 12)
         .cast("decimal(18,12)")
         .alias("v")
-    )
+    ).localCheckpoint(eager=False)  # <= 2^n rows; feeds vo AND vw
     chans = spark.createDataFrame(
         [(c, i) for i, c in enumerate(_MK_CHANNELS)],
         "channel string, bit int",
@@ -6657,7 +6669,9 @@ def shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("a"),
         )
     )
-    phi = marg.groupBy("channel").agg(F.sum("a").alias("p"))
+    phi = marg.groupBy("channel").agg(F.sum("a").alias("p")).localCheckpoint(
+        eager=False
+    )  # n rows; feeds tot AND the output join
     tot = phi.agg(F.sum("p").alias("tot"))
     nt = touched.groupBy("channel").agg(
         F.count(F.lit(1)).cast("long").alias("n_touched_users")

@@ -1433,6 +1433,10 @@ def _link_prediction_stages(spark: SparkSession, sf_dir: str) -> dict:
         )
         .filter(F.col("r") <= _LP_NEIGHBOR_CAP)
         .select("z", "nb")
+        # r14: capped is BOTH sides of the wedge self-join — unpinned,
+        # the cap window pass over the full symmetrized edge list ran
+        # twice (guide §3.3). One execution.
+        .localCheckpoint(eager=False)
     )
     ca, cb = capped.alias("ca"), capped.alias("cb")
     wedges = ca.join(
@@ -1724,11 +1728,17 @@ def part_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     records = p.select(
         F.col("p_partkey").alias("rec_id"), F.col("p_name").alias("name"), blk
     ).unionByName(dirty)
+    # r14: records feeds freq, the blocking join AND the CC node set —
+    # unpinned, the part scan + dirty-name surgery ran 3x+ per action
+    # (8 scans); blocked is both sides of the candidate self-join.
+    # One execution each (guide §3.3).
+    records = records.localCheckpoint(eager=False)
     freq = records.groupBy("blk").agg(F.count(F.lit(1)).alias("df"))
     blocked = (
         records.join(freq, "blk")
         .filter(F.col("df") <= _ER_BLOCK_CAP)
         .select("rec_id", "name", "blk")
+        .localCheckpoint(eager=False)
     )
     a, b = blocked.alias("a"), blocked.alias("b")
     pairs = (
@@ -1864,11 +1874,17 @@ def fellegi_sunter_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("p_retailprice") / 100).cast("long").alias("band"),
         blk,
     ).unionByName(dirty)
+    # r14: same re-execution shape as part_entity_resolution — records
+    # feeds freq AND the blocking join, blocked is both self-join
+    # sides; unpinned the plan paid 16 part scans. One execution each
+    # (guide §3.3).
+    records = records.localCheckpoint(eager=False)
     freq = records.groupBy("blk").agg(F.count(F.lit(1)).alias("df"))
     blocked = (
         records.join(freq, "blk")
         .filter(F.col("df") <= _ER_BLOCK_CAP)
         .select("rec_id", "name", "band", "blk")
+        .localCheckpoint(eager=False)
     )
     a, b = blocked.alias("a"), blocked.alias("b")
     flag = lambda c: F.when(c, 1).otherwise(0)  # noqa: E731
@@ -2001,6 +2017,10 @@ def part_hits_authorities(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(o, li.l_orderkey == o.o_orderkey)
         .select(F.col("o_custkey").alias("u"), F.col("l_partkey").alias("p"))
         .distinct()
+        # r14: edges feeds a1, h1 and a2 — unpinned, the final plan
+        # re-derived it 6x (24 lineitem/orders scans). One execution
+        # (guide §3.3); "built once" in the scale note is now literal.
+        .localCheckpoint(eager=False)
     )
     a1 = edges.groupBy("p").agg(F.count(F.lit(1)).cast("long").alias("a"))
     h1 = (
@@ -2012,6 +2032,7 @@ def part_hits_authorities(spark: SparkSession, sf_dir: str) -> DataFrame:
         edges.join(h1, "u")
         .groupBy("p")
         .agg(F.sum("h").cast("long").alias("a"))
+        .localCheckpoint(eager=False)  # feeds amax AND the top-k
     )
     # top-k FIRST via orderBy+limit (TakeOrderedAndProject — a
     # distributed per-partition top-k reduce, never a global sort),
@@ -2374,6 +2395,10 @@ def graph_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
         adj_full.withColumn("rn", F.row_number().over(wcap))
         .filter(F.col("rn") <= _WALK_NBR_CAP)
         .drop("rn")
+        # r14: adj feeds the walk seed AND every hop join — unpinned,
+        # the capped-adjacency window pass re-ran 4x in the final plan
+        # (guide §3.3). Cap-bounded rows, one execution.
+        .localCheckpoint(eager=False)
     )
     ks = spark.range(1, _WALK_K + 1).select(F.col("id").alias("k"))
     frontier = (

@@ -44,13 +44,9 @@ class SessionDFCache(dict):
 
     @staticmethod
     def _ckpt_once(df: DataFrame) -> DataFrame:
-        """Lazy localCheckpoint, skipped when the plan is already a
-        LogicalRDD (an eager/lazy checkpoint the builder made itself)
-        — wrapping again would double the stored blocks."""
-        plan = df._jdf.queryExecution().analyzed()
-        if plan.getClass().getSimpleName() == "LogicalRDD":
-            return df
-        return df.localCheckpoint(eager=False)
+        """Delegates to the module-level ckpt_once (one implementation
+        of the wrap-once rule, not two)."""
+        return ckpt_once(df)
 
     def get_or_build(self, spark: SparkSession, sf_dir: str, builder):
         app_id = spark.sparkContext.applicationId
@@ -101,6 +97,20 @@ class SessionDFCache(dict):
                     release_local_checkpoint(df)
                 n += 1
         return n
+
+
+def ckpt_once(df: DataFrame) -> DataFrame:
+    """Lazy localCheckpoint, skipped when the plan is already a
+    LogicalRDD (a checkpoint the caller made) — wrapping again would
+    double the stored blocks. The module-level twin of
+    SessionDFCache._ckpt_once for shared operators (r14: used where a
+    library function fans a caller-provided DataFrame into several
+    consumers and must pin ONE execution without knowing whether the
+    caller checkpointed already)."""
+    plan = df._jdf.queryExecution().analyzed()
+    if plan.getClass().getSimpleName() == "LogicalRDD":
+        return df
+    return df.localCheckpoint(eager=False)
 
 
 def release_local_checkpoint(df: DataFrame) -> None:
