@@ -285,7 +285,6 @@ def label_propagation(
         .select("node", F.col("node").alias("label"))
         .localCheckpoint(eager=True)
     )
-    w = Window.partitionBy("node").orderBy(F.desc("n"), F.asc("label"))
     for _ in range(rounds):
         votes = (
             und.join(
@@ -294,10 +293,24 @@ def label_propagation(
             .groupBy(F.col("s").alias("node"), "label")
             .agg(F.count(F.lit(1)).alias("n"))
         )
+        # r14: per-node argmax as min(struct(-n, label)) instead of a
+        # row_number window — a map-side-combinable hash aggregate
+        # (partial agg collapses each node's label votes before the
+        # shuffle; no per-partition sort), with the struct's
+        # lexicographic order giving the identical (count DESC, label
+        # ASC) winner the oracle's argmax computes. The
+        # graph_random_walks next-hop trick, applied per round (guide
+        # §2.3 aggregate-before-shuffle).
         labels = (
-            votes.withColumn("r", F.row_number().over(w))
-            .filter(F.col("r") == 1)
-            .select("node", "label")
+            votes.groupBy("node")
+            .agg(
+                F.min(
+                    F.struct(
+                        (-F.col("n")).alias("neg_n"),
+                        F.col("label").alias("label"),
+                    )
+                )["label"].alias("label")
+            )
             .localCheckpoint(eager=True)
         )
     return labels

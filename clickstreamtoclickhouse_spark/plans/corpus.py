@@ -19,7 +19,7 @@ from ..functions.dedup_text import (
     bloom_positions,
     sql_bloom_positions,
 )
-from ..util import portable_id_hash, widen_scan
+from ..util import SessionDFCache, portable_id_hash, widen_scan
 from .ext import _COPY_OFFSET
 from .registry import load, query
 
@@ -968,11 +968,28 @@ def _bpe_oracle_sql(final: str = "merges") -> str:
     )
 
 
+_BPE_CACHE = SessionDFCache("bpe_learn")
+
+
 def _bpe_learn(
     spark: SparkSession, sf_dir: str
 ) -> tuple[list[tuple[int, str, str, int]], DataFrame]:
     """Run the BPE merge loop; returns (learned merges, final
-    per-word symbol table (word, freq, pos, sym))."""
+    per-word symbol table (word, freq, pos, sym)).
+
+    r14: session-cached — bpe_merges, bpe_tokenize and
+    bpe_detok_roundtrip each consume the SAME {_BPE_ROUNDS}-round loop
+    (driver argmax round trips included), so one build serves all
+    three (the manifest/topic-cluster cache stance). The entry holds
+    (final symbol table, merges tuple); the table is the loop's own
+    eager checkpoint, released by the registry-wide eviction hook."""
+    app_id = spark.sparkContext.applicationId
+    for k in [k for k in _BPE_CACHE if k[0] != app_id]:
+        del _BPE_CACHE[k]
+    key = (app_id, sf_dir)
+    hit = _BPE_CACHE.get(key)
+    if hit is not None:
+        return list(hit[1]), hit[0]
     d = load(spark, sf_dir, "documents")
     vocab = (
         d.select(F.explode(tx.words(F.lower(F.col("text")))).alias("word"))
@@ -1049,6 +1066,7 @@ def _bpe_learn(
             .localCheckpoint(eager=True)
         )
 
+    _BPE_CACHE[key] = (l, tuple(merges))
     return merges, l
 
 

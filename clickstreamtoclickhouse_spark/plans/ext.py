@@ -6957,7 +6957,7 @@ def lsh_banding_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             ["band", "bk"],
             _MH_CAP,
-        )
+        ).localCheckpoint(eager=False)  # feeds BOTH join sides
         left = banded.select(
             F.col("did").alias("doc_a"), "band", "bk"
         )

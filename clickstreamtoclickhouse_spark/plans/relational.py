@@ -786,9 +786,13 @@ def conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             s = s.join(prev, "user_id").filter(F.col("ts") > F.col(prev_ts))
         return s.groupBy("user_id").agg(F.min("ts").alias(out_ts))
 
-    s1 = step(None, "view", "t1")
-    s2 = step(s1, "click", "t2")
-    s3 = step(s2, "purchase", "t3")
+    # r14: each step table feeds the next step AND 1-2 latency
+    # readouts — unpinned, the chain re-derived s1 3x and s2 3x (18
+    # events scans per action). Per-user narrow tables, one execution
+    # each (guide §3.3).
+    s1 = step(None, "view", "t1").localCheckpoint(eager=False)
+    s2 = step(s1, "click", "t2").localCheckpoint(eager=False)
+    s3 = step(s2, "purchase", "t3").localCheckpoint(eager=False)
     # exact integer microseconds both engines (unix_timestamp would
     # floor each side to seconds; DuckDB's epoch() keeps fractions)
     lat = lambda a, b: F.sum(F.unix_micros(b) - F.unix_micros(a)).cast("long")
@@ -3139,13 +3143,19 @@ def event_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     min-support pre-filter on `item` before the self-join — the
     classic Apriori pruning step."""
     e = load(spark, sf_dir, "events")
+    # r14: baskets feeds the basket count, the item table and BOTH
+    # pair-join sides — unpinned, the events scan + distinct shuffle
+    # ran 4x per action (10 scans). Narrow keyed rows, one execution
+    # (guide §3.3); item (type-bounded) likewise feeds both rule sides.
     baskets = e.select(
         "user_id", F.date_format("ts", "yyyy-MM-dd").alias("d"), "event_type"
-    ).distinct()
+    ).distinct().localCheckpoint(eager=False)
     nb = baskets.select("user_id", "d").distinct().agg(
         F.count(F.lit(1)).alias("n_baskets")
     )
-    item = baskets.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    item = baskets.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    ).localCheckpoint(eager=False)
     a = baskets.select("user_id", "d", F.col("event_type").alias("lhs"))
     b = baskets.select("user_id", "d", F.col("event_type").alias("rhs"))
     pair = (
@@ -4594,9 +4604,13 @@ def event_type_dtw(spark: SparkSession, sf_dir: str) -> DataFrame:
     at a decade horizon that is ~13M fused integer ops per pair,
     driver trivia, and the pair count is type-vocabulary-bounded."""
     e = load(spark, sf_dir, "events")
+    # r14: bounds feeds the calendar AND the count keying, and dense
+    # feeds BOTH pair-join sides — unpinned, the events scan re-ran
+    # 16x per action. 1-row / type-bounded tables, one execution each
+    # (guide §3.3).
     bounds = e.agg(
         F.min(F.to_date("ts")).alias("mn"), F.max(F.to_date("ts")).alias("mx")
-    )
+    ).localCheckpoint(eager=False)
     cal = bounds.select(
         F.explode(F.sequence(F.lit(0), F.datediff("mx", "mn"))).alias("idx")
     )
@@ -4619,6 +4633,7 @@ def event_type_dtw(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "s -> coalesce(s.n, 0L))"
             ).alias("vec")
         )
+        .localCheckpoint(eager=False)
     )
     pairs = (
         dense.select(

@@ -741,7 +741,13 @@ def domain_blocklist_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.array_contains(blocklist, F.col("rd")), 1)
         .otherwise(0)
         .alias("blocked"),
-    )
+    ).localCheckpoint(eager=False)
+    # ^ r14: flagged feeds the threshold build AND the main join —
+    # unpinned, the canonicalize + eTLD+1 string algebra (a ~100 KB
+    # expression tree) ran twice and appeared twice in a 235 KB plan
+    # costing ~0.9 s of pure planning (guide §3.3/§7.3). One
+    # execution, one appearance. (The docstring's "second scan of the
+    # corpus" now reads from this narrow checkpoint instead.)
     key = F.struct(
         portable_id_hash(F.col("doc_id")).alias("h"),
         F.col("doc_id").alias("id"),
