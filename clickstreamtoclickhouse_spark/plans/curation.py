@@ -619,6 +619,12 @@ def source_ablation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("q"),
         tx.token_count_ws(F.col("text")).cast("long").alias("t"),
     )
+    # r14: per_doc feeds the per-source aggregate AND the (hash,
+    # source) table; hs feeds htot AND the delta join — unpinned, the
+    # corpus scored pass (quality_score is the expensive expression)
+    # ran 2x and hs 2x (10 scans). "Corpus scanned ONCE" is now
+    # literal (guide §3.3).
+    per_doc = per_doc.localCheckpoint(eager=False)
     src = per_doc.groupBy("source").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum("q").cast("long").alias("sum_q"),
@@ -626,7 +632,7 @@ def source_ablation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     hs = per_doc.groupBy("h", "source").agg(
         F.count(F.lit(1)).cast("long").alias("c_hs")
-    )
+    ).localCheckpoint(eager=False)
     htot = hs.groupBy("h").agg(F.sum("c_hs").cast("long").alias("c_h"))
     f_ch = F.when(F.col("c_h") > 1, F.col("c_h")).otherwise(F.lit(0))
     rem = F.col("c_h") - F.col("c_hs")

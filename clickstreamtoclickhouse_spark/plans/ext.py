@@ -832,9 +832,18 @@ def bigram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("p"),
     ).select("doc_id", "p.b", "p.w1")
-    bc = pairs.groupBy("b").agg(F.count("*").alias("cb"))
-    uc = pairs.groupBy("w1").agg(F.count("*").alias("cu"))
-    vocab = pairs.agg(F.countDistinct("w1").alias("v"))
+    # r14: bc, uc and vocab each re-exploded the corpus (4 explode
+    # passes per action). b = "w1 w2" determines w1, so ONE pinned
+    # (b, w1)-keyed count table supplies all three: cb directly, cu as
+    # the exact integer sum over a history's bigrams, V as the exact
+    # distinct-history count (guide §2.3 aggregate-before-reuse).
+    # 2 corpus explodes total (counts + the scored stream).
+    cell = pairs.groupBy("b", "w1").agg(
+        F.count("*").alias("cb")
+    ).localCheckpoint(eager=False)
+    bc = cell.select("b", "cb")
+    uc = cell.groupBy("w1").agg(F.sum("cb").cast("long").alias("cu"))
+    vocab = cell.agg(F.countDistinct("w1").alias("v"))
     scored = (
         pairs.join(F.broadcast(bc), "b")
         .join(F.broadcast(uc), "w1")
@@ -5447,7 +5456,10 @@ def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     |sources|^2 rows. One shuffle to distinct (source, shingle), one
     shingle-keyed join, broadcast size lookups."""
     docs = load(spark, sf_dir, "documents")
-    sh = dedup_text._doc_shingles(docs, "source", "text", 3).distinct()
+    # r14: sh feeds the size table AND both join sides — unpinned, the
+    # corpus explode + distinct shuffle ran 3x per action (guide §3.3).
+    sh = dedup_text._doc_shingles(docs, "source", "text", 3).distinct(
+    ).localCheckpoint(eager=False)
     sizes = sh.groupBy("did").agg(F.count(F.lit(1)).alias("sz"))
     a = sh.select(F.col("did").alias("source_a"), "shingle")
     b = sh.select(F.col("did").alias("source_b"), "shingle")

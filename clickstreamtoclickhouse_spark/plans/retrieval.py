@@ -233,12 +233,31 @@ def _tf_tables(
     return d, tf, dl, qdocs, qterms
 
 
+_RANKINGS_CACHE = SessionDFCache("retrieval_rankings")
+
+
 def _retrieval_rankings(
     spark: SparkSession, sf_dir: str
 ) -> tuple[DataFrame, DataFrame]:
     """(lexical BM25 ranking, semantic TF-cosine ranking) — the Spark
     twin of _SQL_RETRIEVAL_CTES, shared by bm25_topk_docs and
-    hybrid_search_rrf so the two registered queries cannot drift."""
+    hybrid_search_rrf so the two registered queries cannot drift.
+
+    r14: the PAIR is session-cached (one group entry — the
+    get_or_build_group contract) on top of the tf cache: five
+    registered queries (bm25_topk_docs, hybrid_search_rrf{,_exact},
+    search_snippets, retrieval_eval_report, prf via lexrank) each
+    re-ran the BM25 scoring joins and both rank windows from the tf
+    checkpoint; now the first consumer materializes each rank table
+    once and the rest read it."""
+    return _RANKINGS_CACHE.get_or_build_group(
+        spark, sf_dir, lambda: _build_rankings(spark, sf_dir)
+    )
+
+
+def _build_rankings(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
     d, tf, dl, qdocs, qterms = _tf_tables(spark, sf_dir)
     stats = dl.agg(
         F.count(F.lit(1)).cast("long").alias("n"),
