@@ -5564,7 +5564,12 @@ def embedding_label_cohesion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cent = dims.groupBy("label", "dim").agg(
         F.round(F.avg("val"), 6).alias("c")
-    )
+    ).localCheckpoint(eager=False)
+    # ^ r14: cent (label x dim — tiny) feeds its norm AND the
+    # broadcast dot join; unpinned, each consumer re-exploded the
+    # embedding table to rebuild it (5 explode passes -> 3; the
+    # exploded stream itself stays unmaterialized). Guide §3.3; the
+    # embedding_centroid_assign stance.
     cnorm = cent.groupBy(F.col("label").alias("clabel")).agg(
         F.round(F.sqrt(F.sum(F.col("c") * F.col("c"))), 6).alias("cn")
     )
@@ -6216,13 +6221,18 @@ def t_closeness_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("ts", "yyyy-MM-dd").alias("event_date"),
         b.alias("b"),
     )
-    g = ev.groupBy("b").agg(F.count(F.lit(1)).cast("long").alias("gc"))
-    tot = ev.agg(F.count(F.lit(1)).cast("long").alias("n"))
-    cls = ev.groupBy("event_type", "event_date").agg(
-        F.count(F.lit(1)).cast("long").alias("nc")
-    )
+    # r14: g, tot, cls and cb each re-scanned events (4 passes per
+    # action). All four are exact rollups of ONE pinned (class, bin)
+    # count table: gc = sum of cc per bin, nc = sum per class, n = the
+    # grand sum — identical integers (guide §2.3
+    # aggregate-before-reuse, §3.3). One events pass.
     cb = ev.groupBy("event_type", "event_date", "b").agg(
         F.count(F.lit(1)).cast("long").alias("cc")
+    ).localCheckpoint(eager=False)
+    g = cb.groupBy("b").agg(F.sum("cc").cast("long").alias("gc"))
+    tot = cb.agg(F.sum("cc").cast("long").alias("n"))
+    cls = cb.groupBy("event_type", "event_date").agg(
+        F.sum("cc").cast("long").alias("nc")
     )
     bins = ev.sparkSession.range(1, _TCLOSE_BINS + 1).select(
         F.col("id").cast("int").alias("b")
@@ -6669,6 +6679,10 @@ def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("lang_true", "lang_pred")
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        # r14: cells feeds tp, pr and tot — unpinned, the doc scan +
+        # lang_id expression ran 3x per action (guide §3.3).
+        # Lang-domain bounded, one execution.
+        .localCheckpoint(eager=False)
     )
     tp = cells.groupBy(F.col("lang_true").alias("cls")).agg(
         F.sum(

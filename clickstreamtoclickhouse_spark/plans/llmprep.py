@@ -1371,6 +1371,10 @@ def vocab_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         survivors.withColumn("r", F.row_number().over(wtop))
         .filter(F.col("r") <= _VD_TOP_K)
         .select("w", "a", "b")
+        # r14: top (K rows) feeds the totals AND the term table —
+        # unpinned, the full token explode + vocab aggregate + both
+        # prune windows ran twice per action (guide §3.3).
+        .localCheckpoint(eager=False)
     )
     tot = top.agg(
         F.sum("a").cast("long").alias("na"),
@@ -1392,7 +1396,7 @@ def vocab_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("a") * 1.0 / F.col("na"), 6).alias("share_a"),
         F.round(F.col("b") * 1.0 / F.col("nb"), 6).alias("share_b"),
         chi6.alias("chi6"),
-    )
+    ).localCheckpoint(eager=False)  # K rows; feeds total AND output
     total = terms.agg(F.sum("chi6").cast("long").alias("chi6_total"))
     return terms.crossJoin(F.broadcast(total)).select(
         F.col("w").alias("token"),

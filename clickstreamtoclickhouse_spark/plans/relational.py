@@ -3359,7 +3359,12 @@ def ab_test_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum(F.col("pre_val") * F.col("post_val")), 4).alias(
             "s_prepost"
         ),
-    )
+    ).localCheckpoint(eager=False)
+    # ^ r14: v (2 rows) feeds the global moments AND the output frame —
+    # unpinned, the per-user events pass ran twice (8 scans). One
+    # execution (guide §3.3); unlike the persist the comment below
+    # warns about, the checkpoint is per-action and never substitutes
+    # into later bench passes.
     g = v.agg(
         F.sum("n").alias("n"),
         F.round(F.sum("s_pre"), 4).alias("s_pre"),
@@ -3666,7 +3671,12 @@ def daily_trend_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = e.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("d")).agg(
         F.round(F.sum("value"), 4).alias("v")
     )
-    idx = daily.withColumn("i", F.row_number().over(Window.orderBy("d")))
+    # r14: idx (calendar-bounded) feeds both pair-join sides, the day
+    # count and the tie table — unpinned, the events daily aggregate
+    # ran 4x per action (8 scans). One execution (guide §3.3).
+    idx = daily.withColumn(
+        "i", F.row_number().over(Window.orderBy("d"))
+    ).localCheckpoint(eager=False)
     a = idx.select(
         F.col("v").alias("av"), F.col("i").alias("ai"), F.col("d").alias("ad")
     )
@@ -5488,7 +5498,9 @@ def value_ks_drift_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("half") == "late", 1).otherwise(0))
         .cast("long")
         .alias("b"),
-    )
+    ).localCheckpoint(eager=False)
+    # ^ r14: bins (value-domain bounded) feeds the totals AND the CDF
+    # walk — unpinned, the events binning pass ran twice (guide §3.3).
     tot = bins.agg(
         F.sum("a").cast("long").alias("n_a"),
         F.sum("b").cast("long").alias("n_b"),

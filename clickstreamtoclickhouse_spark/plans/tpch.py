@@ -2116,15 +2116,20 @@ def part_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     the end-join is two broadcast-or-shuffle equi-joins on node keys
     and one 1-row reduce. Linear in edges, no windows."""
     edges = _copurchase_edges(spark, sf_dir)
+    # r14: deg feeds both end-degree join sides and joined feeds both
+    # orientation projections — unpinned, the degree aggregate ran 2x
+    # and the two-way degree join 2x per action (guide §3.3). One
+    # execution each (node-/edge-bounded narrow rows).
     deg = (
         edges.select(F.col("u").alias("node"))
         .unionAll(edges.select(F.col("v").alias("node")))
         .groupBy("node")
         .agg(F.count(F.lit(1)).cast("long").alias("d"))
+        .localCheckpoint(eager=False)
     )
     du = deg.select(F.col("node").alias("u"), F.col("d").alias("dju"))
     dv = deg.select(F.col("node").alias("v"), F.col("d").alias("djv"))
-    joined = edges.join(du, "u").join(dv, "v")
+    joined = edges.join(du, "u").join(dv, "v").localCheckpoint(eager=False)
     ends = joined.select(
         F.col("dju").alias("dj"), F.col("djv").alias("dk")
     ).unionAll(
@@ -2247,6 +2252,10 @@ def part_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
                 6,
             ).alias("c"),
         )
+        # r14: cc feeds the global totals AND the band aggregate —
+        # unpinned, the degree build + triangle join ran twice per
+        # action (guide §3.3). Node-bounded, one execution.
+        .localCheckpoint(eager=False)
     )
     glob = cc.agg(
         (F.sum("t") / 3).alias("n_tri"),
