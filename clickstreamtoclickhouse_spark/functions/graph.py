@@ -216,14 +216,29 @@ def k_core(
             .distinct()
             .localCheckpoint(eager=True)
         )
+    from ..util import conf_broadcast
+
+    # The survivor set is node-volume and checkpointed, so the planner
+    # sees no stats and falls back to TWO SortMergeJoins per round —
+    # shuffling + sorting the full edge list twice per peel round
+    # (measured: 4 Exchanges/round at sf0.1). A broadcast hint turns
+    # both semi-joins into map-side filters, leaving one Exchange per
+    # round (the degree groupBy). Conf-gated (shuffle fallback) for
+    # graphs whose node set outgrows the broadcast limit at scale.
+    def _core_b(col: str) -> DataFrame:
+        return conf_broadcast(
+            core.withColumnRenamed("node", col),
+            key="spark.clickstreamtoclickhouse.graphNodeJoin",
+        )
+
     core = und.select(F.col("s").alias("node")).distinct().localCheckpoint(
         eager=True
     )
     n_prev = core.count()
     for _ in range(max_rounds):
         survivors = (
-            und.join(core.withColumnRenamed("node", "s"), "s", "left_semi")
-            .join(core.withColumnRenamed("node", "d"), "d", "left_semi")
+            und.join(_core_b("s"), "s", "left_semi")
+            .join(_core_b("d"), "d", "left_semi")
             .groupBy("s")
             .agg(F.count(F.lit(1)).alias("deg"))
             .filter(F.col("deg") >= k)
@@ -236,8 +251,8 @@ def k_core(
             break
         n_prev = n_now
     return (
-        und.join(core.withColumnRenamed("node", "s"), "s", "left_semi")
-        .join(core.withColumnRenamed("node", "d"), "d", "left_semi")
+        und.join(_core_b("s"), "s", "left_semi")
+        .join(_core_b("d"), "d", "left_semi")
         .groupBy("s")
         .agg(F.count(F.lit(1)).cast("long").alias("core_degree"))
         .select(F.col("s").alias("node"), "core_degree")

@@ -1043,9 +1043,20 @@ def bt_source_strengths(spark: SparkSession, sf_dir: str) -> DataFrame:
     srcs = m.select(F.col("i").alias("source")).distinct()
     nsrc = srcs.agg(F.count(F.lit(1)).cast("long").alias("k"))
     p = srcs.select("source", F.lit(1.0).alias("p"))
+    # Broadcast hints on every |sources|-row table in the loop: the
+    # checkpointed strength table carries no stats, so without them
+    # each MM iteration planned the p_i/p_j joins (and wtot x denom)
+    # as SortMergeJoins — shuffling the duel matrix plus three tiny
+    # tables per iteration. Strengths are model-size (|sources| rows)
+    # by construction, the same always-broadcast class as the loop's
+    # existing `tot`/`nsrc` hints.
     for _ in range(_BT_ITERS):
-        pi = p.select(F.col("source").alias("i"), F.col("p").alias("p_i"))
-        pj = p.select(F.col("source").alias("j"), F.col("p").alias("p_j"))
+        pi = F.broadcast(
+            p.select(F.col("source").alias("i"), F.col("p").alias("p_i"))
+        )
+        pj = F.broadcast(
+            p.select(F.col("source").alias("j"), F.col("p").alias("p_j"))
+        )
         denom = (
             m.join(pi, "i")
             .join(pj, "j")
@@ -1056,7 +1067,7 @@ def bt_source_strengths(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).alias("d")
             )
         )
-        praw = wtot.join(denom, "i").select(
+        praw = wtot.join(F.broadcast(denom), "i").select(
             F.col("i").alias("source"),
             F.round((F.col("wx2") / 2.0) / F.col("d"), 9).alias("praw"),
         )

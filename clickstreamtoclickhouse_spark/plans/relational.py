@@ -2608,15 +2608,25 @@ def transition_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_nodes = nodes.count()
     base = (1 - _PR_D) / n_nodes
 
+    # Broadcast hints on the per-iteration rank/contrib tables: both
+    # are event-type-bounded (|nodes| rows), but the checkpointed
+    # nodes/ew bases carry no stats, so the planner chained 10
+    # iterations of SortMergeJoins (measured: 62 Exchanges / 20 SMJ in
+    # the final plan). Hinted, each iteration is two map-side hash
+    # joins plus the one contrib groupBy Exchange.
     ranks = nodes.select("event_type", F.lit(1.0 / n_nodes).alias("r"))
     for _ in range(_PR_ITERS):
         contrib = (
-            ew.join(ranks, ew.from_type == ranks.event_type)
+            ew.join(F.broadcast(ranks), ew.from_type == ranks.event_type)
             .groupBy("to_type")
             .agg(F.sum(F.col("r") * F.col("w")).alias("inc"))
         )
         ranks = (
-            nodes.join(contrib, nodes.event_type == contrib.to_type, "left")
+            nodes.join(
+                F.broadcast(contrib),
+                nodes.event_type == contrib.to_type,
+                "left",
+            )
             .select(
                 "event_type",
                 F.round(

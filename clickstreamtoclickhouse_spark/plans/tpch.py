@@ -2022,14 +2022,26 @@ def part_hits_authorities(spark: SparkSession, sf_dir: str) -> DataFrame:
         # (guide §3.3); "built once" in the scale note is now literal.
         .localCheckpoint(eager=False)
     )
+    # Node-volume score tables (a1: parts, h1: customers) joined back
+    # onto the pinned (stats-less) edge table planned as SortMergeJoins
+    # — shuffling+sorting edges once per round. The conf-gated
+    # broadcast (same graphNodeJoin key/fallback as k_core) makes each
+    # round a map-side hash join plus its keyed-sum Exchange.
+    from ..util import conf_broadcast
+
+    def _node_b(df):
+        return conf_broadcast(
+            df, key="spark.clickstreamtoclickhouse.graphNodeJoin"
+        )
+
     a1 = edges.groupBy("p").agg(F.count(F.lit(1)).cast("long").alias("a"))
     h1 = (
-        edges.join(a1, "p")
+        edges.join(_node_b(a1), "p")
         .groupBy("u")
         .agg(F.sum("a").cast("long").alias("h"))
     )
     a2 = (
-        edges.join(h1, "u")
+        edges.join(_node_b(h1), "u")
         .groupBy("p")
         .agg(F.sum("h").cast("long").alias("a"))
         .localCheckpoint(eager=False)  # feeds amax AND the top-k
