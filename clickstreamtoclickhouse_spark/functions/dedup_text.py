@@ -347,13 +347,7 @@ def minhash_near_dup_pairs(
     banded = sig.select("did", "sig", F.explode(bands).alias("b")).select(
         "did", "sig", F.col("b.band").alias("band"), F.col("b.bh").alias("bh")
     )
-    # r14: banded feeds BOTH candidate join sides — unpinned, the
-    # signature aggregate + band explode (+ cap window) ran twice per
-    # action (guide §3.3). One execution; the checkpoint preserves the
-    # window's (band, bh) partitioning for the join.
-    banded = _cap_buckets(banded, ["band", "bh"], max_bucket_size).localCheckpoint(
-        eager=False
-    )
+    banded = _cap_buckets(banded, ["band", "bh"], max_bucket_size)
     a = banded.select(
         F.col("did").alias("doc_a"), F.col("sig").alias("sig_a"), "band", "bh"
     )
@@ -419,7 +413,7 @@ def simhash_near_dup_pairs(
     pair within Hamming k must agree on ≥1 band (pigeonhole), so
     candidates come from 4 equi-joins on (band_idx, band_value), never
     a crossJoin. Exact Hamming then filters candidates."""
-    sigs = simhash(docs, id_col, text_col)
+    sigs = simhash(docs, id_col, text_col).cache()
     bands = sigs.select(
         F.col(id_col).alias("did"),
         F.col("simhash"),
@@ -437,13 +431,7 @@ def simhash_near_dup_pairs(
             )
         ).alias("bv"),
     ).select("did", "simhash", "bv.band", "bv.val")
-    # r14: bands feeds BOTH join sides — pin one execution of the
-    # vote aggregate + band explode (+ cap window) instead of the old
-    # sigs.cache() (which kept the plan duplicated and re-ran the
-    # explode per side; guide §3.3).
-    bands = _cap_buckets(bands, ["band", "val"], max_bucket_size).localCheckpoint(
-        eager=False
-    )
+    bands = _cap_buckets(bands, ["band", "val"], max_bucket_size)
     a = bands.select(F.col("did").alias("doc_a"), F.col("simhash").alias("sig_a"), "band", "val")
     b = bands.select(F.col("did").alias("doc_b"), F.col("simhash").alias("sig_b"), "band", "val")
     cand = (
@@ -589,13 +577,7 @@ def verified_pairs_from_bands(
     DataFrame) restricts the doc_b side — the incremental screen
     passes the arriving batch's ids so only NEW docs are candidates
     for dropping while the index side still supplies partners."""
-    from ..util import ckpt_once
-
     k = len(MH_AB)
-    # r14: banded feeds BOTH join sides — pin one execution of the
-    # caller's band pipeline (wrap-once: an already-checkpointed band
-    # table is not wrapped again). Guide §3.3.
-    banded = ckpt_once(banded)
     a = banded.select(
         F.col("did").alias("doc_a"), F.col("sig").alias("sig_a"), "band", "bk"
     )
@@ -870,11 +852,7 @@ def simhash_portable_near_dup_pairs(
     banded = sig.select("did", "simhash", F.explode(bands).alias("b")).select(
         "did", "simhash", F.col("b.band").alias("band"), F.col("b.bv").alias("bv")
     )
-    # r14: both join sides — one execution of the vote aggregate +
-    # band explode (+ cap window), as in simhash_near_dup_pairs.
-    banded = _cap_buckets(banded, ["band", "bv"], max_bucket_size).localCheckpoint(
-        eager=False
-    )
+    banded = _cap_buckets(banded, ["band", "bv"], max_bucket_size)
     a = banded.select(
         F.col("did").alias("doc_a"), F.col("simhash").alias("sh_a"), "band", "bv"
     )
