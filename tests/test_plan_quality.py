@@ -651,6 +651,23 @@ def test_fuzzy_and_pagerank_plan_shapes(spark):
     assert txt.count("Scan parquet") <= 2, txt.count("Scan parquet")
 
 
+def test_iterative_loops_broadcast_bounded_state(spark):
+    # r14: the bounded per-round state tables (ranks/contribs, k-core
+    # survivors, HITS scores) must reach their loop joins as broadcast
+    # hash joins under the default conf — a checkpointed state table
+    # carries no stats, and before the hints the planner chained one
+    # or two SortMergeJoins of the big side PER ROUND (pagerank:
+    # 20 SMJ; kcore degree pass: 4; HITS: 8). Conf fallback
+    # (graphNodeJoin=shuffle) is exercised by the library tests.
+    for name in (
+        "transition_pagerank",
+        "part_copurchase_kcore",
+        "part_hits_authorities",
+    ):
+        txt = plan_text(spark, name)
+        assert "SortMergeJoin" not in txt, name
+
+
 def test_perplexity_buckets_sample_is_top_k_pruned(spark):
     # the tercile-cut sample must plan as TakeOrderedAndProject
     # (per-partition heads + k-row merge), never an unpartitioned
