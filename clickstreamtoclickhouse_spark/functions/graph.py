@@ -118,18 +118,24 @@ def connected_components(
     prev_sig = None
     for _ in range(max_iter):
         prev = e
+        # LAZY checkpoint + signature aggregate: one action per round
+        # instead of two (the eager materialization job and the
+        # signature job) — the aggregate computes every partition, so
+        # the checkpoint blocks persist as a side effect of the same
+        # job (r15; the k_core convergence-count fold, applied here).
         e = _small_star(_large_star(_symmetrize(e)))
-        e = e.localCheckpoint(eager=True)  # truncate iterative lineage
-        # The new round's edges are materialized; the previous round's
-        # checkpoint blocks are dead weight in executor storage now —
-        # drop them instead of accumulating O(log n) edge sets.
-        _unpersist_checkpoint(prev)
+        e = e.localCheckpoint(eager=False)  # truncate iterative lineage
         row = e.agg(
             F.count("*").alias("n"),
             # decimal(38,0) sum: a long sum of 64-bit hashes would
             # overflow under ANSI mode
             F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("h"),
         ).first()
+        # The new round's edges are materialized by the aggregate; the
+        # previous round's checkpoint blocks are dead weight now — drop
+        # them instead of accumulating O(log n) edge sets. (Must happen
+        # AFTER the aggregate: the new round's lineage reads them.)
+        _unpersist_checkpoint(prev)
         sig = (row["n"], row["h"])
         if sig == prev_sig:
             break
@@ -232,10 +238,15 @@ def k_core(
         )
 
     core = und.select(F.col("s").alias("node")).distinct().localCheckpoint(
-        eager=True
+        eager=False
     )
-    n_prev = core.count()
+    n_prev = core.count()  # one action: materializes the blocks AND counts
     for _ in range(max_rounds):
+        prev_core = core
+        # LAZY checkpoint + count folds the r14 two-driver-round-trips
+        # (eager materialization job, then a count job) into ONE action:
+        # count() computes every partition, persisting the checkpoint
+        # blocks as a side effect of the same job.
         survivors = (
             und.join(_core_b("s"), "s", "left_semi")
             .join(_core_b("d"), "d", "left_semi")
@@ -243,10 +254,13 @@ def k_core(
             .agg(F.count(F.lit(1)).alias("deg"))
             .filter(F.col("deg") >= k)
             .select(F.col("s").alias("node"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         n_now = survivors.count()
         core = survivors
+        # the new survivor set is materialized; the previous round's
+        # blocks are dead weight now (the connected_components stance)
+        _unpersist_checkpoint(prev_core)
         if n_now == n_prev:
             break
         n_prev = n_now
@@ -300,10 +314,23 @@ def label_propagation(
         .select("node", F.col("node").alias("label"))
         .localCheckpoint(eager=True)
     )
+    from ..util import conf_broadcast
+
     for _ in range(rounds):
+        prev_labels = labels
+        # r15: the label table is node-volume and checkpointed (no
+        # stats), so the per-round join planned as a SortMergeJoin —
+        # shuffling the full symmetrized edge list EVERY round. The
+        # k_core/HITS broadcast treatment, same conf gate
+        # (graphNodeJoin=shuffle drops the hint for graphs whose node
+        # set outgrows the broadcast limit).
         votes = (
             und.join(
-                labels.withColumnRenamed("node", "d"), "d"
+                conf_broadcast(
+                    labels.withColumnRenamed("node", "d"),
+                    key="spark.clickstreamtoclickhouse.graphNodeJoin",
+                ),
+                "d",
             )
             .groupBy(F.col("s").alias("node"), "label")
             .agg(F.count(F.lit(1)).alias("n"))
@@ -328,4 +355,10 @@ def label_propagation(
             )
             .localCheckpoint(eager=True)
         )
+        # the new round's labels are materialized; drop the previous
+        # round's blocks (the connected_components stance)
+        _unpersist_checkpoint(prev_labels)
+    # the returned labels are a materialized checkpoint, so the edge
+    # table this function built is dead weight from here on
+    _unpersist_checkpoint(und)
     return labels

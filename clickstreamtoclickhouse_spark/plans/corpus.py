@@ -969,6 +969,13 @@ def _bpe_oracle_sql(final: str = "merges") -> str:
 
 
 _BPE_CACHE = SessionDFCache("bpe_learn")
+# The learned merge list is NOT a DataFrame, so it lives OUTSIDE the
+# cache's entry convention (evict() releases tuple entries element-wise
+# expecting DataFrames — r14 advice): parallel plain dict, same key,
+# swept with the cache. A stale merges entry after an evict() is
+# harmless (hits are gated on _BPE_CACHE membership and a rebuild
+# overwrites it).
+_BPE_MERGES: dict[tuple, tuple] = {}
 
 
 def _bpe_learn(
@@ -980,16 +987,19 @@ def _bpe_learn(
     r14: session-cached — bpe_merges, bpe_tokenize and
     bpe_detok_roundtrip each consume the SAME {_BPE_ROUNDS}-round loop
     (driver argmax round trips included), so one build serves all
-    three (the manifest/topic-cluster cache stance). The entry holds
-    (final symbol table, merges tuple); the table is the loop's own
-    eager checkpoint, released by the registry-wide eviction hook."""
+    three (the manifest/topic-cluster cache stance). The cache entry is
+    the final symbol table (the loop's own eager checkpoint, released
+    by the registry-wide eviction hook); the merges tuple rides in the
+    parallel _BPE_MERGES dict (r14 advice: non-DataFrame payloads stay
+    out of the evictor's tuple convention)."""
     app_id = spark.sparkContext.applicationId
     for k in [k for k in _BPE_CACHE if k[0] != app_id]:
         del _BPE_CACHE[k]
+        _BPE_MERGES.pop(k, None)
     key = (app_id, sf_dir)
     hit = _BPE_CACHE.get(key)
     if hit is not None:
-        return list(hit[1]), hit[0]
+        return list(_BPE_MERGES[key]), hit
     d = load(spark, sf_dir, "documents")
     vocab = (
         d.select(F.explode(tx.words(F.lower(F.col("text")))).alias("word"))
@@ -1008,9 +1018,12 @@ def _bpe_learn(
     ).select("word", "freq", "x.pos", "x.sym")
     l = l.localCheckpoint(eager=True)
 
+    from ..util import release_local_checkpoint
+
     w_pos = Window.partitionBy("word").orderBy("pos")
     merges: list[tuple[int, str, str, int]] = []
     for t in range(_BPE_ROUNDS):
+        prev_l = l
         pc = (
             l.select("freq", F.col("sym").alias("a"), F.lead("sym").over(w_pos).alias("b"))
             .filter(F.col("b").isNotNull())
@@ -1065,8 +1078,12 @@ def _bpe_learn(
             )
             .localCheckpoint(eager=True)
         )
+        # the new round's table is materialized; the previous round's
+        # checkpoint blocks are dead weight now (the graph-loop stance)
+        release_local_checkpoint(prev_l)
 
-    _BPE_CACHE[key] = (l, tuple(merges))
+    _BPE_CACHE[key] = l
+    _BPE_MERGES[key] = tuple(merges)
     return merges, l
 
 

@@ -1416,8 +1416,8 @@ _LP_TOPK = 50
 def _link_prediction_stages(spark: SparkSession, sf_dir: str) -> dict:
     """part_link_prediction's pipeline, exposed stage-by-stage so the
     scale probe (scripts/sf_probe.py) can attribute shuffle bytes to
-    each stage at base vs 10x rows — edge build / capped wedge join /
-    existing-edge anti-join / final aggregate. The query itself
+    each stage at base vs 10x rows — edge build / capped wedge
+    generation / existing-edge anti-join / final aggregate. The query
     consumes only `cand`; keeping ONE builder stops the probed plan
     and the registered plan from drifting apart."""
     edges = _copurchase_edges(spark, sf_dir)
@@ -1426,35 +1426,46 @@ def _link_prediction_stages(spark: SparkSession, sf_dir: str) -> dict:
     und = edges.select(F.col("u").alias("z"), F.col("v").alias("nb")).unionByName(
         edges.select(F.col("v").alias("z"), F.col("u").alias("nb"))
     )
-    deg = und.groupBy("z").agg(F.count(F.lit(1)).cast("long").alias("d"))
-    capped = (
-        und.withColumn(
-            "r", F.row_number().over(W.partitionBy("z").orderBy("nb"))
-        )
+    # r15: the r14 localCheckpoint pin on the capped table (edge-volume)
+    # regressed cold sessions 2.6x (driver ground truth) — checkpoint
+    # write + block pressure swamped the saved window pass. Replaced
+    # structurally: ONE windowed pass ranks the neighbor fan AND counts
+    # the full degree under the same hashpartitioning(z) (two Window
+    # specs, one Exchange), then folds the <= _LP_NEIGHBOR_CAP survivors
+    # per node into a bounded sorted array — the groupBy reuses the
+    # window's partitioning, so the whole capped-neighbor build is one
+    # shuffle, executes once, and needs no pin at all.
+    wr = W.partitionBy("z").orderBy("nb")
+    capped_lists = (
+        und.withColumn("r", F.row_number().over(wr))
+        .withColumn("d", F.count(F.lit(1)).over(W.partitionBy("z")))
         .filter(F.col("r") <= _LP_NEIGHBOR_CAP)
-        .select("z", "nb")
-        # r14: capped is BOTH sides of the wedge self-join — unpinned,
-        # the cap window pass over the full symmetrized edge list ran
-        # twice (guide §3.3). One execution.
-        .localCheckpoint(eager=False)
+        .groupBy("z")
+        .agg(
+            F.array_sort(F.collect_list("nb")).alias("nbs"),
+            F.max("d").cast("long").alias("d"),
+        )
     )
-    ca, cb = capped.alias("ca"), capped.alias("cb")
-    wedges = ca.join(
-        cb,
-        (F.col("ca.z") == F.col("cb.z")) & (F.col("ca.nb") < F.col("cb.nb")),
-    ).select(
-        F.col("ca.nb").alias("pa"),
-        F.col("cb.nb").alias("pb"),
-        F.col("ca.z").alias("z"),
+    # wedge pairs come from the bounded per-node array instead of the
+    # old capped self-join: no duplicate execution of the capped build,
+    # no join shuffle, and the full degree rides along (every wedge of a
+    # node shares d), so the separate degree aggregate + z-join are gone
+    # too. nbs is ascending and duplicate-free, so (nbs[i], nbs[j]) for
+    # i < j is exactly the old nb_a < nb_b pair set.
+    pair_expr = F.expr(
+        "flatten(transform(nbs, (x, i) -> transform("
+        "slice(nbs, i + 2, size(nbs)), y -> struct(x AS pa, y AS pb))))"
     )
+    wedges = capped_lists.select(
+        "z", "d", F.explode(pair_expr).alias("p")
+    ).select(F.col("p.pa").alias("pa"), F.col("p.pb").alias("pb"), "z", "d")
     non_edges = wedges.join(
         edges,
         (wedges.pa == edges.u) & (wedges.pb == edges.v),
         "left_anti",
     )
     cand = (
-        non_edges.join(deg, "z")
-        .groupBy("pa", "pb")
+        non_edges.groupBy("pa", "pb")
         .agg(
             F.count(F.lit(1)).cast("long").alias("common_neighbors"),
             F.round(F.sum(1.0 / F.log(F.col("d"))), 6).alias("adamic_adar"),
@@ -1522,10 +1533,12 @@ def part_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: wedge generation is the quadratic risk (deg^2 per node on
     hub parts), so each node's neighbor list is capped at the
-    {_LP_NEIGHBOR_CAP} lowest-id neighbors BEFORE the self-join —
+    {_LP_NEIGHBOR_CAP} lowest-id neighbors BEFORE pair generation —
     the same deterministic-cap stance as jaccard's hot-shingle guard
     and the LSH bucket caps, replicated exactly in the oracle (AA
-    weights still use FULL degrees, so scores stay faithful). The
+    weights still use FULL degrees, so scores stay faithful). Pairs
+    come from a bounded per-node array (one shuffle builds it; no
+    self-join, no checkpoint — see _link_prediction_stages). The
     candidate anti-join excludes existing edges; the final top-k is
     TakeOrderedAndProject, never a global sort. The edge build is the
     shared `_copurchase_edges` session-cached checkpoint."""
@@ -2446,6 +2459,13 @@ def graph_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
         # struct's lexicographic order giving the (h, nbr) tie-break
         # the oracle's ORDER BY h, nbr replicates
         keys = [f"n{i}" for i in range(t)] + ["k"]
+        # r15 NOTE: broadcasting adj here (the k_core/HITS treatment)
+        # was tried and measured a 3x LOSS in a same-JVM interleaved
+        # A/B (scripts/ab_r15_graph.py: broadcast 8.4s vs shuffle 2.8s
+        # min-of-3 at sf0.1) — the per-hop broadcast build of the
+        # cap-bounded adjacency dwarfs the SMJ it replaces, and the
+        # frontier shuffle it saves is the cheap side. Kept as the
+        # planner's choice.
         frontier = (
             frontier.join(adj, F.col(cur) == F.col("node"))
             .groupBy(*keys)

@@ -62,7 +62,7 @@ HEADLINE = [
     ("temperature_sampling_weights", "lang-keyed token agg; normalizing windows over the lang-bounded table"),
     # round-8 additions: the rest of the top-10-by-bench-cost queries,
     # so the most expensive plans are reviewable without rerunning
-    ("part_link_prediction", "capped neighbor lists BEFORE the wedge self-join; left_anti existing edges; TakeOrderedAndProject top-k"),
+    ("part_link_prediction", "capped neighbor lists folded into bounded arrays (one shuffle, no self-join); left_anti existing edges; TakeOrderedAndProject top-k"),
     ("part_copurchase_kcore", "checkpointed symmetric edges; per-round survivor semi-joins (broadcastable) + keyed count"),
     ("doc_topic_clusters", "portable Lloyd final-assignment plan (per-round collects are k x (dims+1) scalars, not shown statically)"),
     ("dedup_recall_report", "three pair pipelines over ONE lazily-checkpointed shingle table; report reduces pair KEYS only"),
