@@ -1032,60 +1032,49 @@ def bt_source_strengths(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_a") * F.col("n_b")).cast("long").alias("nij"),
         )
     )
-    # eager checkpoint: the duel matrix is referenced by every MM
-    # iteration, and each iteration references the strength table
-    # FOUR times (p_i, p_j, praw, the normalization total) — without a
-    # per-iteration lineage cut the final plan re-enters the winrate
-    # construction O(4^iters) times (measured: 83 s at sf0.01 uncut,
-    # ~3 s cut). Tiny tables: |sources| and |sources|^2 rows.
-    m = both.localCheckpoint(eager=True)
-    wtot = m.groupBy("i").agg(F.sum("wx2").cast("long").alias("wx2"))
-    srcs = m.select(F.col("i").alias("source")).distinct()
-    nsrc = srcs.agg(F.count(F.lit(1)).cast("long").alias("k"))
-    p = srcs.select("source", F.lit(1.0).alias("p"))
-    # Broadcast hints on every |sources|-row table in the loop: the
-    # checkpointed strength table carries no stats, so without them
-    # each MM iteration planned the p_i/p_j joins (and wtot x denom)
-    # as SortMergeJoins — shuffling the duel matrix plus three tiny
-    # tables per iteration. Strengths are model-size (|sources| rows)
-    # by construction, the same always-broadcast class as the loop's
-    # existing `tot`/`nsrc` hints.
+    # r15: the MM fit runs DRIVER-SIDE over the collected duel matrix
+    # (|sources|^2 rows by construction, guarded below). The r14 Spark
+    # loop — eager checkpoint + four broadcast hints per iteration on
+    # |sources|-row tables — paid the local-mode stage-launch floor
+    # five times over (~2.6-3.9 s in-bench for microseconds of
+    # arithmetic); the transition_shortest_paths/doremi bounded-state
+    # stance applies: collect the bounded model, iterate in
+    # exactly-replicated arithmetic (every intermediate 9dp HALF_UP,
+    # identical to the oracle's unrolled MATERIALIZED CTEs), emit the
+    # result. Zero per-round job launches.
+    from decimal import ROUND_HALF_UP, Decimal
+
+    def _rnd(x: float, places: int) -> float:
+        return float(
+            Decimal(repr(x)).quantize(
+                Decimal(1).scaleb(-places), rounding=ROUND_HALF_UP
+            )
+        )
+
+    duels = sorted(
+        ((r.i, r.j, r.wx2, r.nij) for r in both.collect()),
+        key=lambda t: (t[0], t[1]),
+    )
+    sources = sorted({i for i, _, _, _ in duels})
+    if len(sources) > 10_000:
+        raise ValueError(
+            f"bt_source_strengths: {len(sources)} sources (> 10,000); "
+            "the driver-side MM loop assumes a source-bounded domain set"
+        )
+    k = len(sources)
+    wtot = {s: 0 for s in sources}
+    for i, _, wx2, _ in duels:
+        wtot[i] += wx2
+    p = {s: 1.0 for s in sources}
     for _ in range(_BT_ITERS):
-        pi = F.broadcast(
-            p.select(F.col("source").alias("i"), F.col("p").alias("p_i"))
-        )
-        pj = F.broadcast(
-            p.select(F.col("source").alias("j"), F.col("p").alias("p_j"))
-        )
-        denom = (
-            m.join(pi, "i")
-            .join(pj, "j")
-            .groupBy("i")
-            .agg(
-                F.sum(
-                    F.round(F.col("nij") / (F.col("p_i") + F.col("p_j")), 9)
-                ).alias("d")
-            )
-        )
-        praw = wtot.join(F.broadcast(denom), "i").select(
-            F.col("i").alias("source"),
-            F.round((F.col("wx2") / 2.0) / F.col("d"), 9).alias("praw"),
-        )
-        tot = praw.agg(F.sum("praw").alias("s"))
-        p = (
-            praw.crossJoin(F.broadcast(tot))
-            .crossJoin(F.broadcast(nsrc))
-            .select(
-                "source",
-                F.round(F.col("praw") * F.col("k") / F.col("s"), 9).alias(
-                    "p"
-                ),
-            )
-            .localCheckpoint(eager=True)
-        )
-    w_rank = Window.orderBy(F.desc(F.round("p", 6)), "source")
-    return p.select(
-        "source",
-        F.round("p", 6).alias("strength"),
-        F.row_number().over(w_rank).cast("int").alias("rank"),
+        denom = {s: 0.0 for s in sources}
+        for i, j, _, nij in duels:
+            denom[i] += _rnd(nij / (p[i] + p[j]), 9)
+        praw = {s: _rnd((wtot[s] / 2.0) / denom[s], 9) for s in sources}
+        tot = sum(praw[s] for s in sources)
+        p = {s: _rnd(praw[s] * k / tot, 9) for s in sources}
+    out = sorted(sources, key=lambda s: (-_rnd(p[s], 6), s))
+    return spark.createDataFrame(
+        [(s, _rnd(p[s], 6), i + 1) for i, s in enumerate(out)],
+        "source string, strength double, rank int",
     )

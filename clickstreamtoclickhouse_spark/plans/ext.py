@@ -91,6 +91,54 @@ def _near_dup_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ND_SHINGLE_CACHE.get_or_build(spark, sf_dir, build)
 
 
+# The decontamination band tables — bench = source 'src0', corpus =
+# everything else plus planted 80%-truncated src0 copies — are built
+# IDENTICALLY by minhash_decontamination and
+# minhash_decontamination_by_source (the by-source breakdown differs
+# only in what it projects off the benchmark side). Each build is a
+# full shingle explode + 16 portable permutation minima over the
+# planted corpus; one SessionDFCache group serves both (the
+# near_dup_shingles stance — narrow corpus-volume table, per-query
+# screens downstream, oracles untouched).
+_DECON_BANDS_CACHE = SessionDFCache("decon_bands")
+
+
+def _decon_band_tables(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """(band_b, band_c): benchmark-side (did, band, bk) and
+    planted-corpus-side (doc_id, band, bk) MinHash band tables at the
+    decontamination banding (8x2)."""
+
+    def build() -> tuple[DataFrame, DataFrame]:
+        docs = widen_scan(load(spark, sf_dir, "documents"))
+        bench = docs.filter(F.col("source") == "src0").select(
+            "doc_id", "text"
+        )
+        corpus = (
+            docs.filter(F.col("source") != "src0")
+            .select("doc_id", "text")
+            .unionByName(
+                bench.select(
+                    (F.col("doc_id") + _COPY_OFFSET).alias("doc_id"),
+                    F.expr(
+                        "substring(text, 1,"
+                        " cast(floor(length(text) * 0.8) as int))"
+                    ).alias("text"),
+                )
+            )
+        )
+        band_b = dedup_text.minhash_portable_bands(
+            bench, n=3, num_bands=_DECON_BANDS
+        ).select("did", "band", "bk")
+        band_c = dedup_text.minhash_portable_bands(
+            corpus, n=3, num_bands=_DECON_BANDS
+        ).select(F.col("did").alias("doc_id"), "band", "bk")
+        return band_b, band_c
+
+    return _DECON_BANDS_CACHE.get_or_build_group(spark, sf_dir, build)
+
+
 def _light_edit_corpus(docs: DataFrame) -> DataFrame:
     """documents ∪ copies with two appended words: each copy differs
     from its original by exactly two trailing shingles — the
@@ -4354,29 +4402,17 @@ def minhash_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     all-pairs. Output is flagged doc ids with their matched-band
     count, so the decision threshold is tunable downstream without
     recomputing signatures. Banding is 8x2 (vs pairing's 4x4):
-    recall-biased, the right side of the trade for leakage."""
-    docs = widen_scan(load(spark, sf_dir, "documents"))
-    bench = docs.filter(F.col("source") == "src0").select("doc_id", "text")
-    corpus = (
-        docs.filter(F.col("source") != "src0")
-        .select("doc_id", "text")
-        .unionByName(
-            bench.select(
-                (F.col("doc_id") + _COPY_OFFSET).alias("doc_id"),
-                F.expr(
-                    "substring(text, 1, cast(floor(length(text) * 0.8) as int))"
-                ).alias("text"),
-            )
-        )
-    )
-    band_b = dedup_text.minhash_portable_bands(
-        bench, n=3, num_bands=_DECON_BANDS
-    ).select("band", "bk")
-    band_c = dedup_text.minhash_portable_bands(
-        corpus, n=3, num_bands=_DECON_BANDS
-    ).select(F.col("did").alias("doc_id"), "band", "bk")
+    recall-biased, the right side of the trade for leakage.
+
+    r15: the bench/corpus band tables come from the shared
+    _decon_band_tables session build (one signature pass serves this
+    query and the by-source breakdown)."""
+    band_b, band_c = _decon_band_tables(spark, sf_dir)
     return (
-        band_c.join(F.broadcast(band_b.distinct()), ["band", "bk"])
+        band_c.join(
+            F.broadcast(band_b.select("band", "bk").distinct()),
+            ["band", "bk"],
+        )
         .groupBy("doc_id")
         .agg(F.count_distinct("band").alias("n_shared_bands"))
     )
@@ -4432,28 +4468,23 @@ def minhash_decontamination_by_source(
     80%-truncated leaks carry their origin source ('src0'), so the
     planted signal must surface entirely under that source.
 
-    Scale: identical band tables to the corpus-wide query (the
+    Scale: identical band tables to the corpus-wide query — shared
+    outright via the _decon_band_tables session build as of r15 (the
     benchmark side stays broadcastable); the only additions are the
-    split label on the broadcast side and one (split, source)
-    aggregate over the flagged rows — output is split x source
-    bounded."""
-    docs = widen_scan(load(spark, sf_dir, "documents"))
-    bench = docs.filter(F.col("source") == "src0").select("doc_id", "text")
-    corpus = (
+    split label on the broadcast side, the (doc_id, source) lookup
+    (a bands-free docs projection), and one (split, source) aggregate
+    over the flagged rows — output is split x source bounded."""
+    band_b, band_c = _decon_band_tables(spark, sf_dir)
+    docs = load(spark, sf_dir, "documents")
+    src_map = (
         docs.filter(F.col("source") != "src0")
-        .select("doc_id", "source", "text")
+        .select("doc_id", "source")
         .unionByName(
-            bench.select(
+            docs.filter(F.col("source") == "src0").select(
                 (F.col("doc_id") + _COPY_OFFSET).alias("doc_id"),
                 F.lit("src0").alias("source"),
-                F.expr(
-                    "substring(text, 1, cast(floor(length(text) * 0.8) as int))"
-                ).alias("text"),
             )
         )
-    )
-    band_b = dedup_text.minhash_portable_bands(
-        bench, n=3, num_bands=_DECON_BANDS
     )
     bsplit = band_b.select(
         F.concat(
@@ -4462,16 +4493,13 @@ def minhash_decontamination_by_source(
         "band",
         "bk",
     ).distinct()
-    band_c = dedup_text.minhash_portable_bands(
-        corpus.select("doc_id", "text"), n=3, num_bands=_DECON_BANDS
-    ).select(F.col("did").alias("doc_id"), "band", "bk")
     hits = (
         band_c.join(F.broadcast(bsplit), ["band", "bk"])
         .groupBy("split", "doc_id")
         .agg(F.count_distinct("band").alias("nb"))
     )
     return (
-        hits.join(corpus.select("doc_id", "source"), "doc_id")
+        hits.join(src_map, "doc_id")
         .groupBy("split", "source")
         .agg(
             F.count("*").cast("long").alias("n_flagged_docs"),

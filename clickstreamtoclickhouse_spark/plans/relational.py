@@ -2583,11 +2583,22 @@ def transition_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical expression in both.
 
     Scale: node/edge tables are event-type-bounded aggregates of one
-    events scan (checkpointed ONCE — the 10 chained iterations never
-    re-read the corpus). Each iteration is an edge-keyed join +
-    map-side-combinable aggregate: the web-scale plan, just with a
-    small vertex set here. No driver-side collect inside the loop
-    beyond the initial node count."""
+    events scan; the bounded model (<= |event_types|^2 weight rows,
+    guarded at 10k types) is collected ONCE and the fixed power
+    iteration runs driver-side — the corpus is never re-read and no
+    per-round jobs launch (r15; the transition_shortest_paths/doremi
+    bounded-state stance)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    def _rnd(x: float, places: int) -> float:
+        # bit-matches F.round: BigDecimal.valueOf(double) HALF_UP on
+        # the shortest decimal repr (the doremi/markov stance)
+        return float(
+            Decimal(repr(x)).quantize(
+                Decimal(1).scaleb(-places), rounding=ROUND_HALF_UP
+            )
+        )
+
     e = load(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     tr = (
@@ -2600,45 +2611,51 @@ def transition_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         # §3.3). Type-bounded rows, one execution.
         .localCheckpoint(eager=False)
     )
-    nodes = e.select("event_type").distinct().localCheckpoint(eager=True)
+    nodes = sorted(
+        r.event_type
+        for r in e.select("event_type").distinct().collect()
+    )
     outw = tr.groupBy("from_type").agg(F.sum("n").cast("long").alias("o"))
     ew = tr.join(outw, "from_type").select(
         "from_type", "to_type", (F.col("n") * 1.0 / F.col("o")).alias("w")
-    ).localCheckpoint(eager=True)
-    n_nodes = nodes.count()
+    )
+    # r15: the power iteration runs DRIVER-SIDE over the collected
+    # (type-bounded) edge-weight table. The r14 Spark loop — even
+    # fully broadcast-hinted — chained 20 sequential broadcast-build
+    # waves for a <= |event_types|-row state, paying the local-mode
+    # stage-launch floor per wave (~2.6-3.4 s in-bench); the
+    # transition_shortest_paths / doremi precedent applies: collect
+    # the bounded model, iterate in exactly-replicated arithmetic
+    # (9dp HALF_UP per round, identical to the oracle's unrolled
+    # CTEs), emit the result. Zero per-round job launches.
+    ew_rows = ew.collect()
+    if len(nodes) > 10_000:
+        raise ValueError(
+            f"transition_pagerank: {len(nodes)} event types (> 10,000); "
+            "the driver-side power iteration assumes a type-bounded "
+            "vertex set"
+        )
+    n_nodes = len(nodes)
     base = (1 - _PR_D) / n_nodes
-
-    # Broadcast hints on the per-iteration rank/contrib tables: both
-    # are event-type-bounded (|nodes| rows), but the checkpointed
-    # nodes/ew bases carry no stats, so the planner chained 10
-    # iterations of SortMergeJoins (measured: 62 Exchanges / 20 SMJ in
-    # the final plan). Hinted, each iteration is two map-side hash
-    # joins plus the one contrib groupBy Exchange.
-    ranks = nodes.select("event_type", F.lit(1.0 / n_nodes).alias("r"))
+    edges = sorted(
+        ((r.to_type, r.from_type, r.w) for r in ew_rows),
+        key=lambda t: (t[0], t[1]),
+    )
+    ranks = {v: 1.0 / n_nodes for v in nodes}
     for _ in range(_PR_ITERS):
-        contrib = (
-            ew.join(F.broadcast(ranks), ew.from_type == ranks.event_type)
-            .groupBy("to_type")
-            .agg(F.sum(F.col("r") * F.col("w")).alias("inc"))
-        )
-        ranks = (
-            nodes.join(
-                F.broadcast(contrib),
-                nodes.event_type == contrib.to_type,
-                "left",
-            )
-            .select(
-                "event_type",
-                F.round(
-                    F.lit(base) + _PR_D * F.coalesce(F.col("inc"), F.lit(0.0)), 9
-                ).alias("r"),
-            )
-        )
-    w_rank = Window.orderBy(F.desc(F.round("r", 9)), "event_type")
-    return ranks.select(
-        "event_type",
-        F.round("r", 6).alias("rank_score"),
-        F.row_number().over(w_rank).cast("int").alias("rank"),
+        inc: dict[str, float] = {}
+        for to_t, from_t, wgt in edges:
+            inc[to_t] = inc.get(to_t, 0.0) + ranks[from_t] * wgt
+        ranks = {
+            v: _rnd(base + _PR_D * inc.get(v, 0.0), 9) for v in nodes
+        }
+    out = sorted(nodes, key=lambda v: (-_rnd(ranks[v], 9), v))
+    return spark.createDataFrame(
+        [
+            (v, _rnd(ranks[v], 6), i + 1)
+            for i, v in enumerate(out)
+        ],
+        "event_type string, rank_score double, rank int",
     )
 
 

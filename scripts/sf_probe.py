@@ -240,6 +240,16 @@ PROBE_QUERIES = [
     "semantic_diversity_by_source",
     "corpus_build_manifest_best_keeper",
     "keeper_quality_gain",
+    # round-15 (r14 verdict housekeeping): the three r14 mid-build
+    # queries. The incremental manifest is the documented ~3x one-shot
+    # cost for the exactly-once contract and rides the incr-manifest
+    # session cache (cold build attributed to this entry); DoReMi is
+    # two LM scorings + a driver-side MW loop over the source-bounded
+    # excess table (must stay flat as docs grow); BFD packing is one
+    # scan + a salted per-shard first-fit fold (shard-bounded state).
+    "incremental_corpus_build_manifest",
+    "doremi_domain_weights",
+    "sequence_packing_bfd",
 ]
 
 # round-13 (r12 verdict #1): the queries whose base->x10 SHUFFLE-byte

@@ -1292,10 +1292,12 @@ _BOUNDED_GLOBAL_WINDOWS = {
     "segment_revenue_share": "segment aggregate",
     "mixture_epoch_allocation": "language-bounded token aggregate",
     "temperature_sampling_weights": "language-bounded token aggregate",
-    "transition_pagerank": "event-type transition matrix",
+    # (transition_pagerank and bt_source_strengths dropped in r15 —
+    # their fixed iterations and final ranking now run driver-side
+    # over the collected bounded model, so the registered plans carry
+    # no window at all)
     "session_paths": "path-cardinality aggregate counts",
     "part_hits_authorities": "top-k window over bounded score table",
-    "bt_source_strengths": "source-bounded strength table (|sources| rows)",
     # value-domain / bin / fold / threshold grids
     "mann_whitney_u": "distinct-cents tie table (2dp value domain)",
     "value_ks_drift_test": "distinct-cents table (2dp value domain)",
