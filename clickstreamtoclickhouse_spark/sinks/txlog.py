@@ -54,6 +54,8 @@ logger = logging.getLogger(__name__)
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
+from ..util import release_local_checkpoint
+
 
 class CommitConflict(Exception):
     """Another writer committed this version first (optimistic
@@ -404,8 +406,8 @@ class TxLogTable:
             # new files are complete before the old ones are
             # de-referenced (and later vacuumed)
             merged = merged.localCheckpoint(eager=True)
-            adds, stats = self._write_files(merged)
             try:
+                adds, stats = self._write_files(merged)
                 self._commit(
                     base_snap.version + 1, adds, list(base_snap.files),
                     merged.schema.json(), stats,
@@ -414,6 +416,12 @@ class TxLogTable:
             except CommitConflict:
                 # orphaned `adds` files are reclaimed by vacuum()
                 continue
+            finally:
+                # checkpoint blocks are only GC-reclaimed at driver
+                # GC; a per-micro-batch MERGE stream would otherwise
+                # accumulate one merged-table copy per commit (r15 —
+                # the streaming-sink release stance)
+                release_local_checkpoint(merged)
         raise CommitConflict(f"gave up after {_max_retries} retries")
 
     def optimize(
@@ -451,8 +459,8 @@ class TxLogTable:
             df = self.read(spark, version=snap.version).coalesce(
                 int(n_out)
             ).localCheckpoint(eager=True)
-            adds, stats = self._write_files(df)
             try:
+                adds, stats = self._write_files(df)
                 self._commit(
                     snap.version + 1, adds, list(snap.files),
                     df.schema.json(), stats,
@@ -460,6 +468,10 @@ class TxLogTable:
                 return snap.version + 1
             except CommitConflict:
                 continue
+            finally:
+                # merge_upsert's release rationale: bounded storage
+                # across repeated compactions
+                release_local_checkpoint(df)
         raise CommitConflict(f"gave up after {_max_retries} retries")
 
     def vacuum(self, keep_versions: int = 1) -> list[str]:

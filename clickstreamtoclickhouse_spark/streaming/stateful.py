@@ -996,6 +996,7 @@ def streaming_contamination_screen(
     independent row sets (a doc lands in exactly one), so there is no
     cross-write consistency window to order."""
     from ..functions import text as tx
+    from ..util import release_local_checkpoint
 
     spark = docs_stream.sparkSession
     bench_grams = (
@@ -1014,6 +1015,7 @@ def streaming_contamination_screen(
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         batch_df = batch_df.cache()
+        hits = None
         try:
             hits = (
                 batch_df.select(
@@ -1043,6 +1045,11 @@ def streaming_contamination_screen(
             )
         finally:
             batch_df.unpersist()
+            # checkpoint blocks are only GC-reclaimed at driver GC —
+            # release per-batch so a long stream's storage stays
+            # bounded (the token-budget sink's r13-advice stance)
+            if hits is not None:
+                release_local_checkpoint(hits)
 
     return (
         docs_stream.writeStream.foreachBatch(process_batch)
